@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table access for the driver-provided parquet fixtures (TESTDATA.md).
+  *
+  * Each "namespace" (reference: `db.coll`, split by mdb.SplitNamespace —
+  * /root/reference/task.go:51) maps to one parquet table under the
+  * scale-factor directory. All reads go through here so that the scan is a
+  * plain `spark.read.parquet` — Catalyst pushes filters and prunes columns
+  * into the parquet scan for free (SURVEY.md §4).
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  /** Read one table from a scale-factor directory. */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The primary key ("_id" analog) per table — used by the range
+    * splitter (X1), idempotent sinks (K1) and the compare job (J1). */
+  val keys: Map[String, String] = Map(
+    "region" -> "r_regionkey", "nation" -> "n_nationkey",
+    "customer" -> "c_custkey", "supplier" -> "s_suppkey",
+    "part" -> "p_partkey", "orders" -> "o_orderkey",
+    "events" -> "event_id", "documents" -> "doc_id",
+    "embeddings" -> "vec_id")
+}
+
+/** One SparkSession configuration point so Verify/Bench/tests agree.
+  * local[32]-oriented: 32 shuffle partitions, AQE on, UTC. */
+object GraftSession {
+  def create(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
