@@ -30,6 +30,28 @@ object SparkEntry {
           sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // P1: per-namespace user filter from a Mongo query doc ($in +
+    // comparison, as in the reference's testdata/data-only.json), compiled
+    // to a Column so Catalyst pushes it into the parquet scan.
+    "q_filter_in" -> ((s, dir) => {
+      load(s, dir, "lineitem")
+        .filter(config.MongoPredicate.compile(
+          """{"l_returnflag": {"$in": ["R"]}, "l_quantity": {"$gt": 45}}"""))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // P1 + extended-JSON $date filter (reference testdata/quickstart.json)
+    // with $or over status.
+    "q_filter_date" -> ((s, dir) => {
+      load(s, dir, "orders")
+        .filter(config.MongoPredicate.compile(
+          """{"o_orderdate": {"$gte": {"$date": "1999-01-01T00:00:00Z"}},
+             "$or": [{"o_orderstatus": "F"}, {"o_totalprice": {"$lt": 1000}}]}"""))
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
     })
   )
 
@@ -39,6 +61,17 @@ object SparkEntry {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
         |  count(*) AS count_order
-        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_filter_in" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem
+        |WHERE l_returnflag IN ('R') AND l_quantity > 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_filter_date" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+        |  AND (o_orderstatus = 'F' OR o_totalprice < 1000)
+        |ORDER BY o_orderkey""".stripMargin
   )
 }
