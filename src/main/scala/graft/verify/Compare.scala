@@ -1,0 +1,63 @@
+package graft.verify
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Cluster diff — the reference's `-compare` command (compare.go:13-31,
+  * J1), which delegates per-namespace source/target verification to the
+  * keyhole comparator. Spark-first shape: a single full-outer join on the
+  * key plus a row fingerprint, giving per-row status and per-namespace
+  * counts in one shuffle.
+  *
+  * The row fingerprint hashes every non-key column (sorted by name for
+  * determinism) through `sha2(to_json(struct(...)))` — codegen'd, no UDF.
+  *
+  * Scale notes: the join shuffles both sides on the key — exactly one
+  * shuffle each, which is optimal for a full diff; at 100 TB both sides
+  * are bucketable on the key to make the join shuffle-free, and a
+  * fingerprint-per-partition pre-aggregation (sum of xxhash64) can
+  * short-circuit identical partitions before any row-level join runs.
+  */
+object Compare {
+
+  final case class CompareSummary(
+      matched: Long, mismatched: Long, missingOnTarget: Long, extraOnTarget: Long) {
+    def isEqual: Boolean = mismatched == 0 && missingOnTarget == 0 && extraOnTarget == 0
+  }
+
+  /** Deterministic row fingerprint over all non-key columns. */
+  def fingerprint(df: DataFrame, key: String) = {
+    val cols = df.columns.filterNot(_ == key).sorted.map(col)
+    sha2(to_json(struct(cols.toIndexedSeq: _*)), 256)
+  }
+
+  /** Per-row diff: (key, status) with status ∈ match|mismatch|missing|extra.
+    * `missing` = present on source only; `extra` = present on target only. */
+  def diff(src: DataFrame, tgt: DataFrame, key: String): DataFrame = {
+    val s = src.select(col(key), fingerprint(src, key).as("__src_fp"))
+    val t = tgt.select(col(key), fingerprint(tgt, key).as("__tgt_fp"))
+    s.join(t, Seq(key), "full_outer")
+      .select(col(key),
+        when(col("__src_fp").isNull, lit("extra"))
+          .when(col("__tgt_fp").isNull, lit("missing"))
+          .when(col("__src_fp") === col("__tgt_fp"), lit("match"))
+          .otherwise(lit("mismatch")).as("status"))
+  }
+
+  /** Aggregated diff counts — the comparator's verdict for one namespace. */
+  def summarize(src: DataFrame, tgt: DataFrame, key: String): CompareSummary = {
+    val counts = diff(src, tgt, key).groupBy("status").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    CompareSummary(
+      matched = counts.getOrElse("match", 0L),
+      mismatched = counts.getOrElse("mismatch", 0L),
+      missingOnTarget = counts.getOrElse("missing", 0L),
+      extraOnTarget = counts.getOrElse("extra", 0L))
+  }
+
+  /** Dup-key reconciliation — J2 (task.go:95-97): which keys of a batch
+    * already exist on the target. `left_semi` keeps it shuffle-lean and
+    * never materializes target payload columns. */
+  def existingKeys(batch: DataFrame, target: DataFrame, key: String): DataFrame =
+    batch.select(key).join(target.select(key), Seq(key), "left_semi")
+}
