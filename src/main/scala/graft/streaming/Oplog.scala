@@ -116,22 +116,29 @@ object Oplog {
         val id = idOf(oplog.o2).getOrElse(return Nil)
         parseObject(oplog.o) match {
           case Some(obj) if obj.has("diff") && obj.get("diff").isObject =>
-            // update v2 (oplog_utils.go:248-264): first of u/i → $set, d → $unset
+            // update v2 (oplog_utils.go:248-264): u/i sections → $set,
+            // d → $unset. The reference returns on the FIRST matching
+            // section, silently dropping the $unset half of a combined
+            // {"diff":{"u":...,"d":...}} op; a v2 diff can carry both, so
+            // we accumulate every section into ONE $set+$unset update
+            // (behavioral superset, flagged in round-1 review).
             val diff = obj.get("diff")
+            val set = mapper.createObjectNode()
+            val unset = mapper.createObjectNode()
             val it = diff.properties().iterator()
             while (it.hasNext) {
               val e = it.next()
-              e.getKey match {
-                case "u" | "i" =>
-                  return Seq(WriteOp(ns, oplog.ts, "update", id,
-                    s"""{"$$set":${e.getValue.toString}}"""))
-                case "d" =>
-                  return Seq(WriteOp(ns, oplog.ts, "update", id,
-                    s"""{"$$unset":${e.getValue.toString}}"""))
+              (e.getKey, e.getValue) match {
+                case ("u" | "i", v: ObjectNode) => set.setAll[ObjectNode](v): Unit
+                case ("d", v: ObjectNode) => unset.setAll[ObjectNode](v): Unit
                 case _ =>
               }
             }
-            Nil
+            val spec = mapper.createObjectNode()
+            if (set.size > 0) spec.set[ObjectNode]("$set", set)
+            if (unset.size > 0) spec.set[ObjectNode]("$unset", unset)
+            if (spec.size == 0) Nil
+            else Seq(WriteOp(ns, oplog.ts, "update", id, spec.toString))
           case Some(obj) =>
             // update v1 (oplog_utils.go:265-271): first $-prefixed key
             // (except $v) passes through as the update doc
@@ -221,7 +228,10 @@ object JsonDocOps {
         case _ => cur.putObject(p)
       }
     }
-    cur.set(parts.last, value): Unit
+    // NB: set[T] is generic on its return — an inferred T=Unit would make
+    // Jackson cast its `return this` to BoxedUnit and throw; pin T.
+    cur.set[com.fasterxml.jackson.databind.JsonNode](parts.last, value)
+    ()
   }
 
   private def unsetPath(node: ObjectNode, path: String): Unit = {
