@@ -27,18 +27,47 @@ object RangeSplitter {
 
   /** Exact per-block ranges: one row per task with (task_seq, id_first,
     * id_last, source_count) — mirrors splitter.go:76-102 including the
-    * short tail block. */
-  def exactBounds(df: DataFrame, key: String, block: Int): DataFrame = {
+    * short tail block.
+    *
+    * Scale-safe two-level plan (no global sort, no single-partition
+    * window): range-partition the key column, count rows per partition
+    * (tiny collect), turn the counts into exclusive prefix-sum offsets,
+    * then run a PARTITIONED window (`partitionBy(__pid)`) whose local row
+    * number plus the partition offset is the exact global row number.
+    * Both jobs read the same persisted partitioning — RangePartitioner
+    * samples with an rdd-id-dependent seed, so recomputing it between
+    * jobs could shift bounds and corrupt the offsets.
+    *
+    * Duplicate keys may order arbitrarily within a partition, but block
+    * membership is multiset-determined, so min/max/count per block are
+    * deterministic either way. */
+  def exactBounds(df: DataFrame, key: String, block: Int,
+      numPartitions: Int = 0): DataFrame = {
     require(block > 0, "block must be positive")
-    val w = Window.orderBy(col(key))
-    df.select(col(key))
-      .withColumn("rn", row_number().over(w) - 1)
-      .groupBy((col("rn") / block).cast("long").as("task_seq"))
-      .agg(
-        min(col(key)).as("id_first"),
-        max(col(key)).as("id_last"),
-        count(lit(1)).as("source_count"))
-      .orderBy("task_seq")
+    val n = if (numPartitions > 0) numPartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val keyed = df.select(col(key))
+      .repartitionByRange(n, col(key))
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val counts = keyed.groupBy("__pid").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      val offsets: Map[Int, Long] =
+        counts.map(_._1).zip(counts.scanLeft(0L)(_ + _._2)).toMap
+      val offset = coalesce(element_at(typedLit(offsets), col("__pid")), lit(0L))
+      val w = Window.partitionBy("__pid").orderBy(col(key))
+      val res = keyed
+        .withColumn("rn", row_number().over(w).cast("long") - 1L + offset)
+        .groupBy((col("rn") / block).cast("long").as("task_seq"))
+        .agg(
+          min(col(key)).as("id_first"),
+          max(col(key)).as("id_last"),
+          count(lit(1)).as("source_count"))
+        .orderBy("task_seq")
+      // materialize the (tiny) result so the cache can be released now
+      res.localCheckpoint(eager = true)
+    } finally { keyed.unpersist(false); () }
   }
 
   /** The scale path: hand the DataFrame back partitioned into
