@@ -148,6 +148,83 @@ object SparkEntry {
       verify.Compare.existingKeys(batch, target, "o_orderkey").orderBy("o_orderkey")
     }),
 
+    // ================= LLM-data-pipeline operators (SURVEY §7.1-10) =====
+
+    // ---- exact dedup: hash-groupBy over a corpus with planted duplicate
+    // copies (no natural dups in the fixture). One map-side-combined
+    // aggregate; the 100 TB plan is the same plan.
+    "q_dedup_exact" -> ((s, dir) => {
+      val d = load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = d.unionByName(
+        d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 200000L).as("doc_id"), col("text")))
+      text.Dedup.exact(corpus, "doc_id", col("text")).orderBy("content_hash")
+    }),
+
+    // ---- MinHash+LSH near-dup candidates: word-3-gram shingles → 16
+    // seed-prefixed md5 minhashes → 8 bands of 2 → band-bucket self-join
+    // (never all-pairs). Near-dups planted as text+tail copies.
+    "q_dedup_minhash" -> ((s, dir) =>
+      text.Dedup.lshCandidates(nearDupCorpus(load(s, dir, "documents")),
+        "doc_id", col("text")).orderBy("id_a", "id_b")),
+
+    // ---- exact n-gram Jaccard verification of the LSH candidates — the
+    // verify stage of the near-dup pipeline; cost is candidates×shingles.
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val corpus = nearDupCorpus(load(s, dir, "documents"))
+      val cand = text.Dedup.lshCandidates(corpus, "doc_id", col("text"))
+      text.Dedup.jaccardVerify(corpus, cand, "doc_id", col("text"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- brute-force top-k similarity (ANN baseline): broadcast query
+    // set × corpus, QUANTIZED integer dot product (exact, engine-
+    // agnostic), per-query window top-k.
+    "q_sim_topk" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings")
+      ml.Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- embedding near-dup: quantized-cosine ≥ 0.9 pairs within a
+    // label bucket (IVF-style candidate pruning); near-dups planted as
+    // 1.1-scaled copies (cosine 1.0 with their original).
+    "q_embed_neardup" -> ((s, dir) => {
+      val e = load(s, dir, "embeddings").filter(col("vec_id") < 2000)
+      val corpus = e.unionByName(
+        e.filter(col("vec_id") % 10 === 0).select(
+          (col("vec_id") + 100000L).as("vec_id"),
+          transform(col("embedding"), x => (x.cast("double") * 1.1).cast("float"))
+            .as("embedding"),
+          col("label")))
+      ml.Similarity.nearDupPairs(corpus, "vec_id", "embedding", "label")
+        .select("id_a", "id_b", "dot_q").orderBy("id_a", "id_b")
+    }),
+
+    // ---- text quality statistics + integer quality score ----
+    "q_text_stats" -> ((s, dir) =>
+      text.TextFunctions.qualityStats(load(s, dir, "documents"), col("text"))
+        .select("doc_id", "n_len", "n_tokens", "n_bpeish", "n_alpha", "n_digit",
+          "alpha_ratio", "avg_token_len", "quality_score")
+        .orderBy("doc_id")),
+
+    // ---- language-ID: stopword-marker argmax heuristic ----
+    "q_lang_id" -> ((s, dir) =>
+      text.TextFunctions.languageId(load(s, dir, "documents"), col("text"))
+        .select("doc_id", "lang", "en_n", "fr_n", "es_n", "de_n", "pred_lang")
+        .orderBy("doc_id")),
+
+    // ---- document fingerprint: min-md5 over the 12-char shingle set ----
+    "q_fingerprint" -> ((s, dir) =>
+      text.TextFunctions.fingerprint(load(s, dir, "documents"), "doc_id", col("text"))
+        .orderBy("doc_id")),
+
+    // ---- 16-bit SimHash signatures over the token multiset ----
+    "q_simhash" -> ((s, dir) =>
+      text.TextFunctions.simhash(load(s, dir, "documents"), "doc_id", col("text"))
+        .orderBy("doc_id")),
+
     // ---- J3: last-write-wins per-key compaction (oplog apply ordering) ----
     // the micro-batch compaction inside K2's foreachBatch, run as a batch
     // query over the events change-log table.
@@ -166,7 +243,158 @@ object SparkEntry {
     })
   )
 
+  /** Shared near-dup corpus: documents ∪ tail-mutated copies of every
+    * 5th doc (id+100000) — deterministic, reproduced verbatim in the
+    * oracle CTEs. */
+  private def nearDupCorpus(d: DataFrame): DataFrame = {
+    val base = d.select(col("doc_id"), col("text"))
+    base.unionByName(
+      base.filter(col("doc_id") % 5 === 0).select(
+        (col("doc_id") + 100000L).as("doc_id"),
+        concat(col("text"), lit(" near duplicate tail")).as("text")))
+  }
+
+  /** Oracle fragment: the minhash/LSH CTE chain shared by
+    * q_dedup_minhash and q_ngram_jaccard (must mirror Dedup.scala). */
+  private val minhashCtes: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text || ' near duplicate tail'
+      |  FROM documents WHERE doc_id % 5 = 0),
+      |words AS (SELECT doc_id, str_split(lower(text), ' ') AS w FROM corpus),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, w[u.i] || ' ' || w[u.i+1] || ' ' || w[u.i+2] AS s
+      |  FROM words, LATERAL (SELECT unnest(generate_series(1, greatest(len(w)-2, 1))) AS i) u
+      |  WHERE w[u.i] || ' ' || w[u.i+1] || ' ' || w[u.i+2] IS NOT NULL),
+      |mh AS (
+      |  SELECT doc_id, k.k, min(md5(CAST(k.k AS VARCHAR) || '|' || s)) AS minh
+      |  FROM sh, generate_series(0, 15) k(k) GROUP BY 1, 2),
+      |sig AS (
+      |  SELECT doc_id, CAST(floor(k/2) AS INT) AS band,
+      |         md5(string_agg(minh, '|' ORDER BY k)) AS bsig
+      |  FROM mh GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sig a JOIN sig b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)
+      |""".stripMargin
+
+  /** Oracle fragment: quantized integer dot product of two embedding
+    * lists (mirrors Similarity.quantizedDot). */
+  private def dotQ(a: String, b: String): String =
+    s"""(SELECT CAST(sum(CAST(floor(CAST(x.u1 AS DOUBLE)*1000) AS BIGINT) *
+       |                 CAST(floor(CAST(x.u2 AS DOUBLE)*1000) AS BIGINT)) AS BIGINT)
+       | FROM (SELECT unnest($a) AS u1, unnest($b) AS u2) x)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000, text FROM documents WHERE doc_id % 7 = 0)
+        |SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS dup_count
+        |FROM corpus GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_dedup_minhash" ->
+      (minhashCtes + "SELECT id_a, id_b FROM cand ORDER BY 1, 2"),
+    "q_ngram_jaccard" ->
+      (minhashCtes +
+        """, sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+          |inter AS (
+          |  SELECT c.id_a, c.id_b, count(*) AS n_inter
+          |  FROM cand c
+          |  JOIN sh sa ON sa.doc_id = c.id_a
+          |  JOIN sh sb ON sb.doc_id = c.id_b AND sb.s = sa.s
+          |  GROUP BY 1, 2)
+          |SELECT c.id_a, c.id_b,
+          |  coalesce(i.n_inter, 0) AS n_inter,
+          |  sa.n + sb.n - coalesce(i.n_inter, 0) AS n_union,
+          |  CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+          |    / (sa.n + sb.n - coalesce(i.n_inter, 0)) AS jaccard
+          |FROM cand c
+          |LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+          |JOIN sizes sa ON sa.doc_id = c.id_a
+          |JOIN sizes sb ON sb.doc_id = c.id_b
+          |ORDER BY 1, 2""".stripMargin),
+    "q_sim_topk" ->
+      s"""WITH pairs AS (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |    ${dotQ("q.embedding", "e.embedding")} AS dot_q
+         |  FROM embeddings q, embeddings e
+         |  WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id)
+         |SELECT query_id, neighbor_id, dot_q,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |       ORDER BY dot_q DESC, neighbor_id) AS INT) AS rank
+         |FROM pairs QUALIFY rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+    "q_embed_neardup" ->
+      s"""WITH base AS (SELECT * FROM embeddings WHERE vec_id < 2000),
+         |corpus AS (
+         |  SELECT vec_id, embedding, label FROM base
+         |  UNION ALL
+         |  SELECT vec_id + 100000,
+         |         list_transform(embedding, v -> CAST(CAST(v AS DOUBLE) * 1.1 AS FLOAT)),
+         |         label
+         |  FROM base WHERE vec_id % 10 = 0),
+         |side AS (
+         |  SELECT vec_id, embedding, label,
+         |    ${dotQ("embedding", "embedding")} AS n2
+         |  FROM corpus),
+         |scored AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.n2 AS n2_a, b.n2 AS n2_b,
+         |    ${dotQ("a.embedding", "b.embedding")} AS dot_q
+         |  FROM side a JOIN side b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, dot_q FROM scored
+         |WHERE dot_q > 0 AND 100 * dot_q * dot_q >= 81 * n2_a * n2_b
+         |ORDER BY 1, 2""".stripMargin,
+    "q_text_stats" ->
+      """SELECT doc_id, n_len, n_tokens, n_bpeish, n_alpha, n_digit,
+        |  CAST(n_alpha AS DOUBLE) / n_len AS alpha_ratio,
+        |  CAST(n_len AS DOUBLE) / n_tokens AS avg_token_len,
+        |  CAST(n_tokens >= 10 AS INT) + CAST(n_tokens <= 1000 AS INT)
+        |    + CAST(CAST(n_len AS DOUBLE)/n_tokens >= 3
+        |            AND CAST(n_len AS DOUBLE)/n_tokens <= 12 AS INT)
+        |    + CAST(CAST(n_alpha AS DOUBLE)/n_len > 0.7 AS INT) AS quality_score
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_len,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS BIGINT) AS n_bpeish,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha,
+        |    CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "q_lang_id" ->
+      """SELECT doc_id, lang, en_n, fr_n, es_n, de_n,
+        |  CASE WHEN en_n >= fr_n AND en_n >= es_n AND en_n >= de_n THEN 'en'
+        |       WHEN fr_n >= es_n AND fr_n >= de_n THEN 'fr'
+        |       WHEN es_n >= de_n THEN 'es' ELSE 'de' END AS pred_lang
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|is)\b')) AS BIGINT) AS en_n,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(le|la|et|les|des)\b')) AS BIGINT) AS fr_n,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(el|los|las|y|que)\b')) AS BIGINT) AS es_n,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist)\b')) AS BIGINT) AS de_n
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      """WITH t AS (SELECT doc_id, substr(lower(text), 1, 2048) AS txt FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, substr(txt, u.i, 12) AS s
+        |       FROM t, LATERAL (SELECT unnest(generate_series(1, greatest(length(txt)-11, 1))) AS i) u)
+        |SELECT doc_id, min(md5(s)) AS fingerprint, count(*) AS n_shingles
+        |FROM sh GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok FROM documents),
+        |bits AS (
+        |  SELECT doc_id, j.j,
+        |    ((strpos('0123456789abcdef',
+        |        substr(substr(md5(tok), 1, 4), 1 + CAST(floor(j.j/4) AS INT), 1)) - 1)
+        |      >> (3 - j.j % 4)) & 1 AS bit
+        |  FROM tok, generate_series(0, 15) j(j)),
+        |agg AS (SELECT doc_id, j, sum(bit) AS ones, count(*) AS n FROM bits GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN 2*ones > n THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS simhash
+        |FROM agg GROUP BY 1 ORDER BY 1""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -1,0 +1,126 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`) — the
+  * LLM-pipeline ANN surface (SURVEY §7.1-10).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]] — the correctness baseline: broadcast the
+  *    (small) query set against the corpus, score every pair, window
+  *    top-k. One broadcast join, no shuffle of the corpus.
+  *  - [[lshBucketTopK]] — the scale path: sign-bit random-hyperplane
+  *    LSH buckets; only same-bucket pairs are scored (IVF-style
+  *    candidate pruning, recall < 1 by design).
+  *
+  * Scoring uses a QUANTIZED integer dot product: each coordinate is
+  * floor(x·1000) as a BIGINT, so the sum is exact integer arithmetic —
+  * order-independent, overflow-safe for dims ≪ 10⁶, and bit-identical in
+  * any engine (float summation order would otherwise diverge). A double
+  * cosine is also exposed for consumers that want the real value; it is
+  * computed as an ordered left fold so it's deterministic within Spark.
+  */
+object Similarity {
+
+  /** floor(x*1000) quantization scale — see class doc. */
+  val Scale = 1000
+
+  /** Exact integer dot product of two float vectors, quantized. */
+  def quantizedDot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        floor(x.cast("double") * Scale).cast("long") *
+          floor(y.cast("double") * Scale).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Quantized squared norm. */
+  def quantizedNormSq(a: Column): Column = quantizedDot(a, a)
+
+  /** Double cosine similarity (ordered fold — deterministic, but float
+    * summation differs across engines; use the quantized form when an
+    * external oracle must agree). */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
+  }
+
+  /** Brute-force top-k by quantized dot product. `queries` should be
+    * small (it is broadcast); the corpus is scanned once with no
+    * shuffle before the final per-query top-k (a k-row window per
+    * query). Self-pairs excluded by id. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      embCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(embCol).as("__qe")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("__ce"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot_q", quantizedDot(col("__qe"), col("__ce")))
+    val w = Window.partitionBy("query_id").orderBy(col("dot_q").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "dot_q", "rank")
+  }
+
+  /** Sign-bit LSH bucket id: one bit per pseudo-hyperplane h, set when
+    * Σ_i sign(h,i)·x_i > 0 with sign(h,i) = ±1 by the parity of the
+    * first hex digit of md5(h|i) — deterministic pseudo-hyperplanes, no
+    * RNG, reproducible everywhere. Narrow projection, no shuffle. */
+  def lshBucket(emb: Column, bits: Int): Column = {
+    def planeDot(h: Column): Column =
+      aggregate(
+        zip_with(emb, sequence(lit(1), size(emb)), (x, i) => {
+          val hex0 = substring(md5(concat(h.cast("string"), lit("|"), i.cast("string"))), 1, 1)
+          val sign = when(conv(hex0, 16, 10).cast("int") % 2 === 0, lit(1.0)).otherwise(lit(-1.0))
+          sign * x.cast("double")
+        }),
+        lit(0.0), (acc, v) => acc + v)
+    aggregate(
+      transform(sequence(lit(0), lit(bits - 1)), h =>
+        when(planeDot(h) > 0, pow(lit(2.0), h).cast("long")).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc + v)
+  }
+
+  /** IVF-style bucketed top-k: score only pairs sharing `bucketCol`
+    * (e.g. a cluster label from any upstream clustering, or
+    * [[lshBucket]]). Recall trades against bucket count exactly as in an
+    * IVF index with nprobe=1. */
+  def bucketedTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      embCol: String, bucketCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("__qe"),
+      col(bucketCol).as("__bkt"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("__ce"),
+      col(bucketCol).as("__bkt"))
+    val scored = q.join(c, Seq("__bkt"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot_q", quantizedDot(col("__qe"), col("__ce")))
+    val w = Window.partitionBy("query_id").orderBy(col("dot_q").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "dot_q", "rank")
+  }
+
+  /** Near-duplicate pairs by quantized cosine threshold within a bucket:
+    * cos(a,b) ≥ t  ⇔  dot² · S ≥ t²·S · |a|²·|b|²  (dot > 0), kept in
+    * exact integer arithmetic: with t = 0.9 and S = 100:
+    * 100·dot² ≥ 81·|a|²·|b|². Join key is the bucket — never all-pairs. */
+  def nearDupPairs(df: DataFrame, idCol: String, embCol: String,
+      bucketCol: String): DataFrame = {
+    val side = df.select(col(idCol), col(embCol), col(bucketCol))
+      .withColumn("__n2", quantizedNormSq(col(embCol)))
+    val a = side.select(col(idCol).as("id_a"), col(embCol).as("__ea"),
+      col(bucketCol).as("__bkt"), col("__n2").as("n2_a"))
+    val b = side.select(col(idCol).as("id_b"), col(embCol).as("__eb"),
+      col(bucketCol).as("__bkt"), col("__n2").as("n2_b"))
+    a.join(b, Seq("__bkt"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dot_q", quantizedDot(col("__ea"), col("__eb")))
+      .filter(col("dot_q") > 0 &&
+        lit(100L) * col("dot_q") * col("dot_q") >= lit(81L) * col("n2_a") * col("n2_b"))
+      .select("id_a", "id_b", "dot_q", "n2_a", "n2_b")
+  }
+}

@@ -1,0 +1,144 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the LLM-data-pipeline surface (SURVEY
+  * §7.1-10): tokenization, shingling, quality stats, language-ID,
+  * SimHash, and document fingerprinting.
+  *
+  * Everything here is a composition of built-in (codegen'd) SQL
+  * functions — no UDFs — so the whole stage stays inside
+  * WholeStageCodegen and is reproducible in any ANSI SQL engine (the
+  * DuckDB oracle runs the literal same arithmetic).
+  *
+  * Scale notes: all per-document work is embarrassingly parallel (narrow
+  * transformations, no shuffle); shingling cost is capped per document by
+  * [[Shingles.MaxChars]] so a pathological 100 MB document cannot skew a
+  * partition.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens — `\S+` runs, the reference tokenization for
+    * counting. */
+  def whitespaceTokens(text: Column): Column =
+    regexp_extract_all(text, lit("""\S+"""), lit(0))
+
+  /** BPE-ish subword segmentation: letter runs, single digits, single
+    * punctuation marks — the shape a byte-pair pre-tokenizer produces. */
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("""[a-z]+|[0-9]|[^a-z0-9\s]"""), lit(0))
+
+  /** Per-document quality statistics (length / alpha / digit / token
+    * counts + ratios). Ratios are single exact IEEE divisions of integer
+    * counts — deterministic across engines. */
+  def qualityStats(df: DataFrame, text: Column): DataFrame = {
+    df.withColumn("n_len", length(text).cast("long"))
+      .withColumn("n_tokens", size(whitespaceTokens(text)).cast("long"))
+      .withColumn("n_bpeish", size(bpeishTokens(text)).cast("long"))
+      .withColumn("n_alpha", size(regexp_extract_all(text, lit("[A-Za-z]"), lit(0))).cast("long"))
+      .withColumn("n_digit", size(regexp_extract_all(text, lit("[0-9]"), lit(0))).cast("long"))
+      .withColumn("alpha_ratio", col("n_alpha").cast("double") / col("n_len"))
+      .withColumn("avg_token_len", col("n_len").cast("double") / col("n_tokens"))
+      .withColumn("quality_score",
+        (col("n_tokens") >= 10).cast("int") +
+        (col("n_tokens") <= 1000).cast("int") +
+        (col("avg_token_len") >= 3 && col("avg_token_len") <= 12).cast("int") +
+        (col("alpha_ratio") > 0.7).cast("int"))
+  }
+
+  /** Stopword-marker counts per language — the n-gram-heuristic
+    * language-ID core. Counting `\b`-delimited markers is one regex scan
+    * per language (codegen'd, no shuffle). */
+  val langMarkers: Seq[(String, String)] = Seq(
+    "en" -> """\b(the|a|of|and|is)\b""",
+    "fr" -> """\b(le|la|et|les|des)\b""",
+    "es" -> """\b(el|los|las|y|que)\b""",
+    "de" -> """\b(der|die|und|das|ist)\b""")
+
+  /** Language-ID: argmax of marker counts with a fixed tie-break order
+    * (en > fr > es > de). Returns df + one count column per language +
+    * `pred_lang`. */
+  def languageId(df: DataFrame, text: Column): DataFrame = {
+    val t = lower(text)
+    val counted = langMarkers.foldLeft(df) { case (d, (lang, pat)) =>
+      d.withColumn(s"${lang}_n", size(regexp_extract_all(t, lit(pat), lit(0))).cast("long"))
+    }
+    val Seq(en, fr, es, de) = langMarkers.map { case (l, _) => col(s"${l}_n") }
+    counted.withColumn("pred_lang",
+      when(en >= fr && en >= es && en >= de, "en")
+        .when(fr >= es && fr >= de, "fr")
+        .when(es >= de, "es")
+        .otherwise("de"))
+  }
+
+  /** 16-bit SimHash over the whitespace-token multiset.
+    *
+    * Bit j of a token's hash = bit (3 − j%4) of hex digit j/4 of
+    * md5(token); the document bit is the majority vote (ties → 0), and
+    * the signature packs the 16 bits little-endian. 16 bits keeps the
+    * hex→bit arithmetic portable SQL; widen by raising `Bits` and the
+    * digit math. Plan shape: explode(tokens) × explode(bit index) →
+    * one partial hash-aggregate per (doc, j) → one per doc — two
+    * map-side-combined shuffles on the doc key, no all-pairs work.
+    */
+  val SimhashBits = 16
+
+  def simhash(df: DataFrame, idCol: String, text: Column): DataFrame = {
+    val toks = df.select(col(idCol), explode(whitespaceTokens(text)).as("tok"))
+      .withColumn("h4", substring(md5(col("tok")), 1, SimhashBits / 4))
+      .select(col(idCol), col("h4"), explode(sequence(lit(0), lit(SimhashBits - 1))).as("j"))
+      .withColumn("bit", expr(
+        "shiftright(instr('0123456789abcdef', substr(h4, 1 + CAST(floor(j/4) AS INT), 1)) - 1," +
+          " 3 - j % 4) & 1"))
+    toks.groupBy(col(idCol), col("j"))
+      .agg(sum("bit").as("ones"), count(lit(1)).as("n"))
+      .groupBy(col(idCol))
+      .agg(sum(expr("IF(2 * ones > n, shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))"))
+        .cast("long").as("simhash"))
+  }
+
+  /** Hamming distance between two packed simhash signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Content fingerprint: the lexicographic min of md5 over the
+    * document's char-shingle set (a 1-hash MinHash — winnowing-lite),
+    * plus the distinct-shingle count. Stable under reordering of
+    * identical content windows; O(len) per doc, no shuffle beyond the
+    * per-doc aggregate. */
+  def fingerprint(df: DataFrame, idCol: String, text: Column, k: Int = 12): DataFrame =
+    df.select(col(idCol), explode(Shingles.charShingles(text, k)).as("s"))
+      .distinct()
+      .groupBy(col(idCol))
+      .agg(min(md5(col("s"))).as("fingerprint"),
+        count(lit(1)).as("n_shingles"))
+}
+
+/** Shingle builders shared by dedup / fingerprinting. */
+object Shingles {
+  /** Shingling window cap — bounds per-document cost at scale; BOTH the
+    * engine and any oracle must apply the same cap. */
+  val MaxChars = 2048
+
+  /** Character k-shingles of lower(text), capped at [[MaxChars]]. */
+  def charShingles(text: Column, k: Int): Column = {
+    val t = substring(lower(text), 1, MaxChars)
+    transform(
+      sequence(lit(1), greatest(length(t) - (k - 1), lit(1))),
+      i => substring(t, i, lit(k)))
+  }
+
+  /** Word n-grams over the space-split token list. Uses try_element_at →
+    * NULL past the end, and `concat` (null-propagating, unlike
+    * concat_ws) — so a sub-n-word doc yields one NULL shingle, matching
+    * SQL `w[i] || ' ' || w[i+1]` semantics exactly. */
+  def wordNGrams(text: Column, n: Int): Column = {
+    val w = split(lower(text), " ")
+    transform(
+      sequence(lit(1), greatest(size(w) - (n - 1), lit(1))),
+      i => concat((0 until n).flatMap { o =>
+        val el = try_element_at(w, i + lit(o))
+        if (o == 0) Seq(el) else Seq(lit(" "), el)
+      }: _*))
+  }
+}

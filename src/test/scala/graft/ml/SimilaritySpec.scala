@@ -1,0 +1,69 @@
+package graft.ml
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb = Tables.load(spark, sf0001, "embeddings")
+
+  test("quantizedDot is symmetric, exact, and matches a driver-side computation") {
+    val two = emb.filter(col("vec_id").isin(0, 1))
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toMap
+    val want = two(0L).zip(two(1L))
+      .map { case (a, b) =>
+        math.floor(a.toDouble * 1000).toLong * math.floor(b.toDouble * 1000).toLong }
+      .sum
+    val got = emb.filter(col("vec_id") === 0)
+      .crossJoin(emb.filter(col("vec_id") === 1).select(col("embedding").as("e2")))
+      .select(Similarity.quantizedDot(col("embedding"), col("e2")).as("d"))
+      .as[Long].head()
+    assert(got == want)
+  }
+
+  test("cosine of a vector with its positive scaling is ~1") {
+    val d = emb.limit(5)
+      .select(Similarity.cosine(col("embedding"),
+        transform(col("embedding"), x => x * 2.0f)).as("c"))
+      .as[Double].collect()
+    d.foreach(c => assert(math.abs(c - 1.0) < 1e-9))
+  }
+
+  test("bruteForceTopK returns k ranked neighbors per query, no self-pairs") {
+    val out = Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", 3).cache()
+    assert(out.count() == 5 * 3)
+    assert(out.filter(col("query_id") === col("neighbor_id")).count() == 0)
+    assert(out.groupBy("query_id").agg(max("rank").as("m"))
+      .filter(col("m") =!= 3).count() == 0)
+    out.unpersist()
+  }
+
+  test("nearDupPairs finds planted scaled copies and nothing else at fixture scale") {
+    val corpus = emb.unionByName(
+      emb.filter(col("vec_id") % 10 === 0).select(
+        (col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), x => (x.cast("double") * 1.1).cast("float"))
+          .as("embedding"),
+        col("label")))
+    val pairs = Similarity.nearDupPairs(corpus, "vec_id", "embedding", "label").cache()
+    val planted = emb.filter(col("vec_id") % 10 === 0).count()
+    assert(pairs.filter(col("id_b") - col("id_a") === 100000L).count() == planted)
+    assert(pairs.count() == planted) // random vectors don't pass cos ≥ 0.9
+    pairs.unpersist()
+  }
+
+  test("lshBucket is deterministic and bucketedTopK finds same-bucket neighbors") {
+    val bucketed = emb.withColumn("bkt", Similarity.lshBucket(col("embedding"), 4)).cache()
+    val again = emb.withColumn("bkt", Similarity.lshBucket(col("embedding"), 4))
+    assert(bucketed.select("vec_id", "bkt").except(again.select("vec_id", "bkt")).count() == 0)
+    val nBuckets = bucketed.select("bkt").distinct().count()
+    assert(nBuckets > 1 && nBuckets <= 16)
+    val out = Similarity.bucketedTopK(
+      bucketed.filter(col("vec_id") < 5), bucketed, "vec_id", "embedding", "bkt", 3)
+    // every returned neighbor shares the query's bucket, ranks are 1..k
+    assert(out.filter(col("rank") > 3).count() == 0 && out.count() > 0)
+    bucketed.unpersist()
+  }
+}

@@ -1,0 +1,83 @@
+package graft.text
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Tables.load(spark, sf0001, "documents")
+
+  test("exact dedup groups planted copies under one hash") {
+    val d = docs.select(col("doc_id"), col("text"))
+    val corpus = d.unionByName(
+      d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"), col("text")))
+    val out = Dedup.exact(corpus, "doc_id", col("text"))
+    val planted = d.filter(col("doc_id") % 7 === 0).count()
+    assert(out.filter(col("dup_count") === 2).count() == planted)
+    // keep_id is always the original (smaller) id
+    assert(out.filter(col("keep_id") >= 200000L).count() == 0)
+  }
+
+  test("LSH candidates recover every planted near-dup pair (recall 1.0 here)") {
+    val d = docs.select(col("doc_id"), col("text"))
+    val corpus = d.unionByName(
+      d.filter(col("doc_id") % 5 === 0).select(
+        (col("doc_id") + 100000L).as("doc_id"),
+        concat(col("text"), lit(" near duplicate tail")).as("text")))
+    val cand = Dedup.lshCandidates(corpus, "doc_id", col("text")).cache()
+    val planted = d.filter(col("doc_id") % 5 === 0).count()
+    val truePairs = cand.filter(col("id_b") - col("id_a") === 100000L).count()
+    assert(truePairs == planted, s"expected all $planted planted pairs, got $truePairs")
+    // and LSH is selective: candidates ≪ all-pairs
+    val n = corpus.count()
+    assert(cand.count() < n * 3, "candidate set should be far below |docs|²")
+    cand.unpersist()
+  }
+
+  test("jaccardVerify ranks planted near-dups near 1.0 and false positives lower") {
+    val d = docs.select(col("doc_id"), col("text"))
+    val corpus = d.unionByName(
+      d.filter(col("doc_id") % 5 === 0).select(
+        (col("doc_id") + 100000L).as("doc_id"),
+        concat(col("text"), lit(" near duplicate tail")).as("text")))
+    val cand = Dedup.lshCandidates(corpus, "doc_id", col("text"))
+    val verified = Dedup.jaccardVerify(corpus, cand, "doc_id", col("text")).cache()
+    // the 3-word tail dilutes a ~9-word doc to J ≈ 0.6, so 0.5 is the
+    // right floor for "same doc + small edit" at this fixture's lengths
+    val planted = verified.filter(col("id_b") - col("id_a") === 100000L)
+    assert(planted.filter(col("jaccard") < 0.5).count() == 0)
+    // verification separates true dups from bucket-collision noise in
+    // aggregate (tiny-vocab fixture docs can be genuinely similar, so a
+    // handful of non-planted pairs may legitimately score high)
+    val fp = verified.filter(col("id_b") - col("id_a") =!= 100000L)
+    val avgPlanted = planted.agg(avg("jaccard")).head().getDouble(0)
+    val avgFp = fp.agg(avg("jaccard")).head().getDouble(0)
+    assert(avgPlanted > avgFp,
+      s"planted avg $avgPlanted should exceed collision avg $avgFp")
+    verified.unpersist()
+  }
+
+  test("simhash: near-identical docs land within small hamming distance") {
+    val d = docs.select(col("doc_id"), col("text")).limit(50)
+    val corpus = d.unionByName(d.select(
+      (col("doc_id") + 100000L).as("doc_id"),
+      concat(col("text"), lit(" tail")).as("text")))
+    val sig = TextFunctions.simhash(corpus, "doc_id", col("text"))
+    val a = sig.select(col("doc_id").as("id_a"), col("simhash").as("sig_a"))
+    val b = sig.select(col("doc_id").as("id_b"), col("simhash").as("sig_b"))
+    val joined = a.join(b, col("id_b") === col("id_a") + 100000L)
+      .select(TextFunctions.hamming(col("sig_a"), col("sig_b")).as("d"))
+    val avg = joined.agg(org.apache.spark.sql.functions.avg("d")).as[Double].head()
+    assert(avg <= 3.0, s"avg hamming distance of near-identical docs was $avg")
+  }
+
+  test("wordNGrams yields len-n+1 shingles and NULL for sub-n docs") {
+    val df = Seq((1L, "a b c d"), (2L, "x y")).toDF("id", "t")
+    val sh = df.select(col("id"), explode(Shingles.wordNGrams(col("t"), 3)).as("s"))
+    assert(sh.filter(col("id") === 1).count() == 2)
+    assert(sh.filter(col("id") === 1 && col("s").isNull).count() == 0)
+    assert(sh.filter(col("id") === 2).collect().map(_.isNullAt(1)).toSeq == Seq(true))
+  }
+}
