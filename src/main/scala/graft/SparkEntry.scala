@@ -225,6 +225,61 @@ object SparkEntry {
       text.TextFunctions.simhash(load(s, dir, "documents"), "doc_id", col("text"))
         .orderBy("doc_id")),
 
+    // ---- K2/T5/ST6/P4: change-log apply — the batch core of the
+    // streaming pipeline (BulkWriteOplogs, oplog_utils.go:88-205). A
+    // deterministic change-log derived from `orders` (inserts, v2-diff
+    // updates, v1 $inc, an applyOps transaction, deletes, plus skip-
+    // fodder P4 must drop) is compiled and folded onto the base state;
+    // output is the final typed state. The streaming wiring around this
+    // same code path (readStream → foreachBatch → checkpoint) is
+    // exercised by ApplyJobSpec's kill-restart test.
+    "q_k2_apply" -> ((s, dir) => {
+      import s.implicits._
+      val cfg = config.MigratorConfig(command = "data", source = "src", target = "tgt")
+      val orders = load(s, dir, "orders")
+      val k = col("o_orderkey")
+      val base = orders.select(
+        k.cast("string").as("id"),
+        to_json(struct(k.as("_id"), col("o_custkey").as("custkey"),
+          col("o_orderstatus").as("status"), col("o_totalprice").as("price"))).as("doc"))
+      val ns = lit("app.orders_state")
+      def op(ts: Long, opc: String, nsCol: org.apache.spark.sql.Column,
+          o: org.apache.spark.sql.Column, o2: org.apache.spark.sql.Column) = Seq(
+        lit(ts).as("ts"), lit(opc).as("op"), nsCol.as("ns"), o.as("o"), o2.as("o2"),
+        lit(0L).as("h"), lit(0L).as("t"), lit(2).as("v"))
+      val nullS = lit(null).cast("string")
+      val inserts = orders.filter(k % 10 === 0).select(op(1L, "i", ns,
+        to_json(struct((k + 5000000L).as("_id"), col("o_custkey").as("custkey"),
+          lit("N").as("status"), lit(1.5).as("price"))), nullS): _*)
+      val v2Updates = orders.filter(k % 3 === 0).select(op(2L, "u", ns,
+        to_json(struct(struct(struct(lit("X").as("status")).as("u")).as("diff"))),
+        to_json(struct(k.as("_id")))): _*)
+      val v1Incs = orders.filter(k % 5 === 0).select(op(3L, "u", ns,
+        lit("""{"$v":1,"$inc":{"price":10}}"""), to_json(struct(k.as("_id")))): _*)
+      val txns = orders.filter(k % 11 === 0).select(op(4L, "c", lit("app.$cmd"),
+        format_string(
+          """{"applyOps":[{"op":"u","ns":"app.orders_state","o":{"diff":{"u":{"custkey":%d}}},"o2":{"_id":%d}}]}""",
+          col("o_custkey") + 1000000L, k), nullS): _*)
+      val deletes = orders.filter(k % 7 === 0).select(op(5L, "d", ns,
+        to_json(struct(k.as("_id"))), nullS): _*)
+      // P4 skip-fodder: system-db insert + empty-ns no-op, both dropped
+      val noise = orders.filter(k % 13 === 0).select(op(6L, "i", lit("local.junk"),
+        lit("""{"_id":1}"""), nullS): _*)
+      val noops = orders.filter(k % 13 === 0).select(op(6L, "n", lit(""),
+        nullS, nullS): _*)
+      val changelog = inserts.unionByName(v2Updates).unionByName(v1Incs)
+        .unionByName(txns).unionByName(deletes).unionByName(noise).unionByName(noops)
+      val ops = streaming.ApplyJob.compileOps(changelog.as[streaming.Oplog], cfg)
+      streaming.ApplyJob.foldDocs(base, ops)
+        .filter(col("doc").isNotNull)
+        .select(
+          get_json_object(col("doc"), "$._id").cast("long").as("k"),
+          get_json_object(col("doc"), "$.custkey").cast("long").as("custkey"),
+          get_json_object(col("doc"), "$.status").as("status"),
+          get_json_object(col("doc"), "$.price").cast("double").as("price"))
+        .orderBy("k")
+    }),
+
     // ---- J3: last-write-wins per-key compaction (oplog apply ordering) ----
     // the micro-batch compaction inside K2's foreachBatch, run as a batch
     // query over the events change-log table.
@@ -474,6 +529,22 @@ object SparkEntry {
       """SELECT o_orderkey FROM orders
         |WHERE o_orderkey <= 2000 AND o_orderkey % 2 = 0
         |ORDER BY o_orderkey""".stripMargin,
+    "q_k2_apply" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS k, o_custkey, o_orderstatus, o_totalprice FROM orders),
+        |updated AS (
+        |  SELECT k,
+        |    CASE WHEN k % 11 = 0 THEN o_custkey + 1000000 ELSE o_custkey END AS custkey,
+        |    CASE WHEN k % 3 = 0 THEN 'X' ELSE o_orderstatus END AS status,
+        |    CASE WHEN k % 5 = 0 THEN o_totalprice + 10 ELSE o_totalprice END AS price
+        |  FROM src WHERE k % 7 <> 0),
+        |inserted AS (
+        |  SELECT k + 5000000 AS k, o_custkey AS custkey, 'N' AS status,
+        |    CAST(1.5 AS DOUBLE) AS price
+        |  FROM src WHERE k % 10 = 0)
+        |SELECT k, custkey, status, price FROM updated
+        |UNION ALL SELECT k, custkey, status, price FROM inserted
+        |ORDER BY k""".stripMargin,
     "q_j3_compaction" ->
       """SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us
         |FROM events

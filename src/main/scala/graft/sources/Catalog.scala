@@ -1,6 +1,10 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.charset.StandardCharsets
 
 /** Source/Sink/Catalog SPI (SURVEY §7.1-2).
   *
@@ -29,6 +33,21 @@ trait Catalog {
     * Returns the post-upsert row count. */
   def upsert(ns: String, df: DataFrame, key: String): Long
 
+  /** Atomic upsert+delete in ONE table commit — the sink side of the
+    * oplog bulk apply (K2, BulkWriteOplogs oplog_utils.go:88-205).
+    * `deletes` carries the keys to remove (column named `key`).
+    * `marker`, when given, is a (name, value) recorded atomically WITH
+    * the data commit — the K5/ST4 checkpoint analog
+    * (SaveOplogTimestamp, workspace.go:276-288): a replayed micro-batch
+    * can check [[readMarker]] and skip, making the streaming apply
+    * exactly-once even though delivery is at-least-once.
+    * Returns the post-merge row count. */
+  def merge(ns: String, upserts: DataFrame, deletes: DataFrame, key: String,
+      marker: Option[(String, String)] = None): Long
+
+  /** Read back a marker recorded by [[merge]]; None if absent. */
+  def readMarker(ns: String, name: String): Option[String]
+
   /** Primary-key ("_id") column for a namespace. */
   def keyOf(ns: String): String
 
@@ -40,72 +59,93 @@ trait Catalog {
 }
 
 /** Filesystem/parquet Catalog: one directory per "database", one
-  * `<coll>.parquet` file/dir per collection.
+  * `<coll>.parquet` dir per collection.
   *
-  * At cluster scale this is the data-lake layout (one table dir per
-  * namespace, snappy parquet, partitioned subdirs); locally it serves the
-  * driver fixtures at /root/testdata/sf*. */
+  * All filesystem access goes through the Hadoop [[FileSystem]] API
+  * resolved from the directory URI, so the same code serves local disk,
+  * HDFS, and S3A — the filesystems a 100 TB deployment actually uses.
+  * Commits are staged-dir + rename: rename is atomic on HDFS/local
+  * (S3A deployments would swap this implementation for a real table
+  * format — Delta/Iceberg MERGE — behind the same trait).
+  */
 final class ParquetCatalog(
     val spark: SparkSession,
     val dir: String,
     val db: String = "local",
     keys: Map[String, String] = Map.empty) extends Catalog {
 
+  private val root = new Path(dir)
+  private def fs: FileSystem = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   private def table(ns: String): String =
     if (ns.contains('.')) ns.substring(ns.indexOf('.') + 1) else ns
 
-  private def path(ns: String): String = s"$dir/${table(ns)}.parquet"
+  private def path(ns: String): Path = new Path(root, s"${table(ns)}.parquet")
 
   override def listNamespaces(): Seq[String] = {
-    val d = new java.io.File(dir)
-    val files = Option(d.listFiles()).getOrElse(Array.empty)
-    files.toSeq
-      .filter(f => f.getName.endsWith(".parquet"))
-      .map(f => s"$db.${f.getName.stripSuffix(".parquet")}")
+    if (!fs.exists(root)) return Nil
+    fs.listStatus(root).toSeq
+      .map(_.getPath.getName)
+      .filter(_.endsWith(".parquet"))
+      .map(n => s"$db.${n.stripSuffix(".parquet")}")
       .filterNot(ns => table(ns).startsWith("system.") && table(ns) != "system.js")
       .sorted
   }
 
-  override def read(ns: String): DataFrame = spark.read.parquet(path(ns))
+  override def read(ns: String): DataFrame = spark.read.parquet(path(ns).toString)
 
   override def write(ns: String, df: DataFrame, mode: String): Unit =
-    df.write.mode(mode).parquet(path(ns))
+    df.write.mode(mode).parquet(path(ns).toString)
 
-  /** Parquet has no server-side upsert; equivalent semantics via
-    * anti-join merge: keep existing rows whose key is NOT in the new
-    * batch, union the batch (new wins), atomically swap directories.
-    * Real lake sinks (Delta/Iceberg) replace this with MERGE INTO; the
-    * Mongo adapter with a bulk replace-upsert. */
-  override def upsert(ns: String, df: DataFrame, key: String): Long = {
+  override def upsert(ns: String, df: DataFrame, key: String): Long =
+    merge(ns, df, df.select(col(key)).limit(0), key)
+
+  /** Parquet has no server-side merge; equivalent semantics via anti-join
+    * rewrite: keep existing rows whose key is in NEITHER the upsert batch
+    * NOR the delete set, union the upserts (new wins), atomically swap
+    * directories. The post-merge count comes from `observe()` on the
+    * merged plan — one job, no second scan of the written table. */
+  override def merge(ns: String, upserts: DataFrame, deletes: DataFrame, key: String,
+      marker: Option[(String, String)] = None): Long = {
     val p = path(ns)
+    val touched = upserts.select(col(key)).unionByName(deletes.select(col(key))).distinct()
     val merged =
-      if (!dataExists(ns)) df
-      else {
-        val existing = spark.read.parquet(p)
-        existing.join(df.select(key).distinct(), Seq(key), "left_anti")
-          .unionByName(df, allowMissingColumns = true)
-      }
-    val tmp = s"$p.__staging__"
-    merged.write.mode("overwrite").parquet(tmp)
-    // atomic-ish swap on the same filesystem
-    deleteRecursively(new java.io.File(p))
-    require(new java.io.File(tmp).renameTo(new java.io.File(p)),
-      s"failed to swap staging dir into $p")
-    spark.read.parquet(p).count()
+      if (!dataExists(ns)) upserts
+      else read(ns).join(touched, Seq(key), "left_anti")
+        .unionByName(upserts, allowMissingColumns = true)
+    val obs = Observation()
+    val staging = new Path(root, s"${table(ns)}.parquet.__staging__")
+    merged.observe(obs, count(lit(1)).as("rows"))
+      .write.mode("overwrite").parquet(staging.toString)
+    // record the marker INSIDE the staged dir: underscore-prefixed files
+    // are invisible to parquet reads, and the rename below publishes the
+    // marker and the data in the same atomic commit.
+    marker.foreach { case (name, value) =>
+      val out = fs.create(new Path(staging, s"_graft_$name"), true)
+      try out.write(value.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    }
+    fs.delete(p, true)
+    require(fs.rename(staging, p), s"failed to swap staging dir into $p")
+    obs.get("rows").asInstanceOf[Long]
+  }
+
+  override def readMarker(ns: String, name: String): Option[String] = {
+    val f = new Path(path(ns), s"_graft_$name")
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      try Some(new String(in.readAllBytes(), StandardCharsets.UTF_8))
+      finally in.close()
+    }
   }
 
   override def keyOf(ns: String): String =
     keys.getOrElse(table(ns), graft.Tables.keys.getOrElse(table(ns), "_id"))
 
-  override def drop(ns: String): Unit = deleteRecursively(new java.io.File(path(ns)))
+  override def drop(ns: String): Unit = { fs.delete(path(ns), true); () }
 
   override def dataExists(ns: String): Boolean = {
-    val f = new java.io.File(path(ns))
-    f.exists() && (f.isFile || Option(f.listFiles()).exists(_.nonEmpty))
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-    f.delete(): Unit
+    val p = path(ns)
+    fs.exists(p) && (fs.getFileStatus(p).isFile || fs.listStatus(p).nonEmpty)
   }
 }

@@ -1,0 +1,69 @@
+package graft.sim
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.SparkSpec
+import graft.config.MigratorConfig
+import graft.streaming.Oplog
+import org.apache.spark.sql.functions._
+
+class SimgenSpec extends SparkSpec {
+  private val mapper = new ObjectMapper()
+  private val cfg = MigratorConfig(command = "data", source = "s", target = "t")
+
+  test("DocGen palette: every reference field class present (sim.go:305-333)") {
+    val doc = Simgen.docs(spark, 3).orderBy("_id").head().getString(1)
+    val n = mapper.readTree(doc)
+    for (f <- Seq("_id", "color", "float64", "int64", "seq", "string", "ts",
+        "array", "subdoc", "filler", "bin1", "bin2", "bin3", "uuid"))
+      assert(n.has(f), s"missing palette field $f")
+    assert(n.get("_id").asText().length == 24)
+    assert(n.get("array").size() == 9)
+    assert(n.get("subdoc").get("level1").get("_id").asText() == n.get("_id").asText())
+    assert(n.get("filler").asText().length >= 2500)
+    assert(n.get("uuid").get("subtype").asInt() == 4)
+  }
+
+  test("DocGen is deterministic and distinct per index") {
+    val a = Simgen.docs(spark, 5).collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val b = Simgen.docs(spark, 5).collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(a == b)
+    assert(a.size == 5)
+  }
+
+  test("changeLog: op mix, schema, and skip-fodder (sim.go:125-239,347-398)") {
+    val log = Simgen.changeLog(spark, 22, "app.gen")
+    // names+types must line up with the wire schema (nullability of the
+    // generated literals is allowed to be tighter)
+    assert(log.schema.map(f => (f.name, f.dataType)) ==
+      Oplog.schema.map(f => (f.name, f.dataType)))
+    val byOp = log.groupBy("op").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byOp("i") == 22 + 2) // inserts + 2 noise inserts (i=0,13)
+    assert(byOp("u") == 8 + 5)  // i%3==0 (8) + i%5==0 (5)
+    assert(byOp("d") == 4)      // i%7==0: 0,7,14,21
+    assert(byOp("c") == 2)      // i%11==0 && i<21: 0, 11
+    assert(byOp("n") == 2)
+
+    import spark.implicits._
+    val oplogs = log.as[Oplog].collect()
+    // P4 drops the local.junk noise and empty-ns no-ops
+    val kept = oplogs.filterNot(Oplog.skip(_, cfg))
+    assert(kept.count(_.ns == "local.junk") == 0)
+    assert(kept.count(_.op == "n") == 0)
+    // ST6: each generated transaction unwraps to one update + one delete
+    val txn = oplogs.filter(_.op == "c").head
+    val inner = Oplog.unwrap(txn)
+    assert(inner.map(_.op).sorted.toSeq == Seq("d", "u"))
+    assert(inner.forall(_.ts == txn.ts)) // entries share the commit ts
+  }
+
+  test("changeLog compiles against its own docs: ids line up") {
+    import spark.implicits._
+    val log = Simgen.changeLog(spark, 10, "app.gen").as[Oplog].collect()
+    val insertIds = log.filter(o => o.op == "i" && o.ns == "app.gen")
+      .flatMap(o => Oplog.idOf(o.o)).toSet
+    val ops = log.filterNot(Oplog.skip(_, cfg)).flatMap(Oplog.compile(_, cfg))
+    // every non-insert op targets an id that an insert created
+    assert(ops.filter(_.kind != "insert").forall(w => insertIds.contains(w.id)))
+  }
+}

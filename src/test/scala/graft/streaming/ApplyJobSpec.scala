@@ -1,0 +1,116 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.config.MigratorConfig
+import graft.sim.Simgen
+import graft.sources.ParquetCatalog
+import org.apache.spark.sql.streaming.Trigger
+
+import java.nio.file.Files
+
+class ApplyJobSpec extends SparkSpec {
+  private val cfg = MigratorConfig(command = "data", source = "s", target = "t")
+  private val ns = "app.gen"
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** Driver-side reference fold: the same skip/compile/fold logic applied
+    * sequentially — the unit-tested ground truth the distributed,
+    * checkpointed pipeline must reproduce exactly. */
+  private def expectedState(oplogs: Seq[Oplog]): Map[String, String] = {
+    val ops = oplogs.filterNot(Oplog.skip(_, cfg)).flatMap(Oplog.compile(_, cfg))
+      .filter(_.ns == ns)
+    ops.groupBy(_.id).flatMap { case (id, keyOps) =>
+      JsonDocOps.fold(None, keyOps).map(id -> _)
+    }
+  }
+
+  private def sinkState(sink: ParquetCatalog): Map[String, String] =
+    sink.read(ns).collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+  test("catch-up apply reproduces the sequential reference fold") {
+    import spark.implicits._
+    val logDir = tmp("graft-log")
+    val ckpt = tmp("graft-ckpt")
+    val sink = new ParquetCatalog(spark, tmp("graft-sink"), "app")
+    Simgen.changeLog(spark, 30, ns).write.mode("overwrite").parquet(logDir)
+
+    val counts = ApplyJob.catchUp(spark, logDir, sink, cfg, ckpt)
+    val expected = expectedState(spark.read.parquet(logDir).as[Oplog].collect().toSeq)
+
+    assert(sinkState(sink) == expected)
+    // single micro-batch: keys deleted within the batch net out (never
+    // materialize), so `inserted` equals exactly the surviving docs
+    assert(counts.inserted == expected.size && expected.nonEmpty)
+    // re-draining an unchanged backlog is a no-op
+    val again = ApplyJob.catchUp(spark, logDir, sink, cfg, ckpt)
+    assert(again.total == 0)
+    assert(sinkState(sink) == expected)
+  }
+
+  test("kill mid-run + restart converges idempotently (ST4 restart-safety)") {
+    import spark.implicits._
+    val logDir = tmp("graft-log2")
+    val ckpt = tmp("graft-ckpt2")
+    val sink = new ParquetCatalog(spark, tmp("graft-sink2"), "app")
+    // a change-log ARRIVES in time order (the reference replays spool
+    // files in filename=time order, oplog_streamer.go:227-229): write one
+    // file per ts-phase, modification-time-spaced, so maxFilesPerTrigger=1
+    // yields several ts-ordered micro-batches
+    val log = Simgen.changeLog(spark, 40, ns).persist()
+    import org.apache.spark.sql.functions.{col, shiftright}
+    for (p <- 0 to 5) {
+      val slice = log.filter(
+        ((shiftright(col("ts"), 32) - 1700000000L) / 40).cast("int") === p)
+      if (!slice.isEmpty) {
+        slice.coalesce(1).write.mode("append").parquet(logDir)
+        Thread.sleep(200)
+      }
+    }
+    log.unpersist()
+
+    // phase 1: live-style stream, killed after at least one committed batch
+    val h = ApplyJob.stream(spark, logDir, sink, cfg, ckpt,
+      Trigger.ProcessingTime(0), maxFilesPerTrigger = 1)
+    val deadline = System.currentTimeMillis() + 120000
+    while (h.query.recentProgress.count(_.numInputRows > 0) < 2 &&
+        System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    h.stop()
+    assert(h.query.recentProgress.count(_.numInputRows > 0) >= 2, "no batch committed before kill")
+
+    // phase 2: restart from the same checkpoint, drain the rest
+    ApplyJob.catchUp(spark, logDir, sink, cfg, ckpt, maxFilesPerTrigger = 1)
+    val expected = expectedState(spark.read.parquet(logDir).as[Oplog].collect().toSeq)
+    assert(sinkState(sink) == expected)
+
+    // lag metric was recorded (ST3)
+    assert(!h.lagSeconds.isNaN)
+  }
+
+  test("replayed micro-batch is a no-op — exactly-once marker guard") {
+    import spark.implicits._
+    val logDir = tmp("graft-log3")
+    val sink = new ParquetCatalog(spark, tmp("graft-sink3"), "app")
+    // the change-log contains $inc ops: a double-apply WOULD corrupt state
+    Simgen.changeLog(spark, 20, ns).write.mode("overwrite").parquet(logDir)
+    val batch = spark.read.parquet(logDir).as[Oplog]
+
+    val first = ApplyJob.applyBatch(batch, sink, cfg, batchId = 0)
+    val state1 = sinkState(sink)
+    assert(first(ns).total > 0)
+
+    val replay = ApplyJob.applyBatch(batch, sink, cfg, batchId = 0)
+    assert(replay(ns).total == 0)
+    assert(sinkState(sink) == state1)
+
+    // a LATER batch still applies — updates only, so the $inc genuinely
+    // re-applies and the state visibly moves (this is exactly the
+    // corruption the marker guard prevents on REPLAY)
+    val updatesOnly = batch.filter(org.apache.spark.sql.functions.col("op") === "u")
+    val later = ApplyJob.applyBatch(updatesOnly, sink, cfg, batchId = 1)
+    assert(later(ns).total > 0)
+    assert(sinkState(sink) != state1)
+  }
+}
