@@ -71,16 +71,18 @@ object CopyJob {
     * analog of the reference's worker pool. */
   def run(cfg: MigratorConfig, source: Catalog, sink: Catalog): Seq[CopyResult] = {
     val planned = plan(cfg, source)
-    planned.foreach { case (ns, spec) =>
-      val to = spec.map(_.toNamespace).getOrElse(ns)
-      if (cfg.isDrop) sink.drop(to)
-      else if (sink.dataExists(to))
-        // DoesDataExist guard (config_copier.go:114-130): refuse to copy
-        // into a non-empty target without drop — the upsert sink makes
-        // this safe to relax, but parity keeps the check.
+    val targets = planned.map { case (ns, spec) => spec.map(_.toNamespace).getOrElse(ns) }
+    // Two-pass pre-flight, mirroring the reference's guard-before-mutate
+    // discipline (DoesDataExist loops over ALL namespaces before any
+    // copy, config_copier.go:114-130): first validate every target, then
+    // — and only then — mutate. A failure on the Nth namespace must
+    // leave the target untouched.
+    if (!cfg.isDrop) {
+      val nonEmpty = targets.filter(sink.dataExists)
+      if (nonEmpty.nonEmpty)
         throw new IllegalStateException(
-          s"target namespace $to is not empty; set drop=true")
-    }
+          s"target namespaces ${nonEmpty.mkString(", ")} are not empty; set drop=true")
+    } else targets.foreach(sink.drop)
     val par = planned.par
     par.map { case (ns, spec) => copyNamespace(source, sink, ns, spec) }.seq.toSeq
   }

@@ -81,6 +81,26 @@ class CopyJobSpec extends SparkSpec {
     intercept[IllegalStateException] { CopyJob.run(cfg, source, sink) }
   }
 
+  test("pre-flight failure on a LATER namespace mutates nothing (two-pass guard)") {
+    // nation empty on target, orders non-empty: the guard must reject the
+    // run BEFORE dropping/writing anything — a half-dropped target was
+    // the round-1/2 defect (reference guards all namespaces up front,
+    // config_copier.go:114-130)
+    val out = tmpDir()
+    val sink = new ParquetCatalog(spark, out, "tgt")
+    sink.write("tgt.orders", source.read("src.orders").limit(5))
+    val before = sink.read("tgt.orders").collect().toSet
+    val cfg = MigratorConfig.parse(
+      """{"command":"all","source":"s","target":"t",
+        |"includes":[{"namespace":"src.nation","to":"tgt.nation"},
+        |            {"namespace":"src.orders","to":"tgt.orders"}]}""".stripMargin)
+    val e = intercept[IllegalStateException] { CopyJob.run(cfg, source, sink) }
+    assert(e.getMessage.contains("tgt.orders"))
+    // nothing was dropped or written
+    assert(!sink.dataExists("tgt.nation"))
+    assert(sink.read("tgt.orders").collect().toSet == before)
+  }
+
   test("range splitter exact bounds cover all rows disjointly (X1)") {
     val df = source.read("src.orders")
     val block = 1000
