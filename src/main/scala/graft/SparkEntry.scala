@@ -177,6 +177,21 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- cluster resolution: verified near-dup pairs → connected
+    // components via min-label propagation — the step that turns pairs
+    // into a deduped corpus (keep the component root, drop the rest).
+    "q_dedup_resolve" -> ((s, dir) => {
+      val corpus = nearDupCorpus(load(s, dir, "documents"))
+      val cand = text.Dedup.lshCandidates(corpus, "doc_id", col("text"))
+      val verified = text.Dedup.jaccardVerify(corpus, cand, "doc_id", col("text"))
+        .filter(col("jaccard") >= 0.6)
+        .select("id_a", "id_b")
+      text.Dedup.resolveClusters(corpus.select("doc_id"), verified)
+        .select(col("id").as("doc_id"), col("root").as("cluster_root"),
+          (col("id") === col("root")).cast("int").as("keep"))
+        .orderBy("doc_id")
+    }),
+
     // ---- brute-force top-k similarity (ANN baseline): broadcast query
     // set × corpus, QUANTIZED integer dot product (exact, engine-
     // agnostic), per-query window top-k.
@@ -331,7 +346,32 @@ object SparkEntry {
       |  FROM mh GROUP BY 1, 2),
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      |  FROM sig a JOIN sig b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)
+      |  FROM sig a
+      |  JOIN (SELECT band, bsig FROM sig GROUP BY 1, 2 HAVING count(*) <= 1000) ok
+      |    ON ok.band = a.band AND ok.bsig = a.bsig
+      |  JOIN sig b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)
+      |""".stripMargin
+
+  /** Oracle fragment: the exact-Jaccard verify chain over `cand`/`sh`
+    * (mirrors Dedup.jaccardVerify) — appended after [[minhashCtes]]. */
+  private val jaccardCtes: String =
+    """, sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT c.id_a, c.id_b, count(*) AS n_inter
+      |  FROM cand c
+      |  JOIN sh sa ON sa.doc_id = c.id_a
+      |  JOIN sh sb ON sb.doc_id = c.id_b AND sb.s = sa.s
+      |  GROUP BY 1, 2),
+      |jac AS (
+      |  SELECT c.id_a, c.id_b,
+      |    coalesce(i.n_inter, 0) AS n_inter,
+      |    sa.n + sb.n - coalesce(i.n_inter, 0) AS n_union,
+      |    CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+      |      / (sa.n + sb.n - coalesce(i.n_inter, 0)) AS jaccard
+      |  FROM cand c
+      |  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+      |  JOIN sizes sa ON sa.doc_id = c.id_a
+      |  JOIN sizes sb ON sb.doc_id = c.id_b)
       |""".stripMargin
 
   /** Oracle fragment: quantized integer dot product of two embedding
@@ -352,24 +392,20 @@ object SparkEntry {
     "q_dedup_minhash" ->
       (minhashCtes + "SELECT id_a, id_b FROM cand ORDER BY 1, 2"),
     "q_ngram_jaccard" ->
-      (minhashCtes +
-        """, sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-          |inter AS (
-          |  SELECT c.id_a, c.id_b, count(*) AS n_inter
-          |  FROM cand c
-          |  JOIN sh sa ON sa.doc_id = c.id_a
-          |  JOIN sh sb ON sb.doc_id = c.id_b AND sb.s = sa.s
-          |  GROUP BY 1, 2)
-          |SELECT c.id_a, c.id_b,
-          |  coalesce(i.n_inter, 0) AS n_inter,
-          |  sa.n + sb.n - coalesce(i.n_inter, 0) AS n_union,
-          |  CAST(coalesce(i.n_inter, 0) AS DOUBLE)
-          |    / (sa.n + sb.n - coalesce(i.n_inter, 0)) AS jaccard
-          |FROM cand c
-          |LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
-          |JOIN sizes sa ON sa.doc_id = c.id_a
-          |JOIN sizes sb ON sb.doc_id = c.id_b
-          |ORDER BY 1, 2""".stripMargin),
+      (minhashCtes + jaccardCtes +
+        "SELECT id_a, id_b, n_inter, n_union, jaccard FROM jac ORDER BY 1, 2"),
+    "q_dedup_resolve" ->
+      (minhashCtes.replace("WITH corpus", "WITH RECURSIVE corpus") + jaccardCtes +
+        """, verified AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.6),
+          |edges AS (SELECT id_a AS src, id_b AS dst FROM verified
+          |          UNION SELECT id_b, id_a FROM verified),
+          |reach AS (
+          |  SELECT doc_id AS id, doc_id AS r FROM corpus
+          |  UNION
+          |  SELECT e.src AS id, reach.r AS r FROM edges e JOIN reach ON reach.id = e.dst)
+          |SELECT id AS doc_id, min(r) AS cluster_root,
+          |  CAST(id = min(r) AS INT) AS keep
+          |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin),
     "q_sim_topk" ->
       s"""WITH pairs AS (
          |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

@@ -46,16 +46,38 @@ object Dedup {
       .agg(md5(array_join(transform(array_sort(collect_list(struct(col("k"), col("minh")))),
         x => x.getField("minh")), "|")).as("bsig"))
 
+  /** Per-(band, bsig) bucket sizes — the degenerate-bucket census. Use it
+    * to audit what a `maxBucket` cap in [[lshCandidates]] drops (no
+    * silent truncation: callers log/metric `bucketSizes(..).filter(n >
+    * cap)` alongside the capped run). */
+  def bucketSizes(df: DataFrame, idCol: String, text: Column,
+      numHashes: Int = 16, rowsPerBand: Int = 2, shingleWords: Int = 3): DataFrame =
+    bandSignatures(
+      minhashSignatures(df, idCol, text, numHashes, shingleWords), idCol, rowsPerBand)
+      .groupBy("band", "bsig").agg(count(lit(1)).as("n"))
+
   /** LSH candidate pairs (id_a < id_b) sharing at least one band bucket.
-    * The self-join keys on (band, bsig) — bucket-sized work only. At
-    * 100 TB add a bucket-size cap (count per bsig, drop degenerate
-    * buckets) before the join; not needed at fixture scale. */
+    * The self-join keys on (band, bsig) — bucket-sized work only.
+    *
+    * `maxBucket` caps degenerate buckets: a bucket of b docs emits
+    * b·(b−1)/2 pairs, so one boilerplate/empty-doc bucket of 10^6 docs
+    * would emit 5·10^11 pairs and kill the job at 100 TB. Buckets larger
+    * than the cap are dropped BEFORE the self-join (the size census is a
+    * partial-agg on the same shuffle key, so AQE reuses the exchange).
+    * Docs in a dropped bucket still pair through their other bands —
+    * near-dups agreeing on several bands lose little recall; exact dups
+    * of mega-duplicated content belong to [[exact]] anyway. */
   def lshCandidates(df: DataFrame, idCol: String, text: Column,
-      numHashes: Int = 16, rowsPerBand: Int = 2, shingleWords: Int = 3): DataFrame = {
+      numHashes: Int = 16, rowsPerBand: Int = 2, shingleWords: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
     val bands = bandSignatures(
       minhashSignatures(df, idCol, text, numHashes, shingleWords), idCol, rowsPerBand)
-    val a = bands.select(col(idCol).as("id_a"), col("band"), col("bsig"))
-    val b = bands.select(col(idCol).as("id_b"), col("band"), col("bsig"))
+    val ok = bands.groupBy("band", "bsig").agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") <= maxBucket)
+      .select("band", "bsig")
+    val pruned = bands.join(ok, Seq("band", "bsig"))
+    val a = pruned.select(col(idCol).as("id_a"), col("band"), col("bsig"))
+    val b = pruned.select(col(idCol).as("id_b"), col("band"), col("bsig"))
     a.join(b, Seq("band", "bsig"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
@@ -85,5 +107,48 @@ object Dedup {
       .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
       .withColumn("jaccard", col("n_inter").cast("double") / col("n_union"))
       .select("id_a", "id_b", "n_inter", "n_union", "jaccard")
+  }
+
+  /** Cluster resolution: collapse verified near-dup pairs into connected
+    * components via iterative min-label propagation, so the pipeline
+    * emits a deduped corpus assignment (id → cluster_root; keep the root)
+    * rather than raw pairs.
+    *
+    * Each round, every node takes the min of its own label and its
+    * neighbors' labels; iteration stops at the fixed point (no label
+    * changed), which is exactly the per-component min id. Rounds needed =
+    * component diameter — near-dup clusters are shallow (stars/cliques
+    * around an original), so this converges in 2-3 rounds in practice;
+    * `maxIter` bounds adversarial chains. Labels are persisted per round
+    * and the previous round unpersisted, so lineage stays flat.
+    *
+    * `nodes` = one column of ids (the full corpus); `pairs` = (id_a,
+    * id_b) verified edges. Returns (id, cluster_root); singletons are
+    * their own root. */
+  def resolveClusters(nodes: DataFrame, pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val idName = nodes.columns.head
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().persist()
+    var labels = nodes.select(col(idName).as("id"), col(idName).as("root")).persist()
+    edges.count(): Unit // materialize once; reused every round
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges.join(labels.select(col("id").as("dst"), col("root")), Seq("dst"))
+        .groupBy("src").agg(min("root").as("__nbr"))
+      val updated = labels
+        .join(nbrMin.select(col("src").as("id"), col("__nbr")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("root"), coalesce(col("__nbr"), col("root"))).as("root"))
+        .persist()
+      changed = updated.join(labels.withColumnRenamed("root", "__old"), Seq("id"))
+        .filter(col("root") =!= col("__old")).count()
+      labels.unpersist()
+      labels = updated
+      iter += 1
+    }
+    edges.unpersist()
+    labels
   }
 }

@@ -59,6 +59,40 @@ class DedupSpec extends SparkSpec {
     verified.unpersist()
   }
 
+  test("degenerate bucket cap bounds the self-join; near-dups still found") {
+    // 100 byte-identical boilerplate docs share EVERY band bucket — the
+    // quadratic hazard the cap exists for — plus one genuine near-dup pair
+    val boiler = spark.range(100).select(col("id").as("doc_id"),
+      lit("the same boilerplate text repeated verbatim across the whole corpus forever").as("text"))
+    val pair = Seq(
+      (1000L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+      (1001L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo"))
+      .toDF("doc_id", "text")
+    val corpus = boiler.unionByName(pair)
+
+    val uncapped = Dedup.lshCandidates(corpus, "doc_id", col("text"), maxBucket = 1000000)
+    assert(uncapped.count() >= 100L * 99 / 2, "uncapped degenerate bucket is quadratic")
+
+    val capped = Dedup.lshCandidates(corpus, "doc_id", col("text"), maxBucket = 50)
+    assert(capped.filter(col("id_a") === 1000L && col("id_b") === 1001L).count() == 1,
+      "small-bucket near-dup pair must survive the cap")
+    assert(capped.count() < 10, "degenerate bucket pairs must be dropped")
+
+    // no silent truncation: the census reports what the cap dropped
+    val dropped = Dedup.bucketSizes(corpus, "doc_id", col("text")).filter(col("n") > 50)
+    assert(dropped.count() > 0)
+    assert(dropped.agg(max("n")).head().getLong(0) == 100L)
+  }
+
+  test("resolveClusters: min-label propagation over chains and singletons") {
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    // a 3-chain (diameter 2: needs >1 round), a 2-clique, a singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val roots = Dedup.resolveClusters(nodes, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(roots == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
+  }
+
   test("simhash: near-identical docs land within small hamming distance") {
     val d = docs.select(col("doc_id"), col("text")).limit(50)
     val corpus = d.unionByName(d.select(
