@@ -60,4 +60,52 @@ object Compare {
     * never materializes target payload columns. */
   def existingKeys(batch: DataFrame, target: DataFrame, key: String): DataFrame =
     batch.select(key).join(target.select(key), Seq(key), "left_semi")
+
+  /** Bucketed diff with partition short-circuit — the plan that makes a
+    * 100 TB diff affordable when the clusters are mostly in sync.
+    *
+    * Both sides hash their key into `buckets` buckets and pre-aggregate a
+    * commutative bucket sketch: `bit_xor(xxhash64(key, fp))` plus a row
+    * count. The sketch aggregation is map-side-partial into only
+    * `buckets` groups, so its exchange is a few KB regardless of table
+    * size. Buckets whose sketches agree on both sides are declared
+    * all-match WITHOUT any row-level work (their row count feeds the
+    * match total); only rows of disagreeing buckets — semi-joined via a
+    * broadcast of the changed-bucket list — enter the full-outer
+    * row-level join. A fully-identical 100 TB pair therefore diffs with
+    * two scans and zero wide shuffles.
+    *
+    * Output: (status, n) counts, statuses as in [[diff]]. xor-sketch
+    * collisions (two different bucket contents with equal xor and count)
+    * are 2^-64-improbable; counts double-check cardinality.
+    */
+  def diffBucketed(src: DataFrame, tgt: DataFrame, key: String,
+      buckets: Int = 4096): DataFrame = {
+    val s = src.select(col(key), fingerprint(src, key).as("__fp"))
+      .withColumn("__bucket", pmod(xxhash64(col(key)), lit(buckets.toLong)))
+    val t = tgt.select(col(key), fingerprint(tgt, key).as("__fp"))
+      .withColumn("__bucket", pmod(xxhash64(col(key)), lit(buckets.toLong)))
+    def sketch(r: DataFrame) = r.groupBy("__bucket").agg(
+      expr(s"bit_xor(xxhash64($key, __fp))").as("__sig"),
+      count(lit(1)).as("__n"))
+    val sk = sketch(s).as("l").join(sketch(t).as("r"), Seq("__bucket"), "full_outer")
+    val same = col("l.__sig") <=> col("r.__sig") && col("l.__n") <=> col("r.__n")
+    val identical = sk.filter(same)
+    val changed = sk.filter(!same).select(col("__bucket"))
+    val sd = s.join(broadcast(changed), Seq("__bucket"), "left_semi")
+    val td = t.join(broadcast(changed), Seq("__bucket"), "left_semi")
+    val rowCounts = sd.select(col(key), col("__fp").as("__src_fp"))
+      .join(td.select(col(key), col("__fp").as("__tgt_fp")), Seq(key), "full_outer")
+      .select(when(col("__src_fp").isNull, lit("extra"))
+        .when(col("__tgt_fp").isNull, lit("missing"))
+        .when(col("__src_fp") === col("__tgt_fp"), lit("match"))
+        .otherwise(lit("mismatch")).as("status"))
+      .groupBy("status").agg(count(lit(1)).as("n"))
+    val skippedMatches = identical
+      .agg(coalesce(sum(col("l.__n")), lit(0L)).as("n"))
+      .select(lit("match").as("status"), col("n"))
+    rowCounts.unionByName(skippedMatches)
+      .groupBy("status").agg(sum("n").as("n"))
+      .filter(col("n") > 0)
+  }
 }
