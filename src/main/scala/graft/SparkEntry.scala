@@ -299,6 +299,43 @@ object SparkEntry {
         .orderBy("k")
     }),
 
+    // ================= multimodal / binary payload operators ============
+    // The fixture has no native binary column, so the payload is the
+    // utf-8 bytes of `text` (cast to binary) — all-ASCII in this fixture,
+    // so the DuckDB oracle computes the same bytes from the varchar side.
+
+    // ---- typed metadata over an opaque binary payload ----
+    "q_mm_meta" -> ((s, dir) => {
+      val d = load(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      mm.BinaryOps.withMetadata(d, col("payload"))
+        .select("doc_id", "n_bytes", "content_hash", "magic_hex", "n_chunks")
+        .orderBy("doc_id")
+    }),
+
+    // ---- binary content-hash exact dedup (planted duplicate payloads) ----
+    "q_mm_binary_dedup" -> ((s, dir) => {
+      val d = load(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      val corpus = d.unionByName(d.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 300000L).as("doc_id"), col("payload")))
+      mm.BinaryOps.contentDedup(corpus, "doc_id", col("payload"))
+        .orderBy("content_hash")
+    }),
+
+    // ---- chunk-level dedup: fixed 256-byte chunks, shared across docs ----
+    "q_mm_chunk_dedup" -> ((s, dir) => {
+      val d = load(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      val corpus = d.unionByName(d.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 300000L).as("doc_id"), col("payload")))
+      mm.BinaryOps.chunks(corpus, "doc_id", col("payload"), 256)
+        .groupBy("chunk_md5")
+        .agg(count(lit(1)).as("n_refs"), min("doc_id").as("first_doc"))
+        .filter(col("n_refs") > 1)
+        .orderBy("chunk_md5")
+    }),
+
     // ---- J3: last-write-wins per-key compaction (oplog apply ordering) ----
     // the micro-batch compaction inside K2's foreachBatch, run as a batch
     // query over the events change-log table.
@@ -608,6 +645,31 @@ object SparkEntry {
       """SELECT o_orderkey FROM orders
         |WHERE o_orderkey <= 2000 AND o_orderkey % 2 = 0
         |ORDER BY o_orderkey""".stripMargin,
+    "q_mm_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS content_hash,
+        |  upper(hex(encode(substring(text, 1, 4)))) AS magic_hex,
+        |  CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE) / 256) AS BIGINT) AS n_chunks
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_mm_binary_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 300000, text FROM documents WHERE doc_id % 9 = 0)
+        |SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS dup_count
+        |FROM corpus GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_mm_chunk_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 300000, text FROM documents WHERE doc_id % 9 = 0),
+        |ch AS (
+        |  SELECT doc_id, md5(substring(text, u.i, 256)) AS chunk_md5
+        |  FROM corpus, LATERAL (SELECT unnest(generate_series(
+        |    1, greatest(length(text), 1), 256)) AS i) u)
+        |SELECT chunk_md5, count(*) AS n_refs, min(doc_id) AS first_doc
+        |FROM ch GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin,
     "q_k2_apply" ->
       """WITH src AS (
         |  SELECT o_orderkey AS k, o_custkey, o_orderstatus, o_totalprice FROM orders),

@@ -1,0 +1,62 @@
+package graft.mm
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class BinaryOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def payloads = Tables.load(spark, sf0001, "documents")
+    .select(col("doc_id"), col("text").cast("binary").as("payload"))
+
+  test("withMetadata: byte length, hash, magic prefix, chunk count") {
+    val m = BinaryOps.withMetadata(payloads, col("payload"), 256).cache()
+    assert(m.filter(col("n_bytes") =!= length(col("payload"))).count() == 0)
+    assert(m.filter(length(col("content_hash")) =!= 32).count() == 0)
+    // magic prefix = hex of first 4 bytes, 8 hex chars for docs >= 4 bytes
+    assert(m.filter(col("n_bytes") >= 4 && length(col("magic_hex")) =!= 8).count() == 0)
+    assert(m.filter(col("n_chunks") =!=
+      ceil(col("n_bytes").cast("double") / 256).cast("long")).count() == 0)
+    m.unpersist()
+  }
+
+  test("chunks: sequence numbering and coverage") {
+    val ch = BinaryOps.chunks(payloads, "doc_id", col("payload"), 256).cache()
+    val meta = BinaryOps.withMetadata(payloads, col("payload"), 256)
+    // per-doc chunk rows == n_chunks; chunk_seq is 0..n-1
+    val counts = ch.groupBy("doc_id")
+      .agg(count(lit(1)).as("rows"), max("chunk_seq").as("mx"))
+      .join(meta.select("doc_id", "n_chunks"), "doc_id")
+    assert(counts.filter(col("rows") =!= col("n_chunks")).count() == 0)
+    assert(counts.filter(col("mx") =!= col("n_chunks") - 1).count() == 0)
+    // identical payloads yield identical chunk hash sequences
+    val dup = payloads.limit(1)
+    val a = BinaryOps.chunks(dup, "doc_id", col("payload")).collect().toSet
+    val b = BinaryOps.chunks(dup, "doc_id", col("payload")).collect().toSet
+    assert(a == b && a.nonEmpty)
+    ch.unpersist()
+  }
+
+  test("binary content dedup finds planted duplicate payloads") {
+    val corpus = payloads.unionByName(payloads.filter(col("doc_id") % 9 === 0)
+      .select((col("doc_id") + 300000L).as("doc_id"), col("payload")))
+    val out = BinaryOps.contentDedup(corpus, "doc_id", col("payload"))
+    val planted = payloads.filter(col("doc_id") % 9 === 0).count()
+    assert(out.filter(col("dup_count") === 2).count() == planted)
+    assert(out.filter(col("keep_id") >= 300000L).count() == 0)
+  }
+
+  test("decodeStub: stable deterministic schema — the codec seam") {
+    val png = Seq((1L, Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 1, 2, 3)),
+      (2L, Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte)),
+      (3L, "plain".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val d = BinaryOps.decodeStub(png, "doc_id", col("payload"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3), r.getBoolean(4))).toMap
+    assert(d(1L)._3 == "png" && d(2L)._3 == "jpeg" && d(3L)._3 == "raw")
+    assert(d.values.forall { case (w, h, _, ok) => w >= 1 && w <= 4096 && h >= 1 && h <= 4096 && ok })
+    // deterministic: same payload → same fake dimensions
+    val d2 = BinaryOps.decodeStub(png, "doc_id", col("payload")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3), r.getBoolean(4))).toMap
+    assert(d == d2)
+  }
+}
