@@ -493,16 +493,18 @@ object SparkEntry {
          |    ${dotQ("a.embedding", "b.embedding")} AS dot_q
          |  FROM side a JOIN side b ON a.label = b.label AND a.vec_id < b.vec_id)
          |SELECT id_a, id_b, dot_q FROM scored
-         |WHERE dot_q > 0 AND 100 * dot_q * dot_q >= 81 * n2_a * n2_b
+         |WHERE dot_q > 0
+         |  AND 100 * CAST(dot_q AS HUGEINT) * CAST(dot_q AS HUGEINT)
+         |      >= 81 * CAST(n2_a AS HUGEINT) * CAST(n2_b AS HUGEINT)
          |ORDER BY 1, 2""".stripMargin,
     "q_text_stats" ->
       """SELECT doc_id, n_len, n_tokens, n_bpeish, n_alpha, n_digit,
-        |  CAST(n_alpha AS DOUBLE) / n_len AS alpha_ratio,
-        |  CAST(n_len AS DOUBLE) / n_tokens AS avg_token_len,
+        |  CAST(n_alpha AS DOUBLE) / NULLIF(n_len, 0) AS alpha_ratio,
+        |  CAST(n_len AS DOUBLE) / NULLIF(n_tokens, 0) AS avg_token_len,
         |  CAST(n_tokens >= 10 AS INT) + CAST(n_tokens <= 1000 AS INT)
-        |    + CAST(CAST(n_len AS DOUBLE)/n_tokens >= 3
-        |            AND CAST(n_len AS DOUBLE)/n_tokens <= 12 AS INT)
-        |    + CAST(CAST(n_alpha AS DOUBLE)/n_len > 0.7 AS INT) AS quality_score
+        |    + CAST(CAST(n_len AS DOUBLE)/NULLIF(n_tokens, 0) >= 3
+        |            AND CAST(n_len AS DOUBLE)/NULLIF(n_tokens, 0) <= 12 AS INT)
+        |    + CAST(CAST(n_alpha AS DOUBLE)/NULLIF(n_len, 0) > 0.7 AS INT) AS quality_score
         |FROM (
         |  SELECT doc_id,
         |    CAST(length(text) AS BIGINT) AS n_len,

@@ -107,7 +107,13 @@ object Similarity {
   /** Near-duplicate pairs by quantized cosine threshold within a bucket:
     * cos(a,b) ≥ t  ⇔  dot² · S ≥ t²·S · |a|²·|b|²  (dot > 0), kept in
     * exact integer arithmetic: with t = 0.9 and S = 100:
-    * 100·dot² ≥ 81·|a|²·|b|². Join key is the bucket — never all-pairs. */
+    * 100·dot² ≥ 81·|a|²·|b|². Join key is the bucket — never all-pairs.
+    *
+    * The squared comparison runs in DECIMAL(38,0) (the oracle uses
+    * HUGEINT/int128), so it is exact whenever 100·dot² and 81·|a|²·|b|²
+    * fit 38 digits — i.e. dot_q and the quantized norms below ~3·10¹⁷,
+    * which holds for any ‖x‖ ≤ 5·10⁵ at Scale=1000 regardless of dims
+    * (int64 would silently wrap already at dot_q ≈ 10⁹·√dims). */
   def nearDupPairs(df: DataFrame, idCol: String, embCol: String,
       bucketCol: String): DataFrame = {
     val side = df.select(col(idCol), col(embCol), col(bucketCol))
@@ -119,8 +125,12 @@ object Similarity {
     a.join(b, Seq("__bkt"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("dot_q", quantizedDot(col("__ea"), col("__eb")))
-      .filter(col("dot_q") > 0 &&
-        lit(100L) * col("dot_q") * col("dot_q") >= lit(81L) * col("n2_a") * col("n2_b"))
+      .filter {
+        val d = col("dot_q").cast("decimal(38,0)")
+        col("dot_q") > 0 &&
+          lit(100L) * d * d >=
+            lit(81L) * col("n2_a").cast("decimal(38,0)") * col("n2_b").cast("decimal(38,0)")
+      }
       .select("id_a", "id_b", "dot_q", "n2_a", "n2_b")
   }
 }

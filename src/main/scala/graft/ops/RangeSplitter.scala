@@ -65,8 +65,13 @@ object RangeSplitter {
           max(col(key)).as("id_last"),
           count(lit(1)).as("source_count"))
         .orderBy("task_seq")
-      // materialize the (tiny) result so the cache can be released now
-      res.localCheckpoint(eager = true)
+      // materialize the (tiny) result on the DRIVER so the cache can be
+      // released now: a localCheckpoint would leave the only copy on
+      // executors, unrecoverable after executor loss; a collected task
+      // list is exactly what the downstream partitioner consumes anyway
+      val rows = res.collect()
+      df.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), res.schema)
     } finally { keyed.unpersist(false); () }
   }
 

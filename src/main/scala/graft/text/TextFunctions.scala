@@ -38,8 +38,12 @@ object TextFunctions {
       .withColumn("n_bpeish", size(bpeishTokens(text)).cast("long"))
       .withColumn("n_alpha", size(regexp_extract_all(text, lit("[A-Za-z]"), lit(0))).cast("long"))
       .withColumn("n_digit", size(regexp_extract_all(text, lit("[0-9]"), lit(0))).cast("long"))
-      .withColumn("alpha_ratio", col("n_alpha").cast("double") / col("n_len"))
-      .withColumn("avg_token_len", col("n_len").cast("double") / col("n_tokens"))
+      // NULL (not Inf/NaN) for empty or whitespace-only docs, pinned on
+      // both engine and oracle (NULLIF) so the zero case can't diverge
+      .withColumn("alpha_ratio",
+        when(col("n_len") > 0, col("n_alpha").cast("double") / col("n_len")))
+      .withColumn("avg_token_len",
+        when(col("n_tokens") > 0, col("n_len").cast("double") / col("n_tokens")))
       .withColumn("quality_score",
         (col("n_tokens") >= 10).cast("int") +
         (col("n_tokens") <= 1000).cast("int") +
