@@ -83,7 +83,22 @@ object CopyJob {
         throw new IllegalStateException(
           s"target namespaces ${nonEmpty.mkString(", ")} are not empty; set drop=true")
     } else targets.foreach(sink.drop)
-    val par = planned.par
-    par.map { case (ns, spec) => copyNamespace(source, sink, ns, spec) }.seq.toSeq
+    runTracked(planned, source, sink)._1
+  }
+
+  /** The copy fan-out with O5 progress tracking: scheduler-fed task
+    * counters + the reference's elapsed×(1−p)/p ETA line
+    * (data_copier.go:142-176), logged at completion and returned for
+    * callers that surface live progress. */
+  def runTracked(planned: Seq[(String, Option[IncludeSpec])], source: Catalog,
+      sink: Catalog): (Seq[CopyResult], graft.monitor.Progress.Snapshot) = {
+    val (results, snap) = graft.monitor.Progress.tracked(
+        org.apache.spark.sql.SparkSession.active) {
+      val par = planned.par
+      par.map { case (ns, spec) => copyNamespace(source, sink, ns, spec) }.seq.toSeq
+    }
+    org.slf4j.LoggerFactory.getLogger(getClass)
+      .info(s"copy done: ${snap.statusLine}")
+    (results, snap)
   }
 }
