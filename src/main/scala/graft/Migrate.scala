@@ -1,0 +1,71 @@
+package graft
+
+import graft.config.MigratorConfig
+import graft.copy.CopyJob
+import graft.ddl.Manifest
+import graft.monitor.Progress
+import graft.sources.{Catalog, Workspace}
+import graft.streaming.{ApplyCounts, ApplyJob}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+
+/** The flagship `-start` lifecycle (start.go:13-85; SURVEY §3.1), Spark
+  * shape. The reference's sequence:
+  *
+  *   1. workspace reset                    (start.go:22)
+  *   2. guards + target drops              (start.go:58-67)
+  *   3. DDL replication (ConfigCopier)     (start.go:68-72)
+  *   4. oplog caching begins               (start.go:73-77)
+  *   5. bulk data copy (DataCopier)        (start.go:78-82)
+  *   6. catch-up, then live tail           (start.go:84)
+  *
+  * Here step 4 needs no standing process: the change-log directory plus
+  * the stream checkpoint ARE the cache (ST1 collapses into the source),
+  * so the stream phase simply starts after the copy — catch-up drains
+  * everything accumulated during the copy, and [[liveTail]] keeps
+  * following. Steps 2's guard/drop discipline lives in [[CopyJob.run]]
+  * (two-pass: validate all, then mutate); step 3 becomes manifest
+  * capture → rename/filter → persist.
+  */
+object Migrate {
+
+  final case class StartResult(
+      copied: Seq[CopyJob.CopyResult],
+      applied: ApplyCounts,
+      progress: Progress.Snapshot)
+
+  /** Run the full migration: reset → manifest → copy (with progress) →
+    * change-log catch-up. `changelogDir` is the change-stream source
+    * (None = batch-only migration, the reference's `data-only` command);
+    * `checkpointDir` carries stream offsets across restarts (ST4). */
+  def start(spark: SparkSession, cfg: MigratorConfig, source: Catalog,
+      sink: Catalog, checkpointDir: String,
+      changelogDir: Option[String] = None): StartResult = {
+    val ws = new Workspace(spark, sink)
+    ws.reset()
+    ws.log("create metadata") // status strings follow config_copier.go:49
+    Manifest.persist(spark, sink,
+      Manifest.capture(source).filtered(cfg).withRenames(cfg))
+    ws.log("copy data")
+    val planned = CopyJob.plan(cfg, source)
+    CopyJob.preflight(cfg, planned, sink)
+    val (copied, snapshot) = CopyJob.runTracked(planned, source, sink)
+    ws.log("apply change stream")
+    val applied = changelogDir match {
+      case Some(dir) =>
+        ApplyJob.catchUp(spark, dir, sink, cfg, checkpointDir)
+      case None => ApplyCounts()
+    }
+    ws.log("migration completed")
+    StartResult(copied, applied, snapshot)
+  }
+
+  /** ST3 — keep following the change-log after [[start]]'s catch-up:
+    * same checkpoint, ProcessingTime trigger, runs until stopped
+    * (LiveStreamOplogs "never returns", oplog_streamer.go:270-323). */
+  def liveTail(spark: SparkSession, cfg: MigratorConfig, sink: Catalog,
+      changelogDir: String, checkpointDir: String,
+      intervalMs: Long = 10000): ApplyJob.Handle =
+    ApplyJob.stream(spark, changelogDir, sink, cfg, checkpointDir,
+      Trigger.ProcessingTime(intervalMs))
+}

