@@ -192,7 +192,10 @@ object SparkEntry {
       // one persisted shingle set feeds BOTH candidate generation and
       // verification — the corpus lineage is derived exactly once
       val sh = text.Dedup.shingles(corpus, "doc_id", col("text")).persist()
-      val cand = text.Dedup.lshCandidatesFromShingles(sh, "doc_id")
+      // cand is referenced several times by the verify DAG (pair list,
+      // candidate-id pruning, intersection) — persist the small pair set
+      // so the LSH chain runs once
+      val cand = text.Dedup.lshCandidatesFromShingles(sh, "doc_id").persist()
       text.Dedup.jaccardVerifyFromShingles(sh, cand, "doc_id")
         .orderBy("id_a", "id_b")
     }),
@@ -203,10 +206,13 @@ object SparkEntry {
     "q_dedup_resolve" -> ((s, dir) => {
       val corpus = nearDupCorpus(load(s, dir, "documents"))
       val sh = text.Dedup.shingles(corpus, "doc_id", col("text")).persist()
-      val cand = text.Dedup.lshCandidatesFromShingles(sh, "doc_id")
+      val cand = text.Dedup.lshCandidatesFromShingles(sh, "doc_id").persist()
+      // verified pairs feed the edge set twice (both directions) and the
+      // propagation loop — persist so the jaccard chain runs once
       val verified = text.Dedup.jaccardVerifyFromShingles(sh, cand, "doc_id")
         .filter(col("jaccard") >= 0.6)
         .select("id_a", "id_b")
+        .persist()
       text.Dedup.resolveClusters(corpus.select("doc_id"), verified)
         .select(col("id").as("doc_id"), col("root").as("cluster_root"),
           (col("id") === col("root")).cast("int").as("keep"))

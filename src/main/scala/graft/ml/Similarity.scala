@@ -27,13 +27,18 @@ object Similarity {
   /** floor(x*1000) quantization scale — see class doc. */
   val Scale = 1000
 
+  /** floor(x*Scale) per coordinate — apply ONCE per vector (before any
+    * join) so pairwise scoring is a bare integer zip-multiply instead of
+    * re-quantizing both operands for every pair. */
+  def quantize(a: Column): Column =
+    transform(a, x => floor(x.cast("double") * Scale).cast("long"))
+
+  /** Integer dot product of two ALREADY-QUANTIZED long vectors. */
+  def dotQ(qa: Column, qb: Column): Column =
+    aggregate(zip_with(qa, qb, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
   /** Exact integer dot product of two float vectors, quantized. */
-  def quantizedDot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) =>
-        floor(x.cast("double") * Scale).cast("long") *
-          floor(y.cast("double") * Scale).cast("long")),
-      lit(0L), (acc, v) => acc + v)
+  def quantizedDot(a: Column, b: Column): Column = dotQ(quantize(a), quantize(b))
 
   /** Quantized squared norm. */
   def quantizedNormSq(a: Column): Column = quantizedDot(a, a)
@@ -54,10 +59,12 @@ object Similarity {
     * query). Self-pairs excluded by id. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       embCol: String, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(embCol).as("__qe")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("__ce"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      quantize(col(embCol)).as("__qe")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      quantize(col(embCol)).as("__ce"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("dot_q", quantizedDot(col("__qe"), col("__ce")))
+      .withColumn("dot_q", dotQ(col("__qe"), col("__ce")))
     val w = Window.partitionBy("query_id").orderBy(col("dot_q").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -90,13 +97,13 @@ object Similarity {
     * IVF index with nprobe=1. */
   def bucketedTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       embCol: String, bucketCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("__qe"),
-      col(bucketCol).as("__bkt"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("__ce"),
-      col(bucketCol).as("__bkt"))
+    val q = queries.select(col(idCol).as("query_id"),
+      quantize(col(embCol)).as("__qe"), col(bucketCol).as("__bkt"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      quantize(col(embCol)).as("__ce"), col(bucketCol).as("__bkt"))
     val scored = q.join(c, Seq("__bkt"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("dot_q", quantizedDot(col("__qe"), col("__ce")))
+      .withColumn("dot_q", dotQ(col("__qe"), col("__ce")))
     val w = Window.partitionBy("query_id").orderBy(col("dot_q").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -116,15 +123,16 @@ object Similarity {
     * (int64 would silently wrap already at dot_q ≈ 10⁹·√dims). */
   def nearDupPairs(df: DataFrame, idCol: String, embCol: String,
       bucketCol: String): DataFrame = {
-    val side = df.select(col(idCol), col(embCol), col(bucketCol))
-      .withColumn("__n2", quantizedNormSq(col(embCol)))
-    val a = side.select(col(idCol).as("id_a"), col(embCol).as("__ea"),
+    val side = df.select(col(idCol), quantize(col(embCol)).as("__q"),
+        col(bucketCol))
+      .withColumn("__n2", dotQ(col("__q"), col("__q")))
+    val a = side.select(col(idCol).as("id_a"), col("__q").as("__qa"),
       col(bucketCol).as("__bkt"), col("__n2").as("n2_a"))
-    val b = side.select(col(idCol).as("id_b"), col(embCol).as("__eb"),
+    val b = side.select(col(idCol).as("id_b"), col("__q").as("__qb"),
       col(bucketCol).as("__bkt"), col("__n2").as("n2_b"))
     a.join(b, Seq("__bkt"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("dot_q", quantizedDot(col("__ea"), col("__eb")))
+      .withColumn("dot_q", dotQ(col("__qa"), col("__qb")))
       .filter {
         val d = col("dot_q").cast("decimal(38,0)")
         col("dot_q") > 0 &&

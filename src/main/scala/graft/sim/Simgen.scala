@@ -153,4 +153,28 @@ object Simgen {
       .unionByName(deletes).unionByName(txns)
       .unionByName(noise).unionByName(noops)
   }
+
+  /** G1-G4 — the rate-paced load driver (`-sim` thread loops,
+    * sim.go:83-122,125-239): emit `batches` change-log file batches into
+    * `dir`, `docsPerBatch` docs each, pausing `pauseMs` between batches
+    * (the reference's 1 Hz pacing, pauseRemainedSecond sim.go:295-302).
+    * Each batch carries the same insert/update/delete/txn mix as
+    * [[changeLog]] — the SAME doc ids churned repeatedly (CRUD churn,
+    * exactly what the reference's Insert/Modify loops do to their id
+    * ring buffer) with strictly increasing ts per batch, each landing as
+    * its own mod-time-ordered file — a live feed for
+    * [[graft.Migrate.liveTail]] to chase. Returns rows emitted. */
+  def liveFeed(spark: SparkSession, dir: String, ns: String, batches: Int,
+      docsPerBatch: Int, pauseMs: Long = 1000L,
+      t0: Long = 1700000000L): Long = {
+    var emitted = 0L
+    for (b <- 0 until batches) {
+      val log = changeLog(spark, docsPerBatch.toLong, ns,
+        t0 = t0 + b.toLong * 10 * docsPerBatch)
+      emitted += log.count()
+      log.coalesce(1).write.mode("append").parquet(dir)
+      if (b < batches - 1) Thread.sleep(pauseMs)
+    }
+    emitted
+  }
 }

@@ -115,7 +115,11 @@ object Dedup {
 
   /** [[jaccardVerify]] over a precomputed (persisted) shingle set —
     * share it with [[lshCandidatesFromShingles]] so the full near-dup
-    * pipeline derives the corpus lineage exactly once. */
+    * pipeline derives the corpus lineage exactly once.
+    *
+    * `pairs` is referenced SEVERAL times by this DAG (the pair list, the
+    * candidate-id pruning, and the intersection join): pass it
+    * persisted/materialized, or its lineage re-executes per reference. */
   def jaccardVerifyFromShingles(shRaw: DataFrame, pairs: DataFrame,
       idCol: String): DataFrame = {
     // prune the shingle set to candidate docs BEFORE any wide join: the
@@ -159,21 +163,36 @@ object Dedup {
     * id_b) verified edges. Returns (id, root); singletons are their own
     * root. */
   def resolveClusters(nodes: DataFrame, pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val spark = nodes.sparkSession
     val idName = nodes.columns.head
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct().persist()
-    var labels = nodes.select(col(idName).as("id"), col(idName).as("root")).persist()
-    edges.count(): Unit // materialize once; reused every round
+    // LINEAGE CUT, the load-bearing trick of every iterative DataFrame
+    // algorithm: persist() caches DATA but Catalyst still re-analyzes the
+    // full logical plan, and each round references the previous labels
+    // several times — the plan tree grows ~3^rounds and analysis time
+    // explodes even though execution hits the cache. Rebinding each
+    // round's result through its RDD (LogicalRDD) keeps the plan
+    // constant-size while the data stays distributed.
+    def cut(df: DataFrame): DataFrame = spark.createDataFrame(df.rdd, df.schema)
+    val edges = cut(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .distinct()).persist()
+    // only edge-connected nodes can ever change label: iterate over THEM
+    // (typically a tiny fraction of the corpus) and union the untouched
+    // singletons back at the end — per-round work scales with the pair
+    // set, not the corpus
+    var labels = cut(edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("root"))).persist()
+    labels.count(): Unit // materialize; edges cached transitively
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
       val nbrMin = edges.join(labels.select(col("id").as("dst"), col("root")), Seq("dst"))
         .groupBy("src").agg(min("root").as("__nbr"))
-      val updated = labels
+      val updated = cut(labels
         .join(nbrMin.select(col("src").as("id"), col("__nbr")), Seq("id"), "left")
         .select(col("id"),
-          least(col("root"), coalesce(col("__nbr"), col("root"))).as("root"))
+          least(col("root"), coalesce(col("__nbr"), col("root"))).as("root")))
         .persist()
       changed = updated.join(labels.withColumnRenamed("root", "__old"), Seq("id"))
         .filter(col("root") =!= col("__old")).count()
@@ -182,6 +201,8 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
-    labels
+    nodes.select(col(idName).as("id"))
+      .join(labels.withColumnRenamed("root", "__r"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__r"), col("id")).as("root"))
   }
 }

@@ -111,11 +111,13 @@ object TextFunctions {
     * identical content windows; O(len) per doc, no shuffle beyond the
     * per-doc aggregate. */
   def fingerprint(df: DataFrame, idCol: String, text: Column, k: Int = 12): DataFrame =
+    // single aggregation pass: min over the shingle MULTISET equals min
+    // over the distinct set, and count_distinct dedups inside the same
+    // hash aggregate — no separate distinct() shuffle
     df.select(col(idCol), explode(Shingles.charShingles(text, k)).as("s"))
-      .distinct()
       .groupBy(col(idCol))
       .agg(min(md5(col("s"))).as("fingerprint"),
-        count(lit(1)).as("n_shingles"))
+        countDistinct(col("s")).as("n_shingles"))
 }
 
 /** Shingle builders shared by dedup / fingerprinting. */

@@ -89,6 +89,34 @@ class ApplyJobSpec extends SparkSpec {
     assert(!h.lagSeconds.isNaN)
   }
 
+  test("live tail chases a rate-paced feed to convergence (ST3/G1-G4)") {
+    import spark.implicits._
+    val logDir = tmp("graft-log4")
+    val ckpt = tmp("graft-ckpt4")
+    val sink = new ParquetCatalog(spark, tmp("graft-sink4"), "app")
+
+    // start the tail FIRST (ProcessingTime), then feed batches under it
+    val feedDir = logDir + "/feed"
+    new java.io.File(feedDir).mkdirs() // source dir must exist at start
+    val h = ApplyJob.stream(spark, feedDir, sink, cfg, ckpt,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(200))
+    try {
+      Simgen.liveFeed(spark, feedDir, ns, batches = 3,
+        docsPerBatch = 10, pauseMs = 500)
+      val deadline = System.currentTimeMillis() + 60000
+      val expected = expectedState(
+        spark.read.parquet(feedDir).as[Oplog].collect().toSeq)
+      var converged = false
+      while (!converged && System.currentTimeMillis() < deadline) {
+        Thread.sleep(300)
+        // reads can transiently fail mid table-swap; retry until deadline
+        converged = scala.util.Try(
+          sink.dataExists(ns) && sinkState(sink) == expected).getOrElse(false)
+      }
+      assert(converged, "live tail did not converge to the fed state")
+    } finally h.stop()
+  }
+
   test("replayed micro-batch is a no-op — exactly-once marker guard") {
     import spark.implicits._
     val logDir = tmp("graft-log3")
