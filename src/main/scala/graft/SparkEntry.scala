@@ -322,6 +322,16 @@ object SparkEntry {
         .orderBy("k")
     }),
 
+    // ---- T7: extJSON stringify (utils.go:17-23) — document wire form ----
+    // to_json over the full row struct; byte-identical JSON in DuckDB for
+    // the int/string column classes this table carries.
+    "q_t7_stringify" -> ((s, dir) => {
+      val n = load(s, dir, "nation")
+      n.select(col("n_nationkey"),
+          to_json(struct(n.columns.map(col).toIndexedSeq: _*)).as("doc"))
+        .orderBy("n_nationkey")
+    }),
+
     // ================= multimodal / binary payload operators ============
     // The fixture has no native binary column, so the payload is the
     // utf-8 bytes of `text` (cast to binary) — all-ASCII in this fixture,
@@ -670,6 +680,12 @@ object SparkEntry {
       """SELECT o_orderkey FROM orders
         |WHERE o_orderkey <= 2000 AND o_orderkey % 2 = 0
         |ORDER BY o_orderkey""".stripMargin,
+    "q_t7_stringify" ->
+      """SELECT n_nationkey,
+        |  to_json(struct_pack(
+        |    n_nationkey := n_nationkey, n_name := n_name,
+        |    n_regionkey := n_regionkey)) AS doc
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
     "q_mm_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

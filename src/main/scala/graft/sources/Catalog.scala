@@ -149,3 +149,52 @@ final class ParquetCatalog(
     fs.exists(p) && (fs.getFileStatus(p).isFile || fs.listStatus(p).nonEmpty)
   }
 }
+
+/** Multi-database parquet catalog — S5's full shape: one subdirectory
+  * per database under the root (`root/<db>/<coll>.parquet`), with the
+  * reference's qualified-DB filter (GetQualifiedDBs excludes
+  * `admin`/`config`/`local` and the meta database, mongo_utils.go:18-33).
+  * Each database delegates to a per-db [[ParquetCatalog]], so all
+  * read/write/merge semantics are identical. */
+final class MultiDbParquetCatalog(
+    val spark: SparkSession,
+    val rootDir: String,
+    metaDb: String = "graft_meta") extends Catalog {
+
+  private val root = new Path(rootDir)
+  private def fs: FileSystem = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private val SystemDbs = Set("admin", "config", "local")
+
+  /** S5 — qualified database names. */
+  def listDatabases(): Seq[String] = {
+    if (!fs.exists(root)) return Nil
+    fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filterNot(db => SystemDbs.contains(db) || db == metaDb)
+      .sorted
+  }
+
+  private def dbCatalog(db: String): ParquetCatalog =
+    new ParquetCatalog(spark, s"$rootDir/$db", db)
+
+  private def forNs(ns: String): ParquetCatalog =
+    dbCatalog(graft.config.Namespaces.split(ns)._1)
+
+  override def listNamespaces(): Seq[String] =
+    listDatabases().flatMap(db => dbCatalog(db).listNamespaces())
+
+  override def read(ns: String): DataFrame = forNs(ns).read(ns)
+  override def write(ns: String, df: DataFrame, mode: String): Unit =
+    forNs(ns).write(ns, df, mode)
+  override def upsert(ns: String, df: DataFrame, key: String): Long =
+    forNs(ns).upsert(ns, df, key)
+  override def merge(ns: String, upserts: DataFrame, deletes: DataFrame, key: String,
+      marker: Option[(String, String)] = None): Long =
+    forNs(ns).merge(ns, upserts, deletes, key, marker)
+  override def readMarker(ns: String, name: String): Option[String] =
+    forNs(ns).readMarker(ns, name)
+  override def keyOf(ns: String): String = forNs(ns).keyOf(ns)
+  override def drop(ns: String): Unit = forNs(ns).drop(ns)
+  override def dataExists(ns: String): Boolean = forNs(ns).dataExists(ns)
+}

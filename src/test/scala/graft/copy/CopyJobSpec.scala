@@ -132,4 +132,21 @@ class CopyJobSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("multi-db catalog lists qualified dbs and routes namespaces (S5)") {
+    val root = tmpDir()
+    val multi = new graft.sources.MultiDbParquetCatalog(spark, root)
+    multi.write("app.orders", source.read("src.orders").limit(10))
+    multi.write("app2.nation", source.read("src.nation"))
+    multi.write("local.junk", source.read("src.region"))   // system db: hidden
+    multi.write("graft_meta.x", source.read("src.region")) // meta db: hidden
+    assert(multi.listDatabases() == Seq("app", "app2"))
+    assert(multi.listNamespaces() == Seq("app.orders", "app2.nation"))
+    assert(multi.read("app.orders").count() == 10)
+    assert(multi.upsert("app.orders", source.read("src.orders").limit(20), "o_orderkey") == 20)
+    multi.drop("app.orders")
+    assert(!multi.dataExists("app.orders"))
+    // system-db data still physically readable through its own path
+    assert(multi.read("local.junk").count() == source.read("src.region").count())
+  }
 }
