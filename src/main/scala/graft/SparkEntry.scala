@@ -322,6 +322,25 @@ object SparkEntry {
         .orderBy("k")
     }),
 
+    // ---- §7 streaming analytics: tumbling event-time window counts ----
+    // the same code path runs under readStream with this watermark
+    // (EventStreamSpec proves stream==batch); batch shape is the oracle.
+    "q_w1_tumbling" -> ((s, dir) =>
+      streaming.EventStream.tumblingCounts(load(s, dir, "events"))
+        .orderBy("window_start", "event_type")),
+
+    // ---- §7 streaming analytics: gap sessionization via
+    // flatMapGroupsWithState (O(1) state per user; closed sessions emit
+    // exactly once across micro-batches) ----
+    "q_w2_sessions" -> ((s, dir) => {
+      import s.implicits._
+      val ev = load(s, dir, "events")
+        .select(col("user_id"), expr("ts DIV 1000").as("tsUs"))
+        .as[streaming.EventStream.SessionEvent]
+      streaming.EventStream.sessionize(ev, gapUs = 3600L * 1000000).toDF()
+        .orderBy("user_id", "session_start_us")
+    }),
+
     // ---- T7: extJSON stringify (utils.go:17-23) — document wire form ----
     // to_json over the full row struct; byte-identical JSON in DuckDB for
     // the int/string column classes this table carries.
@@ -680,6 +699,27 @@ object SparkEntry {
       """SELECT o_orderkey FROM orders
         |WHERE o_orderkey <= 2000 AND o_orderkey % 2 = 0
         |ORDER BY o_orderkey""".stripMargin,
+    "q_w1_tumbling" ->
+      """SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 3600000000) AS window_start,
+        |  event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_w2_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+        |g AS (
+        |  SELECT user_id, ts_us,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |           OR ts_us - lag(ts_us) OVER w > 3600000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+        |s AS (
+        |  SELECT user_id, ts_us,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g)
+        |SELECT user_id, min(ts_us) AS session_start_us,
+        |  max(ts_us) AS session_end_us, count(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin,
     "q_t7_stringify" ->
       """SELECT n_nationkey,
         |  to_json(struct_pack(

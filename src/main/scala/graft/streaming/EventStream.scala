@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-stream analytics over the `events` table shape (event_id, ts
+  * [ns-since-epoch long], user_id, event_type, value, props) — the
+  * §7 streaming-analytics extensions beyond the reference's replication
+  * surface (the reference has no event-time windows or stateful
+  * aggregation at all, SURVEY §2.8 ST5).
+  *
+  * Both operators are written against a plain DataFrame/Dataset, so the
+  * SAME code runs in batch (the oracle path: `q_w1_tumbling`) and under
+  * `readStream` (the streaming path, with watermarking — EventStreamSpec
+  * proves stream==batch on the fixture).
+  */
+object EventStream {
+
+  /** ns-epoch long → event-time timestamp column (µs precision — the
+    * same truncation DuckDB applies to ns parquet timestamps). */
+  def eventTime(ts: String = "ts"): org.apache.spark.sql.Column =
+    timestamp_micros(expr(s"$ts DIV 1000"))
+
+  /** Tumbling event-time window counts per event_type. In streaming,
+    * `watermark` (e.g. "1 hour") bounds state and late data; in batch it
+    * is ignored by Spark — identical results, one code path. */
+  def tumblingCounts(events: DataFrame, windowLen: String = "1 hour",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withColumn("__et", eventTime())
+      .withWatermark("__et", watermark)
+      .groupBy(window(col("__et"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  final case class SessionEvent(user_id: Long, tsUs: Long)
+  final case class SessionState(start: Long, last: Long, events: Long)
+  final case class UserSession(user_id: Long, session_start_us: Long,
+      session_end_us: Long, n_events: Long)
+
+  /** Gap-based sessionization via flatMapGroupsWithState — the custom
+    * per-key state machine surface (KeyValueGroupedDataset) the brief
+    * calls for. A session closes when no event arrives within `gapUs`
+    * of the last one.
+    *
+    * Cross-micro-batch semantics: the open session CARRIES in GroupState,
+    * so closed sessions emit exactly once regardless of how events split
+    * across batches. `emitOpen=true` (batch mode / final flush) also
+    * emits the still-open session and clears state; streaming deployments
+    * leave it false and let later events (or a configured timeout
+    * policy) close sessions.
+    *
+    * State per user is O(1) (start/last/count), so state size scales
+    * with |active users|, not |events| — the 100 TB-safe shape. */
+  def sessionize(events: Dataset[SessionEvent], gapUs: Long,
+      emitOpen: Boolean = true): Dataset[UserSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          val sorted = it.toSeq.sortBy(_.tsUs)
+          var cur = state.getOption
+          val out = Vector.newBuilder[UserSession]
+          for (e <- sorted) cur match {
+            case None => cur = Some(SessionState(e.tsUs, e.tsUs, 1))
+            case Some(s) if e.tsUs - s.last <= gapUs =>
+              cur = Some(s.copy(last = e.tsUs, events = s.events + 1))
+            case Some(s) =>
+              out += UserSession(user, s.start, s.last, s.events)
+              cur = Some(SessionState(e.tsUs, e.tsUs, 1))
+          }
+          if (emitOpen) {
+            cur.foreach(s => out += UserSession(user, s.start, s.last, s.events))
+            state.remove()
+          } else cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** Batch-shape sessionization with identical semantics, expressed as a
+    * window gap-and-sum plan (used as the oracle cross-check for
+    * [[sessionize]]). */
+  def sessionizeBatch(events: DataFrame, gapUs: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_us")
+    events
+      .select(col("user_id"), expr("ts DIV 1000").as("ts_us"))
+      .withColumn("__prev", lag("ts_us", 1).over(w))
+      .withColumn("__new", (col("__prev").isNull ||
+        col("ts_us") - col("__prev") > gapUs).cast("int"))
+      .withColumn("__sid", sum("__new").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "__sid")
+      .agg(min("ts_us").as("session_start_us"), max("ts_us").as("session_end_us"),
+        count(lit(1)).as("n_events"))
+      .drop("__sid")
+  }
+}

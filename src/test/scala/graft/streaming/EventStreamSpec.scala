@@ -1,0 +1,71 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import java.nio.file.Files
+
+class EventStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def events = Tables.load(spark, sf0001, "events")
+
+  test("tumbling window counts: streaming equals batch") {
+    val batch = EventStream.tumblingCounts(events)
+      .collect().map(_.toSeq).toSet
+
+    val dir = Files.createTempDirectory("graft-ev").toString
+    events.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(events.schema).parquet(dir)
+    val q = EventStream.tumblingCounts(stream)
+      .writeStream.format("memory").queryName("tumbling_test")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("tumbling_test").collect().map(_.toSeq).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
+  test("sessionize (flatMapGroupsWithState) equals the window-gap batch plan") {
+    val gap = 3600L * 1000000
+    val ev = events.select(col("user_id"), expr("ts DIV 1000").as("tsUs"))
+      .as[EventStream.SessionEvent]
+    val stateful = EventStream.sessionize(ev, gap).collect()
+      .map(s => (s.user_id, s.session_start_us, s.session_end_us, s.n_events)).toSet
+    val planned = EventStream.sessionizeBatch(events, gap).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(stateful == planned && stateful.nonEmpty)
+  }
+
+  test("sessionize carries open sessions across micro-batches (GroupState)") {
+    val dir = Files.createTempDirectory("graft-sess").toString
+    val gap = 1000000L // 1s gap
+    // batch 1: two events 0.5s apart (one open session);
+    // batch 2: an event 5s later — closes the first session
+    Seq((1L, 1000000L), (1L, 1500000L)).toDF("user_id", "tsUs")
+      .coalesce(1).write.mode("append").parquet(dir)
+    Thread.sleep(300)
+    Seq((1L, 6500000L)).toDF("user_id", "tsUs")
+      .coalesce(1).write.mode("append").parquet(dir)
+
+    val src = spark.readStream
+      .schema("user_id LONG, tsUs LONG")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+      .as[EventStream.SessionEvent]
+    val q = EventStream.sessionize(src, gap, emitOpen = false)
+      .writeStream.format("memory").queryName("sess_test")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val closed = spark.table("sess_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // exactly ONE closed session: the first two events merged ACROSS the
+    // batch boundary would be wrong — they are 0.5s apart in batch 1 and
+    // close only when batch 2's event arrives 5s later
+    assert(closed == Set((1L, 1000000L, 1500000L, 2L)))
+  }
+}
