@@ -244,6 +244,18 @@ object SparkEntry {
         .select("id_a", "id_b", "dot_q").orderBy("id_a", "id_b")
     }),
 
+    // ---- ANN scale path: sign-bit LSH buckets (IVF-style nprobe=1) ----
+    // integer-exact hyperplane projections → bucket id; scoring only
+    // within the query's bucket. The recall-vs-cost trade is the point:
+    // candidates per query scale with bucket occupancy, not corpus size.
+    "q_ann_lsh" -> ((s, dir) => {
+      val e = load(s, dir, "embeddings").filter(col("vec_id") < 500)
+        .withColumn("bucket", ml.Similarity.lshBucket(col("embedding"), 8))
+      ml.Similarity.bucketedTopK(
+          e.filter(col("vec_id") < 50), e, "vec_id", "embedding", "bucket", 3)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- text quality statistics + integer quality score ----
     "q_text_stats" -> ((s, dir) =>
       text.TextFunctions.qualityStats(load(s, dir, "documents"), col("text"))
@@ -526,6 +538,30 @@ object SparkEntry {
          |  CAST(row_number() OVER (PARTITION BY query_id
          |       ORDER BY dot_q DESC, neighbor_id) AS INT) AS rank
          |FROM pairs QUALIFY rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+    "q_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
+         |x AS (SELECT vec_id, CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1000) AS BIGINT) AS xq, u.i
+         |      FROM e, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) u),
+         |sgn AS (SELECT vec_id, h.h,
+         |        CASE WHEN (strpos('0123456789abcdef',
+         |                          substr(md5(h.h || '|' || x.i), 1, 1)) - 1) % 2 = 0
+         |             THEN x.xq ELSE -x.xq END AS v
+         |        FROM x, generate_series(0, 7) h(h)),
+         |pd AS (SELECT vec_id, h, sum(v) AS dot FROM sgn GROUP BY 1, 2),
+         |b AS (SELECT vec_id,
+         |        CAST(sum(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << h ELSE 0 END) AS BIGINT) AS bucket
+         |      FROM pd GROUP BY 1),
+         |base AS (SELECT e.vec_id, e.embedding, b.bucket FROM e JOIN b USING (vec_id)),
+         |pairs AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${dotQ("q.embedding", "c.embedding")} AS dot_q
+         |  FROM base q JOIN base c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 50)
+         |SELECT query_id, neighbor_id, dot_q,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |       ORDER BY dot_q DESC, neighbor_id) AS INT) AS rank
+         |FROM pairs QUALIFY rank <= 3
          |ORDER BY query_id, rank""".stripMargin,
     "q_embed_neardup" ->
       s"""WITH base AS (SELECT * FROM embeddings WHERE vec_id < 2000),

@@ -73,22 +73,24 @@ object Similarity {
   }
 
   /** Sign-bit LSH bucket id: one bit per pseudo-hyperplane h, set when
-    * Σ_i sign(h,i)·x_i > 0 with sign(h,i) = ±1 by the parity of the
+    * Σ_i sign(h,i)·xq_i > 0 with sign(h,i) = ±1 by the parity of the
     * first hex digit of md5(h|i) — deterministic pseudo-hyperplanes, no
-    * RNG, reproducible everywhere. Narrow projection, no shuffle. */
+    * RNG. The projection runs over QUANTIZED coordinates so the sum is
+    * exact integer arithmetic: order-independent and therefore
+    * bit-identical in any engine (a float sum's rounding could flip a
+    * sign bit near zero depending on summation order). Narrow
+    * projection, no shuffle. */
   def lshBucket(emb: Column, bits: Int): Column = {
+    val q = quantize(emb)
     def planeDot(h: Column): Column =
       aggregate(
-        zip_with(emb, sequence(lit(1), size(emb)), (x, i) => {
+        zip_with(q, sequence(lit(1), size(emb)), (xq, i) => {
           val hex0 = substring(md5(concat(h.cast("string"), lit("|"), i.cast("string"))), 1, 1)
-          val sign = when(conv(hex0, 16, 10).cast("int") % 2 === 0, lit(1.0)).otherwise(lit(-1.0))
-          sign * x.cast("double")
+          when(conv(hex0, 16, 10).cast("int") % 2 === 0, xq).otherwise(-xq)
         }),
-        lit(0.0), (acc, v) => acc + v)
-    aggregate(
-      transform(sequence(lit(0), lit(bits - 1)), h =>
-        when(planeDot(h) > 0, pow(lit(2.0), h).cast("long")).otherwise(lit(0L))),
-      lit(0L), (acc, v) => acc + v)
+        lit(0L), (acc, v) => acc + v)
+    (0 until bits).map(h =>
+      when(planeDot(lit(h)) > 0, lit(1L << h)).otherwise(lit(0L))).reduce(_ + _)
   }
 
   /** IVF-style bucketed top-k: score only pairs sharing `bucketCol`
