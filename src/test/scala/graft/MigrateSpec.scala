@@ -55,6 +55,35 @@ class MigrateSpec extends SparkSpec {
     assert(sink.read("src.nation").count() == source.read("src.nation").count())
   }
 
+  test("-resume picks up a half-copied target and -compare verifies it (O6/J1)") {
+    val source = new ParquetCatalog(spark, sf0001, "src")
+    val sinkDir = tmp("graft-res-sink")
+    val sink = new ParquetCatalog(spark, sinkDir, "src")
+    val cfg = MigratorConfig(command = "all", source = "s", target = "t",
+      includes = Seq(
+        graft.config.IncludeSpec("src.nation"),
+        graft.config.IncludeSpec("src.region")))
+    // simulate an interrupted copy: region landed partially, nation not at all
+    sink.write("src.region", source.read("src.region").limit(2))
+    // resume must NOT hit the empty-target guard and must converge
+    val res = Migrate.resume(spark, cfg, source, sink, tmp("graft-res-ckpt"))
+    assert(res.copied.size == 2)
+    assert(sink.read("src.region").count() == source.read("src.region").count())
+    assert(sink.read("src.nation").count() == source.read("src.nation").count())
+    // compare: everything matches
+    val cmp = Migrate.compare(spark, cfg, source, sink, buckets = 64)
+    assert(cmp.values.forall(_.isEqual))
+    // perturb one row and compare again
+    import org.apache.spark.sql.functions._
+    sink.write("src.nation",
+      sink.read("src.nation").withColumn("n_regionkey",
+        when(col("n_nationkey") === 0, col("n_regionkey") + 1)
+          .otherwise(col("n_regionkey"))).localCheckpoint())
+    val cmp2 = Migrate.compare(spark, cfg, source, sink, buckets = 64)
+    assert(cmp2("src.nation").mismatched == 1)
+    assert(cmp2("src.region").isEqual)
+  }
+
   test("workspace log/reset round-trip (K4/S9)") {
     val sink = new ParquetCatalog(spark, tmp("graft-ws"), "tgt")
     val ws = new Workspace(spark, sink)
