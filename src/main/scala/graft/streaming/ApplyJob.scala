@@ -93,12 +93,17 @@ object ApplyJob {
     val ops = compileOps(batch, cfg).persist()
     try {
       val namespaces = ops.select("ns").distinct().as[String].collect().sorted
-      namespaces.map { ns =>
+      // namespaces are independent (the reference groups write models per
+      // ns too, oplog_utils.go:97-115): submit their merge jobs from a
+      // parallel collection so executors stay busy across namespaces,
+      // same pattern as the copy fan-out
+      import scala.collection.parallel.CollectionConverters._
+      namespaces.par.map { ns =>
         val already = batchId >= 0 &&
           sink.readMarker(ns, "batch").exists(_.toLong >= batchId)
         if (already) ns -> ApplyCounts()
         else ns -> applyNamespace(ops.filter($"ns" === ns), sink, ns, batchId)
-      }.toMap
+      }.seq.toMap
     } finally { ops.unpersist(); () }
   }
 
