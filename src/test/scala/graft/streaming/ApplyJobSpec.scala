@@ -117,6 +117,20 @@ class ApplyJobSpec extends SparkSpec {
     } finally h.stop()
   }
 
+  test("namespace rename (T6) applies through the wired pipeline") {
+    import spark.implicits._
+    val logDir = tmp("graft-log5")
+    val sink = new ParquetCatalog(spark, tmp("graft-sink5"), "app")
+    val renameCfg = MigratorConfig(command = "data", source = "s", target = "t",
+      includes = Seq(graft.config.IncludeSpec(ns, to = "app.renamed")))
+    Simgen.changeLog(spark, 15, ns).write.mode("overwrite").parquet(logDir)
+    val counts = ApplyJob.applyBatch(
+      spark.read.parquet(logDir).as[Oplog], sink, renameCfg)
+    assert(counts.keySet == Set("app.renamed"))
+    assert(sink.dataExists("app.renamed") && !sink.dataExists(ns))
+    assert(sink.read("app.renamed").count() == counts("app.renamed").inserted)
+  }
+
   test("replayed micro-batch is a no-op — exactly-once marker guard") {
     import spark.implicits._
     val logDir = tmp("graft-log3")
