@@ -38,7 +38,11 @@ object Dedup {
     * `*FromShingles` stages so the tokenize+distinct shuffle runs once. */
   def shingles(df: DataFrame, idCol: String, text: Column,
       shingleWords: Int = 3): DataFrame =
-    df.select(col(idCol), explode(Shingles.wordNGrams(text, shingleWords)).as("s"))
+    // the split word array is BOUND before the n-gram lambda references
+    // it (re-evaluation-per-element trap — see Shingles class doc)
+    df.select(col(idCol), split(lower(text), " ").as("__w"))
+      .select(col(idCol),
+        explode(Shingles.wordNGramsOf(col("__w"), shingleWords)).as("s"))
       .filter(col("s").isNotNull)
       .distinct()
 

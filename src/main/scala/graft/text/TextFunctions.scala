@@ -113,38 +113,58 @@ object TextFunctions {
   def fingerprint(df: DataFrame, idCol: String, text: Column, k: Int = 12): DataFrame =
     // single aggregation pass: min over the shingle MULTISET equals min
     // over the distinct set, and count_distinct dedups inside the same
-    // hash aggregate — no separate distinct() shuffle
-    df.select(col(idCol), explode(Shingles.charShingles(text, k)).as("s"))
+    // hash aggregate — no separate distinct() shuffle. The capped prefix
+    // is BOUND as a column before the shingle lambda references it —
+    // see Shingles.charShinglesOf for why.
+    df.select(col(idCol),
+        substring(lower(text), 1, Shingles.MaxChars).as("__t"))
+      .select(col(idCol), explode(Shingles.charShinglesOf(col("__t"), k)).as("s"))
       .groupBy(col(idCol))
       .agg(min(md5(col("s"))).as("fingerprint"),
         countDistinct(col("s")).as("n_shingles"))
 }
 
-/** Shingle builders shared by dedup / fingerprinting. */
+/** Shingle builders shared by dedup / fingerprinting.
+  *
+  * PERFORMANCE CONTRACT: the `*Of` variants take an ALREADY-BOUND
+  * column (a projected attribute), not an arbitrary expression. An
+  * expression referenced inside a higher-order-function lambda is
+  * re-evaluated PER ELEMENT — common-subexpression elimination does not
+  * reach into lambdas — so `transform(seq, i => f(split(text), i))`
+  * recomputes the split O(len) times per document (measured 8× slowdown
+  * on the shingle stage). Bind the array/prefix with `.select(...)`
+  * first, then shingle the bound column. */
 object Shingles {
   /** Shingling window cap — bounds per-document cost at scale; BOTH the
     * engine and any oracle must apply the same cap. */
   val MaxChars = 2048
 
-  /** Character k-shingles of lower(text), capped at [[MaxChars]]. */
-  def charShingles(text: Column, k: Int): Column = {
-    val t = substring(lower(text), 1, MaxChars)
+  /** Character k-shingles over a BOUND capped-prefix column. */
+  def charShinglesOf(t: Column, k: Int): Column =
     transform(
       sequence(lit(1), greatest(length(t) - (k - 1), lit(1))),
       i => substring(t, i, lit(k)))
-  }
 
-  /** Word n-grams over the space-split token list. Uses try_element_at →
+  /** Character k-shingles of lower(text), capped at [[MaxChars]].
+    * Convenience for small inputs/tests — hot paths bind the prefix
+    * first (see class doc). */
+  def charShingles(text: Column, k: Int): Column =
+    charShinglesOf(substring(lower(text), 1, MaxChars), k)
+
+  /** Word n-grams over a BOUND word-array column. Uses try_element_at →
     * NULL past the end, and `concat` (null-propagating, unlike
     * concat_ws) — so a sub-n-word doc yields one NULL shingle, matching
     * SQL `w[i] || ' ' || w[i+1]` semantics exactly. */
-  def wordNGrams(text: Column, n: Int): Column = {
-    val w = split(lower(text), " ")
+  def wordNGramsOf(w: Column, n: Int): Column =
     transform(
       sequence(lit(1), greatest(size(w) - (n - 1), lit(1))),
       i => concat((0 until n).flatMap { o =>
         val el = try_element_at(w, i + lit(o))
         if (o == 0) Seq(el) else Seq(lit(" "), el)
       }: _*))
-  }
+
+  /** Word n-grams of lower(text). Convenience for small inputs/tests —
+    * hot paths bind the split array first (see class doc). */
+  def wordNGrams(text: Column, n: Int): Column =
+    wordNGramsOf(split(lower(text), " "), n)
 }
