@@ -1,5 +1,21 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main — one JSON line with per-query wall-clock at the
+  * SPARK_GRAFT_SF_DIR scale factor.
+  *
+  * Honesty rules (the round-3 verdict's "bench honesty" items):
+  *  - the cache is CLEARED before every timed query, so each query pays
+  *    its own full cost and the numbers are order-independent — no query
+  *    rides another's leaked persist;
+  *  - an untimed warm-up runs EVERY query once at the smallest fixture
+  *    (sf0.001) so codegen compilation + JIT for each plan shape lands
+  *    outside the timed region (steady-state numbers, standard
+  *    warm-up-then-measure benching);
+  *  - a query that throws is recorded under "errors" with a null time,
+  *    and the run exits non-zero — a regression can never make the bench
+  *    look faster. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -13,19 +29,33 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // one untimed warm-up pass: JVM/codegen/session init otherwise lands
-    // on whichever query happens to run first and poisons its timing
-    try { SparkEntry.queries("q1_agg")(spark, sfDir).count(); () }
-    catch { case _: Throwable => }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // untimed full warm-up at the smallest scale factor (fall back to the
+    // bench dir if the sibling fixture is absent)
+    val warm = {
+      val sib = java.nio.file.Paths.get(sfDir).resolveSibling("sf0.001")
+      if (java.nio.file.Files.isDirectory(sib)) sib.toString else sfDir
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try { fn(spark, warm).count(); () } catch { case _: Throwable => }
+    }
+    spark.catalog.clearCache()
+    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+      spark.catalog.clearCache() // order independence: no inherited caches
+      val t0 = System.nanoTime()
+      val err = try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName)) }
+      (name, (System.nanoTime() - t0) / 1e9, err)
+    }
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", " ").take(200)
+    val qs = results.map { case (k, v, err) =>
+      "\"" + k + "\":" + (if (err.isEmpty) v.toString else "null")
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(m)) => "\"" + k + "\":\"" + esc(m) + "\"" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v, None) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${results.count(_._3.nonEmpty)},"sf":"$sfDir"}""")
     spark.stop()
+    if (results.exists(_._3.nonEmpty)) sys.exit(1)
   }
 }

@@ -20,6 +20,17 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
+  /** Materialize `out` eagerly (localCheckpoint = executor-resident
+    * blocks + lineage cut), then RELEASE the intermediate caches it was
+    * built from. Query closures that persist intermediates must return
+    * through this: a returned-lazy DataFrame would pin its persists
+    * forever (the caller never sees them to unpersist), leaking cache
+    * across every later query — the round-3 bench-irreproducibility
+    * defect. */
+  private def materialized(out: DataFrame, temps: DataFrame*): DataFrame =
+    try out.localCheckpoint(true)
+    finally temps.foreach(_.unpersist(false))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- A1: hash aggregate (status group-count shape, TPC-H Q1 style) ----
     // map-side partial aggregation; one shuffle on the (2-value) group keys.
@@ -129,9 +140,11 @@ object SparkEntry {
     // The shared source lineage is cached so the scan feeds both sides.
     "q_j1_compare" -> ((s, dir) => {
       val (src, tgt) = compareFixture(s, dir)
-      verify.Compare.diff(src, tgt, "k")
-        .groupBy("status").agg(count(lit(1)).as("n"))
-        .orderBy("status")
+      materialized(
+        verify.Compare.diff(src, tgt, "k")
+          .groupBy("status").agg(count(lit(1)).as("n"))
+          .orderBy("status"),
+        src)
     }),
 
     // ---- J1 scale path: bucket-sketch short-circuit diff — identical
@@ -145,7 +158,8 @@ object SparkEntry {
       val o = load(s, dir, "orders")
         .select(col("o_orderkey").as("k"), col("o_custkey"),
           col("o_orderstatus"), col("o_totalprice"))
-        .cache()
+        .persist()
+      o.count(): Unit
       val kept = o.filter(col("k") % 9941 =!= 0)
       val tgt = kept
         .withColumn("o_totalprice",
@@ -153,8 +167,10 @@ object SparkEntry {
             .otherwise(col("o_totalprice")))
         .unionByName(o.filter(col("k") % 9941 === 0)
           .withColumn("k", col("k") + 10000000L))
-      verify.Compare.diffBucketed(o, tgt, "k", buckets = 512)
-        .orderBy("status")
+      materialized(
+        verify.Compare.diffBucketed(o, tgt, "k", buckets = 512)
+          .orderBy("status"),
+        o)
     }),
 
     // ---- J2: dup-key reconciliation semi-join (task.go:95-97) ----
@@ -181,6 +197,8 @@ object SparkEntry {
     // ---- MinHash+LSH near-dup candidates: word-3-gram shingles → 16
     // seed-prefixed md5 minhashes → 8 bands of 2 → band-bucket self-join
     // (never all-pairs). Near-dups planted as text+tail copies.
+    // lshCandidates* returns a materialized pair list with its own
+    // intermediates already released (see Dedup scaladoc).
     "q_dedup_minhash" -> ((s, dir) =>
       text.Dedup.lshCandidates(nearDupCorpus(load(s, dir, "documents")),
         "doc_id", col("text")).orderBy("id_a", "id_b")),
@@ -189,15 +207,17 @@ object SparkEntry {
     // verify stage of the near-dup pipeline; cost is candidates×shingles.
     "q_ngram_jaccard" -> ((s, dir) => {
       val corpus = nearDupCorpus(load(s, dir, "documents"))
-      // one persisted shingle set feeds BOTH candidate generation and
-      // verification — the corpus lineage is derived exactly once
+      // ONE eagerly-persisted shingle set feeds BOTH candidate generation
+      // and verification — the corpus lineage is derived exactly once,
+      // and the eager count keeps AQE's concurrently-submitted subtree
+      // jobs from racing to populate the cache with duplicate work
       val sh = text.Dedup.shingles(corpus, "doc_id", col("text")).persist()
-      // cand is referenced several times by the verify DAG (pair list,
-      // candidate-id pruning, intersection) — persist the small pair set
-      // so the LSH chain runs once
-      val cand = text.Dedup.lshCandidatesFromShingles(sh, "doc_id").persist()
-      text.Dedup.jaccardVerifyFromShingles(sh, cand, "doc_id")
-        .orderBy("id_a", "id_b")
+      sh.count(): Unit
+      val cand = text.Dedup.lshCandidatesFromShingles(sh, "doc_id")
+      materialized(
+        text.Dedup.jaccardVerifyFromShingles(sh, cand, "doc_id")
+          .orderBy("id_a", "id_b"),
+        sh)
     }),
 
     // ---- cluster resolution: verified near-dup pairs → connected
@@ -206,17 +226,19 @@ object SparkEntry {
     "q_dedup_resolve" -> ((s, dir) => {
       val corpus = nearDupCorpus(load(s, dir, "documents"))
       val sh = text.Dedup.shingles(corpus, "doc_id", col("text")).persist()
-      val cand = text.Dedup.lshCandidatesFromShingles(sh, "doc_id").persist()
-      // verified pairs feed the edge set twice (both directions) and the
-      // propagation loop — persist so the jaccard chain runs once
+      sh.count(): Unit
+      val cand = text.Dedup.lshCandidatesFromShingles(sh, "doc_id")
+      // jaccardVerify output is materialized, so the edge set (read twice
+      // by resolveClusters) and the propagation loop never re-derive it
       val verified = text.Dedup.jaccardVerifyFromShingles(sh, cand, "doc_id")
         .filter(col("jaccard") >= 0.6)
         .select("id_a", "id_b")
-        .persist()
-      text.Dedup.resolveClusters(corpus.select("doc_id"), verified)
-        .select(col("id").as("doc_id"), col("root").as("cluster_root"),
-          (col("id") === col("root")).cast("int").as("keep"))
-        .orderBy("doc_id")
+      materialized(
+        text.Dedup.resolveClusters(corpus.select("doc_id"), verified)
+          .select(col("id").as("doc_id"), col("root").as("cluster_root"),
+            (col("id") === col("root")).cast("int").as("keep"))
+          .orderBy("doc_id"),
+        sh)
     }),
 
     // ---- brute-force top-k similarity (ANN baseline): broadcast query
@@ -418,15 +440,17 @@ object SparkEntry {
     })
   )
 
-  /** Shared compare fixture: source = 4 columns of orders (cached once —
-    * the scan feeds src AND both branches of the derived target), target
-    * = source with deterministic drops (k%97), mutations (k%101), and
-    * extras. Reproduced verbatim in the q_j1_* oracle SQL. */
+  /** Shared compare fixture: source = 4 columns of orders (persisted
+    * eagerly — the scan feeds src AND both branches of the derived
+    * target), target = source with deterministic drops (k%97), mutations
+    * (k%101), and extras. Reproduced verbatim in the q_j1_* oracle SQL.
+    * Callers release the returned source via [[materialized]]. */
   private def compareFixture(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val o = load(s, dir, "orders")
       .select(col("o_orderkey").as("k"), col("o_custkey"),
         col("o_orderstatus"), col("o_totalprice"))
-      .cache()
+      .persist()
+    o.count(): Unit
     val kept = o.filter(col("k") % 97 =!= 0)
     val tgt = kept
       .withColumn("o_totalprice",
@@ -454,7 +478,8 @@ object SparkEntry {
       |  UNION ALL
       |  SELECT doc_id + 100000, text || ' near duplicate tail'
       |  FROM documents WHERE doc_id % 5 = 0),
-      |words AS (SELECT doc_id, str_split(lower(text), ' ') AS w FROM corpus),
+      |words AS (SELECT doc_id,
+      |  list_slice(str_split(lower(text), ' '), 1, 4096) AS w FROM corpus),
       |sh AS (
       |  SELECT DISTINCT doc_id, w[u.i] || ' ' || w[u.i+1] || ' ' || w[u.i+2] AS s
       |  FROM words, LATERAL (SELECT unnest(generate_series(1, greatest(len(w)-2, 1))) AS i) u

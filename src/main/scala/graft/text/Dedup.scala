@@ -33,14 +33,20 @@ object Dedup {
     df.groupBy(md5(text).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
+  /** Per-document word cap for [[shingles]] — bounds shingle rows per doc
+    * at scale (a pathological single-line 100 MB doc otherwise emits
+    * O(words) rows). Any oracle must apply the same cap. */
+  val MaxShingleWords = 4096
+
   /** Distinct word-n-gram shingle set: (id, s). The shared upstream of
     * the near-dup pipeline — persist this and pass it to the
     * `*FromShingles` stages so the tokenize+distinct shuffle runs once. */
   def shingles(df: DataFrame, idCol: String, text: Column,
-      shingleWords: Int = 3): DataFrame =
+      shingleWords: Int = 3, maxWords: Int = MaxShingleWords): DataFrame =
     // the split word array is BOUND before the n-gram lambda references
     // it (re-evaluation-per-element trap — see Shingles class doc)
-    df.select(col(idCol), split(lower(text), " ").as("__w"))
+    df.select(col(idCol),
+        slice(split(lower(text), " "), 1, maxWords).as("__w"))
       .select(col(idCol),
         explode(Shingles.wordNGramsOf(col("__w"), shingleWords)).as("s"))
       .filter(col("s").isNotNull)
@@ -92,21 +98,38 @@ object Dedup {
     lshCandidatesFromShingles(shingles(df, idCol, text, shingleWords), idCol,
       numHashes, rowsPerBand, maxBucket)
 
-  /** [[lshCandidates]] over a precomputed (persisted) shingle set. */
+  /** [[lshCandidates]] over a precomputed (persisted) shingle set.
+    *
+    * Returns an EAGERLY MATERIALIZED pair list (`localCheckpoint`): the
+    * band table feeds three subtrees (the bucket census and both sides of
+    * the self-join), and under AQE the unmaterialized subtrees race to
+    * recompute shared lineage concurrently — cache population is not a
+    * barrier, so a lazy persist here is both slow (duplicate work) and a
+    * cross-query cache leak. Materializing the (small) result lets this
+    * function release every intermediate before returning; callers may
+    * reference the result any number of times with no caller-side
+    * persist. (On executor loss the blocks recompute from lineage-cut
+    * parents — acceptable for a derived candidate list; contrast
+    * [[graft.ops.RangeSplitter.exactBounds]] which collects its tiny
+    * result to the driver instead.) */
   def lshCandidatesFromShingles(sh: DataFrame, idCol: String,
       numHashes: Int = 16, rowsPerBand: Int = 2, maxBucket: Int = 1000): DataFrame = {
     val bands = bandSignatures(minhashArray(sh, idCol, numHashes), idCol,
-      numHashes, rowsPerBand)
-    val ok = bands.groupBy("band", "bsig").agg(count(lit(1)).as("__bn"))
-      .filter(col("__bn") <= maxBucket)
-      .select("band", "bsig")
-    val pruned = bands.join(ok, Seq("band", "bsig"))
-    val a = pruned.select(col(idCol).as("id_a"), col("band"), col("bsig"))
-    val b = pruned.select(col(idCol).as("id_b"), col("band"), col("bsig"))
-    a.join(b, Seq("band", "bsig"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
+      numHashes, rowsPerBand).persist()
+    try {
+      bands.count(): Unit // materialize BEFORE fan-out (see scaladoc)
+      val ok = bands.groupBy("band", "bsig").agg(count(lit(1)).as("__bn"))
+        .filter(col("__bn") <= maxBucket)
+        .select("band", "bsig")
+      val pruned = bands.join(ok, Seq("band", "bsig"))
+      val a = pruned.select(col(idCol).as("id_a"), col("band"), col("bsig"))
+      val b = pruned.select(col(idCol).as("id_b"), col("band"), col("bsig"))
+      a.join(b, Seq("band", "bsig"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .localCheckpoint(true)
+    } finally { bands.unpersist(false); () }
   }
 
   /** Exact word-n-gram Jaccard for given candidate pairs — the verify
@@ -123,7 +146,10 @@ object Dedup {
     *
     * `pairs` is referenced SEVERAL times by this DAG (the pair list, the
     * candidate-id pruning, and the intersection join): pass it
-    * persisted/materialized, or its lineage re-executes per reference. */
+    * materialized — [[lshCandidatesFromShingles]] output already is.
+    * Returns an eagerly materialized result (one row per candidate pair)
+    * and releases its internal pruned-shingle cache before returning —
+    * same rationale as [[lshCandidatesFromShingles]]. */
   def jaccardVerifyFromShingles(shRaw: DataFrame, pairs: DataFrame,
       idCol: String): DataFrame = {
     // prune the shingle set to candidate docs BEFORE any wide join: the
@@ -135,19 +161,24 @@ object Dedup {
       .distinct()
     val sh = shRaw.select(col(idCol).as("__jid"), col("s"))
       .join(candIds, Seq("__jid"), "left_semi")
-    val sizes = sh.groupBy("__jid").agg(count(lit(1)).as("n"))
-    val inter = pairs
-      .join(sh.select(col("__jid").as("id_a"), col("s")), Seq("id_a"))
-      .join(sh.select(col("__jid").as("id_b"), col("s")), Seq("id_b", "s"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
-    pairs
-      .join(inter, Seq("id_a", "id_b"), "left")
-      .na.fill(0L, Seq("n_inter"))
-      .join(sizes.select(col("__jid").as("id_a"), col("n").as("n_a")), Seq("id_a"))
-      .join(sizes.select(col("__jid").as("id_b"), col("n").as("n_b")), Seq("id_b"))
-      .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
-      .withColumn("jaccard", col("n_inter").cast("double") / col("n_union"))
-      .select("id_a", "id_b", "n_inter", "n_union", "jaccard")
+      .persist()
+    try {
+      sh.count(): Unit // materialize BEFORE the three consuming subtrees
+      val sizes = sh.groupBy("__jid").agg(count(lit(1)).as("n"))
+      val inter = pairs
+        .join(sh.select(col("__jid").as("id_a"), col("s")), Seq("id_a"))
+        .join(sh.select(col("__jid").as("id_b"), col("s")), Seq("id_b", "s"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+      pairs
+        .join(inter, Seq("id_a", "id_b"), "left")
+        .na.fill(0L, Seq("n_inter"))
+        .join(sizes.select(col("__jid").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+        .join(sizes.select(col("__jid").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+        .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
+        .withColumn("jaccard", col("n_inter").cast("double") / col("n_union"))
+        .select("id_a", "id_b", "n_inter", "n_union", "jaccard")
+        .localCheckpoint(true)
+    } finally { sh.unpersist(false); () }
   }
 
   /** Cluster resolution: collapse verified near-dup pairs into connected
@@ -185,28 +216,39 @@ object Dedup {
     // (typically a tiny fraction of the corpus) and union the untouched
     // singletons back at the end — per-round work scales with the pair
     // set, not the corpus
-    var labels = cut(edges.select(col("src").as("id")).distinct()
+    // `persisted` is always the DataFrame .persist() was called on —
+    // unpersisting a projection of it would NOT release the cache entry
+    var persisted = cut(edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("root"))).persist()
-    labels.count(): Unit // materialize; edges cached transitively
+    persisted.count(): Unit // materialize; edges cached transitively
+    var labels = persisted
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
       val nbrMin = edges.join(labels.select(col("id").as("dst"), col("root")), Seq("dst"))
         .groupBy("src").agg(min("root").as("__nbr"))
+      // carry a per-row changed flag so ONE action both materializes the
+      // round and counts the changes (no extra old-vs-new join per round)
       val updated = cut(labels
         .join(nbrMin.select(col("src").as("id"), col("__nbr")), Seq("id"), "left")
         .select(col("id"),
-          least(col("root"), coalesce(col("__nbr"), col("root"))).as("root")))
+          least(col("root"), coalesce(col("__nbr"), col("root"))).as("root"),
+          (coalesce(col("__nbr"), col("root")) < col("root")).cast("long").as("__chg")))
         .persist()
-      changed = updated.join(labels.withColumnRenamed("root", "__old"), Seq("id"))
-        .filter(col("root") =!= col("__old")).count()
-      labels.unpersist()
-      labels = updated
+      changed = updated.filter(col("__chg") === 1L).count()
+      persisted.unpersist()
+      persisted = updated
+      labels = updated.select("id", "root") // narrow projection over the cache
       iter += 1
     }
-    edges.unpersist()
-    nodes.select(col(idName).as("id"))
+    // materialize the assignment so every cache this loop holds can be
+    // released before returning (same contract as lshCandidatesFromShingles)
+    val out = nodes.select(col(idName).as("id"))
       .join(labels.withColumnRenamed("root", "__r"), Seq("id"), "left")
       .select(col("id"), coalesce(col("__r"), col("id")).as("root"))
+      .localCheckpoint(true)
+    edges.unpersist(false)
+    persisted.unpersist(false)
+    out
   }
 }
