@@ -272,7 +272,7 @@ object SparkEntry {
     // candidates per query scale with bucket occupancy, not corpus size.
     "q_ann_lsh" -> ((s, dir) => {
       val e = load(s, dir, "embeddings").filter(col("vec_id") < 500)
-        .withColumn("bucket", ml.Similarity.lshBucket(col("embedding"), 8))
+        .withColumn("bucket", ml.Similarity.lshBucket(col("embedding"), 8, 64))
       ml.Similarity.bucketedTopK(
           e.filter(col("vec_id") < 50), e, "vec_id", "embedding", "bucket", 3)
         .orderBy("query_id", "rank")

@@ -72,25 +72,43 @@ object Similarity {
       .select("query_id", "neighbor_id", "dot_q", "rank")
   }
 
+  /** ±1 hyperplane sign for plane `h` at 1-based coordinate `i`: the
+    * parity of the first hex digit of md5("h|i") — the exact rule any
+    * external oracle reproduces in SQL. */
+  private[ml] def planeSign(h: Int, i: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$h|$i".getBytes("UTF-8"))
+    if (((d(0) >> 4) & 0xF) % 2 == 0) 1L else -1L
+  }
+
+  /** The bits×dims ±1 pseudo-hyperplane matrix. Computed ONCE on the
+    * driver: the signs depend only on (plane, coordinate), never on the
+    * data, so deriving them per row (as a previous version did, via
+    * md5-in-a-lambda) costs bits×dims string hashes per VECTOR for a
+    * value that is a constant of the query. */
+  def signMatrix(bits: Int, dims: Int): IndexedSeq[IndexedSeq[Long]] =
+    (0 until bits).map(h => (1 to dims).map(i => planeSign(h, i)))
+
   /** Sign-bit LSH bucket id: one bit per pseudo-hyperplane h, set when
-    * Σ_i sign(h,i)·xq_i > 0 with sign(h,i) = ±1 by the parity of the
-    * first hex digit of md5(h|i) — deterministic pseudo-hyperplanes, no
-    * RNG. The projection runs over QUANTIZED coordinates so the sum is
-    * exact integer arithmetic: order-independent and therefore
-    * bit-identical in any engine (a float sum's rounding could flip a
-    * sign bit near zero depending on summation order). Narrow
-    * projection, no shuffle. */
-  def lshBucket(emb: Column, bits: Int): Column = {
+    * Σ_i sign(h,i)·xq_i > 0. The sign matrix is embedded as a literal
+    * array and indexed inside the lambda — zero per-row hashing. The
+    * projection runs over QUANTIZED coordinates so the sum is exact
+    * integer arithmetic: order-independent and therefore bit-identical
+    * in any engine (a float sum's rounding could flip a sign bit near
+    * zero depending on summation order). Narrow projection, no shuffle.
+    *
+    * `dims` must equal the embedding dimensionality (vectors longer than
+    * `dims` index past the literal array and fail loudly). */
+  def lshBucket(emb: Column, bits: Int, dims: Int): Column = {
     val q = quantize(emb)
-    def planeDot(h: Column): Column =
-      aggregate(
-        zip_with(q, sequence(lit(1), size(emb)), (xq, i) => {
-          val hex0 = substring(md5(concat(h.cast("string"), lit("|"), i.cast("string"))), 1, 1)
-          when(conv(hex0, 16, 10).cast("int") % 2 === 0, xq).otherwise(-xq)
-        }),
+    val signs = signMatrix(bits, dims)
+    (0 until bits).map { h =>
+      val s = typedLit(signs(h))
+      val dot = aggregate(
+        zip_with(q, sequence(lit(1), size(emb)), (xq, i) => element_at(s, i) * xq),
         lit(0L), (acc, v) => acc + v)
-    (0 until bits).map(h =>
-      when(planeDot(lit(h)) > 0, lit(1L << h)).otherwise(lit(0L))).reduce(_ + _)
+      when(dot > 0, lit(1L << h)).otherwise(lit(0L))
+    }.reduce(_ + _)
   }
 
   /** IVF-style bucketed top-k: score only pairs sharing `bucketCol`

@@ -54,9 +54,23 @@ class SimilaritySpec extends SparkSpec {
     pairs.unpersist()
   }
 
+  test("driver-side planeSign matches the md5-hex-parity rule the oracle uses") {
+    // recompute a sample of signs through Spark's md5 expression — the
+    // SQL form any oracle mirrors — and compare to the precomputed matrix
+    val got = spark.range(0, 4).selectExpr("id AS h")
+      .crossJoin(spark.range(1, 65).selectExpr("id AS i"))
+      .selectExpr("h", "i",
+        """CASE WHEN conv(substring(md5(concat(cast(h AS string), '|', cast(i AS string))), 1, 1),
+          |16, 10) % 2 = 0 THEN 1L ELSE -1L END AS s""".stripMargin)
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (h, i, s) =>
+      assert(Similarity.planeSign(h.toInt, i.toInt) == s, s"sign mismatch at ($h,$i)")
+    }
+  }
+
   test("lshBucket is deterministic and bucketedTopK finds same-bucket neighbors") {
-    val bucketed = emb.withColumn("bkt", Similarity.lshBucket(col("embedding"), 4)).cache()
-    val again = emb.withColumn("bkt", Similarity.lshBucket(col("embedding"), 4))
+    val bucketed = emb.withColumn("bkt", Similarity.lshBucket(col("embedding"), 4, 64)).cache()
+    val again = emb.withColumn("bkt", Similarity.lshBucket(col("embedding"), 4, 64))
     assert(bucketed.select("vec_id", "bkt").except(again.select("vec_id", "bkt")).count() == 0)
     val nBuckets = bucketed.select("bkt").distinct().count()
     assert(nBuckets > 1 && nBuckets <= 16)
