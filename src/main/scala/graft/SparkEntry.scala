@@ -159,7 +159,7 @@ object SparkEntry {
         .select(col("o_orderkey").as("k"), col("o_custkey"),
           col("o_orderstatus"), col("o_totalprice"))
         .persist()
-      o.count(): Unit
+      o.count(): Unit // eager: three subtrees reference o concurrently
       val kept = o.filter(col("k") % 9941 =!= 0)
       val tgt = kept
         .withColumn("o_totalprice",

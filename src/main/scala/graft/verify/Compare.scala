@@ -72,8 +72,16 @@ object Compare {
     * all-match WITHOUT any row-level work (their row count feeds the
     * match total); only rows of disagreeing buckets — semi-joined via a
     * broadcast of the changed-bucket list — enter the full-outer
-    * row-level join. A fully-identical 100 TB pair therefore diffs with
-    * two scans and zero wide shuffles.
+    * row-level join.
+    *
+    * Each side is scanned and fingerprinted EXACTLY ONCE: the narrow
+    * (key, fp, bucket) projection is persisted before it fans out to the
+    * sketch and row-level subtrees (the projection is a few percent of
+    * source width, so caching it costs far less than the second
+    * scan+sha2 pass it replaces). A fully-identical 100 TB pair
+    * therefore diffs with two scans and zero wide shuffles. The (tiny)
+    * count result is returned materialized and every internal cache is
+    * released before returning.
     *
     * Output: (status, n) counts, statuses as in [[diff]]. xor-sketch
     * collisions (two different bucket contents with equal xor and count)
@@ -83,29 +91,46 @@ object Compare {
       buckets: Int = 4096): DataFrame = {
     val s = src.select(col(key), fingerprint(src, key).as("__fp"))
       .withColumn("__bucket", pmod(xxhash64(col(key)), lit(buckets.toLong)))
+      .persist()
     val t = tgt.select(col(key), fingerprint(tgt, key).as("__fp"))
       .withColumn("__bucket", pmod(xxhash64(col(key)), lit(buckets.toLong)))
-    def sketch(r: DataFrame) = r.groupBy("__bucket").agg(
-      expr(s"bit_xor(xxhash64($key, __fp))").as("__sig"),
-      count(lit(1)).as("__n"))
-    val sk = sketch(s).as("l").join(sketch(t).as("r"), Seq("__bucket"), "full_outer")
-    val same = col("l.__sig") <=> col("r.__sig") && col("l.__n") <=> col("r.__n")
-    val identical = sk.filter(same)
-    val changed = sk.filter(!same).select(col("__bucket"))
-    val sd = s.join(broadcast(changed), Seq("__bucket"), "left_semi")
-    val td = t.join(broadcast(changed), Seq("__bucket"), "left_semi")
-    val rowCounts = sd.select(col(key), col("__fp").as("__src_fp"))
-      .join(td.select(col(key), col("__fp").as("__tgt_fp")), Seq(key), "full_outer")
-      .select(when(col("__src_fp").isNull, lit("extra"))
-        .when(col("__tgt_fp").isNull, lit("missing"))
-        .when(col("__src_fp") === col("__tgt_fp"), lit("match"))
-        .otherwise(lit("mismatch")).as("status"))
-      .groupBy("status").agg(count(lit(1)).as("n"))
-    val skippedMatches = identical
-      .agg(coalesce(sum(col("l.__n")), lit(0L)).as("n"))
-      .select(lit("match").as("status"), col("n"))
-    rowCounts.unionByName(skippedMatches)
-      .groupBy("status").agg(sum("n").as("n"))
-      .filter(col("n") > 0)
+      .persist()
+    try {
+      // no eager counts needed: the sketch action below has exactly one
+      // subtree per side, so each cache is populated by a single scan
+      // (the ONE scan+fingerprint pass per side) with no population race
+      def sketch(r: DataFrame) = r.groupBy("__bucket").agg(
+        expr(s"bit_xor(xxhash64($key, __fp))").as("__sig"),
+        count(lit(1)).as("__n"))
+      // ≤ `buckets` rows — materialize so identical/changed/broadcast
+      // all read blocks instead of re-running the sketch aggregation
+      // (columns renamed per side: alias qualifiers don't survive the
+      // checkpoint's schema)
+      val sk = sketch(s)
+        .select(col("__bucket"), col("__sig").as("__lsig"), col("__n").as("__ln"))
+        .join(sketch(t)
+          .select(col("__bucket"), col("__sig").as("__rsig"), col("__n").as("__rn")),
+          Seq("__bucket"), "full_outer")
+        .localCheckpoint(true)
+      val same = col("__lsig") <=> col("__rsig") && col("__ln") <=> col("__rn")
+      val identical = sk.filter(same)
+      val changed = sk.filter(!same).select(col("__bucket"))
+      val sd = s.join(broadcast(changed), Seq("__bucket"), "left_semi")
+      val td = t.join(broadcast(changed), Seq("__bucket"), "left_semi")
+      val rowCounts = sd.select(col(key), col("__fp").as("__src_fp"))
+        .join(td.select(col(key), col("__fp").as("__tgt_fp")), Seq(key), "full_outer")
+        .select(when(col("__src_fp").isNull, lit("extra"))
+          .when(col("__tgt_fp").isNull, lit("missing"))
+          .when(col("__src_fp") === col("__tgt_fp"), lit("match"))
+          .otherwise(lit("mismatch")).as("status"))
+        .groupBy("status").agg(count(lit(1)).as("n"))
+      val skippedMatches = identical
+        .agg(coalesce(sum(col("__ln")), lit(0L)).as("n"))
+        .select(lit("match").as("status"), col("n"))
+      rowCounts.unionByName(skippedMatches)
+        .groupBy("status").agg(sum("n").as("n"))
+        .filter(col("n") > 0)
+        .localCheckpoint(true)
+    } finally { s.unpersist(false); t.unpersist(false); () }
   }
 }

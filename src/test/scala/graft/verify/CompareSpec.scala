@@ -55,6 +55,30 @@ class CompareSpec extends SparkSpec {
     assert(out == Map("match" -> orders.count()))
   }
 
+  test("diffBucketed scans and fingerprints each input exactly once") {
+    // accumulator-instrumented inputs: every pass over an input's rows
+    // adds its row count, so a second scan+fingerprint pass (the round-3
+    // double-fingerprint defect) would read 2n per side, not n
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType)))
+    val n = 1000L
+    def instrumented(name: String, mutate: Long => String) = {
+      val acc = spark.sparkContext.longAccumulator(name)
+      val rdd = spark.sparkContext.range(0, n, numSlices = 4)
+        .map { i => acc.add(1); Row(i, mutate(i)) }
+      (spark.createDataFrame(rdd, schema), acc)
+    }
+    val (src, srcAcc) = instrumented("srcScan", i => s"v$i")
+    val (tgt, tgtAcc) = instrumented("tgtScan", i => if (i % 100 == 0) s"x$i" else s"v$i")
+    val out = Compare.diffBucketed(src, tgt, "k", 32)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("mismatch") == n / 100 && out("match") == n - n / 100)
+    assert(srcAcc.value == n, s"source scanned ${srcAcc.value} rows, expected $n")
+    assert(tgtAcc.value == n, s"target scanned ${tgtAcc.value} rows, expected $n")
+  }
+
   test("existingKeys semi-join (J2 reconciliation)") {
     val batch = orders.filter($"o_orderkey" <= 100)
     val target = orders.filter($"o_orderkey" % 2 === 0)
