@@ -324,8 +324,11 @@ object SparkEntry {
         lit(ts).as("ts"), lit(opc).as("op"), nsCol.as("ns"), o.as("o"), o2.as("o2"),
         lit(0L).as("h"), lit(0L).as("t"), lit(2).as("v"))
       val nullS = lit(null).cast("string")
+      // insert ids offset far beyond any fixture's key range: at SF>=1
+      // o_orderkey reaches 6e6, so a 5e6 offset would collide with base
+      // keys and diverge from the oracle's UNION ALL
       val inserts = orders.filter(k % 10 === 0).select(op(1L, "i", ns,
-        to_json(struct((k + 5000000L).as("_id"), col("o_custkey").as("custkey"),
+        to_json(struct((k + 100000000L).as("_id"), col("o_custkey").as("custkey"),
           lit("N").as("status"), lit(1.5).as("price"))), nullS): _*)
       val v2Updates = orders.filter(k % 3 === 0).select(op(2L, "u", ns,
         to_json(struct(struct(struct(lit("X").as("status")).as("u")).as("diff"))),
@@ -822,7 +825,7 @@ object SparkEntry {
         |    CASE WHEN k % 5 = 0 THEN o_totalprice + 10 ELSE o_totalprice END AS price
         |  FROM src WHERE k % 7 <> 0),
         |inserted AS (
-        |  SELECT k + 5000000 AS k, o_custkey AS custkey, 'N' AS status,
+        |  SELECT k + 100000000 AS k, o_custkey AS custkey, 'N' AS status,
         |    CAST(1.5 AS DOUBLE) AS price
         |  FROM src WHERE k % 10 = 0)
         |SELECT k, custkey, status, price FROM updated

@@ -32,12 +32,21 @@ object Skew {
     * lookup tables with hot keys). Broadcast remains better when the
     * whole right side fits in memory; salting covers the middle ground
     * where the right side is too big to broadcast but a few keys are
-    * hot enough to melt a single reducer. */
+    * hot enough to melt a single reducer.
+    *
+    * `saltCols` picks what the deterministic salt hashes — pass
+    * high-cardinality columns that VARY WITHIN the hot key (an event id,
+    * a timestamp). The default hashes every left column, which spreads
+    * nothing when a hot key's rows are full duplicates (a common skew
+    * worst case: identical rows hash to one salt value and still land on
+    * one task) — callers with duplicate-heavy skew must supply a
+    * distinguishing column, or dedup/pre-count first. */
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
-      buckets: Int = 16): DataFrame = {
+      buckets: Int = 16, saltCols: Seq[Column] = Nil): DataFrame = {
     require(buckets > 0, "buckets must be positive")
-    val leftCols = left.columns
-    val saltSrc = leftCols.map(col).toIndexedSeq
+    val saltSrc =
+      if (saltCols.nonEmpty) saltCols.toIndexedSeq
+      else left.columns.map(col).toIndexedSeq
     val l = left.withColumn("__salt", salt(buckets, saltSrc: _*))
     val r = right.withColumn("__salt", explode(sequence(lit(0), lit(buckets - 1))))
     l.join(r, keys :+ "__salt").drop("__salt")

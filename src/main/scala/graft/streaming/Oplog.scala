@@ -29,8 +29,14 @@ final case class Oplog(
   * update, `spec` is a normalized Mongo update doc
   * ({"$set":...}/{"$unset":...}/{"$inc":...}). `id` is the document key
   * serialized as canonical JSON text (handles int/string/oid uniformly —
-  * SURVEY §7.4 heterogeneous-key mitigation). */
-final case class WriteOp(ns: String, ts: Long, kind: String, id: String, spec: String)
+  * SURVEY §7.4 heterogeneous-key mitigation).
+  *
+  * `seq` breaks ts ties: entries unwrapped from one `applyOps`
+  * transaction all inherit the commit ts, but the reference applies them
+  * in array order (ordered bulk writes) — `seq` carries that array
+  * position so the per-key fold reproduces it (0 outside transactions). */
+final case class WriteOp(ns: String, ts: Long, kind: String, id: String, spec: String,
+    seq: Int = 0)
 
 object Oplog {
   /** Spark schema of a change-log parquet/json source. */
@@ -105,7 +111,12 @@ object Oplog {
   def compile(oplog: Oplog, cfg: MigratorConfig): Seq[WriteOp] = {
     val ns = cfg.toNamespace(oplog.ns)
     oplog.op match {
-      case "c" => unwrap(oplog).flatMap(compile(_, cfg))
+      // stamp each unwrapped transaction entry with its array position so
+      // same-_id ops inside one transaction keep their order in the fold
+      // (unwrap flattens nested applyOps, so entries are never "c" again)
+      case "c" => unwrap(oplog).zipWithIndex.flatMap { case (inner, i) =>
+        compile(inner, cfg).map(_.copy(seq = i))
+      }
       case "n" => Nil
       case "i" =>
         idOf(oplog.o).map(id => WriteOp(ns, oplog.ts, "insert", id, oplog.o)).toSeq
@@ -217,7 +228,7 @@ object JsonDocOps {
     * bulk writes (oplog_utils.go:116-196), reproduced per key inside one
     * shuffle. */
   def fold(base: Option[String], ops: Seq[WriteOp]): Option[String] =
-    ops.sortBy(_.ts).foldLeft(base)(applyOp)
+    ops.sortBy(o => (o.ts, o.seq)).foldLeft(base)(applyOp)
 
   private def setPath(node: ObjectNode, path: String, value: com.fasterxml.jackson.databind.JsonNode): Unit = {
     val parts = path.split('.')

@@ -78,8 +78,26 @@ class OplogSpec extends AnyFunSuite {
         |]}""".stripMargin.replaceAll("\n\\s*", "")
     val ops = Oplog.compile(Oplog(9L, "c", "testdb.$cmd", txn, null), noIncludes)
     assert(ops.map(_.kind) == Seq("insert", "update", "delete"))
-    // transaction entries share the commit ts
+    // transaction entries share the commit ts; seq carries array order
     assert(ops.map(_.ts).forall(_ == 9L))
+    assert(ops.map(_.seq) == Seq(0, 1, 2))
+  }
+
+  test("same-_id ops inside one transaction fold in array order, any input order") {
+    // both entries inherit the commit ts — without seq the fold's sort is
+    // ts-only and a shuffled iterator could apply them reversed (the
+    // reference applies applyOps entries via ORDERED bulk writes)
+    val txn =
+      """{"applyOps":[
+        |  {"op":"u","ns":"testdb.neutrino","o":{"$v":2,"diff":{"u":{"v":1}}},"o2":{"_id":7}},
+        |  {"op":"u","ns":"testdb.neutrino","o":{"$v":2,"diff":{"u":{"v":2}}},"o2":{"_id":7}}
+        |]}""".stripMargin.replaceAll("\n\\s*", "")
+    val ops = Oplog.compile(Oplog(9L, "c", "testdb.$cmd", txn, null), noIncludes)
+    assert(ops.map(_.seq) == Seq(0, 1))
+    for (shuffled <- Seq(ops, ops.reverse)) {
+      val out = JsonDocOps.fold(Some("""{"_id":7,"v":0}"""), shuffled)
+      assert(out.contains("""{"_id":7,"v":2}"""), s"input order $shuffled")
+    }
   }
 
   test("compile: applies the target-namespace rename (T6)") {
