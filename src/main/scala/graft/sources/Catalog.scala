@@ -64,15 +64,46 @@ trait Catalog {
   * All filesystem access goes through the Hadoop [[FileSystem]] API
   * resolved from the directory URI, so the same code serves local disk,
   * HDFS, and S3A — the filesystems a 100 TB deployment actually uses.
-  * Commits are staged-dir + rename: rename is atomic on HDFS/local
-  * (S3A deployments would swap this implementation for a real table
-  * format — Delta/Iceberg MERGE — behind the same trait).
-  */
+  * (On S3A, rename is copy-not-atomic — deployments there swap this
+  * implementation for a real table format — Delta/Iceberg MERGE —
+  * behind the same trait.)
+  *
+  * == Bucketed incremental merge (`buckets` > 0) ==
+  *
+  * With `buckets = B`, a merged table lives as B hash-bucket partition
+  * subdirectories (`graft_bucket=pmod(xxhash64(key), B)`); [[merge]]
+  * rewrites ONLY the buckets containing touched keys — data I/O is
+  * proportional to the batch, not the table, which is what makes a
+  * streaming apply against a 100 TB table affordable (the reference's
+  * per-document apply economics, oplog_utils.go:88-205). Untouched
+  * bucket directories are carried into each new table version by
+  * metadata-only renames. Reads prune to bucket subdirs via ordinary
+  * partition pruning. Size B so one bucket ≈ one comfortable task
+  * (e.g. 100 TB / 256 MB ≈ 4·10⁵ buckets).
+  *
+  * == Commit protocol (crash-safe, marker atomic with data) ==
+  *
+  * A merge publishes through: stage data + marker + metadata files →
+  * write the `_graft_commit` sentinel LAST → rename live aside
+  * (`p → p.__old__`) → move untouched bucket dirs aside→staging →
+  * rename staging into place → delete the aside dir. Every step is
+  * idempotent-resumable, and [[recover]] (run before any read/merge)
+  * rolls an interrupted commit FORWARD when the sentinel proves the
+  * staging dir complete, or BACK (discard staging) when it doesn't —
+  * so a crash anywhere leaves the table either fully pre-merge (marker
+  * absent ⇒ the micro-batch replays) or fully post-merge (marker
+  * present ⇒ the replay is skipped): exactly-once either way. The
+  * earlier delete-then-rename publish could lose the table to a crash
+  * between the two steps. Single writer per table assumed (the
+  * migrator owns its target), as in the reference. */
 final class ParquetCatalog(
     val spark: SparkSession,
     val dir: String,
     val db: String = "local",
-    keys: Map[String, String] = Map.empty) extends Catalog {
+    keys: Map[String, String] = Map.empty,
+    val buckets: Int = 0) extends Catalog {
+
+  import ParquetCatalog._
 
   private val root = new Path(dir)
   private def fs: FileSystem = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -81,6 +112,8 @@ final class ParquetCatalog(
     if (ns.contains('.')) ns.substring(ns.indexOf('.') + 1) else ns
 
   private def path(ns: String): Path = new Path(root, s"${table(ns)}.parquet")
+  private def stagingPath(ns: String): Path = new Path(root, s"${table(ns)}.parquet.__staging__")
+  private def asidePath(ns: String): Path = new Path(root, s"${table(ns)}.parquet.__old__")
 
   override def listNamespaces(): Seq[String] = {
     if (!fs.exists(root)) return Nil
@@ -92,7 +125,13 @@ final class ParquetCatalog(
       .sorted
   }
 
-  override def read(ns: String): DataFrame = spark.read.parquet(path(ns).toString)
+  override def read(ns: String): DataFrame = {
+    recover(ns)
+    val df = spark.read.parquet(path(ns).toString)
+    // a bucketed table surfaces its partition column; the read contract
+    // is the logical schema
+    if (df.columns.contains(BucketCol)) df.drop(BucketCol) else df
+  }
 
   override def write(ns: String, df: DataFrame, mode: String): Unit =
     df.write.mode(mode).parquet(path(ns).toString)
@@ -102,52 +141,216 @@ final class ParquetCatalog(
 
   /** Parquet has no server-side merge; equivalent semantics via anti-join
     * rewrite: keep existing rows whose key is in NEITHER the upsert batch
-    * NOR the delete set, union the upserts (new wins), atomically swap
-    * directories. The post-merge count comes from `observe()` on the
-    * merged plan — one job, no second scan of the written table. */
+    * NOR the delete set, union the upserts (new wins), publish through
+    * the crash-safe commit protocol (class doc). With `buckets` > 0 only
+    * the touched buckets are read (partition pruning) and rewritten.
+    * Counts come from `observe()` on the executed plans — no second scan
+    * of the written table; the bucketed path tracks the table total
+    * incrementally in a `_graft_count` metadata file. */
   override def merge(ns: String, upserts: DataFrame, deletes: DataFrame, key: String,
       marker: Option[(String, String)] = None): Long = {
-    val p = path(ns)
+    recover(ns)
+    val st = stagingPath(ns)
+    fs.delete(st, true): Unit // stale staging from an abandoned run
+    val n =
+      if (buckets > 0) mergeBucketed(ns, upserts, deletes, key, marker)
+      else mergePlain(ns, upserts, deletes, key, marker)
+    commit(ns)
+    n
+  }
+
+  private def mergePlain(ns: String, upserts: DataFrame, deletes: DataFrame,
+      key: String, marker: Option[(String, String)]): Long = {
+    val st = stagingPath(ns)
     val touched = upserts.select(col(key)).unionByName(deletes.select(col(key))).distinct()
     val merged =
       if (!dataExists(ns)) upserts
       else read(ns).join(touched, Seq(key), "left_anti")
         .unionByName(upserts, allowMissingColumns = true)
     val obs = Observation()
-    val staging = new Path(root, s"${table(ns)}.parquet.__staging__")
     merged.observe(obs, count(lit(1)).as("rows"))
-      .write.mode("overwrite").parquet(staging.toString)
-    // record the marker INSIDE the staged dir: underscore-prefixed files
-    // are invisible to parquet reads, and the rename below publishes the
-    // marker and the data in the same atomic commit.
-    marker.foreach { case (name, value) =>
-      val out = fs.create(new Path(staging, s"_graft_$name"), true)
-      try out.write(value.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    }
-    fs.delete(p, true)
-    require(fs.rename(staging, p), s"failed to swap staging dir into $p")
-    obs.get("rows").asInstanceOf[Long]
+      .write.mode("overwrite").parquet(st.toString)
+    val n = obs.get("rows").asInstanceOf[Long]
+    finishStaging(ns, st, touchedBuckets = None, total = n, marker)
+    n
   }
 
-  override def readMarker(ns: String, name: String): Option[String] = {
-    val f = new Path(path(ns), s"_graft_$name")
+  private def mergeBucketed(ns: String, upserts: DataFrame, deletes: DataFrame,
+      key: String, marker: Option[(String, String)]): Long = {
+    val p = path(ns)
+    val st = stagingPath(ns)
+    val bucketOf = pmod(xxhash64(col(key)), lit(buckets.toLong)).cast("int")
+    val exists = dataExists(ns)
+    val bucketedLayout = exists && fs.listStatus(p)
+      .exists(s => s.isDirectory && s.getPath.getName.startsWith(BucketCol + "="))
+    val up = upserts.withColumn(BucketCol, bucketOf)
+    val touchedKeys = upserts.select(col(key))
+      .unionByName(deletes.select(col(key))).distinct().persist()
+    try {
+      val curObs = Observation()
+      val mergedObs = Observation()
+      // incremental only against an already-bucketed table; a plain table
+      // (or a fresh one) takes one full write into the bucketed layout
+      val (current, touchedList) =
+        if (!exists) (None, None)
+        else if (!bucketedLayout)
+          (Some(spark.read.parquet(p.toString).withColumn(BucketCol, bucketOf)), None)
+        else {
+          val tb = touchedKeys.select(bucketOf.as(BucketCol)).distinct()
+            .collect().map(_.getInt(0)).sorted
+          val pruned = spark.read.parquet(p.toString)
+            .filter(col(BucketCol).isin(tb.toIndexedSeq: _*))
+          (Some(pruned), Some(tb.toSeq))
+        }
+      val merged = current match {
+        case None => up
+        case Some(cur) =>
+          cur.observe(curObs, count(lit(1)).as("rows"))
+            .join(touchedKeys, Seq(key), "left_anti")
+            .unionByName(up, allowMissingColumns = true)
+      }
+      merged.observe(mergedObs, count(lit(1)).as("rows"))
+        .write.mode("overwrite").partitionBy(BucketCol).parquet(st.toString)
+      val newTouched = mergedObs.get("rows").asInstanceOf[Long]
+      val total = touchedList match {
+        case None => newTouched // full write: the observation IS the total
+        case Some(_) =>
+          val oldTouched = curObs.get("rows").asInstanceOf[Long]
+          // pre-merge total: maintained incrementally; a bucketed table
+          // without the metadata file (external writer) pays one scan
+          val oldTotal = readMeta(new Path(p, CountFile)).map(_.toLong)
+            .getOrElse(read(ns).count())
+          oldTotal - oldTouched + newTouched
+      }
+      finishStaging(ns, st, touchedList, total, marker)
+      total
+    } finally { touchedKeys.unpersist(false); () }
+  }
+
+  /** Stage metadata: marker, touched-bucket list, incremental row count,
+    * then the sentinel LAST — its presence proves the staging dir
+    * complete, which is what licenses roll-forward in [[recover]]. */
+  private def finishStaging(ns: String, st: Path, touchedBuckets: Option[Seq[Int]],
+      total: Long, marker: Option[(String, String)]): Unit = {
+    if (!fs.exists(st)) fs.mkdirs(st): Unit // empty merge result still commits
+    marker.foreach { case (name, value) => writeMeta(new Path(st, s"_graft_$name"), value) }
+    writeMeta(new Path(st, TouchedFile), touchedBuckets.map(_.mkString(",")).getOrElse("*"))
+    writeMeta(new Path(st, CountFile), total.toString)
+    writeMeta(new Path(st, Sentinel), "")
+  }
+
+  /** Test-only failpoint: name a commit step to die after (specs use it
+    * to pin [[recover]] against every mid-commit crash state). */
+  private[sources] var crashPoint: String = ""
+  private def maybeCrash(point: String): Unit =
+    if (crashPoint == point) throw new IllegalStateException(s"injected crash at $point")
+
+  /** Publish a complete staging dir (sentinel present). Resumable from
+    * any crash point — see [[recover]]. */
+  private def commit(ns: String): Unit = {
+    val p = path(ns); val st = stagingPath(ns); val aside = asidePath(ns)
+    if (fs.exists(p))
+      require(fs.rename(p, aside), s"failed to move $p aside")
+    maybeCrash("after-aside")
+    carryUntouched(st, aside)
+    maybeCrash("after-carry")
+    require(fs.rename(st, p), s"failed to publish staging into $p")
+    maybeCrash("after-publish")
+    fs.delete(aside, true): Unit
+  }
+
+  /** Move every untouched bucket dir of the aside (pre-merge) table into
+    * staging — metadata-only renames, no data I/O. A touched bucket is
+    * NEVER moved even when absent from staging: absence there means the
+    * merge emptied it. Idempotent (skips already-moved dirs) so an
+    * interrupted carry simply re-runs. */
+  private def carryUntouched(st: Path, aside: Path): Unit = {
+    if (!fs.exists(aside)) return
+    readMeta(new Path(st, TouchedFile)) match {
+      case Some("*") | None => // full table in staging: nothing to carry
+      case Some(list) =>
+        val touched = list.split(',').filter(_.nonEmpty).toSet
+        fs.listStatus(aside).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith(BucketCol + "="))
+          .foreach { s =>
+            val name = s.getPath.getName
+            val id = name.stripPrefix(BucketCol + "=")
+            if (!touched.contains(id) && !fs.exists(new Path(st, name)))
+              require(fs.rename(s.getPath, new Path(st, name)),
+                s"failed to carry bucket $name")
+          }
+    }
+  }
+
+  /** Crash recovery, run before any read or merge. Rolls an interrupted
+    * commit FORWARD when staging carries the sentinel and the live dir
+    * was already moved aside (the batch's data+marker are complete), and
+    * BACK otherwise (incomplete staging is discarded; the batch replays
+    * against the intact pre-merge table). */
+  private def recover(ns: String): Unit = {
+    val p = path(ns); val st = stagingPath(ns); val aside = asidePath(ns)
+    val stComplete = fs.exists(new Path(st, Sentinel))
+    if (fs.exists(aside)) {
+      if (stComplete) commit(ns) // aside exists ⇒ live was moved: roll forward
+      else if (!fs.exists(p)) {
+        // inconsistent leftovers without a provably-complete staging:
+        // restore the pre-merge table
+        fs.delete(st, true): Unit
+        require(fs.rename(aside, p), s"failed to restore $p from $aside")
+      } else fs.delete(aside, true): Unit // publish finished; aside is garbage
+    } else if (stComplete && !fs.exists(p)) {
+      // first-ever merge crashed between sentinel and publish
+      commit(ns)
+    } else if (fs.exists(st) && !stComplete) {
+      fs.delete(st, true): Unit // died while staging: discard
+    }
+    // remaining case: staging complete but live intact and no aside —
+    // the commit never started, the marker was never published; leave the
+    // staging dir for the next merge to clear and redo (roll back)
+  }
+
+  private def writeMeta(f: Path, value: String): Unit = {
+    val out = fs.create(f, true)
+    try out.write(value.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  private def readMeta(f: Path): Option[String] =
     if (!fs.exists(f)) None
     else {
       val in = fs.open(f)
       try Some(new String(in.readAllBytes(), StandardCharsets.UTF_8))
       finally in.close()
     }
+
+  override def readMarker(ns: String, name: String): Option[String] = {
+    recover(ns)
+    readMeta(new Path(path(ns), s"_graft_$name"))
   }
 
   override def keyOf(ns: String): String =
     keys.getOrElse(table(ns), graft.Tables.keys.getOrElse(table(ns), "_id"))
 
-  override def drop(ns: String): Unit = { fs.delete(path(ns), true); () }
+  override def drop(ns: String): Unit = {
+    fs.delete(path(ns), true): Unit
+    fs.delete(stagingPath(ns), true): Unit
+    fs.delete(asidePath(ns), true): Unit
+  }
 
   override def dataExists(ns: String): Boolean = {
+    recover(ns)
     val p = path(ns)
     fs.exists(p) && (fs.getFileStatus(p).isFile || fs.listStatus(p).nonEmpty)
   }
+}
+
+object ParquetCatalog {
+  /** Hash-bucket partition column. NOT underscore-prefixed: Spark's file
+    * index treats `_`/`.`-prefixed paths as hidden, which would hide the
+    * bucket partition dirs from every read. */
+  val BucketCol = "graft_bucket"
+  private val Sentinel = "_graft_commit"
+  private val TouchedFile = "_graft_touched"
+  private val CountFile = "_graft_count"
 }
 
 /** Multi-database parquet catalog — S5's full shape: one subdirectory
@@ -159,7 +362,8 @@ final class ParquetCatalog(
 final class MultiDbParquetCatalog(
     val spark: SparkSession,
     val rootDir: String,
-    metaDb: String = "graft_meta") extends Catalog {
+    metaDb: String = "graft_meta",
+    buckets: Int = 0) extends Catalog {
 
   private val root = new Path(rootDir)
   private def fs: FileSystem = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -176,7 +380,7 @@ final class MultiDbParquetCatalog(
   }
 
   private def dbCatalog(db: String): ParquetCatalog =
-    new ParquetCatalog(spark, s"$rootDir/$db", db)
+    new ParquetCatalog(spark, s"$rootDir/$db", db, buckets = buckets)
 
   private def forNs(ns: String): ParquetCatalog =
     dbCatalog(graft.config.Namespaces.split(ns)._1)

@@ -131,6 +131,35 @@ class ApplyJobSpec extends SparkSpec {
     assert(sink.read("app.renamed").count() == counts("app.renamed").inserted)
   }
 
+  test("kill + restart converges on a BUCKETED sink (incremental merge under streaming)") {
+    import spark.implicits._
+    val logDir = tmp("graft-logb")
+    val ckpt = tmp("graft-ckptb")
+    val sink = new ParquetCatalog(spark, tmp("graft-sinkb"), "app", buckets = 16)
+    val log = Simgen.changeLog(spark, 40, ns).persist()
+    import org.apache.spark.sql.functions.{col, shiftright}
+    for (p <- 0 to 5) {
+      val slice = log.filter(
+        ((shiftright(col("ts"), 32) - 1700000000L) / 40).cast("int") === p)
+      if (!slice.isEmpty) {
+        slice.coalesce(1).write.mode("append").parquet(logDir)
+        Thread.sleep(200)
+      }
+    }
+    log.unpersist()
+    val h = ApplyJob.stream(spark, logDir, sink, cfg, ckpt,
+      Trigger.ProcessingTime(0), maxFilesPerTrigger = 1)
+    val deadline = System.currentTimeMillis() + 120000
+    while (h.query.recentProgress.count(_.numInputRows > 0) < 2 &&
+        System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    h.stop()
+    assert(h.query.recentProgress.count(_.numInputRows > 0) >= 2, "no batch committed before kill")
+    ApplyJob.catchUp(spark, logDir, sink, cfg, ckpt, maxFilesPerTrigger = 1)
+    val expected = expectedState(spark.read.parquet(logDir).as[Oplog].collect().toSeq)
+    assert(sinkState(sink) == expected)
+  }
+
   test("replayed micro-batch is a no-op — exactly-once marker guard") {
     import spark.implicits._
     val logDir = tmp("graft-log3")
