@@ -40,14 +40,22 @@ object RangeSplitter {
     *
     * Duplicate keys may order arbitrarily within a partition, but block
     * membership is multiset-determined, so min/max/count per block are
-    * deterministic either way. */
+    * deterministic either way.
+    *
+    * `sortKey` overrides the ordering expression — pass
+    * [[BsonKey.sortKey]]`(col(key))` when the key column carries
+    * canonical-JSON ids of MIXED type (int + string + ObjectId), whose
+    * lexicographic order would interleave the BSON type classes. Bounds
+    * still report the original key values (min_by/max_by under the
+    * override ordering). */
   def exactBounds(df: DataFrame, key: String, block: Int,
-      numPartitions: Int = 0): DataFrame = {
+      numPartitions: Int = 0, sortKey: Option[Column] = None): DataFrame = {
     require(block > 0, "block must be positive")
     val n = if (numPartitions > 0) numPartitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
-    val keyed = df.select(col(key))
-      .repartitionByRange(n, col(key))
+    val ordExpr = sortKey.getOrElse(col(key))
+    val keyed = df.select(col(key), ordExpr.as("__ord"))
+      .repartitionByRange(n, col("__ord"))
       .withColumn("__pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -56,13 +64,13 @@ object RangeSplitter {
       val offsets: Map[Int, Long] =
         counts.map(_._1).zip(counts.scanLeft(0L)(_ + _._2)).toMap
       val offset = coalesce(element_at(typedLit(offsets), col("__pid")), lit(0L))
-      val w = Window.partitionBy("__pid").orderBy(col(key))
+      val w = Window.partitionBy("__pid").orderBy(col("__ord"))
       val res = keyed
         .withColumn("rn", row_number().over(w).cast("long") - 1L + offset)
         .groupBy((col("rn") / block).cast("long").as("task_seq"))
         .agg(
-          min(col(key)).as("id_first"),
-          max(col(key)).as("id_last"),
+          min_by(col(key), col("__ord")).as("id_first"),
+          max_by(col(key), col("__ord")).as("id_last"),
           count(lit(1)).as("source_count"))
         .orderBy("task_seq")
       // materialize the (tiny) result on the DRIVER so the cache can be

@@ -42,4 +42,40 @@ class RangeSplitterSpec extends SparkSpec {
     val df = Tables.load(spark, sf0001, "orders").filter(lit(false))
     assert(RangeSplitter.exactBounds(df, "o_orderkey", 100).count() == 0L)
   }
+
+  test("exactBounds with BsonKey orders mixed int/string/oid ids: disjoint, complete, BSON-ordered") {
+    import spark.implicits._
+    // canonical-JSON id mix, as Oplog.idOf produces: 200 ints, 100
+    // strings, 100 ObjectIds — lexicographic text order would interleave
+    // them ("150" < "2"; '"' vs digits by char code)
+    val ints = (0 until 200).map(i => s"${i * 7 % 1000}")          // unsorted-ish numerics
+    val strs = (0 until 100).map(i => "\"doc-" + f"$i%03d\"")
+    val oids = (0 until 100).map(i => s"""{"$$oid":"64a${f"$i%021x"}"}""")
+    val ids = scala.util.Random.shuffle(ints ++ strs ++ oids).toDF("id")
+    val out = RangeSplitter.exactBounds(ids, "id", 60,
+        sortKey = Some(BsonKey.sortKey(col("id"))))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.map(_._4).sum == 400)
+    assert(out.dropRight(1).forall(_._4 == 60L))
+    // driver-side ground truth: sort the ids by the same BSON type order
+    def rank(s: String) = if (s.head.isDigit || s.head == '-') 1
+      else if (s.head == '"') 2 else if (s.startsWith("{\"$oid\"")) 4 else 3
+    def keyOf(s: String): (Int, Double, String) = rank(s) match {
+      case 1 => (1, s.toDouble, s)
+      case 2 => (2, Double.MinValue, s.stripPrefix("\"").stripSuffix("\""))
+      case 4 => (4, Double.MinValue, s.substring(9, s.length - 2))
+      case r => (r, Double.MinValue, s)
+    }
+    val sorted = (ints ++ strs ++ oids).sortBy(keyOf)
+    val wantBounds = sorted.grouped(60).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.head, g.last, g.size.toLong) }.toSeq
+    assert(out.toSeq == wantBounds)
+    // blocks are disjoint and monotone under the BSON order
+    val ord = implicitly[Ordering[(Int, Double, String)]]
+    out.sliding(2).foreach {
+      case Array((_, _, last1, _), (_, first2, _, _)) =>
+        assert(ord.lteq(keyOf(last1), keyOf(first2)))
+      case _ =>
+    }
+  }
 }

@@ -79,6 +79,24 @@ class CompareSpec extends SparkSpec {
     assert(tgtAcc.value == n, s"target scanned ${tgtAcc.value} rows, expected $n")
   }
 
+  test("diff handles mixed int/string/oid canonical-JSON keys") {
+    import org.apache.spark.sql.functions.lit
+    // keys as Oplog.idOf emits them: canonical JSON text of each type
+    val keys = Seq("1", "2", "42", "\"alpha\"", "\"beta\"",
+      s"""{"$$oid":"64aa00000000000000000001"}""",
+      s"""{"$$oid":"64aa00000000000000000002"}""")
+    val src = keys.map(k => (k, s"payload-$k")).toDF("k", "v")
+    val tgt = src
+      .filter($"k" =!= "\"beta\"")                      // missing (string key)
+      .withColumn("v", org.apache.spark.sql.functions
+        .when($"k" === "42", lit("mutated")).otherwise($"v")) // mismatch (int key)
+      .unionByName(Seq((s"""{"$$oid":"64aa00000000000000000003"}""", "new"))
+        .toDF("k", "v"))                                 // extra (oid key)
+    val s = Compare.summarize(src, tgt, "k")
+    assert(s.matched == keys.size - 2)
+    assert(s.mismatched == 1 && s.missingOnTarget == 1 && s.extraOnTarget == 1)
+  }
+
   test("existingKeys semi-join (J2 reconciliation)") {
     val batch = orders.filter($"o_orderkey" <= 100)
     val target = orders.filter($"o_orderkey" % 2 === 0)
