@@ -3,6 +3,7 @@ package graft.ml
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ExprBridge
 
 /** Similarity search over an embedding column (`array<float>`) — the
   * LLM-pipeline ANN surface (SURVEY §7.1-10).
@@ -29,12 +30,27 @@ object Similarity {
 
   /** floor(x*Scale) per coordinate — apply ONCE per vector (before any
     * join) so pairwise scoring is a bare integer zip-multiply instead of
-    * re-quantizing both operands for every pair. */
+    * re-quantizing both operands for every pair. Native codegen
+    * expression; [[quantizeHof]] is the declarative reference it is
+    * pinned against (higher-order functions evaluate INTERPRETED, per
+    * element — the dominant cost of the similarity queries before the
+    * native path). */
   def quantize(a: Column): Column =
+    ExprBridge.column(graft.functions.QuantizeVec(ExprBridge.expression(a), Scale))
+
+  /** Integer dot product of two ALREADY-QUANTIZED long vectors. Native
+    * codegen expression — one primitive loop per PAIR, the hot call of
+    * every similarity join. */
+  def dotQ(qa: Column, qb: Column): Column =
+    ExprBridge.column(graft.functions.DotQ(
+      ExprBridge.expression(qa), ExprBridge.expression(qb)))
+
+  /** Declarative reference formulation of [[quantize]] (spec-only). */
+  private[graft] def quantizeHof(a: Column): Column =
     transform(a, x => floor(x.cast("double") * Scale).cast("long"))
 
-  /** Integer dot product of two ALREADY-QUANTIZED long vectors. */
-  def dotQ(qa: Column, qb: Column): Column =
+  /** Declarative reference formulation of [[dotQ]] (spec-only). */
+  private[graft] def dotQHof(qa: Column, qb: Column): Column =
     aggregate(zip_with(qa, qb, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
   /** Exact integer dot product of two float vectors, quantized. */
@@ -99,8 +115,14 @@ object Similarity {
     *
     * `dims` must equal the embedding dimensionality (vectors longer than
     * `dims` index past the literal array and fail loudly). */
-  def lshBucket(emb: Column, bits: Int, dims: Int): Column = {
-    val q = quantize(emb)
+  def lshBucket(emb: Column, bits: Int, dims: Int): Column =
+    ExprBridge.column(graft.functions.LshSignBits(
+      graft.functions.QuantizeVec(ExprBridge.expression(emb), Scale),
+      signMatrix(bits, dims)))
+
+  /** Declarative reference formulation of [[lshBucket]] (spec-only). */
+  private[graft] def lshBucketHof(emb: Column, bits: Int, dims: Int): Column = {
+    val q = quantizeHof(emb)
     val signs = signMatrix(bits, dims)
     (0 until bits).map { h =>
       val s = typedLit(signs(h))

@@ -2,6 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ExprBridge
 
 /** Text-analysis operators for the LLM-data-pipeline surface (SURVEY
   * §7.1-10): tokenization, shingling, quality stats, language-ID,
@@ -139,8 +140,14 @@ object Shingles {
     * engine and any oracle must apply the same cap. */
   val MaxChars = 2048
 
-  /** Character k-shingles over a BOUND capped-prefix column. */
+  /** Character k-shingles over a BOUND capped-prefix column. Native
+    * codegen expression (one loop per row); [[charShinglesHof]] is the
+    * declarative reference it is pinned against. */
   def charShinglesOf(t: Column, k: Int): Column =
+    ExprBridge.column(graft.functions.CharShingles(ExprBridge.expression(t), k))
+
+  /** Declarative reference formulation of [[charShinglesOf]] (spec-only). */
+  private[graft] def charShinglesHof(t: Column, k: Int): Column =
     transform(
       sequence(lit(1), greatest(length(t) - (k - 1), lit(1))),
       i => substring(t, i, lit(k)))
@@ -151,11 +158,18 @@ object Shingles {
   def charShingles(text: Column, k: Int): Column =
     charShinglesOf(substring(lower(text), 1, MaxChars), k)
 
-  /** Word n-grams over a BOUND word-array column. Uses try_element_at →
-    * NULL past the end, and `concat` (null-propagating, unlike
-    * concat_ws) — so a sub-n-word doc yields one NULL shingle, matching
-    * SQL `w[i] || ' ' || w[i+1]` semantics exactly. */
+  /** Word n-grams over a BOUND word-array column: a sub-n-word doc
+    * yields one NULL shingle, matching SQL `w[i] || ' ' || w[i+1]`
+    * semantics exactly. Native codegen expression (one loop per row);
+    * [[wordNGramsHof]] is the declarative reference it is pinned
+    * against. */
   def wordNGramsOf(w: Column, n: Int): Column =
+    ExprBridge.column(graft.functions.WordNGrams(ExprBridge.expression(w), n))
+
+  /** Declarative reference formulation of [[wordNGramsOf]] (spec-only):
+    * try_element_at → NULL past the end, and `concat` (null-propagating,
+    * unlike concat_ws). */
+  private[graft] def wordNGramsHof(w: Column, n: Int): Column =
     transform(
       sequence(lit(1), greatest(size(w) - (n - 1), lit(1))),
       i => concat((0 until n).flatMap { o =>

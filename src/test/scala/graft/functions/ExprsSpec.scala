@@ -1,0 +1,120 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.ml.Similarity
+import graft.text.Shingles
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+/** Pins each native Catalyst expression to the declarative
+  * higher-order-function formulation it replaced — identical results
+  * (including NULL semantics and edge shapes) on adversarial fixtures
+  * AND on the real testdata tables, both interpreted (eval) and
+  * whole-stage-codegen'd paths.
+  */
+class ExprsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def assertSame(df: org.apache.spark.sql.DataFrame,
+                         native: org.apache.spark.sql.Column,
+                         hof: org.apache.spark.sql.Column): Unit = {
+    val both = df.select(native.as("a"), hof.as("b"))
+    // exercise codegen (default) …
+    assert(both.where(not(col("a") <=> col("b"))).count() === 0)
+    // … and the interpreted fallback
+    val prev = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(both.where(not(col("a") <=> col("b"))).count() === 0)
+    finally spark.conf.set("spark.sql.codegen.factoryMode", prev)
+  }
+
+  // ---- vector fixtures: floats incl. negatives, nulls, empty, mismatched dims
+  private lazy val vecs = Seq(
+    (1L, Array(0.25f, -0.5f, 1.75f), Array(1.0f, 2.0f, -3.0f)),
+    (2L, Array(0.0f, 0.0f, 0.0f), Array(-0.1f, 0.1f, 0.9f)),
+    (3L, Array(1e-3f, -1e-3f, 123.456f), Array(9.9f, -9.9f, 0.0f))
+  ).toDF("id", "a", "b")
+    .union(Seq((4L, null.asInstanceOf[Array[Float]], Array(1.0f, 2.0f, -3.0f))).toDF("id", "a", "b"))
+
+  test("QuantizeVec matches the transform/floor HOF on fixtures") {
+    assertSame(vecs, Similarity.quantize($"a"), Similarity.quantizeHof($"a"))
+  }
+
+  test("QuantizeVec preserves NULL elements positionally") {
+    val withNullElem = spark.createDataFrame(
+      java.util.Arrays.asList(Row(Seq[java.lang.Float](1.5f, null, -2.5f))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("a",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, true)))))
+    assertSame(withNullElem, Similarity.quantize($"a"), Similarity.quantizeHof($"a"))
+    val out = withNullElem.select(Similarity.quantize($"a")).head.getSeq[Any](0)
+    assert(out(1) == null && out(0) != null)
+  }
+
+  test("DotQ matches aggregate/zip_with HOF incl. length mismatch -> NULL") {
+    val qs = vecs.select($"id", Similarity.quantize($"a").as("qa"), Similarity.quantize($"b").as("qb"))
+    assertSame(qs, Similarity.dotQ($"qa", $"qb"), Similarity.dotQHof($"qa", $"qb"))
+    // mismatched lengths: zip_with pads with NULL -> product NULL -> sum NULL
+    val mm = Seq((Array(1L, 2L, 3L), Array(1L, 2L))).toDF("qa", "qb")
+    assertSame(mm, Similarity.dotQ($"qa", $"qb"), Similarity.dotQHof($"qa", $"qb"))
+    assert(mm.select(Similarity.dotQ($"qa", $"qb")).head.isNullAt(0))
+  }
+
+  test("LshSignBits matches the per-bit HOF bucket on real embeddings") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet").select($"embedding")
+    assertSame(emb, Similarity.lshBucket($"embedding", 8, 64), Similarity.lshBucketHof($"embedding", 8, 64))
+  }
+
+  test("quantize/dotQ match HOFs on real embeddings") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(200)
+      .select($"embedding".as("a"), $"embedding".as("b"))
+    assertSame(e, Similarity.quantize($"a"), Similarity.quantizeHof($"a"))
+    val q = e.select(Similarity.quantize($"a").as("qa"), Similarity.quantize($"b").as("qb"))
+    assertSame(q, Similarity.dotQ($"qa", $"qb"), Similarity.dotQHof($"qa", $"qb"))
+  }
+
+  // ---- text fixtures: short docs, exact-k docs, unicode, empty string
+  private lazy val texts = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "ab", "", "exact", "caffé λόγος ünïcode test",
+    "one two", "x y z w v u t s r q p"
+  ).toDF("t")
+
+  test("CharShingles matches the transform/substring HOF") {
+    for (k <- Seq(1, 5, 12)) {
+      assertSame(texts, Shingles.charShinglesOf($"t", k), Shingles.charShinglesHof($"t", k))
+    }
+  }
+
+  test("CharShingles short-string edge: one whole-self shingle") {
+    val out = Seq("ab").toDF("t").select(Shingles.charShinglesOf($"t", 5)).head.getSeq[String](0)
+    assert(out == Seq("ab"))
+  }
+
+  test("WordNGrams matches the try_element_at/concat HOF") {
+    val words = texts.select(split($"t", "\\s+").as("w"))
+    for (n <- Seq(1, 2, 5)) {
+      assertSame(words, Shingles.wordNGramsOf($"w", n), Shingles.wordNGramsHof($"w", n))
+    }
+  }
+
+  test("WordNGrams sub-n doc yields one NULL shingle; NULL word propagates") {
+    val w1 = Seq(Seq("only")).toDF("w")
+    val out = w1.select(Shingles.wordNGramsOf($"w", 3)).head.getSeq[String](0)
+    assert(out == Seq(null))
+    val wn = spark.createDataFrame(
+      java.util.Arrays.asList(Row(Seq("a", null, "c"))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("w",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType, true)))))
+    assertSame(wn, Shingles.wordNGramsOf($"w", 2), Shingles.wordNGramsHof($"w", 2))
+  }
+
+  test("shingles match HOFs on real documents") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(substring(lower($"text"), 1, Shingles.MaxChars).as("t"))
+    assertSame(docs, Shingles.charShinglesOf($"t", 12), Shingles.charShinglesHof($"t", 12))
+    val words = docs.select(split($"t", "\\s+").as("w"))
+    assertSame(words, Shingles.wordNGramsOf($"w", 3), Shingles.wordNGramsHof($"w", 3))
+  }
+}
