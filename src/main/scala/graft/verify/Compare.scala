@@ -1,5 +1,6 @@
 package graft.verify
 
+import graft.ops.BsonKey
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -53,6 +54,34 @@ object Compare {
       mismatched = counts.getOrElse("mismatch", 0L),
       missingOnTarget = counts.getOrElse("missing", 0L),
       extraOnTarget = counts.getOrElse("extra", 0L))
+  }
+
+  /** Chunked diff — one splitter block at a time, the reference
+    * comparator's unit of work (its verify walks the same `[first,last]`
+    * ranges the splitter emitted). The bounds come from
+    * [[graft.ops.RangeSplitter.exactBounds]] rows and the range test
+    * uses [[BsonKey.sortKey]], so a namespace with MIXED int / string /
+    * ObjectId keys selects the BSON-ordered slice — a plain
+    * `key between (first, last)` on the canonical-JSON text would
+    * interleave the type classes ("150" < "2") and both drop and
+    * double-count rows across chunks.
+    *
+    * The range predicate is applied to each side BEFORE the join, so at
+    * scale each chunk's work is bounded by the block size regardless of
+    * table size (and min/max parquet row-group stats prune monotyped
+    * key columns). Rows landing in no chunk (possible only if bounds
+    * don't tile the keyspace) are simply not reported — callers diff the
+    * union of splitter blocks, which by construction covers every source
+    * key; target-only keys outside every block surface through the full
+    * [[diff]] (or a final unbounded chunk). */
+  def diffRange(src: DataFrame, tgt: DataFrame, key: String,
+      idFirst: String, idLast: String): DataFrame = {
+    def slice(df: DataFrame) = {
+      val k = BsonKey.sortKey(col(key))
+      df.filter(k >= BsonKey.sortKey(lit(idFirst)) &&
+        k <= BsonKey.sortKey(lit(idLast)))
+    }
+    diff(slice(src), slice(tgt), key)
   }
 
   /** Dup-key reconciliation — J2 (task.go:95-97): which keys of a batch

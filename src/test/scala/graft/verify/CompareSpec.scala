@@ -97,6 +97,57 @@ class CompareSpec extends SparkSpec {
     assert(s.mismatched == 1 && s.missingOnTarget == 1 && s.extraOnTarget == 1)
   }
 
+  test("diffRange chunks over mixed-key splitter bounds tile the full diff") {
+    import graft.ops.{BsonKey, RangeSplitter}
+    // a namespace whose keys span all three BSON type classes, with
+    // enough per-class keys that every splitter block straddles or
+    // abuts a class boundary somewhere across runs
+    val ints = (0 until 120).map(i => s"${i * 13 % 500}")
+    val strs = (0 until 60).map(i => "\"doc-" + f"$i%03d\"")
+    val oids = (0 until 60).map(i => s"""{"$$oid":"64b${f"$i%021x"}"}""")
+    val keys = scala.util.Random.shuffle(ints ++ strs ++ oids)
+    val src = keys.map(k => (k, s"v-$k")).toDF("k", "v")
+    val tgt = src
+      .filter($"k" =!= "\"doc-007\"" && $"k" =!= "26")   // missing: one str, one int
+      .withColumn("v", when($"k" === "39", lit("mutated")).otherwise($"v"))
+      .unionByName(Seq((s"""{"$$oid":"64b${"f" * 21}"}""", "new")).toDF("k", "v"))
+    val blocks = RangeSplitter.exactBounds(src, "k", 50,
+        sortKey = Some(BsonKey.sortKey(col("k"))))
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    // per-chunk diffs, summed, equal the full diff for every status the
+    // chunks can see (the synthetic oid is outside every block — the
+    // one class of row only the unbounded diff reports)
+    val chunked = blocks.toSeq.flatMap { case (first, last) =>
+      Compare.diffRange(src, tgt, "k", first, last)
+        .groupBy("status").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val full = Compare.diff(src, tgt, "k").groupBy("status").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(chunked.getOrElse("match", 0L) == full("match"))
+    assert(chunked.getOrElse("mismatch", 0L) == full("mismatch"))
+    assert(chunked.getOrElse("missing", 0L) == full("missing"))
+    assert(full("extra") == 1L && chunked.getOrElse("extra", 0L) == 0L)
+    // and no row was double-counted: chunk totals cover exactly the
+    // source keyspace once (the extra row lives only on the target and
+    // outside every block, so it adds nothing here)
+    assert(chunked.values.sum == src.count())
+  }
+
+  test("diffRange selects the BSON slice, not the lexicographic slice") {
+    // between "1" and "3" lexicographically would include "26" but not
+    // "7"; the BSON order includes every int in [1,3] only
+    val src = Seq("1", "2", "26", "3", "7", "\"2\"").map(k => (k, "x")).toDF("k", "v")
+    val got = Compare.diffRange(src, src, "k", "1", "3")
+      .select("k").as[String].collect().toSet
+    assert(got == Set("1", "2", "3"))
+    // string bounds select only strings, never numerics that sort inside
+    // the quoted text range
+    val got2 = Compare.diffRange(src, src, "k", "\"0\"", "\"9\"")
+      .select("k").as[String].collect().toSet
+    assert(got2 == Set("\"2\""))
+  }
+
   test("existingKeys semi-join (J2 reconciliation)") {
     val batch = orders.filter($"o_orderkey" <= 100)
     val target = orders.filter($"o_orderkey" % 2 === 0)
