@@ -1,0 +1,149 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.config.MigratorConfig
+import graft.monitor.StatusServer
+import graft.sim.Simgen
+import graft.sources.{Catalog, MultiDbParquetCatalog, ParquetCatalog}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+import scala.jdk.CollectionConverters._
+
+/** The CLI entry point — the reference's one-binary dispatch
+  * (neutrino.go:45-88): exactly one of
+  *
+  *   `-start <config.json>`   run a migration (command gating per
+  *                            start.go:29-47: all|config|data|data-only|index)
+  *   `-resume <config.json>`  pick an interrupted migration back up (O6)
+  *   `-compare <config.json>` deep-diff source vs target per namespace (J1)
+  *   `-sim <config.json>`     generate a rate-paced change-stream load (G1)
+  *   `-version`               print version
+  *
+  * (`-worker` has no Spark counterpart: the reference spawns queue
+  * workers, which ARE Spark's executors — SURVEY §2.10.)
+  *
+  * Config mapping: `source`/`target` connection strings are catalog
+  * roots — a directory of `<coll>.parquet` tables (single-db) or of
+  * `<db>/<coll>.parquet` subdirectories (multi-db, auto-detected); a
+  * Mongo URI would select a connector-backed [[Catalog]] instead. The
+  * `spool` directory (the reference's oplog workspace) holds the two
+  * stream-side dirs: `<spool>/changelog` (the change-stream source, fed
+  * by `-sim` or a connector) and `<spool>/checkpoint` (offsets, ST4).
+  *
+  * `-start`/`-resume` serve live progress JSON at `cfg.port`
+  * (web_server.go:59-88) for the duration of the run. The CLI's stream
+  * phase is the blocking catch-up ([[graft.streaming.ApplyJob.catchUp]]
+  * drains everything accumulated, then returns — so the process exits);
+  * an indefinitely-following deployment embeds [[Migrate.liveTail]]
+  * instead, which is the library surface the reference's never-returning
+  * LiveStreamingOplogs maps to.
+  */
+object Main {
+
+  val Version = "graft-0.5"
+
+  def main(args: Array[String]): Unit = {
+    val rc = run(args.toIndexedSeq,
+      () => GraftSession.create(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]")))
+    if (rc != 0) sys.exit(rc)
+  }
+
+  /** Dispatch with an injectable session factory (tests pass their
+    * shared session); returns a process exit code. */
+  def run(args: Seq[String], session: () => SparkSession): Int = {
+    def usage(): Int = {
+      Console.err.println(
+        "usage: graft -start|-resume|-compare|-sim <config.json> | -version")
+      1
+    }
+    args match {
+      case Seq("-version") => println(Version); 0
+      case Seq(flag, file) if Set("-start", "-resume", "-compare", "-sim")(flag) =>
+        val json = new String(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file)), "UTF-8")
+        flag match {
+          case "-sim" => sim(session(), json)
+          case "-compare" => compare(session(), MigratorConfig.parse(json))
+          case "-start" => lifecycle(session(), MigratorConfig.parse(json), resume = false)
+          case "-resume" => lifecycle(session(), MigratorConfig.parse(json), resume = true)
+        }
+      case _ => usage()
+    }
+  }
+
+  /** Detect the catalog layout at `dir`: `<coll>.parquet` children =
+    * single-db (named after the config's first include, matching how
+    * the reference scopes an unqualified URI), other children =
+    * multi-db. A missing or still-empty TARGET dir mirrors the source's
+    * shape. */
+  private[graft] def catalogAt(spark: SparkSession, dir: String,
+      cfg: MigratorConfig, mirrorOf: Option[Catalog] = None): Catalog = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = if (fs.exists(p)) fs.listStatus(p).toSeq else Nil
+    val flat =
+      if (entries.nonEmpty) entries.exists(_.getPath.getName.endsWith(".parquet"))
+      else mirrorOf.forall(_.isInstanceOf[ParquetCatalog])
+    if (flat) new ParquetCatalog(spark, dir, dbOf(cfg)) else new MultiDbParquetCatalog(spark, dir)
+  }
+
+  private def dbOf(cfg: MigratorConfig): String =
+    cfg.includes.headOption
+      .map(i => config.Namespaces.split(i.namespace)._1)
+      .getOrElse("local")
+
+  private def lifecycle(spark: SparkSession, cfg: MigratorConfig, resume: Boolean): Int = {
+    val source = catalogAt(spark, cfg.source, cfg)
+    val sink = catalogAt(spark, cfg.target, cfg, mirrorOf = Some(source))
+    val changelog = {
+      val p = new Path(cfg.spool, "changelog")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) Some(p.toString) else None
+    }
+    val checkpoint = new Path(cfg.spool, "checkpoint").toString
+    val status = StatusServer.start(cfg.port)
+    try {
+      val result =
+        if (resume) Migrate.resume(spark, cfg, source, sink, checkpoint, changelog)
+        else Migrate.start(spark, cfg, source, sink, checkpoint, changelog, Some(status))
+      println(s"copied ${result.copied.size} namespace(s), " +
+        s"applied ${result.applied.total} change(s); ${result.progress.statusLine}")
+      0
+    } finally status.stop()
+  }
+
+  private def compare(spark: SparkSession, cfg: MigratorConfig): Int = {
+    val source = catalogAt(spark, cfg.source, cfg)
+    val sink = catalogAt(spark, cfg.target, cfg, mirrorOf = Some(source))
+    val results = Migrate.compare(spark, cfg, source, sink)
+    results.toSeq.sortBy(_._1).foreach { case (ns, s) =>
+      println(s"$ns: matched=${s.matched} mismatched=${s.mismatched} " +
+        s"missing=${s.missingOnTarget} extra=${s.extraOnTarget}")
+    }
+    if (results.values.forall(_.isEqual)) 0 else 2
+  }
+
+  /** `-sim` (sim.go:58-80): `{"namespaces":["db.coll"],
+    * "seconds_to_run":N, "oplogs_per_second":M, "uri":"<dir>"}` →
+    * one change-log batch per second into `<uri>`, M oplogs each —
+    * [[Simgen.liveFeed]]'s rate-paced churn. */
+  private def sim(spark: SparkSession, json: String): Int = {
+    val n = new ObjectMapper().readTree(json)
+    require(n != null && n.isObject, "sim config must be a JSON object")
+    val namespaces =
+      if (n.has("namespaces")) n.get("namespaces").elements().asScala.map(_.asText()).toSeq
+      else Nil
+    require(namespaces.nonEmpty, "sim config needs at least one namespace")
+    val seconds = if (n.has("seconds_to_run")) n.get("seconds_to_run").asInt() else 300
+    val perSecond = if (n.has("oplogs_per_second")) n.get("oplogs_per_second").asInt()
+      else Simgen.DefaultNumOplogs
+    val dir = if (n.has("uri")) n.get("uri").asText() else ""
+    require(dir.nonEmpty, "sim config needs a uri (change-log directory)")
+    val emitted = namespaces.map(ns =>
+      Simgen.liveFeed(spark, new Path(dir, ns).toString, ns,
+        batches = seconds, docsPerBatch = perSecond)).sum
+    println(s"emitted $emitted oplog(s) across ${namespaces.size} namespace(s)")
+    0
+  }
+}

@@ -35,29 +35,49 @@ object Migrate {
       applied: ApplyCounts,
       progress: Progress.Snapshot)
 
-  /** Run the full migration: reset → manifest → copy (with progress) →
-    * change-log catch-up. `changelogDir` is the change-stream source
-    * (None = batch-only migration, the reference's `data-only` command);
-    * `checkpointDir` carries stream offsets across restarts (ST4). */
+  /** Run the migration phases `cfg.command` selects (start.go:29-47):
+    * `all` = manifest + copy + catch-up; `config` = manifest only;
+    * `index` = index manifest only (IndexCopier, start.go:30);
+    * `data` = copy + catch-up, no manifest; `data-only` = copy only.
+    * `changelogDir` is the change-stream source (None additionally
+    * disables the stream phase, whatever the command);
+    * `checkpointDir` carries stream offsets across restarts (ST4).
+    * `status` is the O5 HTTP surface — phases and the live copy
+    * listener are published to it as they happen. */
   def start(spark: SparkSession, cfg: MigratorConfig, source: Catalog,
       sink: Catalog, checkpointDir: String,
-      changelogDir: Option[String] = None): StartResult = {
+      changelogDir: Option[String] = None,
+      status: Option[graft.monitor.StatusServer] = None): StartResult = {
+    import MigratorConfig._
+    val isConfig = cfg.command == CommandAll || cfg.command == CommandConfig
+    val isIndex = cfg.command == CommandIndex
+    val isData = cfg.command == CommandAll ||
+      cfg.command == CommandData || cfg.command == CommandDataOnly
+    val isOplog = (cfg.command == CommandAll || cfg.command == CommandData) &&
+      changelogDir.isDefined
+
     val ws = new Workspace(spark, sink)
     ws.reset()
-    ws.log("create metadata") // status strings follow config_copier.go:49
-    Manifest.persist(spark, sink,
-      Manifest.capture(source).filtered(cfg).withRenames(cfg))
-    ws.log("copy data")
-    val planned = CopyJob.plan(cfg, source)
-    CopyJob.preflight(cfg, planned, sink)
-    val (copied, snapshot) = CopyJob.runTracked(planned, source, sink)
-    ws.log("apply change stream")
-    val applied = changelogDir match {
-      case Some(dir) =>
-        ApplyJob.catchUp(spark, dir, sink, cfg, checkpointDir)
-      case None => ApplyCounts()
+    def phase(s: String): Unit = { ws.log(s); status.foreach(_.setPhase(s)) }
+    if (isConfig || isIndex) {
+      phase("create metadata") // status strings follow config_copier.go:49
+      val m = Manifest.capture(source).filtered(cfg).withRenames(cfg)
+      // `index`: replicate index definitions only (index_copier.go)
+      Manifest.persist(spark, sink,
+        if (isIndex) Manifest(indexes = m.indexes) else m)
     }
-    ws.log("migration completed")
+    val (copied, snapshot) = if (isData) {
+      phase("copy data")
+      val planned = CopyJob.plan(cfg, source)
+      CopyJob.preflight(cfg, planned, sink)
+      CopyJob.runTracked(planned, source, sink,
+        l => status.foreach(_.attach(l)))
+    } else (Nil, graft.monitor.Progress.Snapshot(0, 0, 0, 0))
+    val applied = if (isOplog) {
+      phase("apply change stream")
+      ApplyJob.catchUp(spark, changelogDir.get, sink, cfg, checkpointDir)
+    } else ApplyCounts()
+    phase("migration completed")
     StartResult(copied, applied, snapshot)
   }
 

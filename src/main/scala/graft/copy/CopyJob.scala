@@ -96,9 +96,11 @@ object CopyJob {
     * (data_copier.go:142-176), logged at completion and returned for
     * callers that surface live progress. */
   def runTracked(planned: Seq[(String, Option[IncludeSpec])], source: Catalog,
-      sink: Catalog): (Seq[CopyResult], graft.monitor.Progress.Snapshot) = {
+      sink: Catalog,
+      publish: graft.monitor.Progress.ProgressListener => Unit = _ => ())
+      : (Seq[CopyResult], graft.monitor.Progress.Snapshot) = {
     val (results, snap) = graft.monitor.Progress.tracked(
-        org.apache.spark.sql.SparkSession.active) {
+        org.apache.spark.sql.SparkSession.active, publish) {
       val par = planned.par
       par.map { case (ns, spec) => copyNamespace(source, sink, ns, spec) }.seq.toSeq
     }

@@ -66,10 +66,14 @@ object Progress {
 
   /** Run `body` with a listener attached; returns (result, snapshot).
     * The listener bus is asynchronous, so the final snapshot polls
-    * briefly until the completed count stabilizes. */
-  def tracked[T](spark: SparkSession)(body: => T): (T, Snapshot) = {
+    * briefly until the completed count stabilizes. `publish` hands the
+    * live listener to an observer (the [[StatusServer]]) before the body
+    * runs, so an HTTP poll mid-copy sees counts advancing. */
+  def tracked[T](spark: SparkSession,
+      publish: ProgressListener => Unit = _ => ())(body: => T): (T, Snapshot) = {
     val listener = new ProgressListener()
     spark.sparkContext.addSparkListener(listener)
+    publish(listener)
     try {
       val result = body
       val deadline = System.currentTimeMillis() + 5000

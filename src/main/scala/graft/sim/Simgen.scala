@@ -27,6 +27,10 @@ object Simgen {
     * `Port = 3629`, used by DocGen's `num`). */
   val Port = 3629
 
+  /** Default oplogs per pacing interval (sim.go:28,
+    * `DefaultNumOplogs = 300`). */
+  val DefaultNumOplogs = 300
+
   /** Deterministic 24-hex pseudo-ObjectID for row `i` — stands in for
     * `primitive.NewObjectID()` (sim.go:308). */
   def oid(i: Column): Column =

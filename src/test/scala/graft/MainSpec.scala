@@ -1,0 +1,100 @@
+package graft
+
+import graft.ddl.Manifest
+import graft.sim.Simgen
+import graft.sources.ParquetCatalog
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Paths}
+
+/** End-to-end CLI dispatch (neutrino.go:45-88) against testdata-shaped
+  * directories: every flag goes through `Main.run` exactly as `main`
+  * would invoke it, minus the JVM exit. */
+class MainSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(p: String): String = Files.createTempDirectory(p).toString
+  private def writeCfg(dir: String, json: String): String = {
+    val f = Paths.get(dir, "cfg.json")
+    Files.write(f, json.getBytes("UTF-8"))
+    f.toString
+  }
+  private val sess = () => spark
+
+  test("-version prints and exits 0; bad args exit 1") {
+    assert(Main.run(Seq("-version"), sess) == 0)
+    assert(Main.run(Seq("-bogus"), sess) == 1)
+    assert(Main.run(Seq.empty, sess) == 1)
+  }
+
+  test("-sim emits a paced change-log feed into the uri directory") {
+    val dir = tmp("graft-cli-sim")
+    val cfg = writeCfg(tmp("graft-cli-simcfg"),
+      s"""{"namespaces":["db1.events"],"seconds_to_run":2,
+         |"oplogs_per_second":15,"uri":"$dir"}""".stripMargin)
+    assert(Main.run(Seq("-sim", cfg), sess) == 0)
+    val feed = spark.read.parquet(s"$dir/db1.events")
+    assert(feed.count() > 30) // 2 batches × 15 inserts + churn rows
+    assert(feed.filter($"op" === "i" && $"ns" === "db1.events").count() >= 30)
+  }
+
+  test("-start honors the config: copy + catch-up, then -compare passes, rc=2 after a perturbation") {
+    val spool = tmp("graft-cli-spool")
+    Simgen.changeLog(spark, 20, "src.gen")
+      .write.mode("overwrite").parquet(s"$spool/changelog")
+    val target = tmp("graft-cli-target")
+    val cfg = writeCfg(tmp("graft-cli-cfg"),
+      s"""{"command":"all","source":"$sf0001","target":"$target",
+         |"spool":"$spool","port":36351,"drop":true,
+         |"includes":[{"namespace":"src.nation"},{"namespace":"src.region"},
+         |{"namespace":"src.gen"}]}""".stripMargin)
+    assert(Main.run(Seq("-start", cfg), sess) == 0)
+
+    val sink = new ParquetCatalog(spark, target, "src")
+    val source = new ParquetCatalog(spark, sf0001, "src")
+    assert(sink.read("src.nation").count() == source.read("src.nation").count())
+    assert(sink.read("src.region").count() == source.read("src.region").count())
+    assert(sink.read("src.gen").count() > 0) // change stream caught up
+
+    // compare: in-sync clusters exit 0 (src.gen is stream-only on the
+    // source side, so compare a config limited to the copied tables)
+    val cmpCfg = writeCfg(tmp("graft-cli-cmpcfg"),
+      s"""{"command":"all","source":"$sf0001","target":"$target",
+         |"includes":[{"namespace":"src.nation"},{"namespace":"src.region"}]}""".stripMargin)
+    assert(Main.run(Seq("-compare", cmpCfg), sess) == 0)
+    // perturb one row → exit 2 (materialize before overwriting the
+    // files being read)
+    sink.write("src.nation", sink.read("src.nation")
+      .withColumn("n_regionkey",
+        when($"n_nationkey" === 0, $"n_regionkey" + 1).otherwise($"n_regionkey"))
+      .localCheckpoint(true))
+    assert(Main.run(Seq("-compare", cmpCfg), sess) == 2)
+  }
+
+  test("-start with command=index replicates index definitions only") {
+    val target = tmp("graft-cli-idx-target")
+    val cfg = writeCfg(tmp("graft-cli-idxcfg"),
+      s"""{"command":"index","source":"$sf0001","target":"$target",
+         |"spool":"${tmp("graft-cli-idx-spool")}","port":36352,
+         |"includes":[{"namespace":"src.nation"}]}""".stripMargin)
+    assert(Main.run(Seq("-start", cfg), sess) == 0)
+    val sink = new ParquetCatalog(spark, target, "src")
+    val m = Manifest.load(spark, sink)
+    assert(m.collections.isEmpty && m.indexes.nonEmpty)
+    assert(!sink.dataExists("src.nation")) // no data phase ran
+  }
+
+  test("-resume converges a half-copied target") {
+    val target = tmp("graft-cli-res-target")
+    val source = new ParquetCatalog(spark, sf0001, "src")
+    val sink = new ParquetCatalog(spark, target, "src")
+    sink.write("src.region", source.read("src.region").limit(2))
+    val cfg = writeCfg(tmp("graft-cli-rescfg"),
+      s"""{"command":"all","source":"$sf0001","target":"$target",
+         |"spool":"${tmp("graft-cli-res-spool")}","port":36353,
+         |"includes":[{"namespace":"src.nation"},{"namespace":"src.region"}]}""".stripMargin)
+    assert(Main.run(Seq("-resume", cfg), sess) == 0)
+    assert(sink.read("src.region").count() == source.read("src.region").count())
+    assert(sink.read("src.nation").count() == source.read("src.nation").count())
+  }
+}
