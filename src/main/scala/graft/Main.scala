@@ -142,7 +142,7 @@ object Main {
     require(dir.nonEmpty, "sim config needs a uri (change-log directory)")
     val emitted = namespaces.map(ns =>
       Simgen.liveFeed(spark, new Path(dir, ns).toString, ns,
-        batches = seconds, docsPerBatch = perSecond)).sum
+        batches = seconds, docsPerBatch = perSecond).emitted).sum
     println(s"emitted $emitted oplog(s) across ${namespaces.size} namespace(s)")
     0
   }

@@ -64,9 +64,14 @@ object Simgen {
       // deterministic datetime: fixed epoch base + i seconds (vs time.Now())
       timestamp_seconds(lit(1600000000L) + i).as("ts"),
       arrVals.as("array"))
+    // field order follows DocGen exactly (sim.go:305-332): subdoc embeds
+    // the doc AS APPENDED SO FAR (core + array — filler and binaries are
+    // appended after the subdoc), then filler, then the five binary
+    // fields, all sharing one 16-byte payload (auuid)
     struct(coreFields ++ Seq(
       struct(struct(coreFields: _*).as("level1")).as("subdoc"),
       concat(n.cast("string"), repeat(lit("G"), 2500)).as("filler"),
+      bin(i, 4).as("binary"), // the raw uuid value, sim.go:327
       bin(i, 1).as("bin1"),
       bin(i, 2).as("bin2"),
       bin(i, 3).as("bin3"),
@@ -167,18 +172,57 @@ object Simgen {
     * exactly what the reference's Insert/Modify loops do to their id
     * ring buffer) with strictly increasing ts per batch, each landing as
     * its own mod-time-ordered file — a live feed for
-    * [[graft.Migrate.liveTail]] to chase. Returns rows emitted. */
+    * [[graft.Migrate.liveTail]] to chase.
+    *
+    * G4 — when `readFrom` is given, each interval ALSO runs the
+    * reference's read load against the live target (the Find loop,
+    * sim.go:240-293): an `_id $in` find over the first
+    * min(docsPerBatch/2, 102) ids of the churn ring, plus the
+    * sample + group-by-color aggregate (the `$sample`/`$group`
+    * pipeline). Reads race the tail's atomic table swaps by design —
+    * a transiently-missing table is retried next interval, exactly the
+    * concurrent read pressure the reference applies. */
   def liveFeed(spark: SparkSession, dir: String, ns: String, batches: Int,
       docsPerBatch: Int, pauseMs: Long = 1000L,
-      t0: Long = 1700000000L): Long = {
+      t0: Long = 1700000000L,
+      readFrom: Option[graft.sources.Catalog] = None): FeedStats = {
     var emitted = 0L
+    var finds = 0L
+    var groups = 0L
     for (b <- 0 until batches) {
       val log = changeLog(spark, docsPerBatch.toLong, ns,
         t0 = t0 + b.toLong * 10 * docsPerBatch)
       emitted += log.count()
       log.coalesce(1).write.mode("append").parquet(dir)
+      readFrom.foreach { cat =>
+        val samples = math.min(docsPerBatch / 2, 102)
+        // sink ids are canonical-JSON text (Oplog.idOf) — quoted hex
+        val ids = (0 until samples).map(i => "\"" + oidHex(i.toLong) + "\"")
+        scala.util.Try {
+          if (cat.dataExists(ns)) {
+            val live = cat.read(ns)
+            finds += live.filter(col("id").isin(ids: _*)).count()
+            groups += live.sample(0.5)
+              .select(get_json_object(col("doc"), "$.color").as("color"))
+              .groupBy("color").count().count()
+          }
+        }
+        ()
+      }
       if (b < batches - 1) Thread.sleep(pauseMs)
     }
-    emitted
+    FeedStats(emitted, finds, groups)
+  }
+
+  /** What one [[liveFeed]] run did: oplog rows emitted, rows matched by
+    * the interval finds, and groups returned by the interval aggregates
+    * (the latter two are 0 without a `readFrom` target). */
+  final case class FeedStats(emitted: Long, findsMatched: Long, aggregateGroups: Long)
+
+  /** Driver-side mirror of [[oid]] for building find filters. */
+  def oidHex(i: Long): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s"oid|$i".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 24)
   }
 }

@@ -14,13 +14,23 @@ class SimgenSpec extends SparkSpec {
     val doc = Simgen.docs(spark, 3).orderBy("_id").head().getString(1)
     val n = mapper.readTree(doc)
     for (f <- Seq("_id", "color", "float64", "int64", "seq", "string", "ts",
-        "array", "subdoc", "filler", "bin1", "bin2", "bin3", "uuid"))
+        "array", "subdoc", "filler", "binary", "bin1", "bin2", "bin3", "uuid"))
       assert(n.has(f), s"missing palette field $f")
     assert(n.get("_id").asText().length == 24)
     assert(n.get("array").size() == 9)
-    assert(n.get("subdoc").get("level1").get("_id").asText() == n.get("_id").asText())
+    // the subdoc embeds the doc as appended SO FAR (core + array;
+    // filler/binaries are appended after it, sim.go:321) — assert full
+    // field parity, not just the _id
+    val level1 = n.get("subdoc").get("level1")
+    for (f <- Seq("_id", "color", "float64", "int64", "seq", "string", "ts", "array"))
+      assert(level1.has(f), s"subdoc.level1 missing $f")
+    assert(level1.get("string").asText() == n.get("string").asText())
     assert(n.get("filler").asText().length >= 2500)
+    assert(n.get("binary").get("subtype").asInt() == 4) // raw uuid value
     assert(n.get("uuid").get("subtype").asInt() == 4)
+    // serialized payload matches the reference's generated-doc scale
+    // (~3 KB of JSON: 2.5 KB filler + doubled core fields + binaries)
+    assert(doc.length > 3000, s"generated doc only ${doc.length} bytes")
   }
 
   test("DocGen is deterministic and distinct per index") {

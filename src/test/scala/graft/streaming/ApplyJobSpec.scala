@@ -101,8 +101,10 @@ class ApplyJobSpec extends SparkSpec {
     val h = ApplyJob.stream(spark, feedDir, sink, cfg, ckpt,
       org.apache.spark.sql.streaming.Trigger.ProcessingTime(200))
     try {
+      // G4: the feed ALSO runs the interval read load (find + aggregate)
+      // against the sink the tail is concurrently rewriting
       Simgen.liveFeed(spark, feedDir, ns, batches = 3,
-        docsPerBatch = 10, pauseMs = 500)
+        docsPerBatch = 10, pauseMs = 500, readFrom = Some(sink))
       val deadline = System.currentTimeMillis() + 60000
       val expected = expectedState(
         spark.read.parquet(feedDir).as[Oplog].collect().toSeq)
@@ -114,6 +116,13 @@ class ApplyJobSpec extends SparkSpec {
           sink.dataExists(ns) && sinkState(sink) == expected).getOrElse(false)
       }
       assert(converged, "live tail did not converge to the fed state")
+      // with the sink converged, the read load deterministically sees
+      // data: one more fed interval must run a non-trivial find+aggregate
+      // while the tail is still applying it
+      val stats = Simgen.liveFeed(spark, feedDir, ns, batches = 1,
+        docsPerBatch = 10, t0 = 1800000000L, readFrom = Some(sink))
+      assert(stats.findsMatched > 0, "interval find matched no live rows")
+      assert(stats.aggregateGroups > 0, "interval aggregate returned no groups")
     } finally h.stop()
   }
 
