@@ -205,19 +205,14 @@ object SparkEntry {
 
     // ---- exact n-gram Jaccard verification of the LSH candidates — the
     // verify stage of the near-dup pipeline; cost is candidates×shingles.
+    // Candidates come off the NARROW signature path (no shingle rows
+    // materialized at all); the verify stage then shingles ONLY the docs
+    // that appear in a candidate pair.
     "q_ngram_jaccard" -> ((s, dir) => {
       val corpus = nearDupCorpus(load(s, dir, "documents"))
-      // ONE eagerly-persisted shingle set feeds BOTH candidate generation
-      // and verification — the corpus lineage is derived exactly once,
-      // and the eager count keeps AQE's concurrently-submitted subtree
-      // jobs from racing to populate the cache with duplicate work
-      val sh = text.Dedup.shingles(corpus, "doc_id", col("text")).persist()
-      sh.count(): Unit
-      val cand = text.Dedup.lshCandidatesFromShingles(sh, "doc_id")
-      materialized(
-        text.Dedup.jaccardVerifyFromShingles(sh, cand, "doc_id")
-          .orderBy("id_a", "id_b"),
-        sh)
+      val cand = text.Dedup.lshCandidates(corpus, "doc_id", col("text"))
+      text.Dedup.jaccardVerify(corpus, cand, "doc_id", col("text"))
+        .orderBy("id_a", "id_b")
     }),
 
     // ---- cluster resolution: verified near-dup pairs → connected
@@ -225,20 +220,16 @@ object SparkEntry {
     // into a deduped corpus (keep the component root, drop the rest).
     "q_dedup_resolve" -> ((s, dir) => {
       val corpus = nearDupCorpus(load(s, dir, "documents"))
-      val sh = text.Dedup.shingles(corpus, "doc_id", col("text")).persist()
-      sh.count(): Unit
-      val cand = text.Dedup.lshCandidatesFromShingles(sh, "doc_id")
+      val cand = text.Dedup.lshCandidates(corpus, "doc_id", col("text"))
       // jaccardVerify output is materialized, so the edge set (read twice
       // by resolveClusters) and the propagation loop never re-derive it
-      val verified = text.Dedup.jaccardVerifyFromShingles(sh, cand, "doc_id")
+      val verified = text.Dedup.jaccardVerify(corpus, cand, "doc_id", col("text"))
         .filter(col("jaccard") >= 0.6)
         .select("id_a", "id_b")
-      materialized(
-        text.Dedup.resolveClusters(corpus.select("doc_id"), verified)
-          .select(col("id").as("doc_id"), col("root").as("cluster_root"),
-            (col("id") === col("root")).cast("int").as("keep"))
-          .orderBy("doc_id"),
-        sh)
+      text.Dedup.resolveClusters(corpus.select("doc_id"), verified)
+        .select(col("id").as("doc_id"), col("root").as("cluster_root"),
+          (col("id") === col("root")).cast("int").as("keep"))
+        .orderBy("doc_id")
     }),
 
     // ---- brute-force top-k similarity (ANN baseline): broadcast query
@@ -475,32 +466,39 @@ object SparkEntry {
 
   /** Oracle fragment: the minhash/LSH CTE chain shared by
     * q_dedup_minhash and q_ngram_jaccard (must mirror Dedup.scala). */
-  private val minhashCtes: String =
-    """WITH corpus AS (
-      |  SELECT doc_id, text FROM documents
-      |  UNION ALL
-      |  SELECT doc_id + 100000, text || ' near duplicate tail'
-      |  FROM documents WHERE doc_id % 5 = 0),
-      |words AS (SELECT doc_id,
-      |  list_slice(str_split(lower(text), ' '), 1, 4096) AS w FROM corpus),
-      |sh AS (
-      |  SELECT DISTINCT doc_id, w[u.i] || ' ' || w[u.i+1] || ' ' || w[u.i+2] AS s
-      |  FROM words, LATERAL (SELECT unnest(generate_series(1, greatest(len(w)-2, 1))) AS i) u
-      |  WHERE w[u.i] || ' ' || w[u.i+1] || ' ' || w[u.i+2] IS NOT NULL),
-      |mh AS (
-      |  SELECT doc_id, k.k, min(md5(CAST(k.k AS VARCHAR) || '|' || s)) AS minh
-      |  FROM sh, generate_series(0, 15) k(k) GROUP BY 1, 2),
-      |sig AS (
-      |  SELECT doc_id, CAST(floor(k/2) AS INT) AS band,
-      |         md5(string_agg(minh, '|' ORDER BY k)) AS bsig
-      |  FROM mh GROUP BY 1, 2),
-      |cand AS (
-      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      |  FROM sig a
-      |  JOIN (SELECT band, bsig FROM sig GROUP BY 1, 2 HAVING count(*) <= 1000) ok
-      |    ON ok.band = a.band AND ok.bsig = a.bsig
-      |  JOIN sig b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)
-      |""".stripMargin
+  private val minhashCtes: String = {
+    // the permutation table, embedded literally from the SAME constants
+    // the engine uses (Dedup.minhashCoeffs)
+    val coeffTable = text.Dedup.minhashCoeffs(16).zipWithIndex
+      .map { case ((a, b), k) => s"($k,$a,$b)" }.mkString(",")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000, text || ' near duplicate tail'
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |words AS (SELECT doc_id,
+       |  list_slice(str_split(lower(text), ' '), 1, 4096) AS w FROM corpus),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, w[u.i] || ' ' || w[u.i+1] || ' ' || w[u.i+2] AS s
+       |  FROM words, LATERAL (SELECT unnest(generate_series(1, greatest(len(w)-2, 1))) AS i) u
+       |  WHERE w[u.i] || ' ' || w[u.i+1] || ' ' || w[u.i+2] IS NOT NULL),
+       |hs AS (
+       |  SELECT doc_id, CAST(('0x' || substr(md5(s),1,7)) AS BIGINT) AS h FROM sh),
+       |mh AS (
+       |  SELECT doc_id, k.k, min((k.a * h + k.b) % ${text.Dedup.MinHashP}) AS minh
+       |  FROM hs, (VALUES $coeffTable) k(k,a,b) GROUP BY 1, 2),
+       |sig AS (
+       |  SELECT doc_id, CAST(floor(k/2) AS INT) AS band,
+       |         md5(string_agg(CAST(minh AS VARCHAR), '|' ORDER BY k)) AS bsig
+       |  FROM mh GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM sig a
+       |  JOIN (SELECT band, bsig FROM sig GROUP BY 1, 2 HAVING count(*) <= 1000) ok
+       |    ON ok.band = a.band AND ok.bsig = a.bsig
+       |  JOIN sig b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)
+       |""".stripMargin
+  }
 
   /** Oracle fragment: the exact-Jaccard verify chain over `cand`/`sh`
     * (mirrors Dedup.jaccardVerify) — appended after [[minhashCtes]]. */

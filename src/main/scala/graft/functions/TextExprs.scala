@@ -1,7 +1,8 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -16,6 +17,16 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextExprs {
   private[functions] val Space = UTF8String.fromString(" ")
+
+  /** Generated-code references are shared across tasks — digest state
+    * must be per-thread. */
+  private[functions] val md5: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  /** Modulus of the minhash permutation family — prime, > 2^28 (the
+    * seed-hash range) and < 2^31, so a_k·x + b_k < 2^56 never overflows
+    * a 64-bit engine. */
+  val MinHashP: Long = 1000000007L
 }
 
 /** Word n-grams over a word array: element j (0-based) joins words
@@ -71,6 +82,151 @@ case class WordNGrams(child: Expression, n: Int) extends UnaryExpression {
 
   override def prettyName: String = "word_ngrams"
   override protected def withNewChildInternal(newChild: Expression): WordNGrams =
+    copy(child = newChild)
+}
+
+/** All minhashes of a shingle ARRAY in one pass — no explode, no
+  * distinct, no per-doc aggregate. Each non-NULL shingle is md5-hashed
+  * ONCE; its first 7 hex digits (28 bits) seed the permutation family
+  * `h_k(x) = (a_k·x + b_k) mod p` (each injective on [0, p): a_k <
+  * p = [[TextExprs.MinHashP]]), and element k of the result is the min
+  * of h_k over the shingle set — min over the multiset is min over the
+  * distinct set, so skipping dedup is exact. All arithmetic stays below
+  * 2^56 (28-bit hash × <2^28 coefficient), exactly reproducible in any
+  * 64-bit-integer SQL engine:
+  * `min((a_k * CAST(('0x'||substr(md5(s),1,7)) AS BIGINT) + b_k) % p)`.
+  * NULL result (filter it) when the array is NULL, empty, or all-NULL —
+  * matching a doc that contributed no rows after
+  * `explode + filter(isNotNull)`.
+  *
+  * This makes the signature stage a NARROW projection costing ONE
+  * digest per shingle (the seed-prefixed-md5-per-k formulation cost
+  * numHashes digests per shingle and an explode → distinct → aggregate
+  * shuffle chain) — at 100 TB the near-dup pipeline's first exchange is
+  * the band bucket aggregation.
+  */
+case class MinHashSigs(child: Expression, coeffs: IndexedSeq[(Long, Long)])
+    extends UnaryExpression {
+  require(coeffs.nonEmpty, "need at least one permutation")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sigs expects array<string>, got ${t.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  @transient private lazy val as: Array[Long] = coeffs.map(_._1).toArray
+  @transient private lazy val bs: Array[Long] = coeffs.map(_._2).toArray
+
+  override def nullSafeEval(input: Any): Any = compute(input)
+
+  def compute(input: Any): ArrayData = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val k = as.length
+    val md = TextExprs.md5.get()
+    val mins = Array.fill(k)(Long.MaxValue)
+    var any = false
+    var j = 0
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        any = true
+        md.reset()
+        val d = md.digest(arr.getUTF8String(j).getBytes)
+        // first 7 hex digits == top 28 bits of the first 4 digest bytes
+        val h = ((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12) |
+          ((d(2) & 0xffL) << 4) | ((d(3) & 0xf0L) >> 4)
+        var i = 0
+        while (i < k) {
+          val v = (as(i) * h + bs(i)) % TextExprs.MinHashP
+          if (v < mins(i)) mins(i) = v
+          i += 1
+        }
+      }
+      j += 1
+    }
+    if (!any) return null // no non-NULL shingle at all
+    UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minHashSigs", this, classOf[MinHashSigs].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""org.apache.spark.sql.catalyst.util.ArrayData ${ev.value}$$r =
+         |  (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($c);
+         |if (${ev.value}$$r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}$$r; }""".stripMargin)
+  }
+
+  override def prettyName: String = "minhash_sigs"
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigs =
+    copy(child = newChild)
+}
+
+/** All ordered pairs (a < b) of an array's DISTINCT elements —
+  * `array<T>` → `array<struct<id_a:T, id_b:T>>` for an orderable
+  * atomic T. Replaces the bucket self-join of LSH candidate
+  * extraction: `groupBy(bucket).agg(collect_list(id))` + this
+  * expression is ONE exchange where the join formulation needed the
+  * census aggregate, the census join, and the self-join (3-4
+  * exchanges over the same key). The caller caps bucket size BEFORE
+  * expansion, so output stays O(cap²) per bucket. NULL elements are
+  * ignored; NULL input → empty array.
+  */
+case class SortedPairs(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType | IntegerType | ShortType | ByteType |
+                   StringType | DoubleType | FloatType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"sorted_pairs expects an array of an orderable scalar, got ${t.sql}")
+  }
+
+  private def elemType = child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("id_a", elemType), StructField("id_b", elemType))),
+    containsNull = false)
+
+  @transient private lazy val ordering: Ordering[Any] =
+    org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(elemType)
+
+  override def nullSafeEval(input: Any): Any = compute(input)
+
+  def compute(input: Any): ArrayData = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val buf = new scala.collection.mutable.ArrayBuffer[Any](n)
+    var i = 0
+    while (i < n) { if (!arr.isNullAt(i)) buf += arr.get(i, elemType); i += 1 }
+    val sorted = buf.distinct.sorted(ordering)
+    val m = sorted.length
+    val out = new Array[Any](m * (m - 1) / 2)
+    var p = 0
+    var a = 0
+    while (a < m) {
+      var b = a + 1
+      while (b < m) {
+        out(p) = InternalRow(sorted(a), sorted(b))
+        p += 1
+        b += 1
+      }
+      a += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sortedPairs", this, classOf[SortedPairs].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override def prettyName: String = "sorted_pairs"
+  override protected def withNewChildInternal(newChild: Expression): SortedPairs =
     copy(child = newChild)
 }
 

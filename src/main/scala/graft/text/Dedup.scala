@@ -52,12 +52,61 @@ object Dedup {
       .filter(col("s").isNotNull)
       .distinct()
 
-  /** All `numHashes` seed-prefixed md5 minhashes in ONE aggregate pass:
-    * (id, mh: array<string>[numHashes]). */
-  def minhashArray(sh: DataFrame, idCol: String, numHashes: Int): DataFrame =
+  /** Modulus of the minhash permutation family (shared with any oracle). */
+  val MinHashP: Long = graft.functions.TextExprs.MinHashP
+
+  /** Deterministic permutation coefficients (a_k, b_k), derived from the
+    * same md5 rule on BOTH engines is unnecessary — they are plain
+    * constants, embedded literally in the oracle SQL. a_k ∈ [1, 2^28)
+    * (odd), b_k ∈ [0, 2^28): products stay below 2^56. */
+  def minhashCoeffs(numHashes: Int): IndexedSeq[(Long, Long)] =
+    (0 until numHashes).map { k =>
+      def h7(tag: String): Long = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val d = md.digest(s"$tag|$k".getBytes("UTF-8"))
+        d.take(4).map("%02x".format(_)).mkString.substring(0, 7) match {
+          case hex => java.lang.Long.parseLong(hex, 16)
+        }
+      }
+      ((h7("mh-a") | 1L), h7("mh-b"))
+    }
+
+  /** The 28-bit md5 seed hash of a shingle, as a SQL column — the
+    * single digest each shingle pays. Oracle twin:
+    * `CAST(('0x' || substr(md5(s),1,7)) AS BIGINT)`. */
+  private def seedHash(s: Column): Column =
+    conv(substring(md5(s), 1, 7), 16, 10).cast("long")
+
+  /** All `numHashes` permuted minhashes in ONE aggregate pass:
+    * (id, mh: array<long>[numHashes]) — min over `(a_k·h + b_k) mod p`
+    * of the 28-bit seed hash. The exploded-aggregate twin of
+    * [[minhashNarrow]] for callers that already hold a shingle set. */
+  def minhashArray(sh: DataFrame, idCol: String, numHashes: Int): DataFrame = {
+    val h = seedHash(col("s"))
     sh.groupBy(col(idCol)).agg(
-      array((0 until numHashes).map(k =>
-        min(md5(concat(lit(k.toString), lit("|"), col("s"))))): _*).as("mh"))
+      array(minhashCoeffs(numHashes).map { case (a, b) =>
+        min((h * a + b) % MinHashP)
+      }: _*).as("mh"))
+  }
+
+  /** The NARROW signature path: per-doc minhash array straight off the
+    * shingle array via [[graft.functions.MinHashSigs]] — no explode, no
+    * distinct, no aggregate (min over the multiset IS min over the set),
+    * one md5 per shingle. The signature stage shuffles nothing; the
+    * near-dup pipeline's first exchange becomes the band bucket
+    * aggregation. Pinned equal to [[minhashArray]]∘[[shingles]] by
+    * DedupSpec. */
+  def minhashNarrow(df: DataFrame, idCol: String, text: Column, numHashes: Int,
+      shingleWords: Int = 3, maxWords: Int = MaxShingleWords): DataFrame = {
+    val sh = Shingles.wordNGramsOf(
+      slice(split(lower(text), " "), 1, maxWords), shingleWords)
+    df.select(col(idCol),
+        org.apache.spark.sql.graftbridge.ExprBridge.column(
+          graft.functions.MinHashSigs(
+            org.apache.spark.sql.graftbridge.ExprBridge.expression(sh),
+            minhashCoeffs(numHashes))).as("mh"))
+      .filter(col("mh").isNotNull)
+  }
 
   /** Band signatures from the minhash array: `rowsPerBand` consecutive
     * minhashes hash into one bucket key per band — a narrow projection,
@@ -65,8 +114,11 @@ object Dedup {
   def bandSignatures(mh: DataFrame, idCol: String, numHashes: Int,
       rowsPerBand: Int): DataFrame = {
     val bands = numHashes / rowsPerBand
+    // minhashes are longs; the band key hashes their decimal rendering
+    // ("v1|v2"), which any engine reproduces with a CAST AS VARCHAR
+    val mhs = transform(col("mh"), v => v.cast("string"))
     mh.select(col(idCol), posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => md5(array_join(slice(col("mh"), b * rowsPerBand + 1, lit(rowsPerBand)), "|")))))
+        b => md5(array_join(slice(mhs, b * rowsPerBand + 1, lit(rowsPerBand)), "|")))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bsig")
   }
@@ -95,8 +147,10 @@ object Dedup {
   def lshCandidates(df: DataFrame, idCol: String, text: Column,
       numHashes: Int = 16, rowsPerBand: Int = 2, shingleWords: Int = 3,
       maxBucket: Int = 1000): DataFrame =
-    lshCandidatesFromShingles(shingles(df, idCol, text, shingleWords), idCol,
-      numHashes, rowsPerBand, maxBucket)
+    candidatesFromBands(
+      bandSignatures(minhashNarrow(df, idCol, text, numHashes, shingleWords),
+        idCol, numHashes, rowsPerBand),
+      idCol, maxBucket)
 
   /** [[lshCandidates]] over a precomputed (persisted) shingle set.
     *
@@ -113,32 +167,51 @@ object Dedup {
     * [[graft.ops.RangeSplitter.exactBounds]] which collects its tiny
     * result to the driver instead.) */
   def lshCandidatesFromShingles(sh: DataFrame, idCol: String,
-      numHashes: Int = 16, rowsPerBand: Int = 2, maxBucket: Int = 1000): DataFrame = {
-    val bands = bandSignatures(minhashArray(sh, idCol, numHashes), idCol,
-      numHashes, rowsPerBand).persist()
-    try {
-      bands.count(): Unit // materialize BEFORE fan-out (see scaladoc)
-      val ok = bands.groupBy("band", "bsig").agg(count(lit(1)).as("__bn"))
-        .filter(col("__bn") <= maxBucket)
-        .select("band", "bsig")
-      val pruned = bands.join(ok, Seq("band", "bsig"))
-      val a = pruned.select(col(idCol).as("id_a"), col("band"), col("bsig"))
-      val b = pruned.select(col(idCol).as("id_b"), col("band"), col("bsig"))
-      a.join(b, Seq("band", "bsig"))
-        .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-        .localCheckpoint(true)
-    } finally { bands.unpersist(false); () }
+      numHashes: Int = 16, rowsPerBand: Int = 2, maxBucket: Int = 1000): DataFrame =
+    candidatesFromBands(
+      bandSignatures(minhashArray(sh, idCol, numHashes), idCol, numHashes, rowsPerBand),
+      idCol, maxBucket)
+
+  /** Capped in-bucket pair expansion shared by both signature paths:
+    * ONE aggregation gathers each (band, bsig) bucket's ids (the census
+    * is `size(ids)` on the same exchange — no separate count+join), the
+    * cap filter drops degenerate buckets before any pair exists, and
+    * [[graft.functions.SortedPairs]] expands each surviving bucket to
+    * its a<b pairs in a narrow projection. Replaces a census aggregate +
+    * census join + self-join (4 exchanges on the bucket key) with one
+    * exchange + the final pair `distinct`. `collect_list` is safe
+    * exactly BECAUSE of the cap: a bucket holds ≤ maxBucket ids by
+    * construction of the filter that immediately consumes it. */
+  private def candidatesFromBands(bands: DataFrame, idCol: String,
+      maxBucket: Int): DataFrame = {
+    val pairs = org.apache.spark.sql.graftbridge.ExprBridge.column(
+      graft.functions.SortedPairs(
+        org.apache.spark.sql.graftbridge.ExprBridge.expression(col("__ids"))))
+    bands.groupBy("band", "bsig").agg(collect_list(col(idCol)).as("__ids"))
+      .filter(size(col("__ids")).between(2, maxBucket))
+      .select(explode(pairs).as("__p"))
+      .select(col("__p.id_a"), col("__p.id_b"))
+      .distinct()
+      .localCheckpoint(true)
   }
 
   /** Exact word-n-gram Jaccard for given candidate pairs — the verify
-    * stage after LSH. `pairs` must have (id_a, id_b). Joins each side's
-    * distinct shingle set; |A∩B| via inner join on the shingle, |A∪B| =
-    * |A|+|B|−|A∩B|. Cost is candidates × shingles, never all-pairs. */
+    * stage after LSH. `pairs` must have (id_a, id_b), MATERIALIZED (it
+    * is referenced several times). Joins each side's distinct shingle
+    * set; |A∩B| via inner join on the shingle, |A∪B| = |A|+|B|−|A∩B|.
+    * Cost is candidates × shingles, never all-pairs: the corpus is
+    * pruned to candidate DOCS before any shingle is materialized, so
+    * the explode+distinct work scales with the candidate set, not the
+    * corpus — at 100 TB the verify stage never tokenizes the long tail
+    * LSH already cleared. */
   def jaccardVerify(df: DataFrame, pairs: DataFrame, idCol: String, text: Column,
-      shingleWords: Int = 3): DataFrame =
-    jaccardVerifyFromShingles(shingles(df, idCol, text, shingleWords), pairs, idCol)
+      shingleWords: Int = 3): DataFrame = {
+    val candIds = pairs.select(col("id_a").as(idCol))
+      .unionByName(pairs.select(col("id_b").as(idCol)))
+      .distinct()
+    val pruned = df.join(candIds, Seq(idCol), "left_semi")
+    jaccardVerifyFromShingles(shingles(pruned, idCol, text, shingleWords), pairs, idCol)
+  }
 
   /** [[jaccardVerify]] over a precomputed (persisted) shingle set —
     * share it with [[lshCandidatesFromShingles]] so the full near-dup

@@ -4,10 +4,10 @@ import graft.{GraftSession, Tables}
 import graft.text.Dedup
 import org.apache.spark.sql.functions._
 
-/** Stage-by-stage wall-clock profile of the near-dup pipeline
-  * (shingles → minhash → bands → LSH candidates → Jaccard verify) so
-  * regressions are attributed to a stage, not guessed at from query
-  * totals. Usage: runMain graft.tools.ProfileDedup <sfDir> */
+/** Stage-by-stage wall-clock profile of the near-dup pipeline (narrow
+  * minhash → bands → LSH candidates → doc-pruned Jaccard verify →
+  * cluster resolution) so regressions are attributed to a stage, not
+  * guessed at from query totals. Usage: runMain graft.tools.ProfileDedup <sfDir> */
 object ProfileDedup {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -15,7 +15,7 @@ object ProfileDedup {
     def time[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime()
       val r = f
-      println(f"[profile] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      println(f"[profile] $label%-32s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       r
     }
     val d = Tables.load(spark, dir, "documents").select(col("doc_id"), col("text"))
@@ -23,24 +23,29 @@ object ProfileDedup {
       d.filter(col("doc_id") % 5 === 0).select(
         (col("doc_id") + 100000L).as("doc_id"),
         concat(col("text"), lit(" near duplicate tail")).as("text")))
+    println(s"  corpus=${corpus.count()} docs")
 
-    val sh = Dedup.shingles(corpus, "doc_id", col("text")).persist()
-    time("shingles (persist+count)") { println(s"  rows=${sh.count()}") }
-    val mh = Dedup.minhashArray(sh, "doc_id", 16)
-    time("minhashArray count") { mh.count() }
-    val bands = Dedup.bandSignatures(Dedup.minhashArray(sh, "doc_id", 16), "doc_id", 16, 2)
-    time("bandSignatures count") { bands.count() }
-    val cand = Dedup.lshCandidatesFromShingles(sh, "doc_id").persist()
-    time("lshCandidates (persist+count)") { println(s"  pairs=${cand.count()}") }
-    val ver = Dedup.jaccardVerifyFromShingles(sh, cand, "doc_id")
-    time("jaccardVerify count") { ver.count() }
-    time("jaccardVerify AGAIN (warm)") { ver.count() }
-    // full end-to-end as the bench sees it: fresh lineage, lazy persists
+    time("warm-up scan") { corpus.count() }
+    val mh = Dedup.minhashNarrow(corpus, "doc_id", col("text"), 16)
+    time("minhashNarrow count") { mh.count() }
+    time("minhashNarrow AGAIN") { mh.count() }
+    val bands = Dedup.bandSignatures(mh, "doc_id", 16, 2)
+    time("bands count (incl. minhash)") { bands.count() }
+    val cand = time("lshCandidates (materialized)") {
+      Dedup.lshCandidates(corpus, "doc_id", col("text"))
+    }
+    println(s"  pairs=${cand.count()}")
+    val ver = time("jaccardVerify (materialized)") {
+      Dedup.jaccardVerify(corpus, cand, "doc_id", col("text"))
+    }
+    val verified = ver.filter(col("jaccard") >= 0.6).select("id_a", "id_b")
+    time("resolveClusters (materialized)") {
+      Dedup.resolveClusters(corpus.select("doc_id"), verified).count()
+    }
     spark.catalog.clearCache()
     time("cold end-to-end (as bench)") {
-      val sh2 = Dedup.shingles(corpus, "doc_id", col("text")).persist()
-      val cand2 = Dedup.lshCandidatesFromShingles(sh2, "doc_id").persist()
-      Dedup.jaccardVerifyFromShingles(sh2, cand2, "doc_id").count()
+      val c2 = Dedup.lshCandidates(corpus, "doc_id", col("text"))
+      Dedup.jaccardVerify(corpus, c2, "doc_id", col("text")).count()
     }
     spark.stop()
   }

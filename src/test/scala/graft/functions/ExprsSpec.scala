@@ -110,6 +110,27 @@ class ExprsSpec extends SparkSpec {
     assertSame(wn, Shingles.wordNGramsOf($"w", 2), Shingles.wordNGramsHof($"w", 2))
   }
 
+  test("SortedPairs: distinct a<b pairs, nulls ignored, strings ordered") {
+    import org.apache.spark.sql.graftbridge.ExprBridge
+    def pairsOf(c: org.apache.spark.sql.Column) =
+      ExprBridge.column(graft.functions.SortedPairs(ExprBridge.expression(c)))
+    val out = Seq(Seq(3L, 1L, 2L, 3L)).toDF("ids")
+      .select(explode(pairsOf($"ids")).as("p")).select("p.id_a", "p.id_b")
+      .as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    val s = spark.createDataFrame(
+      java.util.Arrays.asList(Row(Seq("b", null, "a"))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ids",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType, true)))))
+      .select(explode(pairsOf(col("ids"))).as("p")).select("p.id_a", "p.id_b")
+      .as[(String, String)].collect().toSeq
+    assert(s == Seq(("a", "b")))
+    // singleton and empty buckets expand to nothing
+    assert(Seq(Seq(7L), Seq.empty[Long]).toDF("ids")
+      .select(explode(pairsOf($"ids"))).count() == 0)
+  }
+
   test("shingles match HOFs on real documents") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(substring(lower($"text"), 1, Shingles.MaxChars).as("t"))

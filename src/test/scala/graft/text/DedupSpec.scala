@@ -20,6 +20,24 @@ class DedupSpec extends SparkSpec {
     assert(out.filter(col("keep_id") >= 200000L).count() == 0)
   }
 
+  test("narrow minhash path equals the exploded-aggregate path on real docs") {
+    val d = docs.select(col("doc_id"), col("text"))
+    // adversarial additions: empty doc, sub-3-word doc (NULL-only
+    // shingles -> absent from BOTH paths), exact dup of a real doc
+    val corpus = d.unionByName(Seq(
+      (900001L, ""), (900002L, "two words"),
+      (900003L, "a b c d e f g")).toDF("doc_id", "text"))
+    val viaAgg = Dedup.minhashArray(
+      Dedup.shingles(corpus, "doc_id", col("text")), "doc_id", 16)
+    val viaNarrow = Dedup.minhashNarrow(corpus, "doc_id", col("text"), 16)
+    assert(viaNarrow.count() == viaAgg.count())
+    val joined = viaAgg.select(col("doc_id"), col("mh").as("mh_a"))
+      .join(viaNarrow.select(col("doc_id"), col("mh").as("mh_n")), Seq("doc_id"), "full_outer")
+    assert(joined.where(not(col("mh_a") <=> col("mh_n"))).count() == 0)
+    // the NULL-shingle-only docs are absent from both
+    assert(viaNarrow.filter(col("doc_id").isin(900001L, 900002L)).count() == 0)
+  }
+
   test("LSH candidates recover every planted near-dup pair (recall 1.0 here)") {
     val d = docs.select(col("doc_id"), col("text"))
     val corpus = d.unionByName(
