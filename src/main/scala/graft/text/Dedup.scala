@@ -209,8 +209,31 @@ object Dedup {
     val candIds = pairs.select(col("id_a").as(idCol))
       .unionByName(pairs.select(col("id_b").as(idCol)))
       .distinct()
-    val pruned = df.join(candIds, Seq(idCol), "left_semi")
-    jaccardVerifyFromShingles(shingles(pruned, idCol, text, shingleWords), pairs, idCol)
+    // one distinct shingle SET per candidate doc, held as an array — no
+    // shingle row is ever exploded; the intersection is a narrow
+    // array_intersect per pair (cost |A|+|B|), and the per-pair join
+    // volume is two array payloads instead of every shingle row.
+    // Persisted because both pair sides consume it.
+    val ssets = df.join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol), array_distinct(array_compact(
+        Shingles.wordNGramsOf(
+          slice(split(lower(text), " "), 1, MaxShingleWords),
+          shingleWords))).as("__sset"))
+      .persist()
+    try {
+      ssets.count(): Unit // materialize BEFORE the two consuming joins
+      pairs
+        .join(ssets.select(col(idCol).as("id_a"), col("__sset").as("__sa")), Seq("id_a"))
+        .join(ssets.select(col(idCol).as("id_b"), col("__sset").as("__sb")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          size(array_intersect(col("__sa"), col("__sb"))).cast("long").as("n_inter"),
+          size(col("__sa")).cast("long").as("n_a"),
+          size(col("__sb")).cast("long").as("n_b"))
+        .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
+        .withColumn("jaccard", col("n_inter").cast("double") / col("n_union"))
+        .select("id_a", "id_b", "n_inter", "n_union", "jaccard")
+        .localCheckpoint(true)
+    } finally { ssets.unpersist(false); () }
   }
 
   /** [[jaccardVerify]] over a precomputed (persisted) shingle set —
