@@ -85,7 +85,8 @@ object Main {
     val flat =
       if (entries.nonEmpty) entries.exists(_.getPath.getName.endsWith(".parquet"))
       else mirrorOf.forall(_.isInstanceOf[ParquetCatalog])
-    if (flat) new ParquetCatalog(spark, dir, dbOf(cfg)) else new MultiDbParquetCatalog(spark, dir)
+    if (flat) new ParquetCatalog(spark, dir, dbOf(cfg), buckets = cfg.buckets)
+    else new MultiDbParquetCatalog(spark, dir, buckets = cfg.buckets)
   }
 
   private def dbOf(cfg: MigratorConfig): String =

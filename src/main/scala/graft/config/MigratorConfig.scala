@@ -35,6 +35,14 @@ final case class IncludeSpec(
   * config (/root/reference/migrator.go:22-34), parsed from extended JSON
   * with the same validation + defaulting rules
   * (/root/reference/migrator.go:278-311).
+  *
+  * `buckets` (ours, no reference analog — the reference's per-document
+  * server writes need no layout help) selects the sink's hash-bucketed
+  * incremental-merge layout: 0 = plain table (each streaming micro-batch
+  * rewrites the whole table — fine for small targets), B > 0 = B
+  * `graft_bucket=` partition dirs where a merge rewrites only touched
+  * buckets. Size B so one bucket ≈ one comfortable task, e.g.
+  * 100 TB / 256 MB ≈ 4·10⁵ buckets ([[graft.sources.ParquetCatalog]]).
   */
 final case class MigratorConfig(
     command: String,
@@ -46,6 +54,7 @@ final case class MigratorConfig(
     port: Int = MigratorConfig.DefaultPort,
     spool: String = MigratorConfig.DefaultSpool,
     workers: Int = MigratorConfig.NumberWorkers,
+    buckets: Int = 0,
     verbose: Boolean = false) {
 
   private lazy val included: Map[String, IncludeSpec] =
@@ -117,6 +126,7 @@ object MigratorConfig {
       port = int("port", 0) match { case p if p <= 0 => DefaultPort; case p => p },
       spool = str("spool") match { case "" => DefaultSpool; case s => s },
       workers = int("workers", 0) match { case w if w < 1 => NumberWorkers; case w => w },
+      buckets = int("buckets", 0),
       verbose = bool("verbose"))
     validate(cfg)
     cfg
@@ -160,6 +170,7 @@ object MigratorConfig {
       s"number of workers must be between 1 and $MaxNumberWorkers")
     require(!(cfg.isDrop && (cfg.command == CommandData || cfg.command == CommandDataOnly)),
       s"""cannot set {"drop": true} when command is ${cfg.command}""")
+    require(cfg.buckets >= 0, "buckets must be >= 0")
   }
 }
 

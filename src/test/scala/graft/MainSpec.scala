@@ -84,6 +84,58 @@ class MainSpec extends SparkSpec {
     assert(!sink.dataExists("src.nation")) // no data phase ran
   }
 
+  test("-start with buckets lays the sink out bucketed; a killed commit recovers on -resume") {
+    import scala.jdk.CollectionConverters._
+    def bucketDirs(p: java.nio.file.Path): Seq[String] = {
+      val s = Files.list(p)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("graft_bucket=")).toSeq
+      finally s.close()
+    }
+    val spool = tmp("graft-cli-bk-spool")
+    Simgen.changeLog(spark, 30, "src.gen")
+      .write.mode("overwrite").parquet(s"$spool/changelog")
+    val target = tmp("graft-cli-bk-target")
+    val json =
+      s"""{"command":"all","source":"$sf0001","target":"$target",
+         |"spool":"$spool","port":36354,"buckets":16,
+         |"includes":[{"namespace":"src.gen"}]}""".stripMargin
+    val cfgFile = writeCfg(tmp("graft-cli-bkcfg"), json)
+    assert(Main.run(Seq("-start", cfgFile), sess) == 0)
+
+    // the stream-fed table landed in the hash-bucket partition layout
+    val table = Paths.get(target, "gen.parquet")
+    assert(bucketDirs(table).nonEmpty)
+    val sink = new ParquetCatalog(spark, target, "src", buckets = 16)
+    assert(sink.read("src.gen").count() > 0)
+
+    // kill mid-commit: live moved aside, staging died before its
+    // sentinel — the on-disk state of a process killed mid-publish
+    val aside = Paths.get(target, "gen.parquet.__old__")
+    Files.move(table, aside)
+    val staging = Paths.get(target, "gen.parquet.__staging__")
+    Files.createDirectory(staging)
+    Files.write(staging.resolve("part-00000.parquet"), Array[Byte](0, 1, 2))
+
+    // fresh churn beyond the consumed offsets gives the restarted
+    // stream a real micro-batch to merge into the recovered table
+    Simgen.changeLog(spark, 10, "src.gen", t0 = 1800000000L)
+      .write.mode("append").parquet(s"$spool/changelog")
+    assert(Main.run(Seq("-resume", cfgFile), sess) == 0)
+    assert(Files.exists(table) && !Files.exists(aside) && !Files.exists(staging))
+    assert(bucketDirs(table).nonEmpty)
+
+    // recovered-then-resumed table == both logs folded from scratch
+    val cfg = graft.config.MigratorConfig.parse(json)
+    val fresh = new ParquetCatalog(spark, tmp("graft-cli-bk-fresh"), "src")
+    graft.streaming.ApplyJob.catchUp(spark, s"$spool/changelog", fresh, cfg,
+      tmp("graft-cli-bk-freshckpt"))
+    val got = sink.read("src.gen")
+    val want = fresh.read("src.gen")
+    assert(got.count() == want.count())
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
   test("-resume converges a half-copied target") {
     val target = tmp("graft-cli-res-target")
     val source = new ParquetCatalog(spark, sf0001, "src")
