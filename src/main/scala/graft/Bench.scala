@@ -5,14 +5,20 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main — one JSON line with per-query wall-clock at the
   * SPARK_GRAFT_SF_DIR scale factor.
   *
-  * Honesty rules (the round-3 verdict's "bench honesty" items):
-  *  - the cache is CLEARED before every timed query, so each query pays
+  * Honesty rules (the round-3 verdict's "bench honesty" items, plus the
+  * round-5 variance guard):
+  *  - the cache is CLEARED before every timed run, so each query pays
   *    its own full cost and the numbers are order-independent — no query
   *    rides another's leaked persist;
   *  - an untimed warm-up runs EVERY query once at the smallest fixture
   *    (sf0.001) so codegen compilation + JIT for each plan shape lands
-  *    outside the timed region (steady-state numbers, standard
-  *    warm-up-then-measure benching);
+  *    outside the timed region; warm-up failures are counted in the JSON
+  *    (`warmup_failed`) so a broken fixture dir is visible even before
+  *    the timed region re-raises it;
+  *  - each query is timed SPARK_GRAFT_BENCH_REPEATS times (default 2)
+  *    and reports the MIN, with the max−min spread under `spread` — so
+  *    a sub-second delta can be read against the run's own jitter
+  *    instead of guessed against JIT/GC noise;
   *  - a query that throws is recorded under "errors" with a null time,
   *    and the run exits non-zero — a regression can never make the bench
   *    look faster. */
@@ -20,6 +26,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val repeats = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "2").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -35,27 +42,38 @@ object Bench {
       val sib = java.nio.file.Paths.get(sfDir).resolveSibling("sf0.001")
       if (java.nio.file.Files.isDirectory(sib)) sib.toString else sfDir
     }
+    var warmupFailed = 0
     SparkEntry.queries.foreach { case (_, fn) =>
-      try { fn(spark, warm).count(); () } catch { case _: Throwable => }
+      try { fn(spark, warm).count(); () } catch { case _: Throwable => warmupFailed += 1 }
     }
     spark.catalog.clearCache()
     val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
-      spark.catalog.clearCache() // order independence: no inherited caches
-      val t0 = System.nanoTime()
-      val err = try { fn(spark, sfDir).count(); None }
-        catch { case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName)) }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var err: Option[String] = None
+      var i = 0
+      while (i < repeats && err.isEmpty) {
+        spark.catalog.clearCache() // order independence: no inherited caches
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); times += (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          err = Some(Option(e.getMessage).getOrElse(e.getClass.getName)) }
+        i += 1
+      }
+      val spread = if (times.size > 1) times.max - times.min else 0.0
+      (name, times.minOption.getOrElse(0.0), spread, err)
     }
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replace("\n", " ").take(200)
-    val qs = results.map { case (k, v, err) =>
+    val qs = results.map { case (k, v, _, err) =>
       "\"" + k + "\":" + (if (err.isEmpty) v.toString else "null")
     }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(m)) => "\"" + k + "\":\"" + esc(m) + "\"" }
+    val spreads = results.collect { case (k, _, s, None) => "\"" + k + "\":" + s }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${results.count(_._3.nonEmpty)},"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, _, Some(m)) => "\"" + k + "\":\"" + esc(m) + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v, _, None) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"repeats":$repeats,"warmup_failed":$warmupFailed,"errors":$errs,"n_failed":${results.count(_._4.nonEmpty)},"sf":"$sfDir"}""")
     spark.stop()
-    if (results.exists(_._3.nonEmpty)) sys.exit(1)
+    if (results.exists(_._4.nonEmpty)) sys.exit(1)
   }
 }

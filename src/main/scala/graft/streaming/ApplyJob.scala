@@ -81,29 +81,42 @@ object ApplyJob {
     }
   }
 
+  /** One [[applyBatch]] outcome: per-namespace A5 counters plus the
+    * newest APPLIED op ts of the batch (None when every entry was
+    * skip-filtered) — the single number the ST3 lag metric needs,
+    * harvested from the same aggregation that discovers the batch's
+    * namespaces so the metric costs no extra action. */
+  final case class BatchResult(counts: Map[String, ApplyCounts], maxAppliedTs: Option[Long]) {
+    def totals: ApplyCounts = counts.values.foldLeft(ApplyCounts())(_ + _)
+  }
+
   /** K2 — apply one change-log batch to the sink (BulkWriteOplogs,
     * oplog_utils.go:88-205). Namespaces are applied independently (the
     * reference groups write models per ns too, oplog_utils.go:97-115).
     * When `batchId >= 0`, a namespace whose recorded marker is already
     * `>= batchId` is skipped (exactly-once replay guard). */
   def applyBatch(batch: Dataset[Oplog], sink: Catalog, cfg: MigratorConfig,
-      batchId: Long = -1L): Map[String, ApplyCounts] = {
+      batchId: Long = -1L): BatchResult = {
     val spark = batch.sparkSession
     import spark.implicits._
     val ops = compileOps(batch, cfg).persist()
     try {
-      val namespaces = ops.select("ns").distinct().as[String].collect().sorted
+      // ONE driver-sized action discovers the namespaces AND the newest
+      // applied ts (the ST3 lag numerator) — no second pass over the batch
+      val nsRows = ops.groupBy($"ns").agg(max($"ts")).as[(String, Long)]
+        .collect().sortBy(_._1)
       // namespaces are independent (the reference groups write models per
       // ns too, oplog_utils.go:97-115): submit their merge jobs from a
       // parallel collection so executors stay busy across namespaces,
       // same pattern as the copy fan-out
       import scala.collection.parallel.CollectionConverters._
-      namespaces.par.map { ns =>
+      val counts = nsRows.map(_._1).par.map { ns =>
         val already = batchId >= 0 &&
           sink.readMarker(ns, "batch").exists(_.toLong >= batchId)
         if (already) ns -> ApplyCounts()
         else ns -> applyNamespace(ops.filter($"ns" === ns), sink, ns, batchId)
       }.seq.toMap
+      BatchResult(counts, nsRows.map(_._2).maxOption)
     } finally { ops.unpersist(); () }
   }
 
@@ -164,14 +177,13 @@ object ApplyJob {
     val totals = new AtomicReference(ApplyCounts())
     val lag = new AtomicReference(Double.NaN)
     val fn: (Dataset[Oplog], Long) => Unit = { (batch, batchId) =>
-      val batchCounts = applyBatch(batch, sink, cfg, batchId)
-        .values.foldLeft(ApplyCounts())(_ + _)
-      totals.updateAndGet(_ + batchCounts)
-      // lag: wall-clock minus the newest event time in the batch (ts>>32
-      // is epoch seconds in the packed BSON-Timestamp encoding)
-      val maxTs = batch.agg(max($"ts")).head().get(0)
-      if (maxTs != null)
-        lag.set(System.currentTimeMillis() / 1000.0 - (maxTs.asInstanceOf[Long] >> 32).toDouble)
+      val res = applyBatch(batch, sink, cfg, batchId)
+      totals.updateAndGet(_ + res.totals)
+      // lag: wall-clock minus the newest APPLIED event time (ts>>32 is
+      // epoch seconds in the packed BSON-Timestamp encoding) — comes out
+      // of applyBatch's namespace aggregation, not a second batch action
+      res.maxAppliedTs.foreach(ts =>
+        lag.set(System.currentTimeMillis() / 1000.0 - (ts >> 32).toDouble))
     }
     val q = src.writeStream
       .queryName(s"graft-apply-${changelogDir.hashCode}")

@@ -134,7 +134,7 @@ class ApplyJobSpec extends SparkSpec {
       includes = Seq(graft.config.IncludeSpec(ns, to = "app.renamed")))
     Simgen.changeLog(spark, 15, ns).write.mode("overwrite").parquet(logDir)
     val counts = ApplyJob.applyBatch(
-      spark.read.parquet(logDir).as[Oplog], sink, renameCfg)
+      spark.read.parquet(logDir).as[Oplog], sink, renameCfg).counts
     assert(counts.keySet == Set("app.renamed"))
     assert(sink.dataExists("app.renamed") && !sink.dataExists(ns))
     assert(sink.read("app.renamed").count() == counts("app.renamed").inserted)
@@ -179,10 +179,16 @@ class ApplyJobSpec extends SparkSpec {
 
     val first = ApplyJob.applyBatch(batch, sink, cfg, batchId = 0)
     val state1 = sinkState(sink)
-    assert(first(ns).total > 0)
+    assert(first.counts(ns).total > 0)
+    // lag numerator comes out of the SAME pass as the counts: the newest
+    // applied ts must be the change-log's max applied entry
+    assert(first.maxAppliedTs.contains(
+      batch.filter(org.apache.spark.sql.functions.col("op") =!= "n")
+        .filter(!org.apache.spark.sql.functions.col("ns").startsWith("local."))
+        .agg(org.apache.spark.sql.functions.max("ts")).head().getLong(0)))
 
     val replay = ApplyJob.applyBatch(batch, sink, cfg, batchId = 0)
-    assert(replay(ns).total == 0)
+    assert(replay.counts(ns).total == 0)
     assert(sinkState(sink) == state1)
 
     // a LATER batch still applies — updates only, so the $inc genuinely
@@ -190,7 +196,7 @@ class ApplyJobSpec extends SparkSpec {
     // corruption the marker guard prevents on REPLAY)
     val updatesOnly = batch.filter(org.apache.spark.sql.functions.col("op") === "u")
     val later = ApplyJob.applyBatch(updatesOnly, sink, cfg, batchId = 1)
-    assert(later(ns).total > 0)
+    assert(later.counts(ns).total > 0)
     assert(sinkState(sink) != state1)
   }
 }
