@@ -133,4 +133,56 @@ object Migrate {
         extraOnTarget = counts.getOrElse("extra", 0L))
     }.toMap
   }
+
+  /** Chunked `-compare` — the reference comparator's actual walk: one
+    * splitter block at a time (its verify iterates the same ranges the
+    * splitter emitted), each chunk a bounded job whose cost is the block
+    * size regardless of table size. Ordering is
+    * [[graft.ops.BsonKey.defaultOrder]] throughout — the splitter that
+    * computes the bounds and the slice predicate that consumes them
+    * compile the key identically, so mixed int/string/ObjectId
+    * namespaces chunk without drops or double counts. The splitter's
+    * closed `[first,last]` blocks are widened into half-open tiles on
+    * consecutive `last` bounds, first and final tile unbounded — the
+    * tiles cover the WHOLE keyspace, so target-only keys between or
+    * beyond the source's blocks are still reported and the totals equal
+    * a full [[Compare.diff]] (an empty source yields one unbounded tile:
+    * everything on target is extra).
+    *
+    * Use this over [[compare]]'s bucketed sketch when per-row diffs must
+    * be inspectable chunk by chunk (the reference's repair loop) or when
+    * re-verifying only the chunks a previous run flagged. */
+  def compareChunked(spark: SparkSession, cfg: MigratorConfig, source: Catalog,
+      sink: Catalog, block: Int = 10000): Map[String, Compare.CompareSummary] = {
+    CopyJob.plan(cfg, source).map { case (ns, spec) =>
+      val to = spec.map(_.toNamespace).getOrElse(ns)
+      val key = source.keyOf(ns)
+      val src = spec.filter(_.hasFilter)
+        .map(sp => source.read(ns).filter(sp.predicate))
+        .getOrElse(source.read(ns))
+      val tgt = sink.read(to)
+      val lasts = graft.ops.RangeSplitter.exactBounds(src, key, block)
+        .collect().map(_.get(2))
+      // tiles: (-inf, last_0], (last_0, last_1], ..., (last_{n-2}, +inf)
+      val tiles: Seq[(Option[Any], Option[Any])] =
+        if (lasts.isEmpty) Seq(None -> None)
+        else (None +: lasts.init.map(Option(_)).toSeq)
+          .zip(lasts.init.map(Option(_)).toSeq :+ None)
+      val perChunk = tiles.map { case (lo, hi) =>
+        val counts = Compare.diffSlice(src, tgt, key, lo, hi)
+          .groupBy("status").count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        Compare.CompareSummary(
+          matched = counts.getOrElse("match", 0L),
+          mismatched = counts.getOrElse("mismatch", 0L),
+          missingOnTarget = counts.getOrElse("missing", 0L),
+          extraOnTarget = counts.getOrElse("extra", 0L))
+      }
+      ns -> perChunk.foldLeft(Compare.CompareSummary(0, 0, 0, 0)) {
+        (a, c) => Compare.CompareSummary(
+          a.matched + c.matched, a.mismatched + c.mismatched,
+          a.missingOnTarget + c.missingOnTarget, a.extraOnTarget + c.extraOnTarget)
+      }
+    }.toMap
+  }
 }

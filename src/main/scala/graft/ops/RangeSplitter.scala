@@ -42,18 +42,21 @@ object RangeSplitter {
     * membership is multiset-determined, so min/max/count per block are
     * deterministic either way.
     *
-    * `sortKey` overrides the ordering expression — pass
-    * [[BsonKey.sortKey]]`(col(key))` when the key column carries
-    * canonical-JSON ids of MIXED type (int + string + ObjectId), whose
-    * lexicographic order would interleave the BSON type classes. Bounds
-    * still report the original key values (min_by/max_by under the
-    * override ordering). */
+    * `sortKey` overrides the ordering expression. When omitted the
+    * ordering DEFAULTS to [[BsonKey.defaultOrder]]: a string key column
+    * is a doc-store canonical-JSON `_id` in every graft catalog, so it
+    * gets BSON cross-type order automatically — mixed int/string/
+    * ObjectId namespaces split correctly without the caller knowing to
+    * ask (the reference orders mixed keys always; server semantics).
+    * Non-string keys keep their natural column order. Bounds still
+    * report the original key values (min_by/max_by under the override
+    * ordering). */
   def exactBounds(df: DataFrame, key: String, block: Int,
       numPartitions: Int = 0, sortKey: Option[Column] = None): DataFrame = {
     require(block > 0, "block must be positive")
     val n = if (numPartitions > 0) numPartitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
-    val ordExpr = sortKey.getOrElse(col(key))
+    val ordExpr = sortKey.getOrElse(BsonKey.defaultOrder(df, key))
     val keyed = df.select(col(key), ordExpr.as("__ord"))
       .repartitionByRange(n, col("__ord"))
       .withColumn("__pid", spark_partition_id())

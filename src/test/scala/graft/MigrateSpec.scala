@@ -84,6 +84,45 @@ class MigrateSpec extends SparkSpec {
     assert(cmp2("src.region").isEqual)
   }
 
+  test("compareChunked over a mixed int/string/oid namespace equals the full diff") {
+    import graft.verify.Compare
+    // a doc-store namespace whose _id mixes every BSON type class,
+    // including int64 beyond 2^53 — lexicographic chunking would both
+    // drop and double-count rows across chunk boundaries
+    val ints = (0 until 120).map(i => s"${i * 7 % 1000}") ++
+      (0 until 40).map(i => s"${(1L << 53) + i * 3}")
+    val strs = (0 until 60).map(i => "\"doc-" + f"$i%03d\"")
+    val oids = (0 until 60).map(i => s"""{"$$oid":"64a${f"$i%021x"}"}""")
+    val ids = scala.util.Random.shuffle(ints ++ strs ++ oids)
+    val srcDf = ids.zipWithIndex
+      .map { case (id, i) => (id, s"""{"v":$i}""") }.toDF("id", "doc")
+
+    val srcDir = tmp("graft-chunk-src"); val tgtDir = tmp("graft-chunk-tgt")
+    val source = new ParquetCatalog(spark, srcDir, "db", keys = Map("mixed" -> "id"))
+    val sink = new ParquetCatalog(spark, tgtDir, "db", keys = Map("mixed" -> "id"))
+    source.write("db.mixed", srcDf)
+    // target: drop 5 (missing), corrupt 7 (mismatch), add 4 extras — one
+    // of them an ObjectId ABOVE the source's whole key range, reachable
+    // only through the out-of-range sweep
+    val tampered = srcDf
+      .filter(!col("id").isin(ids.take(5): _*))
+      .withColumn("doc", when(col("id").isin(ids.slice(5, 12): _*),
+        lit("""{"v":-1}""")).otherwise(col("doc")))
+      .unionByName(Seq(
+        ("31", """{"v":-2}"""), ("\"zzz-extra\"", """{"v":-3}"""),
+        ("-77", """{"v":-4}"""),
+        ("""{"$oid":"ffffffffffffffffffffffff"}""", """{"v":-5}"""))
+        .toDF("id", "doc"))
+    sink.write("db.mixed", tampered.localCheckpoint())
+
+    val cfg = MigratorConfig(command = "all", source = "s", target = "t",
+      includes = Seq(graft.config.IncludeSpec("db.mixed")))
+    val full = Compare.summarize(source.read("db.mixed"), sink.read("db.mixed"), "id")
+    val chunked = Migrate.compareChunked(spark, cfg, source, sink, block = 50)
+    assert(chunked("db.mixed") == full)
+    assert(full.missingOnTarget == 5 && full.mismatched == 7 && full.extraOnTarget == 4)
+  }
+
   test("workspace log/reset round-trip (K4/S9)") {
     val sink = new ParquetCatalog(spark, tmp("graft-ws"), "tgt")
     val ws = new Workspace(spark, sink)
