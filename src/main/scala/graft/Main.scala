@@ -35,9 +35,10 @@ import scala.jdk.CollectionConverters._
   * (web_server.go:59-88) for the duration of the run. The CLI's stream
   * phase is the blocking catch-up ([[graft.streaming.ApplyJob.catchUp]]
   * drains everything accumulated, then returns — so the process exits);
-  * an indefinitely-following deployment embeds [[Migrate.liveTail]]
-  * instead, which is the library surface the reference's never-returning
-  * LiveStreamingOplogs maps to.
+  * with `"tail": true` in the config the process instead keeps
+  * following the change stream after catch-up ([[Migrate.liveTail]] —
+  * the reference's never-returning LiveStreamOplogs deployment shape)
+  * until stopped.
   */
 object Main {
 
@@ -110,6 +111,26 @@ object Main {
         else Migrate.start(spark, cfg, source, sink, checkpoint, changelog, Some(status))
       println(s"copied ${result.copied.size} namespace(s), " +
         s"applied ${result.applied.total} change(s); ${result.progress.statusLine}")
+      // `tail: true` — keep following the change stream from the same
+      // checkpoint (the reference's never-returning flagship shape,
+      // oplog_streamer.go:270-323). Runs until the stream is stopped:
+      // SIGTERM lands in the shutdown hook, which stops the query
+      // cleanly so awaitTermination returns and the process exits 0.
+      changelog.filter(_ => cfg.tail).foreach { dir =>
+        val handle = Migrate.liveTail(spark, cfg, sink, dir, checkpoint,
+          intervalMs = 1000)
+        status.attachStream(handle)
+        status.setPhase("live tail") // set AFTER the stream starts: the
+        // phase string is the externally visible "tailing now" signal
+        val hook = new Thread(() => handle.stop())
+        Runtime.getRuntime.addShutdownHook(hook)
+        try handle.awaitTermination()
+        finally {
+          try Runtime.getRuntime.removeShutdownHook(hook)
+          catch { case _: IllegalStateException => () } // mid-shutdown
+        }
+        println(s"tail stopped after applying ${handle.counts.total} change(s)")
+      }
       0
     } finally status.stop()
   }

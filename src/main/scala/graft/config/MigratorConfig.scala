@@ -36,6 +36,12 @@ final case class IncludeSpec(
   * with the same validation + defaulting rules
   * (/root/reference/migrator.go:278-311).
   *
+  * `tail: true` keeps `-start`/`-resume` following the change stream
+  * after catch-up instead of exiting — the reference's flagship
+  * deployment shape (LiveStreamOplogs never returns,
+  * /root/reference/oplog_streamer.go:270-323); the process then runs
+  * until stopped (SIGTERM → clean stream shutdown → exit 0).
+  *
   * `buckets` (ours, no reference analog — the reference's per-document
   * server writes need no layout help) selects the sink's hash-bucketed
   * incremental-merge layout: 0 = plain table (each streaming micro-batch
@@ -55,6 +61,7 @@ final case class MigratorConfig(
     spool: String = MigratorConfig.DefaultSpool,
     workers: Int = MigratorConfig.NumberWorkers,
     buckets: Int = 0,
+    tail: Boolean = false,
     verbose: Boolean = false) {
 
   private lazy val included: Map[String, IncludeSpec] =
@@ -127,6 +134,7 @@ object MigratorConfig {
       spool = str("spool") match { case "" => DefaultSpool; case s => s },
       workers = int("workers", 0) match { case w if w < 1 => NumberWorkers; case w => w },
       buckets = int("buckets", 0),
+      tail = bool("tail"),
       verbose = bool("verbose"))
     validate(cfg)
     cfg

@@ -136,6 +136,58 @@ class MainSpec extends SparkSpec {
     assert(got.except(want).isEmpty && want.except(got).isEmpty)
   }
 
+  test("-start with tail:true follows a moving feed until stopped, then exits 0") {
+    val spool = tmp("graft-cli-tail-spool")
+    Simgen.changeLog(spark, 20, "src.gen")
+      .write.mode("overwrite").parquet(s"$spool/changelog")
+    val target = tmp("graft-cli-tail-target")
+    val cfg = writeCfg(tmp("graft-cli-tailcfg"),
+      s"""{"command":"all","source":"$sf0001","target":"$target",
+         |"spool":"$spool","port":36355,"tail":true,
+         |"includes":[{"namespace":"src.gen"}]}""".stripMargin)
+
+    // the CLI blocks in the tail phase — run it off-thread
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val rc = Future(Main.run(Seq("-start", cfg), sess))
+
+    // the catch-up query shares the tail query's name — the status
+    // phase flipping to "live tail" (set after the tail stream starts)
+    // is the signal that the blocking-phase query is the TAIL
+    val deadline = System.currentTimeMillis() + 120000
+    def phase(): String =
+      try {
+        val c = new java.net.URL("http://localhost:36355/status")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        try new String(c.getInputStream.readAllBytes(), "UTF-8")
+        finally c.disconnect()
+      } catch { case _: java.io.IOException => "" }
+    while (!phase().contains("live tail") && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    val q = spark.streams.active.find(_.name.startsWith("graft-apply-"))
+      .getOrElse(fail("tail stream never started"))
+
+    val sink = new ParquetCatalog(spark, target, "src")
+    assert(sink.read("src.gen").count() > 0) // catch-up drained the backlog
+    Simgen.changeLog(spark, 15, "src.gen", t0 = 1800000000L)
+      .write.mode("append").parquet(s"$spool/changelog")
+    // the LIVE tail (not the catch-up) must apply the new batch — its
+    // applied counter is published through the status endpoint (the
+    // counter belongs to the tail Handle alone, so any nonzero value is
+    // post-catch-up work; net row count may go any direction, the new
+    // feed churns existing ids)
+    def applied(): Long =
+      "\"applied\":(\\d+)".r.findFirstMatchIn(phase()).map(_.group(1).toLong).getOrElse(0L)
+    while (applied() == 0 && System.currentTimeMillis() < deadline)
+      Thread.sleep(200)
+    assert(applied() > 0)
+
+    q.stop() // operator shutdown — SIGTERM's shutdown hook does the same
+    assert(Await.result(rc, 60.seconds) == 0)
+    assert(sink.read("src.gen").count() > 0)
+  }
+
   test("-resume converges a half-copied target") {
     val target = tmp("graft-cli-res-target")
     val source = new ParquetCatalog(spark, sf0001, "src")
