@@ -75,7 +75,16 @@ object Simgen {
       bin(i, 1).as("bin1"),
       bin(i, 2).as("bin2"),
       bin(i, 3).as("bin3"),
-      bin(i, 4).as("uuid")): _*)
+      bin(i, 4).as("uuid"),
+      // Decimal128 carrier (SURVEY §1.2 maps it to DECIMAL(38,…)) — the
+      // Go palette has no decimal field, so this is appended AFTER the
+      // reference-ordered fields to keep the sim.go:305-332 prefix
+      // parity untouched. 17+ significant digits by construction: a
+      // double round-trip anywhere in the apply path would visibly
+      // corrupt it, which is what pins the fold's decimal fidelity.
+      format_string("%d%d.%06d", num, n, i)
+        .cast(org.apache.spark.sql.types.DataTypes.createDecimalType(38, 6))
+        .as("decimal128")): _*)
   }
 
   /** G5 — DataGen: `n` docs as (_id, doc-json) rows (sim.go:336-344). */

@@ -1,7 +1,7 @@
 package graft.streaming
 
-import com.fasterxml.jackson.databind.ObjectMapper
-import com.fasterxml.jackson.databind.node.ObjectNode
+import com.fasterxml.jackson.databind.{DeserializationFeature, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{JsonNodeFactory, ObjectNode}
 import graft.config.{MigratorConfig, Namespaces}
 import org.apache.spark.sql.types._
 
@@ -52,7 +52,15 @@ object Oplog {
 
   def packTs(t: Long, i: Int): Long = (t << 32) | (i & 0xffffffffL)
 
+  // USE_BIG_DECIMAL_FOR_FLOATS: oplog payloads carry Decimal128 values
+  // as high-precision JSON numbers; the default double parse would
+  // silently round them during compile/apply re-serialization
+  // exact big decimals: the default node factory strips trailing zeros
+  // (re-rendering 1025750.0 as 1.02575E+6); withExactBigDecimals keeps
+  // the parsed scale so re-serialized numbers match their input text
   @transient private lazy val mapper = new ObjectMapper()
+    .configure(DeserializationFeature.USE_BIG_DECIMAL_FOR_FLOATS, true)
+    .setNodeFactory(JsonNodeFactory.withExactBigDecimals(true))
 
   /** P4 — SkipOplog (oplog_utils.go:40-76): drop system DBs and empty
     * namespaces; for `$cmd` inspect the command and apply the namespace
@@ -185,7 +193,11 @@ object Oplog {
   * operator set the reference's simulator generates — sim.go:178-239 uses
   * `$inc`; v1/v2 oplogs produce `$set`/`$unset`). */
 object JsonDocOps {
+  // big-decimal floats: an update to ANY field re-serializes the whole
+  // doc — Decimal128 neighbors must survive that byte-for-byte
   @transient private lazy val mapper = new ObjectMapper()
+    .configure(DeserializationFeature.USE_BIG_DECIMAL_FOR_FLOATS, true)
+    .setNodeFactory(JsonNodeFactory.withExactBigDecimals(true))
 
   def applyOp(doc: Option[String], op: WriteOp): Option[String] = op.kind match {
     case "insert" | "replace" => Some(op.spec)

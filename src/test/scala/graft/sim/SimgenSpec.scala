@@ -7,15 +7,24 @@ import graft.streaming.Oplog
 import org.apache.spark.sql.functions._
 
 class SimgenSpec extends SparkSpec {
-  private val mapper = new ObjectMapper()
+  private val mapper = new ObjectMapper().configure(
+    com.fasterxml.jackson.databind.DeserializationFeature.USE_BIG_DECIMAL_FOR_FLOATS, true)
   private val cfg = MigratorConfig(command = "data", source = "s", target = "t")
 
   test("DocGen palette: every reference field class present (sim.go:305-333)") {
     val doc = Simgen.docs(spark, 3).orderBy("_id").head().getString(1)
     val n = mapper.readTree(doc)
     for (f <- Seq("_id", "color", "float64", "int64", "seq", "string", "ts",
-        "array", "subdoc", "filler", "binary", "bin1", "bin2", "bin3", "uuid"))
+        "array", "subdoc", "filler", "binary", "bin1", "bin2", "bin3", "uuid",
+        "decimal128"))
       assert(n.has(f), s"missing palette field $f")
+    // Decimal128 carrier: full 17+-significant-digit value, exact
+    locally {
+      val i = n.get("seq").asLong()
+      val nn = i + 1001; val num = nn * nn + Simgen.Port
+      assert(n.get("decimal128").decimalValue().toPlainString
+        == s"$num$nn." + "%06d".format(i))
+    }
     assert(n.get("_id").asText().length == 24)
     assert(n.get("array").size() == 9)
     // the subdoc embeds the doc as appended SO FAR (core + array;
@@ -31,6 +40,33 @@ class SimgenSpec extends SparkSpec {
     // serialized payload matches the reference's generated-doc scale
     // (~3 KB of JSON: 2.5 KB filler + doubled core fields + binaries)
     assert(doc.length > 3000, s"generated doc only ${doc.length} bytes")
+  }
+
+  test("Decimal128 survives the apply/fold path byte-for-byte") {
+    import spark.implicits._
+    val log = Simgen.changeLog(spark, 12, "app.gen")
+    val ops = graft.streaming.ApplyJob.compileOps(log.as[Oplog], cfg)
+    val base = Seq.empty[(String, String)].toDF("id", "doc")
+    val docs = graft.streaming.ApplyJob.foldDocs(base, ops)
+      .filter(r => r.doc != null).collect()
+    assert(docs.nonEmpty)
+    val idToI = (0L until 12L).map(i => "\"" + Simgen.oidHex(i) + "\"" -> i).toMap
+    docs.foreach { r =>
+      val i = idToI(r.id)
+      val nn = i + 1001; val num = nn * nn + Simgen.Port
+      // byte-for-byte: survives both Spark's to_json (pure inserts) and
+      // Jackson's parse→mutate→re-serialize (updated docs) — a default
+      // double parse would have rounded the 17+ significant digits
+      val want = s""""decimal128":$num$nn.""" + "%06d".format(i)
+      assert(r.doc.contains(want), s"doc for i=$i lost decimal: ${r.doc.take(400)}")
+    }
+    // at n=12 the churn really does update docs in place: i%3/i%5/i%11
+    // survivors must carry applied updates AND the intact decimal
+    val updated = docs.filter(r => idToI(r.id) % 3 == 0)
+    assert(updated.nonEmpty)
+    // trailing comma pins the TOP-LEVEL int64 (subdoc's keeps the
+    // original num value, which the bare prefix would also match)
+    updated.foreach(r => assert(r.doc.contains(s""""int64":${idToI(r.id) + 1},""")))
   }
 
   test("DocGen is deterministic and distinct per index") {
