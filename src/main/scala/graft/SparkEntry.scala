@@ -269,6 +269,17 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- ANN scale path 2: IVF — deterministic coarse quantizer (the
+    // numCentroids lowest-id vectors), corpus assigned by one narrow
+    // literal-matrix projection, queries probe their nprobe nearest
+    // lists. nprobe=numCentroids would reproduce brute force exactly.
+    "q_ann_ivf" -> ((s, dir) => {
+      val e = load(s, dir, "embeddings").filter(col("vec_id") < 1000)
+      ml.Similarity.ivfTopK(e.filter(col("vec_id") < 50), e, "vec_id", "embedding",
+          k = 3, numCentroids = 16, nprobe = 2)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- text quality statistics + integer quality score ----
     "q_text_stats" -> ((s, dir) =>
       text.TextFunctions.qualityStats(load(s, dir, "documents"), col("text"))
@@ -584,6 +595,35 @@ object SparkEntry {
          |    ${dotQ("q.embedding", "c.embedding")} AS dot_q
          |  FROM base q JOIN base c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
          |  WHERE q.vec_id < 50)
+         |SELECT query_id, neighbor_id, dot_q,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |       ORDER BY dot_q DESC, neighbor_id) AS INT) AS rank
+         |FROM pairs QUALIFY rank <= 3
+         |ORDER BY query_id, rank""".stripMargin,
+    "q_ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000),
+         |cent AS (SELECT row_number() OVER (ORDER BY vec_id) AS cidx, embedding
+         |         FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)),
+         |cd AS (SELECT v.vec_id, c.cidx,
+         |         ${dotQ("v.embedding", "c.embedding")} AS dot
+         |       FROM e v, cent c),
+         |asgn AS (SELECT vec_id, cidx FROM (
+         |           SELECT vec_id, cidx,
+         |             row_number() OVER (PARTITION BY vec_id
+         |                  ORDER BY dot DESC, cidx) AS rn
+         |           FROM cd) WHERE rn = 1),
+         |probe AS (SELECT vec_id, cidx FROM (
+         |           SELECT vec_id, cidx,
+         |             row_number() OVER (PARTITION BY vec_id
+         |                  ORDER BY dot DESC, cidx) AS rn
+         |           FROM cd WHERE vec_id < 50) WHERE rn <= 2),
+         |pairs AS (
+         |  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+         |    ${dotQ("q.embedding", "n.embedding")} AS dot_q
+         |  FROM probe p
+         |  JOIN asgn a ON a.cidx = p.cidx AND a.vec_id <> p.vec_id
+         |  JOIN e q ON q.vec_id = p.vec_id
+         |  JOIN e n ON n.vec_id = a.vec_id)
          |SELECT query_id, neighbor_id, dot_q,
          |  CAST(row_number() OVER (PARTITION BY query_id
          |       ORDER BY dot_q DESC, neighbor_id) AS INT) AS rank

@@ -153,6 +153,76 @@ object Similarity {
       .select("query_id", "neighbor_id", "dot_q", "rank")
   }
 
+  /** Deterministic IVF coarse quantizer: the `numCentroids` lowest-id
+    * corpus vectors, quantized, collected to the driver (centroids are
+    * index METADATA — numCentroids×dims longs, kilobytes). This is the
+    * k-means|| INITIALIZATION step used as-is so any external oracle can
+    * reproduce the index exactly; a production build would refine these
+    * same centroids with Lloyd iterations (each iteration = one
+    * narrow assign pass + one tiny re-average aggregation) without
+    * changing the query-side plan below. */
+  def ivfCentroids(corpus: DataFrame, idCol: String, embCol: String,
+      numCentroids: Int): IndexedSeq[Seq[Long]] =
+    corpus.orderBy(col(idCol)).limit(numCentroids)
+      .select(quantize(col(embCol)))
+      .collect().map(_.getSeq[Long](0)).toIndexedSeq
+
+  /** Quantized dot of an (already-quantized) vector against every
+    * centroid — the centroid matrix rides along as a LITERAL, so the
+    * whole scoring is a narrow per-row projection: no join, no shuffle,
+    * nothing to co-locate. */
+  private def centroidDots(qe: Column, cents: Seq[Seq[Long]]): Column =
+    transform(typedLit(cents), c => dotQ(qe, c))
+
+  /** 1-based index of the nearest (max-dot) centroid; ties take the
+    * lowest index (array_position returns the FIRST max). The dots
+    * array appears twice in the expression — whole-stage codegen's
+    * subexpression elimination evaluates it once per row. */
+  def ivfAssign(qe: Column, cents: Seq[Seq[Long]]): Column = {
+    val d = centroidDots(qe, cents)
+    array_position(d, array_max(d)).cast("int")
+  }
+
+  /** The `nprobe` nearest centroid indices for a query vector, best
+    * first; ties take the lower index ((−dot, idx) ascending sort). */
+  def ivfProbes(qe: Column, cents: Seq[Seq[Long]], nprobe: Int): Column = {
+    val keyed = zip_with(centroidDots(qe, cents),
+      sequence(lit(1), lit(cents.size)),
+      (d, i) => struct((-d).as("nd"), i.as("idx")))
+    transform(slice(array_sort(keyed), 1, nprobe), s => s.getField("idx").cast("int"))
+  }
+
+  /** IVF top-k — the ANN scale path with recall controlled by `nprobe`
+    * (nprobe = numCentroids degenerates to [[bruteForceTopK]]).
+    *
+    * Plan shape at 100 TB: the corpus side is ONE narrow projection
+    * (quantize + literal-matrix assign — no shuffle, no index build
+    * job); queries fan out to `nprobe` rows each and BROADCAST into the
+    * corpus scan, so the only exchange in the whole query is the final
+    * per-query top-k window over candidates (candidate count ≈
+    * corpus/numCentroids × nprobe per query, the IVF contract). A
+    * materialized variant would persist the assigned corpus partitioned
+    * by `__list` and prune scanned lists instead — same semantics. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      embCol: String, k: Int, numCentroids: Int, nprobe: Int): DataFrame = {
+    val cents = ivfCentroids(corpus, idCol, embCol, numCentroids)
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        quantize(col(embCol)).as("__ce"))
+      .withColumn("__list", ivfAssign(col("__ce"), cents))
+    val q = queries
+      .select(col(idCol).as("query_id"), quantize(col(embCol)).as("__qe"))
+      .select(col("query_id"), col("__qe"),
+        explode(ivfProbes(col("__qe"), cents, nprobe)).as("__list"))
+    val scored = broadcast(q).join(c, Seq("__list"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot_q", dotQ(col("__qe"), col("__ce")))
+    val w = Window.partitionBy("query_id").orderBy(col("dot_q").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "dot_q", "rank")
+  }
+
   /** Near-duplicate pairs by quantized cosine threshold within a bucket:
     * cos(a,b) ≥ t  ⇔  dot² · S ≥ t²·S · |a|²·|b|²  (dot > 0), kept in
     * exact integer arithmetic: with t = 0.9 and S = 100:

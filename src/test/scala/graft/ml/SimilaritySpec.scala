@@ -40,6 +40,60 @@ class SimilaritySpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("ivfAssign matches a driver-side argmax over the centroid set") {
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 8)
+    val rows = emb.limit(20)
+      .select(col("vec_id"),
+        Similarity.ivfAssign(Similarity.quantize(col("embedding")), cents).as("list"),
+        Similarity.quantize(col("embedding")).as("q"))
+      .as[(Long, Int, Array[Long])].collect()
+    rows.foreach { case (id, list, q) =>
+      val dots = cents.map(c => c.zip(q).map { case (x, y) => x * y }.sum)
+      assert(list == dots.indexOf(dots.max) + 1, s"vec $id")
+    }
+  }
+
+  test("ivfProbes are ordered best-first and ivfTopK(nprobe=all) == bruteForceTopK") {
+    val corpus = emb.filter(col("vec_id") < 200)
+    val queries = corpus.filter(col("vec_id") < 10)
+    val cents = Similarity.ivfCentroids(corpus, "vec_id", "embedding", 8)
+    // probes: first probe IS the assignment, and all probes distinct
+    val pr = corpus.limit(20).select(
+        Similarity.ivfAssign(Similarity.quantize(col("embedding")), cents).as("a"),
+        Similarity.ivfProbes(Similarity.quantize(col("embedding")), cents, 3).as("p"))
+      .as[(Int, Array[Int])].collect()
+    pr.foreach { case (a, p) =>
+      assert(p.length == 3 && p.distinct.length == 3 && p.head == a)
+    }
+    // probing every list degenerates to exact brute force
+    val ivf = Similarity.ivfTopK(queries, corpus, "vec_id", "embedding",
+        k = 3, numCentroids = 8, nprobe = 8)
+      .orderBy("query_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val brute = Similarity.bruteForceTopK(queries, corpus, "vec_id", "embedding", 3)
+      .orderBy("query_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(ivf.toSeq == brute.toSeq)
+  }
+
+  test("ivfTopK candidates come only from probed lists (recall contract)") {
+    val corpus = emb.filter(col("vec_id") < 200)
+    val queries = corpus.filter(col("vec_id") < 10)
+    val cents = Similarity.ivfCentroids(corpus, "vec_id", "embedding", 8)
+    val assigned = corpus.select(col("vec_id"),
+        Similarity.ivfAssign(Similarity.quantize(col("embedding")), cents).as("list"))
+      .as[(Long, Int)].collect().toMap
+    val probes = queries.select(col("vec_id"),
+        Similarity.ivfProbes(Similarity.quantize(col("embedding")), cents, 2).as("p"))
+      .as[(Long, Array[Int])].collect().toMap
+    Similarity.ivfTopK(queries, corpus, "vec_id", "embedding",
+        k = 5, numCentroids = 8, nprobe = 2)
+      .collect().foreach { r =>
+        val (qid, nid) = (r.getLong(0), r.getLong(1))
+        assert(probes(qid).contains(assigned(nid)), s"$nid not in $qid's probed lists")
+      }
+  }
+
   test("nearDupPairs finds planted scaled copies and nothing else at fixture scale") {
     val corpus = emb.unionByName(
       emb.filter(col("vec_id") % 10 === 0).select(
