@@ -174,6 +174,41 @@ object Similarity {
   private def centroidDots(qe: Column, cents: Seq[Seq[Long]]): Column =
     transform(typedLit(cents), c => dotQ(qe, c))
 
+  /** Lloyd refinement of an IVF coarse quantizer: `iters` rounds of
+    * assign (one narrow literal-matrix pass over the corpus — the same
+    * expression the index build uses) + re-center (ONE tiny aggregation:
+    * numCentroids groups × dims integer sums, map-side combined, then a
+    * centroids-sized collect). Per-iteration cost is a single corpus
+    * scan regardless of table size; the query-side plan of [[ivfTopK]]
+    * is unchanged by refinement — callers pass the refined matrix via
+    * `centroids`. Centroid update is the integer mean (floorDiv) of the
+    * assigned quantized vectors, so refinement is exactly reproducible;
+    * a list that loses all members keeps its previous centroid. */
+  def ivfRefine(corpus: DataFrame, embCol: String,
+      cents: IndexedSeq[Seq[Long]], iters: Int): IndexedSeq[Seq[Long]] = {
+    val dims = cents.head.size
+    var cs = cents
+    for (_ <- 0 until iters) {
+      val aggs = count(lit(1)).as("n") +:
+        (1 to dims).map(i => sum(element_at(col("__q"), i)).as(s"s$i"))
+      val sums = corpus
+        .select(quantize(col(embCol)).as("__q"))
+        .select(ivfAssign(col("__q"), cs).as("__list"), col("__q"))
+        .groupBy("__list")
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), (2 to dims + 1).map(r.getLong)))
+        .toMap
+      cs = cs.zipWithIndex.map { case (old, idx) =>
+        sums.get(idx + 1) match {
+          case Some((n, coord)) => coord.map(s => Math.floorDiv(s, n)).toIndexedSeq
+          case None => old
+        }
+      }
+    }
+    cs
+  }
+
   /** 1-based index of the nearest (max-dot) centroid; ties take the
     * lowest index (array_position returns the FIRST max). The dots
     * array appears twice in the expression — whole-stage codegen's
@@ -204,8 +239,9 @@ object Similarity {
     * materialized variant would persist the assigned corpus partitioned
     * by `__list` and prune scanned lists instead — same semantics. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      embCol: String, k: Int, numCentroids: Int, nprobe: Int): DataFrame = {
-    val cents = ivfCentroids(corpus, idCol, embCol, numCentroids)
+      embCol: String, k: Int, numCentroids: Int, nprobe: Int,
+      centroids: Option[IndexedSeq[Seq[Long]]] = None): DataFrame = {
+    val cents = centroids.getOrElse(ivfCentroids(corpus, idCol, embCol, numCentroids))
     val c = corpus.select(col(idCol).as("neighbor_id"),
         quantize(col(embCol)).as("__ce"))
       .withColumn("__list", ivfAssign(col("__ce"), cents))

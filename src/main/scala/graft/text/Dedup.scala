@@ -97,15 +97,22 @@ object Dedup {
     * aggregation. Pinned equal to [[minhashArray]]∘[[shingles]] by
     * DedupSpec. */
   def minhashNarrow(df: DataFrame, idCol: String, text: Column, numHashes: Int,
-      shingleWords: Int = 3, maxWords: Int = MaxShingleWords): DataFrame = {
+      shingleWords: Int = 3, maxWords: Int = MaxShingleWords): DataFrame =
+    df.select(col(idCol),
+        minhashCol(text, numHashes, shingleWords, maxWords).as("mh"))
+      .filter(col("mh").isNotNull)
+
+  /** The per-doc minhash signature as a bare Column (the expression
+    * [[minhashNarrow]] projects) — for callers that need the signature
+    * alongside the full row, e.g. the streaming near-dup gate. */
+  def minhashCol(text: Column, numHashes: Int, shingleWords: Int = 3,
+      maxWords: Int = MaxShingleWords): Column = {
     val sh = Shingles.wordNGramsOf(
       slice(split(lower(text), " "), 1, maxWords), shingleWords)
-    df.select(col(idCol),
-        org.apache.spark.sql.graftbridge.ExprBridge.column(
-          graft.functions.MinHashSigs(
-            org.apache.spark.sql.graftbridge.ExprBridge.expression(sh),
-            minhashCoeffs(numHashes))).as("mh"))
-      .filter(col("mh").isNotNull)
+    org.apache.spark.sql.graftbridge.ExprBridge.column(
+      graft.functions.MinHashSigs(
+        org.apache.spark.sql.graftbridge.ExprBridge.expression(sh),
+        minhashCoeffs(numHashes)))
   }
 
   /** Band signatures from the minhash array: `rowsPerBand` consecutive

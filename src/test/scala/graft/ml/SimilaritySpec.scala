@@ -76,6 +76,38 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.toSeq == brute.toSeq)
   }
 
+  test("ivfRefine is deterministic, centers lists on their members, and preserves exactness at nprobe=all") {
+    val corpus = emb.filter(col("vec_id") < 200)
+    val init = Similarity.ivfCentroids(corpus, "vec_id", "embedding", 8)
+    val r1 = Similarity.ivfRefine(corpus, "embedding", init, 2)
+    val r2 = Similarity.ivfRefine(corpus, "embedding", init, 2)
+    assert(r1 == r2) // integer Lloyd: exactly reproducible
+    assert(r1 != init) // something actually moved on this fixture
+    // each refined centroid is the integer mean of its assigned members
+    import spark.implicits._
+    val assigned = corpus.select(
+        Similarity.ivfAssign(Similarity.quantize(col("embedding")),
+          Similarity.ivfRefine(corpus, "embedding", init, 1)).as("list"),
+        Similarity.quantize(col("embedding")).as("q"))
+      .as[(Int, Array[Long])].collect()
+    val byList = assigned.groupBy(_._1)
+    // recompute round 2's centers on the driver from round 1's assignment
+    val want = Similarity.ivfRefine(corpus, "embedding", init, 2)
+    byList.foreach { case (list, members) =>
+      val n = members.length.toLong
+      val mean = members.map(_._2).transpose.map(c => Math.floorDiv(c.sum, n))
+      assert(want(list - 1) == mean.toSeq, s"list $list center mismatch")
+    }
+    // refined index, every list probed → still exactly brute force
+    val queries = corpus.filter(col("vec_id") < 5)
+    val ivf = Similarity.ivfTopK(queries, corpus, "vec_id", "embedding",
+        k = 3, numCentroids = 8, nprobe = 8, centroids = Some(r1))
+      .orderBy("query_id", "rank").collect().toSeq
+    val brute = Similarity.bruteForceTopK(queries, corpus, "vec_id", "embedding", 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(ivf == brute)
+  }
+
   test("ivfTopK candidates come only from probed lists (recall contract)") {
     val corpus = emb.filter(col("vec_id") < 200)
     val queries = corpus.filter(col("vec_id") < 10)

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import java.nio.file.Files
+
+/** The streaming dedup gates: first arrival wins across micro-batches,
+  * near-dup signature equality catches what content-hash equality
+  * misses, and the same code degenerates to distinct-on-key in batch. */
+class DocStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def feedDir(): String = Files.createTempDirectory("graft-docstream").toString
+
+  // two files = two micro-batches (maxFilesPerTrigger=1, mod-time order)
+  private def writeFeed(dir: String): Unit = {
+    Seq(
+      (1L, "alpha beta gamma delta", "2024-01-01 10:00:00"),
+      (2L, "one two three four five", "2024-01-01 10:00:10"))
+      .toDF("doc_id", "text", "t")
+      .withColumn("t", to_timestamp(col("t"))).coalesce(1)
+      .write.mode("append").parquet(dir)
+    Thread.sleep(300)
+    Seq(
+      (3L, "ALPHA BETA gamma delta", "2024-01-01 10:00:20"), // re-cased near-dup of 1
+      (4L, "one two three four five", "2024-01-01 10:00:30"), // exact dup of 2
+      (5L, "fresh document text entirely", "2024-01-01 10:00:40"))
+      .toDF("doc_id", "text", "t")
+      .withColumn("t", to_timestamp(col("t"))).coalesce(1)
+      .write.mode("append").parquet(dir)
+  }
+
+  private def runGate(dir: String, name: String,
+      gate: DataFrame => DataFrame): Set[Long] = {
+    val schema = spark.read.parquet(dir).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = gate(src)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).select("doc_id").as[Long].collect().toSet
+  }
+
+  test("exact gate keeps first arrival, drops the cross-batch content dup") {
+    val dir = feedDir(); writeFeed(dir)
+    val kept = runGate(dir, "ds_exact",
+      df => DocStream.dedupExactStream(df, col("text"), "t", "1 hour"))
+    // 4 is byte-identical to 2 (dropped); 3 differs in case (kept)
+    assert(kept == Set(1L, 2L, 3L, 5L))
+  }
+
+  test("minhash gate additionally drops the re-cased near-dup") {
+    val dir = feedDir(); writeFeed(dir)
+    val kept = runGate(dir, "ds_minhash",
+      df => DocStream.dedupMinhashStream(df, col("text"), "t", "1 hour"))
+    assert(kept == Set(1L, 2L, 5L))
+  }
+
+  test("empty docs pass the minhash gate individually (null-signature guard)") {
+    val dir = feedDir()
+    Seq((1L, "", "2024-01-01 10:00:00"), (2L, "", "2024-01-01 10:00:01"),
+      (3L, "xy", "2024-01-01 10:00:02"))
+      .toDF("doc_id", "text", "t")
+      .withColumn("t", to_timestamp(col("t"))).coalesce(1)
+      .write.mode("append").parquet(dir)
+    // two DIFFERENT empty-ish docs: both shingle-less, must not collapse
+    Thread.sleep(300)
+    Seq((4L, "zq", "2024-01-01 10:00:03"))
+      .toDF("doc_id", "text", "t")
+      .withColumn("t", to_timestamp(col("t"))).coalesce(1)
+      .write.mode("append").parquet(dir)
+    val kept = runGate(dir, "ds_empty",
+      df => DocStream.dedupMinhashStream(df, col("text"), "t", "1 hour"))
+    // 2 is an exact dup of 1 (same empty text → same content key);
+    // 3 and 4 are distinct shingle-less docs and both survive
+    assert(kept == Set(1L, 3L, 4L))
+  }
+
+  test("batch mode degenerates to distinct-on-content") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "2024-01-01 10:00:00"),
+      (2L, "alpha beta gamma delta", "2024-01-01 10:00:10"),
+      (3L, "one two three four five", "2024-01-01 10:00:20"))
+      .toDF("doc_id", "text", "t")
+      .withColumn("t", to_timestamp(col("t")))
+    val out = DocStream.dedupExactStream(docs, col("text"), "t", "1 hour")
+    assert(out.count() == 2)
+    assert(out.select(countDistinct(col("text"))).as[Long].head() == 2)
+  }
+}
