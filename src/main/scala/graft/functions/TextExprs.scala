@@ -270,3 +270,73 @@ case class CharShingles(child: Expression, k: Int) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): CharShingles =
     copy(child = newChild)
 }
+
+/** Min-md5 fingerprint + EXACT distinct-shingle count of a shingle
+  * array in one pass — `struct<fingerprint: string, n_shingles:
+  * bigint>`, NULL when the array is NULL, empty, or all-NULL (matching
+  * a doc that contributed no rows after `explode`). Replaces the
+  * fingerprint stage's explode → per-doc hash aggregate — one shuffle
+  * of |docs|×|shingles| rows — with a NARROW projection; and since min
+  * over the multiset is min over the distinct set, each DISTINCT
+  * shingle is digested exactly once (the exploded plan hashed every
+  * duplicate too). Digests compare unsigned-bytewise, which equals the
+  * lexicographic order of their lowercase-hex form — the form any SQL
+  * oracle's `min(md5(s))` compares.
+  */
+case class ShingleStats(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"shingle_stats expects array<string>, got ${t.sql}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("fingerprint", StringType, nullable = false),
+    StructField("n_shingles", LongType, nullable = false)))
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = compute(input)
+
+  def compute(input: Any): InternalRow = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val md = TextExprs.md5.get()
+    val seen = new java.util.HashSet[UTF8String]()
+    var min: Array[Byte] = null
+    var j = 0
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        // clone: the returned UTF8String may alias a buffer the row
+        // reader reuses; the set must own stable bytes
+        val s = arr.getUTF8String(j).clone()
+        if (seen.add(s)) {
+          md.reset()
+          val d = md.digest(s.getBytes)
+          if (min == null || java.util.Arrays.compareUnsigned(d, min) < 0) min = d
+        }
+      }
+      j += 1
+    }
+    if (min == null) return null
+    val hex = new java.lang.StringBuilder(32)
+    min.foreach { b =>
+      hex.append(Character.forDigit((b >> 4) & 0xF, 16))
+      hex.append(Character.forDigit(b & 0xF, 16))
+    }
+    InternalRow(UTF8String.fromString(hex.toString), seen.size.toLong)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleStats", this, classOf[ShingleStats].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""org.apache.spark.sql.catalyst.InternalRow ${ev.value}$$r =
+         |  (org.apache.spark.sql.catalyst.InternalRow) $ref.compute($c);
+         |if (${ev.value}$$r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}$$r; }""".stripMargin)
+  }
+
+  override def prettyName: String = "shingle_stats"
+  override protected def withNewChildInternal(newChild: Expression): ShingleStats =
+    copy(child = newChild)
+}

@@ -109,14 +109,29 @@ object TextFunctions {
   /** Content fingerprint: the lexicographic min of md5 over the
     * document's char-shingle set (a 1-hash MinHash — winnowing-lite),
     * plus the distinct-shingle count. Stable under reordering of
-    * identical content windows; O(len) per doc, no shuffle beyond the
-    * per-doc aggregate. */
-  def fingerprint(df: DataFrame, idCol: String, text: Column, k: Int = 12): DataFrame =
-    // single aggregation pass: min over the shingle MULTISET equals min
-    // over the distinct set, and count_distinct dedups inside the same
-    // hash aggregate — no separate distinct() shuffle. The capped prefix
-    // is BOUND as a column before the shingle lambda references it —
-    // see Shingles.charShinglesOf for why.
+    * identical content windows.
+    *
+    * NARROW plan: [[graft.functions.ShingleStats]] computes both values
+    * in one pass per doc — no explode, no per-doc hash aggregate (the
+    * exploded plan shuffled one row per (doc, shingle)), and each
+    * DISTINCT shingle is digested once. Pinned equal to
+    * [[fingerprintExploded]] by ExprsSpec. */
+  def fingerprint(df: DataFrame, idCol: String, text: Column, k: Int = 12): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ExprBridge
+    df.select(col(idCol),
+        substring(lower(text), 1, Shingles.MaxChars).as("__t"))
+      .select(col(idCol), ExprBridge.column(graft.functions.ShingleStats(
+        ExprBridge.expression(Shingles.charShinglesOf(col("__t"), k)))).as("__st"))
+      .filter(col("__st").isNotNull)
+      .select(col(idCol),
+        col("__st").getField("fingerprint").as("fingerprint"),
+        col("__st").getField("n_shingles").as("n_shingles"))
+  }
+
+  /** Declarative explode+aggregate formulation of [[fingerprint]]
+    * (spec-only equivalence twin). */
+  private[graft] def fingerprintExploded(df: DataFrame, idCol: String,
+      text: Column, k: Int = 12): DataFrame =
     df.select(col(idCol),
         substring(lower(text), 1, Shingles.MaxChars).as("__t"))
       .select(col(idCol), explode(Shingles.charShinglesOf(col("__t"), k)).as("s"))

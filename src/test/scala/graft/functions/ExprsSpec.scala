@@ -138,4 +138,22 @@ class ExprsSpec extends SparkSpec {
     val words = docs.select(split($"t", "\\s+").as("w"))
     assertSame(words, Shingles.wordNGramsOf($"w", 3), Shingles.wordNGramsHof($"w", 3))
   }
+
+  test("ShingleStats narrow fingerprint equals the exploded aggregate plan") {
+    import graft.text.TextFunctions
+    // real docs + adversarial shapes: duplicate-heavy, shorter than k,
+    // empty, and NULL text (the last must vanish from BOTH plans)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"text")
+      .unionByName(Seq(
+        (900001L, "ababababababababababababab"), // 2-period duplicates
+        (900002L, "short"), (900003L, ""),
+        (900004L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val narrow = TextFunctions.fingerprint(docs, "doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val exploded = TextFunctions.fingerprintExploded(docs, "doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(narrow == exploded && narrow.nonEmpty)
+    assert(!narrow.exists(_._1 == 900004L)) // NULL text contributes nothing
+  }
 }
