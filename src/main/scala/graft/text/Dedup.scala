@@ -289,13 +289,17 @@ object Dedup {
     * emits a deduped corpus assignment (id → cluster_root; keep the root)
     * rather than raw pairs.
     *
-    * Each round, every node takes the min of its own label and its
-    * neighbors' labels; iteration stops at the fixed point (no label
-    * changed), which is exactly the per-component min id. Rounds needed =
-    * component diameter — near-dup clusters are shallow (stars/cliques
-    * around an original), so this converges in 2-3 rounds in practice;
-    * `maxIter` bounds adversarial chains. Labels are persisted per round
-    * and the previous round unpersisted, so lineage stays flat.
+    * Each round, every node takes the min of its own label, its
+    * neighbors' labels, AND its current root's label (pointer jumping /
+    * path halving — the label chain contracts by half each round, so
+    * convergence is O(log diameter) rounds rather than O(diameter): a
+    * 2^50-long chain converges inside the default `maxIter`, where
+    * plain neighbor-min propagation would silently stop short).
+    * Iteration ends at the fixed point (no label changed), which is
+    * exactly the per-component min id. Near-dup clusters are shallow
+    * (stars/cliques around an original), so 2-3 rounds in practice.
+    * Labels are persisted per round and the previous round unpersisted,
+    * so lineage stays flat.
     *
     * `nodes` = one column of ids (the full corpus); `pairs` = (id_a,
     * id_b) verified edges. Returns (id, root); singletons are their own
@@ -330,13 +334,21 @@ object Dedup {
     while (changed > 0 && iter < maxIter) {
       val nbrMin = edges.join(labels.select(col("id").as("dst"), col("root")), Seq("dst"))
         .groupBy("src").agg(min("root").as("__nbr"))
-      // carry a per-row changed flag so ONE action both materializes the
-      // round and counts the changes (no extra old-vs-new join per round)
-      val updated = cut(labels
+      // neighbor-min, then one pointer jump (root := root's root) in the
+      // same round — the jump join runs over the same edge-connected
+      // label set, and a per-row changed flag lets ONE action both
+      // materialize the round and count the changes
+      val afterNbr = labels
         .join(nbrMin.select(col("src").as("id"), col("__nbr")), Seq("id"), "left")
+        .select(col("id"), col("root").as("__old"),
+          least(col("root"), coalesce(col("__nbr"), col("root"))).as("__r1"))
+      val updated = cut(afterNbr
+        .join(labels.select(col("id").as("__r1"), col("root").as("__rr")), Seq("__r1"), "left")
         .select(col("id"),
-          least(col("root"), coalesce(col("__nbr"), col("root"))).as("root"),
-          (coalesce(col("__nbr"), col("root")) < col("root")).cast("long").as("__chg")))
+          least(col("__r1"), coalesce(col("__rr"), col("__r1"))).as("root"),
+          col("__old"))
+        .select(col("id"), col("root"),
+          (col("root") < col("__old")).cast("long").as("__chg")))
         .persist()
       changed = updated.filter(col("__chg") === 1L).count()
       persisted.unpersist()

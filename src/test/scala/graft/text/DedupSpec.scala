@@ -111,6 +111,18 @@ class DedupSpec extends SparkSpec {
     assert(roots == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
   }
 
+  test("resolveClusters converges in O(log diameter) rounds (pointer jumping)") {
+    // a 64-node chain has diameter 63: plain neighbor-min propagation
+    // needs 63 rounds, path halving needs ~log2(63)+2 — maxIter=10
+    // converging at all IS the logarithmic-contraction proof
+    val n = 64L
+    val nodes = (1L to n).toDF("doc_id")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val roots = Dedup.resolveClusters(nodes, pairs, maxIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(roots == (1L to n).map(_ -> 1L).toMap)
+  }
+
   test("simhash: near-identical docs land within small hamming distance") {
     val d = docs.select(col("doc_id"), col("text")).limit(50)
     val corpus = d.unionByName(d.select(
