@@ -259,6 +259,23 @@ object Similarity {
       .select("query_id", "neighbor_id", "dot_q", "rank")
   }
 
+  /** ANN quality harness: per-query recall of an approximate top-k
+    * result against the exact one — |approx ∩ exact| / |exact| — plus
+    * hit/total counts. Both inputs are (query_id, neighbor_id, ...)
+    * shaped ([[bruteForceTopK]] / [[ivfTopK]] / [[bucketedTopK]]
+    * outputs). This is the number `nprobe` / LSH `bits` are tuned
+    * against; run it on a sampled query set, not the full corpus. */
+  def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val e = exact.select(col("query_id"), col("neighbor_id"))
+    val a = approx.select(col("query_id"), col("neighbor_id"))
+      .withColumn("__hit", lit(1L))
+    e.join(a, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("hits"),
+        count(lit(1)).as("exact_k"))
+      .withColumn("recall", col("hits") / col("exact_k"))
+  }
+
   /** Near-duplicate pairs by quantized cosine threshold within a bucket:
     * cos(a,b) ≥ t  ⇔  dot² · S ≥ t²·S · |a|²·|b|²  (dot > 0), kept in
     * exact integer arithmetic: with t = 0.9 and S = 100:

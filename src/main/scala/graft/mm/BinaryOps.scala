@@ -1,6 +1,6 @@
 package graft.mm
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal / binary-column operators (builder brief §multimodal;
@@ -75,5 +75,62 @@ object BinaryOps {
         .when(upper(hex(substring(bin, 1, 3))) === "FFD8FF", "jpeg")
         .otherwise("raw").as("format"),
       (length(bin) > 0).as("decode_ok"))
+  }
+
+  /** One decoded payload — the row shape every codec produces. */
+  final case class Decoded(id: Long, width: Long, height: Long,
+      format: String, decode_ok: Boolean)
+
+  /** Imperative codec stage — the JVM twin of a `mapInPandas` + PIL
+    * pipeline: a typed `mapPartitions` whose `codecFactory` runs ONCE
+    * per partition (this is the load-bearing part of the batch shape —
+    * real codecs pay native-library / model-weights init that must
+    * amortize over a partition, never per row), and whose per-row
+    * decode failures are CAPTURED as `decode_ok = false` rows rather
+    * than thrown (one corrupt payload in 100 TB must not kill the
+    * stage). Plan stays narrow: no shuffle, partitioning preserved.
+    *
+    * The expression stub [[decodeStub]] is the declarative fast path
+    * for metadata-only decodes; this is the seam a REAL codec plugs
+    * into — swap `codecFactory` and nothing downstream changes.
+    * [[stubCodec]] (deterministic, library-free) pins the plumbing. */
+  def decodeWith(df: DataFrame, idCol: String, bin: Column)
+      (codecFactory: () => Array[Byte] => Decoded): Dataset[Decoded] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), bin.cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val decode = codecFactory() // once per partition, by construction
+        it.map { case (id, bytes) =>
+          try {
+            val d = decode(if (bytes == null) Array.emptyByteArray else bytes)
+            d.copy(id = id)
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              Decoded(id, 0L, 0L, "error", decode_ok = false)
+          }
+        }
+      }
+  }
+
+  /** The deterministic stand-in codec (no media libraries in this
+    * container): md5-derived dimensions + magic-bytes format, exactly
+    * [[decodeStub]]'s arithmetic — BinaryOpsSpec pins the two equal. */
+  def stubCodec(): Array[Byte] => Decoded = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    bytes => {
+      md.reset()
+      val h = md.digest(bytes).map("%02x".format(_)).mkString
+      val magic = bytes.take(4).map("%02X".format(_)).mkString
+      val fmt =
+        if (magic == "89504E47") "png"
+        else if (magic.startsWith("FFD8FF")) "jpeg"
+        else "raw"
+      Decoded(0L,
+        java.lang.Long.parseLong(h.substring(0, 4), 16) % 4096 + 1,
+        java.lang.Long.parseLong(h.substring(4, 8), 16) % 4096 + 1,
+        fmt, bytes.nonEmpty)
+    }
   }
 }

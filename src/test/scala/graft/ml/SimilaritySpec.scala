@@ -126,6 +126,25 @@ class SimilaritySpec extends SparkSpec {
       }
   }
 
+  test("recallAtK: 1.0 at nprobe=all, in (0,1] at nprobe=1, never above 1") {
+    val corpus = emb.filter(col("vec_id") < 200)
+    val queries = corpus.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(queries, corpus, "vec_id", "embedding", 5)
+    val full = Similarity.ivfTopK(queries, corpus, "vec_id", "embedding",
+      k = 5, numCentroids = 8, nprobe = 8)
+    val narrow = Similarity.ivfTopK(queries, corpus, "vec_id", "embedding",
+      k = 5, numCentroids = 8, nprobe = 1)
+    val rFull = Similarity.recallAtK(exact, full)
+      .select("recall").as[Double].collect()
+    assert(rFull.length == 20 && rFull.forall(_ == 1.0))
+    val rNarrow = Similarity.recallAtK(exact, narrow)
+      .select("recall").as[Double].collect()
+    assert(rNarrow.forall(r => r >= 0.0 && r <= 1.0))
+    // nprobe=1 on 8 lists must lose SOMETHING on this fixture — if it
+    // didn't, the recall metric couldn't distinguish the two configs
+    assert(rNarrow.sum < rFull.sum)
+  }
+
   test("nearDupPairs finds planted scaled copies and nothing else at fixture scale") {
     val corpus = emb.unionByName(
       emb.filter(col("vec_id") % 10 === 0).select(

@@ -59,4 +59,50 @@ class BinaryOpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3), r.getBoolean(4))).toMap
     assert(d == d2)
   }
+
+  test("decodeWith: mapPartitions codec equals the expression stub") {
+    val imperative = BinaryOps
+      .decodeWith(payloads, "doc_id", col("payload"))(BinaryOps.stubCodec _)
+      .collect().map(d => d.id -> (d.width, d.height, d.format, d.decode_ok)).toMap
+    val declarative = BinaryOps.decodeStub(payloads, "doc_id", col("payload"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3), r.getBoolean(4)))
+      .toMap
+    assert(imperative == declarative && imperative.nonEmpty)
+  }
+
+  test("decodeWith: codec factory runs once per partition, not per row") {
+    val inits = spark.sparkContext.longAccumulator("codec_inits")
+    val parts = 4
+    val df = payloads.repartition(parts)
+    val n = BinaryOps.decodeWith(df, "doc_id", col("payload")) { () =>
+      inits.add(1)
+      BinaryOps.stubCodec()
+    }.count()
+    assert(n > parts) // more rows than partitions, so per-row init would show
+    assert(inits.value == parts, s"codec initialized ${inits.value} times")
+  }
+
+  test("decodeWith: a throwing payload becomes decode_ok=false, rest of partition survives") {
+    // the codec (and its MessageDigest) must be built INSIDE the
+    // factory — i.e. on the executor, per partition; building it on the
+    // driver would ship non-serializable state, which is exactly the
+    // mistake the factory seam exists to prevent
+    val poisonFactory: () => Array[Byte] => BinaryOps.Decoded = () => {
+      val real = BinaryOps.stubCodec()
+      bytes =>
+        if (bytes.nonEmpty && bytes(0) == 'X'.toByte)
+          throw new RuntimeException("corrupt payload")
+        else real(bytes)
+    }
+    val docs = Seq((1L, "normal payload"), (2L, "X corrupt"), (3L, "another fine one"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .coalesce(1) // same partition as the poison row
+    val out = BinaryOps.decodeWith(docs, "doc_id", col("payload"))(poisonFactory)
+      .collect().map(d => d.id -> d).toMap
+    assert(out.size == 3)
+    assert(!out(2L).decode_ok && out(2L).format == "error")
+    assert(out(1L).decode_ok && out(3L).decode_ok)
+  }
 }

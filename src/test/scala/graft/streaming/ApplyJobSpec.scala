@@ -105,7 +105,9 @@ class ApplyJobSpec extends SparkSpec {
       // against the sink the tail is concurrently rewriting
       Simgen.liveFeed(spark, feedDir, ns, batches = 3,
         docsPerBatch = 10, pauseMs = 500, readFrom = Some(sink))
-      val deadline = System.currentTimeMillis() + 60000
+      // generous: convergence takes ~5 s alone, but this suite shares a
+      // loaded box with the driver's bench/verify runs
+      val deadline = System.currentTimeMillis() + 180000
       val expected = expectedState(
         spark.read.parquet(feedDir).as[Oplog].collect().toSeq)
       var converged = false
