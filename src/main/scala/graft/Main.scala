@@ -138,7 +138,10 @@ object Main {
   private def compare(spark: SparkSession, cfg: MigratorConfig): Int = {
     val source = catalogAt(spark, cfg.source, cfg)
     val sink = catalogAt(spark, cfg.target, cfg, mirrorOf = Some(source))
-    val results = Migrate.compare(spark, cfg, source, sink)
+    val results =
+      if (cfg.compareMode == MigratorConfig.CompareChunked)
+        Migrate.compareChunked(spark, cfg, source, sink, block = cfg.block)
+      else Migrate.compare(spark, cfg, source, sink)
     results.toSeq.sortBy(_._1).foreach { case (ns, s) =>
       println(s"$ns: matched=${s.matched} mismatched=${s.mismatched} " +
         s"missing=${s.missingOnTarget} extra=${s.extraOnTarget}")

@@ -62,6 +62,7 @@ final case class MigratorConfig(
     workers: Int = MigratorConfig.NumberWorkers,
     buckets: Int = 0,
     tail: Boolean = false,
+    compareMode: String = MigratorConfig.CompareBucketed,
     verbose: Boolean = false) {
 
   private lazy val included: Map[String, IncludeSpec] =
@@ -104,6 +105,13 @@ object MigratorConfig {
   val MaskHex = "hex"
   val MaskPartial = "partial"
 
+  /** `-compare` strategies: `bucketed` = sketch short-circuit (two scans
+    * when in sync); `chunked` = splitter-block walk in BSON key order,
+    * block size = `block` (inspectable chunk by chunk, the reference
+    * comparator's unit of work). */
+  val CompareBucketed = "bucketed"
+  val CompareChunked = "chunked"
+
   private val mapper = new ObjectMapper()
 
   /** Parse + validate a migrator config JSON string (reference
@@ -135,6 +143,9 @@ object MigratorConfig {
       workers = int("workers", 0) match { case w if w < 1 => NumberWorkers; case w => w },
       buckets = int("buckets", 0),
       tail = bool("tail"),
+      compareMode = str("compare_mode") match {
+        case "" => CompareBucketed; case m => m
+      },
       verbose = bool("verbose"))
     validate(cfg)
     cfg
@@ -179,6 +190,8 @@ object MigratorConfig {
     require(!(cfg.isDrop && (cfg.command == CommandData || cfg.command == CommandDataOnly)),
       s"""cannot set {"drop": true} when command is ${cfg.command}""")
     require(cfg.buckets >= 0, "buckets must be >= 0")
+    require(cfg.compareMode == CompareBucketed || cfg.compareMode == CompareChunked,
+      s"invalid compare_mode ${cfg.compareMode}")
   }
 }
 

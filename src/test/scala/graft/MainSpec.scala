@@ -71,6 +71,30 @@ class MainSpec extends SparkSpec {
     assert(Main.run(Seq("-compare", cmpCfg), sess) == 2)
   }
 
+  test("-compare with compare_mode=chunked walks splitter blocks and agrees with bucketed") {
+    val target = tmp("graft-cli-chunkcmp")
+    val source = new ParquetCatalog(spark, sf0001, "src")
+    val sink = new ParquetCatalog(spark, target, "src")
+    sink.write("src.nation", source.read("src.nation"))
+    def cfgWith(mode: String) = writeCfg(tmp(s"graft-cli-chunkcmp-$mode"),
+      s"""{"command":"all","source":"$sf0001","target":"$target",
+         |"compare_mode":"$mode","block":7,
+         |"includes":[{"namespace":"src.nation"}]}""".stripMargin)
+    assert(Main.run(Seq("-compare", cfgWith("chunked")), sess) == 0)
+    // perturb one row: both modes must flag it
+    sink.write("src.nation", sink.read("src.nation")
+      .withColumn("n_regionkey",
+        when($"n_nationkey" === 3, $"n_regionkey" + 7).otherwise($"n_regionkey"))
+      .localCheckpoint(true))
+    assert(Main.run(Seq("-compare", cfgWith("chunked")), sess) == 2)
+    assert(Main.run(Seq("-compare", cfgWith("bucketed")), sess) == 2)
+    // unknown mode is a config error
+    intercept[IllegalArgumentException] {
+      graft.config.MigratorConfig.parse(
+        """{"command":"all","source":"s","target":"t","compare_mode":"zigzag"}""")
+    }
+  }
+
   test("-start with command=index replicates index definitions only") {
     val target = tmp("graft-cli-idx-target")
     val cfg = writeCfg(tmp("graft-cli-idxcfg"),
