@@ -303,6 +303,23 @@ object SparkEntry {
       text.TextFunctions.simhash(load(s, dir, "documents"), "doc_id", col("text"))
         .orderBy("doc_id")),
 
+    // ---- the registered SQL surface: the same pipeline expressed in
+    // pure spark.sql over GraftExtensions-registered functions — pins
+    // the FunctionRegistry arg binding end-to-end against the oracle ----
+    "q_sql_surface" -> ((s, dir) => {
+      GraftFunctions.register(s) // idempotent; covers sessions graft didn't build
+      load(s, dir, "documents").createOrReplaceTempView("graft_sql_docs")
+      s.sql("""
+        |SELECT doc_id,
+        |  graft_fingerprint(text, 12).fingerprint AS fingerprint,
+        |  graft_fingerprint(text, 12).n_shingles AS n_shingles,
+        |  CAST(size(graft_tokens(text)) AS BIGINT) AS n_tokens,
+        |  graft_mask(source, 'partial') AS source_masked
+        |FROM graft_sql_docs
+        |WHERE text IS NOT NULL
+        |ORDER BY doc_id""".stripMargin)
+    }),
+
     // ---- K2/T5/ST6/P4: change-log apply — the batch core of the
     // streaming pipeline (BulkWriteOplogs, oplog_utils.go:88-205). A
     // deterministic change-log derived from `orders` (inserts, v2-diff
@@ -687,6 +704,22 @@ object SparkEntry {
         |       FROM t, LATERAL (SELECT unnest(generate_series(1, greatest(length(txt)-11, 1))) AS i) u)
         |SELECT doc_id, min(md5(s)) AS fingerprint, count(*) AS n_shingles
         |FROM sh GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_sql_surface" ->
+      """WITH t AS (SELECT doc_id, substr(lower(text), 1, 2048) AS txt
+        |           FROM documents WHERE text IS NOT NULL),
+        |sh AS (SELECT DISTINCT doc_id, substr(txt, u.i, 12) AS s
+        |       FROM t, LATERAL (SELECT unnest(generate_series(1, greatest(length(txt)-11, 1))) AS i) u),
+        |fp AS (SELECT doc_id, min(md5(s)) AS fingerprint, count(*) AS n_shingles
+        |       FROM sh GROUP BY 1)
+        |SELECT d.doc_id, fp.fingerprint, fp.n_shingles,
+        |  CAST(len(regexp_extract_all(d.text, '\S+')) AS BIGINT) AS n_tokens,
+        |  CASE WHEN length(d.source) > 4
+        |    THEN regexp_replace(substr(d.source, 1, length(d.source)-4), '[a-zA-Z0-9]', 'X', 'g')
+        |         || substr(d.source, length(d.source)-3, 4)
+        |    ELSE regexp_replace(d.source, '[a-zA-Z0-9]', 'X', 'g') END AS source_masked
+        |FROM documents d JOIN fp ON fp.doc_id = d.doc_id
+        |WHERE d.text IS NOT NULL
+        |ORDER BY d.doc_id""".stripMargin,
     "q_simhash" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok FROM documents),

@@ -36,6 +36,9 @@ object GraftSession {
     val spark = SparkSession.builder()
       .master(master)
       .appName("graft")
+      // the SQL function surface (external users: spark.sql.extensions=
+      // graft.GraftExtensions, or GraftFunctions.register on a live session)
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

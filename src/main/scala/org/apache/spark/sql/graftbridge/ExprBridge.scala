@@ -20,4 +20,19 @@ object ExprBridge {
 
   /** Unwrap a Column built by the classic API into its expression. */
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Fully convert a Column into a catalyst expression TREE.
+    *
+    * [[expression]] wraps functions-API nodes in a lazy
+    * `ColumnNodeExpression` placeholder — fine when the result is
+    * consumed back through the classic Column API (select/filter),
+    * which converts the whole tree at plan build, but unusable as a
+    * bare expression handed to the analyzer (a SQL FunctionRegistry
+    * builder's return value): the placeholder is Unevaluable and never
+    * resolves. This variant runs Spark's own node→expression converter
+    * eagerly; function calls come back as `UnresolvedFunction`, which
+    * the analyzer's fixed-point resolves exactly as it would in a
+    * parsed query. */
+  def catalystExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }

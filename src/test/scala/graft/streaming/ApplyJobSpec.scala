@@ -118,13 +118,21 @@ class ApplyJobSpec extends SparkSpec {
           sink.dataExists(ns) && sinkState(sink) == expected).getOrElse(false)
       }
       assert(converged, "live tail did not converge to the fed state")
-      // with the sink converged, the read load deterministically sees
-      // data: one more fed interval must run a non-trivial find+aggregate
-      // while the tail is still applying it
-      val stats = Simgen.liveFeed(spark, feedDir, ns, batches = 1,
-        docsPerBatch = 10, t0 = 1800000000L, readFrom = Some(sink))
-      assert(stats.findsMatched > 0, "interval find matched no live rows")
-      assert(stats.aggregateGroups > 0, "interval aggregate returned no groups")
+      // with the sink converged, the read load sees data: a fed interval
+      // must run a non-trivial find+aggregate while the tail is still
+      // applying. A single interval's reads can race the tail's atomic
+      // table swap (Try → zero counts, by design — Simgen.liveFeed doc),
+      // so retry intervals until one lands, like the real loop does.
+      var statsOk = false
+      var attempt = 0
+      while (!statsOk && System.currentTimeMillis() < deadline) {
+        val stats = Simgen.liveFeed(spark, feedDir, ns, batches = 1,
+          docsPerBatch = 10, t0 = 1800000000L + attempt * 1000L,
+          readFrom = Some(sink))
+        statsOk = stats.findsMatched > 0 && stats.aggregateGroups > 0
+        attempt += 1
+      }
+      assert(statsOk, "no read interval saw live rows before the deadline")
     } finally h.stop()
   }
 
