@@ -303,10 +303,27 @@ object Dedup {
     *
     * `nodes` = one column of ids (the full corpus); `pairs` = (id_a,
     * id_b) verified edges. Returns (id, root); singletons are their own
-    * root. */
-  def resolveClusters(nodes: DataFrame, pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    * root.
+    *
+    * Adaptive small-graph fast path (AQE-style runtime stats → plan
+    * choice): the edge set is the OUTPUT of LSH + exact-Jaccard
+    * verification, usually a vanishing fraction of the corpus — when it
+    * fits comfortably on the driver (`smallEdgeCap`, default 200k
+    * edges ≈ a few MB), one collect + union-find + broadcast join back
+    * replaces the whole iterative loop, whose per-round fixed cost
+    * (3 joins + an action) dwarfs the toy-scale data it moves. Above
+    * the cap — the 100 TB path — the distributed pointer-jumping loop
+    * runs unchanged. Both paths are pinned equal by DedupSpec. */
+  def resolveClusters(nodes: DataFrame, pairs: DataFrame, maxIter: Int = 50,
+      smallEdgeCap: Long = 200000L): DataFrame = {
     val spark = nodes.sparkSession
     val idName = nodes.columns.head
+    // one cheap stats action decides the plan (pairs is materialized by
+    // every producing stage, so this does not re-derive the pipeline);
+    // limit(cap+1).count() never scans past the cap on the big path
+    if (smallEdgeCap >= 0 && smallEdgeCap < Int.MaxValue &&
+        pairs.limit(smallEdgeCap.toInt + 1).count() <= smallEdgeCap)
+      return resolveClustersDriver(nodes, pairs)
     // LINEAGE CUT, the load-bearing trick of every iterative DataFrame
     // algorithm: persist() caches DATA but Catalyst still re-analyzes the
     // full logical plan, and each round references the previous labels
@@ -365,5 +382,60 @@ object Dedup {
     edges.unpersist(false)
     persisted.unpersist(false)
     out
+  }
+
+  /** Small-graph resolution: union-find on the driver over a collected
+    * edge list, broadcast the component assignment back. Exact same
+    * contract as the distributed loop (root = per-component MIN id
+    * under Spark's ordering for the id type); only reached below
+    * `smallEdgeCap`, so the collect is bounded by construction. */
+  private[text] def resolveClustersDriver(nodes: DataFrame,
+      pairs: DataFrame): DataFrame = {
+    val spark = nodes.sparkSession
+    val idName = nodes.columns.head
+    val idType = nodes.schema.head.dataType
+    // collected rows carry EXTERNAL values (String/Long/BigDecimal/...),
+    // whose natural Comparable order matches Spark's ordering for every
+    // id type the catalogs carry (the interpreted ordering would expect
+    // internal UTF8String/Decimal values)
+    val ord: Ordering[Any] = new Ordering[Any] {
+      def compare(a: Any, b: Any): Int =
+        a.asInstanceOf[Comparable[Any]].compareTo(b)
+    }
+
+    // path-halving union-find; roots resolved to the component min at the end
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def find(x0: Any): Any = {
+      var x = x0
+      while (parent.getOrElse(x, x) != x) {
+        val p = parent(x)
+        parent(x) = parent.getOrElse(p, p) // halve
+        x = parent(x)
+      }
+      x
+    }
+    // collected external values (Long/String/...) order identically to
+    // their internal twins for every id type the catalogs carry
+    pairs.select(col("id_a"), col("id_b")).collect().foreach { r =>
+      val (a, b) = (r.get(0), r.get(1))
+      if (a != null && b != null) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) {
+          if (ord.lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+    }
+    val assign = parent.keys.toSeq.map { id =>
+      org.apache.spark.sql.Row(id, find(id))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType),
+      org.apache.spark.sql.types.StructField("__r", idType)))
+    val labels = spark.createDataFrame(
+      spark.sparkContext.parallelize(assign, 1), schema)
+    // union-by-min makes every find() already the component min
+    nodes.select(col(idName).as("id"))
+      .join(broadcast(labels), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__r"), col("id")).as("root"))
   }
 }

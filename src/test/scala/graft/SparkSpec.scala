@@ -12,5 +12,9 @@ trait SparkSpec extends AnyFunSuite {
 
 object SparkSpec {
   // One session for the whole forked test JVM — suites share it.
-  lazy val session: SparkSession = GraftSession.create("local[4]", 4)
+  // local[8]: suites run in parallel inside the JVM, and the streaming
+  // specs' short-trigger queries starve for cores under local[4] when a
+  // heavy batch suite runs alongside (observed as live-tail convergence
+  // flakes); the box has 32 cores.
+  lazy val session: SparkSession = GraftSession.create("local[8]", 8)
 }

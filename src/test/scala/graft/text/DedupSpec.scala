@@ -105,8 +105,9 @@ class DedupSpec extends SparkSpec {
   test("resolveClusters: min-label propagation over chains and singletons") {
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
     // a 3-chain (diameter 2: needs >1 round), a 2-clique, a singleton
+    // smallEdgeCap = -1 forces the DISTRIBUTED loop
     val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
-    val roots = Dedup.resolveClusters(nodes, pairs)
+    val roots = Dedup.resolveClusters(nodes, pairs, smallEdgeCap = -1L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(roots == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
   }
@@ -114,13 +115,37 @@ class DedupSpec extends SparkSpec {
   test("resolveClusters converges in O(log diameter) rounds (pointer jumping)") {
     // a 64-node chain has diameter 63: plain neighbor-min propagation
     // needs 63 rounds, path halving needs ~log2(63)+2 — maxIter=10
-    // converging at all IS the logarithmic-contraction proof
+    // converging at all IS the logarithmic-contraction proof.
+    // smallEdgeCap = -1 forces the DISTRIBUTED loop
     val n = 64L
     val nodes = (1L to n).toDF("doc_id")
     val pairs = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val roots = Dedup.resolveClusters(nodes, pairs, maxIter = 10)
+    val roots = Dedup.resolveClusters(nodes, pairs, maxIter = 10, smallEdgeCap = -1L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(roots == (1L to n).map(_ -> 1L).toMap)
+  }
+
+  test("resolveClusters small-graph fast path equals the distributed loop") {
+    // chain + clique + singletons, shuffled edge directions
+    val nodes = (1L to 40L).toDF("doc_id")
+    val pairs = ((1L until 20L).map(i => (i + 1, i)) ++
+      Seq((30L, 35L), (35L, 31L), (31L, 30L))).toDF("id_a", "id_b")
+    val viaDriver = Dedup.resolveClusters(nodes, pairs) // cap default: driver path
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaLoop = Dedup.resolveClusters(nodes, pairs, smallEdgeCap = -1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDriver == viaLoop)
+    assert(viaDriver(20L) == 1L && viaDriver(35L) == 30L && viaDriver(40L) == 40L)
+
+    // string ids: min is Spark's string ordering on both paths
+    val snodes = Seq("b", "a", "c", "z").toDF("id")
+    val spairs = Seq(("b", "c"), ("c", "a")).toDF("id_a", "id_b")
+    val sDriver = Dedup.resolveClusters(snodes, spairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val sLoop = Dedup.resolveClusters(snodes, spairs, smallEdgeCap = -1L)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sDriver == sLoop)
+    assert(sDriver == Map("a" -> "a", "b" -> "a", "c" -> "a", "z" -> "z"))
   }
 
   test("simhash: near-identical docs land within small hamming distance") {
