@@ -98,9 +98,17 @@ object Dedup {
     * DedupSpec. */
   def minhashNarrow(df: DataFrame, idCol: String, text: Column, numHashes: Int,
       shingleWords: Int = 3, maxWords: Int = MaxShingleWords): DataFrame =
-    df.select(col(idCol),
+    // `mh` is null exactly when text is null OR the doc has fewer than
+    // `shingleWords` words (its only shingle is NULL). Filter on that
+    // CHEAP equivalent predicate up front: filtering on `mh` itself
+    // would push the whole one-md5-per-shingle signature expression
+    // into the Filter condition and the plan would digest every doc
+    // TWICE (filter + project). The split is recomputed by the filter,
+    // but it is O(chars) against the signature's O(shingles) digests.
+    df.filter(text.isNotNull &&
+        size(slice(split(lower(text), " "), 1, maxWords)) >= shingleWords)
+      .select(col(idCol),
         minhashCol(text, numHashes, shingleWords, maxWords).as("mh"))
-      .filter(col("mh").isNotNull)
 
   /** The per-doc minhash signature as a bare Column (the expression
     * [[minhashNarrow]] projects) — for callers that need the signature

@@ -118,11 +118,16 @@ object TextFunctions {
     * [[fingerprintExploded]] by ExprsSpec. */
   def fingerprint(df: DataFrame, idCol: String, text: Column, k: Int = 12): DataFrame = {
     import org.apache.spark.sql.graftbridge.ExprBridge
-    df.select(col(idCol),
+    // the null filter runs on the INPUT column: `__st` is null exactly
+    // when `text` is null, and filtering on the computed struct would
+    // push the whole digest pipeline into the Filter condition — the
+    // plan then pays shingles+md5 TWICE per row (filter + project).
+    // Bonus: an input-column predicate reaches the parquet scan.
+    df.filter(text.isNotNull)
+      .select(col(idCol),
         substring(lower(text), 1, Shingles.MaxChars).as("__t"))
       .select(col(idCol), ExprBridge.column(graft.functions.ShingleStats(
         ExprBridge.expression(Shingles.charShinglesOf(col("__t"), k)))).as("__st"))
-      .filter(col("__st").isNotNull)
       .select(col(idCol),
         col("__st").getField("fingerprint").as("fingerprint"),
         col("__st").getField("n_shingles").as("n_shingles"))
