@@ -18,6 +18,7 @@ import scala.jdk.CollectionConverters._
   *   `-resume <config.json>`  pick an interrupted migration back up (O6)
   *   `-compare <config.json>` deep-diff source vs target per namespace (J1)
   *   `-sim <config.json>`     generate a rate-paced change-stream load (G1)
+  *   `-sql <config.json>`     ad-hoc SQL over a catalog (engine extension)
   *   `-version`               print version
   *
   * (`-worker` has no Spark counterpart: the reference spawns queue
@@ -55,16 +56,17 @@ object Main {
   def run(args: Seq[String], session: () => SparkSession): Int = {
     def usage(): Int = {
       Console.err.println(
-        "usage: graft -start|-resume|-compare|-sim <config.json> | -version")
+        "usage: graft -start|-resume|-compare|-sim|-sql <config.json> | -version")
       1
     }
     args match {
       case Seq("-version") => println(Version); 0
-      case Seq(flag, file) if Set("-start", "-resume", "-compare", "-sim")(flag) =>
+      case Seq(flag, file) if Set("-start", "-resume", "-compare", "-sim", "-sql")(flag) =>
         val json = new String(
           java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file)), "UTF-8")
         flag match {
           case "-sim" => sim(session(), json)
+          case "-sql" => sql(session(), json)
           case "-compare" => compare(session(), MigratorConfig.parse(json))
           case "-start" => lifecycle(session(), MigratorConfig.parse(json), resume = false)
           case "-resume" => lifecycle(session(), MigratorConfig.parse(json), resume = true)
@@ -169,6 +171,52 @@ object Main {
       Simgen.liveFeed(spark, new Path(dir, ns).toString, ns,
         batches = seconds, docsPerBatch = perSecond).emitted).sum
     println(s"emitted $emitted oplog(s) across ${namespaces.size} namespace(s)")
+    0
+  }
+
+  /** `-sql` (engine extension — the reference has no query CLI; this is
+    * the "analytics over the migrated data" surface a Spark engine gets
+    * for free): `{"source": "<catalog root>", "query": "SELECT ..."}`
+    * (or `"queryFile": "<path>"`). Every catalog namespace is
+    * registered as a temp view — `db.coll` becomes `db_coll`, plus the
+    * bare `coll` name when unambiguous — the `graft_*` SQL functions
+    * are registered, and the statement runs. With `"out": "<dir>"` the
+    * result is written there as parquet; otherwise up to
+    * `"limit"` (default 20) rows print to stdout. */
+  private def sql(spark: SparkSession, json: String): Int = {
+    val n = new ObjectMapper().readTree(json)
+    require(n != null && n.isObject, "sql config must be a JSON object")
+    val dir = if (n.has("source")) n.get("source").asText() else ""
+    require(dir.nonEmpty, "sql config needs a source (catalog root)")
+    val query =
+      if (n.has("query")) n.get("query").asText()
+      else if (n.has("queryFile")) new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(n.get("queryFile").asText())), "UTF-8")
+      else ""
+    require(query.trim.nonEmpty, "sql config needs a query (or queryFile)")
+    GraftFunctions.register(spark)
+    val cat = catalogAt(spark, dir,
+      MigratorConfig(command = "data", source = dir, target = dir))
+    def viewName(s: String): String = s.replaceAll("[^A-Za-z0-9_]", "_")
+    val namespaces = cat.listNamespaces().filter(cat.dataExists)
+    namespaces.foreach { ns =>
+      cat.read(ns).createOrReplaceTempView(viewName(ns))
+    }
+    // bare collection names, where they don't collide across dbs
+    namespaces.groupBy(ns => config.Namespaces.split(ns)._2)
+      .collect { case (coll, Seq(ns)) => coll -> ns }
+      .foreach { case (coll, ns) =>
+        cat.read(ns).createOrReplaceTempView(viewName(coll))
+      }
+    val result = spark.sql(query)
+    if (n.has("out")) {
+      val out = n.get("out").asText()
+      result.write.mode("overwrite").parquet(out)
+      println(s"wrote $out")
+    } else {
+      val limit = if (n.has("limit")) n.get("limit").asInt() else 20
+      result.show(limit, truncate = false)
+    }
     0
   }
 }

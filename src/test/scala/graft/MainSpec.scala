@@ -71,6 +71,28 @@ class MainSpec extends SparkSpec {
     assert(Main.run(Seq("-compare", cmpCfg), sess) == 2)
   }
 
+  test("-sql runs ad-hoc statements over catalog views with graft functions") {
+    val out = tmp("graft-cli-sqlout") + "/res"
+    // bare `nation` view (unambiguous) + a registered graft_* function
+    val cfg = writeCfg(tmp("graft-cli-sqlcfg"),
+      s"""{"source":"$sf0001","out":"$out",
+         |"query":"SELECT n_regionkey, count(*) AS n, graft_mask(max(n_name), 'default') AS m FROM nation GROUP BY 1 ORDER BY 1"}""".stripMargin)
+    assert(Main.run(Seq("-sql", cfg), sess) == 0)
+    val res = spark.read.parquet(out).orderBy("n_regionkey").collect()
+    assert(res.length == 5 && res.map(_.getLong(1)).sum == 25L)
+    assert(res.head.getString(2).forall(ch => ch == 'X' || !ch.isLetterOrDigit))
+
+    // qualified db_coll view + stdout mode (no out dir)
+    val cfg2 = writeCfg(tmp("graft-cli-sqlcfg2"),
+      s"""{"source":"$sf0001","limit":3,
+         |"query":"SELECT count(*) AS n FROM local_region"}""".stripMargin)
+    assert(Main.run(Seq("-sql", cfg2), sess) == 0)
+
+    // a config without a query is rejected
+    val bad = writeCfg(tmp("graft-cli-sqlcfg3"), s"""{"source":"$sf0001"}""")
+    intercept[IllegalArgumentException] { Main.run(Seq("-sql", bad), sess) }
+  }
+
   test("-compare with compare_mode=chunked walks splitter blocks and agrees with bucketed") {
     val target = tmp("graft-cli-chunkcmp")
     val source = new ParquetCatalog(spark, sf0001, "src")
