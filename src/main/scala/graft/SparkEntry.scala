@@ -444,6 +444,42 @@ object SparkEntry {
         .orderBy("chunk_md5")
     }),
 
+    // ---- multimodal: keyframe sampling — every 3rd 128-byte frame,
+    // fingerprinted, no decode ----
+    "q_mm_frames" -> ((s, dir) => {
+      val d = load(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      mm.BinaryOps.frameSample(d, "doc_id", col("payload"), 128, 3)
+        .select("doc_id", "frame_idx", "frame_md5", "frame_bytes")
+        .orderBy("doc_id", "frame_idx")
+    }),
+
+    // ---- multimodal: resize planning over decoded metadata (integer
+    // box arithmetic; pixel work stays in the codec seam) ----
+    "q_mm_resize" -> ((s, dir) => {
+      val d = load(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      mm.BinaryOps.resizeSpec(
+          mm.BinaryOps.decodeStub(d, "doc_id", col("payload")), 512)
+        .select(col("doc_id"), col("width"), col("height"),
+          col("target_width"), col("target_height"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- multimodal: stub feature extraction → the ANN pipeline's
+    // exact quantized-integer norm (the embedding column any real
+    // extractor would feed into ml.Similarity unchanged) ----
+    "q_mm_features" -> ((s, dir) => {
+      val d = load(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      mm.BinaryOps.featureStub(d, "doc_id", col("payload"), 8)
+        .select(col("doc_id"),
+          ml.Similarity.dotQ(ml.Similarity.quantize(col("embedding")),
+            ml.Similarity.quantize(col("embedding"))).as("qnorm"))
+        .orderBy("doc_id")
+    }),
+
     // ---- J3: last-write-wins per-key compaction (oplog apply ordering) ----
     // the micro-batch compaction inside K2's foreachBatch, run as a batch
     // query over the events change-log table.
@@ -886,6 +922,35 @@ object SparkEntry {
         |    1, greatest(length(text), 1), 256)) AS i) u)
         |SELECT chunk_md5, count(*) AS n_refs, min(doc_id) AS first_doc
         |FROM ch GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin,
+    "q_mm_frames" ->
+      """SELECT doc_id, CAST((u.i-1)//128 AS BIGINT) AS frame_idx,
+        |  md5(substring(text, u.i, 128)) AS frame_md5,
+        |  CAST(length(substring(text, u.i, 128)) AS BIGINT) AS frame_bytes
+        |FROM documents, LATERAL (SELECT unnest(generate_series(
+        |  1, greatest(length(text), 1), 128)) AS i) u
+        |WHERE text IS NOT NULL AND ((u.i-1)//128) % 3 = 0
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+    "q_mm_resize" ->
+      """WITH m AS (SELECT doc_id,
+        |  CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 4096 + 1 AS width,
+        |  CAST(('0x' || substr(md5(text), 5, 4)) AS BIGINT) % 4096 + 1 AS height
+        |  FROM documents)
+        |SELECT doc_id, width, height,
+        |  CASE WHEN greatest(width, height) <= 512 THEN width
+        |       WHEN width >= height THEN 512
+        |       ELSE greatest(1, CAST(floor(least(width, height) * 512 / greatest(width, height)) AS BIGINT)) END AS target_width,
+        |  CASE WHEN greatest(width, height) <= 512 THEN height
+        |       WHEN height > width THEN 512
+        |       ELSE greatest(1, CAST(floor(least(width, height) * 512 / greatest(width, height)) AS BIGINT)) END AS target_height
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "q_mm_features" ->
+      """WITH v AS (
+        |  SELECT doc_id, CAST(floor(
+        |    ((CAST(('0x' || substr(md5(text), 4*j.j+1, 4)) AS BIGINT) % 2001 - 1000)
+        |      / 1000.0) * 1000) AS BIGINT) AS q
+        |  FROM documents, generate_series(0, 7) j(j))
+        |SELECT doc_id, CAST(sum(q*q) AS BIGINT) AS qnorm
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_k2_apply" ->
       """WITH src AS (
         |  SELECT o_orderkey AS k, o_custkey, o_orderstatus, o_totalprice FROM orders),

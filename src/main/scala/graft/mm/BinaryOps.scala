@@ -55,6 +55,66 @@ object BinaryOps {
   private def starts_of(bin: Column, chunkBytes: Int): Column =
     sequence(lit(1L), greatest(length(bin).cast("long"), lit(1L)), lit(chunkBytes.toLong))
 
+  /** Frame sampling: treat the payload as consecutive `frameBytes`
+    * frames and keep every `everyNth` one (frame 0, N, 2N, ...) — the
+    * video keyframe-sampling shape: a 2-hour clip contributes
+    * frames/N rows, deterministically, with no decode. Output: one row
+    * per SAMPLED frame with its 0-based index, byte slice, md5 and
+    * actual length (the tail frame may be short). Narrow per-row
+    * explosion, |output| = Σ ceil(frames/N) — no shuffle. */
+  def frameSample(df: DataFrame, idCol: String, bin: Column,
+      frameBytes: Int = 4096, everyNth: Int = 1): DataFrame = {
+    require(frameBytes >= 1 && everyNth >= 1, "frameBytes and everyNth must be >= 1")
+    df.select(col(idCol), bin.as("__bin"))
+      .select(col(idCol), col("__bin"),
+        posexplode(starts_of(col("__bin"), frameBytes)).as(Seq("__pos", "__start")))
+      .filter(col("__pos") % everyNth === 0)
+      .select(col(idCol), col("__pos").cast("long").as("frame_idx"),
+        col("__bin").substr(col("__start"), lit(frameBytes)).as("frame"))
+      .withColumn("frame_md5", md5(col("frame")))
+      .withColumn("frame_bytes", length(col("frame")).cast("long"))
+  }
+
+  /** Feature extraction (STUB): a deterministic `dims`-dimension
+    * embedding derived from the payload's md5 — each coordinate is an
+    * exact integer in [-1000, 1000] divided by 1000.0, so any engine
+    * that repeats the arithmetic (and any oracle) reproduces the
+    * doubles bit-for-bit. The REAL extractor (CLIP/wav2vec/...) plugs
+    * into [[decodeWith]]'s once-per-partition codec seam and emits the
+    * same `array<double>` column; everything downstream — quantize,
+    * ANN, near-dup — is the [[graft.ml.Similarity]] pipeline unchanged.
+    * `dims` ≤ 8 draws from one md5 (4 hex digits per coordinate). */
+  def featureStub(df: DataFrame, idCol: String, bin: Column,
+      dims: Int = 8): DataFrame = {
+    require(dims >= 1 && dims <= 8, "stub features draw from one md5: 1..8 dims")
+    // bind the digest BEFORE the per-dimension lambda (re-eval trap)
+    df.select(col(idCol), md5(bin).as("__h"))
+      .select(col(idCol),
+        transform(sequence(lit(0), lit(dims - 1)), j =>
+          (conv(col("__h").substr(j * 4 + 1, lit(4)), 16, 10).cast("long") % 2001
+            - 1000).cast("double") / 1000.0).as("embedding"))
+  }
+
+  /** Resize planning: the target box for a decoded payload, longest
+    * side capped at `maxDim`, aspect ratio preserved, never upscaled —
+    * pure integer arithmetic over [[decodeStub]]/[[decodeWith]] output
+    * (`width`/`height` columns), so the plan is engine-agnostic and the
+    * actual pixel work stays inside the codec seam. */
+  def resizeSpec(df: DataFrame, maxDim: Int): DataFrame = {
+    require(maxDim >= 1, "maxDim must be >= 1")
+    val w = col("width")
+    val h = col("height")
+    val long = greatest(w, h)
+    val short = least(w, h)
+    val scaledShort = greatest(lit(1L), floor(short * maxDim / long).cast("long"))
+    df.withColumn("target_width",
+        when(long <= maxDim, w)
+          .otherwise(when(w >= h, lit(maxDim.toLong)).otherwise(scaledShort)))
+      .withColumn("target_height",
+        when(long <= maxDim, h)
+          .otherwise(when(h > w, lit(maxDim.toLong)).otherwise(scaledShort)))
+  }
+
   /** Decode / feature-extract stage.
     *
     * STUB CODEC: this container ships no image/audio libraries, so the

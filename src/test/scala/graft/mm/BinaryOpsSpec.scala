@@ -105,4 +105,52 @@ class BinaryOpsSpec extends SparkSpec {
     assert(!out(2L).decode_ok && out(2L).format == "error")
     assert(out(1L).decode_ok && out(3L).decode_ok)
   }
+
+  test("frameSample keeps every Nth frame with exact slices") {
+    // 10 bytes, 3-byte frames -> frames 0..3 at starts 1,4,7,10;
+    // everyNth=2 keeps frames 0 and 2
+    val one = Seq((7L, "abcdefghij")).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val f = BinaryOps.frameSample(one, "doc_id", col("payload"), 3, 2)
+      .orderBy("frame_idx")
+      .select(col("frame_idx"), col("frame").cast("string"), col("frame_bytes"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(f.toSeq == Seq((0L, "abc", 3L), (2L, "ghi", 3L)))
+
+    // everyNth=1 == chunks coverage; tail frame is short
+    val all = BinaryOps.frameSample(one, "doc_id", col("payload"), 3, 1)
+      .orderBy("frame_idx").select(col("frame").cast("string"))
+      .collect().map(_.getString(0))
+    assert(all.toSeq == Seq("abc", "def", "ghi", "j"))
+  }
+
+  test("featureStub embeddings are deterministic and feed the ANN pipeline") {
+    val emb = BinaryOps.featureStub(payloads, "doc_id", col("payload"), 8).cache()
+    assert(emb.filter(size(col("embedding")) =!= 8).count() == 0)
+    // bounded in [-1, 1], deterministic across evaluations
+    assert(emb.select(explode(col("embedding")).as("v"))
+      .filter(abs(col("v")) > 1.0).count() == 0)
+    val a = emb.orderBy("doc_id").limit(5).collect().map(_.getSeq[Double](1))
+    val b = BinaryOps.featureStub(payloads, "doc_id", col("payload"), 8)
+      .orderBy("doc_id").limit(5).collect().map(_.getSeq[Double](1))
+    assert(a.toSeq == b.toSeq)
+    // composes with the similarity ops: quantized self-dot is exact
+    val n = emb.select(graft.ml.Similarity.dotQ(
+        graft.ml.Similarity.quantize(col("embedding")),
+        graft.ml.Similarity.quantize(col("embedding"))).as("q"))
+      .agg(min("q"), max("q")).head()
+    assert(n.getLong(0) >= 0L && n.getLong(1) <= 8L * 1000L * 1000L)
+    emb.unpersist()
+  }
+
+  test("resizeSpec caps the longest side, keeps aspect, never upscales") {
+    val m = Seq((1L, 4000L, 2000L), (2L, 300L, 200L), (3L, 512L, 512L),
+      (4L, 100L, 4096L), (5L, 4096L, 1L))
+      .toDF("doc_id", "width", "height")
+    val r = BinaryOps.resizeSpec(m, 512).orderBy("doc_id")
+      .select("target_width", "target_height")
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(r.toSeq == Seq((512L, 256L), (300L, 200L), (512L, 512L),
+      (12L, 512L), (512L, 1L)))
+  }
 }
