@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.logical.Filter
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Plan-shape regression guards for the properties the scale story
+  * depends on. These pin OPTIMIZER OUTCOMES, not implementation: if a
+  * refactor re-introduces a digest expression into a Filter condition
+  * (double evaluation) or breaks scan-level pushdown/pruning, the
+  * failure shows up here at sf0.001 instead of as a silent 2× at 100 TB.
+  * Only lazy queries are audited — pipeline queries with internal
+  * actions would execute work at plan-construction time. */
+class PlanAuditSpec extends SparkSpec {
+
+  private def logical(name: String) =
+    SparkEntry.queries(name)(spark, sf0001).queryExecution.optimizedPlan
+
+  private def scans(name: String): Seq[FileSourceScanExec] = {
+    val plan = SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan
+    val unwrapped = plan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    unwrapped.collect { case s: FileSourceScanExec => s }
+  }
+
+  test("digest expressions stay out of Filter conditions (no double eval)") {
+    for (q <- Seq("q_fingerprint", "q_dedup_minhash", "q_sql_surface")) {
+      val filters = logical(q).collect { case f: Filter => f.condition.toString }
+      val offenders = filters.filter(c =>
+        c.contains("shingle_stats") || c.contains("minhash_sigs"))
+      assert(offenders.isEmpty,
+        s"$q evaluates a digest inside a Filter: ${offenders.mkString("; ")}")
+    }
+  }
+
+  test("input-column predicates reach the parquet scan") {
+    val fp = scans("q_fingerprint")
+    assert(fp.nonEmpty && fp.forall(
+      _.dataFilters.exists(_.toString.startsWith("isnotnull(text"))))
+    // S1: both range bounds land in the scan's data filters
+    val s1 = scans("q_s1_range_scan")
+    assert(s1.nonEmpty)
+    val filters = s1.flatMap(_.dataFilters).map(_.toString)
+    assert(filters.exists(_.contains(">=")) && filters.exists(_.contains("<=")),
+      s"range bounds not pushed: $filters")
+  }
+
+  test("scans are pruned to the referenced columns") {
+    // q1_agg touches 4 of lineitem's 16 columns: the scan must not
+    // read the other 12
+    val cols = scans("q1_agg").map(_.output.map(_.name))
+    assert(cols.nonEmpty && cols.forall(_.toSet.subsetOf(
+      Set("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"))),
+      s"q1_agg scan reads: $cols")
+    val fp = scans("q_fingerprint").map(_.output.map(_.name))
+    assert(fp.nonEmpty && fp.forall(_.toSet.subsetOf(Set("doc_id", "text"))))
+  }
+}
