@@ -163,6 +163,16 @@ object GraftFunctions {
       "graft_bson_sort_key(id) - BSON cross-type sort key for a canonical-JSON id; ORDER BY it") { es =>
       expect("graft_bson_sort_key", 1, es)
       x(ops.BsonKey.sortKey(c(es(0))))
+    },
+    fn("graft_text_stats",
+      "graft_text_stats(text) - struct(n_len, n_tokens, n_bpeish, n_alpha, n_digit, alpha_ratio, avg_token_len, quality_score)") { es =>
+      expect("graft_text_stats", 1, es)
+      x(text.TextFunctions.qualityStatsCol(c(es(0))))
+    },
+    fn("graft_lang_id",
+      "graft_lang_id(text) - struct(en_n, fr_n, es_n, de_n, pred_lang) stopword-marker language id") { es =>
+      expect("graft_lang_id", 1, es)
+      x(text.TextFunctions.languageIdCol(c(es(0))))
     })
 
   /** Idempotent runtime registration — for sessions graft didn't build. */

@@ -33,23 +33,39 @@ object TextFunctions {
   /** Per-document quality statistics (length / alpha / digit / token
     * counts + ratios). Ratios are single exact IEEE divisions of integer
     * counts — deterministic across engines. */
+  /** The full quality-stat record as ONE struct column — the SQL-surface
+    * form (`graft_text_stats`); [[qualityStats]] expands it. The local
+    * sub-expressions repeat across fields, but they live in one
+    * projection where codegen's subexpression elimination dedups them. */
+  def qualityStatsCol(text: Column): Column = {
+    val nLen = length(text).cast("long")
+    val nTokens = size(whitespaceTokens(text)).cast("long")
+    val nAlpha = size(regexp_extract_all(text, lit("[A-Za-z]"), lit(0))).cast("long")
+    // NULL (not Inf/NaN) for empty or whitespace-only docs, pinned on
+    // both engine and oracle (NULLIF) so the zero case can't diverge
+    val alphaRatio = when(nLen > 0, nAlpha.cast("double") / nLen)
+    val avgTokenLen = when(nTokens > 0, nLen.cast("double") / nTokens)
+    struct(
+      nLen.as("n_len"),
+      nTokens.as("n_tokens"),
+      size(bpeishTokens(text)).cast("long").as("n_bpeish"),
+      nAlpha.as("n_alpha"),
+      size(regexp_extract_all(text, lit("[0-9]"), lit(0))).cast("long").as("n_digit"),
+      alphaRatio.as("alpha_ratio"),
+      avgTokenLen.as("avg_token_len"),
+      ((nTokens >= 10).cast("int") +
+        (nTokens <= 1000).cast("int") +
+        (avgTokenLen >= 3 && avgTokenLen <= 12).cast("int") +
+        (alphaRatio > 0.7).cast("int")).as("quality_score"))
+  }
+
   def qualityStats(df: DataFrame, text: Column): DataFrame = {
-    df.withColumn("n_len", length(text).cast("long"))
-      .withColumn("n_tokens", size(whitespaceTokens(text)).cast("long"))
-      .withColumn("n_bpeish", size(bpeishTokens(text)).cast("long"))
-      .withColumn("n_alpha", size(regexp_extract_all(text, lit("[A-Za-z]"), lit(0))).cast("long"))
-      .withColumn("n_digit", size(regexp_extract_all(text, lit("[0-9]"), lit(0))).cast("long"))
-      // NULL (not Inf/NaN) for empty or whitespace-only docs, pinned on
-      // both engine and oracle (NULLIF) so the zero case can't diverge
-      .withColumn("alpha_ratio",
-        when(col("n_len") > 0, col("n_alpha").cast("double") / col("n_len")))
-      .withColumn("avg_token_len",
-        when(col("n_tokens") > 0, col("n_len").cast("double") / col("n_tokens")))
-      .withColumn("quality_score",
-        (col("n_tokens") >= 10).cast("int") +
-        (col("n_tokens") <= 1000).cast("int") +
-        (col("avg_token_len") >= 3 && col("avg_token_len") <= 12).cast("int") +
-        (col("alpha_ratio") > 0.7).cast("int"))
+    val fields = Seq("n_len", "n_tokens", "n_bpeish", "n_alpha", "n_digit",
+      "alpha_ratio", "avg_token_len", "quality_score")
+    val withStruct = df.withColumn("__q", qualityStatsCol(text))
+    fields.foldLeft(withStruct) { (d, f) =>
+      d.withColumn(f, col("__q").getField(f))
+    }.drop("__q")
   }
 
   /** Stopword-marker counts per language — the n-gram-heuristic
@@ -61,20 +77,30 @@ object TextFunctions {
     "es" -> """\b(el|los|las|y|que)\b""",
     "de" -> """\b(der|die|und|das|ist)\b""")
 
+  /** Marker counts + argmax prediction as ONE struct column — the
+    * SQL-surface form (`graft_lang_id`); [[languageId]] expands it. */
+  def languageIdCol(text: Column): Column = {
+    val t = lower(text)
+    val counts = langMarkers.map { case (lang, pat) =>
+      lang -> size(regexp_extract_all(t, lit(pat), lit(0))).cast("long")
+    }
+    val Seq(en, fr, es, de) = counts.map(_._2)
+    val pred = when(en >= fr && en >= es && en >= de, "en")
+      .when(fr >= es && fr >= de, "fr")
+      .when(es >= de, "es")
+      .otherwise("de")
+    struct(counts.map { case (l, c) => c.as(s"${l}_n") } :+ pred.as("pred_lang"): _*)
+  }
+
   /** Language-ID: argmax of marker counts with a fixed tie-break order
     * (en > fr > es > de). Returns df + one count column per language +
     * `pred_lang`. */
   def languageId(df: DataFrame, text: Column): DataFrame = {
-    val t = lower(text)
-    val counted = langMarkers.foldLeft(df) { case (d, (lang, pat)) =>
-      d.withColumn(s"${lang}_n", size(regexp_extract_all(t, lit(pat), lit(0))).cast("long"))
-    }
-    val Seq(en, fr, es, de) = langMarkers.map { case (l, _) => col(s"${l}_n") }
-    counted.withColumn("pred_lang",
-      when(en >= fr && en >= es && en >= de, "en")
-        .when(fr >= es && fr >= de, "fr")
-        .when(es >= de, "es")
-        .otherwise("de"))
+    val fields = langMarkers.map { case (l, _) => s"${l}_n" } :+ "pred_lang"
+    val withStruct = df.withColumn("__l", languageIdCol(text))
+    fields.foldLeft(withStruct) { (d, f) =>
+      d.withColumn(f, col("__l").getField(f))
+    }.drop("__l")
   }
 
   /** 16-bit SimHash over the whitespace-token multiset.

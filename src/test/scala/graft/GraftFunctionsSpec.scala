@@ -93,6 +93,17 @@ class GraftFunctionsSpec extends SparkSpec {
     val sqlHam = spark.sql("SELECT graft_hamming(11L, 13L) AS h")
       .collect().head.getInt(0)
     assert(sqlHam === 2) // 1011 vs 1101
+
+    val sqlStats = spark.sql(
+      """SELECT graft_text_stats(text).n_tokens AS n_tokens,
+        |       graft_text_stats(text).quality_score AS quality_score,
+        |       graft_lang_id(text).pred_lang AS pred_lang
+        |FROM gf_docs ORDER BY doc_id""".stripMargin).collect()
+    val apiStats = text.TextFunctions.languageId(
+        text.TextFunctions.qualityStats(docs, col("text")), col("text"))
+      .orderBy("doc_id")
+      .select("n_tokens", "quality_score", "pred_lang").collect()
+    assert(sqlStats.toSeq === apiStats.toSeq)
   }
 
   test("graft_lsh_bucket matches Similarity.lshBucket") {
