@@ -407,6 +407,28 @@ object SparkEntry {
         .orderBy("n_nationkey")
     }),
 
+    // ---- T8/T9: lenient casts + URI redaction as engine expressions ----
+    "q_convert" -> ((s, dir) => {
+      val o = load(s, dir, "orders")
+      o.select(col("o_orderkey"),
+          // "1-URGENT" → substr "1" parses; the full value doesn't
+          util.Convert.toFloat64Col(
+            substring(col("o_orderpriority"), 1, 1)).as("f_pri"),
+          isnan(util.Convert.toFloat64Col(col("o_orderpriority"))).as("bad_is_nan"),
+          util.Convert.toInt64Col(col("o_orderkey").cast("string")).as("key_back"),
+          util.Convert.redactedUriCol(concat(lit("mongodb://user"),
+            col("o_custkey").cast("string"),
+            lit(":secret@cluster0.example.net:27017/admin"))).as("uri_redacted"))
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- T10: spool-file timestamp formatting over event times ----
+    "q_t10_stamp" -> ((s, dir) =>
+      load(s, dir, "events").filter(col("event_id") < 2000)
+        .select(col("event_id"),
+          util.Convert.stampCol(timestamp_micros(expr("ts DIV 1000"))).as("stamp"))
+        .orderBy("event_id")),
+
     // ================= multimodal / binary payload operators ============
     // The fixture has no native binary column, so the payload is the
     // utf-8 bytes of `text` (cast to binary) — all-ASCII in this fixture,
@@ -897,6 +919,25 @@ object SparkEntry {
         |    n_nationkey := n_nationkey, n_name := n_name,
         |    n_regionkey := n_regionkey)) AS doc
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "q_convert" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN substr(o_orderpriority, 1, 1) = trim(substr(o_orderpriority, 1, 1))
+        |        AND substr(o_orderpriority, 1, 1) <> ''
+        |       THEN COALESCE(TRY_CAST(substr(o_orderpriority, 1, 1) AS DOUBLE), 'NaN'::DOUBLE)
+        |       ELSE 'NaN'::DOUBLE END AS f_pri,
+        |  isnan(CASE WHEN o_orderpriority = trim(o_orderpriority) AND o_orderpriority <> ''
+        |       THEN COALESCE(TRY_CAST(o_orderpriority AS DOUBLE), 'NaN'::DOUBLE)
+        |       ELSE 'NaN'::DOUBLE END) AS bad_is_nan,
+        |  COALESCE(CAST(trunc(TRY_CAST(CAST(o_orderkey AS VARCHAR) AS DOUBLE)) AS BIGINT), 0) AS key_back,
+        |  regexp_replace('mongodb://user' || CAST(o_custkey AS VARCHAR) ||
+        |    ':secret@cluster0.example.net:27017/admin',
+        |    '://.*@', '://XXX:xxxxxx@') AS uri_redacted
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_t10_stamp" ->
+      """SELECT event_id,
+        |  strftime(make_timestamp(epoch_us(ts)), '%y%m%d.%H%M%S') || '.' ||
+        |  lpad(CAST((epoch_us(ts) // 1000) % 1000 AS VARCHAR), 3, '0') AS stamp
+        |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin,
     "q_mm_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

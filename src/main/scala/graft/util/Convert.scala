@@ -45,4 +45,34 @@ object Convert {
 
   def dateTimeStamp(): String =
     dateTimeStamp(Instant.now(), ZoneId.systemDefault())
+
+  // ---- Column twins: the same T8/T9/T10 semantics as engine
+  // expressions, so the conversions run distributed (and are
+  // oracle-pinned by q_convert / q_t10_stamp) ----
+
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+
+  /** T8 — [[toFloat64]] as a Column: NaN (not NULL) on null input,
+    * surrounding whitespace, or parse failure — Go ParseFloat parity. */
+  def toFloat64Col(s: Column): Column =
+    when(s.isNotNull && length(s) > 0 && s === trim(s),
+      coalesce(s.try_cast("double"), lit(Double.NaN)))
+      .otherwise(lit(Double.NaN))
+
+  /** T8 — [[toInt64]] as a Column: through the float path, truncating
+    * toward zero; NaN → 0 (JVM `toLong` semantics). */
+  def toInt64Col(s: Column): Column =
+    coalesce(toFloat64Col(s).try_cast("long"), lit(0L))
+
+  /** T9 — [[redactedUri]] as a Column for scheme'd URIs: the greedy
+    * `://.*@` match runs to the LAST `@`, exactly the
+    * `lastIndexOf('@')` the scalar version uses. (The scalar's
+    * behavior for scheme-less strings is not reproduced — connection
+    * strings always carry a scheme.) */
+  def redactedUriCol(uri: Column): Column =
+    regexp_replace(uri, "://.*@", "://XXX:xxxxxx@")
+
+  /** T10 — [[dateTimeStamp]] as a Column over a timestamp. */
+  def stampCol(t: Column): Column = date_format(t, "yyMMdd.HHmmss.SSS")
 }
