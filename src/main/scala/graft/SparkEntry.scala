@@ -407,6 +407,24 @@ object SparkEntry {
         .orderBy("n_nationkey")
     }),
 
+    // ---- T4: nested-path mask traversal (structs + arrays of structs),
+    // built from customer in-query since the fixture is flat; output is
+    // canonical JSON so the oracle compares the full shape ----
+    "q_t4_mask_nested" -> ((s, dir) => {
+      val c = load(s, dir, "customer")
+      val nested = c.select(col("c_custkey"),
+        struct(col("c_name").as("name"),
+          struct(col("c_mktsegment").as("segment"), col("c_name").as("contact"))
+            .as("info")).as("doc"),
+        array(struct(col("c_name").as("alias")),
+          struct(col("c_mktsegment").as("alias"))).as("aliases"))
+      val masked = ops.Mask.maskFields(nested,
+        Seq("doc.info.contact", "aliases.alias"), ops.Mask.Default)
+      masked.select(col("c_custkey"), to_json(col("doc")).as("doc_json"),
+          to_json(col("aliases")).as("aliases_json"))
+        .orderBy("c_custkey")
+    }),
+
     // ---- T8/T9: lenient casts + URI redaction as engine expressions ----
     "q_convert" -> ((s, dir) => {
       val o = load(s, dir, "orders")
@@ -919,6 +937,18 @@ object SparkEntry {
         |    n_nationkey := n_nationkey, n_name := n_name,
         |    n_regionkey := n_regionkey)) AS doc
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "q_t4_mask_nested" ->
+      """SELECT c_custkey,
+        |  to_json(struct_pack(
+        |    name := c_name,
+        |    info := struct_pack(
+        |      segment := c_mktsegment,
+        |      contact := regexp_replace(c_name, '[a-zA-Z0-9]', 'X', 'g')))) AS doc_json,
+        |  to_json([
+        |    struct_pack(alias := regexp_replace(c_name, '[a-zA-Z0-9]', 'X', 'g')),
+        |    struct_pack(alias := regexp_replace(c_mktsegment, '[a-zA-Z0-9]', 'X', 'g'))
+        |  ]) AS aliases_json
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "q_convert" ->
       """SELECT o_orderkey,
         |  CASE WHEN substr(o_orderpriority, 1, 1) = trim(substr(o_orderpriority, 1, 1))
