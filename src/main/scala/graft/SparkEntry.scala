@@ -425,6 +425,20 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // ---- the BSON cross-type ordering invariant: mixed int/string
+    // canonical-JSON ids rank numbers-before-strings, numerically within
+    // the number band ("2" < "150") — the default splitter/compare order ----
+    "q_bson_order" -> ((s, dir) => {
+      val c = load(s, dir, "customer")
+      val ids = c.select(
+        when(col("c_custkey") % 2 === 0, col("c_custkey").cast("string"))
+          .otherwise(concat(lit("\""), col("c_name"), lit("\""))).as("id"))
+      ids.withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(
+            ops.BsonKey.sortKey(col("id")))))
+        .orderBy("id")
+    }),
+
     // ---- T8/T9: lenient casts + URI redaction as engine expressions ----
     "q_convert" -> ((s, dir) => {
       val o = load(s, dir, "orders")
@@ -937,6 +951,17 @@ object SparkEntry {
         |    n_nationkey := n_nationkey, n_name := n_name,
         |    n_regionkey := n_regionkey)) AS doc
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "q_bson_order" ->
+      """WITH ids AS (
+        |  SELECT CASE WHEN c_custkey % 2 = 0 THEN CAST(c_custkey AS VARCHAR)
+        |              ELSE '"' || c_name || '"' END AS id
+        |  FROM customer)
+        |SELECT id, CAST(row_number() OVER (ORDER BY
+        |    CASE WHEN id LIKE '"%' THEN 2 ELSE 1 END,
+        |    TRY_CAST(id AS DECIMAL(38,10)),
+        |    CASE WHEN id LIKE '"%' THEN substr(id, 2, length(id)-2) ELSE id END
+        |  ) AS INT) AS rank
+        |FROM ids ORDER BY id""".stripMargin,
     "q_t4_mask_nested" ->
       """SELECT c_custkey,
         |  to_json(struct_pack(
