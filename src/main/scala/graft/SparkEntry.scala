@@ -425,6 +425,33 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // ---- skew mitigation correctness: the salted join and the
+    // two-level salted aggregate must produce EXACTLY the plain
+    // join/groupBy results (the oracle computes the unsalted form) ----
+    "q_skew_join" -> ((s, dir) => {
+      val o = load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey").as("custkey"))
+      val c = load(s, dir, "customer")
+        .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+      ops.Skew.saltedJoin(o, c, Seq("custkey"), buckets = 8,
+          saltCols = Seq(col("o_orderkey")))
+        .select(col("o_orderkey"), col("custkey"), col("c_mktsegment"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q_skew_agg" -> ((s, dir) => {
+      val c = load(s, dir, "customer")
+      ops.Skew.saltedAggregate(c, "c_mktsegment", buckets = 8,
+          partial = Seq(collect_list(col("c_custkey")).as("__part"),
+            count(lit(1)).as("__n")),
+          merge = Seq(
+            md5(concat_ws(",", array_sort(flatten(collect_list(col("__part"))))))
+              .as("keys_md5"),
+            sum(col("__n")).as("n")),
+          saltCols = Seq(col("c_custkey")))
+        .orderBy("c_mktsegment")
+    }),
+
     // ---- the BSON cross-type ordering invariant: mixed int/string
     // canonical-JSON ids rank numbers-before-strings, numerically within
     // the number band ("2" < "150") — the default splitter/compare order ----
@@ -951,6 +978,15 @@ object SparkEntry {
         |    n_nationkey := n_nationkey, n_name := n_name,
         |    n_regionkey := n_regionkey)) AS doc
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "q_skew_join" ->
+      """SELECT o_orderkey, o_custkey AS custkey, c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_skew_agg" ->
+      """SELECT c_mktsegment,
+        |  md5(string_agg(CAST(c_custkey AS VARCHAR), ',' ORDER BY c_custkey)) AS keys_md5,
+        |  count(*) AS n
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_bson_order" ->
       """WITH ids AS (
         |  SELECT CASE WHEN c_custkey % 2 = 0 THEN CAST(c_custkey AS VARCHAR)

@@ -41,6 +41,12 @@ object GraftSession {
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // FAIR, not FIFO: streaming micro-batches (200ms triggers) must
+      // not queue behind long batch stages when jobs share the session —
+      // the production stream+batch cohabitation shape, and what keeps
+      // the short-trigger streaming specs from starving under suite
+      // parallelism
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet carries TIMESTAMP(NANOS) which the vectorized reader
       // rejects; read as Long (ns since epoch) = DuckDB's epoch_ns().

@@ -111,13 +111,22 @@ class ApplyJobSpec extends SparkSpec {
       val expected = expectedState(
         spark.read.parquet(feedDir).as[Oplog].collect().toSeq)
       var converged = false
+      var lastErr: Option[Throwable] = None
       while (!converged && System.currentTimeMillis() < deadline) {
         Thread.sleep(300)
         // reads can transiently fail mid table-swap; retry until deadline
-        converged = scala.util.Try(
-          sink.dataExists(ns) && sinkState(sink) == expected).getOrElse(false)
+        val attempt = scala.util.Try(
+          sink.dataExists(ns) && sinkState(sink) == expected)
+        lastErr = attempt.failed.toOption
+        converged = attempt.getOrElse(false)
       }
-      assert(converged, "live tail did not converge to the fed state")
+      assert(converged, "live tail did not converge to the fed state: " +
+        s"queryException=${h.query.exception.map(_.getMessage)}, " +
+        s"lastProgress=${Option(h.query.lastProgress)
+          .map(p => s"batch=${p.batchId} rows=${p.numInputRows}")}, " +
+        s"applied=${h.counts}, lastReadError=${lastErr.map(_.toString)}, " +
+        s"sinkRows=${scala.util.Try(sink.read(ns).count()).getOrElse(-1L)}, " +
+        s"expectedKeys=${expected.size}")
       // with the sink converged, the read load sees data: a fed interval
       // must run a non-trivial find+aggregate while the tail is still
       // applying. A single interval's reads can race the tail's atomic
