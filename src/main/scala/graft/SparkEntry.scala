@@ -385,6 +385,12 @@ object SparkEntry {
       streaming.EventStream.tumblingCounts(load(s, dir, "events"))
         .orderBy("window_start", "event_type")),
 
+    // ---- §7 streaming analytics: sliding windows (1h length, 15m
+    // slide — each event in exactly 4 windows) ----
+    "q_w3_sliding" -> ((s, dir) =>
+      streaming.EventStream.slidingCounts(load(s, dir, "events"))
+        .orderBy("window_start", "event_type")),
+
     // ---- §7 streaming analytics: gap sessionization via
     // flatMapGroupsWithState (O(1) state per user; closed sessions emit
     // exactly once across micro-batches) ----
@@ -956,6 +962,13 @@ object SparkEntry {
         |  event_type, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_w3_sliding" ->
+      """SELECT make_timestamp(
+        |    (epoch_us(ts) // 900000000 - j.j) * 900000000) AS window_start,
+        |  event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events, generate_series(0, 3) j(j)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_w2_sessions" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
         |g AS (

@@ -36,6 +36,23 @@ object EventStream {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Sliding-window counts: same aggregate as [[tumblingCounts]] but
+    * each event lands in `windowLen / slide` overlapping windows
+    * (Spark's `window(col, len, slide)` generates them — a small
+    * deterministic explode, no self-join). With `windowLen` an exact
+    * multiple of `slide`, every event is in exactly len/slide windows,
+    * which is what the oracle enumerates. */
+  def slidingCounts(events: DataFrame, windowLen: String = "1 hour",
+      slide: String = "15 minutes", watermark: String = "1 hour"): DataFrame =
+    events
+      .withColumn("__et", eventTime())
+      .withWatermark("__et", watermark)
+      .groupBy(window(col("__et"), windowLen, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
   final case class SessionEvent(user_id: Long, tsUs: Long)
   final case class SessionState(start: Long, last: Long, events: Long)
   final case class UserSession(user_id: Long, session_start_us: Long,

@@ -28,6 +28,27 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("sliding window counts: streaming equals batch; 4 windows per event") {
+    val batch = EventStream.slidingCounts(events)
+      .collect().map(_.toSeq).toSet
+    // 1h length / 15m slide: total event count across windows = 4 × events
+    val total = EventStream.slidingCounts(events)
+      .agg(sum("n_events")).head().getLong(0)
+    assert(total == 4L * events.count())
+
+    val dir = Files.createTempDirectory("graft-ev3").toString
+    events.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(events.schema).parquet(dir)
+    val q = EventStream.slidingCounts(stream)
+      .writeStream.format("memory").queryName("sliding_test")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("sliding_test").collect().map(_.toSeq).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("sessionize (flatMapGroupsWithState) equals the window-gap batch plan") {
     val gap = 3600L * 1000000
     val ev = events.select(col("user_id"), expr("ts DIV 1000").as("tsUs"))
