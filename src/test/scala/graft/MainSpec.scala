@@ -93,6 +93,27 @@ class MainSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Main.run(Seq("-sql", bad), sess) }
   }
 
+  test("-sql on a multi-db catalog: qualified views always, bare only when unambiguous") {
+    import graft.sources.MultiDbParquetCatalog
+    val root = tmp("graft-cli-sqlmdb")
+    val cat = new MultiDbParquetCatalog(spark, root)
+    val rows = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    cat.write("db1.shared", rows)
+    cat.write("db2.shared", rows) // same collection name in two dbs
+    cat.write("db1.only", rows)
+    val out = tmp("graft-cli-sqlmdbout") + "/res"
+    // db1_shared and db2_shared resolve; bare `only` resolves (unique)
+    val cfg = writeCfg(tmp("graft-cli-sqlmdbcfg"),
+      s"""{"source":"$root","out":"$out",
+         |"query":"SELECT (SELECT count(*) FROM db1_shared) + (SELECT count(*) FROM db2_shared) + (SELECT count(*) FROM only) AS n"}""".stripMargin)
+    assert(Main.run(Seq("-sql", cfg), sess) == 0)
+    assert(spark.read.parquet(out).head().getLong(0) == 6L)
+    // bare `shared` must NOT exist (ambiguous across dbs)
+    val cfg2 = writeCfg(tmp("graft-cli-sqlmdbcfg2"),
+      s"""{"source":"$root","query":"SELECT count(*) FROM shared"}""")
+    intercept[Exception] { Main.run(Seq("-sql", cfg2), sess) }
+  }
+
   test("-compare with compare_mode=chunked walks splitter blocks and agrees with bucketed") {
     val target = tmp("graft-cli-chunkcmp")
     val source = new ParquetCatalog(spark, sf0001, "src")
