@@ -173,6 +173,11 @@ object GraftFunctions {
       "graft_lang_id(text) - struct(en_n, fr_n, es_n, de_n, pred_lang) stopword-marker language id") { es =>
       expect("graft_lang_id", 1, es)
       x(text.TextFunctions.languageIdCol(c(es(0))))
+    },
+    fn("graft_simhash",
+      "graft_simhash(text) - 16-bit SimHash of the whitespace-token multiset; NULL for token-less text") { es =>
+      expect("graft_simhash", 1, es)
+      functions.SimHash16(x(text.TextFunctions.whitespaceTokens(c(es(0)))))
     })
 
   /** Idempotent runtime registration — for sessions graft didn't build. */

@@ -340,3 +340,72 @@ case class ShingleStats(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): ShingleStats =
     copy(child = newChild)
 }
+
+/** 16-bit SimHash over a token MULTISET in one pass: bit j of a token's
+  * hash is bit (3 − j%4) of hex digit j/4 of md5(token) — equivalently
+  * bit (7 − j%8) of digest byte j/8 — and the document bit is the
+  * strict-majority vote over ALL tokens (a NULL token counts toward the
+  * total but sets no bits, matching the exploded twin's
+  * sum-ignores-null / count-counts-row semantics). NULL or empty input
+  * → NULL, mirroring the exploded plan emitting no row for a token-less
+  * doc (callers filter on the CHEAP input predicate, never on this
+  * column).
+  *
+  * Replaces the explode(tokens) × explode(16 bits) → two hash-aggregate
+  * formulation: the signature becomes a narrow projection — ZERO
+  * shuffles over the corpus — pinned equal to the exploded twin by
+  * TextFunctionsSpec.
+  */
+case class SimHash16(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash16 expects array<string>, got ${t.sql}")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = compute(input)
+
+  def compute(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val ones = new Array[Int](16)
+    val md = TextExprs.md5.get()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        md.reset()
+        val d = md.digest(arr.getUTF8String(i).getBytes)
+        var j = 0
+        while (j < 16) {
+          if (((d(j >>> 3) >> (7 - (j & 7))) & 1) == 1) ones(j) += 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 16) {
+      if (2 * ones(j) > n) sig |= 1L << j
+      j += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simHash16", this, classOf[SimHash16].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""java.lang.Long ${ev.value}$$r = (java.lang.Long) $ref.compute($c);
+         |if (${ev.value}$$r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}$$r.longValue(); }""".stripMargin)
+  }
+
+  override def prettyName: String = "simhash16"
+  override protected def withNewChildInternal(newChild: Expression): SimHash16 =
+    copy(child = newChild)
+}

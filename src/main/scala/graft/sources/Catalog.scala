@@ -114,6 +114,11 @@ final class ParquetCatalog(
   private def path(ns: String): Path = new Path(root, s"${table(ns)}.parquet")
   private def stagingPath(ns: String): Path = new Path(root, s"${table(ns)}.parquet.__staging__")
   private def asidePath(ns: String): Path = new Path(root, s"${table(ns)}.parquet.__old__")
+  // canonical JVM-wide coordination key: same directory + table ⇒ same
+  // lock, whichever catalog instance (or db alias or path spelling) is
+  // in hand
+  private def coordKey(ns: String): String =
+    fs.makeQualified(path(ns)).toString
 
   override def listNamespaces(): Seq[String] = {
     if (!fs.exists(root)) return Nil
@@ -149,14 +154,24 @@ final class ParquetCatalog(
     * incrementally in a `_graft_count` metadata file. */
   override def merge(ns: String, upserts: DataFrame, deletes: DataFrame, key: String,
       marker: Option[(String, String)] = None): Long = {
-    recover(ns)
-    val st = stagingPath(ns)
-    fs.delete(st, true): Unit // stale staging from an abandoned run
-    val n =
-      if (buckets > 0) mergeBucketed(ns, upserts, deletes, key, marker)
-      else mergePlain(ns, upserts, deletes, key, marker)
-    commit(ns)
-    n
+    val ck = coordKey(ns)
+    // entry critical section: recover leftovers, clear genuinely-stale
+    // staging, and raise the live-merge flag — atomically with respect
+    // to any concurrent reader's recover. The long staging write itself
+    // runs OUTSIDE the lock; the flag is what keeps readers' recovery
+    // hands off the in-flight staging/commit until the finally below.
+    ParquetCatalog.lockFor(ck).synchronized {
+      recover(ns)
+      fs.delete(stagingPath(ns), true): Unit // stale staging from an abandoned run
+      ParquetCatalog.liveMerges.add(ck): Unit
+    }
+    try {
+      val n =
+        if (buckets > 0) mergeBucketed(ns, upserts, deletes, key, marker)
+        else mergePlain(ns, upserts, deletes, key, marker)
+      commit(ns)
+      n
+    } finally { ParquetCatalog.liveMerges.remove(ck): Unit }
   }
 
   private def mergePlain(ns: String, upserts: DataFrame, deletes: DataFrame,
@@ -297,6 +312,22 @@ final class ParquetCatalog(
     * BACK otherwise (incomplete staging is discarded; the batch replays
     * against the intact pre-merge table). */
   private def recover(ns: String): Unit = {
+    val ck = coordKey(ns)
+    val l = ParquetCatalog.lockFor(ck)
+    // a merge on this table is in flight IN THIS JVM: its staging dir is
+    // live work, not a crash leftover — recovery must not touch anything
+    // (deleting "stale" staging here is exactly the read-vs-write race
+    // that kills the writer's tasks). The writer owns the state machine
+    // until its finally clears the flag.
+    if (!ParquetCatalog.liveMerges.contains(ck)) {
+      l.synchronized {
+        if (!ParquetCatalog.liveMerges.contains(ck)) recoverLocked(ns)
+      }
+    }
+  }
+
+  /** The actual recovery state machine — callers hold the ns lock. */
+  private def recoverLocked(ns: String): Unit = {
     val p = path(ns); val st = stagingPath(ns); val aside = asidePath(ns)
     val stComplete = fs.exists(new Path(st, Sentinel))
     if (fs.exists(aside)) {
@@ -360,6 +391,31 @@ object ParquetCatalog {
   private val Sentinel = "_graft_commit"
   private val TouchedFile = "_graft_touched"
   private val CountFile = "_graft_count"
+
+  /** JVM-wide per-(root, table) coordination — shared across ALL catalog
+    * instances over the same directory (the streaming writer, a status
+    * reader, a compare job, and a test's poll loop each construct their
+    * own instance). Two jobs:
+    *
+    *  - `nsLocks` serializes [[ParquetCatalog.recover]] mutations and
+    *    the merge-entry critical section, so two readers can't both
+    *    roll a crashed commit forward (racing renames);
+    *  - `liveMerges` marks a merge in flight, so a READER's recover
+    *    cannot mistake the writer's in-progress staging dir (sentinel
+    *    not yet written) for a crashed one and delete it out from under
+    *    the running write job — the race that killed a live tail under
+    *    concurrent read load.
+    *
+    * Cross-PROCESS crash recovery is untouched: a fresh JVM starts with
+    * an empty `liveMerges`, so genuine leftovers recover on first
+    * access. Concurrent writers from DIFFERENT processes to one table
+    * remain unsupported (single-writer catalogs, reference semantics);
+    * concurrent readers in other processes should treat transient read
+    * failures during a commit as retryable, as all graft readers do. */
+  private val nsLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private val liveMerges = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def lockFor(key: String): Object =
+    nsLocks.computeIfAbsent(key, _ => new Object)
 }
 
 /** Multi-database parquet catalog — S5's full shape: one subdirectory

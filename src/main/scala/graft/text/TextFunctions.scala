@@ -116,6 +116,22 @@ object TextFunctions {
   val SimhashBits = 16
 
   def simhash(df: DataFrame, idCol: String, text: Column): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ExprBridge
+    // NARROW plan: SimHash16 packs the whole signature in one pass per
+    // doc — zero shuffles (the exploded twin paid two hash aggregates
+    // over tokens × 16 bit rows). Token-less docs drop via the CHEAP
+    // input predicate, mirroring explode's no-row behavior — never by
+    // filtering the computed signature (double-eval trap).
+    df.select(col(idCol), whitespaceTokens(text).as("__tok"))
+      .filter(size(col("__tok")) > 0)
+      .select(col(idCol), ExprBridge.column(graft.functions.SimHash16(
+        ExprBridge.expression(col("__tok")))).as("simhash"))
+  }
+
+  /** Declarative explode×bits formulation of [[simhash]] (spec-only
+    * equivalence twin — and the shape any SQL oracle implements). */
+  private[graft] def simhashExploded(df: DataFrame, idCol: String,
+      text: Column): DataFrame = {
     val toks = df.select(col(idCol), explode(whitespaceTokens(text)).as("tok"))
       .withColumn("h4", substring(md5(col("tok")), 1, SimhashBits / 4))
       .select(col(idCol), col("h4"), explode(sequence(lit(0), lit(SimhashBits - 1))).as("j"))

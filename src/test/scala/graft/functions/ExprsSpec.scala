@@ -156,4 +156,24 @@ class ExprsSpec extends SparkSpec {
     assert(narrow == exploded && narrow.nonEmpty)
     assert(!narrow.exists(_._1 == 900004L)) // NULL text contributes nothing
   }
+
+  test("SimHash16 narrow signature equals the exploded two-aggregate plan") {
+    import graft.text.TextFunctions
+    // real docs + adversarial shapes: duplicate tokens (majority ties),
+    // a single token, empty, and NULL text (the last two must vanish
+    // from BOTH plans — explode emits no row, the narrow path filters
+    // on the cheap token-count predicate)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"text")
+      .unionByName(Seq(
+        (910001L, "a a a b b"), // tie on b-bits: strict majority = 0
+        (910002L, "solo"), (910003L, "   "), (910004L, ""),
+        (910005L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val narrow = TextFunctions.simhash(docs, "doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exploded = TextFunctions.simhashExploded(docs, "doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(narrow == exploded && narrow.nonEmpty)
+    assert(!narrow.exists(t => t._1 >= 910003L)) // token-less docs drop
+  }
 }

@@ -107,6 +107,48 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("concurrent readers never treat a LIVE merge's staging as crash leftovers") {
+    // the race this pins: recover() runs on every read, and before the
+    // liveMerges flag existed a reader polling during a merge saw the
+    // in-flight staging dir (sentinel not yet written), classified it
+    // "died while staging", and deleted it under the running write job —
+    // killing the stream. The reader is a SEPARATE catalog instance over
+    // the same directory, as in real deployments (status/compare/polls).
+    val dir = tmp("cat-race")
+    val writer = new ParquetCatalog(spark, dir, "app")
+    val reader = new ParquetCatalog(spark, dir, "app")
+    writer.upsert(ns, orders.limit(200), "k")
+    // a merge whose staging write is slow enough for readers to overlap
+    val slowUps = orders.filter($"k" < 100)
+      .as[(Long, Long, String, Double)]
+      .mapPartitions { it => Thread.sleep(1500); it }
+      .toDF("k", "o_custkey", "o_orderstatus", "o_totalprice")
+    @volatile var mergeResult: Option[scala.util.Try[Long]] = None
+    val t = new Thread(() => {
+      mergeResult = Some(scala.util.Try(
+        writer.merge(ns, slowUps, orders.limit(0).select("k").toDF(), "k")))
+    })
+    t.start()
+    // hammer the read paths (each used to run destructive recovery)
+    while (t.isAlive) {
+      reader.dataExists(ns)
+      reader.readMarker(ns, "batch")
+      scala.util.Try(reader.read(ns).count())
+      Thread.sleep(20)
+    }
+    t.join()
+    assert(mergeResult.get.isSuccess,
+      s"merge killed by a concurrent reader: ${mergeResult.get}")
+    assert(writer.read(ns).count() == 200) // 100 updated in place
+    // and genuine leftovers still recover: a fresh staging dir with no
+    // live merge is discarded on next read
+    val f = fs(writer)
+    val st = new Path(writer.dir, "orders.parquet.__staging__")
+    f.mkdirs(st)
+    assert(reader.read(ns).count() == 200)
+    assert(!f.exists(st), "stale staging not discarded after the merge ended")
+  }
+
   test("recover: incomplete staging is discarded, live table intact") {
     val cat = new ParquetCatalog(spark, tmp("cat-rb"), "app", buckets = 8)
     cat.upsert(ns, orders.limit(100), "k")
