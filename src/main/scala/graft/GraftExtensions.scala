@@ -177,7 +177,17 @@ object GraftFunctions {
     fn("graft_simhash",
       "graft_simhash(text) - 16-bit SimHash of the whitespace-token multiset; NULL for token-less text") { es =>
       expect("graft_simhash", 1, es)
-      functions.SimHash16(x(text.TextFunctions.whitespaceTokens(c(es(0)))))
+      functions.SimHashN(x(text.TextFunctions.whitespaceTokens(c(es(0)))), 16)
+    },
+    fn("graft_simhash64",
+      "graft_simhash64(text) - 64-bit SimHash of the whitespace-token multiset (near-dup fingerprint width); NULL for token-less text") { es =>
+      expect("graft_simhash64", 1, es)
+      functions.SimHashN(x(text.TextFunctions.whitespaceTokens(c(es(0)))), 64)
+    },
+    fn("graft_split_bucket",
+      "graft_split_bucket(key, salt) - deterministic md5 bucket in [0, 10000) for train/val/test assignment") { es =>
+      expect("graft_split_bucket", 2, es)
+      x(text.Sampling.splitBucket(c(es(0)), c(es(1))))
     })
 
   /** Idempotent runtime registration — for sessions graft didn't build. */

@@ -303,6 +303,24 @@ object SparkEntry {
       text.TextFunctions.simhash(load(s, dir, "documents"), "doc_id", col("text"))
         .orderBy("doc_id")),
 
+    // ---- SimHash near-dup: 64-bit signature, 4×16-bit bands, exact
+    // hamming ≤ 3 verify — banding is LOSSLESS by pigeonhole (3 flipped
+    // bits dirty ≤ 3 of 4 bands). The cheapest near-dup family: one
+    // 64-bit signature per doc, no shingle set ----
+    "q_simhash_neardup" -> ((s, dir) =>
+      text.Dedup.simhashCandidates(nearDupCorpus(load(s, dir, "documents")),
+        "doc_id", col("text")).orderBy("id_a", "id_b")),
+
+    // ---- deterministic train/val/test split: membership is a pure
+    // function of (key, salt) — stable under retries, re-runs, and
+    // appends, unlike rand()/randomSplit ----
+    "q_split_assign" -> ((s, dir) =>
+      text.Sampling.hashSplit(load(s, dir, "documents").select("doc_id"),
+          col("doc_id"), "42",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "bucket", "split")
+        .orderBy("doc_id")),
+
     // ---- the registered SQL surface: the same pipeline expressed in
     // pure spark.sql over GraftExtensions-registered functions — pins
     // the FunctionRegistry arg binding end-to-end against the oracle ----
@@ -820,6 +838,40 @@ object SparkEntry {
         |    CAST(len(regexp_extract_all(lower(text), '\b(el|los|las|y|que)\b')) AS BIGINT) AS es_n,
         |    CAST(len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist)\b')) AS BIGINT) AS de_n
         |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "q_simhash_neardup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text || ' near duplicate tail'
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok FROM corpus),
+        |bits AS (SELECT doc_id, j.j,
+        |  ((strpos('0123456789abcdef', substr(substr(md5(tok),1,16), 1 + CAST(floor(j.j/4) AS INT), 1)) - 1)
+        |    >> (3 - j.j % 4)) & 1 AS bit
+        |  FROM tok, generate_series(0, 63) j(j)),
+        |agg AS (SELECT doc_id, j, sum(bit) AS ones, count(*) AS n FROM bits GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, bit_or(CASE WHEN 2*ones > n THEN
+        |          CASE WHEN j = 63 THEN (-9223372036854775807-1)::BIGINT
+        |               ELSE 1::BIGINT << CAST(j AS INT) END
+        |        ELSE 0::BIGINT END) AS sig FROM agg GROUP BY 1),
+        |bands AS (SELECT doc_id, sig, b.b, (sig >> (16*b.b)) & 65535 AS bv
+        |          FROM sig, generate_series(0, 3) b(b)),
+        |ok AS (SELECT b, bv FROM bands GROUP BY 1, 2 HAVING count(*) <= 1000),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+        |                a.sig AS sig_a, b2.sig AS sig_b
+        |  FROM bands a JOIN ok ON ok.b = a.b AND ok.bv = a.bv
+        |  JOIN bands b2 ON a.b = b2.b AND a.bv = b2.bv AND a.doc_id < b2.doc_id)
+        |SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+        |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3 ORDER BY 1, 2""".stripMargin,
+    "q_split_assign" ->
+      """SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 8000 THEN 'train'
+        |       WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8)) AS BIGINT)
+        |          % 10000 AS bucket
+        |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
     "q_fingerprint" ->
       """WITH t AS (SELECT doc_id, substr(lower(text), 1, 2048) AS txt FROM documents),

@@ -341,27 +341,31 @@ case class ShingleStats(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** 16-bit SimHash over a token MULTISET in one pass: bit j of a token's
-  * hash is bit (3 − j%4) of hex digit j/4 of md5(token) — equivalently
-  * bit (7 − j%8) of digest byte j/8 — and the document bit is the
-  * strict-majority vote over ALL tokens (a NULL token counts toward the
-  * total but sets no bits, matching the exploded twin's
+/** `bits`-wide SimHash over a token MULTISET in one pass: bit j of a
+  * token's hash is bit (3 − j%4) of hex digit j/4 of md5(token) —
+  * equivalently bit (7 − j%8) of digest byte j/8 — and the document bit
+  * is the strict-majority vote over ALL tokens (a NULL token counts
+  * toward the total but sets no bits, matching the exploded twin's
   * sum-ignores-null / count-counts-row semantics). NULL or empty input
   * → NULL, mirroring the exploded plan emitting no row for a token-less
   * doc (callers filter on the CHEAP input predicate, never on this
-  * column).
+  * column). Bits pack little-endian into one long (bits ≤ 64; bit 63
+  * lands in the sign bit — band extraction must mask after shifting).
   *
-  * Replaces the explode(tokens) × explode(16 bits) → two hash-aggregate
+  * Replaces the explode(tokens) × explode(bits) → two hash-aggregate
   * formulation: the signature becomes a narrow projection — ZERO
   * shuffles over the corpus — pinned equal to the exploded twin by
-  * TextFunctionsSpec.
+  * ExprsSpec. 16 bits is the compact signature surfaced as
+  * `graft_simhash`; 64 bits drives the banded near-dup candidate
+  * pipeline ([[graft.text.Dedup.simhashCandidates]]).
   */
-case class SimHash16(child: Expression) extends UnaryExpression {
+case class SimHashN(child: Expression, bits: Int) extends UnaryExpression {
+  require(bits >= 1 && bits <= 64, "bits must be in [1, 64]")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"simhash16 expects array<string>, got ${t.sql}")
+      s"simhash expects array<string>, got ${t.sql}")
   }
 
   override def dataType: DataType = LongType
@@ -373,7 +377,7 @@ case class SimHash16(child: Expression) extends UnaryExpression {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     if (n == 0) return null
-    val ones = new Array[Int](16)
+    val ones = new Array[Int](bits)
     val md = TextExprs.md5.get()
     var i = 0
     while (i < n) {
@@ -381,7 +385,7 @@ case class SimHash16(child: Expression) extends UnaryExpression {
         md.reset()
         val d = md.digest(arr.getUTF8String(i).getBytes)
         var j = 0
-        while (j < 16) {
+        while (j < bits) {
           if (((d(j >>> 3) >> (7 - (j & 7))) & 1) == 1) ones(j) += 1
           j += 1
         }
@@ -390,7 +394,7 @@ case class SimHash16(child: Expression) extends UnaryExpression {
     }
     var sig = 0L
     var j = 0
-    while (j < 16) {
+    while (j < bits) {
       if (2 * ones(j) > n) sig |= 1L << j
       j += 1
     }
@@ -398,14 +402,14 @@ case class SimHash16(child: Expression) extends UnaryExpression {
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("simHash16", this, classOf[SimHash16].getName)
+    val ref = ctx.addReferenceObj("simHashN", this, classOf[SimHashN].getName)
     nullSafeCodeGen(ctx, ev, c =>
       s"""java.lang.Long ${ev.value}$$r = (java.lang.Long) $ref.compute($c);
          |if (${ev.value}$$r == null) { ${ev.isNull} = true; }
          |else { ${ev.value} = ${ev.value}$$r.longValue(); }""".stripMargin)
   }
 
-  override def prettyName: String = "simhash16"
-  override protected def withNewChildInternal(newChild: Expression): SimHash16 =
+  override def prettyName: String = s"simhash$bits"
+  override protected def withNewChildInternal(newChild: Expression): SimHashN =
     copy(child = newChild)
 }

@@ -210,6 +210,64 @@ object Dedup {
       .localCheckpoint(true)
   }
 
+  /** SimHash near-duplicate pairs — the Manku-style web-dedup design:
+    * 64-bit token-multiset SimHash, banded into `bands` equal slices;
+    * candidate pairs share at least one band VALUE; the verify step is
+    * an exact popcount of the XOR. With the defaults (4 bands × 16 bits,
+    * maxHamming = 3) the pigeonhole principle makes banding LOSSLESS:
+    * ≤ 3 differing bits can dirty at most 3 of the 4 bands, so every
+    * qualifying pair collides on some clean band — recall 1.0 relative
+    * to all-pairs (modulo `maxBucket`, same cap discipline as
+    * [[lshCandidates]]). Requires maxHamming < bands.
+    *
+    * Complements MinHash: SimHash pays ONE 64-bit signature per doc
+    * (cheapest of the near-dup families — no shingle set, no 16-minhash
+    * family) and catches small token-multiset edits; MinHash+Jaccard
+    * measures set overlap and survives reorderings/insertions better.
+    * A 100 TB pipeline typically runs SimHash first (cheap pass), then
+    * MinHash on what survives.
+    *
+    * Plan shape: signatures are a narrow zero-shuffle projection
+    * ([[graft.functions.SimHashN]]); the band explode is 4 rows/doc; the
+    * only exchanges are the (band, value) bucket aggregation (map-side
+    * combined, capped before [[graft.functions.SortedPairs]] expansion)
+    * and the pair distinct; the hamming verify joins the (id → sig) map
+    * — at most two longs per candidate id — back onto the pair list.
+    * Output: (id_a, id_b, hamming), id_a < id_b, hamming ≤ maxHamming,
+    * eagerly materialized (same contract as [[lshCandidatesFromShingles]]).
+    */
+  def simhashCandidates(df: DataFrame, idCol: String, text: Column,
+      maxHamming: Int = 3, bands: Int = 4, maxBucket: Int = 1000): DataFrame = {
+    require(maxHamming < bands,
+      s"maxHamming=$maxHamming needs > $maxHamming bands for lossless banding")
+    require(64 % bands == 0, s"bands=$bands must divide 64")
+    val bandBits = 64 / bands
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
+    val sigs = df.filter(text.isNotNull)
+      .select(col(idCol), TextFunctions.whitespaceTokens(text).as("__tok"))
+      .filter(size(col("__tok")) > 0)
+      .select(col(idCol), TextFunctions.simhash64Col(col("__tok")).as("__sig"))
+      .persist()
+    try {
+      sigs.count(): Unit // materialize; feeds the band explode AND both verify joins
+      // shift-then-mask is sign-safe (bit 63 is the long's sign bit);
+      // band value as the bucket key, same capped expansion as LSH
+      val banded = sigs.select(col(idCol),
+          posexplode(array((0 until bands).map(b =>
+            shiftright(col("__sig"), b * bandBits).bitwiseAND(mask)): _*)))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "bsig")
+      val pairs = candidatesFromBands(banded, idCol, maxBucket)
+      pairs
+        .join(sigs.select(col(idCol).as("id_a"), col("__sig").as("__sa")), Seq("id_a"))
+        .join(sigs.select(col(idCol).as("id_b"), col("__sig").as("__sb")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          bit_count(col("__sa").bitwiseXOR(col("__sb"))).cast("int").as("hamming"))
+        .filter(col("hamming") <= maxHamming)
+        .localCheckpoint(true)
+    } finally { sigs.unpersist(false); () }
+  }
+
   /** Exact word-n-gram Jaccard for given candidate pairs — the verify
     * stage after LSH. `pairs` must have (id_a, id_b), MATERIALIZED (it
     * is referenced several times). Joins each side's distinct shingle

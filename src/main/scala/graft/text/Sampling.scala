@@ -1,0 +1,69 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash-based sampling and dataset splitting — the
+  * train/val/test assignment step of a training-data pipeline.
+  *
+  * Why not `rand()` / `df.randomSplit`: random assignment is not stable
+  * under task retries or input repartitioning (Spark recomputes lost
+  * partitions, and a reseeded `rand` reassigns rows), and two pipelines
+  * sampling the "same" split can disagree. Hashing the DOCUMENT KEY
+  * instead makes membership a pure function of (key, salt): retries,
+  * re-runs, engine changes, and incremental appends all agree on every
+  * row's split forever — the property a 100 TB corpus snapshot needs so
+  * that eval rows can never leak into training between runs. Changing
+  * the salt draws an independent re-split.
+  *
+  * Everything is a narrow codegen'd projection (md5 + integer mod):
+  * no shuffle, no state, reproducible in any SQL engine.
+  */
+object Sampling {
+
+  /** Bucket granularity: weights resolve to integer thresholds out of
+    * 10 000, i.e. 0.01 % resolution. */
+  val Granularity = 10000
+
+  /** Deterministic bucket in [0, [[Granularity]]): the first 8 md5 hex
+    * chars of "key:salt" mod 10 000. 32 bits of hash → the mod-10000
+    * bias is ≤ 2⁻¹⁸ per bucket (uniform for practical purposes) while
+    * staying exactly reproducible in portable SQL
+    * (`CAST(('0x' || substr(md5(k || ':' || salt),1,8)) AS BIGINT) % 10000`). */
+  def splitBucket(key: Column, salt: Column): Column =
+    conv(substring(md5(concat(key.cast("string"), lit(":"), salt)), 1, 8), 16, 10)
+      .cast("long") % Granularity
+
+  def splitBucket(key: Column, salt: String): Column = splitBucket(key, lit(salt))
+
+  /** Assign every row a named split by cumulative weight over the hash
+    * bucket: `weights` like Seq("train" -> 0.8, "val" -> 0.1,
+    * "test" -> 0.1) (must sum to 1 within bucket resolution; the LAST
+    * split absorbs the rounding remainder so no row is unassigned).
+    * Adds `bucket` and `split` columns. */
+  def hashSplit(df: DataFrame, key: Column, salt: String,
+      weights: Seq[(String, Double)]): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0), "weights must be positive")
+    require(math.abs(weights.map(_._2).sum - 1.0) < 1e-6, "weights must sum to 1")
+    val bounds = weights.scanLeft(0L) { case (acc, (_, w)) =>
+      acc + math.round(w * Granularity)
+    }.tail
+    val b = splitBucket(key, salt)
+    val assign = weights.init.zip(bounds.init)
+      .foldRight(lit(weights.last._1): Column) { case (((name, _), hi), rest) =>
+        when(b < hi, name).otherwise(rest)
+      }
+    df.withColumn("bucket", b).withColumn("split", assign)
+  }
+
+  /** Deterministic `fraction` sample: keep rows whose bucket falls below
+    * fraction×[[Granularity]]. Unlike `df.sample`, membership is stable
+    * across retries/re-runs and CONSISTENT across tables sharing the key
+    * (sampling users here and events there by the same key keeps every
+    * sampled user's events together). */
+  def sampleByHash(df: DataFrame, key: Column, fraction: Double,
+      salt: String): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, "fraction in [0,1]")
+    df.filter(splitBucket(key, salt) < math.round(fraction * Granularity))
+  }
+}

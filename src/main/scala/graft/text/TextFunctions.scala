@@ -117,16 +117,25 @@ object TextFunctions {
 
   def simhash(df: DataFrame, idCol: String, text: Column): DataFrame = {
     import org.apache.spark.sql.graftbridge.ExprBridge
-    // NARROW plan: SimHash16 packs the whole signature in one pass per
+    // NARROW plan: SimHashN packs the whole signature in one pass per
     // doc — zero shuffles (the exploded twin paid two hash aggregates
     // over tokens × 16 bit rows). Token-less docs drop via the CHEAP
     // input predicate, mirroring explode's no-row behavior — never by
     // filtering the computed signature (double-eval trap).
     df.select(col(idCol), whitespaceTokens(text).as("__tok"))
       .filter(size(col("__tok")) > 0)
-      .select(col(idCol), ExprBridge.column(graft.functions.SimHash16(
-        ExprBridge.expression(col("__tok")))).as("simhash"))
+      .select(col(idCol), ExprBridge.column(graft.functions.SimHashN(
+        ExprBridge.expression(col("__tok")), SimhashBits)).as("simhash"))
   }
+
+  /** 64-bit SimHash signature as a bare Column over a BOUND token-array
+    * column — the fingerprint width the banded near-dup pipeline
+    * ([[graft.text.Dedup.simhashCandidates]]) keys on. Same bit rule as
+    * [[simhash]], just wider: bit 63 lands in the long's sign bit, so
+    * consumers extract bands with shift-then-mask (sign-safe). */
+  def simhash64Col(tokens: Column): Column =
+    ExprBridge.column(graft.functions.SimHashN(
+      ExprBridge.expression(tokens), 64))
 
   /** Declarative explode×bits formulation of [[simhash]] (spec-only
     * equivalence twin — and the shape any SQL oracle implements). */

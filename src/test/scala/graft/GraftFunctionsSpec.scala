@@ -94,6 +94,24 @@ class GraftFunctionsSpec extends SparkSpec {
       .collect().head.getInt(0)
     assert(sqlHam === 2) // 1011 vs 1101
 
+    val sqlSim64 = spark.sql(
+      "SELECT graft_simhash64(text) AS s FROM gf_docs WHERE doc_id = 1")
+      .collect().head.getLong(0)
+    val apiSim64 = nonNull.filter(col("doc_id") === 1)
+      .select(text.TextFunctions.simhash64Col(
+        text.TextFunctions.whitespaceTokens(col("text"))).as("s"))
+      .collect().head.getLong(0)
+    assert(sqlSim64 === apiSim64)
+
+    val sqlBkt = spark.sql(
+      "SELECT graft_split_bucket(doc_id, '42') AS b FROM gf_docs ORDER BY doc_id")
+      .collect().map(_.getLong(0))
+    val apiBkt = docs.orderBy("doc_id")
+      .select(text.Sampling.splitBucket(col("doc_id"), "42").as("b"))
+      .collect().map(_.getLong(0))
+    assert(sqlBkt === apiBkt)
+    assert(sqlBkt.forall(b => b >= 0 && b < text.Sampling.Granularity))
+
     val sqlStats = spark.sql(
       """SELECT graft_text_stats(text).n_tokens AS n_tokens,
         |       graft_text_stats(text).quality_score AS quality_score,

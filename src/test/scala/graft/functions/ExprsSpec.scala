@@ -176,4 +176,35 @@ class ExprsSpec extends SparkSpec {
     assert(narrow == exploded && narrow.nonEmpty)
     assert(!narrow.exists(t => t._1 >= 910003L)) // token-less docs drop
   }
+
+  test("SimHashN(64) equals the exploded plan widened to 64 bits, incl. the sign bit") {
+    import graft.text.TextFunctions
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"text").limit(50)
+      .unionByName(Seq((920001L, "a a a b b"), (920002L, "solo"))
+        .toDF("doc_id", "text"))
+    val narrow = docs
+      .select($"doc_id", TextFunctions.whitespaceTokens($"text").as("__tok"))
+      .filter(size($"__tok") > 0)
+      .select($"doc_id", TextFunctions.simhash64Col($"__tok").as("simhash"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exploded twin at 64 bits: digit math over the first 16 hex chars,
+    // bit 63 packed via the sign-bit literal (shiftleft(1,63) = Long.Min)
+    val exploded = docs
+      .select($"doc_id", explode(TextFunctions.whitespaceTokens($"text")).as("tok"))
+      .withColumn("h16", substring(md5($"tok"), 1, 16))
+      .select($"doc_id", $"h16", explode(sequence(lit(0), lit(63))).as("j"))
+      .withColumn("bit", expr(
+        "shiftright(instr('0123456789abcdef', substr(h16, 1 + CAST(floor(j/4) AS INT), 1)) - 1," +
+          " 3 - j % 4) & 1"))
+      .groupBy($"doc_id", $"j")
+      .agg(sum("bit").as("ones"), count(lit(1)).as("n"))
+      .groupBy($"doc_id")
+      .agg(sum(expr("IF(2 * ones > n, shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))"))
+        .cast("long").as("simhash"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(narrow == exploded && narrow.nonEmpty)
+    // at least one real doc should set a bit in the top 16 (sign-side) band
+    assert(narrow.exists { case (_, sig) => (sig >>> 48) != 0L })
+  }
 }

@@ -169,4 +169,36 @@ class DedupSpec extends SparkSpec {
     assert(sh.filter(col("id") === 1 && col("s").isNull).count() == 0)
     assert(sh.filter(col("id") === 2).collect().map(_.isNullAt(1)).toSeq == Seq(true))
   }
+
+  test("simhashCandidates banding is lossless vs all-pairs (pigeonhole, hamming<=3)") {
+    val d = docs.select(col("doc_id"), col("text"))
+    val corpus = d.unionByName(d.filter(col("doc_id") % 4 === 0).select(
+      (col("doc_id") + 100000L).as("doc_id"),
+      concat(col("text"), lit(" tail")).as("text")))
+    // ground truth: brute-force all-pairs hamming over the signatures
+    val sig = corpus.filter(col("text").isNotNull)
+      .select(col("doc_id"), TextFunctions.whitespaceTokens(col("text")).as("__tok"))
+      .filter(size(col("__tok")) > 0)
+      .select(col("doc_id"), TextFunctions.simhash64Col(col("__tok")).as("sig"))
+    val a = sig.select(col("doc_id").as("id_a"), col("sig").as("sa"))
+    val b = sig.select(col("doc_id").as("id_b"), col("sig").as("sb"))
+    val brute = a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // banded path with an effectively-unbounded bucket cap = exact recall
+    val banded = Dedup.simhashCandidates(corpus, "doc_id", col("text"),
+        maxHamming = 3, maxBucket = 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == brute && banded.nonEmpty)
+    // every planted tail-copy pair qualifies somewhere in the set
+    assert(banded.exists { case (x, y, _) => y - x == 100000L })
+  }
+
+  test("simhashCandidates rejects maxHamming >= bands (banding would lose pairs)") {
+    intercept[IllegalArgumentException] {
+      Dedup.simhashCandidates(docs, "doc_id", col("text"), maxHamming = 4, bands = 4)
+    }
+  }
 }

@@ -1,0 +1,58 @@
+package graft.text
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Tables.load(spark, sf001, "documents")
+
+  test("hashSplit covers every row, respects weights, and is deterministic") {
+    val out = Sampling.hashSplit(docs.select("doc_id"), col("doc_id"), "42",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val total = docs.count()
+    val counts = out.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == total) // no row unassigned
+    assert(counts.keySet == Set("train", "val", "test"))
+    // binomial(500, 0.8) is within ±4 sigma of 400 → loose bounds
+    assert(counts("train") > total * 0.7 && counts("train") < total * 0.9)
+    // a re-run (fresh plan) assigns identically — the rand() contrast
+    val again = Sampling.hashSplit(docs.select("doc_id"), col("doc_id"), "42",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
+
+  test("a different salt draws an independent re-split") {
+    def assign(salt: String) =
+      Sampling.hashSplit(docs.select("doc_id"), col("doc_id"), salt,
+        Seq("train" -> 0.5, "test" -> 0.5))
+        .select("doc_id", "split")
+    val moved = assign("a").withColumnRenamed("split", "s1")
+      .join(assign("b").withColumnRenamed("split", "s2"), Seq("doc_id"))
+      .filter(col("s1") =!= col("s2")).count()
+    assert(moved > 0, "salting must actually re-draw membership")
+  }
+
+  test("sampleByHash is stable and consistent across tables sharing the key") {
+    val frac = 0.3
+    val sampled = Sampling.sampleByHash(docs, col("doc_id"), frac, "s1")
+    val n = sampled.count().toDouble
+    val total = docs.count().toDouble
+    assert(math.abs(n / total - frac) < 0.1, s"got ${n / total}")
+    // consistency: sampling a DIFFERENT projection of the same table by
+    // the same (key, salt) selects exactly the same ids
+    val other = Sampling.sampleByHash(docs.select("doc_id", "source"),
+      col("doc_id"), frac, "s1")
+    assert(sampled.select("doc_id").exceptAll(other.select("doc_id")).isEmpty)
+    assert(other.select("doc_id").exceptAll(sampled.select("doc_id")).isEmpty)
+  }
+
+  test("splitBucket stays a narrow pushdown-friendly projection (no shuffle)") {
+    val plan = Sampling.hashSplit(docs.select("doc_id"), col("doc_id"), "42",
+      Seq("train" -> 0.8, "val" -> 0.2))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
+}
