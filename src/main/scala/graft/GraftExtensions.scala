@@ -188,6 +188,16 @@ object GraftFunctions {
       "graft_split_bucket(key, salt) - deterministic md5 bucket in [0, 10000) for train/val/test assignment") { es =>
       expect("graft_split_bucket", 2, es)
       x(text.Sampling.splitBucket(c(es(0)), c(es(1))))
+    },
+    fn("graft_token_stats",
+      "graft_token_stats(tokens) - struct(n_total, n_distinct, top_count) over a token array in one pass") { es =>
+      expect("graft_token_stats", 1, es)
+      functions.TokenStats(es(0))
+    },
+    fn("graft_pii_scrub",
+      "graft_pii_scrub(text) - text with emails/IPv4s/phone numbers replaced by <EMAIL>/<IP>/<PHONE>") { es =>
+      expect("graft_pii_scrub", 1, es)
+      x(text.Pii.scrub(c(es(0))))
     })
 
   /** Idempotent runtime registration — for sessions graft didn't build. */

@@ -321,6 +321,32 @@ object SparkEntry {
         .select("doc_id", "bucket", "split")
         .orderBy("doc_id")),
 
+    // ---- Gopher-family repetition quality signals: dup-word, top-word
+    // and dup-2-gram ratios in one narrow TokenStats pass per doc ----
+    "q_repetition" -> ((s, dir) =>
+      text.TextFunctions.repetitionStats(load(s, dir, "documents"),
+          "doc_id", col("text"))
+        .orderBy("doc_id")),
+
+    // ---- PII detect + scrub over free text; deterministic planted PII
+    // (email/IP/phone derived from doc_id) on top of the fixture text ----
+    "q_pii_scrub" -> ((s, dir) => {
+      val d = load(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact u"), col("doc_id"), lit("@example.com ip 10.0."),
+          col("doc_id") % 256, lit("."), col("doc_id") % 100,
+          lit(" tel 555-123-4567")).as("text"))
+      d.select(col("doc_id"),
+          text.Pii.piiCounts(col("text")).as("__p"),
+          text.Pii.scrub(col("text")).as("scrubbed"))
+        .select(col("doc_id"),
+          col("__p").getField("n_emails").as("n_emails"),
+          col("__p").getField("n_ips").as("n_ips"),
+          col("__p").getField("n_phones").as("n_phones"),
+          col("scrubbed"))
+        .orderBy("doc_id")
+    }),
+
     // ---- the registered SQL surface: the same pipeline expressed in
     // pure spark.sql over GraftExtensions-registered functions — pins
     // the FunctionRegistry arg binding end-to-end against the oracle ----
@@ -873,6 +899,41 @@ object SparkEntry {
         |          % 10000 AS bucket
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "q_repetition" ->
+      """WITH arr AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws
+        |  FROM documents WHERE text IS NOT NULL AND len(regexp_extract_all(lower(text), '\S+')) > 1),
+        |w AS (SELECT doc_id, unnest(ws) AS tok FROM arr),
+        |g AS (SELECT doc_id, tok, count(*) AS c FROM w GROUP BY 1, 2),
+        |wc AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, count(*) AS nd,
+        |              CAST(max(c) AS BIGINT) AS top
+        |       FROM g GROUP BY 1),
+        |g2 AS (SELECT doc_id, ws[u.i] || ' ' || ws[u.i+1] AS gram
+        |       FROM arr, LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS i) u),
+        |gc AS (SELECT doc_id, count(*) AS n2, count(DISTINCT gram) AS nd2 FROM g2 GROUP BY 1)
+        |SELECT wc.doc_id, n AS n_words, nd AS n_distinct_words,
+        |  1.0 - CAST(nd AS DOUBLE) / n AS dup_word_ratio,
+        |  CAST(top AS DOUBLE) / n AS top_word_ratio,
+        |  n2 AS n_2grams,
+        |  1.0 - CAST(nd2 AS DOUBLE) / n2 AS dup_2gram_ratio
+        |FROM wc JOIN gc ON gc.doc_id = wc.doc_id
+        |ORDER BY wc.doc_id""".stripMargin,
+    "q_pii_scrub" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com ip 10.0.'
+        |      || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR)
+        |      || ' tel 555-123-4567' AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS scrubbed
+        |FROM d ORDER BY doc_id""".stripMargin,
     "q_fingerprint" ->
       """WITH t AS (SELECT doc_id, substr(lower(text), 1, 2048) AS txt FROM documents),
         |sh AS (SELECT DISTINCT doc_id, substr(txt, u.i, 12) AS s

@@ -341,6 +341,75 @@ case class ShingleStats(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Token-multiset repetition statistics in one pass:
+  * (n_total, n_distinct, top_count) — total non-NULL elements, distinct
+  * values, and the highest multiplicity of any single value. These are
+  * the raw signals of the Gopher-family repetition quality filters
+  * (duplicate-word fraction, most-common-word fraction), kept as exact
+  * integers so any SQL engine reproduces them (`count(*)`,
+  * `count(DISTINCT tok)`, `max(count(*)) OVER token group`).
+  *
+  * Replaces the explode(tokens) → per-(doc, token) count → per-doc
+  * re-aggregate formulation (two shuffles over one row per token
+  * OCCURRENCE) with a narrow projection — zero shuffles; the hash map
+  * is per-document, bounded by the tokenizer's input cap. NULL elements
+  * are ignored on both sides (unnest drops nothing, but the oracle
+  * filters `tok IS NOT NULL`); empty/all-NULL input → NULL, callers
+  * filter on the cheap `size(tokens) > 0` predicate.
+  */
+case class TokenStats(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"token_stats expects array<string>, got ${t.sql}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_total", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("top_count", LongType, nullable = false)))
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = compute(input)
+
+  def compute(input: Any): InternalRow = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counts = new java.util.HashMap[UTF8String, java.lang.Long]()
+    var total = 0L
+    var top = 0L
+    var j = 0
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        // clone: the returned UTF8String may alias a reused buffer
+        val s = arr.getUTF8String(j).clone()
+        val prev = counts.get(s)
+        val c = if (prev == null) 1L else prev.longValue() + 1L
+        counts.put(s, c)
+        if (c > top) top = c
+        total += 1
+      }
+      j += 1
+    }
+    if (total == 0) return null
+    InternalRow(total, counts.size.toLong, top)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokenStats", this, classOf[TokenStats].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""org.apache.spark.sql.catalyst.InternalRow ${ev.value}$$r =
+         |  (org.apache.spark.sql.catalyst.InternalRow) $ref.compute($c);
+         |if (${ev.value}$$r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}$$r; }""".stripMargin)
+  }
+
+  override def prettyName: String = "token_stats"
+  override protected def withNewChildInternal(newChild: Expression): TokenStats =
+    copy(child = newChild)
+}
+
 /** `bits`-wide SimHash over a token MULTISET in one pass: bit j of a
   * token's hash is bit (3 − j%4) of hex digit j/4 of md5(token) —
   * equivalently bit (7 − j%8) of digest byte j/8 — and the document bit

@@ -157,6 +157,47 @@ object TextFunctions {
   /** Hamming distance between two packed simhash signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Token-multiset repetition stats as a struct column over a BOUND
+    * token-array column — [[graft.functions.TokenStats]], one narrow
+    * pass, zero shuffles. */
+  def tokenStatsCol(tokens: Column): Column =
+    ExprBridge.column(graft.functions.TokenStats(ExprBridge.expression(tokens)))
+
+  /** Gopher-family repetition quality signals per document, all derived
+    * from two one-pass [[tokenStatsCol]] projections (words and word
+    * 2-grams) — the serious form of "quality scoring" a pretraining
+    * pipeline filters on:
+    *  - `dup_word_ratio`   = 1 − distinct words / words — boilerplate
+    *    and keyword-stuffing pages score high;
+    *  - `top_word_ratio`   = most frequent word / words — degenerate
+    *    repetition ("buy buy buy …");
+    *  - `dup_2gram_ratio`  = 1 − distinct 2-grams / 2-grams — phrase
+    *    loops that word-level ratios miss.
+    * Zero shuffles: the exploded formulation pays two aggregates over
+    * one row per token OCCURRENCE; this is a per-row projection, so at
+    * 100 TB the filter runs at scan speed. Token-less docs are dropped
+    * via the cheap input predicate (explode-parity, and keeps the
+    * expression out of Filter conditions). */
+  def repetitionStats(df: DataFrame, idCol: String, text: Column): DataFrame =
+    df.filter(text.isNotNull)
+      .select(col(idCol), whitespaceTokens(lower(text)).as("__tok"))
+      // ≥ 2 words: a 2-gram exists, so no ratio is NULL (sub-2-word docs
+      // carry no repetition signal to filter on anyway)
+      .filter(size(col("__tok")) > 1)
+      .select(col(idCol),
+        tokenStatsCol(col("__tok")).as("__w"),
+        tokenStatsCol(Shingles.wordNGramsOf(col("__tok"), 2)).as("__g"))
+      .select(col(idCol),
+        col("__w").getField("n_total").as("n_words"),
+        col("__w").getField("n_distinct").as("n_distinct_words"),
+        (lit(1.0) - col("__w").getField("n_distinct").cast("double")
+          / col("__w").getField("n_total")).as("dup_word_ratio"),
+        (col("__w").getField("top_count").cast("double")
+          / col("__w").getField("n_total")).as("top_word_ratio"),
+        col("__g").getField("n_total").as("n_2grams"),
+        (lit(1.0) - col("__g").getField("n_distinct").cast("double")
+          / col("__g").getField("n_total")).as("dup_2gram_ratio"))
+
   /** Content fingerprint: the lexicographic min of md5 over the
     * document's char-shingle set (a 1-hash MinHash — winnowing-lite),
     * plus the distinct-shingle count. Stable under reordering of

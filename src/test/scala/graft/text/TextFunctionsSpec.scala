@@ -30,4 +30,65 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out(1L) == "en" && out(2L) == "fr")
     assert(out(3L) == "en") // all-zero counts tie-break to en
   }
+
+  test("repetitionStats: ratios match hand counts; degenerate docs score high") {
+    val df = Seq(
+      (1L, "buy buy buy buy now"),          // 5 words, 2 distinct, top=4
+      (2L, "all words here are distinct"),  // no repetition
+      (3L, "go go go go"),                  // one word repeated: top ratio 1
+      (4L, "solo"),                         // < 2 words: dropped
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = TextFunctions.repetitionStats(df, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    val r1 = out(1L)
+    assert(r1.getLong(1) == 5 && r1.getLong(2) == 2)            // n, distinct
+    assert(math.abs(r1.getDouble(3) - 0.6) < 1e-12)             // dup_word_ratio
+    assert(math.abs(r1.getDouble(4) - 0.8) < 1e-12)             // top_word_ratio
+    assert(r1.getLong(5) == 4)                          // 2-grams
+    assert(math.abs(r1.getDouble(6) - 0.5) < 1e-12)     // {"buy buy"×3, "buy now"}: 1 − 2/4
+    assert(out(2L).getDouble(3) == 0.0 && out(2L).getDouble(6) == 0.0)
+    assert(out(3L).getDouble(4) == 1.0)
+    assert(math.abs(out(3L).getDouble(6) - 2.0 / 3) < 1e-12)
+  }
+
+  test("repetitionStats matches the exploded two-aggregate formulation on real docs") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val narrow = TextFunctions.repetitionStats(docs, "doc_id", col("text"))
+      .select("doc_id", "n_words", "n_distinct_words", "n_2grams")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val toks = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), TextFunctions.whitespaceTokens(lower(col("text"))).as("w"))
+      .filter(size(col("w")) > 1)
+    val words = toks.select(col("doc_id"), explode(col("w")).as("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), countDistinct(col("tok")).as("nd"))
+    val grams = toks
+      .select(col("doc_id"), explode(Shingles.wordNGramsOf(col("w"), 2)).as("g"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n2"))
+    val exploded = words.join(grams, Seq("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(narrow == exploded && narrow.nonEmpty)
+  }
+
+  test("PII scrub replaces every pattern and counts them on the original text") {
+    val df = Seq(
+      (1L, "mail a.b+c@x-corp.io or b@y.co, host 10.0.0.7, call 555-123-4567"),
+      (2L, "no pii here at all"),
+      (3L, "v1.2.3.4 has no leading boundary; 999.999.999.999 matches anyway"))
+      .toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        Pii.piiCounts(col("text")).as("p"), Pii.scrub(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val p1 = out(1L).getStruct(1)
+    assert(p1.getLong(0) == 2 && p1.getLong(1) == 1 && p1.getLong(2) == 1)
+    val s1 = out(1L).getString(2)
+    assert(s1.contains("<EMAIL>") && s1.contains("<IP>") && s1.contains("<PHONE>"))
+    assert(!s1.contains("@") && !s1.contains("10.0.0.7") && !s1.contains("555-123-4567"))
+    assert(out(2L).getString(2) == "no pii here at all")
+    // documented looseness: any \b-delimited dotted quad matches
+    // regardless of octet range (redaction errs broad); a quad glued to
+    // a word ("v1.2.3.4") has no leading boundary and is left alone
+    assert(out(3L).getStruct(1).getLong(1) == 1)
+  }
 }
