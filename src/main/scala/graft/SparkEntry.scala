@@ -328,6 +328,28 @@ object SparkEntry {
           "doc_id", col("text"))
         .orderBy("doc_id")),
 
+    // ---- corpus statistics: per-language doc counts, EXACT token-count
+    // percentiles, mean quality — the profiling pass that sizes a
+    // training corpus before filtering. Exact percentile is the oracle
+    // anchor; the 100 TB path swaps in approx_percentile (t-digest,
+    // map-side combined — pinned within tolerance by TextFunctionsSpec),
+    // the same one-exchange plan ----
+    "q_corpus_stats" -> ((s, dir) => {
+      val d = text.TextFunctions.languageId(
+        text.TextFunctions.qualityStats(load(s, dir, "documents"), col("text")),
+        col("text"))
+      d.groupBy("pred_lang", "quality_score").agg(
+          count(lit(1)).as("n_docs"),
+          percentile(col("n_tokens"), lit(0.5)).as("p50_tokens"),
+          percentile(col("n_tokens"), lit(0.9)).as("p90_tokens"),
+          percentile(col("n_tokens"), lit(0.99)).as("p99_tokens"),
+          // avg over LONGS: the sum is exact integer arithmetic in any
+          // engine (< 2^53), so the single division is deterministic —
+          // an avg over doubles would be summation-order-dependent
+          avg(col("n_bpeish")).as("avg_bpeish"))
+        .orderBy("pred_lang", "quality_score")
+    }),
+
     // ---- PII detect + scrub over free text; deterministic planted PII
     // (email/IP/phone derived from doc_id) on top of the fixture text ----
     "q_pii_scrub" -> ((s, dir) => {
@@ -608,6 +630,31 @@ object SparkEntry {
         .select(col("doc_id"),
           ml.Similarity.dotQ(ml.Similarity.quantize(col("embedding")),
             ml.Similarity.quantize(col("embedding"))).as("qnorm"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- the end-to-end curation pipeline: exact dedup → quality +
+    // language filter → deterministic split assignment, composed from
+    // the operators above into the corpus manifest a training run
+    // consumes. Every stage is a narrow projection or one map-side-
+    // combined aggregate — the composition adds no shape the pieces
+    // don't have ----
+    "q_pipeline_corpus" -> ((s, dir) => {
+      val d = load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = d.unionByName(
+        d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 200000L).as("doc_id"), col("text")))
+      // dedup first (min-id winner over the full corpus), then filter
+      val keep = text.Dedup.exact(corpus, "doc_id", col("text"))
+        .select(col("keep_id").as("doc_id"))
+      val stats = text.TextFunctions.languageId(
+        text.TextFunctions.qualityStats(
+          corpus.join(keep, Seq("doc_id"), "left_semi"), col("text")),
+        col("text"))
+      val kept = stats.filter(col("quality_score") >= 3 && col("pred_lang") === "en")
+      text.Sampling.hashSplit(kept, col("doc_id"), "42",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "n_tokens", "quality_score", "split")
         .orderBy("doc_id")
     }),
 
@@ -918,6 +965,34 @@ object SparkEntry {
         |  1.0 - CAST(nd2 AS DOUBLE) / n2 AS dup_2gram_ratio
         |FROM wc JOIN gc ON gc.doc_id = wc.doc_id
         |ORDER BY wc.doc_id""".stripMargin,
+    "q_corpus_stats" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS BIGINT) AS n_bpeish,
+        |    CAST(length(text) AS BIGINT) AS n_len,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|is)\b')) AS BIGINT) AS en_n,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(le|la|et|les|des)\b')) AS BIGINT) AS fr_n,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(el|los|las|y|que)\b')) AS BIGINT) AS es_n,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist)\b')) AS BIGINT) AS de_n
+        |  FROM documents),
+        |q AS (
+        |  SELECT *,
+        |    CAST(n_tokens >= 10 AS INT) + CAST(n_tokens <= 1000 AS INT)
+        |      + CAST(CAST(n_len AS DOUBLE)/NULLIF(n_tokens, 0) >= 3
+        |              AND CAST(n_len AS DOUBLE)/NULLIF(n_tokens, 0) <= 12 AS INT)
+        |      + CAST(CAST(n_alpha AS DOUBLE)/NULLIF(n_len, 0) > 0.7 AS INT) AS quality_score,
+        |    CASE WHEN en_n >= fr_n AND en_n >= es_n AND en_n >= de_n THEN 'en'
+        |         WHEN fr_n >= es_n AND fr_n >= de_n THEN 'fr'
+        |         WHEN es_n >= de_n THEN 'es' ELSE 'de' END AS pred_lang
+        |  FROM s)
+        |SELECT pred_lang, quality_score, count(*) AS n_docs,
+        |  quantile_cont(n_tokens, 0.5) AS p50_tokens,
+        |  quantile_cont(n_tokens, 0.9) AS p90_tokens,
+        |  quantile_cont(n_tokens, 0.99) AS p99_tokens,
+        |  avg(n_bpeish) AS avg_bpeish
+        |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_pii_scrub" ->
       """WITH d AS (
         |  SELECT doc_id,
@@ -1225,6 +1300,39 @@ object SparkEntry {
         |SELECT k, custkey, status, price FROM updated
         |UNION ALL SELECT k, custkey, status, price FROM inserted
         |ORDER BY k""".stripMargin,
+    "q_pipeline_corpus" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000, text FROM documents WHERE doc_id % 7 = 0),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text)),
+        |s AS (
+        |  SELECT c.doc_id,
+        |    CAST(len(regexp_extract_all(c.text, '\S+')) AS BIGINT) AS n_tokens,
+        |    CAST(length(c.text) AS BIGINT) AS n_len,
+        |    CAST(len(regexp_extract_all(c.text, '[A-Za-z]')) AS BIGINT) AS n_alpha,
+        |    CAST(len(regexp_extract_all(lower(c.text), '\b(the|a|of|and|is)\b')) AS BIGINT) AS en_n,
+        |    CAST(len(regexp_extract_all(lower(c.text), '\b(le|la|et|les|des)\b')) AS BIGINT) AS fr_n,
+        |    CAST(len(regexp_extract_all(lower(c.text), '\b(el|los|las|y|que)\b')) AS BIGINT) AS es_n,
+        |    CAST(len(regexp_extract_all(lower(c.text), '\b(der|die|und|das|ist)\b')) AS BIGINT) AS de_n
+        |  FROM corpus c JOIN keep k ON k.doc_id = c.doc_id),
+        |q AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(n_tokens >= 10 AS INT) + CAST(n_tokens <= 1000 AS INT)
+        |      + CAST(CAST(n_len AS DOUBLE)/NULLIF(n_tokens, 0) >= 3
+        |              AND CAST(n_len AS DOUBLE)/NULLIF(n_tokens, 0) <= 12 AS INT)
+        |      + CAST(CAST(n_alpha AS DOUBLE)/NULLIF(n_len, 0) > 0.7 AS INT) AS quality_score,
+        |    CASE WHEN en_n >= fr_n AND en_n >= es_n AND en_n >= de_n THEN 'en'
+        |         WHEN fr_n >= es_n AND fr_n >= de_n THEN 'fr'
+        |         WHEN es_n >= de_n THEN 'es' ELSE 'de' END AS pred_lang
+        |  FROM s)
+        |SELECT doc_id, n_tokens, quality_score,
+        |  CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT *,
+        |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8)) AS BIGINT)
+        |          % 10000 AS b
+        |      FROM q WHERE quality_score >= 3 AND pred_lang = 'en')
+        |ORDER BY doc_id""".stripMargin,
     "q_j3_compaction" ->
       """SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us
         |FROM events

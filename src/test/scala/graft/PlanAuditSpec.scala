@@ -47,6 +47,24 @@ class PlanAuditSpec extends SparkSpec {
       s"range bounds not pushed: $filters")
   }
 
+  test("per-row text ops stay shuffle-free (repetition, PII, split)") {
+    // these run at scan speed at 100 TB precisely because nothing in
+    // them exchanges: one narrow projection end-to-end
+    for (q <- Seq("q_repetition", "q_pii_scrub", "q_split_assign")) {
+      val plan = SparkEntry.queries(q)(spark, sf0001)
+        .queryExecution.executedPlan.toString
+      // the trailing orderBy (oracle determinism only) is the single
+      // allowed exchange; the op itself must not add another
+      val exchanges = "Exchange".r.findAllIn(plan).size
+      assert(exchanges <= 1, s"$q has $exchanges exchanges:\n$plan")
+    }
+    // token_stats must not leak into a Filter condition (double eval)
+    val filters = logical("q_repetition").collect {
+      case f: Filter => f.condition.toString }
+    assert(!filters.exists(_.contains("token_stats")),
+      s"q_repetition evaluates token_stats inside a Filter: $filters")
+  }
+
   test("scans are pruned to the referenced columns") {
     // q1_agg touches 4 of lineitem's 16 columns: the scan must not
     // read the other 12

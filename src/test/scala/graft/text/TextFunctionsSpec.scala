@@ -71,6 +71,20 @@ class TextFunctionsSpec extends SparkSpec {
     assert(narrow == exploded && narrow.nonEmpty)
   }
 
+  test("approx_percentile tracks exact percentile (the 100 TB swap-in for q_corpus_stats)") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val n = TextFunctions.qualityStats(docs, col("text")).select("n_tokens")
+    val row = n.agg(
+      percentile(col("n_tokens"), lit(0.9)).as("e"),
+      expr("approx_percentile(n_tokens, 0.9, 10000)").as("a")).head()
+    val exact = row.getDouble(0)
+    val approx = row.getLong(1).toDouble
+    // at accuracy=10000 the t-digest is exact-rank on small data and
+    // within a tight relative band at any scale
+    assert(math.abs(approx - exact) / exact < 0.02,
+      s"approx=$approx exact=$exact")
+  }
+
   test("PII scrub replaces every pattern and counts them on the original text") {
     val df = Seq(
       (1L, "mail a.b+c@x-corp.io or b@y.co, host 10.0.0.7, call 555-123-4567"),
