@@ -633,6 +633,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- vocabulary building: top-1000 tokens by corpus frequency with
+    // exact document frequencies (the 100 TB swap-in for doc_freq is
+    // approx_count_distinct; see scaladoc) ----
+    "q_vocab" -> ((s, dir) =>
+      text.TextFunctions.vocabulary(load(s, dir, "documents"), "doc_id",
+          col("text"), 1000)
+        .orderBy(col("n").desc, col("tok"))),
+
+    // ---- benchmark decontamination: corpus docs sharing a 13-word
+    // n-gram with the benchmark set (every 50th doc plays the leaked
+    // eval doc); benchmark n-grams broadcast, corpus never shuffles ----
+    "q_decontaminate" -> ((s, dir) => {
+      val d = load(s, dir, "documents")
+      val bench = d.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("bench_id"), col("text"))
+      text.Dedup.contaminated(d, "doc_id", bench, "bench_id", col("text"))
+        .orderBy("doc_id")
+    }),
+
     // ---- the end-to-end curation pipeline: exact dedup → quality +
     // language filter → deterministic split assignment, composed from
     // the operators above into the corpus manifest a training run
@@ -771,7 +790,35 @@ object SparkEntry {
        |                 CAST(floor(CAST(x.u2 AS DOUBLE)*1000) AS BIGINT)) AS BIGINT)
        | FROM (SELECT unnest($a) AS u1, unnest($b) AS u2) x)""".stripMargin
 
+  /** Oracle fragment: a 13-word-gram over the capped word array `w` at
+    * 1-based index `u.i` (mirrors Shingles.wordNGramsOf(w, 13)). */
+  private val gram13: String =
+    (0 until 13).map(o => if (o == 0) "w[u.i]" else s"w[u.i+$o]")
+      .mkString(" || ' ' || ")
+
   def oracleSql: Map[String, String] = Map(
+    "q_vocab" ->
+      """SELECT tok, count(*) AS n, count(DISTINCT doc_id) AS doc_freq
+        |FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+        |      FROM documents WHERE text IS NOT NULL)
+        |GROUP BY 1 ORDER BY n DESC, tok LIMIT 1000""".stripMargin,
+    "q_decontaminate" ->
+      s"""WITH cw AS (
+         |  SELECT doc_id, list_slice(str_split(lower(text), ' '), 1, 4096) AS w
+         |  FROM documents),
+         |cs AS (SELECT DISTINCT doc_id, s FROM (
+         |  SELECT doc_id, $gram13 AS s
+         |  FROM cw, LATERAL (SELECT unnest(generate_series(1, greatest(len(w)-12, 1))) AS i) u)
+         |  WHERE s IS NOT NULL),
+         |bs AS (SELECT DISTINCT doc_id AS bench_id, s FROM (
+         |  SELECT doc_id, $gram13 AS s
+         |  FROM cw, LATERAL (SELECT unnest(generate_series(1, greatest(len(w)-12, 1))) AS i) u
+         |  WHERE doc_id % 50 = 0)
+         |  WHERE s IS NOT NULL)
+         |SELECT cs.doc_id, count(DISTINCT cs.s) AS n_grams_hit,
+         |  min(bs.bench_id) AS first_bench_id
+         |FROM cs JOIN bs ON bs.s = cs.s
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_dedup_exact" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

@@ -210,6 +210,28 @@ object Dedup {
       .localCheckpoint(true)
   }
 
+  /** Benchmark decontamination: corpus documents sharing at least one
+    * word n-gram (default 13 — the de-facto eval-decontamination window)
+    * with any benchmark document. The step that keeps eval sets out of
+    * a training corpus.
+    *
+    * Plan shape at 100 TB: the benchmark side is SMALL by definition
+    * (eval suites are thousands of docs), so its distinct n-gram set is
+    * BROADCAST into the corpus shingle scan — the corpus never shuffles
+    * for the probe; the only exchange is the per-hit-document count
+    * aggregation, sized by CONTAMINATED docs only. Output: (corpusId,
+    * n_grams_hit = distinct shared n-grams, first_bench_id = lowest
+    * matching benchmark doc). */
+  def contaminated(corpus: DataFrame, corpusId: String, bench: DataFrame,
+      benchId: String, text: Column, n: Int = 13): DataFrame = {
+    val cs = shingles(corpus, corpusId, text, n)
+    val bs = shingles(bench, benchId, text, n)
+    cs.join(broadcast(bs), Seq("s"))
+      .groupBy(corpusId)
+      .agg(countDistinct(col("s")).as("n_grams_hit"),
+        min(col(benchId)).as("first_bench_id"))
+  }
+
   /** SimHash near-duplicate pairs — the Manku-style web-dedup design:
     * 64-bit token-multiset SimHash, banded into `bands` equal slices;
     * candidate pairs share at least one band VALUE; the verify step is

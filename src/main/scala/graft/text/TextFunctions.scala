@@ -198,6 +198,23 @@ object TextFunctions {
         (lit(1.0) - col("__g").getField("n_distinct").cast("double")
           / col("__g").getField("n_total")).as("dup_2gram_ratio"))
 
+  /** Vocabulary building: global token frequencies + document
+    * frequencies, top-K by count (ties broken by token — a total order,
+    * so the cutoff is deterministic). The canonical word-count: one
+    * map-side-combined aggregate on the token; `countDistinct(doc)` is
+    * exact for the oracle — at 100 TB swap in `approx_count_distinct`
+    * (HLL, same single-aggregate plan) when ±2% doc-frequency error is
+    * acceptable. topK lands as TakeOrdered (per-partition heaps + one
+    * k-row merge), never a global sort. */
+  def vocabulary(df: DataFrame, idCol: String, text: Column,
+      topK: Int): DataFrame =
+    df.filter(text.isNotNull)
+      .select(col(idCol), explode(whitespaceTokens(lower(text))).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("n"), countDistinct(col(idCol)).as("doc_freq"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(topK)
+
   /** Content fingerprint: the lexicographic min of md5 over the
     * document's char-shingle set (a 1-hash MinHash — winnowing-lite),
     * plus the distinct-shingle count. Stable under reordering of

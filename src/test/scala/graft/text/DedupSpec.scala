@@ -201,4 +201,21 @@ class DedupSpec extends SparkSpec {
       Dedup.simhashCandidates(docs, "doc_id", col("text"), maxHamming = 4, bands = 4)
     }
   }
+
+  test("contaminated flags docs embedding a benchmark n-gram, not clean docs") {
+    val words = (1 to 40).map(i => s"w$i").mkString(" ")
+    val benchText = (1 to 15).map(i => s"bench$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$words $benchText trailing content here"), // embeds all 15 bench words
+      (2L, words),                                      // clean
+      (3L, s"prefix $benchText"),                       // embeds too
+      (4L, "short doc")).toDF("doc_id", "text")         // < 13 words: no grams
+    val bench = Seq((100L, benchText)).toDF("bench_id", "text")
+    val out = Dedup.contaminated(corpus, "doc_id", bench, "bench_id", col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet == Set(1L, 3L))
+    // a 15-word benchmark doc has 3 distinct 13-grams; both hits embed
+    // the full text, so all 3 grams match
+    assert(out(1L) == ((3L, 100L)) && out(3L) == ((3L, 100L)))
+  }
 }

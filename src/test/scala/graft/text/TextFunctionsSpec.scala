@@ -71,6 +71,17 @@ class TextFunctionsSpec extends SparkSpec {
     assert(narrow == exploded && narrow.nonEmpty)
   }
 
+  test("vocabulary: counts, doc frequencies, and a deterministic top-K cutoff") {
+    val df = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple cherry"),
+      (3L, "banana banana date")).toDF("doc_id", "text")
+    val out = TextFunctions.vocabulary(df, "doc_id", col("text"), 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // apple: n=3 df=2; banana: n=3 df=2 (tie → alphabetical); cherry/date n=1 tie → cherry
+    assert(out.toSeq == Seq(("apple", 3L, 2L), ("banana", 3L, 2L), ("cherry", 1L, 1L)))
+  }
+
   test("approx_percentile tracks exact percentile (the 100 TB swap-in for q_corpus_stats)") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val n = TextFunctions.qualityStats(docs, col("text")).select("n_tokens")
