@@ -271,7 +271,10 @@ object Dedup {
       .select(col(idCol), TextFunctions.simhash64Col(col("__tok")).as("__sig"))
       .persist()
     try {
-      sigs.count(): Unit // materialize; feeds the band explode AND both verify joins
+      // no eager count: candidatesFromBands' localCheckpoint is the
+      // FIRST action and populates the cache on the way; the later
+      // hamming joins (and each other) never race it because the
+      // checkpoint is a barrier
       // shift-then-mask is sign-safe (bit 63 is the long's sign bit);
       // band value as the bucket key, same capped expansion as LSH
       val banded = sigs.select(col(idCol),
