@@ -65,6 +65,17 @@ class PlanAuditSpec extends SparkSpec {
       s"q_repetition evaluates token_stats inside a Filter: $filters")
   }
 
+  test("decontamination probes via broadcast — the corpus never shuffles for the join") {
+    val plan = SparkEntry.queries("q_decontaminate")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark gram set is not broadcast:\n$plan")
+    // the corpus side reaches the join without a shuffle: the only
+    // ShuffleExchanges allowed are the post-join aggregation + order
+    val shuffles = "ShuffleExchange".r.findAllIn(plan).size
+    assert(shuffles <= 3, s"q_decontaminate has $shuffles shuffles:\n$plan")
+  }
+
   test("scans are pruned to the referenced columns") {
     // q1_agg touches 4 of lineitem's 16 columns: the scan must not
     // read the other 12
