@@ -66,4 +66,33 @@ object DocStream {
         .withColumn("__mk", coalesce(col("__mh").cast("string"), contentKey(text))),
       "__mk", timeCol, watermark)
       .drop("__mh", "__mk")
+
+  /** The streaming curation chain — on-arrival form of the batch
+    * `q_pipeline_corpus` composition: exact-dup gate → quality +
+    * language filter → PII scrub → deterministic split assignment.
+    * Everything after the gate is a stateless narrow projection, so the
+    * ONLY streaming state is the dedup gate's watermark-bounded key
+    * store; the split is a pure (key, salt) function, so a doc's
+    * train/val/test membership is identical whether it arrived via this
+    * stream or the batch sweep — the property that lets the two
+    * deployment shapes share one corpus. Emits the input columns +
+    * (n_tokens, quality_score, pred_lang, scrubbed, bucket, split). */
+  def curateStream(docs: DataFrame, idCol: String, text: Column,
+      timeCol: String, watermark: String, minQuality: Int = 3,
+      langs: Seq[String] = Seq("en"), salt: String = "42",
+      weights: Seq[(String, Double)] =
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame = {
+    import graft.text.{Pii, Sampling, TextFunctions}
+    val scored = dedupExactStream(docs, text, timeCol, watermark)
+      .withColumn("__q", TextFunctions.qualityStatsCol(text))
+      .withColumn("__l", TextFunctions.languageIdCol(text))
+      .filter(col("__q").getField("quality_score") >= minQuality &&
+        col("__l").getField("pred_lang").isin(langs: _*))
+      .withColumn("n_tokens", col("__q").getField("n_tokens"))
+      .withColumn("quality_score", col("__q").getField("quality_score"))
+      .withColumn("pred_lang", col("__l").getField("pred_lang"))
+      .withColumn("scrubbed", Pii.scrub(text))
+      .drop("__q", "__l")
+    Sampling.hashSplit(scored, col(idCol), salt, weights)
+  }
 }

@@ -93,4 +93,48 @@ class DocStreamSpec extends SparkSpec {
     assert(out.count() == 2)
     assert(out.select(countDistinct(col("text"))).as[Long].head() == 2)
   }
+
+  test("curation chain: gate + quality/lang filter + scrub + split, stream == batch") {
+    val dir = feedDir()
+    val rows = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today", "2024-01-01 10:00:00"),
+      (2L, "a b c 1 2 3 4 5 6 7", "2024-01-01 10:00:10")) // low alpha ratio → filtered
+    val rows2 = Seq(
+      (3L, "the quick brown fox jumps over the lazy dog today", "2024-01-01 10:00:20"), // dup of 1
+      (4L, "pack my box with five dozen liquor jugs mail me at a.b@x.io now", "2024-01-01 10:00:30"))
+    rows.toDF("doc_id", "text", "t").withColumn("t", to_timestamp(col("t")))
+      .coalesce(1).write.mode("append").parquet(dir)
+    Thread.sleep(300)
+    rows2.toDF("doc_id", "text", "t").withColumn("t", to_timestamp(col("t")))
+      .coalesce(1).write.mode("append").parquet(dir)
+
+    val schema = spark.read.parquet(dir).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = DocStream.curateStream(src, "doc_id", col("text"), "t", "1 hour")
+      .writeStream.format("memory").queryName("ds_curate")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("ds_curate")
+      .select("doc_id", "quality_score", "pred_lang", "scrubbed", "split")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getString(3), r.getString(4))).toSet
+
+    // 1 survives (quality ≥ 3, en); 2 fails the alpha-ratio gate;
+    // 3 is a content dup; 4 survives with its email scrubbed
+    assert(streamed.map(_._1) == Set(1L, 4L))
+    assert(streamed.find(_._1 == 4L).get._4.contains("<EMAIL>"))
+
+    // stream == batch over the same files: same survivors by content
+    // (batch dedup may keep 3 instead of 1 — identical text either way),
+    // and the id-stable row gets the identical split assignment (pure
+    // (key, salt) function)
+    val batch = DocStream.curateStream(
+        spark.read.parquet(dir), "doc_id", col("text"), "t", "1 hour")
+      .select("doc_id", "quality_score", "pred_lang", "scrubbed", "split")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getString(3), r.getString(4))).toSet
+    assert(batch.map(t => (t._2, t._3, t._4)) == streamed.map(t => (t._2, t._3, t._4)))
+    assert(batch.find(_._1 == 4L).map(_._5) == streamed.find(_._1 == 4L).map(_._5))
+  }
 }
