@@ -380,6 +380,9 @@ object SparkEntry {
         |  graft_fingerprint(text, 12).fingerprint AS fingerprint,
         |  graft_fingerprint(text, 12).n_shingles AS n_shingles,
         |  CAST(size(graft_tokens(text)) AS BIGINT) AS n_tokens,
+        |  graft_simhash64(text) AS simhash64,
+        |  graft_split_bucket(doc_id, '42') AS bucket,
+        |  graft_token_stats(graft_tokens(text)).top_count AS top_tok_count,
         |  graft_mask(source, 'partial') AS source_masked
         |FROM graft_sql_docs
         |WHERE text IS NOT NULL
@@ -1068,14 +1071,35 @@ object SparkEntry {
         |sh AS (SELECT DISTINCT doc_id, substr(txt, u.i, 12) AS s
         |       FROM t, LATERAL (SELECT unnest(generate_series(1, greatest(length(txt)-11, 1))) AS i) u),
         |fp AS (SELECT doc_id, min(md5(s)) AS fingerprint, count(*) AS n_shingles
-        |       FROM sh GROUP BY 1)
+        |       FROM sh GROUP BY 1),
+        |tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+        |        FROM documents WHERE text IS NOT NULL),
+        |bits AS (SELECT doc_id, j.j,
+        |  ((strpos('0123456789abcdef', substr(substr(md5(tok),1,16), 1 + CAST(floor(j.j/4) AS INT), 1)) - 1)
+        |    >> (3 - j.j % 4)) & 1 AS bit
+        |  FROM tok, generate_series(0, 63) j(j)),
+        |agg AS (SELECT doc_id, j, sum(bit) AS ones, count(*) AS n FROM bits GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, bit_or(CASE WHEN 2*ones > n THEN
+        |          CASE WHEN j = 63 THEN (-9223372036854775807-1)::BIGINT
+        |               ELSE 1::BIGINT << CAST(j AS INT) END
+        |        ELSE 0::BIGINT END) AS simhash64 FROM agg GROUP BY 1),
+        |ts AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_tok_count FROM (
+        |         SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2)
+        |       GROUP BY 1)
         |SELECT d.doc_id, fp.fingerprint, fp.n_shingles,
         |  CAST(len(regexp_extract_all(d.text, '\S+')) AS BIGINT) AS n_tokens,
+        |  sig.simhash64,
+        |  CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':42'), 1, 8)) AS BIGINT)
+        |    % 10000 AS bucket,
+        |  ts.top_tok_count,
         |  CASE WHEN length(d.source) > 4
         |    THEN regexp_replace(substr(d.source, 1, length(d.source)-4), '[a-zA-Z0-9]', 'X', 'g')
         |         || substr(d.source, length(d.source)-3, 4)
         |    ELSE regexp_replace(d.source, '[a-zA-Z0-9]', 'X', 'g') END AS source_masked
-        |FROM documents d JOIN fp ON fp.doc_id = d.doc_id
+        |FROM documents d
+        |JOIN fp ON fp.doc_id = d.doc_id
+        |JOIN sig ON sig.doc_id = d.doc_id
+        |JOIN ts ON ts.doc_id = d.doc_id
         |WHERE d.text IS NOT NULL
         |ORDER BY d.doc_id""".stripMargin,
     "q_simhash" ->
