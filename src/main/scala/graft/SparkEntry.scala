@@ -655,6 +655,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- sequence packing manifest: split + shard + windowed cumsum —
+    // where every doc lands in the fixed-capacity training sequences.
+    // Sharding by the split bucket keeps windows small and parallel
+    // (a global window would be one reducer at 100 TB) ----
+    "q_pack" -> ((s, dir) => {
+      val d = text.TextFunctions.qualityStats(
+          load(s, dir, "documents").filter(col("text").isNotNull), col("text"))
+        .select(col("doc_id"), col("n_tokens"))
+      val sp = text.Sampling.hashSplit(d, col("doc_id"), "42",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .withColumn("shard", col("bucket") % 8)
+      text.Packing.packManifest(sp, "doc_id", col("n_tokens"),
+          Seq(col("split"), col("shard")), 2048)
+        .select("doc_id", "split", "shard", "n_tokens",
+          "start_tok", "seq_idx", "seq_offset")
+        .orderBy("doc_id")
+    }),
+
     // ---- the end-to-end curation pipeline: exact dedup → quality +
     // language filter → deterministic split assignment, composed from
     // the operators above into the corpus manifest a training run
@@ -1371,6 +1389,25 @@ object SparkEntry {
         |SELECT k, custkey, status, price FROM updated
         |UNION ALL SELECT k, custkey, status, price FROM inserted
         |ORDER BY k""".stripMargin,
+    "q_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8)) AS BIGINT)
+        |      % 10000 AS bucket
+        |  FROM documents WHERE text IS NOT NULL),
+        |s AS (SELECT doc_id, n_tokens,
+        |        CASE WHEN bucket < 8000 THEN 'train'
+        |             WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split,
+        |        bucket % 8 AS shard
+        |      FROM d),
+        |p AS (SELECT *,
+        |        CAST(sum(n_tokens) OVER (PARTITION BY split, shard ORDER BY doc_id)
+        |             - n_tokens AS BIGINT) AS start_tok
+        |      FROM s)
+        |SELECT doc_id, split, shard, n_tokens, start_tok,
+        |  start_tok // 2048 AS seq_idx, start_tok % 2048 AS seq_offset
+        |FROM p ORDER BY doc_id""".stripMargin,
     "q_pipeline_corpus" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
