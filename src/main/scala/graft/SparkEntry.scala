@@ -655,6 +655,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- unigram-LM surprisal (CCNet-style quality signal): per-token
+    // −log p quantized to integer milli-nats before the per-doc sum, so
+    // the aggregate is engine-exact; the model broadcasts ----
+    "q_surprisal" -> ((s, dir) =>
+      text.TextFunctions.unigramSurprisal(load(s, dir, "documents"),
+          "doc_id", col("text"))
+        .orderBy("doc_id")),
+
     // ---- sequence packing manifest: split + shard + windowed cumsum —
     // where every doc lands in the fixed-capacity training sequences.
     // Sharding by the split bucket keeps windows small and parallel
@@ -1389,6 +1397,20 @@ object SparkEntry {
         |SELECT k, custkey, status, price FROM updated
         |UNION ALL SELECT k, custkey, status, price FROM inserted
         |ORDER BY k""".stripMargin,
+    "q_surprisal" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |model AS (SELECT tok, count(*) AS tf FROM tok GROUP BY 1),
+        |tot AS (SELECT count(*) AS n FROM tok),
+        |sc AS (
+        |  SELECT t.doc_id,
+        |    CAST(floor(-1000.0 * ln(CAST(m.tf AS DOUBLE) / tot.n)) AS BIGINT) AS mnats
+        |  FROM tok t JOIN model m ON m.tok = t.tok CROSS JOIN tot)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(mnats) AS BIGINT) AS total_mnats,
+        |  CAST(sum(mnats) AS DOUBLE) / 1000.0 / count(*) AS avg_surprisal_nats
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_pack" ->
       """WITH d AS (
         |  SELECT doc_id,

@@ -215,6 +215,47 @@ object TextFunctions {
       .orderBy(col("n").desc, col("tok"))
       .limit(topK)
 
+  /** Unigram-LM surprisal — the CCNet-style "perplexity" quality
+    * signal, with a unigram model in place of a trained LM: documents
+    * whose tokens are globally rare (or whose token mix is unusual)
+    * score high and are candidates for the dirty bucket; boilerplate
+    * scores low.
+    *
+    * Determinism discipline: each token's −log p is QUANTIZED to
+    * integer milli-nats (floor(−1000·ln(count/total))) BEFORE the
+    * per-document sum, so the aggregate is exact integer arithmetic —
+    * a double sum of logs would be summation-order-dependent across
+    * engines. The final per-token average is one double division.
+    *
+    * Plan shape: the model is the token-frequency table (the
+    * [[vocabulary]] aggregate, unlimited); docs explode to tokens and
+    * join it — at 100 TB the vocab (millions of rows, two columns)
+    * broadcasts, so the probe side never shuffles; the only exchange is
+    * the per-doc sum. OOV tokens cannot exist when the model is built
+    * from the scored corpus itself; scoring NEW docs against a frozen
+    * model needs a smoothing floor — callers pre-join and fill. */
+  def unigramSurprisal(df: DataFrame, idCol: String, text: Column): DataFrame = {
+    // the token table feeds three subtrees (model, total, probe):
+    // persist once, materialize small output, release — the same cache
+    // contract as Dedup.jaccardVerify
+    val toks = df.filter(text.isNotNull)
+      .select(col(idCol), explode(whitespaceTokens(lower(text))).as("tok"))
+      .persist()
+    try {
+      val total = toks.count()
+      val model = toks.groupBy("tok").agg(count(lit(1)).as("__tf"))
+      toks.join(broadcast(model), Seq("tok"))
+        .withColumn("__mnats",
+          floor(lit(-1000.0) * log(col("__tf").cast("double") / total)).cast("long"))
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("__mnats")).as("total_mnats"))
+        .withColumn("avg_surprisal_nats",
+          col("total_mnats").cast("double") / lit(1000.0) / col("n_tokens"))
+        .localCheckpoint(true)
+    } finally { toks.unpersist(false); () }
+  }
+
   /** Content fingerprint: the lexicographic min of md5 over the
     * document's char-shingle set (a 1-hash MinHash — winnowing-lite),
     * plus the distinct-shingle count. Stable under reordering of

@@ -82,6 +82,21 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out.toSeq == Seq(("apple", 3L, 2L), ("banana", 3L, 2L), ("cherry", 1L, 1L)))
   }
 
+  test("unigramSurprisal: rare-token docs score higher; integer milli-nat sums") {
+    val df = Seq(
+      (1L, "common common common common"),
+      (2L, "common common rare xylophone")).toDF("doc_id", "text")
+    val out = TextFunctions.unigramSurprisal(df, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // model: common 6/8, rare 1/8, xylophone 1/8
+    val mc = math.floor(-1000.0 * math.log(6.0 / 8))
+    val mr = math.floor(-1000.0 * math.log(1.0 / 8))
+    assert(out(1L)._2 == 4 * mc.toLong)
+    assert(out(2L)._2 == (2 * mc + 2 * mr).toLong)
+    assert(out(2L)._3 > out(1L)._3) // the rare-token doc is more surprising
+    assert(out(1L)._1 == 4 && out(2L)._1 == 4)
+  }
+
   test("approx_percentile tracks exact percentile (the 100 TB swap-in for q_corpus_stats)") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val n = TextFunctions.qualityStats(docs, col("text")).select("n_tokens")
