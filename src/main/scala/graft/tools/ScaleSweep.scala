@@ -1,0 +1,73 @@
+package graft.tools
+
+import graft.{GraftSession, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-sweep harness: times the scan-proportional text pipelines at
+  * 1×/3×/10× synthetic multiples of the sf0.1 `documents` table and
+  * prints one JSON line per (pipeline, multiple) — the measured
+  * evidence behind SCALE.md's "runs at scan speed" claims. A pipeline
+  * whose seconds grow super-linearly in the multiple has a hidden
+  * all-pairs or global-window stage.
+  *
+  * Each copy's text is salted with a copy-specific md5 token so copies
+  * are DISTINCT documents (an unsalted union would make every doc a
+  * 10-way duplicate and measure dedup-output explosion, not operator
+  * scaling). Builder-side tooling — not part of the driver contract.
+  */
+object ScaleSweep {
+  private def corpus(spark: SparkSession, dir: String, mult: Int): DataFrame = {
+    val d = Tables.load(spark, dir, "documents").select(col("doc_id"), col("text"))
+    (0 until mult).map { k =>
+      d.select((col("doc_id") + k * 10000000L).as("doc_id"),
+        concat(col("text"), lit(" "), md5(concat(col("doc_id"), lit(s":$k")))).as("text"))
+    }.reduce(_ unionByName _)
+  }
+
+  private def time(f: => Long): (Double, Long) = {
+    val t0 = System.nanoTime()
+    val n = f
+    ((System.nanoTime() - t0) / 1e9, n)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.create(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.text._
+    val pipelines: Seq[(String, DataFrame => Long)] = Seq(
+      "exact_dedup" -> (c => Dedup.exact(c, "doc_id", col("text")).count()),
+      "fingerprint" -> (c => TextFunctions.fingerprint(c, "doc_id", col("text")).count()),
+      "simhash64" -> (c => c.filter(col("text").isNotNull)
+        .select(col("doc_id"), TextFunctions.whitespaceTokens(col("text")).as("t"))
+        .filter(size(col("t")) > 0)
+        .select(TextFunctions.simhash64Col(col("t"))).count()),
+      "repetition" -> (c => TextFunctions.repetitionStats(c, "doc_id", col("text")).count()),
+      "pii_scrub" -> (c => c.select(Pii.scrub(col("text"))).count()),
+      "split_pack" -> (c => {
+        val sp = Sampling.hashSplit(
+          TextFunctions.qualityStats(c.filter(col("text").isNotNull), col("text"))
+            .select(col("doc_id"), col("n_tokens")),
+          col("doc_id"), "42", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          .withColumn("shard", col("bucket") % 64)
+        Packing.packManifest(sp, "doc_id", col("n_tokens"),
+          Seq(col("split"), col("shard")), 2048).count()
+      }),
+      "vocabulary" -> (c => TextFunctions.vocabulary(c, "doc_id", col("text"), 1000).count()),
+      "surprisal" -> (c => TextFunctions.unigramSurprisal(c, "doc_id", col("text")).count()))
+    // warm-up at 1x so codegen/JIT is out of the timed region
+    val warm = corpus(spark, dir, 1)
+    pipelines.foreach { case (_, f) => f(warm); () }
+    for (mult <- Seq(1, 3, 10); (name, f) <- pipelines) {
+      spark.catalog.clearCache()
+      val c = corpus(spark, dir, mult)
+      val (s1, n) = time(f(c))
+      spark.catalog.clearCache()
+      val (s2, _) = time(f(c))
+      println(f"""{"pipeline":"$name","mult":$mult,"sec":${math.min(s1, s2)}%.3f,"rows":$n}""")
+    }
+    spark.stop()
+  }
+}
