@@ -17,12 +17,32 @@ import org.apache.spark.sql.functions._
   * scaling). Builder-side tooling — not part of the driver contract.
   */
 object ScaleSweep {
+  /** `mult` copies of the documents table. Every TOKEN of copy k > 0 is
+    * prefixed with the copy id, so copies are genuinely distinct
+    * documents (zero shared shingles): a tail-only salt would leave the
+    * copies near-dups of each other and any near-dup measurement would
+    * see an m-clique per original — quadratic OUTPUT growth by fixture
+    * construction, not by operator behavior. */
   private def corpus(spark: SparkSession, dir: String, mult: Int): DataFrame = {
     val d = Tables.load(spark, dir, "documents").select(col("doc_id"), col("text"))
     (0 until mult).map { k =>
-      d.select((col("doc_id") + k * 10000000L).as("doc_id"),
-        concat(col("text"), lit(" "), md5(concat(col("doc_id"), lit(s":$k")))).as("text"))
+      val t = if (k == 0) col("text")
+        else regexp_replace(col("text"), "(\\S+)", s"c${k}_$$1")
+      d.select((col("doc_id") + k * 10000000L).as("doc_id"), t.as("text"))
     }.reduce(_ unionByName _)
+  }
+
+  /** Corpus with a SCALE-INVARIANT near-dup rate: every copy plants
+    * tail-mutated dups of 20% of its own docs (dups never span copies),
+    * so candidate pairs grow linearly with the multiple — the shape a
+    * real crawl has, and the one that distinguishes "bucketed join
+    * scales" from "pair output explodes". */
+  private def nearDupCorpus(spark: SparkSession, dir: String, mult: Int): DataFrame = {
+    val base = corpus(spark, dir, mult)
+    base.unionByName(
+      base.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000000L).as("doc_id"),
+          concat(col("text"), lit(" near duplicate tail")).as("text")))
   }
 
   private def time(f: => Long): (Double, Long) = {
@@ -57,16 +77,34 @@ object ScaleSweep {
       }),
       "vocabulary" -> (c => TextFunctions.vocabulary(c, "doc_id", col("text"), 1000).count()),
       "surprisal" -> (c => TextFunctions.unigramSurprisal(c, "doc_id", col("text")).count()))
+    // the bucketed near-dup candidate pipelines, on the dup-rate-
+    // invariant corpus: output (and so seconds) may grow linearly, but
+    // never quadratically — the banded-join contract
+    val dupPipelines: Seq[(String, DataFrame => Long)] = Seq(
+      "minhash_lsh" -> (c => Dedup.lshCandidates(c, "doc_id", col("text")).count()),
+      "simhash_band" -> (c => Dedup.simhashCandidates(c, "doc_id", col("text")).count()))
     // warm-up at 1x so codegen/JIT is out of the timed region
     val warm = corpus(spark, dir, 1)
     pipelines.foreach { case (_, f) => f(warm); () }
-    for (mult <- Seq(1, 3, 10); (name, f) <- pipelines) {
-      spark.catalog.clearCache()
-      val c = corpus(spark, dir, mult)
-      val (s1, n) = time(f(c))
-      spark.catalog.clearCache()
-      val (s2, _) = time(f(c))
-      println(f"""{"pipeline":"$name","mult":$mult,"sec":${math.min(s1, s2)}%.3f,"rows":$n}""")
+    val warmDup = nearDupCorpus(spark, dir, 1)
+    dupPipelines.foreach { case (_, f) => f(warmDup); () }
+    for (mult <- Seq(1, 3, 10)) {
+      for ((name, f) <- pipelines) {
+        spark.catalog.clearCache()
+        val c = corpus(spark, dir, mult)
+        val (s1, n) = time(f(c))
+        spark.catalog.clearCache()
+        val (s2, _) = time(f(c))
+        println(f"""{"pipeline":"$name","mult":$mult,"sec":${math.min(s1, s2)}%.3f,"rows":$n}""")
+      }
+      for ((name, f) <- dupPipelines) {
+        spark.catalog.clearCache()
+        val c = nearDupCorpus(spark, dir, mult)
+        val (s1, n) = time(f(c))
+        spark.catalog.clearCache()
+        val (s2, _) = time(f(c))
+        println(f"""{"pipeline":"$name","mult":$mult,"sec":${math.min(s1, s2)}%.3f,"rows":$n}""")
+      }
     }
     spark.stop()
   }
