@@ -655,6 +655,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- incremental exact dedup: which docs of a new batch are
+    // genuinely new vs an existing reference corpus — batch-internal
+    // dups collapse to the min id first, then one anti-join on the
+    // content hash (the new-crawl admission check) ----
+    "q_dedup_new" -> ((s, dir) => {
+      val d = load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val reference = d.filter(col("doc_id") % 2 === 0)
+      // batch: copies of reference docs (%6==0 — must be rejected),
+      // odd-id docs (absent from reference — admitted), and an
+      // in-batch duplicate pair (+900000 copies — one admitted)
+      val batch = d.filter(col("doc_id") % 2 === 1)
+        .unionByName(d.filter(col("doc_id") % 6 === 0)
+          .select((col("doc_id") + 800000L).as("doc_id"), col("text")))
+        .unionByName(d.filter(col("doc_id") % 2 === 1 && col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 900000L).as("doc_id"), col("text")))
+      text.Dedup.exactNew(batch, reference, "doc_id", col("text"))
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // ---- unigram-LM surprisal (CCNet-style quality signal): per-token
     // −log p quantized to integer milli-nats before the per-doc sum, so
     // the aggregate is engine-exact; the model broadcasts ----
@@ -1397,6 +1416,23 @@ object SparkEntry {
         |SELECT k, custkey, status, price FROM updated
         |UNION ALL SELECT k, custkey, status, price FROM inserted
         |ORDER BY k""".stripMargin,
+    "q_dedup_new" ->
+      """WITH reference AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+        |batch AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 800000, text FROM documents WHERE doc_id % 6 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 900000, text FROM documents
+        |  WHERE doc_id % 2 = 1 AND doc_id % 7 = 0),
+        |collapsed AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text,
+        |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM batch) WHERE rn = 1)
+        |SELECT c.doc_id FROM collapsed c
+        |WHERE NOT EXISTS (SELECT 1 FROM reference r WHERE md5(r.text) = md5(c.text))
+        |ORDER BY c.doc_id""".stripMargin,
     "q_surprisal" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok

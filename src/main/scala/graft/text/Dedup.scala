@@ -210,6 +210,49 @@ object Dedup {
       .localCheckpoint(true)
   }
 
+  /** Incremental exact dedup: the rows of `batch` whose content does
+    * not already exist in `reference` — the admission check a pipeline
+    * runs on every new crawl batch before it joins the corpus. One
+    * anti-join on the content hash; the batch side is small, so AQE
+    * broadcasts it and the reference never shuffles (at 100 TB the
+    * reference side would be a persisted content-hash index — same
+    * plan, pre-digested). Batch-internal duplicates collapse to their
+    * min-id representative first (a batch can carry its own dups). */
+  def exactNew(batch: DataFrame, reference: DataFrame, idCol: String,
+      text: Column): DataFrame = {
+    val bh = batch.select(col(idCol), text.as("__text"), md5(text).as("__ch"))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("__ch")
+          .orderBy(col(idCol))))
+      .filter(col("__rn") === 1)
+    bh.join(reference.select(md5(text).as("__ch")), Seq("__ch"), "left_anti")
+      .select(col(idCol), col("__text").as("text"))
+  }
+
+  /** Incremental near-dup candidates: (batch id, reference id) pairs
+    * sharing an LSH band bucket — batch×reference only, never
+    * batch×batch or reference×reference. The reference band table is
+    * the INDEX a 100 TB pipeline keeps persisted (bucketed by (band,
+    * bsig)); the batch side probes it with a bucket-key join, so probe
+    * cost scales with the batch, not the corpus. `maxBucket` caps
+    * degenerate reference buckets exactly as in [[lshCandidates]]. */
+  def lshNewCandidates(batch: DataFrame, reference: DataFrame, idCol: String,
+      text: Column, numHashes: Int = 16, rowsPerBand: Int = 2,
+      shingleWords: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    def bands(df: DataFrame, as: String) =
+      bandSignatures(minhashNarrow(df, idCol, text, numHashes, shingleWords),
+        idCol, numHashes, rowsPerBand)
+        .withColumnRenamed(idCol, as)
+    val rb = bands(reference, "ref_id")
+    val ok = rb.groupBy("band", "bsig").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket)
+      .select("band", "bsig")
+    bands(batch, "batch_id")
+      .join(rb.join(ok, Seq("band", "bsig"), "left_semi"), Seq("band", "bsig"))
+      .select("batch_id", "ref_id")
+      .distinct()
+  }
+
   /** Benchmark decontamination: corpus documents sharing at least one
     * word n-gram (default 13 — the de-facto eval-decontamination window)
     * with any benchmark document. The step that keeps eval sets out of

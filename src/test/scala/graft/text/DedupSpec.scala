@@ -202,6 +202,41 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("exactNew admits only unseen content, collapsing in-batch dups first") {
+    val reference = Seq((1L, "seen before"), (2L, "also seen")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "seen before"),   // rejected: in reference
+      (11L, "brand new"),     // admitted
+      (12L, "brand new"),     // in-batch dup of 11 → collapsed away
+      (13L, "another fresh")) // admitted
+      .toDF("doc_id", "text")
+    val out = Dedup.exactNew(batch, reference, "doc_id", col("text"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(11L, 13L))
+  }
+
+  test("lshNewCandidates pairs batch docs with reference near-dups only") {
+    val d = docs.select(col("doc_id"), col("text"))
+    val reference = d.filter(col("doc_id") % 2 === 0)
+    // batch: tail-mutated copies of some reference docs + fresh docs
+    val batch = reference.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 500000L).as("doc_id"),
+        concat(col("text"), lit(" near duplicate tail")).as("text"))
+      .unionByName(Seq((600001L, "totally unrelated fresh content here today"))
+        .toDF("doc_id", "text"))
+    val pairs = Dedup.lshNewCandidates(batch, reference, "doc_id", col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // every planted copy finds its reference original
+    val planted = batch.filter(col("doc_id") >= 500000L && col("doc_id") < 600000L)
+      .count()
+    val selfHits = pairs.count { case (b, ref) => b - 500000L == ref }
+    assert(selfHits == planted, s"found $selfHits of $planted planted pairs")
+    // batch ids only on the left, reference ids only on the right
+    assert(pairs.forall { case (b, ref) => b >= 500000L && ref < 500000L })
+    // the fresh doc pairs with nothing
+    assert(!pairs.exists(_._1 == 600001L))
+  }
+
   test("contaminated flags docs embedding a benchmark n-gram, not clean docs") {
     val words = (1 to 40).map(i => s"w$i").mkString(" ")
     val benchText = (1 to 15).map(i => s"bench$i").mkString(" ")
