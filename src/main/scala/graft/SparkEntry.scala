@@ -655,6 +655,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- curation funnel (the data-card counts): every gate evaluated
+    // as an annotation, ONE aggregation folds the whole funnel — one
+    // corpus scan instead of a count per stage ----
+    "q_funnel" -> ((s, dir) => {
+      val d = load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = d.unionByName(
+        d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 200000L).as("doc_id"), col("text")))
+      text.Curation.funnel(corpus, "doc_id", col("text"))
+    }),
+
     // ---- incremental exact dedup: which docs of a new batch are
     // genuinely new vs an existing reference corpus — batch-internal
     // dups collapse to the min id first, then one anti-join on the
@@ -1416,6 +1427,49 @@ object SparkEntry {
         |SELECT k, custkey, status, price FROM updated
         |UNION ALL SELECT k, custkey, status, price FROM inserted
         |ORDER BY k""".stripMargin,
+    "q_funnel" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000, text FROM documents WHERE doc_id % 7 = 0),
+        |k AS (SELECT doc_id,
+        |        row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1 AS keep
+        |      FROM corpus WHERE text IS NOT NULL),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |    CAST(length(text) AS BIGINT) AS n_len,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|is)\b')) AS BIGINT) AS en_n,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(le|la|et|les|des)\b')) AS BIGINT) AS fr_n,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(el|los|las|y|que)\b')) AS BIGINT) AS es_n,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist)\b')) AS BIGINT) AS de_n
+        |  FROM corpus WHERE text IS NOT NULL),
+        |q AS (
+        |  SELECT doc_id,
+        |    CAST(n_tokens >= 10 AS INT) + CAST(n_tokens <= 1000 AS INT)
+        |      + CAST(CAST(n_len AS DOUBLE)/NULLIF(n_tokens, 0) >= 3
+        |              AND CAST(n_len AS DOUBLE)/NULLIF(n_tokens, 0) <= 12 AS INT)
+        |      + CAST(CAST(n_alpha AS DOUBLE)/NULLIF(n_len, 0) > 0.7 AS INT) AS quality_score,
+        |    CASE WHEN en_n >= fr_n AND en_n >= es_n AND en_n >= de_n THEN 'en'
+        |         WHEN fr_n >= es_n AND fr_n >= de_n THEN 'fr'
+        |         WHEN es_n >= de_n THEN 'es' ELSE 'de' END AS pred_lang
+        |  FROM s),
+        |j AS (
+        |  SELECT k.keep,
+        |    k.keep AND q.quality_score >= 3 AS qok,
+        |    k.keep AND q.quality_score >= 3 AND q.pred_lang = 'en' AS lok,
+        |    CAST(('0x' || substr(md5(CAST(k.doc_id AS VARCHAR) || ':42'), 1, 8)) AS BIGINT)
+        |      % 10000 AS b
+        |  FROM k JOIN q ON q.doc_id = k.doc_id)
+        |SELECT count(*) AS n_total,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_after_dedup,
+        |  CAST(sum(CASE WHEN qok THEN 1 ELSE 0 END) AS BIGINT) AS n_after_quality,
+        |  CAST(sum(CASE WHEN lok THEN 1 ELSE 0 END) AS BIGINT) AS n_after_lang,
+        |  CAST(sum(CASE WHEN lok AND b < 8000 THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+        |  CAST(sum(CASE WHEN lok AND b >= 8000 AND b < 9000 THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+        |  CAST(sum(CASE WHEN lok AND b >= 9000 THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+        |FROM j""".stripMargin,
     "q_dedup_new" ->
       """WITH reference AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
         |batch AS (
