@@ -212,12 +212,18 @@ object Dedup {
 
   /** Incremental exact dedup: the rows of `batch` whose content does
     * not already exist in `reference` — the admission check a pipeline
-    * runs on every new crawl batch before it joins the corpus. One
-    * anti-join on the content hash; the batch side is small, so AQE
-    * broadcasts it and the reference never shuffles (at 100 TB the
-    * reference side would be a persisted content-hash index — same
-    * plan, pre-digested). Batch-internal duplicates collapse to their
-    * min-id representative first (a batch can carry its own dups). */
+    * runs on every new crawl batch before it joins the corpus.
+    * Batch-internal duplicates collapse to their min-id representative
+    * first (a batch can carry its own dups).
+    *
+    * Plan shape at 100 TB: a direct `batch ANTI JOIN reference` cannot
+    * broadcast (only an anti-join's RIGHT side builds the hash table,
+    * and the right side here is the corpus) — the reference would
+    * shuffle. Instead the SMALL batch-hash set broadcasts into a
+    * reference-side SEMI join (one corpus scan, zero corpus shuffle,
+    * output ≤ |batch| matched hashes), and the batch anti-joins that
+    * tiny matched set. At scale `reference` would be a persisted
+    * content-hash index — same plan, pre-digested. */
   def exactNew(batch: DataFrame, reference: DataFrame, idCol: String,
       text: Column): DataFrame = {
     val bh = batch.select(col(idCol), text.as("__text"), md5(text).as("__ch"))
@@ -225,7 +231,10 @@ object Dedup {
         org.apache.spark.sql.expressions.Window.partitionBy("__ch")
           .orderBy(col(idCol))))
       .filter(col("__rn") === 1)
-    bh.join(reference.select(md5(text).as("__ch")), Seq("__ch"), "left_anti")
+    val seen = reference.select(md5(text).as("__ch"))
+      .join(broadcast(bh.select("__ch")), Seq("__ch"), "left_semi")
+      .distinct()
+    bh.join(broadcast(seen), Seq("__ch"), "left_anti")
       .select(col(idCol), col("__text").as("text"))
   }
 
@@ -243,14 +252,21 @@ object Dedup {
       bandSignatures(minhashNarrow(df, idCol, text, numHashes, shingleWords),
         idCol, numHashes, rowsPerBand)
         .withColumnRenamed(idCol, as)
-    val rb = bands(reference, "ref_id")
-    val ok = rb.groupBy("band", "bsig").agg(count(lit(1)).as("__n"))
-      .filter(col("__n") <= maxBucket)
-      .select("band", "bsig")
-    bands(batch, "batch_id")
-      .join(rb.join(ok, Seq("band", "bsig"), "left_semi"), Seq("band", "bsig"))
-      .select("batch_id", "ref_id")
-      .distinct()
+    // the reference band table feeds the census AND the probe join:
+    // persist so the corpus signature pass runs ONCE (at 100 TB this
+    // frame is the persisted index itself and the derivation vanishes);
+    // result materialized so the cache can be released before return
+    val rb = bands(reference, "ref_id").persist()
+    try {
+      val ok = rb.groupBy("band", "bsig").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") <= maxBucket)
+        .select("band", "bsig")
+      bands(batch, "batch_id")
+        .join(rb.join(ok, Seq("band", "bsig"), "left_semi"), Seq("band", "bsig"))
+        .select("batch_id", "ref_id")
+        .distinct()
+        .localCheckpoint(true)
+    } finally { rb.unpersist(false); () }
   }
 
   /** Benchmark decontamination: corpus documents sharing at least one
@@ -267,12 +283,22 @@ object Dedup {
     * matching benchmark doc). */
   def contaminated(corpus: DataFrame, corpusId: String, bench: DataFrame,
       benchId: String, text: Column, n: Int = 13): DataFrame = {
-    val cs = shingles(corpus, corpusId, text, n)
+    // corpus-side per-doc distinct via array_distinct (a NARROW
+    // projection) — the shingles() helper's (id, s) distinct would
+    // shuffle every corpus gram row just to dedup within documents
+    val cs = corpus.select(col(corpusId),
+        slice(split(lower(text), " "), 1, MaxShingleWords).as("__w"))
+      .select(col(corpusId), explode(array_distinct(array_compact(
+        Shingles.wordNGramsOf(col("__w"), n)))).as("s"))
+    // one row per benchmark gram (lowest owning doc): keeps the
+    // broadcast minimal and the probe join multiplicity-free, so the
+    // final count needs no distinct aggregate
     val bs = shingles(bench, benchId, text, n)
+      .groupBy("s").agg(min(col(benchId)).as("__bid"))
     cs.join(broadcast(bs), Seq("s"))
       .groupBy(corpusId)
-      .agg(countDistinct(col("s")).as("n_grams_hit"),
-        min(col(benchId)).as("first_bench_id"))
+      .agg(count(lit(1)).as("n_grams_hit"),
+        min(col("__bid")).as("first_bench_id"))
   }
 
   /** SimHash near-duplicate pairs — the Manku-style web-dedup design:
