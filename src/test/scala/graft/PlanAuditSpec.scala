@@ -65,6 +65,16 @@ class PlanAuditSpec extends SparkSpec {
       s"q_repetition evaluates token_stats inside a Filter: $filters")
   }
 
+  test("incremental dedup: the reference side joins via broadcast, never a sort-merge") {
+    // exactNew's contract: batch hashes broadcast into a reference-side
+    // semi join, matched set broadcast into the batch anti join — a
+    // SortMergeJoin here would mean the corpus shuffles per admission
+    val plan = SparkEntry.queries("q_dedup_new")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"reference shuffles:\n$plan")
+  }
+
   test("decontamination probes via broadcast — the corpus never shuffles for the join") {
     val plan = SparkEntry.queries("q_decontaminate")(spark, sf0001)
       .queryExecution.executedPlan.toString
