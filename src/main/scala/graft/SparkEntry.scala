@@ -722,12 +722,15 @@ object SparkEntry {
       val corpus = d.unionByName(
         d.filter(col("doc_id") % 7 === 0)
           .select((col("doc_id") + 200000L).as("doc_id"), col("text")))
-      // dedup first (min-id winner over the full corpus), then filter
-      val keep = text.Dedup.exact(corpus, "doc_id", col("text"))
-        .select(col("keep_id").as("doc_id"))
+      // dedup first (min-id winner over the full corpus), then filter.
+      // Winner via a window over the content hash — ONE exchange; the
+      // aggregate+semi-join formulation gets pushed through the corpus
+      // union by Catalyst and re-computes the dedup aggregate per branch
+      val keepW = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      val deduped = corpus.withColumn("__rn", row_number().over(keepW))
+        .filter(col("__rn") === 1).drop("__rn")
       val stats = text.TextFunctions.languageId(
-        text.TextFunctions.qualityStats(
-          corpus.join(keep, Seq("doc_id"), "left_semi"), col("text")),
+        text.TextFunctions.qualityStats(deduped, col("text")),
         col("text"))
       val kept = stats.filter(col("quality_score") >= 3 && col("pred_lang") === "en")
       text.Sampling.hashSplit(kept, col("doc_id"), "42",
