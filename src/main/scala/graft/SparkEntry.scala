@@ -739,6 +739,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- C4-family line-level curation: corpus-wide duplicate-LINE
+    // removal. Boilerplate (headers, footers, nav text) repeats across
+    // millions of pages — document hashes never match, but the lines
+    // are byte-identical. Winner per distinct line is min(struct(id,
+    // pos, line)): algebraic, map-side combined, so a line repeated a
+    // billion times collapses before the exchange — no window over the
+    // line hash, no join-back ----
+    "q_line_dedup" -> ((s, dir) =>
+      text.Lines.lineDedup(lineCorpus(load(s, dir, "documents")),
+          "doc_id", col("text"))
+        .orderBy("doc_id")),
+
+    // ---- C4-style per-line quality gate: ≥5 words AND terminal
+    // punctuation — a pure narrow array expression per document (no
+    // explode, no shuffle; runs at scan speed) ----
+    "q_c4_filter" -> ((s, dir) =>
+      text.Lines.lineFilter(lineCorpus(load(s, dir, "documents")),
+          "doc_id", col("text"))
+        .orderBy("doc_id")),
+
     // ---- J3: last-write-wins per-key compaction (oplog apply ordering) ----
     // the micro-batch compaction inside K2's foreachBatch, run as a batch
     // query over the events change-log table.
@@ -786,6 +806,46 @@ object SparkEntry {
         (col("doc_id") + 100000L).as("doc_id"),
         concat(col("text"), lit(" near duplicate tail")).as("text")))
   }
+
+  /** Shared multi-line fixture for the line-level operators: every
+    * document gets a shared header + footer (cross-corpus boilerplate),
+    * a unique intro line, a no-terminal-punct draft line, and its body
+    * cut into lines at " the "/" table " separators; docs %9 add a full
+    * duplicate page at +300000. Reproduced verbatim in the q_line_dedup
+    * / q_c4_filter oracle CTEs ([[lineCorpusCte]]). */
+  private def lineCorpus(d: DataFrame): DataFrame = {
+    val built = d.filter(col("text").isNotNull).select(col("doc_id"),
+      concat(
+        lit("Shared corpus header boilerplate line.\n"),
+        lit("Doc "), col("doc_id").cast("string"), lit(" unique intro line.\n"),
+        regexp_replace(col("text"), " (the|table) ", ".\n"), lit(".\n"),
+        lit("trailing draft line without terminal punct\n"),
+        lit("Shared footer contact line.")).as("text"))
+    built.unionByName(built.filter(col("doc_id") % 9 === 0)
+      .select((col("doc_id") + 300000L).as("doc_id"), col("text")))
+  }
+
+  /** Oracle twin of [[lineCorpus]] + the line split (0-based `pos`,
+    * matching posexplode). */
+  private val lineCorpusCte: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    'Shared corpus header boilerplate line.' || chr(10) ||
+      |    'Doc ' || CAST(doc_id AS VARCHAR) || ' unique intro line.' || chr(10) ||
+      |    regexp_replace(text, ' (the|table) ', '.' || chr(10), 'g') || '.' || chr(10) ||
+      |    'trailing draft line without terminal punct' || chr(10) ||
+      |    'Shared footer contact line.' AS text
+      |  FROM documents WHERE text IS NOT NULL),
+      |corpus AS (
+      |  SELECT doc_id, text FROM base
+      |  UNION ALL
+      |  SELECT doc_id + 300000, text FROM base WHERE doc_id % 9 = 0),
+      |ls AS (
+      |  SELECT doc_id,
+      |    unnest(string_split(text, chr(10))) AS line,
+      |    unnest(generate_series(0, len(string_split(text, chr(10))) - 1)) AS pos
+      |  FROM corpus)
+      |""".stripMargin
 
   /** Oracle fragment: the minhash/LSH CTE chain shared by
     * q_dedup_minhash and q_ngram_jaccard (must mirror Dedup.scala). */
@@ -859,6 +919,29 @@ object SparkEntry {
       .mkString(" || ' ' || ")
 
   def oracleSql: Map[String, String] = Map(
+    "q_line_dedup" -> (lineCorpusCte +
+      """, nz AS (SELECT * FROM ls WHERE trim(line) <> ''),
+        |w AS (
+        |  SELECT doc_id, pos, line,
+        |    row_number() OVER (PARTITION BY md5(line) ORDER BY doc_id, pos) AS rn
+        |  FROM nz)
+        |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_dedup,
+        |  count(*) AS n_kept
+        |FROM w WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    "q_c4_filter" -> (lineCorpusCte +
+      """, k AS (
+        |  SELECT doc_id, pos, line FROM ls
+        |  WHERE len(regexp_split_to_array(trim(line), '\s+')) >= 5
+        |    AND right(trim(line), 1) IN ('.', '!', '?', '"')),
+        |agg AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_kept,
+        |    count(*) AS n_kept
+        |  FROM k GROUP BY doc_id)
+        |SELECT c.doc_id, coalesce(a.text_kept, '') AS text_kept,
+        |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+        |  CAST(len(string_split(c.text, chr(10))) AS BIGINT) AS n_lines
+        |FROM corpus c LEFT JOIN agg a ON a.doc_id = c.doc_id
+        |ORDER BY c.doc_id""".stripMargin),
     "q_vocab" ->
       """SELECT tok, count(*) AS n, count(DISTINCT doc_id) AS doc_freq
         |FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
