@@ -739,6 +739,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- deterministic epoch shuffle: a pseudorandom TOTAL ORDER over
+    // the corpus without a global sort — shard = range partition of the
+    // md5 rank key's prefix, per-shard row_number windows + broadcast
+    // shard offsets reconstruct the exact global permutation ----
+    "q_shuffle" -> ((s, dir) =>
+      text.Sampling.shuffleManifest(
+          load(s, dir, "documents").select("doc_id"), "doc_id", "ep1", 8)
+        .orderBy("doc_id")),
+
+    // ---- per-document top-3 keywords by tf-idf; idf quantized to
+    // integer milli-nats before the tf×idf product so ranking is exact
+    // integer arithmetic in any engine ----
+    "q_tfidf" -> ((s, dir) =>
+      text.TextFunctions.tfIdfTopK(load(s, dir, "documents"), "doc_id",
+          col("text"), k = 3)
+        .orderBy("doc_id", "rank")),
+
     // ---- C4-family line-level curation: corpus-wide duplicate-LINE
     // removal. Boilerplate (headers, footers, nav text) repeats across
     // millions of pages — document hashes never match, but the lines
@@ -919,6 +936,32 @@ object SparkEntry {
       .mkString(" || ' ' || ")
 
   def oracleSql: Map[String, String] = Map(
+    "q_shuffle" ->
+      """WITH r AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || '#ep1') AS rk
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(floor(CAST(('0x' || substr(rk, 1, 4)) AS BIGINT) * 8 / 65536) AS INT) AS shard,
+        |  CAST(row_number() OVER (ORDER BY rk, doc_id) - 1 AS BIGINT) AS pos
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "q_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfq AS (SELECT tok, count(*) AS doc_freq FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents WHERE text IS NOT NULL),
+        |sc AS (
+        |  SELECT t.doc_id, t.tok, t.tf, d.doc_freq,
+        |    t.tf * CAST(floor(1000.0 * ln(CAST(n.n AS DOUBLE) / d.doc_freq)) AS BIGINT)
+        |      AS score_mnats
+        |  FROM tf t JOIN dfq d USING (tok), n)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id
+        |       ORDER BY score_mnats DESC, tok) AS INT) AS rank,
+        |  tok, tf, doc_freq, score_mnats
+        |FROM sc QUALIFY rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
     "q_line_dedup" -> (lineCorpusCte +
       """, nz AS (SELECT * FROM ls WHERE trim(line) <> ''),
         |w AS (

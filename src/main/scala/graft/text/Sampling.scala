@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic hash-based sampling and dataset splitting — the
@@ -54,6 +55,44 @@ object Sampling {
         when(b < hi, name).otherwise(rest)
       }
     df.withColumn("bucket", b).withColumn("split", assign)
+  }
+
+  /** Deterministic epoch shuffle manifest: a pseudorandom TOTAL ORDER
+    * over the corpus (the training-order pass), as (key, shard, pos)
+    * with `pos` a 0-based global permutation index — computed WITHOUT a
+    * global sort.
+    *
+    * The rank key is `md5(key#salt)`; `shard` is a range partition of
+    * its 16-bit prefix, so the global md5 order IS (shard, rank-key)
+    * order. That turns the global permutation into: a row_number window
+    * per shard (thousands of small independent sorts at 100 TB — never
+    * one reducer), plus shard offsets from a `shards`-row aggregate
+    * (driver-scale metadata, broadcast back). A new `salt` draws an
+    * independent permutation (epoch reshuffle); the layout is a pure
+    * function of (corpus keys, salt) — any engine, partitioning, or
+    * retry reproduces it byte-for-byte, which is what makes a training
+    * run resumable mid-epoch.
+    *
+    * Size `shards` so one shard's keys fit a task sort (~corpus rows /
+    * a few million). */
+  def shuffleManifest(df: DataFrame, idCol: String, salt: String,
+      shards: Int): DataFrame = {
+    require(shards > 0 && shards <= 65536, "shards in [1, 65536]")
+    val key = col(idCol)
+    val rk = md5(concat(key.cast("string"), lit("#"), lit(salt)))
+    val withShard = df.select(key, rk.as("__rk"))
+      .withColumn("shard",
+        floor(conv(substring(col("__rk"), 1, 4), 16, 10).cast("long")
+          * shards / 65536).cast("int"))
+    val perShard = Window.partitionBy(col("shard")).orderBy(col("__rk"), key)
+    val ranked = withShard.withColumn("__r", row_number().over(perShard).cast("long"))
+    val sizes = withShard.groupBy(col("shard")).agg(count(lit(1)).as("__n"))
+    // prefix-sum over `shards` rows — a metadata-sized global window
+    val offW = Window.orderBy(col("shard")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sizes.select(col("shard"),
+      coalesce(sum(col("__n")).over(offW), lit(0L)).as("__off"))
+    ranked.join(broadcast(offsets), Seq("shard"))
+      .select(key, col("shard"), (col("__off") + col("__r") - 1).as("pos"))
   }
 
   /** Deterministic `fraction` sample: keep rows whose bucket falls below

@@ -256,6 +256,47 @@ object TextFunctions {
     } finally { toks.unpersist(false); () }
   }
 
+  /** Per-document top-`k` keywords by tf-idf — the keyword-extraction /
+    * topic-tagging pass of a curation pipeline.
+    *
+    * idf is quantized to integer MILLI-NATS (`floor(1000·ln(N/df))`)
+    * before the `tf × idf` product, so every score is exact integer
+    * arithmetic and the ranking is engine-reproducible (a double
+    * product would tie-break differently across libm implementations —
+    * same rule as [[unigramSurprisal]]). Ties break on the token.
+    *
+    * Plan shape: one map-side-combined (doc, token) count; the document
+    * frequency table derives from it (vocabulary-sized, BROADCAST back
+    * — same assumption as [[vocabulary]]/[[unigramSurprisal]]); corpus
+    * size N rides a 1-row broadcast cross join (the plan stays lazy);
+    * the only other exchange is the per-document top-k window, whose
+    * partitions are single documents' vocabularies — never hot. The
+    * (doc, token) aggregate feeds two subtrees (probe + doc_freq), so
+    * it persists for the duration and is released on return. */
+  def tfIdfTopK(df: DataFrame, idCol: String, text: Column, k: Int = 3): DataFrame = {
+    require(k > 0, "k must be positive")
+    val nonNull = df.filter(text.isNotNull)
+    val tf = nonNull
+      .select(col(idCol), explode(whitespaceTokens(lower(text))).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+      .persist()
+    try {
+      val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("doc_freq"))
+      val n = nonNull.agg(count(lit(1)).as("__n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(idCol)).orderBy(col("score_mnats").desc, col("tok"))
+      tf.join(broadcast(dfreq), Seq("tok")).crossJoin(broadcast(n))
+        .withColumn("score_mnats", col("tf") *
+          floor(lit(1000.0) * log(col("__n").cast("double") / col("doc_freq")))
+            .cast("long"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col(idCol), col("rank"), col("tok"), col("tf"),
+          col("doc_freq"), col("score_mnats"))
+        .localCheckpoint(true)
+    } finally { tf.unpersist(false); () }
+  }
+
   /** Content fingerprint: the lexicographic min of md5 over the
     * document's char-shingle set (a 1-hash MinHash — winnowing-lite),
     * plus the distinct-shingle count. Stable under reordering of

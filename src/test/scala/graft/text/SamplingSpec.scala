@@ -49,6 +49,41 @@ class SamplingSpec extends SparkSpec {
     assert(other.select("doc_id").exceptAll(sampled.select("doc_id")).isEmpty)
   }
 
+  test("shuffleManifest emits an exact global permutation matching the md5 order") {
+    val out = Sampling.shuffleManifest(docs.select("doc_id"), "doc_id", "ep1", 8)
+    val n = docs.count()
+    val rows = out.orderBy("pos")
+      .select("doc_id", "shard", "pos").as[(Long, Int, Long)].collect()
+    assert(rows.map(_._3).toSeq == (0L until n).toSeq, "pos must be 0..n-1 exactly")
+    // pos order == global md5 rank-key order (the single-sort definition)
+    val byMd5 = docs.select(col("doc_id"),
+        md5(concat(col("doc_id").cast("string"), lit("#ep1"))).as("rk"))
+      .orderBy("rk", "doc_id").select("doc_id").as[Long].collect()
+    assert(rows.map(_._1).toSeq == byMd5.toSeq)
+    // shards are contiguous pos ranges (range partition of the rank key)
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sorted.toSeq)
+    // a different salt draws a different permutation
+    val other = Sampling.shuffleManifest(docs.select("doc_id"), "doc_id", "ep2", 8)
+    val moved = out.select("doc_id", "pos")
+      .join(other.select(col("doc_id"), col("pos").as("p2")), Seq("doc_id"))
+      .filter(col("pos") =!= col("p2")).count()
+    assert(moved > 0)
+  }
+
+  test("shuffleManifest plan: per-shard windows only, offsets broadcast") {
+    val plan = Sampling.shuffleManifest(docs.select("doc_id"), "doc_id", "ep1", 8)
+      .queryExecution.executedPlan.toString
+    // the corpus-sized window partitions by shard; the only global
+    // (empty-partition-spec) window is the prefix sum over the
+    // `shards`-row size aggregate
+    val globalWindows = plan.linesIterator
+      .filter(l => l.contains("Window") && l.contains(", [], ["))
+      .size
+    assert(globalWindows <= 1, s"corpus window must partition by shard:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"offsets must broadcast:\n$plan")
+  }
+
   test("splitBucket stays a narrow pushdown-friendly projection (no shuffle)") {
     val plan = Sampling.hashSplit(docs.select("doc_id"), col("doc_id"), "42",
       Seq("train" -> 0.8, "val" -> 0.2))

@@ -19,6 +19,29 @@ class TextFunctionsSpec extends SparkSpec {
     assert(!out(3L).isNullAt(3) && !out(3L).isNullAt(4) && !out(3L).isNullAt(5))
   }
 
+  test("tfIdfTopK ranks by quantized integer tf-idf with token tie-break") {
+    // 4 docs; "common" in all (idf=0), "rare" in one, "pair" in two
+    val df = Seq(
+      (1L, "common rare rare pair"),
+      (2L, "common pair"),
+      (3L, "common common"),
+      (4L, "common"),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = TextFunctions.tfIdfTopK(df, "doc_id", col("text"), k = 2)
+      .orderBy("doc_id", "rank")
+      .as[(Long, Int, String, Long, Long, Long)].collect().toSeq
+    val idfRare = math.floor(1000.0 * math.log(4.0 / 1)).toLong // 1386
+    val idfPair = math.floor(1000.0 * math.log(4.0 / 2)).toLong // 693
+    assert(out == Seq(
+      (1L, 1, "rare", 2L, 1L, 2 * idfRare),
+      (1L, 2, "pair", 1L, 2L, idfPair),
+      (2L, 1, "pair", 1L, 2L, idfPair),
+      (2L, 2, "common", 1L, 4L, 0L),
+      // idf 0 for "common": rank still emitted (score 0), tf irrelevant
+      (3L, 1, "common", 2L, 4L, 0L),
+      (4L, 1, "common", 1L, 4L, 0L)))
+  }
+
   test("languageId marker counts drive the argmax with fixed tie-break") {
     val df = Seq(
       (1L, "the cat and the dog is a pet of the house"),
