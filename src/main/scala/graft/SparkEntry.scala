@@ -685,6 +685,21 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // ---- the same admission check through the Bloom-prefiltered
+    // reference scan — SAME exact answer (the oracle is identical),
+    // constant-size broadcast instead of the batch-hash set ----
+    "q_dedup_new_bloom" -> ((s, dir) => {
+      val d = load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val reference = d.filter(col("doc_id") % 2 === 0)
+      val batch = d.filter(col("doc_id") % 2 === 1)
+        .unionByName(d.filter(col("doc_id") % 6 === 0)
+          .select((col("doc_id") + 800000L).as("doc_id"), col("text")))
+        .unionByName(d.filter(col("doc_id") % 2 === 1 && col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 900000L).as("doc_id"), col("text")))
+      text.Dedup.exactNewBloom(batch, reference, "doc_id", col("text"))
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // ---- unigram-LM surprisal (CCNet-style quality signal): per-token
     // −log p quantized to integer milli-nats before the per-doc sum, so
     // the aggregate is engine-exact; the model broadcasts ----
@@ -1600,6 +1615,26 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN lok AND b >= 9000 THEN 1 ELSE 0 END) AS BIGINT) AS n_test
         |FROM j""".stripMargin,
     "q_dedup_new" ->
+      """WITH reference AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+        |batch AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 800000, text FROM documents WHERE doc_id % 6 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 900000, text FROM documents
+        |  WHERE doc_id % 2 = 1 AND doc_id % 7 = 0),
+        |collapsed AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text,
+        |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM batch) WHERE rn = 1)
+        |SELECT c.doc_id FROM collapsed c
+        |WHERE NOT EXISTS (SELECT 1 FROM reference r WHERE md5(r.text) = md5(c.text))
+        |ORDER BY c.doc_id""".stripMargin,
+    // the Bloom path must produce the IDENTICAL exact answer — the
+    // oracle is the same exact-semantics SQL (a Bloom is a physical
+    // prefilter, not a semantic change)
+    "q_dedup_new_bloom" ->
       """WITH reference AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
         |batch AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1

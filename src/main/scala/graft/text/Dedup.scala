@@ -238,6 +238,69 @@ object Dedup {
       .select(col(idCol), col("__text").as("text"))
   }
 
+  /** [[exactNew]] with a Bloom prefilter on the reference scan — the
+    * SAME exact result (the filter only ever passes extra rows into the
+    * exact check, never drops a true match), reached without
+    * broadcasting the batch-hash SET.
+    *
+    * When it matters: [[exactNew]] broadcasts the batch's content
+    * hashes into the reference semi-join — fine until the batch is
+    * itself huge (10⁸ docs ≈ GBs of hash set, past any broadcast
+    * budget). The Bloom bits are CONSTANT-SIZE (`mBits/8` bytes
+    * regardless of batch cardinality, e.g. 2²⁷ bits = 16 MB for ~10⁸
+    * keys at ~1% FP with k=5), so the reference scan stays
+    * shuffle-free at any batch size; only the prefilter's survivors —
+    * true matches + FP·|reference| — reach the exact semi-join.
+    *
+    * The filter is pure built-in column arithmetic (xxhash64 → bit
+    * test against a broadcast array<long>), fully codegen'd — no UDF,
+    * no custom expression. The bit array is OR-folded distributed
+    * (map-side-combined `bit_or` per 64-bit word), and collected —
+    * `mBits/64` longs of driver traffic, independent of batch size. */
+  def exactNewBloom(batch: DataFrame, reference: DataFrame, idCol: String,
+      text: Column, mBits: Int = 1 << 20, numHashes: Int = 5): DataFrame = {
+    require(mBits >= 64 && (mBits & 63) == 0, "mBits must be a positive multiple of 64")
+    require(numHashes > 0, "numHashes must be positive")
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val bh = batch.select(col(idCol), text.as("__text"), md5(text).as("__ch"))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("__ch")
+          .orderBy(col(idCol))))
+      .filter(col("__rn") === 1)
+      .persist()
+    try {
+      // --- build: k positions per key, OR-fold into mBits/64 words ---
+      val words = mBits / 64
+      val setWords = bh.select(explode(
+          array((0 until numHashes).map(lit): _*)).as("__s"), col("__ch"))
+        .select(pmod(xxhash64(col("__ch"), col("__s")), lit(mBits.toLong)).as("__p"))
+        .groupBy(expr("CAST(__p DIV 64 AS INT)").as("__w"))
+        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(__p % 64 AS INT)))").as("__m"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val bits = Array.tabulate(words)(w => setWords.getOrElse(w, 0L))
+      val bitsDf = Seq(Tuple1(bits.toSeq)).toDF("__bits")
+      // --- probe: reference scan with the broadcast bits, no shuffle ---
+      val might = (0 until numHashes).map { i =>
+        expr(s"""(shiftright(element_at(__bits,
+                 |  CAST(pmod(xxhash64(__ch, $i), ${mBits}L) DIV 64 AS INT) + 1),
+                 |  CAST(pmod(xxhash64(__ch, $i), ${mBits}L) % 64 AS INT)) & 1) = 1
+                 |""".stripMargin.replace("\n", " "))
+      }.reduce(_ && _)
+      val refCand = reference.select(md5(text).as("__ch"))
+        .crossJoin(broadcast(bitsDf))
+        .where(might)
+        .select("__ch")
+      // exact tail — identical to exactNew, over the thinned reference
+      val seen = refCand
+        .join(broadcast(bh.select("__ch")), Seq("__ch"), "left_semi")
+        .distinct()
+      bh.join(broadcast(seen), Seq("__ch"), "left_anti")
+        .select(col(idCol), col("__text").as("text"))
+        .localCheckpoint(true)
+    } finally { bh.unpersist(false); () }
+  }
+
   /** Incremental near-dup candidates: (batch id, reference id) pairs
     * sharing an LSH band bucket — batch×reference only, never
     * batch×batch or reference×reference. The reference band table is

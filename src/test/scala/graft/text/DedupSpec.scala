@@ -215,6 +215,23 @@ class DedupSpec extends SparkSpec {
     assert(out == Set(11L, 13L))
   }
 
+  test("exactNewBloom equals exactNew exactly, and the prefilter thins the reference") {
+    val d = docs.select(col("doc_id"), col("text"))
+    val reference = d.filter(col("doc_id") % 2 === 0)
+    val batch = d.filter(col("doc_id") % 2 === 1)
+      .unionByName(d.filter(col("doc_id") % 6 === 0)
+        .select((col("doc_id") + 800000L).as("doc_id"), col("text")))
+    val viaBloom = Dedup.exactNewBloom(batch, reference, "doc_id", col("text"))
+    val viaSet = Dedup.exactNew(batch, reference, "doc_id", col("text"))
+    assert(viaBloom.exceptAll(viaSet).isEmpty && viaSet.exceptAll(viaBloom).isEmpty)
+    // tiny filter, disjoint probe content: nearly everything is rejected
+    // by the bits alone (each key tests 5 bits of 2^20 — FP ~ 0)
+    val disjointRef = d.select((col("doc_id") + 700000L).as("doc_id"),
+      concat(lit("unrelated "), col("text")).as("text"))
+    val none = Dedup.exactNewBloom(batch, disjointRef, "doc_id", col("text"))
+    assert(none.count() == batch.select(md5(col("text"))).distinct().count())
+  }
+
   test("lshNewCandidates pairs batch docs with reference near-dups only") {
     val d = docs.select(col("doc_id"), col("text"))
     val reference = d.filter(col("doc_id") % 2 === 0)
