@@ -76,7 +76,24 @@ object ScaleSweep {
           Seq(col("split"), col("shard")), 2048).count()
       }),
       "vocabulary" -> (c => TextFunctions.vocabulary(c, "doc_id", col("text"), 1000).count()),
-      "surprisal" -> (c => TextFunctions.unigramSurprisal(c, "doc_id", col("text")).count()))
+      "surprisal" -> (c => TextFunctions.unigramSurprisal(c, "doc_id", col("text")).count()),
+      // round-7 additions: line-level curation, the epoch shuffle, tf-idf
+      // keywords, and the Bloom admission check (batch = odd ids,
+      // reference = even ids of the same corpus)
+      "line_dedup" -> (c => Lines.lineDedup(
+        c.select(col("doc_id"),
+          regexp_replace(col("text"), " (the|table) ", ".\n").as("text")),
+        "doc_id", col("text")).count()),
+      "c4_filter" -> (c => Lines.lineFilter(
+        c.select(col("doc_id"),
+          regexp_replace(col("text"), " (the|table) ", ".\n").as("text")),
+        "doc_id", col("text")).count()),
+      "shuffle_manifest" -> (c => Sampling.shuffleManifest(
+        c.select("doc_id"), "doc_id", "ep1", 64).count()),
+      "tfidf_topk" -> (c => TextFunctions.tfIdfTopK(c, "doc_id", col("text")).count()),
+      "bloom_admission" -> (c => Dedup.exactNewBloom(
+        c.filter(col("doc_id") % 2 === 1), c.filter(col("doc_id") % 2 === 0),
+        "doc_id", col("text")).count()))
     // the bucketed near-dup candidate pipelines, on the dup-rate-
     // invariant corpus: output (and so seconds) may grow linearly, but
     // never quadratically — the banded-join contract
