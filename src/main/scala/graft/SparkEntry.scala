@@ -791,6 +791,34 @@ object SparkEntry {
           "doc_id", col("text"))
         .orderBy("doc_id")),
 
+    // ---- T11: the DocGen full type palette, oracle-pinned — every
+    // scalar the generator derives (oid, rainbow color, num fields,
+    // formatted string, epoch time, int array, self-nested subdoc,
+    // filler, binary hexes, Decimal128) recomputed independently by
+    // DuckDB over the same row ids. Generation is distributed
+    // (spark.range, no driver loop) ----
+    "q_t11_docgen" -> ((s, dir) => {
+      val d = s.range(2000).select(col("id"), sim.Simgen.docStruct(col("id")).as("d"))
+      d.select(
+        col("id"),
+        col("d._id").as("oid"),
+        col("d.color").as("color"),
+        col("d.float64").as("float64"),
+        col("d.int64").as("int64"),
+        col("d.seq").as("seq"),
+        col("d.string").as("str"),
+        unix_micros(col("d.ts")).as("ts_us"),
+        col("d.array").cast("array<bigint>").as("arr"),
+        col("d.subdoc.level1._id").as("subdoc_oid"),
+        length(col("d.filler")).cast("long").as("filler_len"),
+        substring(col("d.filler"), 1, 12).as("filler_prefix"),
+        col("d.binary.hex").as("bin4_hex"),
+        col("d.bin1.hex").as("bin1_hex"),
+        col("d.uuid.subtype").as("uuid_subtype"),
+        col("d.decimal128").as("decimal128"))
+        .orderBy("id")
+    }),
+
     // ---- J3: last-write-wins per-key compaction (oplog apply ordering) ----
     // the micro-batch compaction inside K2's foreachBatch, run as a batch
     // query over the events change-log table.
@@ -951,6 +979,28 @@ object SparkEntry {
       .mkString(" || ' ' || ")
 
   def oracleSql: Map[String, String] = Map(
+    "q_t11_docgen" ->
+      """WITH g AS (SELECT CAST(range AS BIGINT) AS id FROM range(0, 2000)),
+        |d AS (SELECT id, id + 1001 AS n,
+        |        (id + 1001) * (id + 1001) + 3629 AS num FROM g)
+        |SELECT id,
+        |  substr(md5('oid|' || CAST(id AS VARCHAR)), 1, 24) AS oid,
+        |  ['red','orange','yellow','green','blue','indigo','violet']
+        |    [CAST(id % 7 AS INT) + 1] AS color,
+        |  CAST(num AS DOUBLE) AS float64,
+        |  num AS int64,
+        |  id AS seq,
+        |  printf('%06d-%d-%d-%d', id + 1, num, n, num) AS str,
+        |  (1600000000 + id) * 1000000 AS ts_us,
+        |  [x * x - x FOR x IN generate_series(101, 109)] AS arr,
+        |  substr(md5('oid|' || CAST(id AS VARCHAR)), 1, 24) AS subdoc_oid,
+        |  CAST(length(CAST(n AS VARCHAR)) + 2500 AS BIGINT) AS filler_len,
+        |  substr(CAST(n AS VARCHAR) || repeat('G', 2500), 1, 12) AS filler_prefix,
+        |  md5('bin4|' || CAST(id AS VARCHAR)) AS bin4_hex,
+        |  md5('bin1|' || CAST(id AS VARCHAR)) AS bin1_hex,
+        |  4 AS uuid_subtype,
+        |  CAST(printf('%d%d.%06d', num, n, id) AS DECIMAL(38,6)) AS decimal128
+        |FROM d ORDER BY id""".stripMargin,
     "q_shuffle" ->
       """WITH r AS (
         |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || '#ep1') AS rk
