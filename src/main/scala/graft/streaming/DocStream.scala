@@ -76,22 +76,41 @@ object DocStream {
     * train/val/test membership is identical whether it arrived via this
     * stream or the batch sweep — the property that lets the two
     * deployment shapes share one corpus. Emits the input columns +
-    * (n_tokens, quality_score, pred_lang, scrubbed, bucket, split). */
+    * (n_tokens, quality_score, pred_lang, scrubbed, bucket, split) —
+    * plus `text_kept` when the line gate is on.
+    *
+    * `lineGate = Some(minWords)` inserts the C4 per-line quality gate
+    * ([[graft.text.Lines.lineFilterCol]]) after dedup: scoring, PII
+    * scrub, and the emitted text then run on the line-FILTERED text.
+    * It is a stateless narrow expression, so the streaming state story
+    * is unchanged (the dedup gate remains the only state). Corpus-wide
+    * line DEDUP, by contrast, is inherently a batch aggregate (the
+    * winner of a line is a property of the whole corpus) — run
+    * [[graft.text.Lines.lineDedup]] in the nightly sweep. */
   def curateStream(docs: DataFrame, idCol: String, text: Column,
       timeCol: String, watermark: String, minQuality: Int = 3,
       langs: Seq[String] = Seq("en"), salt: String = "42",
       weights: Seq[(String, Double)] =
-        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame = {
-    import graft.text.{Pii, Sampling, TextFunctions}
-    val scored = dedupExactStream(docs, text, timeCol, watermark)
-      .withColumn("__q", TextFunctions.qualityStatsCol(text))
-      .withColumn("__l", TextFunctions.languageIdCol(text))
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      lineGate: Option[Int] = None): DataFrame = {
+    import graft.text.{Lines, Pii, Sampling, TextFunctions}
+    val deduped = dedupExactStream(docs, text, timeCol, watermark)
+    val (gated, scoredText) = lineGate match {
+      case Some(minWords) =>
+        (deduped.withColumn("text_kept",
+          Lines.lineFilterCol(text, minWords).getField("text_kept")),
+          col("text_kept"))
+      case None => (deduped, text)
+    }
+    val scored = gated
+      .withColumn("__q", TextFunctions.qualityStatsCol(scoredText))
+      .withColumn("__l", TextFunctions.languageIdCol(scoredText))
       .filter(col("__q").getField("quality_score") >= minQuality &&
         col("__l").getField("pred_lang").isin(langs: _*))
       .withColumn("n_tokens", col("__q").getField("n_tokens"))
       .withColumn("quality_score", col("__q").getField("quality_score"))
       .withColumn("pred_lang", col("__l").getField("pred_lang"))
-      .withColumn("scrubbed", Pii.scrub(text))
+      .withColumn("scrubbed", Pii.scrub(scoredText))
       .drop("__q", "__l")
     Sampling.hashSplit(scored, col(idCol), salt, weights)
   }

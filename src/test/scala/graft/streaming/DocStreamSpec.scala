@@ -137,4 +137,38 @@ class DocStreamSpec extends SparkSpec {
     assert(batch.map(t => (t._2, t._3, t._4)) == streamed.map(t => (t._2, t._3, t._4)))
     assert(batch.find(_._1 == 4L).map(_._5) == streamed.find(_._1 == 4L).map(_._5))
   }
+
+  test("curation chain with the line gate: scoring runs on line-filtered text, stream == batch") {
+    val dir = feedDir()
+    // doc 1: a good sentence line + a no-punct junk line the gate strips;
+    // doc 2: ONLY junk lines → empty filtered text → quality-filtered out
+    val rows = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today.\nbuy now click here free offer no punct",
+        "2024-01-01 10:00:00"),
+      (2L, "nav home about contact\nfooter links sitemap legal", "2024-01-01 10:00:10"))
+    rows.toDF("doc_id", "text", "t").withColumn("t", to_timestamp(col("t")))
+      .coalesce(1).write.mode("append").parquet(dir)
+
+    val schema = spark.read.parquet(dir).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = DocStream.curateStream(src, "doc_id", col("text"), "t", "1 hour",
+        lineGate = Some(5))
+      .writeStream.format("memory").queryName("ds_curate_lines")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("ds_curate_lines")
+      .select("doc_id", "text_kept", "split")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    // only doc 1 survives, and its kept text is just the sentence line
+    assert(streamed.map(_._1) == Set(1L))
+    assert(streamed.head._2 == "the quick brown fox jumps over the lazy dog today.")
+    // batch over the same files agrees exactly
+    val batch = DocStream.curateStream(
+        spark.read.parquet(dir), "doc_id", col("text"), "t", "1 hour",
+        lineGate = Some(5))
+      .select("doc_id", "text_kept", "split")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(batch == streamed)
+  }
 }
