@@ -636,6 +636,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- multimodal: content-defined chunking — boundaries are a pure
+    // function of LOCAL bytes (md5-window rule, native one-pass
+    // expression), so chunks re-synchronize after insertions and a
+    // shifted copy still shares its tail chunks, where fixed-width
+    // chunking (q_mm_chunk_dedup) shares nothing. Fixture plants
+    // prefix-shifted copies; output = chunks shared across docs ----
+    "q_mm_cdc" -> ((s, dir) => {
+      val base = load(s, dir, "documents").filter(col("text").isNotNull)
+      val corpus = base
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .unionByName(base.filter(col("doc_id") % 9 === 0)
+          .select((col("doc_id") + 300000L).as("doc_id"),
+            concat(lit("SHIFT: "), col("text")).cast("binary").as("payload")))
+      mm.BinaryOps.cdcChunks(corpus, "doc_id", col("payload"))
+        .groupBy("chunk_md5")
+        .agg(count(lit(1)).as("n_refs"), min("doc_id").as("first_doc"),
+          min("chunk_len").as("chunk_len"))
+        .filter(col("n_refs") > 1)
+        .orderBy("chunk_md5")
+    }),
+
     // ---- vocabulary building: top-1000 tokens by corpus frequency with
     // exact document frequencies (the 100 TB swap-in for doc_freq is
     // approx_count_distinct; see scaladoc) ----
@@ -1576,6 +1597,31 @@ object SparkEntry {
         |    1, greatest(length(text), 1), 256)) AS i) u)
         |SELECT chunk_md5, count(*) AS n_refs, min(doc_id) AS first_doc
         |FROM ch GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin,
+    // all-ASCII fixture: the varchar arithmetic below computes the same
+    // bytes the Spark side hashes as binary (same trick as q_mm_*)
+    "q_mm_cdc" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        |corpus AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 300000, 'SHIFT: ' || text FROM base WHERE doc_id % 9 = 0),
+        |lens AS (SELECT doc_id, text, length(text) AS len FROM corpus WHERE length(text) > 0),
+        |bnd AS (
+        |  SELECT doc_id, u.i AS b FROM lens,
+        |    LATERAL (SELECT unnest(generate_series(8, len)) AS i) u
+        |  WHERE substr(md5(substring(text, u.i - 7, 8)), 1, 1) = '0'
+        |  UNION
+        |  SELECT doc_id, len FROM lens),
+        |cuts AS (
+        |  SELECT doc_id, b, lag(b, 1, 0) OVER (PARTITION BY doc_id ORDER BY b) AS lo
+        |  FROM bnd),
+        |chunks AS (
+        |  SELECT c.doc_id, md5(substring(l.text, c.lo + 1, c.b - c.lo)) AS chunk_md5,
+        |         c.b - c.lo AS clen
+        |  FROM cuts c JOIN lens l USING (doc_id))
+        |SELECT chunk_md5, count(*) AS n_refs, min(doc_id) AS first_doc,
+        |  CAST(min(clen) AS BIGINT) AS chunk_len
+        |FROM chunks GROUP BY 1 HAVING count(*) > 1 ORDER BY chunk_md5""".stripMargin,
     "q_mm_frames" ->
       """SELECT doc_id, CAST((u.i-1)//128 AS BIGINT) AS frame_idx,
         |  md5(substring(text, u.i, 128)) AS frame_md5,

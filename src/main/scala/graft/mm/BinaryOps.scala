@@ -55,6 +55,65 @@ object BinaryOps {
   private def starts_of(bin: Column, chunkBytes: Int): Column =
     sequence(lit(1L), greatest(length(bin).cast("long"), lit(1L)), lit(chunkBytes.toLong))
 
+  /** Content-defined chunk boundaries (native one-pass expression,
+    * [[graft.functions.CdcBoundaries]]): 1-based positions `i` where
+    * the md5 of the `window` bytes ending at `i` has `maskHexChars`
+    * leading zero hex digits. Boundaries are a pure function of LOCAL
+    * content, so they re-synchronize after an insertion/deletion —
+    * a shifted copy shares every chunk past the first boundary, where
+    * fixed-width chunking ([[chunks]]) shares nothing. Expected chunk
+    * size is 16^maskHexChars bytes. */
+  def cdcBoundariesCol(bin: Column, window: Int = 8,
+      maskHexChars: Int = 1): Column =
+    org.apache.spark.sql.graftbridge.ExprBridge.column(
+      graft.functions.CdcBoundaries(
+        org.apache.spark.sql.graftbridge.ExprBridge.expression(bin),
+        window, maskHexChars))
+
+  /** Declarative twin of [[cdcBoundariesCol]] — the SQL-engine-portable
+    * formulation the DuckDB oracle mirrors, and the equivalence anchor
+    * for the native expression (BinaryOpsSpec pins them equal). Pays an
+    * interpreted lambda + hex compare per byte; use the native column
+    * in pipelines. */
+  def cdcBoundariesDeclarative(bin: Column, window: Int = 8,
+      maskHexChars: Int = 1): Column = {
+    val zeros = lit("0" * maskHexChars)
+    val len = length(bin)
+    when(len >= window,
+      filter(
+        transform(sequence(lit(window), len),
+          i => when(substring(md5(bin.substr(i - lit(window) + 1, lit(window))),
+            1, maskHexChars) === zeros, i)),
+        x => x.isNotNull))
+      // shorter-than-window → no boundaries; NULL payload → NULL
+      // (matching the native expression's null propagation)
+      .when(bin.isNotNull, array().cast("array<int>"))
+  }
+
+  /** Content-defined chunking: one row per chunk between consecutive
+    * boundaries (final cut at the payload end). Output: (idCol,
+    * chunk_idx, chunk_md5, chunk_len). Narrow per-row expansion —
+    * |output| = Σ per-doc chunk counts, no shuffle; feed the result to
+    * a [[contentDedup]]-style aggregate for chunk-level dedup that
+    * survives byte insertions. */
+  def cdcChunks(df: DataFrame, idCol: String, bin: Column, window: Int = 8,
+      maskHexChars: Int = 1): DataFrame = {
+    val pl = col("__pl")
+    val cuts = array_distinct(concat(
+      cdcBoundariesCol(pl, window, maskHexChars), array(length(pl))))
+    val starts = concat(array(lit(0)),
+      slice(cuts, lit(1), greatest(size(cuts) - 1, lit(0))))
+    df.filter(bin.isNotNull && length(bin) > 0)
+      .select(col(idCol), bin.as("__pl"))
+      .select(col(idCol), pl,
+        posexplode(arrays_zip(starts.as("lo"), cuts.as("hi")))
+          .as(Seq("chunk_idx", "__c")))
+      .select(col(idCol), col("chunk_idx"),
+        md5(pl.substr(col("__c.lo") + 1, col("__c.hi") - col("__c.lo")))
+          .as("chunk_md5"),
+        (col("__c.hi") - col("__c.lo")).cast("long").as("chunk_len"))
+  }
+
   /** Frame sampling: treat the payload as consecutive `frameBytes`
     * frames and keep every `everyNth` one (frame 0, N, 2N, ...) — the
     * video keyframe-sampling shape: a 2-hour clip contributes

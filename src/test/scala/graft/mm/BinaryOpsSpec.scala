@@ -20,6 +20,43 @@ class BinaryOpsSpec extends SparkSpec {
     m.unpersist()
   }
 
+  test("cdcBoundaries: native expression equals the declarative md5 formulation") {
+    val withEdge = payloads.unionByName(Seq(
+      (900001L, Array.emptyByteArray),            // empty payload
+      (900002L, "short".getBytes("UTF-8")),       // shorter than the window
+      (900003L, null.asInstanceOf[Array[Byte]])). // null payload
+      toDF("doc_id", "payload"))
+    val both = withEdge.select(col("doc_id"),
+      BinaryOps.cdcBoundariesCol(col("payload")).as("nat"),
+      BinaryOps.cdcBoundariesDeclarative(col("payload")).as("dec"))
+    assert(both.where(not(col("nat") <=> col("dec"))).count() == 0)
+    // real docs actually produce boundaries (the rule isn't degenerate)
+    assert(both.filter(size(col("nat")) > 0).count() > 0)
+  }
+
+  test("cdcChunks: chunks tile the payload and re-synchronize after a prefix shift") {
+    val base = payloads.filter(col("doc_id") < 50)
+    val ch = BinaryOps.cdcChunks(base, "doc_id", col("payload"))
+    // coverage: per-doc chunk_len sums to the byte length
+    val cover = ch.groupBy("doc_id").agg(sum("chunk_len").as("total"))
+      .join(base.select(col("doc_id"), length(col("payload")).cast("long").as("len")), "doc_id")
+    assert(cover.filter(col("total") =!= col("len")).count() == 0)
+    // shift-robustness: a prefix insertion re-shares the tail chunks;
+    // fixed-width chunking shares nothing for the same corpus
+    val shifted = base.select((col("doc_id") + 1000L).as("doc_id"),
+      concat(lit("SHIFT: ").cast("binary"), col("payload")).as("payload"))
+    val corpus = base.unionByName(shifted)
+    val cdcShared = BinaryOps.cdcChunks(corpus, "doc_id", col("payload"))
+      .groupBy("chunk_md5").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).count()
+    val fixedShared = BinaryOps.chunks(corpus, "doc_id", col("payload"), 16)
+      .groupBy("chunk_md5").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).count()
+    assert(cdcShared > 0, "CDC must re-share chunks after the shift")
+    assert(cdcShared > fixedShared,
+      s"CDC ($cdcShared shared) must beat fixed-width ($fixedShared) under shifts")
+  }
+
   test("chunks: sequence numbering and coverage") {
     val ch = BinaryOps.chunks(payloads, "doc_id", col("payload"), 256).cache()
     val meta = BinaryOps.withMetadata(payloads, col("payload"), 256)
