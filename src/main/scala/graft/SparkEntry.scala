@@ -747,6 +747,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- corpus mixing: budget-constrained per-stratum selection —
+    // highest-quality docs per language until the token budget is
+    // spent, WITHOUT a per-stratum sort: (stratum, score) histogram →
+    // prefix-sum admission rule → broadcast filter; the boundary score
+    // admits an integer hash-bucket fraction (engine-exact). en/fr
+    // budgets cut mid-level, zh's admits everything, es/de have no
+    // budget → excluded ----
+    "q_mix_budget" -> ((s, dir) => {
+      val d = load(s, dir, "documents").filter(col("text").isNotNull)
+      val stats = text.TextFunctions.qualityStats(d, col("text"))
+      text.Mixing.budgetSelect(stats, "doc_id", col("lang"), col("n_tokens"),
+          col("quality_score"), Seq("en" -> 4000L, "fr" -> 1500L, "zh" -> 100000L))
+        .orderBy("doc_id")
+    }),
+
     // ---- the end-to-end curation pipeline: exact dedup → quality +
     // language filter → deterministic split assignment, composed from
     // the operators above into the corpus manifest a training run
@@ -1710,6 +1725,41 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN lok AND b >= 8000 AND b < 9000 THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
         |  CAST(sum(CASE WHEN lok AND b >= 9000 THEN 1 ELSE 0 END) AS BIGINT) AS n_test
         |FROM j""".stripMargin,
+    "q_mix_budget" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |    CAST(length(text) AS BIGINT) AS n_len,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha
+        |  FROM documents WHERE text IS NOT NULL),
+        |q AS (
+        |  SELECT doc_id, lang AS stratum, n_tokens,
+        |    CAST(n_tokens >= 10 AS INT) + CAST(n_tokens <= 1000 AS INT)
+        |      + CAST(CAST(n_len AS DOUBLE)/NULLIF(n_tokens, 0) >= 3
+        |              AND CAST(n_len AS DOUBLE)/NULLIF(n_tokens, 0) <= 12 AS INT)
+        |      + CAST(CAST(n_alpha AS DOUBLE)/NULLIF(n_len, 0) > 0.7 AS INT) AS quality,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8)) AS BIGINT)
+        |      % 10000 AS b
+        |  FROM s),
+        |qq AS (SELECT * FROM q WHERE quality IS NOT NULL),
+        |bud AS (SELECT * FROM (VALUES ('en', 4000), ('fr', 1500), ('zh', 100000))
+        |        v(stratum, budget)),
+        |hist AS (SELECT stratum, quality, sum(n_tokens) AS t FROM qq GROUP BY 1, 2),
+        |thr AS (
+        |  SELECT h.stratum, h.quality, h.t, b.budget,
+        |    coalesce(sum(h.t) OVER (PARTITION BY h.stratum ORDER BY h.quality DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS above
+        |  FROM hist h JOIN bud b USING (stratum)),
+        |fr AS (
+        |  SELECT stratum, quality,
+        |    CASE WHEN above >= budget THEN 0
+        |         WHEN above + t <= budget THEN 10000
+        |         ELSE CAST(((budget - above) * 10000) // t AS BIGINT) END AS frac
+        |  FROM thr)
+        |SELECT qq.doc_id, qq.stratum, qq.n_tokens, qq.quality
+        |FROM qq JOIN fr ON fr.stratum = qq.stratum AND fr.quality = qq.quality
+        |WHERE qq.b < fr.frac
+        |ORDER BY qq.doc_id""".stripMargin,
     "q_dedup_new" ->
       """WITH reference AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
         |batch AS (

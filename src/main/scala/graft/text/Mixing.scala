@@ -1,0 +1,68 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus mixing — budget-constrained per-stratum selection: "give me
+  * the highest-quality documents of each language/domain until that
+  * stratum's token budget is spent". The step that turns a curated pool
+  * into a training MIX with chosen domain weights.
+  *
+  * The naive formulation sorts each stratum by quality and takes a
+  * cumulative-token prefix — a per-stratum global window, i.e. ONE
+  * reducer sorting a language's whole corpus at 100 TB. This operator
+  * never builds that window. Instead:
+  *
+  *  1. a (stratum, quality-level) token HISTOGRAM — one map-side-
+  *     combined aggregate, output is strata × score-levels rows (tiny);
+  *  2. the admission rule per level from a prefix sum over that tiny
+  *     frame: levels strictly above the cut admit fully, the boundary
+  *     level admits a HASH-BUCKET fraction sized to the remaining
+  *     budget (integer arithmetic, engine-exact);
+  *  3. one broadcast join of the per-level rule back onto the corpus —
+  *     a narrow filter, no corpus shuffle, no sort anywhere.
+  *
+  * The trade: the budget is met to bucket resolution (±1/10000 of the
+  * boundary level's tokens) rather than to the document — the same
+  * quantization [[Sampling.hashSplit]] accepts, and deterministic:
+  * membership is a pure function of (corpus, budgets, salt).
+  * Documents with NULL quality are excluded (they cannot be ranked);
+  * strata without a budget entry are excluded entirely. */
+object Mixing {
+
+  /** Select per-stratum under token budgets. Output columns: (idCol,
+    * stratum, n_tokens, quality). `budgets` maps stratum → token
+    * budget. */
+  def budgetSelect(df: DataFrame, idCol: String, stratum: Column,
+      nTokens: Column, quality: Column, budgets: Seq[(String, Long)],
+      salt: String = "mix"): DataFrame = {
+    require(budgets.nonEmpty && budgets.forall(_._2 >= 0),
+      "budgets must be non-negative")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val g = Sampling.Granularity
+    val ann = df.filter(quality.isNotNull)
+      .select(col(idCol), stratum.as("stratum"), nTokens.as("n_tokens"),
+        quality.as("quality"),
+        Sampling.splitBucket(col(idCol), salt).as("__b"))
+    val bdf = budgets.toDF("stratum", "__budget")
+    val hist = ann.groupBy("stratum", "quality")
+      .agg(sum(col("n_tokens")).as("__t"))
+    val wAbove = Window.partitionBy("stratum").orderBy(col("quality").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val rule = hist
+      .withColumn("__above", coalesce(sum(col("__t")).over(wAbove), lit(0L)))
+      .join(bdf, Seq("stratum"))
+      .withColumn("__frac",
+        when(col("__above") >= col("__budget"), lit(0L))
+          .when(col("__above") + col("__t") <= col("__budget"), lit(g.toLong))
+          // boundary level: integer bucket fraction of the remaining
+          // budget — exact in any engine (no float division)
+          .otherwise(expr(s"CAST(((__budget - __above) * $g) DIV __t AS BIGINT)")))
+      .select(col("stratum"), col("quality"), col("__frac"))
+    ann.join(broadcast(rule), Seq("stratum", "quality"))
+      .filter(col("__b") < col("__frac"))
+      .select(col(idCol), col("stratum"), col("n_tokens"), col("quality"))
+  }
+}

@@ -1,0 +1,55 @@
+package graft.text
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class MixingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (id, stratum, tokens, quality): "en" has 3 quality levels with 300
+  // tokens each; "fr" tiny; "xx" has no budget
+  private def corpus = (
+    (1L to 30L).map(i => (i, "en", 10L, (i % 3 + 1).toInt)) ++
+    Seq((101L, "fr", 50L, 4), (102L, "fr", 50L, 1)) ++
+    Seq((201L, "xx", 99L, 4))
+  ).toDF("doc_id", "stratum", "n_tokens", "quality")
+
+  test("budgetSelect admits top levels fully, cuts the boundary level, drops the rest") {
+    val out = Mixing.budgetSelect(corpus, "doc_id", col("stratum"),
+      col("n_tokens"), col("quality"),
+      Seq("en" -> 150L, "fr" -> 50L, "zz" -> 10L)).cache()
+    val en = out.filter(col("stratum") === "en")
+    // en: level 3 holds 100 tokens (10 docs) → fully admitted; level 2
+    // is the boundary (needs 50 of 100 → ~half by hash bucket); level 1
+    // excluded
+    assert(en.filter(col("quality") === 3).count() == 10)
+    assert(en.filter(col("quality") === 1).count() == 0)
+    val boundary = en.filter(col("quality") === 2).count()
+    assert(boundary > 0 && boundary < 10, s"boundary admitted $boundary of 10")
+    // fr: budget 50 covers exactly the quality-4 doc; quality-1 excluded
+    assert(out.filter(col("stratum") === "fr").select("doc_id")
+      .as[Long].collect().toSet == Set(101L))
+    // xx has no budget → absent entirely
+    assert(out.filter(col("stratum") === "xx").count() == 0)
+    out.unpersist()
+  }
+
+  test("budgetSelect admits everything when the budget exceeds the stratum") {
+    val out = Mixing.budgetSelect(corpus, "doc_id", col("stratum"),
+      col("n_tokens"), col("quality"), Seq("en" -> 100000L))
+    assert(out.count() == 30)
+  }
+
+  test("budgetSelect is deterministic and shuffle-light (no corpus sort)") {
+    val docs = Tables.load(spark, sf001, "documents").filter(col("text").isNotNull)
+    val stats = TextFunctions.qualityStats(docs, col("text"))
+    def run() = Mixing.budgetSelect(stats, "doc_id", col("lang"),
+      col("n_tokens"), col("quality_score"), Seq("en" -> 4000L, "fr" -> 1500L))
+    val a = run(); val b = run()
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // the corpus-sized side is never sorted: every Sort in the plan
+    // belongs to the tiny histogram window
+    val plan = run().queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), s"corpus must not sort-merge join:\n$plan")
+  }
+}
