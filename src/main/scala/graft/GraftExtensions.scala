@@ -198,6 +198,19 @@ object GraftFunctions {
       "graft_pii_scrub(text) - text with emails/IPv4s/phone numbers replaced by <EMAIL>/<IP>/<PHONE>") { es =>
       expect("graft_pii_scrub", 1, es)
       x(text.Pii.scrub(c(es(0))))
+    },
+    fn("graft_line_filter",
+      "graft_line_filter(text, minWords) - struct(text_kept, n_kept, n_lines): C4 line gate (>= minWords words + terminal punctuation)") { es =>
+      expect("graft_line_filter", 2, es)
+      x(text.Lines.lineFilterCol(c(es(0)),
+        litInt("graft_line_filter", "minWords", es(1))))
+    },
+    fn("graft_cdc_boundaries",
+      "graft_cdc_boundaries(bin, window, maskHexChars) - content-defined chunk boundary positions (md5-window rule), array<int>") { es =>
+      expect("graft_cdc_boundaries", 3, es)
+      functions.CdcBoundaries(es(0),
+        litInt("graft_cdc_boundaries", "window", es(1)),
+        litInt("graft_cdc_boundaries", "maskHexChars", es(2)))
     })
 
   /** Idempotent runtime registration — for sessions graft didn't build. */

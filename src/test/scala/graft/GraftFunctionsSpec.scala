@@ -124,6 +124,33 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(sqlStats.toSeq === apiStats.toSeq)
   }
 
+  test("graft_line_filter and graft_cdc_boundaries match their Scala twins") {
+    val s = spark
+    import s.implicits._
+    GraftFunctions.register(spark)
+    Seq((1L, "A good long sentence with many words here.\njunk line no punct"),
+        (2L, "short.\nAnother proper sentence line for the test."))
+      .toDF("doc_id", "text").createOrReplaceTempView("gf_lines")
+    val sqlLf = spark.sql(
+      """SELECT graft_line_filter(text, 5).text_kept AS k,
+        |       graft_line_filter(text, 5).n_kept AS n
+        |FROM gf_lines ORDER BY doc_id""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val apiLf = spark.table("gf_lines").orderBy("doc_id")
+      .select(text.Lines.lineFilterCol(col("text"), 5).as("f"))
+      .select(col("f.text_kept"), col("f.n_kept"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(sqlLf.toSeq === apiLf.toSeq)
+
+    val sqlCdc = spark.sql(
+      "SELECT graft_cdc_boundaries(CAST(text AS BINARY), 8, 1) AS b FROM gf_lines ORDER BY doc_id")
+      .collect().map(_.getSeq[Int](0))
+    val apiCdc = spark.table("gf_lines").orderBy("doc_id")
+      .select(mm.BinaryOps.cdcBoundariesCol(col("text").cast("binary")).as("b"))
+      .collect().map(_.getSeq[Int](0))
+    assert(sqlCdc.toSeq === apiCdc.toSeq)
+  }
+
   test("graft_lsh_bucket matches Similarity.lshBucket") {
     val s = spark
     import s.implicits._
