@@ -747,6 +747,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- per-group document cap (anti-spam: no domain over `cap`
+    // docs) with NO per-group window: group sizes from one map-side
+    // aggregate, over-quota groups get an integer hash-bucket admission
+    // fraction, one broadcast filter — en (218 docs at sf0.01) is the
+    // over-quota group here ----
+    "q_cap_domain" -> ((s, dir) =>
+      text.Sampling.capPerGroup(
+          load(s, dir, "documents").select("doc_id", "lang", "source"),
+          col("lang"), col("doc_id"), 100L)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")),
+
     // ---- corpus mixing: budget-constrained per-stratum selection —
     // highest-quality docs per language until the token budget is
     // spent, WITHOUT a per-stratum sort: (stratum, score) histogram →
@@ -1725,6 +1737,18 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN lok AND b >= 8000 AND b < 9000 THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
         |  CAST(sum(CASE WHEN lok AND b >= 9000 THEN 1 ELSE 0 END) AS BIGINT) AS n_test
         |FROM j""".stripMargin,
+    "q_cap_domain" ->
+      """WITH sizes AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |rule AS (
+        |  SELECT lang,
+        |    CASE WHEN n <= 100 THEN 10000
+        |         ELSE CAST((100 * 10000) // n AS BIGINT) END AS frac
+        |  FROM sizes)
+        |SELECT d.doc_id, d.lang, d.source
+        |FROM documents d JOIN rule r USING (lang)
+        |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':cap'), 1, 8)) AS BIGINT)
+        |      % 10000 < r.frac
+        |ORDER BY d.doc_id""".stripMargin,
     "q_mix_budget" ->
       """WITH s AS (
         |  SELECT doc_id, lang,

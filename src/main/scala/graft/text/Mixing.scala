@@ -42,27 +42,34 @@ object Mixing {
     val spark = df.sparkSession
     import spark.implicits._
     val g = Sampling.Granularity
+    // ann feeds TWO subtrees (the histogram and the final filter) —
+    // persist so upstream quality scoring runs once, release on return
+    // (the materialize-then-release cache contract)
     val ann = df.filter(quality.isNotNull)
       .select(col(idCol), stratum.as("stratum"), nTokens.as("n_tokens"),
         quality.as("quality"),
         Sampling.splitBucket(col(idCol), salt).as("__b"))
-    val bdf = budgets.toDF("stratum", "__budget")
-    val hist = ann.groupBy("stratum", "quality")
-      .agg(sum(col("n_tokens")).as("__t"))
-    val wAbove = Window.partitionBy("stratum").orderBy(col("quality").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val rule = hist
-      .withColumn("__above", coalesce(sum(col("__t")).over(wAbove), lit(0L)))
-      .join(bdf, Seq("stratum"))
-      .withColumn("__frac",
-        when(col("__above") >= col("__budget"), lit(0L))
-          .when(col("__above") + col("__t") <= col("__budget"), lit(g.toLong))
-          // boundary level: integer bucket fraction of the remaining
-          // budget — exact in any engine (no float division)
-          .otherwise(expr(s"CAST(((__budget - __above) * $g) DIV __t AS BIGINT)")))
-      .select(col("stratum"), col("quality"), col("__frac"))
-    ann.join(broadcast(rule), Seq("stratum", "quality"))
-      .filter(col("__b") < col("__frac"))
-      .select(col(idCol), col("stratum"), col("n_tokens"), col("quality"))
+      .persist()
+    try {
+      val bdf = budgets.toDF("stratum", "__budget")
+      val hist = ann.groupBy("stratum", "quality")
+        .agg(sum(col("n_tokens")).as("__t"))
+      val wAbove = Window.partitionBy("stratum").orderBy(col("quality").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val rule = hist
+        .withColumn("__above", coalesce(sum(col("__t")).over(wAbove), lit(0L)))
+        .join(bdf, Seq("stratum"))
+        .withColumn("__frac",
+          when(col("__above") >= col("__budget"), lit(0L))
+            .when(col("__above") + col("__t") <= col("__budget"), lit(g.toLong))
+            // boundary level: integer bucket fraction of the remaining
+            // budget — exact in any engine (no float division)
+            .otherwise(expr(s"CAST(((__budget - __above) * $g) DIV __t AS BIGINT)")))
+        .select(col("stratum"), col("quality"), col("__frac"))
+      ann.join(broadcast(rule), Seq("stratum", "quality"))
+        .filter(col("__b") < col("__frac"))
+        .select(col(idCol), col("stratum"), col("n_tokens"), col("quality"))
+        .localCheckpoint(true)
+    } finally { ann.unpersist(false); () }
   }
 }

@@ -95,6 +95,34 @@ object Sampling {
       .select(key, col("shard"), (col("__off") + col("__r") - 1).as("pos"))
   }
 
+  /** Per-group document cap — the anti-spam gate ("no domain may
+    * contribute more than `cap` documents"), planned WITHOUT per-group
+    * row_number windows: a hot domain with 10⁹ pages would sort them
+    * all through one reducer. Instead the group sizes come from one
+    * map-side-combined aggregate (groups-sized output), each
+    * over-quota group gets an admission fraction `cap/count` realized
+    * as a hash-bucket threshold (integer arithmetic), and one
+    * broadcast join filters the corpus — no shuffle or sort of the
+    * data rows anywhere.
+    *
+    * The trade: an over-quota group keeps ~cap documents to bucket
+    * resolution (binomial around cap·(bucket granularity rounding)),
+    * not exactly cap — the deterministic, retry-stable approximation a
+    * 100 TB pipeline actually wants (exact top-N per domain needs the
+    * sort this avoids). Groups at or under quota pass untouched. */
+  def capPerGroup(df: DataFrame, group: Column, key: Column, cap: Long,
+      salt: String = "cap"): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    val sizes = df.groupBy(group.as("__g")).agg(count(lit(1)).as("__n"))
+    val rule = sizes.withColumn("__frac",
+      when(col("__n") <= cap, lit(Granularity.toLong))
+        .otherwise(expr(s"CAST((${cap}L * $Granularity) DIV __n AS BIGINT)")))
+      .select(col("__g"), col("__frac"))
+    df.join(broadcast(rule), group <=> col("__g"))
+      .filter(splitBucket(key, salt) < col("__frac"))
+      .drop("__g", "__frac")
+  }
+
   /** Deterministic `fraction` sample: keep rows whose bucket falls below
     * fraction×[[Granularity]]. Unlike `df.sample`, membership is stable
     * across retries/re-runs and CONSISTENT across tables sharing the key

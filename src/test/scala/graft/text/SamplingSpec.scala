@@ -49,6 +49,24 @@ class SamplingSpec extends SparkSpec {
     assert(other.select("doc_id").exceptAll(sampled.select("doc_id")).isEmpty)
   }
 
+  test("capPerGroup thins only over-quota groups, deterministically, without windows") {
+    val hot = (1L to 1000L).map(i => (i, "hot"))
+    val cold = (2001L to 2005L).map(i => (i, "cold"))
+    val df = (hot ++ cold).toDF("doc_id", "domain")
+    val out = Sampling.capPerGroup(df, col("domain"), col("doc_id"), 100L).cache()
+    // under-quota group passes untouched
+    assert(out.filter(col("domain") === "cold").count() == 5)
+    // over-quota group lands near the cap (binomial(1000, 0.1): ±4σ ≈ ±38)
+    val kept = out.filter(col("domain") === "hot").count()
+    assert(kept > 60 && kept < 140, s"hot group kept $kept of 1000 (cap 100)")
+    // deterministic across re-runs
+    val again = Sampling.capPerGroup(df, col("domain"), col("doc_id"), 100L)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+    // no per-group window anywhere in the plan
+    assert(!again.queryExecution.executedPlan.toString.contains("Window"))
+    out.unpersist()
+  }
+
   test("shuffleManifest emits an exact global permutation matching the md5 order") {
     val out = Sampling.shuffleManifest(docs.select("doc_id"), "doc_id", "ep1", 8)
     val n = docs.count()
