@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // dozens of codegen'd query plans in one session overflow the default
+  // ~240 MB JIT code cache, silently de-optimizing later queries (the
+  // bench-session-only slowdown visible on q_corpus_stats: 0.75 s
+  // isolated vs 4.6 s crowded)
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -27,6 +27,13 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val repeats = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "2").toInt)
+    // debugging aid: comma-separated query names to time in isolation
+    // (empty = all); lets a bench-session-only slowdown be separated
+    // from a query's own cost without editing the suite
+    val only = sys.env.getOrElse("SPARK_GRAFT_BENCH_ONLY", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    def selected = if (only.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (k, _) => only(k) }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -43,11 +50,11 @@ object Bench {
       if (java.nio.file.Files.isDirectory(sib)) sib.toString else sfDir
     }
     var warmupFailed = 0
-    SparkEntry.queries.foreach { case (_, fn) =>
+    selected.foreach { case (_, fn) =>
       try { fn(spark, warm).count(); () } catch { case _: Throwable => warmupFailed += 1 }
     }
     spark.catalog.clearCache()
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    val results = selected.toSeq.map { case (name, fn) =>
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       var err: Option[String] = None
       var i = 0
