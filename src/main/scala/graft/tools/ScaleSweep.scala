@@ -93,7 +93,15 @@ object ScaleSweep {
       "tfidf_topk" -> (c => TextFunctions.tfIdfTopK(c, "doc_id", col("text")).count()),
       "bloom_admission" -> (c => Dedup.exactNewBloom(
         c.filter(col("doc_id") % 2 === 1), c.filter(col("doc_id") % 2 === 0),
-        "doc_id", col("text")).count()))
+        "doc_id", col("text")).count()),
+      "mix_budget" -> (c => Mixing.budgetSelect(
+        TextFunctions.qualityStats(c.filter(col("text").isNotNull), col("text")),
+        "doc_id", substring(col("text"), 1, 2).as("st"), col("n_tokens"),
+        col("quality_score"), Seq("ke" -> 5000L, "ba" -> 2000L, "sm" -> 100000L))
+        .count()),
+      "cap_per_group" -> (c => Sampling.capPerGroup(
+        c.select(col("doc_id"), substring(col("text"), 1, 2).as("domain")),
+        col("domain"), col("doc_id"), 500L).count()))
     // the bucketed near-dup candidate pipelines, on the dup-rate-
     // invariant corpus: output (and so seconds) may grow linearly, but
     // never quadratically — the banded-join contract
