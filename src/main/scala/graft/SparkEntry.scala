@@ -747,6 +747,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- context-window chunking: split docs into ≤16-token chunks at
+    // sentence boundaries (retrieval/embedding prep). One per-document
+    // cumulative window (millions of small partitions at scale, never
+    // global); the fixture gains sentence structure by cutting at
+    // " the "/" table " ----
+    "q_chunk_sentences" -> ((s, dir) => {
+      val d = load(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          regexp_replace(col("text"), " (the|table) ", ". ").as("text"))
+      text.Chunking.sentenceChunks(d, "doc_id", col("text"), targetTokens = 16)
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // ---- per-group document cap (anti-spam: no domain over `cap`
     // docs) with NO per-group window: group sizes from one map-side
     // aggregate, over-quota groups get an integer hash-bucket admission
@@ -1737,6 +1750,28 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN lok AND b >= 8000 AND b < 9000 THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
         |  CAST(sum(CASE WHEN lok AND b >= 9000 THEN 1 ELSE 0 END) AS BIGINT) AS n_test
         |FROM j""".stripMargin,
+    "q_chunk_sentences" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_replace(text, ' (the|table) ', '. ', 'g') AS text
+        |  FROM documents WHERE text IS NOT NULL),
+        |s AS (
+        |  SELECT doc_id, u.i AS pos, trim(u.s) AS sent
+        |  FROM (SELECT doc_id, regexp_extract_all(text, '[^.!?]+[.!?]*') AS ss FROM d) t,
+        |    LATERAL (SELECT unnest(ss) AS s, unnest(generate_series(1, len(ss))) AS i) u
+        |  WHERE length(trim(u.s)) > 0),
+        |c AS (
+        |  SELECT doc_id, pos, sent,
+        |    CAST(len(regexp_extract_all(sent, '\S+')) AS BIGINT) AS nt
+        |  FROM s),
+        |w AS (
+        |  SELECT doc_id, pos, sent, nt,
+        |    sum(nt) OVER (PARTITION BY doc_id ORDER BY pos) - nt AS pre
+        |  FROM c)
+        |SELECT doc_id, CAST(floor(pre / 16) AS BIGINT) AS chunk_idx,
+        |  string_agg(sent, ' ' ORDER BY pos) AS text_chunk,
+        |  count(*) AS n_sentences,
+        |  CAST(sum(nt) AS BIGINT) AS chunk_tokens
+        |FROM w GROUP BY 1, 2 ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_cap_domain" ->
       """WITH sizes AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
         |rule AS (
