@@ -19,6 +19,8 @@ import scala.jdk.CollectionConverters._
   *   `-compare <config.json>` deep-diff source vs target per namespace (J1)
   *   `-sim <config.json>`     generate a rate-paced change-stream load (G1)
   *   `-sql <config.json>`     ad-hoc SQL over a catalog (engine extension)
+  *   `-curate <config.json>`  corpus curation pipeline → training manifest
+  *                            (engine extension)
   *   `-version`               print version
   *
   * (`-worker` has no Spark counterpart: the reference spawns queue
@@ -56,17 +58,19 @@ object Main {
   def run(args: Seq[String], session: () => SparkSession): Int = {
     def usage(): Int = {
       Console.err.println(
-        "usage: graft -start|-resume|-compare|-sim|-sql <config.json> | -version")
+        "usage: graft -start|-resume|-compare|-sim|-sql|-curate <config.json> | -version")
       1
     }
     args match {
       case Seq("-version") => println(Version); 0
-      case Seq(flag, file) if Set("-start", "-resume", "-compare", "-sim", "-sql")(flag) =>
+      case Seq(flag, file)
+          if Set("-start", "-resume", "-compare", "-sim", "-sql", "-curate")(flag) =>
         val json = new String(
           java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file)), "UTF-8")
         flag match {
           case "-sim" => sim(session(), json)
           case "-sql" => sql(session(), json)
+          case "-curate" => curate(session(), json)
           case "-compare" => compare(session(), MigratorConfig.parse(json))
           case "-start" => lifecycle(session(), MigratorConfig.parse(json), resume = false)
           case "-resume" => lifecycle(session(), MigratorConfig.parse(json), resume = true)
@@ -171,6 +175,90 @@ object Main {
       Simgen.liveFeed(spark, new Path(dir, ns).toString, ns,
         batches = seconds, docsPerBatch = perSecond).emitted).sum
     println(s"emitted $emitted oplog(s) across ${namespaces.size} namespace(s)")
+    0
+  }
+
+  /** `-curate` (engine extension): run the batch curation pipeline over
+    * a catalog namespace and write the training-corpus manifest —
+    * the CLI shape of `q_pipeline_corpus` / `DocStream.curateStream`:
+    * optional C4 line gate → corpus-wide exact dedup (min-id winner) →
+    * quality + language filter → deterministic split assignment →
+    * optional per-stratum token budgets ([[graft.text.Mixing]]).
+    *
+    * Config: `{"source": "<catalog root>", "namespace": "db.coll",
+    * "out": "<dir>", "id": "doc_id", "text": "text", "minQuality": 3,
+    * "langs": ["en"], "salt": "42",
+    * "weights": {"train": 0.8, "val": 0.1, "test": 0.1},
+    * "lineGate": 5, "budgets": {"en": 4000000000}}` — the last two
+    * optional. Writes parquet (id, n_tokens, quality_score, pred_lang,
+    * bucket, split) to `out` and prints the stage counts. */
+  private def curate(spark: SparkSession, json: String): Int = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import graft.text.{Lines, Mixing, Sampling, TextFunctions}
+    val n = new ObjectMapper().readTree(json)
+    require(n != null && n.isObject, "curate config must be a JSON object")
+    def req(f: String): String = {
+      require(n.has(f) && n.get(f).asText().nonEmpty, s"curate config needs $f")
+      n.get(f).asText()
+    }
+    val dir = req("source"); val ns = req("namespace"); val out = req("out")
+    val idCol = if (n.has("id")) n.get("id").asText() else "doc_id"
+    val textName = if (n.has("text")) n.get("text").asText() else "text"
+    val minQuality = if (n.has("minQuality")) n.get("minQuality").asInt() else 3
+    val langs = if (n.has("langs"))
+      n.get("langs").elements().asScala.map(_.asText()).toSeq else Seq("en")
+    val salt = if (n.has("salt")) n.get("salt").asText() else "42"
+    val weights = if (n.has("weights"))
+      n.get("weights").fields().asScala.toSeq
+        .map(e => e.getKey -> e.getValue.asDouble())
+      else Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val lineGate = if (n.has("lineGate")) Some(n.get("lineGate").asInt()) else None
+    val budgets = if (n.has("budgets"))
+      Some(n.get("budgets").fields().asScala.toSeq
+        .map(e => e.getKey -> e.getValue.asLong()))
+      else None
+
+    val cat = catalogAt(spark, dir,
+      MigratorConfig(command = "data", source = dir, target = dir))
+    val raw = cat.read(ns).filter(col(textName).isNotNull)
+    val nInput = raw.count()
+    val (gated, scoredText) = lineGate match {
+      case Some(minWords) =>
+        (raw.withColumn("__text_kept",
+          Lines.lineFilterCol(col(textName), minWords).getField("text_kept")),
+          col("__text_kept"))
+      case None => (raw, col(textName))
+    }
+    // corpus-wide exact dedup, min-id winner (deterministic — unlike
+    // dropDuplicates' arbitrary-row keep)
+    val keepW = Window.partitionBy(md5(scoredText)).orderBy(col(idCol))
+    val deduped = gated.withColumn("__rn", row_number().over(keepW))
+      .filter(col("__rn") === 1).drop("__rn")
+    val stats = TextFunctions.languageId(
+      TextFunctions.qualityStats(deduped, scoredText), scoredText)
+    val kept = stats.filter(col("quality_score") >= minQuality &&
+      col("pred_lang").isin(langs: _*))
+    val split = Sampling.hashSplit(kept, col(idCol), salt, weights)
+    val manifest = budgets match {
+      case Some(b) =>
+        // NOT the split salt: the admission bucket must be independent
+        // of the split bucket, or a fractional stratum keeps only its
+        // low buckets = only its train rows
+        Mixing.budgetSelect(split, idCol, col("pred_lang"), col("n_tokens"),
+            col("quality_score"), b, salt + ":mix")
+          .withColumnRenamed("stratum", "pred_lang")
+          .withColumnRenamed("quality", "quality_score")
+          .join(split.select(col(idCol), col("bucket"), col("split")), Seq(idCol))
+      case None =>
+        split.select(col(idCol), col("n_tokens"), col("quality_score"),
+          col("pred_lang"), col("bucket"), col("split"))
+    }
+    manifest.write.mode("overwrite").parquet(out)
+    val written = spark.read.parquet(out)
+    val perSplit = written.groupBy("split").count().collect()
+      .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(", ")
+    println(s"curated $ns: $nInput doc(s) in, ${written.count()} selected ($perSplit); wrote $out")
     0
   }
 

@@ -93,6 +93,39 @@ class MainSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Main.run(Seq("-sql", bad), sess) }
   }
 
+  test("-curate writes the corpus manifest: dedup, gates, split, budgets") {
+    val out = tmp("graft-cli-curate") + "/manifest"
+    val cfg = writeCfg(tmp("graft-cli-curatecfg"),
+      s"""{"source":"$sf001","namespace":"local.documents","out":"$out",
+         |"minQuality":3,"langs":["en"],"salt":"42"}""".stripMargin)
+    assert(Main.run(Seq("-curate", cfg), sess) == 0)
+    val m = spark.read.parquet(out)
+    assert(m.columns.toSet ==
+      Set("doc_id", "n_tokens", "quality_score", "pred_lang", "bucket", "split"))
+    assert(m.count() > 0)
+    assert(m.filter($"quality_score" < 3 || $"pred_lang" =!= "en").count() == 0)
+    // split assignment matches the library rule exactly (pure function)
+    val viaLib = graft.text.Sampling.hashSplit(m.select("doc_id"), $"doc_id", "42",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).select("doc_id", "split")
+    assert(m.select("doc_id", "split").exceptAll(viaLib).isEmpty)
+
+    // with a line gate and budgets: fewer docs, budget respected
+    val out2 = tmp("graft-cli-curate2") + "/manifest"
+    val cfg2 = writeCfg(tmp("graft-cli-curatecfg2"),
+      s"""{"source":"$sf001","namespace":"local.documents","out":"$out2",
+         |"minQuality":0,"langs":["en"],"budgets":{"en":1000}}""".stripMargin)
+    assert(Main.run(Seq("-curate", cfg2), sess) == 0)
+    val m2 = spark.read.parquet(out2)
+    val toks = m2.agg(sum("n_tokens")).head.getLong(0)
+    // budget 1000 tokens, met to bucket resolution (boundary level slack)
+    assert(toks > 0 && toks < 2000, s"selected $toks tokens against a 1000 budget")
+
+    // a config without an out dir is rejected
+    val bad = writeCfg(tmp("graft-cli-curatecfg3"),
+      s"""{"source":"$sf001","namespace":"local.documents"}""")
+    intercept[IllegalArgumentException] { Main.run(Seq("-curate", bad), sess) }
+  }
+
   test("-sql on a multi-db catalog: qualified views always, bare only when unambiguous") {
     import graft.sources.MultiDbParquetCatalog
     val root = tmp("graft-cli-sqlmdb")
