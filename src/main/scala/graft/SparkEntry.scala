@@ -747,6 +747,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- BM25 retrieval: top-5 docs per query — the search half of
+    // the toolbox (retrieval evals, hard-negative mining). idf in
+    // integer milli-nats and per-term scores in integer micro-units
+    // before the sum, so ranking is engine-exact; nothing corpus-sized
+    // broadcasts ----
+    "q_bm25" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq((1L, "key table scan"), (2L, "fast merge batch window"),
+        (3L, "customer order part")).toDF("query_id", "qtext")
+      text.Retrieval.bm25TopK(load(s, dir, "documents"), "doc_id", col("text"),
+          qs, "query_id", col("qtext"), k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- context-window chunking: split docs into ≤16-token chunks at
     // sentence boundaries (retrieval/embedding prep). One per-document
     // cumulative window (millions of small partitions at scale, never
@@ -1750,6 +1764,43 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN lok AND b >= 8000 AND b < 9000 THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
         |  CAST(sum(CASE WHEN lok AND b >= 9000 THEN 1 ELSE 0 END) AS BIGINT) AS n_test
         |FROM j""".stripMargin,
+    "q_bm25" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term
+        |  FROM documents WHERE text IS NOT NULL),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |qs AS (SELECT CAST(query_id AS BIGINT) AS query_id, qtext
+        |       FROM (VALUES (1, 'key table scan'),
+        |        (2, 'fast merge batch window'), (3, 'customer order part'))
+        |       v(query_id, qtext)),
+        |qterms AS (
+        |  SELECT DISTINCT query_id, unnest(regexp_extract_all(lower(qtext), '\S+')) AS term
+        |  FROM qs),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        |stats AS (SELECT count(*) AS n,
+        |            CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |dfreq AS (
+        |  SELECT term, count(*) AS df FROM tf
+        |  WHERE term IN (SELECT term FROM qterms) GROUP BY 1),
+        |scored AS (
+        |  SELECT q.query_id, t.doc_id,
+        |    CAST(floor(
+        |      CAST(floor(1000.0 * ln((CAST(s.n AS DOUBLE) - f.df + 0.5) / (f.df + 0.5) + 1.0)) AS BIGINT)
+        |        * t.tf * 2.2 / (t.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl)) * 1000.0
+        |    ) AS BIGINT) AS s_micro
+        |  FROM tf t
+        |  JOIN qterms q ON q.term = t.term
+        |  JOIN dfreq f ON f.term = t.term
+        |  JOIN dl d ON d.doc_id = t.doc_id, stats s),
+        |agg AS (
+        |  SELECT query_id, doc_id, CAST(sum(s_micro) AS BIGINT) AS score_micro,
+        |    count(*) AS n_terms_hit
+        |  FROM scored GROUP BY 1, 2)
+        |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score_micro DESC, doc_id) AS INT) AS rank,
+        |  doc_id, score_micro, n_terms_hit
+        |FROM agg QUALIFY rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
     "q_chunk_sentences" ->
       """WITH d AS (
         |  SELECT doc_id, regexp_replace(text, ' (the|table) ', '. ', 'g') AS text

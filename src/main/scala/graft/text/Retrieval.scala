@@ -1,0 +1,94 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval over the corpus — BM25 top-k documents per query.
+  * The search half of the curation toolbox: retrieval evals, hard-
+  * negative mining, and query-based decontamination all start with
+  * "score every document against this query set".
+  *
+  * Determinism discipline (the [[TextFunctions.unigramSurprisal]] rule):
+  * idf is quantized to integer MILLI-NATS, each per-term partial score
+  * to integer MICRO-units, BEFORE the per-(query, doc) sum — integer
+  * sums are exact in any order and any engine, where a double sum would
+  * be summation-order-dependent. The remaining per-row arithmetic is a
+  * fixed IEEE expression tree (mul/div only — deterministic bit-exact
+  * across engines; only ln needs the quantization guard).
+  *
+  * Scale shape: the corpus-sized exchanges are the (doc, term) tf
+  * aggregate (map-side combined) and a doc-key join for document
+  * lengths, probed only by query-matched rows. The query term set and
+  * the per-term document frequencies (for QUERY terms only — semi-
+  * join-pruned before the df aggregate) BROADCAST; N and avgdl ride a
+  * 1-row cross join; the per-query top-k window partitions are
+  * query-sized candidate lists. The corpus never sorts, and nothing
+  * corpus-sized is ever broadcast.
+  */
+object Retrieval {
+
+  /** BM25 constants (the standard Robertson defaults). */
+  val K1 = 1.2
+  val B = 0.75
+
+  /** Top-`k` documents per query by BM25. `queries` must carry
+    * (`queryIdCol`, `queryTextCol`). Output: (query_id, rank, idCol,
+    * score_micro, n_terms_hit). */
+  def bm25TopK(corpus: DataFrame, idCol: String, text: Column,
+      queries: DataFrame, queryIdCol: String, queryText: Column,
+      k: Int = 5): DataFrame = {
+    require(k > 0, "k must be positive")
+    val toks = corpus.filter(text.isNotNull)
+      .select(col(idCol), explode(TextFunctions.whitespaceTokens(lower(text)))
+        .as("term"))
+    // ONE corpus exchange: per-(doc, term) counts; doc length rides the
+    // same aggregate output (sum of tf per doc is a tiny regroup)
+    val tf = toks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist()
+    try {
+      val qterms = queries.select(col(queryIdCol),
+          explode(TextFunctions.whitespaceTokens(lower(queryText))).as("term"))
+        .distinct()
+      val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+      // avgdl as exact-long-sum / count: `avg` would sum DOUBLES
+      // (summation-order-dependent); an integer sum is exact in any
+      // order, and the single division is deterministic IEEE
+      val stats = dl.agg(count(lit(1)).as("__n"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      // document frequency for QUERY terms only — pruned before the
+      // aggregate, so the df table is query-vocabulary-sized
+      val dfreq = tf.join(broadcast(qterms.select("term").distinct()), Seq("term"),
+          "left_semi")
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val scored = tf
+        .join(broadcast(qterms), Seq("term"))
+        .join(broadcast(dfreq), Seq("term"))
+        // dl is doc-count-sized (NOT broadcastable): a plain key join —
+        // only the query-matched rows reach this exchange
+        .join(dl, Seq(idCol))
+        .crossJoin(broadcast(stats))
+        // idf in integer milli-nats (BM25+ positive form), then the tf
+        // normalization as one fixed double expression tree, quantized
+        // to integer micro-units per term
+        .withColumn("__idf_mn", floor(lit(1000.0) *
+          log((col("__n").cast("double") - col("df") + 0.5) / (col("df") + 0.5)
+            + 1.0)).cast("long"))
+        .withColumn("__s_micro", floor(
+          col("__idf_mn") * col("tf") * lit(1.0 + K1) /
+            (col("tf") + lit(K1) * (lit(1.0 - B) +
+              lit(B) * col("dl") / col("avgdl"))) * lit(1000.0)).cast("long"))
+      val agg = scored.groupBy(col(queryIdCol), col(idCol))
+        .agg(sum(col("__s_micro")).as("score_micro"),
+          count(lit(1)).as("n_terms_hit"))
+      val w = Window.partitionBy(col(queryIdCol))
+        .orderBy(col("score_micro").desc, col(idCol))
+      agg.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col(queryIdCol), col("rank"), col(idCol),
+          col("score_micro"), col("n_terms_hit"))
+        .localCheckpoint(true)
+    } finally { tf.unpersist(false); () }
+  }
+}
