@@ -101,7 +101,19 @@ object ScaleSweep {
         .count()),
       "cap_per_group" -> (c => Sampling.capPerGroup(
         c.select(col("doc_id"), substring(col("text"), 1, 2).as("domain")),
-        col("domain"), col("doc_id"), 500L).count()))
+        col("domain"), col("doc_id"), 500L).count()),
+      "sentence_chunks" -> (c => Chunking.sentenceChunks(
+        c.filter(col("text").isNotNull).select(col("doc_id"),
+          regexp_replace(col("text"), " (the|table) ", ". ").as("text")),
+        "doc_id", col("text"), 16).count()),
+      "bm25" -> (c => {
+        val spark = c.sparkSession
+        import spark.implicits._
+        val qs = Seq((1L, "key table scan"), (2L, "fast merge batch window"),
+          (3L, "customer order part")).toDF("query_id", "qtext")
+        Retrieval.bm25TopK(c, "doc_id", col("text"), qs,
+          "query_id", col("qtext")).count()
+      }))
     // the bucketed near-dup candidate pipelines, on the dup-rate-
     // invariant corpus: output (and so seconds) may grow linearly, but
     // never quadratically — the banded-join contract
