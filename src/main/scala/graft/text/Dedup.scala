@@ -291,11 +291,16 @@ object Dedup {
         .crossJoin(broadcast(bitsDf))
         .where(might)
         .select("__ch")
-      // exact tail — identical to exactNew, over the thinned reference
+      // exact tail — same semantics as exactNew's, but with NO forced
+      // broadcasts: in the motivating case the batch-hash set is
+      // exactly what outgrew the broadcast budget, so the join strategy
+      // is left to AQE (auto-broadcast while small, batch-proportional
+      // shuffle join beyond — never corpus-proportional: refCand is
+      // the Bloom survivors)
       val seen = refCand
-        .join(broadcast(bh.select("__ch")), Seq("__ch"), "left_semi")
+        .join(bh.select("__ch"), Seq("__ch"), "left_semi")
         .distinct()
-      bh.join(broadcast(seen), Seq("__ch"), "left_anti")
+      bh.join(seen, Seq("__ch"), "left_anti")
         .select(col(idCol), col("__text").as("text"))
         .localCheckpoint(true)
     } finally { bh.unpersist(false); () }

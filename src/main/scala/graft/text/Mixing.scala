@@ -28,7 +28,11 @@ import org.apache.spark.sql.functions._
   * quantization [[Sampling.hashSplit]] accepts, and deterministic:
   * membership is a pure function of (corpus, budgets, salt).
   * Documents with NULL quality are excluded (they cannot be ranked);
-  * strata without a budget entry are excluded entirely. */
+  * strata without a budget entry are excluded entirely.
+  *
+  * `quality` must be a BOUNDED DISCRETE level (e.g. the 0–4
+  * quality_score): the histogram — and the broadcast admission rule —
+  * is strata × levels sized. Bucket a continuous score first. */
 object Mixing {
 
   /** Select per-stratum under token budgets. Output columns: (idCol,

@@ -109,16 +109,23 @@ object Sampling {
     * resolution (binomial around cap·(bucket granularity rounding)),
     * not exactly cap — the deterministic, retry-stable approximation a
     * 100 TB pipeline actually wants (exact top-N per domain needs the
-    * sort this avoids). Groups at or under quota pass untouched. */
+    * sort this avoids). Groups at or under quota pass untouched.
+    *
+    * The rule table has one row per DISTINCT group. Web-scale domain
+    * cardinality (10⁸ registered domains) outgrows a broadcast, so the
+    * join strategy is AQE's choice by default — auto-broadcast while
+    * the rule fits, hash-shuffle on the group key beyond (still no
+    * sort, no window). Pass `broadcastRule = true` to force the
+    * broadcast when the group count is known small. */
   def capPerGroup(df: DataFrame, group: Column, key: Column, cap: Long,
-      salt: String = "cap"): DataFrame = {
+      salt: String = "cap", broadcastRule: Boolean = false): DataFrame = {
     require(cap > 0, "cap must be positive")
     val sizes = df.groupBy(group.as("__g")).agg(count(lit(1)).as("__n"))
     val rule = sizes.withColumn("__frac",
       when(col("__n") <= cap, lit(Granularity.toLong))
         .otherwise(expr(s"CAST((${cap}L * $Granularity) DIV __n AS BIGINT)")))
       .select(col("__g"), col("__frac"))
-    df.join(broadcast(rule), group <=> col("__g"))
+    df.join(if (broadcastRule) broadcast(rule) else rule, group <=> col("__g"))
       .filter(splitBucket(key, salt) < col("__frac"))
       .drop("__g", "__frac")
   }
