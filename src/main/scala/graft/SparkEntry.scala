@@ -747,6 +747,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- G2/G3/G5: the change-log generator's op mix, timestamp
+    // packing, and non-insert payloads, recomputed independently by
+    // DuckDB from the generation rules (insert per i; u for i%3 and
+    // i%5; d for i%7; txn for i%11; skip-fodder for i%13; ts =
+    // (t0 + phase·n + i) << 32). Insert payloads are the T11 palette
+    // (pinned by q_t11_docgen), so they stay out of the string min/max ----
+    "q_g2_changelog" -> ((s, dir) =>
+      sim.Simgen.changeLog(s, 2000, "app.gen")
+        .groupBy("op", "ns")
+        .agg(count(lit(1)).as("n_ops"),
+          min("ts").as("min_ts"), max("ts").as("max_ts"),
+          min(when(col("op") =!= "i", col("o"))).as("min_o"),
+          max(when(col("op") =!= "i", col("o"))).as("max_o"))
+        .orderBy("op", "ns")),
+
     // ---- BM25 retrieval: top-5 docs per query — the search half of
     // the toolbox (retrieval evals, hard-negative mining). idf in
     // integer milli-nats and per-term scores in integer micro-units
@@ -1764,6 +1779,43 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN lok AND b >= 8000 AND b < 9000 THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
         |  CAST(sum(CASE WHEN lok AND b >= 9000 THEN 1 ELSE 0 END) AS BIGINT) AS n_test
         |FROM j""".stripMargin,
+    "q_g2_changelog" ->
+      """WITH g AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 2000)),
+        |rows AS (
+        |  SELECT 'i' AS op, 'app.gen' AS ns,
+        |         (1700000000 + i) * 4294967296 AS ts, NULL AS o FROM g
+        |  UNION ALL
+        |  SELECT 'u', 'app.gen', (1700002000 + i) * 4294967296,
+        |         '{"diff":{"u":{"int64":' || CAST(i + 1 AS VARCHAR) || '}}}'
+        |  FROM g WHERE i % 3 = 0
+        |  UNION ALL
+        |  SELECT 'u', 'app.gen', (1700004000 + i) * 4294967296,
+        |         '{"$v":1,"$inc":{"seq":10}}' FROM g WHERE i % 5 = 0
+        |  UNION ALL
+        |  SELECT 'd', 'app.gen', (1700006000 + i) * 4294967296,
+        |         '{"_id":"' || substr(md5('oid|' || CAST(i AS VARCHAR)), 1, 24) || '"}'
+        |  FROM g WHERE i % 7 = 0
+        |  UNION ALL
+        |  SELECT 'c', 'app.$cmd', (1700008000 + i) * 4294967296,
+        |         '{"applyOps":[{"op":"u","ns":"app.gen","o":{"diff":{"u":{"birth_year":1963}}},"o2":{"_id":"'
+        |           || substr(md5('oid|' || CAST(i AS VARCHAR)), 1, 24)
+        |           || '"}},{"op":"d","ns":"app.gen","o":{"_id":"'
+        |           || substr(md5('oid|' || CAST(i + 1 AS VARCHAR)), 1, 24)
+        |           || '"},"o2":{"_id":"'
+        |           || substr(md5('oid|' || CAST(i + 1 AS VARCHAR)), 1, 24)
+        |           || '"}}]}'
+        |  FROM g WHERE i % 11 = 0 AND i < 1999
+        |  UNION ALL
+        |  SELECT 'i', 'local.junk', (1700010000 + i) * 4294967296, NULL
+        |  FROM g WHERE i % 13 = 0
+        |  UNION ALL
+        |  SELECT 'n', '', (1700010000 + i) * 4294967296 + 1, NULL
+        |  FROM g WHERE i % 13 = 0)
+        |SELECT op, ns, count(*) AS n_ops,
+        |  min(ts) AS min_ts, max(ts) AS max_ts,
+        |  min(CASE WHEN op <> 'i' THEN o END) AS min_o,
+        |  max(CASE WHEN op <> 'i' THEN o END) AS max_o
+        |FROM rows GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_bm25" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term
