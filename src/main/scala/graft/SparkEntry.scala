@@ -776,6 +776,21 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- hybrid retrieval: BM25 ∪ dense ANN fused by reciprocal-rank
+    // fusion in integer micro-units — the two-tower retrieval stack as
+    // one composition (queries share the corpus id space: query k's
+    // embedding is embeddings[vec_id=k]) ----
+    "q_hybrid_rrf" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq((1L, "key table scan"), (2L, "fast merge batch window"),
+        (3L, "customer order part")).toDF("query_id", "qtext")
+      text.Retrieval.hybridTopK(
+        load(s, dir, "documents"), "doc_id", col("text"),
+        load(s, dir, "embeddings"), "vec_id", "embedding",
+        qs, "query_id", col("qtext"), k = 5, poolK = 20)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- context-window chunking: split docs into ≤16-token chunks at
     // sentence boundaries (retrieval/embedding prep). One per-document
     // cumulative window (millions of small partitions at scale, never
@@ -1853,6 +1868,67 @@ object SparkEntry {
         |  doc_id, score_micro, n_terms_hit
         |FROM agg QUALIFY rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+    "q_hybrid_rrf" -> (
+      s"""WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS term
+        |  FROM documents WHERE text IS NOT NULL),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |qs AS (SELECT CAST(query_id AS BIGINT) AS query_id, qtext
+        |       FROM (VALUES (1, 'key table scan'),
+        |        (2, 'fast merge batch window'), (3, 'customer order part'))
+        |       v(query_id, qtext)),
+        |qterms AS (
+        |  SELECT DISTINCT query_id, unnest(regexp_extract_all(lower(qtext), '\\S+')) AS term
+        |  FROM qs),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        |stats AS (SELECT count(*) AS n,
+        |            CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |dfreq AS (
+        |  SELECT term, count(*) AS df FROM tf
+        |  WHERE term IN (SELECT term FROM qterms) GROUP BY 1),
+        |scored AS (
+        |  SELECT q.query_id, t.doc_id,
+        |    CAST(floor(
+        |      CAST(floor(1000.0 * ln((CAST(s.n AS DOUBLE) - f.df + 0.5) / (f.df + 0.5) + 1.0)) AS BIGINT)
+        |        * t.tf * 2.2 / (t.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl)) * 1000.0
+        |    ) AS BIGINT) AS s_micro
+        |  FROM tf t
+        |  JOIN qterms q ON q.term = t.term
+        |  JOIN dfreq f ON f.term = t.term
+        |  JOIN dl d ON d.doc_id = t.doc_id, stats s),
+        |bagg AS (
+        |  SELECT query_id, doc_id, CAST(sum(s_micro) AS BIGINT) AS sc
+        |  FROM scored GROUP BY 1, 2),
+        |brank AS (
+        |  SELECT query_id, doc_id AS item_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, doc_id) AS r
+        |  FROM bagg QUALIFY r <= 20),
+        |qe AS (SELECT vec_id AS query_id, embedding FROM embeddings
+        |       WHERE vec_id IN (1, 2, 3)),
+        |dpairs AS (
+        |  SELECT q.query_id, c.vec_id AS item_id,
+        |    ${dotQ("q.embedding", "c.embedding")} AS dot_q
+        |  FROM qe q, embeddings c WHERE c.vec_id <> q.query_id),
+        |drank AS (
+        |  SELECT query_id, item_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY dot_q DESC, item_id) AS r
+        |  FROM dpairs QUALIFY r <= 20),
+        |contrib AS (
+        |  SELECT query_id, item_id,
+        |    CAST(floor(1000000.0 / (60 + r)) AS BIGINT) AS c FROM brank
+        |  UNION ALL
+        |  SELECT query_id, item_id,
+        |    CAST(floor(1000000.0 / (60 + r)) AS BIGINT) FROM drank),
+        |fused AS (
+        |  SELECT query_id, item_id, CAST(sum(c) AS BIGINT) AS rrf_micro,
+        |    count(*) AS n_rankers
+        |  FROM contrib GROUP BY 1, 2)
+        |SELECT query_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |       ORDER BY rrf_micro DESC, item_id) AS INT) AS rank,
+        |  item_id, rrf_micro, n_rankers
+        |FROM fused QUALIFY rank <= 5
+        |ORDER BY query_id, rank""".stripMargin),
     "q_chunk_sentences" ->
       """WITH d AS (
         |  SELECT doc_id, regexp_replace(text, ' (the|table) ', '. ', 'g') AS text

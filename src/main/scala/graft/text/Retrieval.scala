@@ -32,6 +32,9 @@ object Retrieval {
   val K1 = 1.2
   val B = 0.75
 
+  /** Reciprocal-rank-fusion constant (the standard 60). */
+  val RrfK = 60
+
   /** Top-`k` documents per query by BM25. `queries` must carry
     * (`queryIdCol`, `queryTextCol`). Output: (query_id, rank, idCol,
     * score_micro, n_terms_hit). */
@@ -90,5 +93,44 @@ object Retrieval {
           col("score_micro"), col("n_terms_hit"))
         .localCheckpoint(true)
     } finally { tf.unpersist(false); () }
+  }
+
+  /** Hybrid retrieval: BM25 ∪ dense ANN, fused by reciprocal-rank
+    * fusion — the modern two-tower retrieval stack as one composition.
+    * Each ranker contributes `floor(10⁶ / (RrfK + rank))` integer
+    * micro-units per item it retrieved (top-`poolK` pools), summed per
+    * (query, item) — integer fusion, so the final ranking is engine-
+    * exact like its inputs. Query embeddings are the `embeddings` rows
+    * whose id equals the query id (the corpus item and query share the
+    * id space); the dense side is [[graft.ml.Similarity.bruteForceTopK]]
+    * (queries broadcast, corpus never shuffles) — swap in `ivfTopK` for
+    * the 100 TB path, the fusion is ranker-agnostic.
+    *
+    * Output: (query_id, rank, item_id, rrf_micro, n_rankers). */
+  def hybridTopK(corpus: DataFrame, idCol: String, text: Column,
+      embeddings: DataFrame, embIdCol: String, embCol: String,
+      queries: DataFrame, queryIdCol: String, queryText: Column,
+      k: Int = 5, poolK: Int = 20): DataFrame = {
+    require(k > 0 && poolK >= k, "need poolK >= k > 0")
+    def rrf(rank: Column) =
+      floor(lit(1000000.0) / (lit(RrfK) + rank)).cast("long")
+    val lex = bm25TopK(corpus, idCol, text, queries, queryIdCol, queryText, poolK)
+      .select(col(queryIdCol).as("query_id"), col(idCol).as("item_id"),
+        rrf(col("rank")).as("__c"))
+    val qvecs = embeddings.join(
+      broadcast(queries.select(col(queryIdCol).as(embIdCol))), Seq(embIdCol))
+    val dense = graft.ml.Similarity.bruteForceTopK(qvecs, embeddings,
+        embIdCol, embCol, poolK)
+      .select(col("query_id"), col("neighbor_id").as("item_id"),
+        rrf(col("rank")).as("__c"))
+    val fused = lex.unionByName(dense)
+      .groupBy("query_id", "item_id")
+      .agg(sum(col("__c")).as("rrf_micro"), count(lit(1)).as("n_rankers"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_micro").desc, col("item_id"))
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("item_id"),
+        col("rrf_micro"), col("n_rankers"))
   }
 }

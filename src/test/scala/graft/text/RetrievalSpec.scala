@@ -41,6 +41,29 @@ class RetrievalSpec extends SparkSpec {
     assert(out(0)._4 == out(1)._4 && out(0)._5 == 2)
   }
 
+  test("hybridTopK: items retrieved by both rankers outrank single-ranker items") {
+    val corpus = Seq(
+      (1L, "red apple pie"),     // lexical hit for 'apple'
+      (2L, "green apple tart"),  // lexical hit
+      (3L, "blue berry jam"))    // lexical miss
+      .toDF("doc_id", "text")
+    // embeddings: query 10's vector is closest to item 2, then 3, then 1
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.4f, 0.6f)), (10L, Array(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val qs = Seq((10L, "apple")).toDF("query_id", "qtext")
+    val out = Retrieval.hybridTopK(corpus, "doc_id", col("text"),
+        emb, "vec_id", "embedding", qs, "query_id", col("qtext"),
+        k = 3, poolK = 3)
+      .orderBy("rank").as[(Long, Int, Long, Long, Long)].collect().toSeq
+    // item 2 is in BOTH pools (lexical 'apple' + dense nearest) → rank 1
+    assert(out.head._3 == 2L && out.head._5 == 2L)
+    // single-ranker items follow; every fused score positive
+    assert(out.forall(_._4 > 0))
+    assert(out.map(_._3).toSet == Set(1L, 2L, 3L))
+  }
+
   test("bm25TopK plan: nothing corpus-sized broadcasts") {
     val docs = Tables.load(spark, sf001, "documents")
     val qs = Seq((1L, "key table")).toDF("query_id", "qtext")
