@@ -31,11 +31,12 @@ object MergeSweep {
     cat.upsert("app.t", df, "id"): Unit
   }
 
-  /** 1 000 existing keys that all hash into bucket 0 of 64. */
+  /** 1 000 existing keys confined to one bucket of 256 (hence also one
+    * bucket of 64: 256 = 4·64, bucket 0 mod 256 ⊂ bucket 0 mod 64). */
   private def batch(spark: SparkSession, rows: Long) =
     spark.range(rows)
       .select(col("id").cast("string").as("id"))
-      .filter(pmod(xxhash64(col("id")), lit(64L)) === 0)
+      .filter(pmod(xxhash64(col("id")), lit(256L)) === 0)
       .limit(1000)
       .select(col("id"), lit("""{"_id":0,"v":-1}""").as("doc"))
 
@@ -44,7 +45,10 @@ object MergeSweep {
       s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     spark.sparkContext.setLogLevel("WARN")
-    for (rows <- Seq(1000000L, 4000000L, 16000000L); b <- Seq(0, 64)) {
+    // 256 buckets at 16M demonstrates the sizing rule: bucket SIZE (not
+    // count) is what the merge pays per touched bucket, so bucket count
+    // scales with the table to keep merges flat
+    for (rows <- Seq(1000000L, 4000000L, 16000000L); b <- Seq(0, 64, 256)) {
       val cat = new ParquetCatalog(spark, freshDir(s"r$rows-b$b"), buckets = b)
       seed(spark, cat, rows)
       val up = batch(spark, rows).cache()
