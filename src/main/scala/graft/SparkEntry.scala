@@ -706,6 +706,20 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // ---- incremental NEAR-dup probe: batch band signatures probe the
+    // reference band index — batch×reference pairs only, never
+    // batch×batch or reference×reference; probe cost scales with the
+    // batch. Fixture: tail-mutated copies of every 10th reference doc ----
+    "q_dedup_new_lsh" -> ((s, dir) => {
+      val d = load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val reference = d.filter(col("doc_id") % 2 === 0)
+      val batch = reference.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 500000L).as("doc_id"),
+          concat(col("text"), lit(" near duplicate tail")).as("text"))
+      text.Dedup.lshNewCandidates(batch, reference, "doc_id", col("text"))
+        .orderBy("batch_id", "ref_id")
+    }),
+
     // ---- the same admission check through the Bloom-prefiltered
     // reference scan — SAME exact answer (the oracle is identical),
     // constant-size broadcast instead of the batch-hash set ----
@@ -1014,6 +1028,45 @@ object SparkEntry {
 
   /** Oracle fragment: the minhash/LSH CTE chain shared by
     * q_dedup_minhash and q_ngram_jaccard (must mirror Dedup.scala). */
+  /** Oracle: the two-sided (reference index + batch probe) minhash
+    * chain of q_dedup_new_lsh (mirrors Dedup.lshNewCandidates). */
+  private val lshNewCandidatesSql: String = {
+    val coeffTable = text.Dedup.minhashCoeffs(16).zipWithIndex
+      .map { case ((a, b), k) => s"($k,$a,$b)" }.mkString(",")
+    s"""WITH reference AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+       |batch AS (
+       |  SELECT doc_id + 500000 AS doc_id, text || ' near duplicate tail' AS text
+       |  FROM reference WHERE doc_id % 10 = 0),
+       |alld AS (
+       |  SELECT 'r' AS side, doc_id, text FROM reference
+       |  UNION ALL
+       |  SELECT 'b', doc_id, text FROM batch),
+       |words AS (SELECT side, doc_id,
+       |  list_slice(str_split(lower(text), ' '), 1, 4096) AS w FROM alld),
+       |sh AS (
+       |  SELECT DISTINCT side, doc_id, w[u.i] || ' ' || w[u.i+1] || ' ' || w[u.i+2] AS s
+       |  FROM words, LATERAL (SELECT unnest(generate_series(1, greatest(len(w)-2, 1))) AS i) u
+       |  WHERE w[u.i] || ' ' || w[u.i+1] || ' ' || w[u.i+2] IS NOT NULL),
+       |hs AS (
+       |  SELECT side, doc_id, CAST(('0x' || substr(md5(s),1,7)) AS BIGINT) AS h FROM sh),
+       |mh AS (
+       |  SELECT side, doc_id, k.k, min((k.a * h + k.b) % ${text.Dedup.MinHashP}) AS minh
+       |  FROM hs, (VALUES $coeffTable) k(k,a,b) GROUP BY 1, 2, 3),
+       |sig AS (
+       |  SELECT side, doc_id, CAST(floor(k/2) AS INT) AS band,
+       |         md5(string_agg(CAST(minh AS VARCHAR), '|' ORDER BY k)) AS bsig
+       |  FROM mh GROUP BY 1, 2, 3),
+       |ok AS (SELECT band, bsig FROM sig WHERE side = 'r'
+       |       GROUP BY 1, 2 HAVING count(*) <= 1000)
+       |SELECT DISTINCT b.doc_id AS batch_id, r.doc_id AS ref_id
+       |FROM sig b
+       |JOIN sig r ON r.side = 'r' AND b.side = 'b'
+       |  AND b.band = r.band AND b.bsig = r.bsig
+       |JOIN ok ON ok.band = r.band AND ok.bsig = r.bsig
+       |ORDER BY batch_id, ref_id""".stripMargin
+  }
+
   private val minhashCtes: String = {
     // the permutation table, embedded literally from the SAME constants
     // the engine uses (Dedup.minhashCoeffs)
@@ -2015,6 +2068,7 @@ object SparkEntry {
         |SELECT c.doc_id FROM collapsed c
         |WHERE NOT EXISTS (SELECT 1 FROM reference r WHERE md5(r.text) = md5(c.text))
         |ORDER BY c.doc_id""".stripMargin,
+    "q_dedup_new_lsh" -> lshNewCandidatesSql,
     // the Bloom path must produce the IDENTICAL exact answer — the
     // oracle is the same exact-semantics SQL (a Bloom is a physical
     // prefilter, not a semantic change)
