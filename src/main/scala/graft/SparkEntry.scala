@@ -460,6 +460,14 @@ object SparkEntry {
       streaming.EventStream.slidingCounts(load(s, dir, "events"))
         .orderBy("window_start", "event_type")),
 
+    // ---- §7 streaming analytics: per-user outlier counts in exact
+    // squared-form arithmetic — no mean/stddev/sqrt, so the boundary
+    // flags are bit-identical in any engine ----
+    "q_outliers" -> ((s, dir) =>
+      streaming.EventStream.outlierCounts(load(s, dir, "events"),
+          col("user_id"), col("value"))
+        .orderBy("user_id")),
+
     // ---- §7 streaming analytics: gap sessionization via
     // flatMapGroupsWithState (O(1) state per user; closed sessions emit
     // exactly once across micro-batches) ----
@@ -1847,6 +1855,23 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN lok AND b >= 8000 AND b < 9000 THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
         |  CAST(sum(CASE WHEN lok AND b >= 9000 THEN 1 ELSE 0 END) AS BIGINT) AS n_test
         |FROM j""".stripMargin,
+    "q_outliers" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(floor(value * 1000) AS BIGINT) AS v FROM events),
+        |st AS (
+        |  SELECT user_id, count(*) AS n, CAST(sum(v) AS BIGINT) AS s1,
+        |    CAST(sum(v * v) AS BIGINT) AS s2
+        |  FROM e GROUP BY 1),
+        |o AS (
+        |  SELECT e.user_id, st.n,
+        |    CASE WHEN CAST(e.v * st.n - st.s1 AS DECIMAL(18,0))
+        |             * CAST(e.v * st.n - st.s1 AS DECIMAL(18,0))
+        |           > 4 * CAST(st.n * st.s2 - st.s1 * st.s1 AS DECIMAL(18,0))
+        |         THEN 1 ELSE 0 END AS is_out
+        |  FROM e JOIN st USING (user_id))
+        |SELECT user_id, CAST(max(n) AS BIGINT) AS n_events,
+        |  CAST(sum(is_out) AS BIGINT) AS n_outliers
+        |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_g2_changelog" ->
       """WITH g AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 2000)),
         |rows AS (

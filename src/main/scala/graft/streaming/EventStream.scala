@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -97,6 +97,37 @@ object EventStream {
           } else cur.foreach(state.update)
           out.result().iterator
       }
+  }
+
+  /** Per-key outlier counts — |x − mean| > k·σ per user, evaluated in
+    * EXACT integer/decimal arithmetic: values quantize to milli-units,
+    * and the criterion is compared in its squared, denominator-cleared
+    * form `(x·n − s1)² > k²·(n·s2 − s1²)` — no mean, no variance, no
+    * sqrt, so the flag is bit-identical in any engine (a double
+    * mean/stddev pipeline diverges in the last ulp and flips boundary
+    * events). The quadratic terms ride DECIMAL so an extreme value
+    * errors rather than silently wrapping a long.
+    *
+    * Plan shape: one map-side-combined per-key moment aggregate
+    * (n, Σv, Σv²) joined back on the key — no window, no sort; the
+    * join is key-partitioned on both sides. The monitoring/fraud shape
+    * over the change-feed `events` table. */
+  def outlierCounts(events: DataFrame, userCol: Column, value: Column,
+      k: Int = 2): DataFrame = {
+    require(k > 0, "k must be positive")
+    val e = events.select(userCol.as("user_id"),
+      floor(value * 1000).cast("long").as("__v"))
+    val stats = e.groupBy("user_id").agg(
+      count(lit(1)).as("n"),
+      sum(col("__v")).as("__s1"),
+      sum(col("__v") * col("__v")).as("__s2"))
+    val lhs = (col("__v") * col("n") - col("__s1")).cast("decimal(18,0)")
+    val rhs = (col("n") * col("__s2") - col("__s1") * col("__s1"))
+      .cast("decimal(18,0)")
+    e.join(stats, Seq("user_id"))
+      .withColumn("__out", ((lhs * lhs) > lit(k * k) * rhs).cast("long"))
+      .groupBy("user_id")
+      .agg(max(col("n")).as("n_events"), sum(col("__out")).as("n_outliers"))
   }
 
   /** Batch-shape sessionization with identical semantics, expressed as a

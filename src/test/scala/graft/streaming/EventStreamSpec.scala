@@ -89,4 +89,17 @@ class EventStreamSpec extends SparkSpec {
     // close only when batch 2's event arrives 5s later
     assert(closed == Set((1L, 1000000L, 1500000L, 2L)))
   }
+
+  test("outlierCounts flags |x - mean| > 2 sigma in exact squared-form arithmetic") {
+    val s = spark
+    import s.implicits._
+    // user 1: nine 10.0s and one 100.0 — the spike is >2σ out;
+    // user 2: constant values → σ=0, lhs=0, 0 > 0 false → no outliers;
+    // user 3: single event → never an outlier
+    val df = ((1 to 9).map(_ => (1L, 10.0)) ++ Seq((1L, 100.0)) ++
+      Seq((2L, 5.0), (2L, 5.0), (3L, 42.0))).toDF("user_id", "value")
+    val out = EventStream.outlierCounts(df, col("user_id"), col("value"))
+      .orderBy("user_id").as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 10L, 1L), (2L, 2L, 0L), (3L, 1L, 0L)))
+  }
 }
