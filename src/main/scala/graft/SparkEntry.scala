@@ -468,6 +468,17 @@ object SparkEntry {
           col("user_id"), col("value"))
         .orderBy("user_id")),
 
+    // ---- §7 streaming analytics: behavioral step funnel — users
+    // completing signup, then click AFTER signup, then purchase AFTER
+    // that click. One conditional aggregate per step + key joins; no
+    // per-user sort/window (a bot user costs its aggregate rows only).
+    // µs-truncated event times on both sides (DuckDB reads parquet ns
+    // as µs) ----
+    "q_funnel_steps" -> ((s, dir) =>
+      streaming.EventStream.stepFunnel(load(s, dir, "events"),
+        col("user_id"), col("event_type"), expr("ts DIV 1000"),
+        Seq("signup", "click", "purchase"))),
+
     // ---- §7 streaming analytics: gap sessionization via
     // flatMapGroupsWithState (O(1) state per user; closed sessions emit
     // exactly once across micro-batches) ----
@@ -1855,6 +1866,20 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN lok AND b >= 8000 AND b < 9000 THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
         |  CAST(sum(CASE WHEN lok AND b >= 9000 THEN 1 ELSE 0 END) AS BIGINT) AS n_test
         |FROM j""".stripMargin,
+    "q_funnel_steps" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type AS t, epoch_us(ts) AS ts_us FROM events),
+        |s1 AS (SELECT user_id, min(ts_us) AS t1 FROM e WHERE t = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts_us) AS t2
+        |       FROM e JOIN s1 ON s1.user_id = e.user_id
+        |       WHERE e.t = 'click' AND e.ts_us > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts_us) AS t3
+        |       FROM e JOIN s2 ON s2.user_id = e.user_id
+        |       WHERE e.t = 'purchase' AND e.ts_us > s2.t2 GROUP BY 1)
+        |SELECT (SELECT count(DISTINCT user_id) FROM e) AS n_users,
+        |  (SELECT count(*) FROM s1) AS n_step1,
+        |  (SELECT count(*) FROM s2) AS n_step2,
+        |  (SELECT count(*) FROM s3) AS n_step3""".stripMargin,
     "q_outliers" ->
       """WITH e AS (
         |  SELECT user_id, CAST(floor(value * 1000) AS BIGINT) AS v FROM events),

@@ -130,6 +130,42 @@ object EventStream {
       .agg(max(col("n")).as("n_events"), sum(col("__out")).as("n_outliers"))
   }
 
+  /** Behavioral step funnel: how many users completed step 1, then
+    * step 2 AFTER step 1, then step 3 AFTER step 2 (first qualifying
+    * occurrence each) — the product-analytics counterpart of the
+    * curation funnel.
+    *
+    * Plan shape: one conditional-aggregation pass per step (map-side
+    * combined, keyed on the user) with a key join between steps —
+    * never a per-user event sort/window, so a bot user with 10⁸ events
+    * costs its aggregate rows only. Earlier-step timestamps ride along
+    * each join, so step k's filter `ts > t(k-1)` is a narrow
+    * predicate. Output: one row — n_users plus a completion count per
+    * step. */
+  def stepFunnel(events: DataFrame, userCol: Column, typeCol: Column,
+      tsCol: Column, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "need at least one step")
+    val e = events.select(userCol.as("user_id"), typeCol.as("__t"),
+      tsCol.as("__ts"))
+    // per-step frames: (user, first qualifying ts) — step k+1 needs
+    // only step k's timestamp, so each frame carries one column
+    val frames = steps.tail.scanLeft(
+      e.filter(col("__t") === steps.head)
+        .groupBy("user_id").agg(min(col("__ts")).as("__tprev"))) {
+      (prev, step) =>
+        e.filter(col("__t") === step)
+          .join(prev, Seq("user_id"))
+          .filter(col("__ts") > col("__tprev"))
+          .groupBy("user_id").agg(min(col("__ts")).as("__tprev"))
+    }
+    val counts = frames.zipWithIndex.map { case (f, i) =>
+      f.agg(count(lit(1)).as(s"n_step${i + 1}"))
+    }
+    counts.foldLeft(
+        e.select(countDistinct(col("user_id")).as("n_users")))(
+      (acc, c) => acc.crossJoin(c))
+  }
+
   /** Batch-shape sessionization with identical semantics, expressed as a
     * window gap-and-sum plan (used as the oracle cross-check for
     * [[sessionize]]). */

@@ -90,6 +90,24 @@ class EventStreamSpec extends SparkSpec {
     assert(closed == Set((1L, 1000000L, 1500000L, 2L)))
   }
 
+  test("stepFunnel counts ordered completions, not mere event presence") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      // user 1 completes A -> B -> C in order
+      (1L, "A", 10L), (1L, "B", 20L), (1L, "C", 30L),
+      // user 2 has B BEFORE A and no B after: stops at step 1
+      (2L, "B", 5L), (2L, "A", 10L), (2L, "C", 20L),
+      // user 3 completes A -> B, C happens BEFORE B: stops at step 2
+      (3L, "A", 1L), (3L, "C", 2L), (3L, "B", 3L),
+      // user 4 never does A
+      (4L, "B", 1L), (4L, "C", 2L)).toDF("user_id", "event_type", "ts")
+    val out = EventStream.stepFunnel(df, col("user_id"), col("event_type"),
+        col("ts"), Seq("A", "B", "C"))
+      .as[(Long, Long, Long, Long)].head()
+    assert(out == ((4L, 3L, 2L, 1L)))
+  }
+
   test("outlierCounts flags |x - mean| > 2 sigma in exact squared-form arithmetic") {
     val s = spark
     import s.implicits._
