@@ -193,7 +193,6 @@ object Main {
     * optional. Writes parquet (id, n_tokens, quality_score, pred_lang,
     * bucket, split) to `out` and prints the stage counts. */
   private def curate(spark: SparkSession, json: String): Int = {
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     import graft.text.{Lines, Mixing, Sampling, TextFunctions}
     val n = new ObjectMapper().readTree(json)
@@ -230,31 +229,42 @@ object Main {
           col("__text_kept"))
       case None => (raw, col(textName))
     }
-    // corpus-wide exact dedup, min-id winner (deterministic — unlike
-    // dropDuplicates' arbitrary-row keep)
-    val keepW = Window.partitionBy(md5(scoredText)).orderBy(col(idCol))
-    val deduped = gated.withColumn("__rn", row_number().over(keepW))
-      .filter(col("__rn") === 1).drop("__rn")
+    // corpus-wide exact dedup, min-id winner — an algebraic min(struct)
+    // aggregate (map-side combined), NOT a window over md5(text): a
+    // production namespace with millions of byte-identical documents
+    // would sort them all through one reducer (the same hot-key
+    // discipline as Lines.lineDedup)
+    val gcols = gated.columns
+    val deduped = gated
+      .groupBy(md5(scoredText).as("__h"))
+      .agg(min(struct((col(idCol) +: gcols.filterNot(_ == idCol).map(col))
+        .toIndexedSeq: _*)).as("__w"))
+      .select("__w.*")
     val stats = TextFunctions.languageId(
       TextFunctions.qualityStats(deduped, scoredText), scoredText)
     val kept = stats.filter(col("quality_score") >= minQuality &&
       col("pred_lang").isin(langs: _*))
-    val split = Sampling.hashSplit(kept, col(idCol), salt, weights)
-    val manifest = budgets match {
-      case Some(b) =>
-        // NOT the split salt: the admission bucket must be independent
-        // of the split bucket, or a fractional stratum keeps only its
-        // low buckets = only its train rows
-        Mixing.budgetSelect(split, idCol, col("pred_lang"), col("n_tokens"),
-            col("quality_score"), b, salt + ":mix")
-          .withColumnRenamed("stratum", "pred_lang")
-          .withColumnRenamed("quality", "quality_score")
-          .join(split.select(col(idCol), col("bucket"), col("split")), Seq(idCol))
-      case None =>
-        split.select(col(idCol), col("n_tokens"), col("quality_score"),
-          col("pred_lang"), col("bucket"), col("split"))
-    }
-    manifest.write.mode("overwrite").parquet(out)
+    // the split frame feeds the budget selection AND the join-back:
+    // persist so the scan + dedup + scoring pipeline runs once
+    // (materialize-then-release, same contract as budgetSelect's ann)
+    val split = Sampling.hashSplit(kept, col(idCol), salt, weights).persist()
+    try {
+      val manifest = budgets match {
+        case Some(b) =>
+          // NOT the split salt: the admission bucket must be independent
+          // of the split bucket, or a fractional stratum keeps only its
+          // low buckets = only its train rows
+          Mixing.budgetSelect(split, idCol, col("pred_lang"), col("n_tokens"),
+              col("quality_score"), b, salt + ":mix")
+            .withColumnRenamed("stratum", "pred_lang")
+            .withColumnRenamed("quality", "quality_score")
+            .join(split.select(col(idCol), col("bucket"), col("split")), Seq(idCol))
+        case None =>
+          split.select(col(idCol), col("n_tokens"), col("quality_score"),
+            col("pred_lang"), col("bucket"), col("split"))
+      }
+      manifest.write.mode("overwrite").parquet(out)
+    } finally { split.unpersist(false); () }
     val written = spark.read.parquet(out)
     val perSplit = written.groupBy("split").count().collect()
       .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(", ")

@@ -1884,14 +1884,20 @@ object SparkEntry {
       """WITH e AS (
         |  SELECT user_id, CAST(floor(value * 1000) AS BIGINT) AS v FROM events),
         |st AS (
-        |  SELECT user_id, count(*) AS n, CAST(sum(v) AS BIGINT) AS s1,
-        |    CAST(sum(v * v) AS BIGINT) AS s2
+        |  SELECT user_id, count(*) AS n,
+        |    CAST(sum(CAST(v AS DECIMAL(16,0))) AS DECIMAL(16,0)) AS s1,
+        |    CAST(sum(CAST(v AS DECIMAL(10,0)) * CAST(v AS DECIMAL(10,0)))
+        |         AS DECIMAL(25,0)) AS s2
         |  FROM e GROUP BY 1),
         |o AS (
         |  SELECT e.user_id, st.n,
-        |    CASE WHEN CAST(e.v * st.n - st.s1 AS DECIMAL(18,0))
-        |             * CAST(e.v * st.n - st.s1 AS DECIMAL(18,0))
-        |           > 4 * CAST(st.n * st.s2 - st.s1 * st.s1 AS DECIMAL(18,0))
+        |    CASE WHEN CAST(CAST(e.v AS DECIMAL(10,0)) * CAST(st.n AS DECIMAL(7,0))
+        |                     - st.s1 AS DECIMAL(18,0))
+        |             * CAST(CAST(e.v AS DECIMAL(10,0)) * CAST(st.n AS DECIMAL(7,0))
+        |                     - st.s1 AS DECIMAL(18,0))
+        |           > CAST(4 AS DECIMAL(3,0)) *
+        |             CAST(CAST(st.n AS DECIMAL(7,0)) * st.s2 - st.s1 * st.s1
+        |                  AS DECIMAL(34,0))
         |         THEN 1 ELSE 0 END AS is_out
         |  FROM e JOIN st USING (user_id))
         |SELECT user_id, CAST(max(n) AS BIGINT) AS n_events,
@@ -2062,7 +2068,10 @@ object SparkEntry {
         |         ELSE CAST((100 * 10000) // n AS BIGINT) END AS frac
         |  FROM sizes)
         |SELECT d.doc_id, d.lang, d.source
-        |FROM documents d JOIN rule r USING (lang)
+        |-- null-safe: capPerGroup joins group <=> rule, so a NULL group
+        |-- matches the NULL-group rule row (none in this fixture, but
+        |-- the oracle pins the operator's actual semantics)
+        |FROM documents d JOIN rule r ON d.lang IS NOT DISTINCT FROM r.lang
         |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':cap'), 1, 8)) AS BIGINT)
         |      % 10000 < r.frac
         |ORDER BY d.doc_id""".stripMargin,

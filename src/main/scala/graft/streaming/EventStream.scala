@@ -105,8 +105,16 @@ object EventStream {
     * form `(x·n − s1)² > k²·(n·s2 − s1²)` — no mean, no variance, no
     * sqrt, so the flag is bit-identical in any engine (a double
     * mean/stddev pipeline diverges in the last ulp and flips boundary
-    * events). The quadratic terms ride DECIMAL so an extreme value
-    * errors rather than silently wrapping a long.
+    * events).
+    *
+    * Every product runs in DECIMAL with widths chosen so no
+    * multiplication exceeds precision 38 on either engine, under the
+    * documented domain |value| ≤ 10⁶ and per-key events ≤ 10⁶ (i.e.
+    * milli-quantized |v| < 10¹⁰, Σv < 10¹⁶, Σv² < 10²⁵) — a LONG
+    * formulation silently wraps at ~5 000 events of value ~1 000
+    * (n·Σv² > 2⁶³). Beyond the domain the narrowing casts overflow
+    * explicitly (error under ANSI/DuckDB, NULL-flagged rows otherwise)
+    * instead of producing garbage; widen the decimals for wider data.
     *
     * Plan shape: one map-side-combined per-key moment aggregate
     * (n, Σv, Σv²) joined back on the key — no window, no sort; the
@@ -114,18 +122,25 @@ object EventStream {
     * over the change-feed `events` table. */
   def outlierCounts(events: DataFrame, userCol: Column, value: Column,
       k: Int = 2): DataFrame = {
-    require(k > 0, "k must be positive")
+    require(k > 0 && k <= 9, "k in [1, 9]")
     val e = events.select(userCol.as("user_id"),
       floor(value * 1000).cast("long").as("__v"))
     val stats = e.groupBy("user_id").agg(
       count(lit(1)).as("n"),
-      sum(col("__v")).as("__s1"),
-      sum(col("__v") * col("__v")).as("__s2"))
-    val lhs = (col("__v") * col("n") - col("__s1")).cast("decimal(18,0)")
-    val rhs = (col("n") * col("__s2") - col("__s1") * col("__s1"))
+      sum(col("__v").cast("decimal(16,0)")).cast("decimal(16,0)").as("__s1"),
+      sum(col("__v").cast("decimal(10,0)") * col("__v").cast("decimal(10,0)"))
+        .cast("decimal(25,0)").as("__s2"))
+    val nd = col("n").cast("decimal(7,0)")
+    // widths: vd(10)·nd(7) → 18; −s1(16) → 19, narrowed to 18; lhs² → 37;
+    // s1² → 33; nd·s2(25) → 33; rhs diff → 34; k²(3)·rhs → 38 — every
+    // product ≤ precision 38 on both engines
+    val lhs = (col("__v").cast("decimal(10,0)") * nd - col("__s1"))
       .cast("decimal(18,0)")
+    val rhs = (nd * col("__s2") - col("__s1") * col("__s1"))
+      .cast("decimal(34,0)")
     e.join(stats, Seq("user_id"))
-      .withColumn("__out", ((lhs * lhs) > lit(k * k) * rhs).cast("long"))
+      .withColumn("__out",
+        ((lhs * lhs) > lit(k * k).cast("decimal(3,0)") * rhs).cast("long"))
       .groupBy("user_id")
       .agg(max(col("n")).as("n_events"), sum(col("__out")).as("n_outliers"))
   }

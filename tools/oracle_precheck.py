@@ -7,6 +7,12 @@ Mimics the driver: for each query with an oracleSql entry, run the SQL in
 DuckDB over the same parquet tables, sort columns by name, sort rows, and
 compare cell values (floats with rel tolerance) against the Spark parquet
 dump written by graft.Verify.
+
+GRAFT_EXACT=1 is the gate (bit-for-bit, like the driver's hash).
+The default tolerance mode is a TRIAGE aid only: rows are sorted
+per-side on rounded values, so two rows whose float columns differ
+within tolerance can sort in different orders across engines and
+zip-compare as a spurious FAIL — read its diffs as hints, trust EXACT.
 """
 import sys, os, json, glob, math
 import duckdb
@@ -105,12 +111,21 @@ def main():
             failures += 1
             continue
         print(f"ok   {name}: {len(srows)} rows")
-    # rows-only check for queries with no oracle
+    # rows-only check for queries with no oracle: rows > 0 REQUIRED
+    # (a zero-row dump is a broken query, and must fail the gate)
     for d in sorted(os.listdir(out_dir)):
         full = os.path.join(out_dir, d)
         if os.path.isdir(full) and d not in oracles:
-            n = sum(1 for _ in glob.glob(os.path.join(full, "*.parquet")))
-            print(f"rows-only {d}: {'ok' if n else 'EMPTY'}")
+            g = os.path.join(full, "*.parquet")
+            n = 0
+            if glob.glob(g):
+                n = con.execute(
+                    f"SELECT count(*) FROM read_parquet('{g}')").fetchone()[0]
+            if n == 0:
+                print(f"FAIL rows-only {d}: 0 rows")
+                failures += 1
+            else:
+                print(f"rows-only {d}: ok ({n} rows)")
     print(f"\n{failures} failure(s) of {len(oracles)} oracle queries")
     sys.exit(1 if failures else 0)
 
