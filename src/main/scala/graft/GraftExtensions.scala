@@ -199,6 +199,11 @@ object GraftFunctions {
       expect("graft_pii_scrub", 1, es)
       x(text.Pii.scrub(c(es(0))))
     },
+    fn("graft_normalize",
+      "graft_normalize(text) - canonical form: lowercase, control chars to spaces, runs collapsed, trimmed") { es =>
+      expect("graft_normalize", 1, es)
+      x(text.TextFunctions.normalizeCol(c(es(0))))
+    },
     fn("graft_line_filter",
       "graft_line_filter(text, minWords) - struct(text_kept, n_kept, n_lines): C4 line gate (>= minWords words + terminal punctuation)") { es =>
       expect("graft_line_filter", 2, es)

@@ -909,6 +909,21 @@ object SparkEntry {
           col("text"), k = 3)
         .orderBy("doc_id", "rank")),
 
+    // ---- canonical-form dedup: exact dedup over NORMALIZED text
+    // (lowercase, control chars → space, runs collapsed, trimmed) —
+    // groups the case/whitespace variants raw byte-hashing misses;
+    // fixture plants tab-prefixed uppercased double-spaced copies ----
+    "q_normalize_dedup" -> ((s, dir) => {
+      val d = load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = d.unionByName(d.filter(col("doc_id") % 6 === 0)
+        .select((col("doc_id") + 400000L).as("doc_id"),
+          concat(lit("\t"), upper(regexp_replace(col("text"), " ", "  ")))
+            .as("text")))
+      text.Dedup.exact(corpus, "doc_id",
+          text.TextFunctions.normalizeCol(col("text")))
+        .orderBy("content_hash")
+    }),
+
     // ---- C4-family line-level curation: corpus-wide duplicate-LINE
     // removal. Boilerplate (headers, footers, nav text) repeats across
     // millions of pages — document hashes never match, but the lines
@@ -1204,6 +1219,20 @@ object SparkEntry {
         |  tok, tf, doc_freq, score_mnats
         |FROM sc QUALIFY rank <= 3
         |ORDER BY doc_id, rank""".stripMargin,
+    "q_normalize_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 400000, chr(9) || upper(replace(text, ' ', '  '))
+        |  FROM documents WHERE doc_id % 6 = 0),
+        |n AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[\x00-\x1f\x7f\xa0]', ' ', 'g'), ' +', ' ', 'g')) AS t
+        |  FROM corpus)
+        |SELECT md5(t) AS content_hash, min(doc_id) AS keep_id,
+        |  count(*) AS dup_count
+        |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_line_dedup" -> (lineCorpusCte +
       """, nz AS (SELECT * FROM ls WHERE trim(line) <> ''),
         |w AS (

@@ -256,6 +256,19 @@ object TextFunctions {
     } finally { toks.unpersist(false); () }
   }
 
+  /** Canonical text normalization — the pre-dedup cleanup pass:
+    * lowercase, control characters (and NBSP) to spaces, whitespace
+    * runs collapsed to one space, trimmed. Raw exact dedup misses
+    * byte-level variants of the same content (case, doubled spaces,
+    * CRLF vs LF, stray control bytes); hashing the NORMALIZED form
+    * groups them. A pure narrow projection; the character classes use
+    * explicit `\x` ranges so Java and RE2 engines (and the DuckDB
+    * oracle) agree byte-for-byte. */
+  def normalizeCol(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), """[\x00-\x1f\x7f\xa0]""", " "),
+      """ +""", " "))
+
   /** Per-document top-`k` keywords by tf-idf — the keyword-extraction /
     * topic-tagging pass of a curation pipeline.
     *

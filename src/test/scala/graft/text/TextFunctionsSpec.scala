@@ -19,6 +19,24 @@ class TextFunctionsSpec extends SparkSpec {
     assert(!out(3L).isNullAt(3) && !out(3L).isNullAt(4) && !out(3L).isNullAt(5))
   }
 
+  test("normalizeCol canonicalizes case, control chars, and whitespace runs") {
+    val df = Seq(
+      (1L, "Hello  World"),
+      (2L, "\thello\r\nworld "),
+      (3L, "HELLO\u0001WORLD"),   // control byte inside a word
+      (4L, "hello world")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        TextFunctions.normalizeCol(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "hello world" && out(2L) == "hello world"
+      && out(4L) == "hello world")
+    assert(out(3L) == "hello world") // \x00 -> space, then collapsed
+    // grouping on the normalized form unifies all four
+    val groups = df.groupBy(md5(TextFunctions.normalizeCol(col("text"))))
+      .count().collect()
+    assert(groups.length == 1 && groups.head.getLong(1) == 4L)
+  }
+
   test("tfIdfTopK ranks by quantized integer tf-idf with token tie-break") {
     // 4 docs; "common" in all (idf=0), "rare" in one, "pair" in two
     val df = Seq(
