@@ -961,14 +961,17 @@ object SparkEntry {
         col("d.seq").as("seq"),
         col("d.string").as("str"),
         unix_micros(col("d.ts")).as("ts_us"),
-        col("d.array").cast("array<bigint>").as("arr"),
+        // list/decimal flattened to strings: every other declared query
+        // emits scalar columns only, so the driver's hash-compare never
+        // needs to define list/decimal hashing semantics
+        concat_ws(",", col("d.array").cast("array<string>")).as("arr"),
         col("d.subdoc.level1._id").as("subdoc_oid"),
         length(col("d.filler")).cast("long").as("filler_len"),
         substring(col("d.filler"), 1, 12).as("filler_prefix"),
         col("d.binary.hex").as("bin4_hex"),
         col("d.bin1.hex").as("bin1_hex"),
         col("d.uuid.subtype").as("uuid_subtype"),
-        col("d.decimal128").as("decimal128"))
+        col("d.decimal128").cast("string").as("decimal128"))
         .orderBy("id")
     }),
 
@@ -1184,14 +1187,14 @@ object SparkEntry {
         |  id AS seq,
         |  printf('%06d-%d-%d-%d', id + 1, num, n, num) AS str,
         |  (1600000000 + id) * 1000000 AS ts_us,
-        |  [x * x - x FOR x IN generate_series(101, 109)] AS arr,
+        |  array_to_string([x * x - x FOR x IN generate_series(101, 109)], ',') AS arr,
         |  substr(md5('oid|' || CAST(id AS VARCHAR)), 1, 24) AS subdoc_oid,
         |  CAST(length(CAST(n AS VARCHAR)) + 2500 AS BIGINT) AS filler_len,
         |  substr(CAST(n AS VARCHAR) || repeat('G', 2500), 1, 12) AS filler_prefix,
         |  md5('bin4|' || CAST(id AS VARCHAR)) AS bin4_hex,
         |  md5('bin1|' || CAST(id AS VARCHAR)) AS bin1_hex,
         |  4 AS uuid_subtype,
-        |  CAST(printf('%d%d.%06d', num, n, id) AS DECIMAL(38,6)) AS decimal128
+        |  CAST(CAST(printf('%d%d.%06d', num, n, id) AS DECIMAL(38,6)) AS VARCHAR) AS decimal128
         |FROM d ORDER BY id""".stripMargin,
     "q_shuffle" ->
       """WITH r AS (
