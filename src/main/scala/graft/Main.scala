@@ -45,7 +45,7 @@ import scala.jdk.CollectionConverters._
   */
 object Main {
 
-  val Version = "graft-0.5"
+  val Version = "graft-0.7"
 
   def main(args: Array[String]): Unit = {
     val rc = run(args.toIndexedSeq,
