@@ -37,23 +37,26 @@ object Mixing {
 
   /** Select per-stratum under token budgets. Output columns: (idCol,
     * stratum, n_tokens, quality). `budgets` maps stratum → token
-    * budget. */
+    * budget. `stagingDir` switches the corpus-sized annotated
+    * intermediate from `persist()` to a parquet staging write — the
+    * production shape at 100 TB ([[graft.util.Staging]]). */
   def budgetSelect(df: DataFrame, idCol: String, stratum: Column,
       nTokens: Column, quality: Column, budgets: Seq[(String, Long)],
-      salt: String = "mix"): DataFrame = {
+      salt: String = "mix", stagingDir: Option[String] = None): DataFrame = {
     require(budgets.nonEmpty && budgets.forall(_._2 >= 0),
       "budgets must be non-negative")
     val spark = df.sparkSession
     import spark.implicits._
     val g = Sampling.Granularity
     // ann feeds TWO subtrees (the histogram and the final filter) —
-    // persist so upstream quality scoring runs once, release on return
-    // (the materialize-then-release cache contract)
-    val ann = df.filter(quality.isNotNull)
-      .select(col(idCol), stratum.as("stratum"), nTokens.as("n_tokens"),
-        quality.as("quality"),
-        Sampling.splitBucket(col(idCol), salt).as("__b"))
-      .persist()
+    // materialize so upstream quality scoring runs once, release on
+    // return (the materialize-then-release contract; staged = parquet)
+    val (ann, release) = graft.util.Staging.stage(
+      df.filter(quality.isNotNull)
+        .select(col(idCol), stratum.as("stratum"), nTokens.as("n_tokens"),
+          quality.as("quality"),
+          Sampling.splitBucket(col(idCol), salt).as("__b")),
+      stagingDir, "mix_ann")
     try {
       val bdf = budgets.toDF("stratum", "__budget")
       val hist = ann.groupBy("stratum", "quality")
@@ -74,6 +77,6 @@ object Mixing {
         .filter(col("__b") < col("__frac"))
         .select(col(idCol), col("stratum"), col("n_tokens"), col("quality"))
         .localCheckpoint(true)
-    } finally { ann.unpersist(false); () }
+    } finally { release() }
   }
 }

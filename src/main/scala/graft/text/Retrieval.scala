@@ -22,9 +22,25 @@ import org.apache.spark.sql.functions._
   * lengths, probed only by query-matched rows. The query term set and
   * the per-term document frequencies (for QUERY terms only — semi-
   * join-pruned before the df aggregate) BROADCAST; N and avgdl ride a
-  * 1-row cross join; the per-query top-k window partitions are
-  * query-sized candidate lists. The corpus never sorts, and nothing
+  * 1-row cross join. The per-query top-k is a salted TWO-LEVEL window
+  * ([[saltedTopK]]): a query whose terms match the whole corpus (one
+  * "the" in the query text) produces a corpus-sized candidate list, and
+  * a single `Window.partitionBy(query_id)` would funnel all of it
+  * through one reducer — the salted partial pass bounds what the final
+  * per-query sort ever sees. The corpus never sorts, and nothing
   * corpus-sized is ever broadcast.
+  *
+  * Residual determinism caveat (shared with `tfIdfTopK` and
+  * `unigramSurprisal`): the milli-nat idf quantization floors
+  * `1000·ln(x)` — exactness across engines additionally assumes JVM
+  * `Math.log` and the oracle's libm agree to the last ulp at the few
+  * floor boundaries the data actually hits. IEEE 754 does not require
+  * correctly-rounded `ln`, so a 1-ulp disagreement EXACTLY at an
+  * integer milli-nat boundary could flip one quantized idf. Observed
+  * agreement has been bit-stable across every round; if the gate ever
+  * flakes here, the fix is an integer-ratio-derived idf (rank by
+  * `(N - df + ½)/(df + ½)` as a rational) rather than a wider
+  * quantum.
   */
 object Retrieval {
 
@@ -35,21 +51,57 @@ object Retrieval {
   /** Reciprocal-rank-fusion constant (the standard 60). */
   val RrfK = 60
 
+  /** Default shard count for [[saltedTopK]] — matches the session
+    * shuffle parallelism so a corpus-sized candidate list for one query
+    * spreads across every core instead of one reducer. */
+  val TopKSalts = 32
+
+  /** Bounded per-group top-`k`. Level 1 shards each group's candidates
+    * by `pmod(xxhash64(saltKey), salts)` and takes a partial top-k per
+    * shard, so the only candidate-sized sort runs over
+    * `candidates/salts` rows per task; level 2 ranks the ≤ `salts`×`k`
+    * survivors per group under the same ordering. Equivalent to a
+    * single per-group window — every global top-k row is a top-k row of
+    * its own shard — but no group can funnel an unbounded candidate
+    * list through one reducer (`salts = 1` degenerates to exactly the
+    * single-window plan, which RetrievalSpec uses as the equivalence
+    * oracle). `order` must be a total order (tie-break on a unique key)
+    * for the output to be deterministic. Appends `rank`. */
+  private[text] def saltedTopK(cands: DataFrame, group: Column,
+      saltKey: Column, order: Seq[Column], k: Int,
+      salts: Int = TopKSalts): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val partial = Window.partitionBy(group, pmod(xxhash64(saltKey), lit(salts)))
+      .orderBy(order: _*)
+    val fin = Window.partitionBy(group).orderBy(order: _*)
+    cands.withColumn("__pr", row_number().over(partial))
+      .filter(col("__pr") <= k)
+      .drop("__pr")
+      .withColumn("rank", row_number().over(fin))
+      .filter(col("rank") <= k)
+  }
+
   /** Top-`k` documents per query by BM25. `queries` must carry
     * (`queryIdCol`, `queryTextCol`). Output: (query_id, rank, idCol,
-    * score_micro, n_terms_hit). */
+    * score_micro, n_terms_hit). `salts` shards the per-query top-k
+    * ([[saltedTopK]]); 1 = the classic single-window plan. `stagingDir`
+    * switches the corpus-sized tf intermediate from `persist()` to a
+    * parquet staging write — the production shape at 100 TB
+    * ([[graft.util.Staging]]). */
   def bm25TopK(corpus: DataFrame, idCol: String, text: Column,
       queries: DataFrame, queryIdCol: String, queryText: Column,
-      k: Int = 5): DataFrame = {
+      k: Int = 5, salts: Int = TopKSalts,
+      stagingDir: Option[String] = None): DataFrame = {
     require(k > 0, "k must be positive")
     val toks = corpus.filter(text.isNotNull)
       .select(col(idCol), explode(TextFunctions.whitespaceTokens(lower(text)))
         .as("term"))
     // ONE corpus exchange: per-(doc, term) counts; doc length rides the
-    // same aggregate output (sum of tf per doc is a tiny regroup)
-    val tf = toks.groupBy(col(idCol), col("term"))
-      .agg(count(lit(1)).as("tf"))
-      .persist()
+    // same aggregate output (sum of tf per doc is a tiny regroup); the
+    // result feeds THREE subtrees (dl, dfreq, scored) — staged
+    val (tf, release) = graft.util.Staging.stage(
+      toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf")),
+      stagingDir, "bm25_tf")
     try {
       val qterms = queries.select(col(queryIdCol),
           explode(TextFunctions.whitespaceTokens(lower(queryText))).as("term"))
@@ -85,14 +137,12 @@ object Retrieval {
       val agg = scored.groupBy(col(queryIdCol), col(idCol))
         .agg(sum(col("__s_micro")).as("score_micro"),
           count(lit(1)).as("n_terms_hit"))
-      val w = Window.partitionBy(col(queryIdCol))
-        .orderBy(col("score_micro").desc, col(idCol))
-      agg.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= k)
+      saltedTopK(agg, col(queryIdCol), col(idCol),
+          Seq(col("score_micro").desc, col(idCol)), k, salts)
         .select(col(queryIdCol), col("rank"), col(idCol),
           col("score_micro"), col("n_terms_hit"))
         .localCheckpoint(true)
-    } finally { tf.unpersist(false); () }
+    } finally { release() }
   }
 
   /** Hybrid retrieval: BM25 ∪ dense ANN, fused by reciprocal-rank
@@ -102,15 +152,23 @@ object Retrieval {
     * (query, item) — integer fusion, so the final ranking is engine-
     * exact like its inputs. Query embeddings are the `embeddings` rows
     * whose id equals the query id (the corpus item and query share the
-    * id space); the dense side is [[graft.ml.Similarity.bruteForceTopK]]
-    * (queries broadcast, corpus never shuffles) — swap in `ivfTopK` for
-    * the 100 TB path, the fusion is ranker-agnostic.
+    * id space). The dense side is
+    * [[graft.ml.Similarity.bruteForceTopK]] by default (queries
+    * broadcast, corpus never shuffles — exact, fine up to ~10⁷ docs ×
+    * small query sets); supply `denseCentroids` (from
+    * [[graft.ml.Similarity.ivfCentroids]]) to run the dense pool
+    * through [[graft.ml.Similarity.ivfTopK]] instead — the 100 TB path,
+    * candidate count bounded ≈ corpus/centroids × `nprobe` per query.
+    * The fusion is ranker-agnostic: identical output whenever both
+    * rankers return the same pools (recall is `nprobe`'s dial).
     *
     * Output: (query_id, rank, item_id, rrf_micro, n_rankers). */
   def hybridTopK(corpus: DataFrame, idCol: String, text: Column,
       embeddings: DataFrame, embIdCol: String, embCol: String,
       queries: DataFrame, queryIdCol: String, queryText: Column,
-      k: Int = 5, poolK: Int = 20): DataFrame = {
+      k: Int = 5, poolK: Int = 20,
+      denseCentroids: Option[IndexedSeq[Seq[Long]]] = None,
+      nprobe: Int = 4): DataFrame = {
     require(k > 0 && poolK >= k, "need poolK >= k > 0")
     def rrf(rank: Column) =
       floor(lit(1000000.0) / (lit(RrfK) + rank)).cast("long")
@@ -119,17 +177,23 @@ object Retrieval {
         rrf(col("rank")).as("__c"))
     val qvecs = embeddings.join(
       broadcast(queries.select(col(queryIdCol).as(embIdCol))), Seq(embIdCol))
-    val dense = graft.ml.Similarity.bruteForceTopK(qvecs, embeddings,
+    val densePool = denseCentroids match {
+      case Some(cents) => graft.ml.Similarity.ivfTopK(qvecs, embeddings,
+        embIdCol, embCol, poolK, cents.size, nprobe, Some(cents))
+      case None => graft.ml.Similarity.bruteForceTopK(qvecs, embeddings,
         embIdCol, embCol, poolK)
+    }
+    val dense = densePool
       .select(col("query_id"), col("neighbor_id").as("item_id"),
         rrf(col("rank")).as("__c"))
     val fused = lex.unionByName(dense)
       .groupBy("query_id", "item_id")
       .agg(sum(col("__c")).as("rrf_micro"), count(lit(1)).as("n_rankers"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("rrf_micro").desc, col("item_id"))
-    fused.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    // the fused pool is already ≤ 2·poolK per query, but the salted
+    // shape costs nothing and keeps the invariant uniform: no query-
+    // partitioned window anywhere sees an unbounded candidate list
+    saltedTopK(fused, col("query_id"), col("item_id"),
+        Seq(col("rrf_micro").desc, col("item_id")), k)
       .select(col("query_id"), col("rank"), col("item_id"),
         col("rrf_micro"), col("n_rankers"))
   }

@@ -40,6 +40,21 @@ class MixingSpec extends SparkSpec {
     assert(out.count() == 30)
   }
 
+  test("budgetSelect: parquet-staging path returns the persist path's exact rows") {
+    val dir = java.nio.file.Files.createTempDirectory("mix-stage").toString
+    try {
+      def run(staging: Option[String]) = Mixing.budgetSelect(corpus, "doc_id",
+          col("stratum"), col("n_tokens"), col("quality"),
+          Seq("en" -> 150L, "fr" -> 50L), stagingDir = staging)
+        .collect().toSet
+      assert(run(Some(dir)) == run(None))
+      // the staged intermediate really was written
+      assert(new java.io.File(s"$dir/mix_ann").exists())
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("budgetSelect is deterministic and shuffle-light (no corpus sort)") {
     val docs = Tables.load(spark, sf001, "documents").filter(col("text").isNotNull)
     val stats = TextFunctions.qualityStats(docs, col("text"))

@@ -64,6 +64,104 @@ class RetrievalSpec extends SparkSpec {
     assert(out.map(_._3).toSet == Set(1L, 2L, 3L))
   }
 
+  test("saltedTopK == single global window when one group owns every candidate") {
+    // group 1 is the "ubiquitous term" shape: all 500 candidates belong
+    // to it; group 2 is a normal small pool
+    val cands = ((1 to 500).map(i => (1L, i.toLong, (i % 37).toLong)) ++
+        Seq((2L, 1L, 5L), (2L, 2L, 9L), (2L, 3L, 1L)))
+      .toDF("query_id", "doc_id", "score")
+    val order = Seq(col("score").desc, col("doc_id"))
+    val salted = Retrieval.saltedTopK(cands, col("query_id"), col("doc_id"),
+        order, k = 7)
+      .select("query_id", "rank", "doc_id", "score")
+      .collect().toSet
+    val single = cands.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(order: _*)))
+      .filter(col("rank") <= 7)
+      .select("query_id", "rank", "doc_id", "score")
+      .collect().toSet
+    assert(salted == single)
+  }
+
+  test("bm25TopK: salted two-level == single-window on a ubiquitous-term corpus") {
+    // every doc contains 'the', so the query's candidate list is the
+    // whole corpus — the shape that made the old single window a
+    // one-reducer funnel
+    val corpus = (1L to 300L)
+      .map(i => (i, s"the filler$i ${if (i % 7 == 0) "zebra" else "word"}"))
+      .toDF("doc_id", "text")
+    val qs = Seq((1L, "the zebra")).toDF("query_id", "qtext")
+    def run(salts: Int) = Retrieval.bm25TopK(corpus, "doc_id", col("text"),
+        qs, "query_id", col("qtext"), k = 10, salts = salts)
+      .collect().toSet
+    assert(run(Retrieval.TopKSalts) == run(1))
+  }
+
+  test("bm25TopK: parquet-staging path returns the persist path's exact rows") {
+    val corpus = (1L to 50L)
+      .map(i => (i, s"alpha beta$i ${if (i % 5 == 0) "gamma" else "delta"}"))
+      .toDF("doc_id", "text")
+    val qs = Seq((1L, "alpha gamma")).toDF("query_id", "qtext")
+    val dir = java.nio.file.Files.createTempDirectory("bm25-stage").toString
+    try {
+      def run(staging: Option[String]) = Retrieval.bm25TopK(corpus, "doc_id",
+          col("text"), qs, "query_id", col("qtext"), k = 8,
+          stagingDir = staging)
+        .collect().toSet
+      assert(run(Some(dir)) == run(None))
+      assert(new java.io.File(s"$dir/bm25_tf").exists())
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("hybridTopK: IVF dense side (centroids supplied) fuses like the brute side") {
+    val corpus = Seq(
+      (1L, "red apple pie"), (2L, "green apple tart"), (3L, "blue berry jam"))
+      .toDF("doc_id", "text")
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.4f, 0.6f)), (10L, Array(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val qs = Seq((10L, "apple")).toDF("query_id", "qtext")
+    val cents = graft.ml.Similarity.ivfCentroids(emb, "vec_id", "embedding", 2)
+    val ivf = Retrieval.hybridTopK(corpus, "doc_id", col("text"),
+        emb, "vec_id", "embedding", qs, "query_id", col("qtext"),
+        k = 3, poolK = 3, denseCentroids = Some(cents), nprobe = 2)
+      .orderBy("rank").as[(Long, Int, Long, Long, Long)].collect().toSeq
+    // nprobe = numCentroids probes every list → the dense pool equals
+    // the brute pool, so the fusion must match the brute-side test:
+    // item 2 retrieved by both rankers, everything fused positive
+    assert(ivf.head._3 == 2L && ivf.head._5 == 2L)
+    assert(ivf.map(_._3).toSet == Set(1L, 2L, 3L))
+    assert(ivf.forall(_._4 > 0))
+    val brute = Retrieval.hybridTopK(corpus, "doc_id", col("text"),
+        emb, "vec_id", "embedding", qs, "query_id", col("qtext"),
+        k = 3, poolK = 3)
+      .orderBy("rank").as[(Long, Int, Long, Long, Long)].collect().toSeq
+    assert(ivf == brute)
+  }
+
+  test("saltedTopK plan: the query-only window ranks only partial-top-k survivors") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Window => LWindow}
+    val cands = Seq((1L, 1L, 2L)).toDF("query_id", "doc_id", "score")
+    val out = Retrieval.saltedTopK(cands, col("query_id"), col("doc_id"),
+      Seq(col("score").desc, col("doc_id")), k = 5)
+    val windows = out.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.size == 2, windows.mkString("\n"))
+    val fin = windows.filter(_.partitionSpec.size == 1)
+    assert(fin.size == 1, "expected exactly one query-only window")
+    // the query-only window must sit above a rank filter that sits
+    // above the (query, salt)-sharded window — never over the raw set
+    val guarded = fin.head.child.collect {
+      case f: Filter if f.collectFirst {
+        case w: LWindow if w.partitionSpec.size == 2 => w
+      }.nonEmpty => f
+    }
+    assert(guarded.nonEmpty, fin.head.toString)
+  }
+
   test("bm25TopK plan: nothing corpus-sized broadcasts") {
     val docs = Tables.load(spark, sf001, "documents")
     val qs = Seq((1L, "key table")).toDF("query_id", "qtext")
