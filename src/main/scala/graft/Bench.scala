@@ -32,6 +32,11 @@ object Bench {
     // from a query's own cost without editing the suite
     val only = sys.env.getOrElse("SPARK_GRAFT_BENCH_ONLY", "")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    // a mistyped name would otherwise silently select nothing and emit
+    // an empty (all-green-looking) bench run
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"SPARK_GRAFT_BENCH_ONLY names unknown queries: ${unknown.toSeq.sorted.mkString(", ")}")
     def selected = if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (k, _) => only(k) }
     val spark = SparkSession.builder()

@@ -222,26 +222,31 @@ object Main {
       MigratorConfig(command = "data", source = dir, target = dir))
     val raw = cat.read(ns).filter(col(textName).isNotNull)
     val nInput = raw.count()
-    val (gated, scoredText) = lineGate match {
-      case Some(minWords) =>
-        (raw.withColumn("__text_kept",
-          Lines.lineFilterCol(col(textName), minWords).getField("text_kept")),
-          col("__text_kept"))
-      case None => (raw, col(textName))
-    }
-    // corpus-wide exact dedup, min-id winner — an algebraic min(struct)
-    // aggregate (map-side combined), NOT a window over md5(text): a
-    // production namespace with millions of byte-identical documents
-    // would sort them all through one reducer (the same hot-key
-    // discipline as Lines.lineDedup)
-    val gcols = gated.columns
-    val deduped = gated
-      .groupBy(md5(scoredText).as("__h"))
-      .agg(min(struct((col(idCol) +: gcols.filterNot(_ == idCol).map(col))
+    // corpus-wide exact dedup FIRST, keyed on the RAW text, min-id
+    // winner — an algebraic min(struct) aggregate (map-side combined),
+    // NOT a window over md5(text): a production namespace with millions
+    // of byte-identical documents would sort them all through one
+    // reducer (the same hot-key discipline as Lines.lineDedup).
+    // Dedup-before-gate mirrors DocStream.curateStream so the batch and
+    // streaming surfaces select the same corpus: gating first would key
+    // the dedup on GATED text, collapsing docs whose raw texts differ
+    // but gate to identical kept text — which the stream (deduping raw)
+    // keeps.
+    val rcols = raw.columns
+    val deduped = raw
+      .groupBy(md5(col(textName)).as("__h"))
+      .agg(min(struct((col(idCol) +: rcols.filterNot(_ == idCol).map(col))
         .toIndexedSeq: _*)).as("__w"))
       .select("__w.*")
+    val (gated, scoredText) = lineGate match {
+      case Some(minWords) =>
+        (deduped.withColumn("__text_kept",
+          Lines.lineFilterCol(col(textName), minWords).getField("text_kept")),
+          col("__text_kept"))
+      case None => (deduped, col(textName))
+    }
     val stats = TextFunctions.languageId(
-      TextFunctions.qualityStats(deduped, scoredText), scoredText)
+      TextFunctions.qualityStats(gated, scoredText), scoredText)
     val kept = stats.filter(col("quality_score") >= minQuality &&
       col("pred_lang").isin(langs: _*))
     // the split frame feeds the budget selection AND the join-back:

@@ -1914,7 +1914,8 @@ object SparkEntry {
         |  (SELECT count(*) FROM s3) AS n_step3""".stripMargin,
     "q_outliers" ->
       """WITH e AS (
-        |  SELECT user_id, CAST(floor(value * 1000) AS BIGINT) AS v FROM events),
+        |  SELECT user_id, CAST(floor(value * 1000) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
         |st AS (
         |  SELECT user_id, count(*) AS n,
         |    CAST(sum(CAST(v AS DECIMAL(16,0))) AS DECIMAL(16,0)) AS s1,

@@ -110,11 +110,16 @@ object EventStream {
     * Every product runs in DECIMAL with widths chosen so no
     * multiplication exceeds precision 38 on either engine, under the
     * documented domain |value| ≤ 10⁶ and per-key events ≤ 10⁶ (i.e.
-    * milli-quantized |v| < 10¹⁰, Σv < 10¹⁶, Σv² < 10²⁵) — a LONG
+    * milli-quantized |v| ≤ 10⁹, Σv ≤ 10¹⁵, Σv² ≤ 10²⁴) — a LONG
     * formulation silently wraps at ~5 000 events of value ~1 000
-    * (n·Σv² > 2⁶³). Beyond the domain the narrowing casts overflow
-    * explicitly (error under ANSI/DuckDB, NULL-flagged rows otherwise)
-    * instead of producing garbage; widen the decimals for wider data.
+    * (n·Σv² > 2⁶³). The domain is ENFORCED: out-of-domain values or
+    * key cardinalities `raise_error` instead of letting the narrowing
+    * casts NULL under Spark's non-ANSI mode (where `sum` would then
+    * silently skip rows while DuckDB errors — divergent, partly silent
+    * failure modes). Widen the decimals AND the guards for wider data.
+    * NULL values carry no signal and are excluded entirely — from `n`
+    * as well as the moments (a `count(*)` would inflate `n` in the
+    * squared criterion relative to the null-skipping sums).
     *
     * Plan shape: one map-side-combined per-key moment aggregate
     * (n, Σv, Σv²) joined back on the key — no window, no sort; the
@@ -123,13 +128,24 @@ object EventStream {
   def outlierCounts(events: DataFrame, userCol: Column, value: Column,
       k: Int = 2): DataFrame = {
     require(k > 0 && k <= 9, "k in [1, 9]")
-    val e = events.select(userCol.as("user_id"),
-      floor(value * 1000).cast("long").as("__v"))
+    val e = events.filter(value.isNotNull)
+      .select(userCol.as("user_id"),
+        floor(value * 1000).cast("long").as("__vr"))
+      .withColumn("__v", when(abs(col("__vr")) <= lit(1000000000L), col("__vr"))
+        .otherwise(raise_error(concat(
+          lit("outlierCounts domain: |value| > 1e6 (milli-quantized "),
+          col("__vr").cast("string"), lit(")")))))
+      .drop("__vr")
     val stats = e.groupBy("user_id").agg(
-      count(lit(1)).as("n"),
+      count(lit(1)).as("__nr"),
       sum(col("__v").cast("decimal(16,0)")).cast("decimal(16,0)").as("__s1"),
       sum(col("__v").cast("decimal(10,0)") * col("__v").cast("decimal(10,0)"))
         .cast("decimal(25,0)").as("__s2"))
+      .withColumn("n", when(col("__nr") <= lit(1000000L), col("__nr"))
+        .otherwise(raise_error(concat(
+          lit("outlierCounts domain: > 1e6 events for one key ("),
+          col("__nr").cast("string"), lit(")")))))
+      .drop("__nr")
     val nd = col("n").cast("decimal(7,0)")
     // widths: vd(10)·nd(7) → 18; −s1(16) → 19, narrowed to 18; lhs² → 37;
     // s1² → 33; nd·s2(25) → 33; rhs diff → 34; k²(3)·rhs → 38 — every

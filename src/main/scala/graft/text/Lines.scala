@@ -37,13 +37,18 @@ object Lines {
 
   /** Corpus-wide exact line dedup: every distinct line is kept exactly
     * once — in the document with the smallest (`idCol`, pos) occurrence
-    * — and removed everywhere else (including repeats WITHIN a
-    * document). Documents whose every line was claimed elsewhere drop
-    * out of the result (their text is empty).
+    * under SPARK'S NATIVE struct ordering (lexicographic for string
+    * ids: "150" < "2"; numeric for numeric ids — use
+    * [[graft.ops.BsonKey]] columns upstream if BSON/numeric order of
+    * mixed ids should pick the winner) — and removed everywhere else
+    * (including repeats WITHIN a document). Documents whose every line
+    * was claimed elsewhere drop out of the result (their text is
+    * empty).
     *
     * Returns (idCol, text_dedup, n_kept), deterministic: the winner rule
     * is a pure function of the corpus, so any engine, partitioning, or
-    * retry reproduces it byte-for-byte. */
+    * retry reproduces it byte-for-byte — which ordering wins is a
+    * convention; that it is stable is the contract. */
   def lineDedup(df: DataFrame, idCol: String, text: Column): DataFrame = {
     val lines = lineRows(df, idCol, text)
     // winner per distinct line — carries the text so no join back into

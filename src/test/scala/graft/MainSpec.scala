@@ -126,6 +126,30 @@ class MainSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Main.run(Seq("-curate", bad), sess) }
   }
 
+  test("-curate dedups on RAW text before the line gate (stream-surface parity)") {
+    // docs 1 and 2 differ in raw text but gate to the identical kept
+    // line; doc 3 is a raw duplicate of doc 1. Dedup-before-gate (the
+    // DocStream.curateStream order) keeps 1 and 2 and drops only 3 —
+    // gating first would key the dedup on gated text and collapse 1
+    // and 2 as well, making the batch and stream surfaces select
+    // different corpora.
+    val kept = "The quick brown fox jumps over the lazy dog today."
+    val srcDir = tmp("graft-cli-curate-raw")
+    Seq(
+      (1L, kept + "\nshort junk"),
+      (2L, kept + "\nother filler junk"),
+      (3L, kept + "\nshort junk"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$srcDir/docs.parquet")
+    val out = tmp("graft-cli-curate-raw-out") + "/manifest"
+    val cfg = writeCfg(tmp("graft-cli-curate-rawcfg"),
+      s"""{"source":"$srcDir","namespace":"local.docs","out":"$out",
+         |"minQuality":0,"langs":["en"],"lineGate":3}""".stripMargin)
+    assert(Main.run(Seq("-curate", cfg), sess) == 0)
+    val ids = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L), s"got $ids")
+  }
+
   test("-sql on a multi-db catalog: qualified views always, bare only when unambiguous") {
     import graft.sources.MultiDbParquetCatalog
     val root = tmp("graft-cli-sqlmdb")

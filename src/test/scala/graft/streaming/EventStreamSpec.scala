@@ -120,4 +120,31 @@ class EventStreamSpec extends SparkSpec {
       .orderBy("user_id").as[(Long, Long, Long)].collect().toSeq
     assert(out == Seq((1L, 10L, 1L), (2L, 2L, 0L), (3L, 1L, 0L)))
   }
+
+  test("outlierCounts: NULL values are excluded from n as well as the moments") {
+    val s = spark
+    import s.implicits._
+    // user 1 has one NULL event among three valued ones; user 4 is
+    // all-NULL. Counting NULL rows in n (the old count(*)) while the
+    // sums skipped them would inflate n in the squared criterion.
+    val df = Seq((1L, Some(10.0)), (1L, Some(10.0)), (1L, None),
+        (1L, Some(100.0)), (4L, Option.empty[Double]))
+      .toDF("user_id", "value")
+    val out = EventStream.outlierCounts(df, col("user_id"), col("value"))
+      .orderBy("user_id").as[(Long, Long, Long)].collect().toSeq
+    assert(out.map(_._1) == Seq(1L), "all-NULL keys carry no signal → absent")
+    assert(out.head._2 == 3L, s"n must count valued events only: ${out.head}")
+  }
+
+  test("outlierCounts: out-of-domain values fail loudly instead of NULL-skipping") {
+    val s = spark
+    import s.implicits._
+    def msgs(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + msgs(t.getCause)
+    val wide = Seq((1L, 2.0e6), (1L, 1.0)).toDF("user_id", "value")
+    val e = intercept[Exception] {
+      EventStream.outlierCounts(wide, col("user_id"), col("value")).collect()
+    }
+    assert(msgs(e).contains("outlierCounts domain"), msgs(e))
+  }
 }
