@@ -31,6 +31,20 @@ object SparkEntry {
     try out.localCheckpoint(true)
     finally temps.foreach(_.unpersist(false))
 
+  /** Scratch dir for the lifecycle queries (T6/K1/S4/D4) that exercise a
+    * real catalog sink: unique per invocation so Verify and Bench repeats
+    * never collide, deleted on JVM exit. */
+  private def scratchDir(tag: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(s"graft_$tag")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- A1: hash aggregate (status group-count shape, TPC-H Q1 style) ----
     // map-side partial aggregation; one shuffle on the (2-value) group keys.
@@ -990,6 +1004,242 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"), col("event_type"),
           col("value"), tsUs.as("ts_us"))
         .orderBy("user_id")
+    }),
+
+    // ---- T6: namespace rename through the full copy lifecycle
+    // (GetToNamespace, migrator.go:254-262) — plan → preflight → copy
+    // `src.nation` into a fresh sink under `tgt.nation_xl`, read back
+    // UNDER THE NEW NAMESPACE. The oracle recomputes the expected table
+    // straight from `nation`; the sink_ns / old_ns_gone literals pin
+    // that the rename actually routed the write (a copy under the old
+    // name would fail both). ----
+    "q_t6_rename" -> ((s, dir) => {
+      val out = scratchDir("t6")
+      val source = new sources.ParquetCatalog(s, dir, db = "src")
+      val sink = new sources.ParquetCatalog(s, out, db = "tgt")
+      val cfg = config.MigratorConfig(command = "data", source = dir, target = out,
+        includes = Seq(config.IncludeSpec(namespace = "src.nation", to = "tgt.nation_xl")))
+      copy.CopyJob.run(cfg, source, sink)
+      sink.read("tgt.nation_xl")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .withColumn("sink_ns", lit(sink.listNamespaces().mkString(",")))
+        .withColumn("old_ns_gone", lit(!sink.dataExists("tgt.nation")))
+        .orderBy("n_nationkey")
+    }),
+
+    // ---- K1: idempotent batched upsert (the reference's bulk upsert
+    // write path, data_copier.go) — seed a sink from `customer`, apply
+    // one mixed update+insert batch TWICE, read the final state back.
+    // The oracle recomputes the expected post-merge table;
+    // total_after_first/rerun pin that the re-run is a no-op (same
+    // total, no duplicated keys). ----
+    "q_k1_upsert" -> ((s, dir) => {
+      val out = scratchDir("k1")
+      val sink = new sources.ParquetCatalog(s, out, db = "tgt")
+      val base = load(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
+          col("c_nationkey").cast("long").as("c_nationkey"))
+      sink.write("tgt.customer", base)
+      val updates = base.filter(col("c_custkey") % 3 === 0)
+        .withColumn("c_name", concat(col("c_name"), lit("#u")))
+      val inserts = base.filter(col("c_custkey") % 10 === 0)
+        .withColumn("c_custkey", col("c_custkey") + lit(100000000L))
+      val batch = updates.unionByName(inserts)
+      val n1 = sink.upsert("tgt.customer", batch, "c_custkey")
+      val n2 = sink.upsert("tgt.customer", batch, "c_custkey")
+      sink.read("tgt.customer")
+        .withColumn("total_after_first", lit(n1))
+        .withColumn("total_after_rerun", lit(n2))
+        .orderBy("c_custkey")
+    }),
+
+    // ---- S4: gz-BSON spool reader (BSONReader, bson_reader.go:17-44)
+    // — a deterministic spool file is framed+gzipped from `nation`
+    // rows, then read back through the REAL path (binaryFile source →
+    // gzip → frame splitter). The oracle recomputes frame_seq (write
+    // order), round-tripped payload, and frame length (4-byte header +
+    // payload) straight from `nation`. ----
+    "q_s4_spool" -> ((s, dir) => {
+      val out = scratchDir("s4")
+      val rows = load(s, dir, "nation")
+        .select(col("n_nationkey").cast("long"), col("n_name"))
+        .orderBy("n_nationkey").collect() // 25 rows: fixture-sized by construction
+      val payloads = rows.toIndexedSeq
+        .map(r => s"${r.getLong(0)}|${r.getString(1)}".getBytes("UTF-8"))
+      sources.Spool.write(s"$out/nation.bson.gz", payloads)
+      sources.Spool.read(s, s"$out/*.bson.gz")
+        .select(col("frame_seq"),
+          expr("CAST(substring(frame, 5, length(frame) - 4) AS STRING)").as("payload"),
+          length(col("frame")).cast("long").as("frame_len"))
+        .orderBy("frame_seq")
+    }),
+
+    // ---- ST2/ST4/K5: streaming catch-up, end-to-end through the REAL
+    // stream machinery (readStream file source → foreachBatch →
+    // checkpoint → exactly-once marker merge) — the q_k2 change-log
+    // reshaped so each key is touched by AT MOST ONE op class: ops then
+    // commute across micro-batches, so the drained state is independent
+    // of how the file source slices the backlog (here: 6 files,
+    // maxFilesPerTrigger=2 → 3 micro-batches). The oracle recomputes
+    // the final state from `orders`. ----
+    "q_st2_catchup" -> ((s, dir) => {
+      val out = scratchDir("st2")
+      val sink = new sources.ParquetCatalog(s, s"$out/sink", db = "app")
+      val cfg = config.MigratorConfig(command = "data", source = dir, target = out)
+      val orders = load(s, dir, "orders")
+      val k = col("o_orderkey")
+      sink.write("app.orders_state", orders.select(
+        k.cast("string").as("id"),
+        to_json(struct(k.as("_id"), col("o_custkey").as("custkey"),
+          col("o_orderstatus").as("status"), col("o_totalprice").as("price"))).as("doc")))
+      val ns = lit("app.orders_state")
+      def op(ts: Long, opc: String, nsCol: org.apache.spark.sql.Column,
+          o: org.apache.spark.sql.Column, o2: org.apache.spark.sql.Column) = Seq(
+        lit(ts).as("ts"), lit(opc).as("op"), nsCol.as("ns"), o.as("o"), o2.as("o2"),
+        lit(0L).as("h"), lit(0L).as("t"), lit(2).as("v"))
+      val nullS = lit(null).cast("string")
+      // disjoint key classes (each key in exactly one file ⇒ batch-order
+      // independent): %3 v2-update; %5∖%3 $inc; %7∖%3,5 delete;
+      // %11∖%3,5,7 applyOps txn; inserts land in a fresh key space
+      val inserts = orders.filter(k % 10 === 0).select(op(1L, "i", ns,
+        to_json(struct((k + 100000000L).as("_id"), col("o_custkey").as("custkey"),
+          lit("N").as("status"), lit(1.5).as("price"))), nullS): _*)
+      val v2Updates = orders.filter(k % 3 === 0).select(op(2L, "u", ns,
+        to_json(struct(struct(struct(lit("X").as("status")).as("u")).as("diff"))),
+        to_json(struct(k.as("_id")))): _*)
+      val v1Incs = orders.filter(k % 5 === 0 && k % 3 =!= 0).select(op(3L, "u", ns,
+        lit("""{"$v":1,"$inc":{"price":10}}"""), to_json(struct(k.as("_id")))): _*)
+      val deletes = orders.filter(k % 7 === 0 && k % 3 =!= 0 && k % 5 =!= 0)
+        .select(op(4L, "d", ns, to_json(struct(k.as("_id"))), nullS): _*)
+      val txns = orders
+        .filter(k % 11 === 0 && k % 3 =!= 0 && k % 5 =!= 0 && k % 7 =!= 0)
+        .select(op(5L, "c", lit("app.$cmd"), format_string(
+          """{"applyOps":[{"op":"u","ns":"app.orders_state","o":{"diff":{"u":{"custkey":%d}}},"o2":{"_id":%d}}]}""",
+          col("o_custkey") + 1000000L, k), nullS): _*)
+      val noise = orders.filter(k % 13 === 0).select(op(6L, "i", lit("local.junk"),
+        lit("""{"_id":1}"""), nullS): _*)
+      val logDir = s"$out/changelog"
+      Seq(inserts, v2Updates, v1Incs, deletes, txns, noise)
+        .foreach(_.coalesce(1).write.mode("append").parquet(logDir))
+      streaming.ApplyJob.catchUp(s, logDir, sink, cfg, s"$out/ckpt",
+        maxFilesPerTrigger = 2)
+      sink.read("app.orders_state")
+        .select(
+          get_json_object(col("doc"), "$._id").cast("long").as("k"),
+          get_json_object(col("doc"), "$.custkey").cast("long").as("custkey"),
+          get_json_object(col("doc"), "$.status").as("status"),
+          get_json_object(col("doc"), "$.price").cast("double").as("price"))
+        .orderBy("k")
+    }),
+
+    // ---- S5/S6/P5: catalog scans — databases, namespaces, and the
+    // system-collection filter (ListDatabaseNames/ListCollectionNames +
+    // the system.* skip, mongo_utils.go) — over a freshly-seeded
+    // multi-db catalog: system DBS (admin/config/local) and system.*
+    // collections (except system.js, like the reference) are hidden. ----
+    "q_s5_catalog" -> ((s, dir) => {
+      import s.implicits._
+      val out = scratchDir("s5")
+      val cat = new sources.MultiDbParquetCatalog(s, out)
+      val one = Seq((1L, "x")).toDF("id", "v")
+      Seq("app.users", "app.items", "app.system.profile", "app.system.js",
+        "web.sessions", "admin.junk", "config.chunks", "local.oplog")
+        .foreach(ns => cat.write(ns, one))
+      val dbs = cat.listDatabases()
+      cat.listNamespaces().map(ns => (ns, cat.keyOf(ns), dbs.mkString(",")))
+        .toDF("ns", "key", "dbs").orderBy("ns")
+    }),
+
+    // ---- A3: parent count rollup via `observe` (the reference's
+    // per-task inserted counter, data_copier.go:142-176) — one copy,
+    // counts taken from the EXECUTED plan's observation, no second
+    // scan; the oracle recomputes both from the source table. ----
+    "q_a3_observe" -> ((s, dir) => {
+      import s.implicits._
+      val out = scratchDir("a3")
+      val source = new sources.ParquetCatalog(s, dir, db = "src")
+      val sink = new sources.ParquetCatalog(s, s"$out/sink", db = "src")
+      val r = copy.CopyJob.copyNamespace(source, sink, "src.part", None)
+      Seq((r.namespace, r.to, r.rowsRead, r.rowsInTarget))
+        .toDF("ns", "to_ns", "rows_read", "rows_in_target")
+    }),
+
+    // ---- D1/D2 + P3/T6 on DDL: manifest capture → include-filter →
+    // rename → persist as catalog rows → load back (collection options
+    // + index defs, collection_creator.go:19-86 / index_copier.go:14-62,
+    // degraded to the namespace+pk sections a parquet source carries).
+    // The oracle is the expected round-tripped manifest. ----
+    "q_d1_manifest" -> ((s, dir) => {
+      import s.implicits._
+      val out = scratchDir("d1")
+      val source = new sources.ParquetCatalog(s, dir, db = "src")
+      val sink = new sources.ParquetCatalog(s, s"$out/sink", db = "tgt")
+      val cfg = config.MigratorConfig(command = "config", source = dir, target = out,
+        includes = Seq(config.IncludeSpec(namespace = "src.nation", to = "tgt.nation2"),
+          config.IncludeSpec(namespace = "src.region")))
+      val m = ddl.Manifest.capture(source).filtered(cfg).withRenames(cfg)
+      ddl.Manifest.persist(s, sink, m)
+      val back = ddl.Manifest.load(s, sink)
+      (back.collections.map(c => ("collection", c.ns, "")) ++
+        back.indexes.map(i => ("index", i.ns, i.keysJson)))
+        .toDF("section", "ns", "detail").orderBy("section", "ns")
+    }),
+
+    // ---- O6: resume an interrupted copy (Resume, migrator.go / the
+    // reference's queue repair) — the target starts HALF-written
+    // (supplier keys %2); resume reruns the copy fan-out, whose
+    // idempotent upsert (K1) completes the table without duplicating
+    // the half already there. The oracle is simply the full source. ----
+    "q_o6_resume" -> ((s, dir) => {
+      val out = scratchDir("o6")
+      val source = new sources.ParquetCatalog(s, dir, db = "src")
+      val sink = new sources.ParquetCatalog(s, s"$out/sink", db = "src")
+      val cfg = config.MigratorConfig(command = "data", source = dir, target = out,
+        includes = Seq(config.IncludeSpec(namespace = "src.supplier"),
+          config.IncludeSpec(namespace = "src.region")))
+      sink.write("src.supplier",
+        load(s, dir, "supplier").filter(col("s_suppkey") % 2 === 0))
+      Migrate.resume(s, cfg, source, sink, s"$out/ckpt")
+      sink.read("src.supplier")
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+        .withColumn("n_region", lit(sink.read("src.region").count()))
+        .orderBy("s_suppkey")
+    }),
+
+    // ---- D4: chunk map → partition plan (config_copier.go:244-342's
+    // pre-split/move collapses into repartitionByRange(n) at write
+    // time) — one chunk spec per distinct customer nation, persisted
+    // through the sink catalog as manifest rows, loaded back, and the
+    // suggested partition count derived from the ROUND-TRIPPED chunk
+    // map. The oracle recomputes bounds and count from `customer`. ----
+    "q_d4_partitions" -> ((s, dir) => {
+      import s.implicits._
+      val out = scratchDir("d4")
+      val source = new sources.ParquetCatalog(s, dir, db = "src")
+      val sink = new sources.ParquetCatalog(s, out, db = "tgt")
+      val bounds = load(s, dir, "customer")
+        .select(col("c_nationkey").cast("long")).distinct()
+        .orderBy(col("c_nationkey")).as[Long]
+        .collect().toIndexedSeq // ≤25 values: the chunk map is driver-sized metadata
+      val chunks = bounds.zipWithIndex.map { case (b, i) =>
+        val hi = if (i + 1 < bounds.length) bounds(i + 1).toString else "+inf"
+        ddl.ChunkSpec("src.customer", s"""{"c_nationkey":$b}""",
+          s"""{"c_nationkey":"$hi"}""", s"shard${i % 3}")
+      }
+      ddl.Manifest.persist(s, sink, ddl.Manifest.capture(source).copy(chunks = chunks))
+      val back = ddl.Manifest.load(s, sink)
+      val n = ddl.Manifest.suggestedPartitions(back, "src.customer").getOrElse(-1)
+      val unchunkedNone = ddl.Manifest.suggestedPartitions(back, "src.orders").isEmpty
+      back.chunks.filter(_.ns == "src.customer")
+        .map { c =>
+          val lo = c.minJson.stripPrefix("""{"c_nationkey":""").stripSuffix("}").toLong
+          (lo, c.maxJson, c.shard)
+        }
+        .sortBy(_._1)
+        .toDF("min_key", "max_json", "shard")
+        .withColumn("suggested", lit(n))
+        .withColumn("unchunked_is_none", lit(unchunkedNone))
+        .orderBy("min_key")
     })
   )
 
@@ -2251,6 +2501,84 @@ object SparkEntry {
       """SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us
         |FROM events
         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
-        |ORDER BY user_id""".stripMargin
+        |ORDER BY user_id""".stripMargin,
+    "q_t6_rename" ->
+      """SELECT n_nationkey, n_name, n_regionkey,
+        |  'tgt.nation_xl' AS sink_ns, TRUE AS old_ns_gone
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "q_k1_upsert" ->
+      """WITH base AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+        |         CAST(c_nationkey AS BIGINT) AS c_nationkey FROM customer),
+        |fin AS (
+        |  SELECT c_custkey, c_name || '#u' AS c_name, c_nationkey
+        |  FROM base WHERE c_custkey % 3 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_nationkey FROM base WHERE c_custkey % 3 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 100000000, c_name, c_nationkey
+        |  FROM base WHERE c_custkey % 10 = 0),
+        |tot AS (SELECT count(*) AS t FROM fin)
+        |SELECT f.c_custkey, f.c_name, f.c_nationkey,
+        |  t AS total_after_first, t AS total_after_rerun
+        |FROM fin f, tot ORDER BY f.c_custkey""".stripMargin,
+    "q_s4_spool" ->
+      """WITH p AS (
+        |  SELECT n_nationkey,
+        |         CAST(n_nationkey AS VARCHAR) || '|' || n_name AS payload
+        |  FROM nation)
+        |SELECT CAST(row_number() OVER (ORDER BY n_nationkey) - 1 AS BIGINT) AS frame_seq,
+        |  payload, CAST(4 + strlen(payload) AS BIGINT) AS frame_len
+        |FROM p ORDER BY frame_seq""".stripMargin,
+    "q_st2_catchup" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS k, o_custkey, o_orderstatus, o_totalprice FROM orders),
+        |updated AS (
+        |  SELECT k,
+        |    CASE WHEN k % 11 = 0 AND k % 3 <> 0 AND k % 5 <> 0 AND k % 7 <> 0
+        |         THEN o_custkey + 1000000 ELSE o_custkey END AS custkey,
+        |    CASE WHEN k % 3 = 0 THEN 'X' ELSE o_orderstatus END AS status,
+        |    CASE WHEN k % 5 = 0 AND k % 3 <> 0 THEN o_totalprice + 10
+        |         ELSE o_totalprice END AS price
+        |  FROM src WHERE NOT (k % 7 = 0 AND k % 3 <> 0 AND k % 5 <> 0)),
+        |inserted AS (
+        |  SELECT k + 100000000 AS k, o_custkey AS custkey, 'N' AS status,
+        |    CAST(1.5 AS DOUBLE) AS price
+        |  FROM src WHERE k % 10 = 0)
+        |SELECT k, custkey, status, price FROM updated
+        |UNION ALL SELECT k, custkey, status, price FROM inserted
+        |ORDER BY k""".stripMargin,
+    "q_o6_resume" ->
+      """SELECT s_suppkey, s_name, s_nationkey,
+        |  (SELECT count(*) FROM region) AS n_region
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "q_s5_catalog" ->
+      """SELECT * FROM (VALUES
+        |  ('app.items', '_id', 'app,web'),
+        |  ('app.system.js', '_id', 'app,web'),
+        |  ('app.users', '_id', 'app,web'),
+        |  ('web.sessions', '_id', 'app,web')) t(ns, key, dbs)
+        |ORDER BY ns""".stripMargin,
+    "q_a3_observe" ->
+      """SELECT 'src.part' AS ns, 'src.part' AS to_ns,
+        |  count(*) AS rows_read, count(*) AS rows_in_target
+        |FROM part""".stripMargin,
+    "q_d1_manifest" ->
+      """SELECT * FROM (VALUES
+        |  ('collection', 'src.region', ''),
+        |  ('collection', 'tgt.nation2', ''),
+        |  ('index', 'src.region', '{"r_regionkey":1}'),
+        |  ('index', 'tgt.nation2', '{"n_nationkey":1}')) t(section, ns, detail)
+        |ORDER BY section, ns""".stripMargin,
+    "q_d4_partitions" ->
+      """WITH d AS (SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS k FROM customer),
+        |o AS (SELECT k, row_number() OVER (ORDER BY k) - 1 AS i,
+        |             lead(k) OVER (ORDER BY k) AS nxt FROM d),
+        |c AS (SELECT count(*) AS n FROM d)
+        |SELECT o.k AS min_key,
+        |  '{"c_nationkey":"' || coalesce(CAST(nxt AS VARCHAR), '+inf') || '"}' AS max_json,
+        |  'shard' || CAST(i % 3 AS VARCHAR) AS shard,
+        |  CAST(n AS INT) AS suggested, TRUE AS unchunked_is_none
+        |FROM o, c ORDER BY min_key""".stripMargin
   )
 }

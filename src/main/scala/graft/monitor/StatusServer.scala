@@ -68,13 +68,27 @@ final class StatusServer private (server: HttpServer, val port: Int) {
 
 object StatusServer {
 
-  /** The polling shell served at `/` (the reference's chart page,
-    * template-free). */
+  /** The chart page served at `/` — the reference's inlined progress
+    * chart (web_server.go:59-88), template-free: the JSON the server
+    * already publishes is rendered client-side as an inline SVG stacked
+    * bar (completed / failed / remaining tasks) with the percent and
+    * `elapsed × (1−p)/p` ETA line, re-polled every second. */
   private val Page =
     """<!DOCTYPE html><html><head><title>graft</title></head><body>
-      |<h3>graft migration status</h3><pre id="s">loading...</pre>
-      |<script>setInterval(async()=>{const r=await fetch('/status');
-      |document.getElementById('s').textContent=JSON.stringify(await r.json(),null,2);},1000);
+      |<h3>graft migration status</h3>
+      |<svg id="bar" width="480" height="28" style="border:1px solid #888">
+      |<rect id="done" x="0" y="0" height="28" width="0" fill="#2a4"/>
+      |<rect id="fail" x="0" y="0" height="28" width="0" fill="#c33"/>
+      |</svg>
+      |<div id="line"></div><pre id="s">loading...</pre>
+      |<script>setInterval(async()=>{const r=await fetch('/status');const j=await r.json();
+      |const W=480,t=Math.max(j.total||0,1),dw=W*(j.completed||0)/t,fw=W*(j.failed||0)/t;
+      |document.getElementById('done').setAttribute('width',dw);
+      |const f=document.getElementById('fail');f.setAttribute('x',dw);f.setAttribute('width',fw);
+      |const eta=j.etaMs==null?'n/a':(j.etaMs/1000).toFixed(1)+'s';
+      |document.getElementById('line').textContent=
+      |  (100*(j.percent||0)).toFixed(1)+'% of '+(j.total||0)+' tasks, eta '+eta;
+      |document.getElementById('s').textContent=JSON.stringify(j,null,2);},1000);
       |</script></body></html>""".stripMargin
 
   /** Bind and start on `port` (0 = ephemeral; read the actual port from

@@ -55,7 +55,11 @@ class StatusServerSpec extends SparkSpec {
       // the endpoint still answers after the job with the final numbers
       val after = get(s"$base/status")
       assert(after.contains(s""""completed":${snap.completed}"""))
-      assert(get(s"$base/").contains("graft migration status"))
+      val page = get(s"$base/")
+      assert(page.contains("graft migration status"))
+      // the chart page: an inline SVG stacked bar fed by /status
+      assert(page.contains("<svg") && page.contains("id=\"done\"")
+        && page.contains("id=\"fail\"") && page.contains("etaMs"))
     } finally server.stop()
   }
 }
