@@ -776,6 +776,48 @@ object SparkEntry {
           "doc_id", col("text"))
         .orderBy("doc_id")),
 
+    // ---- bigram-LM surprisal: each token scored by p(w_i | w_{i-1})
+    // from a corpus-trained bigram model (first token backs off to the
+    // unigram model), milli-nat quantized before the per-doc sum.
+    // The prev token is carried NARROW from the token array — no
+    // positions self-join ----
+    "q_surprisal_bigram" -> ((s, dir) =>
+      text.TextFunctions.bigramSurprisal(load(s, dir, "documents"),
+          "doc_id", col("text"))
+        .orderBy("doc_id")),
+
+    // ---- temperature-scaled domain sampling (α = 1/2): skewed strata
+    // (8:4:2:1:1 over doc_id%16) damped toward balance under one global
+    // document budget; weights floor(10⁶·√(n/N)) are IEEE-exact in any
+    // engine, targets/thresholds are pure integer arithmetic, admission
+    // is the md5 hash bucket — no corpus shuffle, no sort ----
+    "q_mix_temperature" -> ((s, dir) => {
+      val domain = when(col("doc_id") % 16 < 8, "web")
+        .when(col("doc_id") % 16 < 12, "books")
+        .when(col("doc_id") % 16 < 14, "code")
+        .when(col("doc_id") % 16 < 15, "wiki")
+        .otherwise("academic")
+      text.Mixing.temperatureSample(load(s, dir, "documents"),
+          "doc_id", domain, targetTotal = 150)
+        .orderBy("doc_id")
+    }),
+
+    // ---- semantic dedup (SemDeDup): IVF-cluster the embedding space,
+    // quantized-cosine ≥ 0.9 pairs WITHIN each cluster, keep the min-id
+    // root per connected component; near-dups planted as 1.1-scaled
+    // copies (cosine 1.0 with their original) ----
+    "q_semantic_dedup" -> ((s, dir) => {
+      val e = load(s, dir, "embeddings").filter(col("vec_id") < 1500)
+        .select("vec_id", "embedding")
+      val corpus = e.unionByName(
+        e.filter(col("vec_id") % 7 === 0).select(
+          (col("vec_id") + 100000L).as("vec_id"),
+          transform(col("embedding"), x => (x.cast("double") * 1.1).cast("float"))
+            .as("embedding")))
+      ml.Similarity.semanticDedup(corpus, "vec_id", "embedding", numCentroids = 8)
+        .orderBy("vec_id")
+    }),
+
     // ---- sequence packing manifest: split + shard + windowed cumsum —
     // where every doc lands in the fixed-capacity training sequences.
     // Sharding by the split bucket keeps windows small and parallel
@@ -2445,6 +2487,104 @@ object SparkEntry {
         |  CAST(sum(mnats) AS BIGINT) AS total_mnats,
         |  CAST(sum(mnats) AS DOUBLE) / 1000.0 / count(*) AS avg_surprisal_nats
         |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_surprisal_bigram" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |p0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
+        |       FROM d WHERE len(toks) >= 1),
+        |pos AS (SELECT doc_id, toks[i] AS tok,
+        |          CASE WHEN i > 1 THEN toks[i-1] END AS prev FROM p0),
+        |tot AS (SELECT count(*) AS n FROM pos),
+        |uni AS (SELECT tok, count(*) AS tf FROM pos GROUP BY 1),
+        |bi AS (SELECT prev, tok, count(*) AS bf FROM pos
+        |       WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |ctx AS (SELECT prev, sum(bf) AS cf FROM bi GROUP BY 1),
+        |sc AS (
+        |  SELECT p.doc_id,
+        |    CAST(floor(-1000.0 * ln(CAST(u.tf AS DOUBLE) / tot.n)) AS BIGINT) AS mnats
+        |  FROM pos p JOIN uni u ON u.tok = p.tok CROSS JOIN tot
+        |  WHERE p.prev IS NULL
+        |  UNION ALL
+        |  SELECT p.doc_id,
+        |    CAST(floor(-1000.0 * ln(CAST(b.bf AS DOUBLE) / c.cf)) AS BIGINT) AS mnats
+        |  FROM pos p
+        |  JOIN bi b ON b.prev = p.prev AND b.tok = p.tok
+        |  JOIN ctx c ON c.prev = p.prev)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(mnats) AS BIGINT) AS total_mnats,
+        |  CAST(sum(mnats) AS DOUBLE) / 1000.0 / count(*) AS avg_surprisal_nats
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_mix_temperature" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 16 < 8 THEN 'web'
+        |         WHEN doc_id % 16 < 12 THEN 'books'
+        |         WHEN doc_id % 16 < 14 THEN 'code'
+        |         WHEN doc_id % 16 < 15 THEN 'wiki'
+        |         ELSE 'academic' END AS stratum,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':temp'), 1, 8))
+        |         AS BIGINT) % 10000 AS b
+        |  FROM documents),
+        |c AS (SELECT stratum, count(*) AS n_docs FROM d GROUP BY 1),
+        |t AS (SELECT sum(n_docs) AS N FROM c),
+        |w AS (SELECT stratum, n_docs,
+        |        CAST(floor(1000000.0 * sqrt(CAST(n_docs AS DOUBLE) / N)) AS BIGINT)
+        |          AS weight_ppm
+        |      FROM c, t),
+        |ws AS (SELECT sum(weight_ppm) AS W FROM w),
+        |r AS (SELECT stratum, n_docs, weight_ppm,
+        |        CAST((150 * CAST(weight_ppm AS HUGEINT)) // W AS BIGINT) AS target_docs
+        |      FROM w, ws),
+        |r2 AS (SELECT *, least(10000,
+        |         CAST((CAST(target_docs AS HUGEINT) * 10000) // n_docs AS BIGINT)) AS frac
+        |       FROM r)
+        |SELECT d.doc_id, d.stratum, r2.n_docs, r2.weight_ppm, r2.target_docs
+        |FROM d JOIN r2 USING (stratum)
+        |WHERE d.b < r2.frac ORDER BY d.doc_id""".stripMargin,
+    "q_semantic_dedup" ->
+      s"""WITH RECURSIVE base AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1500),
+         |corpus AS (
+         |  SELECT vec_id, embedding FROM base
+         |  UNION ALL
+         |  SELECT vec_id + 100000,
+         |         list_transform(embedding, v -> CAST(CAST(v AS DOUBLE) * 1.1 AS FLOAT))
+         |  FROM base WHERE vec_id % 7 = 0),
+         |cent AS (SELECT row_number() OVER (ORDER BY vec_id) AS cidx, embedding
+         |         FROM (SELECT * FROM corpus ORDER BY vec_id LIMIT 8)),
+         |cd AS (SELECT v.vec_id, c.cidx,
+         |         ${dotQ("v.embedding", "c.embedding")} AS dot
+         |       FROM corpus v, cent c),
+         |asgn AS (SELECT vec_id, CAST(cidx AS INT) AS cluster FROM (
+         |           SELECT vec_id, cidx,
+         |             row_number() OVER (PARTITION BY vec_id
+         |                  ORDER BY dot DESC, cidx) AS rn
+         |           FROM cd) WHERE rn = 1),
+         |side AS (SELECT a.vec_id, a.cluster, c.embedding,
+         |           ${dotQ("c.embedding", "c.embedding")} AS n2
+         |         FROM asgn a JOIN corpus c ON c.vec_id = a.vec_id),
+         |pairs AS (
+         |  SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+         |    ${dotQ("x.embedding", "y.embedding")} AS dot_q,
+         |    x.n2 AS n2_a, y.n2 AS n2_b
+         |  FROM side x JOIN side y ON x.cluster = y.cluster AND x.vec_id < y.vec_id),
+         |verified AS (
+         |  SELECT id_a, id_b FROM pairs
+         |  WHERE dot_q > 0
+         |    AND 100 * CAST(dot_q AS HUGEINT) * CAST(dot_q AS HUGEINT)
+         |        >= 81 * CAST(n2_a AS HUGEINT) * CAST(n2_b AS HUGEINT)),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM verified
+         |          UNION SELECT id_b, id_a FROM verified),
+         |reach AS (
+         |  SELECT vec_id AS id, vec_id AS r FROM corpus
+         |  UNION
+         |  SELECT e.src AS id, reach.r AS r FROM edges e JOIN reach ON reach.id = e.dst),
+         |roots AS (SELECT id, min(r) AS root_id FROM reach GROUP BY 1)
+         |SELECT r.id AS vec_id, a.cluster, r.root_id,
+         |  CAST(r.id = r.root_id AS INT) AS keep
+         |FROM roots r JOIN asgn a ON a.vec_id = r.id
+         |ORDER BY vec_id""".stripMargin,
     "q_pack" ->
       """WITH d AS (
         |  SELECT doc_id,

@@ -276,6 +276,45 @@ object Similarity {
       .withColumn("recall", col("hits") / col("exact_k"))
   }
 
+  /** Semantic deduplication (the SemDeDup recipe): cluster the
+    * embedding space with the IVF coarse quantizer, find near-duplicate
+    * pairs WITHIN each cluster by the quantized-cosine ≥ 0.9 rule, and
+    * keep one representative (the min-id root) per connected component.
+    * Exact dedup misses paraphrases and near-verbatim rewrites that
+    * land on distinct bytes but the same embedding neighborhood — this
+    * is the pass that removes them.
+    *
+    * Returns one row per input doc: (idCol, cluster, root_id, keep) —
+    * `keep = 1` marks the component representative (singletons keep
+    * themselves), so `filter(keep === 1)` IS the deduped corpus and the
+    * (root_id, id) pairs are the provenance map.
+    *
+    * Plan shape at 100 TB: cluster assignment is the [[ivfAssign]]
+    * literal-matrix projection (narrow, no shuffle); candidate pairing
+    * is [[nearDupPairs]] keyed on the cluster — all-pairs only WITHIN a
+    * cluster, so sizing `numCentroids` ≈ √corpus bounds each cluster's
+    * pair count (the SemDeDup contract; pass Lloyd-refined `centroids`
+    * via [[ivfRefine]] to keep clusters balanced — skewed raw data can
+    * still produce a hot cluster, which shows up as one heavy join
+    * task: sub-bucket with [[lshBucket]] inside the cluster key if so);
+    * component resolution is the adaptive driver/distributed
+    * [[graft.text.Dedup.resolveClusters]]. Every stage is integer-exact
+    * → the kept set is engine- and partitioning-reproducible. */
+  def semanticDedup(df: DataFrame, idCol: String, embCol: String,
+      numCentroids: Int,
+      centroids: Option[IndexedSeq[Seq[Long]]] = None): DataFrame = {
+    val cents = centroids.getOrElse(ivfCentroids(df, idCol, embCol, numCentroids))
+    val assigned = df.select(col(idCol), col(embCol),
+      ivfAssign(quantize(col(embCol)), cents).as("cluster"))
+    val pairs = nearDupPairs(assigned, idCol, embCol, "cluster")
+      .select("id_a", "id_b")
+    val roots = graft.text.Dedup.resolveClusters(assigned.select(col(idCol)), pairs)
+    assigned.select(col(idCol), col("cluster"))
+      .join(roots, col(idCol) === col("id"))
+      .select(col(idCol), col("cluster"), col("root").as("root_id"),
+        (col(idCol) === col("root")).cast("int").as("keep"))
+  }
+
   /** Near-duplicate pairs by quantized cosine threshold within a bucket:
     * cos(a,b) ≥ t  ⇔  dot² · S ≥ t²·S · |a|²·|b|²  (dot > 0), kept in
     * exact integer arithmetic: with t = 0.9 and S = 100:

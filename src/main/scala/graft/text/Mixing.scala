@@ -79,4 +79,57 @@ object Mixing {
         .localCheckpoint(true)
     } finally { release() }
   }
+
+  /** Temperature-scaled stratum sampling — the multilingual/domain
+    * REBALANCING step (the "T = 2 sampling" of multilingual training
+    * mixes): sample each stratum with probability proportional to
+    * `(n_d / N)^α` with α = 1/2, so high-resource domains are damped
+    * and low-resource domains keep proportionally more of their
+    * documents. Downsampling only — a stratum whose damped target
+    * exceeds its size keeps all its documents once (upsampling =
+    * repeating docs is an epoch-schedule concern, not a selection one).
+    *
+    * Engine-exactness: α is FIXED at 1/2 because IEEE-754 requires
+    * division, multiplication, and `sqrt` to be exactly rounded — so
+    * `floor(10⁶·sqrt(n_d/N))` is bit-identical on the JVM and in any
+    * IEEE SQL engine (no libm involved; `pow(x, α)` for general α
+    * would carry the same ulp caveat as the milli-nat `ln`
+    * quantization). Everything after that weight is integer
+    * arithmetic in DECIMAL(38,0): per-stratum document targets
+    * `⌊T·w_d / ΣW⌋` and hash-bucket admission thresholds
+    * `min(G, ⌊target·G / n_d⌋)` — membership is a pure function of
+    * (corpus keys, targetTotal, salt), deterministic across engines,
+    * retries, and partitionings.
+    *
+    * Plan shape at 100 TB: ONE map-side-combined stratum count
+    * (strata-sized output), two 1-row broadcast cross joins for the
+    * totals (N, ΣW), one broadcast of the strata-sized rule back onto
+    * the corpus, and the narrow md5-bucket filter — the corpus itself
+    * never shuffles and nothing is ever sorted. */
+  def temperatureSample(df: DataFrame, idCol: String, stratum: Column,
+      targetTotal: Long, salt: String = "temp"): DataFrame = {
+    require(targetTotal > 0, "targetTotal must be positive")
+    val g = Sampling.Granularity
+    val ann = df.select(col(idCol), stratum.as("stratum"),
+      Sampling.splitBucket(col(idCol), salt).as("__b"))
+    val counts = ann.groupBy("stratum").agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(sum(col("n_docs")).as("__N"))
+    // exactly-rounded IEEE chain: (÷, sqrt, ×, floor) — see scaladoc
+    val weighted = counts.crossJoin(broadcast(tot))
+      .withColumn("weight_ppm",
+        floor(lit(1000000.0) * sqrt(col("n_docs").cast("double") / col("__N")))
+          .cast("long"))
+    val wsum = weighted.agg(sum(col("weight_ppm")).as("__W"))
+    val rule = weighted.crossJoin(broadcast(wsum))
+      .withColumn("target_docs", expr(
+        s"CAST((CAST($targetTotal AS DECIMAL(38,0)) * weight_ppm) DIV __W AS BIGINT)"))
+      .withColumn("__frac", least(lit(g.toLong), expr(
+        s"CAST((CAST(target_docs AS DECIMAL(38,0)) * $g) DIV n_docs AS BIGINT)")))
+      .select(col("stratum"), col("n_docs"), col("weight_ppm"),
+        col("target_docs"), col("__frac"))
+    ann.join(broadcast(rule), Seq("stratum"))
+      .filter(col("__b") < col("__frac"))
+      .select(col(idCol), col("stratum"), col("n_docs"), col("weight_ppm"),
+        col("target_docs"))
+  }
 }

@@ -256,6 +256,68 @@ object TextFunctions {
     } finally { toks.unpersist(false); () }
   }
 
+  /** Bigram-LM surprisal — the next rung above [[unigramSurprisal]] on
+    * the CCNet/KenLM quality ladder: each token is scored by its
+    * in-context probability `p(w_i | w_{i−1})` from a bigram model
+    * trained on the scored corpus itself, so formulaic boilerplate
+    * (predictable continuations) scores LOW while incoherent token
+    * salad scores HIGH — a separation unigram frequency cannot make.
+    * The first token of a document has no context and scores against
+    * the unigram model (the standard sentence-start backoff).
+    *
+    * Same exactness convention as [[unigramSurprisal]]: every
+    * per-token −ln p is quantized to integer milli-nats BEFORE the
+    * per-document sum, so the aggregate is exact integer arithmetic
+    * with the documented residual ln-ulp caveat on the quantization
+    * itself.
+    *
+    * Plan shape: tokens explode ONCE, with the previous token carried
+    * NARROW from the token array (struct-explode — no positions
+    * self-join); the exploded table feeds four subtrees (unigram
+    * model, bigram model, context totals, probe) so it persists for
+    * the duration and is released on return. The unigram model
+    * broadcasts (vocabulary-sized). The BIGRAM model is the one table
+    * that outgrows a broadcast at 100 TB (distinct bigrams run ~10×
+    * vocabulary) — its join strategy is left to AQE: auto-broadcast
+    * while it fits, hash join co-partitioned on (prev, tok) beyond,
+    * still sort-free. Scoring NEW docs against a frozen model needs a
+    * smoothing floor for unseen bigrams — callers pre-join and fill
+    * (OOV cannot exist when the model is the corpus itself). */
+  def bigramSurprisal(df: DataFrame, idCol: String, text: Column): DataFrame = {
+    val toks = whitespaceTokens(lower(text))
+    val pos = df.filter(text.isNotNull)
+      .select(col(idCol), toks.as("__toks"))
+      .filter(size(col("__toks")) >= 1)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("__toks"))),
+        i => struct(element_at(col("__toks"), i).as("tok"),
+          when(i > 1, element_at(col("__toks"), i - 1)).as("prev")))).as("__p"))
+      .select(col(idCol), col("__p.tok").as("tok"), col("__p.prev").as("prev"))
+      .persist()
+    try {
+      val total = pos.count()
+      val uni = pos.groupBy("tok").agg(count(lit(1)).as("__tf"))
+      val bi = pos.filter(col("prev").isNotNull)
+        .groupBy("prev", "tok").agg(count(lit(1)).as("__bf"))
+      val ctx = bi.groupBy("prev").agg(sum(col("__bf")).as("__cf"))
+      val firsts = pos.filter(col("prev").isNull)
+        .join(broadcast(uni), Seq("tok"))
+        .select(col(idCol), floor(lit(-1000.0) *
+          log(col("__tf").cast("double") / total)).cast("long").as("__mnats"))
+      val rest = pos.filter(col("prev").isNotNull)
+        .join(bi, Seq("prev", "tok"))
+        .join(ctx, Seq("prev"))
+        .select(col(idCol), floor(lit(-1000.0) *
+          log(col("__bf").cast("double") / col("__cf"))).cast("long").as("__mnats"))
+      firsts.unionByName(rest)
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("__mnats")).as("total_mnats"))
+        .withColumn("avg_surprisal_nats",
+          col("total_mnats").cast("double") / lit(1000.0) / col("n_tokens"))
+        .localCheckpoint(true)
+    } finally { pos.unpersist(false); () }
+  }
+
   /** Canonical text normalization — the pre-dedup cleanup pass:
     * lowercase, control characters (and NBSP) to spaces, whitespace
     * runs collapsed to one space, trimmed. Raw exact dedup misses

@@ -185,4 +185,28 @@ class SimilaritySpec extends SparkSpec {
     assert(out.filter(col("rank") > 3).count() == 0 && out.count() > 0)
     bucketed.unpersist()
   }
+
+  test("semanticDedup keeps one representative per planted near-dup component") {
+    // two orthogonal clusters (centroids = ids 1,2); 3≈1 and 4≈2 are
+    // planted near-dups; 5 is anti-parallel to cluster 1's axis, so its
+    // best dot lands in cluster 2 with dot ~0 — never a dup edge
+    val vecs = Seq(
+      (1L, Array(10f, 0f)), (2L, Array(0f, 10f)),
+      (3L, Array(10.1f, 0.05f)), (4L, Array(0.05f, 9.9f)),
+      (5L, Array(-10f, 0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(vecs, "vec_id", "embedding",
+      numCentroids = 2).cache()
+    val byId = out.select("vec_id", "root_id", "keep")
+      .as[(Long, Long, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(byId(1L) == ((1L, 1)) && byId(3L) == ((1L, 0)))
+    assert(byId(2L) == ((2L, 1)) && byId(4L) == ((2L, 0)))
+    assert(byId(5L) == ((5L, 1))) // singleton keeps itself
+    // filter(keep = 1) IS the deduped corpus
+    assert(out.filter(col("keep") === 1).count() == 3)
+    // clusters: 1,3 share one; 2,4 share the other
+    val cl = out.select("vec_id", "cluster").as[(Long, Int)].collect().toMap
+    assert(cl(1L) == cl(3L) && cl(2L) == cl(4L) && cl(1L) != cl(2L))
+    out.unpersist()
+  }
 }

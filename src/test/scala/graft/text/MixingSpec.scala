@@ -34,6 +34,46 @@ class MixingSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("temperatureSample damps large strata and matches hand-computed weights") {
+    // skewed strata: 160 "web", 40 "niche" → N=200
+    val skewed = ((1L to 160L).map(i => (i, "web")) ++
+      (201L to 240L).map(i => (i, "niche"))).toDF("doc_id", "stratum")
+    val out = Mixing.temperatureSample(skewed, "doc_id", col("stratum"),
+      targetTotal = 100).cache()
+    // hand-compute the exact rule the scaladoc promises
+    def ppm(n: Long, tot: Long): Long =
+      math.floor(1000000.0 * math.sqrt(n.toDouble / tot)).toLong
+    val wWeb = ppm(160, 200); val wNiche = ppm(40, 200)
+    val sumW = wWeb + wNiche
+    val tWeb = 100L * wWeb / sumW; val tNiche = 100L * wNiche / sumW
+    val row = out.filter(col("stratum") === "web")
+      .select("weight_ppm", "target_docs").distinct().as[(Long, Long)].head()
+    assert(row == ((wWeb, tWeb)))
+    val rowN = out.filter(col("stratum") === "niche")
+      .select("weight_ppm", "target_docs").distinct().as[(Long, Long)].head()
+    assert(rowN == ((wNiche, tNiche)))
+    // damping: the small stratum keeps a strictly HIGHER fraction of its
+    // docs than the large one (α=1/2 compresses the ratio 4:1 → 2:1)
+    assert(tNiche.toDouble / 40 > tWeb.toDouble / 160)
+    // admitted counts land within bucket resolution of the targets
+    val kept = out.groupBy("stratum").count().as[(String, Long)].collect().toMap
+    assert(math.abs(kept("web") - tWeb) <= 8, s"web kept ${kept("web")} vs $tWeb")
+    assert(math.abs(kept("niche") - tNiche) <= 8)
+    // deterministic: a re-run selects the identical doc set
+    val again = Mixing.temperatureSample(skewed, "doc_id", col("stratum"), 100)
+    assert(out.select("doc_id").except(again.select("doc_id")).count() == 0)
+    out.unpersist()
+  }
+
+  test("temperatureSample keeps a whole stratum when its damped target exceeds it") {
+    // 3 docs vs 300: the tiny stratum's target (≈ √-damped share of 150)
+    // exceeds 3 → frac caps at the full granularity, all 3 kept
+    val df = ((1L to 300L).map(i => (i, "big")) ++
+      Seq((901L, "tiny"), (902L, "tiny"), (903L, "tiny"))).toDF("doc_id", "stratum")
+    val out = Mixing.temperatureSample(df, "doc_id", col("stratum"), 150)
+    assert(out.filter(col("stratum") === "tiny").count() == 3)
+  }
+
   test("budgetSelect admits everything when the budget exceeds the stratum") {
     val out = Mixing.budgetSelect(corpus, "doc_id", col("stratum"),
       col("n_tokens"), col("quality"), Seq("en" -> 100000L))

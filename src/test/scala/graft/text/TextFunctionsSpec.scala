@@ -138,6 +138,38 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out(1L)._1 == 4 && out(2L)._1 == 4)
   }
 
+  test("bigramSurprisal: hand-built bigram model; boilerplate scores below salad") {
+    val df = Seq(
+      (1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "a")).toDF("doc_id", "text")
+    val out = TextFunctions.bigramSurprisal(df, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // tokens: total 7; uni a=4,b=2,c=1; bigrams (a,b)=2,(a,c)=1, ctx(a)=3
+    def m(p: Double) = math.floor(-1000.0 * math.log(p)).toLong
+    val firstA = m(4.0 / 7)      // first token backs off to the unigram model
+    assert(out(1L)._2 == firstA + m(2.0 / 3)) // p(b|a)=2/3
+    assert(out(2L) == out(1L))                // identical docs score identically
+    assert(out(3L)._2 == firstA + m(1.0 / 3)) // p(c|a)=1/3
+    assert(out(4L)._2 == firstA)              // single-token doc: unigram only
+    // the rarer continuation is more surprising than the common one
+    assert(out(3L)._3 > out(1L)._3)
+    assert(out.values.forall(_._1 > 0))
+  }
+
+  test("bigramSurprisal separates predictable repetition from token salad") {
+    // same token MULTISET, different order: the bigram model sees the
+    // repeated "x y" continuation as predictable, the shuffled doc not —
+    // a separation unigram surprisal cannot make (it scores both equal)
+    val df = Seq(
+      (1L, "x y x y x y x y"),
+      (2L, "x x y x y y x y")).toDF("doc_id", "text")
+    val bi = TextFunctions.bigramSurprisal(df, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val uni = TextFunctions.unigramSurprisal(df, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(uni(1L) == uni(2L))
+    assert(bi(1L) < bi(2L))
+  }
+
   test("approx_percentile tracks exact percentile (the 100 TB swap-in for q_corpus_stats)") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val n = TextFunctions.qualityStats(docs, col("text")).select("n_tokens")
