@@ -119,7 +119,7 @@ object Migrate {
   def compare(spark: SparkSession, cfg: MigratorConfig, source: Catalog,
       sink: Catalog, buckets: Int = 4096): Map[String, Compare.CompareSummary] = {
     CopyJob.plan(cfg, source).map { case (ns, spec) =>
-      val to = spec.map(_.toNamespace).getOrElse(ns)
+      val to = CopyJob.targetOf(ns, spec)
       val key = source.keyOf(ns)
       val src = spec.filter(_.hasFilter)
         .map(sp => source.read(ns).filter(sp.predicate))
@@ -155,7 +155,7 @@ object Migrate {
   def compareChunked(spark: SparkSession, cfg: MigratorConfig, source: Catalog,
       sink: Catalog, block: Int = 10000): Map[String, Compare.CompareSummary] = {
     CopyJob.plan(cfg, source).map { case (ns, spec) =>
-      val to = spec.map(_.toNamespace).getOrElse(ns)
+      val to = CopyJob.targetOf(ns, spec)
       val key = source.keyOf(ns)
       val src = spec.filter(_.hasFilter)
         .map(sp => source.read(ns).filter(sp.predicate))

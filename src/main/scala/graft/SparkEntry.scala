@@ -1282,6 +1282,121 @@ object SparkEntry {
         .withColumn("suggested", lit(n))
         .withColumn("unchunked_is_none", lit(unchunkedNone))
         .orderBy("min_key")
+    }),
+
+    // ---- P3/X3: wildcard include expansion through the REAL copy
+    // fan-out (SkipNamespace wildcards, migrator.go:237-251; per-ns
+    // fan-out, data_copier.go:71-107) — `*.nation` expands while an
+    // exact include renames `src.region`; each expansion must land
+    // under its OWN name (a wildcard's literal `db.*` string must
+    // never become a write target). The oracle recomputes per-ns row
+    // counts and the expected sink namespace list. ----
+    "q_p3_wildcards" -> ((s, dir) => {
+      import s.implicits._
+      val out = scratchDir("p3")
+      val source = new sources.ParquetCatalog(s, dir, db = "src")
+      val sink = new sources.ParquetCatalog(s, out, db = "src")
+      val cfg = config.MigratorConfig(command = "data", source = dir, target = out,
+        includes = Seq(config.IncludeSpec(namespace = "*.nation"),
+          config.IncludeSpec(namespace = "src.region", to = "src.region2")))
+      val res = copy.CopyJob.run(cfg, source, sink)
+      val sinkNs = sink.listNamespaces().sorted.mkString(",")
+      res.map(r => (r.namespace, r.to, r.rowsRead))
+        .toDF("ns", "to_ns", "rows_read")
+        .withColumn("sink_ns", lit(sinkNs))
+        .orderBy("ns")
+    }),
+
+    // ---- A5: apply-result counters (BulkWriteOplogsResult,
+    // oplog_utils.go:79-85) — one applyBatch over a change-log with
+    // disjoint op classes against a seeded state table; the counters
+    // come from the SAME fold that writes the merge (no second pass).
+    // The oracle recomputes inserted/modified/deleted from `orders`.
+    // Skip-fodder (`local.junk` + empty-ns noops) must not count. ----
+    "q_a5_counters" -> ((s, dir) => {
+      import s.implicits._
+      val out = scratchDir("a5")
+      val sink = new sources.ParquetCatalog(s, s"$out/sink", db = "app")
+      val cfg = config.MigratorConfig(command = "data", source = dir, target = out)
+      val orders = load(s, dir, "orders")
+      val k = col("o_orderkey")
+      sink.write("app.orders_state", orders.select(
+        k.cast("string").as("id"),
+        to_json(struct(k.as("_id"), col("o_custkey").as("custkey"),
+          col("o_orderstatus").as("status"), col("o_totalprice").as("price"))).as("doc")))
+      val ns = lit("app.orders_state")
+      def op(ts: Long, opc: String, nsCol: org.apache.spark.sql.Column,
+          o: org.apache.spark.sql.Column, o2: org.apache.spark.sql.Column) = Seq(
+        lit(ts).as("ts"), lit(opc).as("op"), nsCol.as("ns"), o.as("o"), o2.as("o2"),
+        lit(0L).as("h"), lit(0L).as("t"), lit(2).as("v"))
+      val nullS = lit(null).cast("string")
+      val inserts = orders.filter(k % 10 === 0).select(op(1L, "i", ns,
+        to_json(struct((k + 100000000L).as("_id"), col("o_custkey").as("custkey"),
+          lit("N").as("status"), lit(1.5).as("price"))), nullS): _*)
+      val v2Updates = orders.filter(k % 3 === 0).select(op(2L, "u", ns,
+        to_json(struct(struct(struct(lit("X").as("status")).as("u")).as("diff"))),
+        to_json(struct(k.as("_id")))): _*)
+      val v1Incs = orders.filter(k % 5 === 0 && k % 3 =!= 0).select(op(3L, "u", ns,
+        lit("""{"$v":1,"$inc":{"price":10}}"""), to_json(struct(k.as("_id")))): _*)
+      val deletes = orders.filter(k % 7 === 0 && k % 3 =!= 0 && k % 5 =!= 0)
+        .select(op(4L, "d", ns, to_json(struct(k.as("_id"))), nullS): _*)
+      val noise = orders.filter(k % 13 === 0).select(op(5L, "i", lit("local.junk"),
+        lit("""{"_id":1}"""), nullS): _*)
+      val noops = orders.filter(k % 13 === 0).select(op(5L, "n", lit(""),
+        nullS, nullS): _*)
+      val batch = inserts.unionByName(v2Updates).unionByName(v1Incs)
+        .unionByName(deletes).unionByName(noise).unionByName(noops)
+      val res = streaming.ApplyJob.applyBatch(batch.as[streaming.Oplog], sink, cfg)
+      res.counts.toSeq.map { case (n, c) =>
+        (n, c.inserted, c.modified, c.deleted, c.total) }
+        .toDF("ns", "inserted", "modified", "deleted", "total")
+        .orderBy("ns")
+    }),
+
+    // ---- K4/S9: the status log sink + its read-back scan
+    // (Workspace.Log → _neutrino.logs, workspace.go:125-133;
+    // FindAllParentTasks-style state reads, workspace.go:312-331) —
+    // three lifecycle statuses appended through the real Workspace,
+    // read back in (ts, seq) append order. Wall-clock columns stay
+    // internal; the pinned output is the ordinal + status. ----
+    "q_k4_logs" -> ((s, dir) => {
+      import s.implicits._
+      val out = scratchDir("k4")
+      val sink = new sources.ParquetCatalog(s, out, db = "meta")
+      val ws = new sources.Workspace(s, sink)
+      ws.log("copy started")
+      ws.log("copy completed")
+      ws.log("stream caught up")
+      val w = Window.orderBy(col("ts"), col("seq"))
+      ws.logs() // tiny meta table: the global window is 3 rows
+        .withColumn("ordinal", row_number().over(w).cast("long"))
+        .select("ordinal", "status")
+        .orderBy("ordinal")
+    }),
+
+    // ---- D5/D6: the drop + pre-flight guard lifecycle
+    // (DoesDataExist, config_copier.go:114-130; DropCollections,
+    // migrator.go:155-193) — a half-seeded target WITHOUT drop must be
+    // refused (and stay untouched: the guard validates every namespace
+    // before mutating any); the same config WITH drop replaces it with
+    // the full copy. The oracle recomputes both counts from `nation`. ----
+    "q_d5_guard" -> ((s, dir) => {
+      import s.implicits._
+      val out = scratchDir("d5")
+      val source = new sources.ParquetCatalog(s, dir, db = "src")
+      val sink = new sources.ParquetCatalog(s, s"$out/sink", db = "src")
+      sink.write("src.nation",
+        load(s, dir, "nation").filter(col("n_nationkey") % 2 === 0))
+      val cfg = config.MigratorConfig(command = "data", source = dir, target = out,
+        includes = Seq(config.IncludeSpec(namespace = "src.nation")))
+      val refused =
+        try { copy.CopyJob.run(cfg, source, sink); false }
+        catch { case _: IllegalStateException => true }
+      val intact = sink.read("src.nation").count()
+      copy.CopyJob.run(cfg.copy(isDrop = true), source, sink)
+      val recopied = sink.read("src.nation").count()
+      Seq((refused, intact, recopied))
+        .toDF("refused", "intact_rows", "recopied_rows")
     })
   )
 
@@ -2719,6 +2834,34 @@ object SparkEntry {
         |  '{"c_nationkey":"' || coalesce(CAST(nxt AS VARCHAR), '+inf') || '"}' AS max_json,
         |  'shard' || CAST(i % 3 AS VARCHAR) AS shard,
         |  CAST(n AS INT) AS suggested, TRUE AS unchunked_is_none
-        |FROM o, c ORDER BY min_key""".stripMargin
+        |FROM o, c ORDER BY min_key""".stripMargin,
+    "q_p3_wildcards" ->
+      """SELECT 'src.nation' AS ns, 'src.nation' AS to_ns,
+        |  (SELECT count(*) FROM nation) AS rows_read,
+        |  'src.nation,src.region2' AS sink_ns
+        |UNION ALL
+        |SELECT 'src.region', 'src.region2',
+        |  (SELECT count(*) FROM region), 'src.nation,src.region2'
+        |ORDER BY ns""".stripMargin,
+    "q_a5_counters" ->
+      """SELECT ns, inserted, modified, deleted,
+        |  inserted + modified + deleted AS total
+        |FROM (
+        |  SELECT 'app.orders_state' AS ns,
+        |    (SELECT count(*) FROM orders WHERE o_orderkey % 10 = 0) AS inserted,
+        |    (SELECT count(*) FROM orders WHERE o_orderkey % 3 = 0
+        |       OR (o_orderkey % 5 = 0 AND o_orderkey % 3 <> 0)) AS modified,
+        |    (SELECT count(*) FROM orders WHERE o_orderkey % 7 = 0
+        |       AND o_orderkey % 3 <> 0 AND o_orderkey % 5 <> 0) AS deleted)""".stripMargin,
+    "q_k4_logs" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'copy started'),
+        |  (CAST(2 AS BIGINT), 'copy completed'),
+        |  (CAST(3 AS BIGINT), 'stream caught up')) t(ordinal, status)
+        |ORDER BY ordinal""".stripMargin,
+    "q_d5_guard" ->
+      """SELECT TRUE AS refused,
+        |  (SELECT count(*) FROM nation WHERE n_nationkey % 2 = 0) AS intact_rows,
+        |  (SELECT count(*) FROM nation) AS recopied_rows""".stripMargin
   )
 }

@@ -39,6 +39,18 @@ object CopyJob {
     }
   }
 
+  /** Target namespace for `ns`: the `to` rename applies only when the
+    * spec names this EXACT namespace. A wildcard include's spec still
+    * carries filter/limit/masks for every expansion it matched, but its
+    * literal `db.*` namespace string (which `IncludeSpec.toNamespace`
+    * falls back to when `to` is empty) must never become a write
+    * target — every expansion of the wildcard would collapse into one
+    * `db.*` table. Same exact-match-only contract as
+    * `MigratorConfig.toNamespace`, which the DDL manifest and the oplog
+    * apply path already use. */
+  def targetOf(ns: String, spec: Option[IncludeSpec]): String =
+    spec.collect { case s if s.namespace == ns => s.toNamespace }.getOrElse(ns)
+
   /** The per-namespace transform chain. Declarative all the way: the
     * filter Column pushes into the scan, limit becomes GlobalLimit,
     * masking is one projection. */
@@ -60,7 +72,7 @@ object CopyJob {
     val base = source.read(ns)
     val transformed = spec.map(transform(base, _)).getOrElse(base)
       .observe(obs, count(lit(1)).as("rows"))
-    val to = spec.map(_.toNamespace).getOrElse(ns)
+    val to = targetOf(ns, spec)
     val total = sink.upsert(to, transformed, key)
     CopyResult(ns, to, obs.get("rows").asInstanceOf[Long], total)
   }
@@ -82,7 +94,7 @@ object CopyJob {
     * leave the target untouched. */
   def preflight(cfg: MigratorConfig, planned: Seq[(String, Option[IncludeSpec])],
       sink: Catalog): Unit = {
-    val targets = planned.map { case (ns, spec) => spec.map(_.toNamespace).getOrElse(ns) }
+    val targets = planned.map { case (ns, spec) => targetOf(ns, spec) }
     if (!cfg.isDrop) {
       val nonEmpty = targets.filter(sink.dataExists)
       if (nonEmpty.nonEmpty)

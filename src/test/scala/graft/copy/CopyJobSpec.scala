@@ -36,6 +36,39 @@ class CopyJobSpec extends SparkSpec {
     assert(p2.find(_._1 == "src.orders").get._2.get.toNamespace == "src.orders2")
   }
 
+  test("wildcard include copies each expansion under its OWN name, never the literal db.*") {
+    // regression: copyNamespace/preflight used spec.toNamespace, which
+    // for a wildcard include with empty `to` returns the literal
+    // "wdb.*" — every expansion then upserts into ONE "wdb.*" table
+    val srcDir = tmpDir()
+    val wsrc = new ParquetCatalog(spark, srcDir, "wdb")
+    wsrc.write("wdb.a", spark.range(5).select(col("id").as("_id"), lit("a").as("t")))
+    wsrc.write("wdb.b", spark.range(9).select(col("id").as("_id"), lit("b").as("t")))
+    val out = tmpDir()
+    val sink = new ParquetCatalog(spark, out, "tgt")
+    val cfg = MigratorConfig.parse(
+      """{"command":"all","source":"s","target":"t","drop":true,
+        |"includes":[{"namespace":"wdb.*"}]}""".stripMargin)
+    val res = CopyJob.run(cfg, wsrc, sink)
+    assert(res.size == 2)
+    // each lands under its own name (the sink's db is tgt, table kept)
+    assert(res.forall(r => r.to == r.namespace))
+    assert(sink.read("wdb.a").count() == 5)
+    assert(sink.read("wdb.b").count() == 9)
+    assert(!sink.dataExists("wdb.*"))
+    // an exact rename alongside the wildcard still routes that one table
+    val out2 = tmpDir()
+    val sink2 = new ParquetCatalog(spark, out2, "tgt")
+    val cfg2 = MigratorConfig.parse(
+      """{"command":"all","source":"s","target":"t","drop":true,
+        |"includes":[{"namespace":"*.nation"},
+        |            {"namespace":"src.region","to":"src.region2"}]}""".stripMargin)
+    val res2 = CopyJob.run(cfg2, source, sink2)
+    assert(res2.map(r => r.namespace -> r.to).toMap ==
+      Map("src.nation" -> "src.nation", "src.region" -> "src.region2"))
+    assert(sink2.dataExists("src.region2") && !sink2.dataExists("src.region"))
+  }
+
   test("filter+limit+mask+rename copy end-to-end (§7.2 flagship slice)") {
     val out = tmpDir()
     val sink = new ParquetCatalog(spark, out, "tgt")
