@@ -1397,6 +1397,66 @@ object SparkEntry {
       val recopied = sink.read("src.nation").count()
       Seq((refused, intact, recopied))
         .toDF("refused", "intact_rows", "recopied_rows")
+    }),
+
+    // ---- Streaming curation chain end-to-end (DocStream.curateStream:
+    // exact-dup gate → quality/lang filter → PII scrub → hash split)
+    // driven through a REAL file stream under Trigger.AvailableNow, with
+    // every gate recomputed by DuckDB. Planted duplicates are
+    // byte-identical rows (the fixture corpus has no natural dup texts),
+    // so the first-wins gate's output is arrival-order-independent:
+    // exactly one survivor per content key whichever copy wins. ----
+    "q_st_curate" -> ((s, dir) => {
+      val out = scratchDir("stc")
+      val d = load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = d.unionByName(d.filter(col("doc_id") % 7 === 0))
+        .withColumn("event_ts",
+          timestamp_seconds(lit(1700000000L) + col("doc_id")))
+      corpus.write.parquet(s"$out/feed")
+      val docs = s.readStream.schema(corpus.schema).parquet(s"$out/feed")
+      val curated = streaming.DocStream.curateStream(docs, "doc_id",
+        col("text"), "event_ts", "1 hour")
+      val q = curated.writeStream.format("parquet")
+        .option("path", s"$out/curated")
+        .option("checkpointLocation", s"$out/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$out/curated")
+        .select("doc_id", "n_tokens", "quality_score", "pred_lang",
+          "split", "scrubbed")
+        .orderBy("doc_id")
+    }),
+
+    // ---- O5: progress + ETA monitor — a REAL tracked copy fan-out
+    // (scheduler-fed listener, Wait loop data_copier.go:142-176) pinned
+    // by its invariants (tasks observed, all completed, none failed,
+    // zero ETA at completion; rows copied recounted by DuckDB), plus the
+    // reference's elapsed×(1−p)/p ETA arithmetic recomputed by DuckDB
+    // over fixture snapshots. Raw task counts are scheduler-dependent
+    // (partitioning, AQE), so the pin is on the invariants, not the
+    // counts. ----
+    "q_o5_progress" -> ((s, dir) => {
+      import s.implicits._
+      val out = scratchDir("o5")
+      val source = new sources.ParquetCatalog(s, dir, db = "src")
+      val sink = new sources.ParquetCatalog(s, s"$out/sink", db = "src")
+      val cfg = config.MigratorConfig(command = "data", source = dir, target = out,
+        includes = Seq(config.IncludeSpec(namespace = "src.nation"),
+          config.IncludeSpec(namespace = "src.region")))
+      val (res, snap) = copy.CopyJob.runTracked(copy.CopyJob.plan(cfg, source),
+        source, sink)
+      val copied = res.map(_.rowsRead).sum
+      val live = snap.total > 0 && snap.completed == snap.total &&
+        snap.failed == 0 && snap.etaMs.contains(0L)
+      val fixtures = Seq((100L, 25L, 5L, 60000L), (8L, 1L, 0L, 1000L),
+        (10L, 0L, 0L, 500L), (4L, 4L, 0L, 2000L))
+      fixtures.map { case (t, c, f, e) =>
+        val sn = monitor.Progress.Snapshot(t, c, f, e)
+        (t, c, f, sn.etaMs, t - c - f, copied, live)
+      }.toDF("total", "completed", "failed", "eta_ms", "pending",
+        "rows_copied", "live_run_ok")
+        .orderBy("total")
     })
   )
 
@@ -2862,6 +2922,50 @@ object SparkEntry {
     "q_d5_guard" ->
       """SELECT TRUE AS refused,
         |  (SELECT count(*) FROM nation WHERE n_nationkey % 2 = 0) AS intact_rows,
-        |  (SELECT count(*) FROM nation) AS recopied_rows""".stripMargin
+        |  (SELECT count(*) FROM nation) AS recopied_rows""".stripMargin,
+    "q_st_curate" ->
+      """WITH s AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |    CAST(length(text) AS BIGINT) AS n_len,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|is)\b')) AS BIGINT) AS en_n,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(le|la|et|les|des)\b')) AS BIGINT) AS fr_n,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(el|los|las|y|que)\b')) AS BIGINT) AS es_n,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist)\b')) AS BIGINT) AS de_n
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, text, n_tokens,
+        |    CAST(n_tokens >= 10 AS INT) + CAST(n_tokens <= 1000 AS INT)
+        |      + CAST(CAST(n_len AS DOUBLE)/NULLIF(n_tokens, 0) >= 3
+        |              AND CAST(n_len AS DOUBLE)/NULLIF(n_tokens, 0) <= 12 AS INT)
+        |      + CAST(CAST(n_alpha AS DOUBLE)/NULLIF(n_len, 0) > 0.7 AS INT) AS quality_score,
+        |    CASE WHEN en_n >= fr_n AND en_n >= es_n AND en_n >= de_n THEN 'en'
+        |         WHEN fr_n >= es_n AND fr_n >= de_n THEN 'fr'
+        |         WHEN es_n >= de_n THEN 'es' ELSE 'de' END AS pred_lang
+        |  FROM s)
+        |SELECT doc_id, n_tokens, quality_score, pred_lang,
+        |  CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val' ELSE 'test' END AS split,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS scrubbed
+        |FROM (SELECT *,
+        |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8)) AS BIGINT)
+        |          % 10000 AS b
+        |      FROM q WHERE quality_score >= 3 AND pred_lang = 'en')
+        |ORDER BY doc_id""".stripMargin,
+    "q_o5_progress" ->
+      """SELECT total, completed, failed,
+        |  CASE WHEN completed = 0 THEN NULL
+        |       ELSE CAST(round(elapsed * (total - completed) / CAST(completed AS DOUBLE)) AS BIGINT)
+        |  END AS eta_ms,
+        |  total - completed - failed AS pending,
+        |  (SELECT count(*) FROM nation) + (SELECT count(*) FROM region) AS rows_copied,
+        |  TRUE AS live_run_ok
+        |FROM (VALUES
+        |  (CAST(4 AS BIGINT), CAST(4 AS BIGINT), CAST(0 AS BIGINT), CAST(2000 AS BIGINT)),
+        |  (8, 1, 0, 1000), (10, 0, 0, 500), (100, 25, 5, 60000)) t(total, completed, failed, elapsed)
+        |ORDER BY total""".stripMargin
   )
 }
