@@ -709,6 +709,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- corpus boilerplate share: df census over per-doc distinct
+    // word-5-grams (≥3 docs ⇒ boilerplate), probed back co-partitioned
+    // on the gram key — the repeated-phrase gate; share is exact
+    // integer per-mille ----
+    "q_boilerplate" -> ((s, dir) =>
+      text.Dedup.boilerplateShare(load(s, dir, "documents"), "doc_id",
+          col("text"))
+        .orderBy("doc_id")),
+
     // ---- curation funnel (the data-card counts): every gate evaluated
     // as an annotation, ONE aggregation folds the whole funnel — one
     // corpus scan instead of a count per stage ----
@@ -1634,11 +1643,12 @@ object SparkEntry {
        |                 CAST(floor(CAST(x.u2 AS DOUBLE)*1000) AS BIGINT)) AS BIGINT)
        | FROM (SELECT unnest($a) AS u1, unnest($b) AS u2) x)""".stripMargin
 
-  /** Oracle fragment: a 13-word-gram over the capped word array `w` at
-    * 1-based index `u.i` (mirrors Shingles.wordNGramsOf(w, 13)). */
-  private val gram13: String =
-    (0 until 13).map(o => if (o == 0) "w[u.i]" else s"w[u.i+$o]")
+  /** Oracle fragment: an n-word-gram over the capped word array `w` at
+    * 1-based index `u.i` (mirrors Shingles.wordNGramsOf(w, n)). */
+  private def gramN(n: Int): String =
+    (0 until n).map(o => if (o == 0) "w[u.i]" else s"w[u.i+$o]")
       .mkString(" || ' ' || ")
+  private val gram13: String = gramN(13)
 
   def oracleSql: Map[String, String] = Map(
     "q_t11_docgen" ->
@@ -1748,6 +1758,24 @@ object SparkEntry {
          |  min(bs.bench_id) AS first_bench_id
          |FROM cs JOIN bs ON bs.s = cs.s
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_boilerplate" ->
+      s"""WITH cw AS (
+         |  SELECT doc_id, list_slice(str_split(lower(text), ' '), 1, 4096) AS w
+         |  FROM documents),
+         |g AS (SELECT DISTINCT doc_id, s FROM (
+         |  SELECT doc_id, ${gramN(5)} AS s
+         |  FROM cw, LATERAL (SELECT unnest(generate_series(1, greatest(len(w)-4, 1))) AS i) u)
+         |  WHERE s IS NOT NULL),
+         |census AS (SELECT s FROM g GROUP BY s HAVING count(*) >= 3),
+         |pd AS (SELECT g.doc_id, count(*) AS n_grams, count(c.s) AS n_boiler
+         |       FROM g LEFT JOIN census c USING (s) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(pd.n_grams, 0) AS n_grams,
+         |  coalesce(pd.n_boiler, 0) AS n_boiler,
+         |  CASE WHEN coalesce(pd.n_grams, 0) = 0 THEN CAST(0 AS BIGINT)
+         |       ELSE 1000 * pd.n_boiler // pd.n_grams END AS boiler_permille
+         |FROM documents d LEFT JOIN pd USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "q_dedup_exact" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

@@ -369,6 +369,63 @@ object Dedup {
         min(col("__bid")).as("first_bench_id"))
   }
 
+  /** Corpus boilerplate census + per-document boilerplate share — the
+    * repeated-phrase gate of a training pipeline: headers, footers,
+    * cookie banners, and license blurbs repeat VERBATIM across pages,
+    * and a document dominated by such phrases is boilerplate, not
+    * content (the repeated-substring observation behind suffix-array
+    * training-data dedup, applied at word-n-gram granularity;
+    * [[graft.text.Lines.lineDedup]] is the line-level sibling that
+    * REMOVES the repeats — this operator MEASURES how much of each doc
+    * repeats, for thresholded filtering).
+    *
+    * Census: per-document DISTINCT word-n-grams (the [[contaminated]]
+    * corpus-side narrow projection — `array_distinct` inside the doc, no
+    * per-gram shuffle just to dedup within a document), keyed by md5 so
+    * shuffled rows carry a fixed-width hash instead of the phrase
+    * string, aggregated to document frequency with map-side combine;
+    * grams in ≥ `minDf` docs are boilerplate. Unlike the benchmark side
+    * of [[contaminated]] the census is corpus-sized in the worst case,
+    * so the probe is a plain shuffle join on the gram key —
+    * CO-PARTITIONED with the census aggregate's own exchange, no
+    * broadcast assumption. One left join + one aggregate computes both
+    * `n_grams` (row count) and `n_boiler` (non-null hits) per doc.
+    *
+    * The share is exact integer per-mille (`1000·n_boiler DIV n_grams`)
+    * — engine-exact, no float division. Output: (idCol, n_grams,
+    * n_boiler, boiler_permille), one row per input document; docs too
+    * short for a single n-gram report (0, 0, 0).
+    *
+    * The gram rows are persisted across the census and probe subtrees
+    * (materialize-then-release contract: the result is eagerly
+    * checkpointed, the cache freed before return). */
+  def boilerplateShare(df: DataFrame, idCol: String, text: Column,
+      n: Int = 5, minDf: Int = 3): DataFrame = {
+    val grams = df.select(col(idCol),
+        slice(split(lower(text), " "), 1, MaxShingleWords).as("__w"))
+      .select(col(idCol), explode(array_distinct(array_compact(
+        Shingles.wordNGramsOf(col("__w"), n)))).as("__s"))
+      .select(col(idCol), md5(col("__s")).as("__g"))
+      .persist()
+    try {
+      val census = grams.groupBy("__g").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") >= minDf)
+        .select(col("__g"), lit(1L).as("__hit"))
+      val perDoc = grams.join(census, Seq("__g"), "left")
+        .groupBy(idCol)
+        .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_boiler"))
+      val out = df.select(col(idCol))
+        .join(perDoc, Seq(idCol), "left")
+        .select(col(idCol),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
+        .withColumn("boiler_permille",
+          when(col("n_grams") > 0, expr("1000 * n_boiler DIV n_grams"))
+            .otherwise(lit(0L)))
+      out.localCheckpoint(true)
+    } finally { grams.unpersist(false); () }
+  }
+
   /** SimHash near-duplicate pairs — the Manku-style web-dedup design:
     * 64-bit token-multiset SimHash, banded into `bands` equal slices;
     * candidate pairs share at least one band VALUE; the verify step is

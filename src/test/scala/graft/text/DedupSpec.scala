@@ -270,4 +270,25 @@ class DedupSpec extends SparkSpec {
     // the full text, so all 3 grams match
     assert(out(1L) == ((3L, 100L)) && out(3L) == ((3L, 100L)))
   }
+
+  test("boilerplateShare measures the repeated-phrase fraction per doc") {
+    val footer = "this site uses cookies to work" // 6 words → 2 5-gram windows
+    val corpus = Seq(
+      (1L, s"alpha beta gamma delta epsilon zeta $footer"),
+      (2L, s"one two three four five six seven $footer"),
+      (3L, s"red orange yellow green blue indigo $footer"),
+      (4L, "totally unique content with no repeats at all"),
+      (5L, "too short")).toDF("doc_id", "text") // < 5 words: no grams
+    val out = Dedup.boilerplateShare(corpus, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    // only the 2 windows fully inside the 6-word footer repeat in all
+    // three docs (df=3 ≥ minDf); windows straddling the doc-specific
+    // prefix do not. doc 1: 6+6 words → 8 windows, 2 boilerplate.
+    assert(out(1L) == ((8L, 2L, 1000L * 2 / 8)))
+    assert(out(2L) == ((9L, 2L, 1000L * 2 / 9))) // 13 words → 9 windows
+    assert(out(3L)._2 == 2L)
+    assert(out(4L) == ((4L, 0L, 0L))) // 8 words → 4 windows, none repeated
+    assert(out(5L) == ((0L, 0L, 0L)))
+  }
 }
