@@ -256,6 +256,18 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- SQ8 int8-quantized ANN: q_i = floor(127·x_i/max|x|) per
+    // vector; the per-vector scale cancels in the cosine, so the
+    // integer-micro score is a pure function of the int8 arrays — the
+    // memory-bandwidth scale path (¼ the bytes of float32 per scanned
+    // corpus vector) ----
+    "q_ann_sq8" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings")
+      ml.Similarity.sq8TopK(emb.filter(col("vec_id") < 10), emb,
+          "vec_id", "embedding", 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- embedding near-dup: quantized-cosine ≥ 0.9 pairs within a
     // label bucket (IVF-style candidate pruning); near-dups planted as
     // 1.1-scaled copies (cosine 1.0 with their original).
@@ -1811,6 +1823,34 @@ object SparkEntry {
          |       ORDER BY dot_q DESC, neighbor_id) AS INT) AS rank
          |FROM pairs QUALIFY rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
+    "q_ann_sq8" ->
+      """WITH sc AS (
+        |  SELECT vec_id, embedding,
+        |    (SELECT max(abs(CAST(u AS DOUBLE))) FROM unnest(embedding) t(u)) AS s
+        |  FROM embeddings),
+        |q8 AS (
+        |  SELECT vec_id,
+        |    [CASE WHEN s = 0 THEN CAST(0 AS BIGINT)
+        |          ELSE CAST(floor(127.0 * CAST(x AS DOUBLE) / s) AS BIGINT) END
+        |     FOR x IN embedding] AS q
+        |  FROM sc),
+        |n2 AS (
+        |  SELECT vec_id, q, (SELECT sum(u*u) FROM unnest(q) t(u)) AS n2q FROM q8),
+        |pairs AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    CAST(floor(1000000.0 *
+        |      (SELECT sum(x.u1 * x.u2)
+        |       FROM (SELECT unnest(a.q) AS u1, unnest(b.q) AS u2) x)
+        |      / sqrt(a.n2q) / sqrt(b.n2q)) AS BIGINT) AS score_micro
+        |  FROM n2 a, n2 b
+        |  WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id
+        |    AND a.n2q > 0 AND b.n2q > 0)
+        |SELECT query_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |       ORDER BY score_micro DESC, neighbor_id) AS INT) AS rank,
+        |  neighbor_id, score_micro
+        |FROM pairs QUALIFY rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
     "q_ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
          |x AS (SELECT vec_id, CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1000) AS BIGINT) AS xq, u.i

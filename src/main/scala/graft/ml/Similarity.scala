@@ -259,6 +259,61 @@ object Similarity {
       .select("query_id", "neighbor_id", "dot_q", "rank")
   }
 
+  /** SQ8 index frame: per-vector int8 scalar quantization —
+    * `q_i = floor(127·x_i / s)` with `s = max|x_i|` of the vector. The
+    * index stores `array<tinyint>` + the integer squared norm: 4×
+    * smaller than float32 (8× smaller than the long-quantized form) —
+    * at 100 TB the ANN scan is memory-bandwidth-bound, so shrinking the
+    * bytes-per-vector IS the speedup (the production recipe stages this
+    * frame as parquet and scans it instead of the raw embeddings).
+    *
+    * The per-vector scale CANCELS in the cosine —
+    * `cos ≈ dot8/(√n2q_a·√n2q_b)` is a pure function of the int8
+    * arrays — so ranking needs no float rescale and stays engine-exact:
+    * mul/div/sqrt are IEEE exactly-rounded, floor is exact, and every
+    * intermediate integer fits a 53-bit mantissa. The scale `s` is
+    * bound OUTSIDE the per-element lambda (the re-evaluation-per-element
+    * trap: `array_max` inside the transform would run once per
+    * coordinate). All-zero vectors quantize to all-zero (no direction;
+    * [[sq8TopK]] excludes them from both sides). */
+  def sq8Index(df: DataFrame, idCol: String, embCol: String): DataFrame =
+    df.select(col(idCol), col(embCol).as("__e"),
+        array_max(transform(col(embCol), x => abs(x.cast("double")))).as("__s"))
+      .select(col(idCol), transform(col("__e"), x =>
+        when(col("__s") === 0d, lit(0)).otherwise(
+          floor(lit(127d) * x.cast("double") / col("__s"))).cast("byte")).as("q8"))
+      .withColumn("n2q", aggregate(col("q8"), lit(0L),
+        (acc, v) => acc + v.cast("long") * v.cast("long")))
+
+  /** Brute-force top-k over the SQ8 index — [[bruteForceTopK]]'s
+    * memory-bandwidth sibling: same broadcast-queries/narrow-corpus
+    * shape, but the corpus side scans int8 vectors (¼ the bytes of
+    * float32) and the per-query top-k is the salted two-level pass
+    * ([[graft.text.Retrieval.saltedTopK]]) so no query ever funnels a
+    * corpus-sized candidate list through one reducer. Score is the SQ8
+    * approximate cosine in exact integer micro-units:
+    * `floor(10⁶·dot8/√n2q_a/√n2q_b)` — deterministic in any engine.
+    * Zero vectors are excluded (a zero norm has no cosine). Output:
+    * (query_id, rank, neighbor_id, score_micro). */
+  def sq8TopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      embCol: String, k: Int, salts: Int = 32): DataFrame = {
+    require(k > 0, "k must be positive")
+    def widened(df: DataFrame, as: String, n2: String) =
+      sq8Index(df, idCol, embCol).filter(col("n2q") > 0)
+        .select(col(idCol).as(as),
+          transform(col("q8"), _.cast("long")).as(s"__$as"), col("n2q").as(n2))
+    val q = broadcast(widened(queries, "query_id", "n2_q"))
+    val c = widened(corpus, "neighbor_id", "n2_c")
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot8", dotQ(col("__query_id"), col("__neighbor_id")))
+      .withColumn("score_micro", floor(lit(1000000.0) * col("dot8").cast("double")
+        / sqrt(col("n2_q").cast("double"))
+        / sqrt(col("n2_c").cast("double"))).cast("long"))
+    graft.text.Retrieval.saltedTopK(scored, col("query_id"), col("neighbor_id"),
+        Seq(col("score_micro").desc, col("neighbor_id")), k, salts)
+      .select("query_id", "rank", "neighbor_id", "score_micro")
+  }
+
   /** ANN quality harness: per-query recall of an approximate top-k
     * result against the exact one — |approx ∩ exact| / |exact| — plus
     * hit/total counts. Both inputs are (query_id, neighbor_id, ...)

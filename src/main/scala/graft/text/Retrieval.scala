@@ -67,7 +67,7 @@ object Retrieval {
     * single-window plan, which RetrievalSpec uses as the equivalence
     * oracle). `order` must be a total order (tie-break on a unique key)
     * for the output to be deterministic. Appends `rank`. */
-  private[text] def saltedTopK(cands: DataFrame, group: Column,
+  private[graft] def saltedTopK(cands: DataFrame, group: Column,
       saltKey: Column, order: Seq[Column], k: Int,
       salts: Int = TopKSalts): DataFrame = {
     require(salts > 0, "salts must be positive")

@@ -209,4 +209,32 @@ class SimilaritySpec extends SparkSpec {
     assert(cl(1L) == cl(3L) && cl(2L) == cl(4L) && cl(1L) != cl(2L))
     out.unpersist()
   }
+
+  test("sq8 quantization is scale-invariant and sq8TopK's salted pass equals salts=1") {
+    // a 2x-scaled copy quantizes to the IDENTICAL int8 array (scaling by
+    // a power of two commutes with IEEE rounding, and the per-vector
+    // max-abs scale doubles with the data) -> its sq8 cosine vs the
+    // original is ~10^6 micro-units (within a few ulps of the division
+    // chain) and it ranks first
+    val corpus = emb.limit(50).unionByName(
+      emb.filter(col("vec_id") === 3).select(
+        (col("vec_id") + 7000L).as("vec_id"),
+        transform(col("embedding"), x => x * 2.0f).as("embedding"),
+        col("label")))
+    val q3 = Similarity.sq8Index(
+        corpus.filter(col("vec_id").isin(3L, 7003L)), "vec_id", "embedding")
+      .select("vec_id", "q8").as[(Long, Seq[Byte])].collect().toMap
+    assert(q3(3L) == q3(7003L))
+    val top = Similarity.sq8TopK(
+      corpus.filter(col("vec_id") === 3), corpus, "vec_id", "embedding", 5)
+    val first = top.filter(col("rank") === 1)
+      .select("neighbor_id", "score_micro").as[(Long, Long)].head()
+    assert(first._1 == 7003L && first._2 >= 999998L)
+    // the salted two-level top-k is plan shape, not semantics
+    val single = Similarity.sq8TopK(
+      corpus.filter(col("vec_id") === 3), corpus, "vec_id", "embedding", 5,
+      salts = 1)
+    assert(top.orderBy("query_id", "rank").collect()
+      .sameElements(single.orderBy("query_id", "rank").collect()))
+  }
 }
