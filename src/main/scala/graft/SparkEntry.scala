@@ -1423,13 +1423,18 @@ object SparkEntry {
     // ---- Streaming curation chain end-to-end (DocStream.curateStream:
     // exact-dup gate → quality/lang filter → PII scrub → hash split)
     // driven through a REAL file stream under Trigger.AvailableNow, with
-    // every gate recomputed by DuckDB. Planted duplicates are
-    // byte-identical rows (the fixture corpus has no natural dup texts),
-    // so the first-wins gate's output is arrival-order-independent:
-    // exactly one survivor per content key whichever copy wins. ----
+    // every gate recomputed by DuckDB. The feed is first reduced to the
+    // min-id representative per content hash (sf0.1 has natural dup
+    // texts whose first-wins winner would be arrival-order-dependent),
+    // then planted duplicates are BYTE-IDENTICAL rows — so the gate's
+    // output is arrival-order-independent at any scale factor: exactly
+    // one survivor per content key whichever copy wins. ----
     "q_st_curate" -> ((s, dir) => {
       val out = scratchDir("stc")
+      val keepW = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
       val d = load(s, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("__rn", row_number().over(keepW))
+        .filter(col("__rn") === 1).drop("__rn")
       val corpus = d.unionByName(d.filter(col("doc_id") % 7 === 0))
         .withColumn("event_ts",
           timestamp_seconds(lit(1700000000L) + col("doc_id")))
@@ -2992,7 +2997,10 @@ object SparkEntry {
         |  (SELECT count(*) FROM nation WHERE n_nationkey % 2 = 0) AS intact_rows,
         |  (SELECT count(*) FROM nation) AS recopied_rows""".stripMargin,
     "q_st_curate" ->
-      """WITH s AS (
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+        |s AS (
         |  SELECT doc_id, text,
         |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
         |    CAST(length(text) AS BIGINT) AS n_len,
@@ -3001,7 +3009,7 @@ object SparkEntry {
         |    CAST(len(regexp_extract_all(lower(text), '\b(le|la|et|les|des)\b')) AS BIGINT) AS fr_n,
         |    CAST(len(regexp_extract_all(lower(text), '\b(el|los|las|y|que)\b')) AS BIGINT) AS es_n,
         |    CAST(len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist)\b')) AS BIGINT) AS de_n
-        |  FROM documents),
+        |  FROM u),
         |q AS (
         |  SELECT doc_id, text, n_tokens,
         |    CAST(n_tokens >= 10 AS INT) + CAST(n_tokens <= 1000 AS INT)
