@@ -730,6 +730,17 @@ object SparkEntry {
           col("text"))
         .orderBy("doc_id")),
 
+    // ---- duplicated-span detection (suffix-array-style substring dedup
+    // at word-13-gram granularity): census exchange + semi-join back,
+    // gaps-and-islands span merge under a per-doc (bounded) window ----
+    "q_dup_spans" -> ((s, dir) => {
+      val d = load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = d.unionByName(
+        d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 200000L).as("doc_id"), col("text")))
+      text.Dedup.dupSpans(corpus, "doc_id", col("text")).orderBy("doc_id")
+    }),
+
     // ---- curation funnel (the data-card counts): every gate evaluated
     // as an annotation, ONE aggregation folds the whole funnel — one
     // corpus scan instead of a count per stage ----
@@ -1792,6 +1803,41 @@ object SparkEntry {
          |  CASE WHEN coalesce(pd.n_grams, 0) = 0 THEN CAST(0 AS BIGINT)
          |       ELSE 1000 * pd.n_boiler // pd.n_grams END AS boiler_permille
          |FROM documents d LEFT JOIN pd USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "q_dup_spans" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 200000, text FROM documents WHERE doc_id % 7 = 0),
+         |words AS (
+         |  SELECT doc_id, list_slice(str_split(lower(text), ' '), 1, 4096) AS w
+         |  FROM corpus),
+         |grams AS (
+         |  SELECT doc_id, u.i - 1 AS p, md5($gram13) AS g
+         |  FROM words, LATERAL (SELECT unnest(generate_series(1, greatest(len(w)-12, 1))) AS i) u
+         |  WHERE $gram13 IS NOT NULL),
+         |dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+         |dp AS (SELECT doc_id, p FROM grams WHERE g IN (SELECT g FROM dup)),
+         |brk AS (SELECT doc_id, p,
+         |  CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 13
+         |       THEN 0 ELSE 1 END AS b FROM dp),
+         |sp AS (SELECT doc_id, p,
+         |  sum(b) OVER (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM brk),
+         |spans AS (SELECT doc_id, sid, max(p) - min(p) + 13 AS len
+         |          FROM sp GROUP BY 1, 2),
+         |pd AS (SELECT doc_id, count(*) AS n_spans, sum(len) AS dup_tokens
+         |       FROM spans GROUP BY 1),
+         |nt AS (SELECT doc_id, CASE WHEN text IS NULL THEN 0
+         |         ELSE len(list_slice(str_split(lower(text), ' '), 1, 4096)) END AS n_tokens
+         |       FROM corpus)
+         |SELECT nt.doc_id, nt.n_tokens,
+         |  coalesce(pd.n_spans, 0) AS n_spans,
+         |  CAST(coalesce(pd.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+         |  CAST(CASE WHEN nt.n_tokens > 0
+         |       THEN 1000 * coalesce(pd.dup_tokens, 0) // nt.n_tokens
+         |       ELSE 0 END AS BIGINT) AS dup_permille
+         |FROM nt LEFT JOIN pd USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
     "q_dedup_exact" ->
       """WITH corpus AS (

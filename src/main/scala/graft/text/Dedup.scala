@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for the LLM-data-pipeline surface:
@@ -421,6 +422,83 @@ object Dedup {
           coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
         .withColumn("boiler_permille",
           when(col("n_grams") > 0, expr("1000 * n_boiler DIV n_grams"))
+            .otherwise(lit(0L)))
+      out.localCheckpoint(true)
+    } finally { grams.unpersist(false); () }
+  }
+
+  /** Corpus-wide duplicated-SPAN detection — the word-n-gram
+    * approximation of suffix-array exact-substring dedup (the
+    * "deduplicating training data" substring pass): any token n-gram
+    * occurring ≥ `minCount` times anywhere in the corpus — including
+    * twice in the SAME document — marks duplicated text at its exact
+    * token position, and overlapping/adjacent marks merge
+    * (gaps-and-islands) into maximal spans. [[boilerplateShare]] counts
+    * how many of a doc's DISTINCT phrases repeat elsewhere (presence by
+    * doc-frequency); this operator finds WHERE the duplicated text
+    * lives and how many tokens it covers — exactly what a span-removal
+    * pass (cut `[first, first+len)` from the token stream) consumes.
+    *
+    * Plan shape: gram rows carry (doc, position, fixed-width md5); the
+    * census is one map-side-combined aggregate on the hash; duplicated
+    * positions come back via a LEFT SEMI join CO-PARTITIONED with the
+    * census exchange — output-sensitive, only duplicated positions
+    * survive into the window stage. Span merging is a per-document
+    * window over those positions, bounded by [[MaxShingleWords]] rows
+    * per doc — a reducer sees one capped document, never the corpus,
+    * and docs without duplication never reach the window at all.
+    * Nothing is all-pairs; every stage is linear in its input.
+    *
+    * Merge rule: a duplicated gram at `p` extends the current span when
+    * `p − prev ≤ n` (overlap, or exact adjacency = contiguous
+    * duplicated text); span token length = `last − first + n`. Spans of
+    * DIFFERENT duplicated phrases that touch merge into one span — the
+    * cut-list semantic. Coverage is exact integer per-mille over the
+    * doc's capped token count (`1000·dup_tokens DIV n_tokens`) —
+    * engine-exact, no float. Output: (idCol, n_tokens, n_spans,
+    * dup_tokens, dup_permille), one row per input document; docs with
+    * no duplicated span report (n_tokens, 0, 0, 0).
+    *
+    * Default n = 13 tokens: long enough that natural language rarely
+    * collides (the contamination-probe convention, [[contaminated]]),
+    * short enough to catch licence blurbs and templated intros. */
+  def dupSpans(df: DataFrame, idCol: String, text: Column,
+      n: Int = 13, minCount: Int = 2): DataFrame = {
+    require(n > 0 && minCount > 1, "need n > 0, minCount > 1")
+    val words = df.select(col(idCol),
+      slice(split(lower(text), " "), 1, MaxShingleWords).as("__w"))
+    val grams = words
+      .select(col(idCol),
+        posexplode(Shingles.wordNGramsOf(col("__w"), n)).as(Seq("__p", "__s")))
+      .filter(col("__s").isNotNull)
+      .select(col(idCol), col("__p"), md5(col("__s")).as("__g"))
+      .persist()
+    try {
+      val dupGrams = grams.groupBy("__g").agg(count(lit(1)).as("__c"))
+        .filter(col("__c") >= minCount)
+        .select("__g")
+      val dupPos = grams.join(dupGrams, Seq("__g"), "left_semi")
+      val byDoc = Window.partitionBy(col(idCol)).orderBy(col("__p"))
+      val spans = dupPos
+        .withColumn("__brk",
+          when(col("__p") - lag(col("__p"), 1).over(byDoc) <= n, lit(0L))
+            .otherwise(lit(1L)))
+        .withColumn("__sid", sum(col("__brk")).over(
+          byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col(idCol), col("__sid"))
+        .agg((max(col("__p")) - min(col("__p")) + n).cast("long").as("__len"))
+      val perDoc = spans.groupBy(idCol)
+        .agg(count(lit(1)).as("n_spans"), sum(col("__len")).as("dup_tokens"))
+      val nt = df.select(col(idCol),
+        when(text.isNotNull,
+          size(slice(split(lower(text), " "), 1, MaxShingleWords)))
+          .otherwise(lit(0)).cast("long").as("n_tokens"))
+      val out = nt.join(perDoc, Seq(idCol), "left")
+        .select(col(idCol), col("n_tokens"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+        .withColumn("dup_permille",
+          when(col("n_tokens") > 0, expr("1000 * dup_tokens DIV n_tokens"))
             .otherwise(lit(0L)))
       out.localCheckpoint(true)
     } finally { grams.unpersist(false); () }

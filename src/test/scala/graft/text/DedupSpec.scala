@@ -291,4 +291,66 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) == ((4L, 0L, 0L))) // 8 words → 4 windows, none repeated
     assert(out(5L) == ((0L, 0L, 0L)))
   }
+
+  test("dupSpans merges overlapping duplicated grams into maximal spans") {
+    val corpus = Seq(
+      (1L, "w1 w2 w3 junka w4 w5 w6"),
+      (2L, "w1 w2 w3 junkb w4 w5 w6"),
+      (3L, "p q r s p q r s"), // within-doc repeat: one whole-doc span
+      (4L, "totally unique text nothing repeats here"),
+      (5L, "x y")).toDF("doc_id", "text") // sub-n doc: no grams
+    val out = Dedup.dupSpans(corpus, "doc_id", col("text"), n = 3)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    // docs 1/2 share "w1 w2 w3" (pos 0) and "w4 w5 w6" (pos 4): the gap
+    // (4 > n=3) keeps them as TWO spans of 3 tokens each
+    assert(out(1L) == ((7L, 2L, 6L, 1000L * 6 / 7)))
+    assert(out(2L) == ((7L, 2L, 6L, 1000L * 6 / 7)))
+    // doc 3's repeat duplicates grams at pos 0,1,4,5 — all gaps ≤ n, so
+    // they merge into ONE span covering the whole doc: 5 - 0 + 3 = 8
+    assert(out(3L) == ((8L, 1L, 8L, 1000L)))
+    assert(out(4L) == ((6L, 0L, 0L, 0L)))
+    assert(out(5L) == ((2L, 0L, 0L, 0L)))
+  }
+
+  test("dupSpans matches a sequential reference on real docs with planted copies") {
+    val d = docs.select(col("doc_id"), col("text"))
+    val corpus = d.unionByName(
+      d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"), col("text")))
+    val n = 13
+    val rows = corpus.collect().map(r => r.getLong(0) ->
+      Option(r.getString(1)).map(_.toLowerCase.split(" ", -1).take(4096))
+        .getOrElse(Array.empty[String]))
+    // sequential reference: global occurrence census → dup positions →
+    // island merge (gap > n starts a new span)
+    val occ = scala.collection.mutable.HashMap.empty[String, Int]
+    val gramsOf = rows.toMap.view.mapValues { w =>
+      (0 to math.max(w.length - n, 0)).filter(_ + n <= w.length)
+        .map(i => w.slice(i, i + n).mkString(" "))
+    }.toMap
+    gramsOf.values.foreach(_.foreach(g => occ(g) = occ.getOrElse(g, 0) + 1))
+    val expect = rows.map { case (id, w) =>
+      val dupPos = gramsOf(id).zipWithIndex.collect {
+        case (g, p) if occ(g) >= 2 => p
+      }
+      var spans = List.empty[(Int, Int)] // (first, last) gram starts
+      dupPos.foreach { p =>
+        spans match {
+          case (f, l) :: rest if p - l <= n => spans = (f, p) :: rest
+          case _ => spans = (p, p) :: spans
+        }
+      }
+      val dupTokens = spans.map { case (f, l) => l - f + n }.sum
+      val permille = if (w.nonEmpty) 1000L * dupTokens / w.length else 0L
+      id -> ((w.length.toLong, spans.size.toLong, dupTokens.toLong, permille))
+    }.toMap
+    val got = Dedup.dupSpans(corpus, "doc_id", col("text"), n = n)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expect)
+  }
 }
