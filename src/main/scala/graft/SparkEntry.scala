@@ -741,6 +741,13 @@ object SparkEntry {
       text.Dedup.dupSpans(corpus, "doc_id", col("text")).orderBy("doc_id")
     }),
 
+    // ---- Gopher document-quality rules: seven shape heuristics as one
+    // codegen'd projection, every ratio cross-multiplied to integers ----
+    "q_gopher_gate" -> ((s, dir) =>
+      text.Curation.gopherGate(load(s, dir, "documents"), "doc_id",
+          col("text"))
+        .orderBy("doc_id")),
+
     // ---- curation funnel (the data-card counts): every gate evaluated
     // as an annotation, ONE aggregation folds the whole funnel — one
     // corpus scan instead of a count per stage ----
@@ -1839,6 +1846,47 @@ object SparkEntry {
          |       ELSE 0 END AS BIGINT) AS dup_permille
          |FROM nt LEFT JOIN pd USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "q_gopher_gate" -> {
+      val stopHits = text.Curation.GopherStops
+        .map(w => s"CAST(regexp_matches(lower(text), '\\b$w\\b') AS BIGINT)")
+        .mkString(" + ")
+      s"""WITH c AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+         |m AS (SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words,
+         |  CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS n_word_chars,
+         |  CAST(len(list_filter(regexp_extract_all(text, '\\S+'),
+         |    x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+         |  CAST(len(regexp_extract_all(text, '#'))
+         |    + len(regexp_extract_all(text, '\\.\\.\\.|…')) AS BIGINT) AS n_symbols,
+         |  list_filter(list_transform(str_split(text, chr(10)), l -> trim(l)),
+         |    l -> length(l) > 0) AS lines,
+         |  $stopHits AS n_stop_hits
+         |  FROM c),
+         |m2 AS (SELECT doc_id, n_words, n_word_chars, n_alpha_words, n_symbols,
+         |  CAST(len(lines) AS BIGINT) AS n_lines,
+         |  CAST(len(list_filter(lines,
+         |    l -> substr(l, 1, 1) IN ('•', '-', '*'))) AS BIGINT) AS n_bullet,
+         |  CAST(len(list_filter(lines,
+         |    l -> l LIKE '%...' OR l LIKE '%…')) AS BIGINT) AS n_ellipsis_end,
+         |  n_stop_hits FROM m)
+         |SELECT doc_id, n_words, n_word_chars, n_alpha_words, n_symbols,
+         |  n_lines, n_bullet, n_ellipsis_end, n_stop_hits,
+         |  CAST(n_words BETWEEN 50 AND 100000 AS BIGINT)
+         |    + CAST(3*n_words <= n_word_chars AND n_word_chars <= 10*n_words AS BIGINT)
+         |    + CAST(10*n_symbols < n_words AS BIGINT)
+         |    + CAST(10*n_bullet < 9*n_lines AS BIGINT)
+         |    + CAST(10*n_ellipsis_end < 3*n_lines AS BIGINT)
+         |    + CAST(5*n_alpha_words > 4*n_words AS BIGINT)
+         |    + CAST(n_stop_hits >= 2 AS BIGINT) AS n_rules_passed,
+         |  CAST(n_words BETWEEN 50 AND 100000
+         |    AND 3*n_words <= n_word_chars AND n_word_chars <= 10*n_words
+         |    AND 10*n_symbols < n_words
+         |    AND 10*n_bullet < 9*n_lines
+         |    AND 10*n_ellipsis_end < 3*n_lines
+         |    AND 5*n_alpha_words > 4*n_words
+         |    AND n_stop_hits >= 2 AS BIGINT) AS keep
+         |FROM m2 ORDER BY doc_id""".stripMargin
+    },
     "q_dedup_exact" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

@@ -46,4 +46,74 @@ object Curation {
       n(lok && b >= lo && b < hi, "n_val"),
       n(lok && b >= hi, "n_test"))
   }
+
+  /** The Gopher stop-word list — rule 7 requires at least two of these
+    * to appear as standalone (word-boundary) tokens. */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher document-quality rules (the MassiveText repetition-free
+    * heuristics) as ONE narrow projection — the doc-LEVEL sibling of
+    * the C4 line gate ([[Lines.lineFilterCol]]): where C4 keeps/drops
+    * individual lines, Gopher keeps/drops whole documents on
+    * shape statistics. The seven rules:
+    *
+    *  1. word count within [minWords, maxWords]
+    *  2. mean word length within [3, 10] characters
+    *  3. symbol-to-word ratio (`#` or ellipsis) below 1/10
+    *  4. under 90% of non-blank lines start with a bullet
+    *  5. under 30% of non-blank lines end with an ellipsis
+    *  6. over 80% of words contain at least one alphabetic character
+    *  7. at least two distinct [[GopherStops]] words present
+    *
+    * Every ratio test is cross-multiplied into INTEGER comparisons
+    * (mean-word-length ∈ [3,10] ⇔ `3·words ≤ chars ≤ 10·words`) — no
+    * float division anywhere, so any engine computes the identical
+    * gate. All counters come from array/regex expressions inside one
+    * codegen'd projection: no shuffle, no explode — the 100 TB plan is
+    * a scan. A doc with no non-blank line fails rules 4-5 by
+    * convention (it has already failed rule 1).
+    *
+    * Output: the counters, `n_rules_passed`, and `keep` (1 iff all
+    * seven), every column a long. */
+  def gopherGate(df: DataFrame, idCol: String, text: Column,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val toks = TextFunctions.whitespaceTokens(text)
+    val nWords = size(toks).cast("long")
+    // sum of token lengths = non-whitespace chars — no per-token loop
+    val nWordChars = length(regexp_replace(text, """\s""", "")).cast("long")
+    val nAlphaWords =
+      size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long")
+    val nSymbols =
+      (size(regexp_extract_all(text, lit("#"), lit(0))) +
+        size(regexp_extract_all(text, lit("""\.\.\.|…"""), lit(0)))).cast("long")
+    val lines = filter(transform(split(text, "\n"), l => trim(l)),
+      l => length(l) > 0)
+    val nLines = size(lines).cast("long")
+    val nBullet = size(filter(lines,
+      l => substring(l, 1, 1).isin("•", "-", "*"))).cast("long")
+    val nEllEnd = size(filter(lines,
+      l => l.endsWith("...") || l.endsWith("…"))).cast("long")
+    val nStops = GopherStops
+      .map(w => lower(text).rlike("\\b" + w + "\\b").cast("long"))
+      .reduce(_ + _)
+    val rules = Seq(
+      col("n_words") >= minWords && col("n_words") <= maxWords,
+      lit(3) * col("n_words") <= col("n_word_chars") &&
+        col("n_word_chars") <= lit(10) * col("n_words"),
+      lit(10) * col("n_symbols") < col("n_words"),
+      lit(10) * col("n_bullet") < lit(9) * col("n_lines"),
+      lit(10) * col("n_ellipsis_end") < lit(3) * col("n_lines"),
+      lit(5) * col("n_alpha_words") > lit(4) * col("n_words"),
+      col("n_stop_hits") >= 2)
+    df.filter(text.isNotNull)
+      .select(col(idCol), nWords.as("n_words"),
+        nWordChars.as("n_word_chars"), nAlphaWords.as("n_alpha_words"),
+        nSymbols.as("n_symbols"), nLines.as("n_lines"),
+        nBullet.as("n_bullet"), nEllEnd.as("n_ellipsis_end"),
+        nStops.as("n_stop_hits"))
+      .withColumn("n_rules_passed",
+        rules.map(_.cast("long")).reduce(_ + _))
+      .withColumn("keep", rules.reduce(_ && _).cast("long"))
+  }
 }

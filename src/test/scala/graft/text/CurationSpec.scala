@@ -36,4 +36,32 @@ class CurationSpec extends SparkSpec {
     assert(f.getLong(6) == splits.getOrElse("test", 0L))
     assert(f.getLong(3) > 0, "funnel must not be empty on the fixture")
   }
+
+  test("gopherGate applies the seven shape rules with integer arithmetic") {
+    import spark.implicits._
+    val good = (("the data be to of and that have with it works fine " * 5) +
+      "end").trim // 61 words, all alphabetic, plenty of stop words
+    val bullets = (1 to 60).map(i => s"• item $i").mkString("\n") // 100% bullets
+    val symbols = ("word " * 60).trim + " " + ("#" * 20) +
+      " ... ... ... ... ... ... ..." // 68 words, 27 symbols
+    val nonAlpha = (("123 456 789 " * 20) + "the be").trim // 62 words, 2 alpha
+    val corpus = Seq(
+      (1L, good), (2L, bullets), (3L, symbols), (4L, nonAlpha),
+      (5L, "too short to pass the word count but the stop words be here"),
+      (6L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = Curation.gopherGate(corpus, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_rules_passed"), r.getAs[Long]("keep")))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L)) // null text dropped
+    assert(out(1L) == ((7L, 1L)), s"good doc must pass all rules: ${out(1L)}")
+    assert(out(2L)._2 == 0L) // bullet rule fails
+    assert(out(3L)._2 == 0L) // symbol ratio fails
+    assert(out(4L)._2 == 0L) // alpha-word fraction fails
+    assert(out(5L)._2 == 0L) // word count fails
+    // cross-check two counters on the symbol doc: 20 '#' + 7 '...'
+    val sym = Curation.gopherGate(corpus, "doc_id", col("text"))
+      .filter(col("doc_id") === 3L).collect().head
+    assert(sym.getAs[Long]("n_symbols") == 27L)
+    assert(sym.getAs[Long]("n_words") == 68L)
+  }
 }
