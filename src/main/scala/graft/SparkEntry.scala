@@ -748,6 +748,17 @@ object SparkEntry {
           col("text"))
         .orderBy("doc_id")),
 
+    // ---- vocabulary drift between snapshots (KL(a||b), add-one
+    // smoothed, integer-quantized): two token counts meet in one
+    // full-outer term join; totals ride a broadcast 1-row stats join ----
+    "q_vocab_drift" -> ((s, dir) => {
+      val d = load(s, dir, "documents")
+      text.TextFunctions.vocabDrift(
+          d.filter(col("lang") === "en"), d.filter(col("lang") =!= "en"),
+          col("text"))
+        .orderBy("term")
+    }),
+
     // ---- curation funnel (the data-card counts): every gate evaluated
     // as an annotation, ONE aggregation folds the whole funnel — one
     // corpus scan instead of a count per stage ----
@@ -1887,6 +1898,28 @@ object SparkEntry {
          |    AND n_stop_hits >= 2 AS BIGINT) AS keep
          |FROM m2 ORDER BY doc_id""".stripMargin
     },
+    "q_vocab_drift" ->
+      """WITH ta AS (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS term
+        |  FROM documents WHERE lang = 'en' AND text IS NOT NULL),
+        |tb AS (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS term
+        |  FROM documents WHERE lang <> 'en' AND text IS NOT NULL),
+        |ca AS (SELECT term, count(*) AS count_a FROM ta GROUP BY 1),
+        |cb AS (SELECT term, count(*) AS count_b FROM tb GROUP BY 1),
+        |j AS (SELECT coalesce(ca.term, cb.term) AS term,
+        |        coalesce(count_a, 0) AS count_a,
+        |        coalesce(count_b, 0) AS count_b
+        |      FROM ca FULL OUTER JOIN cb ON ca.term = cb.term),
+        |s AS (SELECT CAST(sum(count_a) AS BIGINT) AS n_a,
+        |        CAST(sum(count_b) AS BIGINT) AS n_b,
+        |        count(*) AS v FROM j),
+        |lr AS (SELECT term, count_a, count_b,
+        |  CAST(floor(1000.0 * ln(
+        |    (CAST(count_a + 1 AS DOUBLE) * (n_b + v)) /
+        |    (CAST(count_b + 1 AS DOUBLE) * (n_a + v)))) AS BIGINT) AS logratio_mn,
+        |  n_a, v FROM j, s)
+        |SELECT term, count_a, count_b, logratio_mn,
+        |  (1000000 * (count_a + 1) // (n_a + v)) * logratio_mn AS kl_contrib
+        |FROM lr ORDER BY term""".stripMargin,
     "q_dedup_exact" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

@@ -215,6 +215,55 @@ object TextFunctions {
       .orderBy(col("n").desc, col("tok"))
       .limit(topK)
 
+  /** Vocabulary drift between two corpus snapshots — the monitoring
+    * operator of a continuously-ingesting pipeline: which terms became
+    * more/less frequent between snapshot `a` and snapshot `b`, and how
+    * much each contributes to the KL divergence KL(a ‖ b). Laplace
+    * (add-one) smoothing over the UNION vocabulary keeps terms absent
+    * from one side finite: `p_x(t) = (c_x(t)+1)/(N_x+V)`.
+    *
+    * Determinism discipline (the [[unigramSurprisal]] convention): the
+    * per-term log-ratio `ln(p_a/p_b)` is one fixed IEEE expression tree
+    * — a double product each side, one division, one ln — floored to
+    * integer MILLI-NATS; the KL contribution is then pure integer
+    * arithmetic: `p_micro = 10⁶·(c_a+1) DIV (N_a+V)` (a truncated
+    * micro-probability ≤ 10⁶, so `p_micro·logratio_mn` can never
+    * overflow; the 10⁶·(c_a+1) intermediate itself is exact below
+    * ~9·10¹² occurrences of one term — switch the literal to
+    * DECIMAL(38,0) beyond) times `logratio_mn`.
+    * Σ kl_contrib / 10⁹ ≈ KL(a‖b) in nats.
+    *
+    * Plan shape: each snapshot is one map-side-combined token count;
+    * the two vocabularies meet in a full-outer hash join on the term
+    * key (linear, co-partitioned); N_a/N_b/V ride a broadcast 1-row
+    * cross join. Nothing corpus-sized is sorted or broadcast. Output:
+    * (term, count_a, count_b, logratio_mn, kl_contrib), one row per
+    * union-vocabulary term. */
+  def vocabDrift(a: DataFrame, b: DataFrame, text: Column): DataFrame = {
+    def counts(df: DataFrame, as: String) = df.filter(text.isNotNull)
+      .select(explode(whitespaceTokens(lower(text))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as(as))
+    val joined = counts(a, "count_a")
+      .join(counts(b, "count_b"), Seq("term"), "full_outer")
+      .select(col("term"),
+        coalesce(col("count_a"), lit(0L)).as("count_a"),
+        coalesce(col("count_b"), lit(0L)).as("count_b"))
+      .persist() // feeds the stats row AND the scored output
+    try {
+      val stats = joined.agg(sum(col("count_a")).as("n_a"),
+        sum(col("count_b")).as("n_b"), count(lit(1)).as("v"))
+      val out = joined.crossJoin(broadcast(stats))
+        .withColumn("logratio_mn", floor(lit(1000.0) * log(
+          ((col("count_a") + 1).cast("double") * (col("n_b") + col("v"))) /
+            ((col("count_b") + 1).cast("double") * (col("n_a") + col("v")))))
+          .cast("long"))
+        .withColumn("kl_contrib",
+          expr("(1000000 * (count_a + 1) DIV (n_a + v)) * logratio_mn"))
+        .select("term", "count_a", "count_b", "logratio_mn", "kl_contrib")
+      out.localCheckpoint(true)
+    } finally { joined.unpersist(false); () }
+  }
+
   /** Unigram-LM surprisal — the CCNet-style "perplexity" quality
     * signal, with a unigram model in place of a trained LM: documents
     * whose tokens are globally rare (or whose token mix is unusual)

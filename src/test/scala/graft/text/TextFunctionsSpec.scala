@@ -204,4 +204,24 @@ class TextFunctionsSpec extends SparkSpec {
     // a word ("v1.2.3.4") has no leading boundary and is left alone
     assert(out(3L).getStruct(1).getLong(1) == 1)
   }
+
+  test("vocabDrift computes add-one-smoothed quantized KL contributions") {
+    val a = Seq((1L, "x x y")).toDF("doc_id", "text")
+    val b = Seq((2L, "y z")).toDF("doc_id", "text")
+    // N_a=3, N_b=2, V=3; ratio(t) = (c_a+1)(N_b+V) / (c_b+1)(N_a+V)
+    val out = TextFunctions.vocabDrift(a, b, col("text"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out.keySet == Set("x", "y", "z"))
+    // x: ratio = 3·5 / 1·6 = 2.5, ln = 0.91629 → 916 mn;
+    //    p_micro = 10⁶·3 DIV 6 = 500000
+    assert(out("x") == ((2L, 0L, 916L, 500000L * 916L)))
+    // y: ratio = 2·5 / 2·6 = 0.8333, ln = −0.18232 → −183 mn
+    assert(out("y") == ((1L, 1L, -183L, 333333L * -183L)))
+    // z: ratio = 1·5 / 2·6 = 0.41667, ln = −0.87547 → −876 mn
+    assert(out("z") == ((0L, 1L, -876L, 166666L * -876L)))
+    // aggregate KL(a‖b) must be positive (Gibbs) on any real split
+    val kl = out.values.map(_._4).sum
+    assert(kl > 0, s"KL estimate should be positive, got $kl")
+  }
 }
