@@ -357,9 +357,10 @@ object SparkEntry {
     // ---- corpus statistics: per-language doc counts, EXACT token-count
     // percentiles, mean quality — the profiling pass that sizes a
     // training corpus before filtering. Exact percentile is the oracle
-    // anchor; the 100 TB path swaps in approx_percentile (t-digest,
-    // map-side combined — pinned within tolerance by TextFunctionsSpec),
-    // the same one-exchange plan ----
+    // anchor; the 100 TB paths are approx_percentile (t-digest, any
+    // metric, ±error — pinned within tolerance by TextFunctionsSpec) or
+    // ops.Quantiles.exactQuantiles (exact, integer metrics,
+    // histogram-bounded — q_len_quantiles), same one-exchange shape ----
     "q_corpus_stats" -> ((s, dir) => {
       val d = text.TextFunctions.languageId(
         text.TextFunctions.qualityStats(load(s, dir, "documents"), col("text")),
@@ -747,6 +748,16 @@ object SparkEntry {
       text.Curation.gopherGate(load(s, dir, "documents"), "doc_id",
           col("text"))
         .orderBy("doc_id")),
+
+    // ---- exact token-length quantiles via the histogram route: no
+    // corpus-sized sort or buffer anywhere; the only unpartitioned
+    // window runs over DISTINCT lengths (bounded cardinality) ----
+    "q_len_quantiles" -> ((s, dir) =>
+      ops.Quantiles.exactQuantiles(
+          load(s, dir, "documents").filter(col("text").isNotNull),
+          size(text.TextFunctions.whitespaceTokens(col("text"))),
+          Seq(250, 500, 750, 900, 950, 990, 1000))
+        .orderBy("q_mille")),
 
     // ---- vocabulary drift between snapshots (KL(a||b), add-one
     // smoothed, integer-quantized): two token counts meet in one
@@ -1898,6 +1909,29 @@ object SparkEntry {
          |    AND n_stop_hits >= 2 AS BIGINT) AS keep
          |FROM m2 ORDER BY doc_id""".stripMargin
     },
+    "q_len_quantiles" ->
+      """WITH lens AS (
+        |  SELECT CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS v
+        |  FROM documents WHERE text IS NOT NULL),
+        |hist AS (SELECT v, count(*) AS cnt FROM lens GROUP BY 1),
+        |cum AS (SELECT v, CAST(sum(cnt) OVER
+        |          (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |        FROM hist),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lens),
+        |t AS (SELECT q_mille, n,
+        |        (n-1) * q_mille // 1000 AS idx,
+        |        (n-1) * q_mille % 1000 AS rem,
+        |        least((n-1) * q_mille // 1000 + 1, n-1) AS idx2
+        |      FROM (VALUES (250),(500),(750),(900),(950),(990),(1000)) q(q_mille), s),
+        |a AS (SELECT t.q_mille, t.n, t.rem,
+        |        min(c.v) AS v_lo,
+        |        min(CASE WHEN c.cum > t.idx2 THEN c.v END) AS v_hi
+        |      FROM t JOIN cum c ON c.cum > t.idx
+        |      GROUP BY 1, 2, 3)
+        |SELECT CAST(q_mille AS INT) AS q_mille, n AS n_rows, v_lo,
+        |  coalesce(v_hi, v_lo) AS v_hi,
+        |  1000 * v_lo + (coalesce(v_hi, v_lo) - v_lo) * rem AS value_milli
+        |FROM a ORDER BY q_mille""".stripMargin,
     "q_vocab_drift" ->
       """WITH ta AS (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS term
         |  FROM documents WHERE lang = 'en' AND text IS NOT NULL),

@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact quantiles over an integer-valued column WITHOUT a global sort
+  * — the scale path for "p50/p90/p99 of document length" style
+  * profiling. Spark's `percentile` aggregate buffers and sorts every
+  * value in one reducer (exact but corpus-sized); `approx_percentile`
+  * bounds memory but answers with t-digest error. When the metric is
+  * integer-valued with bounded cardinality (token counts, byte sizes,
+  * line counts — anything whose DISTINCT values number ≪ rows), the
+  * histogram route is exact AND bounded: one map-side-combined
+  * groupBy(value) histogram, a cumulative sum over the histogram (a
+  * window over distinct VALUES, never rows — the single-reducer stage
+  * is histogram-sized by construction), and a broadcast probe of the
+  * quantile targets against the cumulative counts.
+  *
+  * Interpolation is the standard type-7 rule (`quantile_cont` /
+  * Spark `percentile`): rank position `h = (n−1)·q/1000` splits into
+  * `idx = ⌊h⌋` and a milli-fraction `rem`, and the answer is
+  * `v_lo + (v_hi − v_lo)·rem/1000` — returned as exact integer
+  * MILLI-UNITS (`1000·v_lo + (v_hi−v_lo)·rem`), so the result is pure
+  * integer arithmetic end-to-end: any engine computes the identical
+  * table bit-for-bit ((n−1)·q_mille stays exact below ~9·10¹⁵ rows).
+  */
+object Quantiles {
+
+  /** Exact type-7 quantiles of `value` (cast to long) at the requested
+    * per-mille ranks. NULL values are excluded (the `percentile`
+    * convention). Output: (q_mille, n_rows, v_lo, v_hi, value_milli),
+    * one row per requested rank; empty input → empty output. */
+  def exactQuantiles(df: DataFrame, value: Column,
+      qMille: Seq[Int]): DataFrame = {
+    require(qMille.nonEmpty && qMille.forall(q => q >= 0 && q <= 1000),
+      "ranks must be per-mille in [0, 1000]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df.select(value.cast("long").as("v")).filter(col("v").isNotNull)
+    val hist = vals.groupBy("v").agg(count(lit(1)).as("cnt"))
+    // the ONLY unpartitioned window in the plan runs over the histogram
+    // — distinct values, not rows; bounded by the metric's cardinality
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(
+      Window.orderBy("v").rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)))
+    val targets = qMille.distinct.sorted.toDF("q_mille")
+      .crossJoin(broadcast(vals.agg(count(lit(1)).as("n"))))
+      .withColumn("idx", expr("(n - 1) * q_mille DIV 1000"))
+      .withColumn("rem", expr("(n - 1) * q_mille % 1000"))
+      .withColumn("idx2", least(expr("(n - 1) * q_mille DIV 1000 + 1"),
+        col("n") - 1))
+    // broadcast the (tiny) target list against the histogram: v_lo is
+    // the first value whose cumulative count passes idx, v_hi the first
+    // past idx2 — both fall out of ONE conditional min aggregate
+    cum.join(broadcast(targets), col("cum") > col("idx"))
+      .groupBy("q_mille", "n", "rem", "idx2")
+      .agg(min(col("v")).as("v_lo"),
+        min(when(col("cum") > col("idx2"), col("v"))).as("__v_hi"))
+      .select(col("q_mille"), col("n").as("n_rows"), col("v_lo"),
+        coalesce(col("__v_hi"), col("v_lo")).as("v_hi"))
+      .withColumn("value_milli",
+        expr("1000 * v_lo + (v_hi - v_lo) * ((n_rows - 1) * q_mille % 1000)"))
+  }
+}

@@ -1,0 +1,52 @@
+package graft.ops
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class QuantilesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exactQuantiles interpolates type-7 positions in integer milli-units") {
+    val df = Seq(1L, 2L, 3L, 4L, 5L).toDF("x")
+    val out = Quantiles.exactQuantiles(df, col("x"),
+        Seq(0, 100, 250, 500, 1000))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // n=5: h = 4·q/1000; v_hi is always the NEXT order statistic
+    // (clamped at the last) — with rem=0 it contributes nothing
+    assert(out(0) == ((5L, 1L, 2L, 1000L))) // h=0 → exactly v[0]
+    assert(out(100) == ((5L, 1L, 2L, 1400L))) // h=0.4 → 1 + 0.4·(2−1)
+    assert(out(250) == ((5L, 2L, 3L, 2000L))) // h=1.0 → exactly v[1]
+    assert(out(500) == ((5L, 3L, 4L, 3000L))) // h=2.0 → exactly v[2]
+    assert(out(1000) == ((5L, 5L, 5L, 5000L))) // h=4 → last, v_hi clamps
+  }
+
+  test("exactQuantiles handles repeated values (histogram counts > 1)") {
+    val df = Seq(10L, 10L, 10L, 20L).toDF("x")
+    val out = Quantiles.exactQuantiles(df, col("x"), Seq(500, 750, 900))
+      .collect().map(r => r.getInt(0) -> r.getLong(4)).toMap
+    // n=4: h = 3·q/1000. q=500 → h=1.5, v[1]=v[2]=10 → 10000
+    assert(out(500) == 10000L)
+    // q=750 → h=2.25: v[2]=10, v[3]=20 → 10 + 0.25·10 = 12.5 → 12500
+    assert(out(750) == 12500L)
+    // q=900 → h=2.7 → 10 + 0.7·10 = 17 → 17000
+    assert(out(900) == 17000L)
+  }
+
+  test("exactQuantiles equals Spark's percentile aggregate on real lengths") {
+    val lens = Tables.load(spark, sf0001, "documents")
+      .filter(col("text").isNotNull)
+      .select(size(graft.text.TextFunctions.whitespaceTokens(col("text")))
+        .cast("long").as("len"))
+    val qs = Seq(100, 250, 500, 750, 900, 950, 990, 999, 1000)
+    val got = Quantiles.exactQuantiles(lens, col("len"), qs)
+      .collect().map(r => r.getInt(0) -> r.getLong(4) / 1000.0).toMap
+    val expect = lens.agg(
+      percentile(col("len"), typedLit(qs.map(_ / 1000.0))).as("p"))
+      .collect().head.getSeq[Double](0)
+    qs.zip(expect).foreach { case (q, e) =>
+      assert(math.abs(got(q) - e) < 1e-6,
+        s"q=$q: histogram says ${got(q)}, percentile says $e")
+    }
+  }
+}
