@@ -30,6 +30,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // dozens of codegen'd query plans in one session overflow the default
   // ~240 MB JIT code cache, silently de-optimizing later queries (the
   // bench-session-only slowdown visible on q_corpus_stats: 0.75 s
-  // isolated vs 4.6 s crowded)
-  "-XX:ReservedCodeCacheSize=512m",
+  // isolated vs 4.6 s crowded). 512m absorbed ~70 plans; ~100 plans
+  // need 1g (same symptom returned at 98 queries: q_ann_ivf 0.57 s
+  // isolated vs 15 s crowded)
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -65,12 +65,23 @@ object Bench {
       var i = 0
       while (i < repeats && err.isEmpty) {
         spark.catalog.clearCache() // order independence: no inherited caches
+        // localCheckpoint blocks live OUTSIDE the SQL cache manager —
+        // without this they accumulate across the ~100-query session and
+        // the block-manager churn shows up as bench-only slowdowns
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); times += (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
           err = Some(Option(e.getMessage).getOrElse(e.getClass.getName)) }
         i += 1
       }
+      // UNTIMED between-queries GC: Spark frees broadcasts, checkpoint
+      // blocks, and generated classes via the ContextCleaner only after
+      // their driver references are collected — across ~100 plans the
+      // uncollected backlog inflates LATER queries (memory pressure +
+      // class-unloading pauses inside someone else's timed region).
+      // Forcing collection here keeps each query's number its own.
+      System.gc()
       val spread = if (times.size > 1) times.max - times.min else 0.0
       (name, times.minOption.getOrElse(0.0), spread, err)
     }

@@ -749,6 +749,23 @@ object SparkEntry {
           col("text"))
         .orderBy("doc_id")),
 
+    // ---- quote-inclusion containment: candidates share a
+    // non-ubiquitous LINE (bucket-capped, output-sensitive); verify is
+    // one-way shingle containment — the asymmetric near-dup Jaccard
+    // dilutes. Planted excerpts (lines 3-5 of every 11th doc) are the
+    // embedded-quote fixture ----
+    "q_containment" -> ((s, dir) => {
+      val base = lineCorpus(load(s, dir, "documents"))
+      val corpus = base.unionByName(
+        base.filter(col("doc_id") % 11 === 0 && col("doc_id") < 300000)
+          .select((col("doc_id") + 400000L).as("doc_id"),
+            array_join(slice(split(col("text"), "\n"), 3, 3), "\n")
+              .as("text")))
+      text.Dedup.containmentPairs(corpus, "doc_id", col("text"),
+          minPermille = 500, maxBucket = 100)
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- exact token-length quantiles via the histogram route: no
     // corpus-sized sort or buffer anywhere; the only unpartitioned
     // window runs over DISTINCT lengths (bounded cardinality) ----
@@ -1909,6 +1926,47 @@ object SparkEntry {
          |    AND n_stop_hits >= 2 AS BIGINT) AS keep
          |FROM m2 ORDER BY doc_id""".stripMargin
     },
+    "q_containment" -> (lineCorpusCte +
+      s""", corpus2 AS (
+         |  SELECT doc_id, text FROM corpus
+         |  UNION ALL
+         |  SELECT doc_id + 400000,
+         |    array_to_string(list_slice(string_split(text, chr(10)), 3, 5),
+         |      chr(10)) AS text
+         |  FROM corpus WHERE doc_id % 11 = 0 AND doc_id < 300000),
+         |l2 AS (SELECT DISTINCT doc_id, line FROM (
+         |    SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+         |    FROM corpus2) x
+         |  WHERE trim(line) <> ''),
+         |ok AS (SELECT line FROM l2 GROUP BY line
+         |       HAVING count(*) BETWEEN 2 AND 100),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM l2 a JOIN ok USING (line)
+         |  JOIN l2 b ON a.line = b.line AND a.doc_id < b.doc_id),
+         |w2 AS (SELECT doc_id,
+         |  list_slice(str_split(lower(text), ' '), 1, 4096) AS w FROM corpus2),
+         |sh2 AS (SELECT DISTINCT doc_id, ${gramN(3)} AS s
+         |  FROM w2, LATERAL (SELECT unnest(generate_series(1, greatest(len(w)-2, 1))) AS i) u
+         |  WHERE ${gramN(3)} IS NOT NULL),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY 1),
+         |inter AS (
+         |  SELECT c.id_a, c.id_b, count(*) AS n_inter
+         |  FROM cand c
+         |  JOIN sh2 sa ON sa.doc_id = c.id_a
+         |  JOIN sh2 sb ON sb.doc_id = c.id_b AND sb.s = sa.s
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT c.id_a, c.id_b,
+         |    CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_inter,
+         |    CAST(least(sa.n, sb.n) AS BIGINT) AS n_small
+         |  FROM cand c
+         |  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+         |  JOIN sizes sa ON sa.doc_id = c.id_a
+         |  JOIN sizes sb ON sb.doc_id = c.id_b)
+         |SELECT id_a, id_b, n_inter, n_small,
+         |  1000 * n_inter // n_small AS containment_permille
+         |FROM scored WHERE 1000 * n_inter // n_small >= 500
+         |ORDER BY id_a, id_b""".stripMargin),
     "q_len_quantiles" ->
       """WITH lens AS (
         |  SELECT CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS v

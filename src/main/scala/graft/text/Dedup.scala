@@ -211,6 +211,65 @@ object Dedup {
       .localCheckpoint(true)
   }
 
+  /** Quote-inclusion / subset near-dup pairs — the asymmetric case the
+    * symmetric families miss: a short document fully EMBEDDED in a long
+    * one (a quoted article, a reposted excerpt) has high one-way
+    * CONTAINMENT `|A∩B| / min(|A|,|B|)` but low Jaccard
+    * (`|A∩B| / |A∪B|` is diluted by the long doc's tail), so an
+    * [[lshCandidates]]+[[jaccardVerify]] pipeline scores it clean.
+    *
+    * Candidates: pairs sharing at least one full non-blank LINE
+    * ([[Lines.lineRows]]) — a quoted excerpt preserves its source's
+    * line boundaries, and the line hash is the cheapest whole-unit
+    * witness of that. The same `maxBucket` cap discipline as LSH
+    * banding applies: a line shared by more than `maxBucket` docs is
+    * boilerplate (header/footer), not quotation, and its bucket is
+    * dropped before any pair exists — candidates stay output-sensitive,
+    * never corpus². Verification: word-`shingleWords`-gram containment
+    * scored per pair over [[jaccardVerify]]'s array-payload shape, as
+    * exact integer per-mille (`1000·|A∩B| DIV min(|A|,|B|)`).
+    *
+    * Output: (id_a, id_b, n_inter, n_small, containment_permille) with
+    * id_a < id_b, filtered to ≥ `minPermille`, eagerly materialized
+    * (the [[lshCandidatesFromShingles]] contract). */
+  def containmentPairs(df: DataFrame, idCol: String, text: Column,
+      minPermille: Int = 500, maxBucket: Int = 1000,
+      shingleWords: Int = 3): DataFrame = {
+    require(minPermille >= 0 && minPermille <= 1000,
+      "minPermille must be in [0, 1000]")
+    val banded = Lines.lineRows(df, idCol, text)
+      .select(col(idCol), lit(0).as("band"), md5(col("line")).as("bsig"))
+      .distinct()
+    val pairs = candidatesFromBands(banded, idCol, maxBucket)
+    val candIds = pairs.select(col("id_a").as(idCol))
+      .unionByName(pairs.select(col("id_b").as(idCol)))
+      .distinct()
+    val ssets = df.join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol), array_distinct(array_compact(
+        Shingles.wordNGramsOf(
+          slice(split(lower(text), " "), 1, MaxShingleWords),
+          shingleWords))).as("__sset"))
+      .persist()
+    try {
+      ssets.count(): Unit // materialize BEFORE the two consuming joins
+      pairs
+        .join(ssets.select(col(idCol).as("id_a"), col("__sset").as("__sa")),
+          Seq("id_a"))
+        .join(ssets.select(col(idCol).as("id_b"), col("__sset").as("__sb")),
+          Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          size(array_intersect(col("__sa"), col("__sb"))).cast("long")
+            .as("n_inter"),
+          least(size(col("__sa")), size(col("__sb"))).cast("long")
+            .as("n_small"))
+        .withColumn("containment_permille",
+          when(col("n_small") > 0, expr("1000 * n_inter DIV n_small"))
+            .otherwise(lit(0L)))
+        .filter(col("containment_permille") >= minPermille)
+        .localCheckpoint(true)
+    } finally { ssets.unpersist(false); () }
+  }
+
   /** Incremental exact dedup: the rows of `batch` whose content does
     * not already exist in `reference` — the admission check a pipeline
     * runs on every new crawl batch before it joins the corpus.

@@ -30,7 +30,7 @@ object Lines {
     * whitespace-only lines (they would otherwise form one giant
     * dedup bucket keyed on the empty string — and structural blank
     * lines are not content to deduplicate). */
-  private def lineRows(df: DataFrame, idCol: String, text: Column): DataFrame =
+  private[text] def lineRows(df: DataFrame, idCol: String, text: Column): DataFrame =
     df.filter(text.isNotNull)
       .select(col(idCol), posexplode(split(text, "\n")).as(Seq("pos", "line")))
       .filter(length(trim(col("line"))) > 0)

@@ -315,6 +315,35 @@ class DedupSpec extends SparkSpec {
     assert(out(5L) == ((2L, 0L, 0L, 0L)))
   }
 
+  test("containmentPairs finds embedded quotes that Jaccard dilutes") {
+    // each line carries its own vocabulary so the source's shingle set
+    // is ~5× the quote's — the asymmetric shape containment is for
+    val srcLines = (1 to 5).map(i =>
+      s"line $i " + (1 to 20).map(j => s"w${i}x$j").mkString(" "))
+    val src = srcLines.mkString("\n")
+    val quote = srcLines.slice(1, 3).mkString("\n") // lines 2-3 embedded
+    val corpus = (Seq(
+      (1L, src), (2L, quote),
+      (3L, "totally unrelated content\nwith its own lines")) ++
+      // 5 docs sharing one line: above maxBucket=3, bucket dropped
+      (10L to 14L).map(i => (i, s"shared boilerplate line\nunique $i")))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(corpus, "doc_id", col("text"),
+      minPermille = 500, maxBucket = 3)
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+    // the quote pair survives with high containment...
+    assert(rows.contains((1L, 2L)), s"expected (1,2) in ${rows.keySet}")
+    assert(rows((1L, 2L)) >= 900L)
+    // ...while its symmetric Jaccard is diluted by the source's tail
+    val jac = Dedup.jaccardVerify(corpus,
+        Seq((1L, 2L)).toDF("id_a", "id_b"), "doc_id", col("text"))
+      .collect().head.getAs[Double]("jaccard")
+    assert(jac < 0.5, s"jaccard should be diluted, got $jac")
+    // the over-cap boilerplate bucket produced no pairs
+    assert(!rows.keySet.exists { case (a, b) => a >= 10L && b <= 14L })
+  }
+
   test("dupSpans matches a sequential reference on real docs with planted copies") {
     val d = docs.select(col("doc_id"), col("text"))
     val corpus = d.unionByName(
