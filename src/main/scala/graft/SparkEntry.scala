@@ -864,6 +864,17 @@ object SparkEntry {
           "doc_id", col("text"))
         .orderBy("doc_id")),
 
+    // ---- DSIR importance weighting: hashed unigram+bigram histogram
+    // log-ratios (target = the 'en' slice vs the raw pool), per-bucket
+    // ratio quantized to integer milli-nats BEFORE the per-doc sum —
+    // engine-exact; histograms and ratio table broadcast ----
+    "q_dsir" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      text.Dsir.importanceScores(docs, docs.filter(col("lang") === "en"),
+          "doc_id", col("text"), buckets = 1024)
+        .orderBy("doc_id")
+    }),
+
     // ---- temperature-scaled domain sampling (α = 1/2): skewed strata
     // (8:4:2:1:1 over doc_id%16) damped toward balance under one global
     // document budget; weights floor(10⁶·√(n/N)) are IEEE-exact in any
@@ -2982,6 +2993,39 @@ object SparkEntry {
         |  CAST(sum(mnats) AS BIGINT) AS total_mnats,
         |  CAST(sum(mnats) AS DOUBLE) / 1000.0 / count(*) AS avg_surprisal_nats
         |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_dsir" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |feats AS (SELECT doc_id, f FROM (
+        |    SELECT doc_id, unnest(w) AS f FROM d
+        |    UNION ALL
+        |    SELECT doc_id, w[u.i] || ' ' || w[u.i+1] AS f
+        |    FROM d, LATERAL (SELECT unnest(generate_series(1,
+        |      greatest(len(w)-1, 1))) AS i) u) x
+        |  WHERE f IS NOT NULL),
+        |fb AS (SELECT doc_id,
+        |    CAST(('0x' || substr(md5(f || ':dsir'), 1, 8)) AS BIGINT) % 1024 AS b
+        |  FROM feats),
+        |dn AS (SELECT doc_id, b, count(*) AS n FROM fb GROUP BY 1, 2),
+        |hq AS (SELECT b, sum(n) AS cq FROM dn GROUP BY 1),
+        |ht AS (SELECT fb.b AS b, count(*) AS ct
+        |  FROM fb JOIN documents t USING (doc_id)
+        |  WHERE t.lang = 'en' GROUP BY 1),
+        |tq AS (SELECT sum(cq) AS q FROM hq),
+        |tt AS (SELECT coalesce(sum(ct), 0) AS t FROM ht),
+        |lr AS (SELECT hq.b,
+        |    CAST(floor(1000.0 * ln(
+        |      (CAST(coalesce(ht.ct, 0) + 1 AS DOUBLE) * CAST(tq.q + 1024 AS DOUBLE)) /
+        |      (CAST(hq.cq + 1 AS DOUBLE) * CAST(tt.t + 1024 AS DOUBLE)))) AS BIGINT)
+        |      AS lr_mn
+        |  FROM hq LEFT JOIN ht ON ht.b = hq.b CROSS JOIN tq CROSS JOIN tt)
+        |SELECT dn.doc_id,
+        |  CAST(sum(dn.n) AS BIGINT) AS n_feats,
+        |  CAST(sum(dn.n * lr.lr_mn) AS BIGINT) AS dsir_mnats,
+        |  CAST(sum(dn.n * lr.lr_mn) AS DOUBLE) / 1000.0 / sum(dn.n) AS avg_lr_nats
+        |FROM dn JOIN lr ON lr.b = dn.b
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_mix_temperature" ->
       """WITH d AS (
         |  SELECT doc_id,
