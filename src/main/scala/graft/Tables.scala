@@ -19,6 +19,25 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** µs-since-epoch from an event-time column, whatever physical type
+    * the fixture generation chose for it: parquet TIMESTAMP(NANOS) reads
+    * as ns-long under `nanosAsLong` (divide), TIMESTAMP(MICROS) reads as
+    * timestamp[_ntz] (unix_micros; the NTZ→TZ cast is the identity
+    * instant under the session's pinned UTC zone). Twin of DuckDB's
+    * `epoch_us(ts)`, which applies the same µs truncation to either
+    * physical type — every event-time operator must extract time through
+    * here or the two engines diverge on the fixture vintage. */
+  def tsUs(df: DataFrame, c: String = "ts"): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    import org.apache.spark.sql.functions.{col, expr, unix_micros}
+    df.schema(c).dataType match {
+      case LongType => expr(s"$c DIV 1000")
+      case TimestampType | TimestampNTZType => unix_micros(col(c).cast(TimestampType))
+      case t => throw new IllegalArgumentException(
+        s"unsupported event-time type for column $c: $t")
+    }
+  }
+
   /** The primary key ("_id" analog) per table — used by the range
     * splitter (X1), idempotent sinks (K1) and the compare job (J1). */
   val keys: Map[String, String] = Map(

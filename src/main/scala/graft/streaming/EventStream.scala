@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Event-stream analytics over the `events` table shape (event_id, ts
-  * [ns-since-epoch long], user_id, event_type, value, props) — the
+  * [ns-long or µs-timestamp by fixture vintage — see Tables.tsUs],
+  * user_id, event_type, value, props) — the
   * §7 streaming-analytics extensions beyond the reference's replication
   * surface (the reference has no event-time windows or stateful
   * aggregation at all, SURVEY §2.8 ST5).
@@ -17,10 +18,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStream {
 
-  /** ns-epoch long → event-time timestamp column (µs precision — the
-    * same truncation DuckDB applies to ns parquet timestamps). */
-  def eventTime(ts: String = "ts"): org.apache.spark.sql.Column =
-    timestamp_micros(expr(s"$ts DIV 1000"))
+  /** Event-time timestamp column at µs precision (the truncation DuckDB
+    * applies to parquet timestamps of any vintage) — schema-branched via
+    * [[graft.Tables.tsUs]] so ns-long and µs-timestamp fixtures both
+    * work. */
+  def eventTime(events: DataFrame, ts: String = "ts"): org.apache.spark.sql.Column =
+    timestamp_micros(graft.Tables.tsUs(events, ts))
 
   /** Tumbling event-time window counts per event_type. In streaming,
     * `watermark` (e.g. "1 hour") bounds state and late data; in batch it
@@ -28,7 +31,7 @@ object EventStream {
   def tumblingCounts(events: DataFrame, windowLen: String = "1 hour",
       watermark: String = "1 hour"): DataFrame =
     events
-      .withColumn("__et", eventTime())
+      .withColumn("__et", eventTime(events))
       .withWatermark("__et", watermark)
       .groupBy(window(col("__et"), windowLen).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
@@ -45,7 +48,7 @@ object EventStream {
   def slidingCounts(events: DataFrame, windowLen: String = "1 hour",
       slide: String = "15 minutes", watermark: String = "1 hour"): DataFrame =
     events
-      .withColumn("__et", eventTime())
+      .withColumn("__et", eventTime(events))
       .withWatermark("__et", watermark)
       .groupBy(window(col("__et"), windowLen, slide).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
@@ -161,6 +164,41 @@ object EventStream {
       .agg(max(col("n")).as("n_events"), sum(col("__out")).as("n_outliers"))
   }
 
+  /** Stream-stream interval join (attribution): every `pointType` event
+    * joins each `openType` event of the same user that opened within
+    * the preceding `horizon` — the streaming twin of the batch
+    * `RangeJoin`-backed attribution query (`q_range_join`).
+    *
+    * The SAME code runs in batch and under `readStream`. In streaming,
+    * BOTH sides carry a watermark and the join condition bounds the
+    * event-time gap, which is exactly what Spark's stream-stream join
+    * needs to evict state: an open event leaves the join state once the
+    * point-side watermark passes `open + horizon`, so state is bounded
+    * by the event rate × (watermark + horizon), not by the stream's
+    * history. Without the range condition the state would grow without
+    * bound — the condition is load-bearing, not an optimization.
+    * EventStreamSpec pins stream == batch across a micro-batch split
+    * that separates an open from its points. */
+  def attributionJoin(events: DataFrame, openType: String, pointType: String,
+      horizon: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+    val et = eventTime(events)
+    val opens = events.filter(col("event_type") === openType)
+      .select(col("event_id").as("open_id"), col("user_id"),
+        et.as("open_et"))
+      .withWatermark("open_et", watermark)
+    val points = events.filter(col("event_type") === pointType)
+      .select(col("event_id").as("point_id"), col("user_id").as("__puid"),
+        et.as("point_et"))
+      .withWatermark("point_et", watermark)
+    opens.join(points,
+        col("user_id") === col("__puid") &&
+        col("point_et") >= col("open_et") &&
+        col("point_et") < col("open_et") + expr(s"INTERVAL $horizon"))
+      .select(col("open_id"), col("point_id"), col("user_id"),
+        unix_micros(col("open_et")).as("open_us"),
+        unix_micros(col("point_et")).as("point_us"))
+  }
+
   /** Behavioral step funnel: how many users completed step 1, then
     * step 2 AFTER step 1, then step 3 AFTER step 2 (first qualifying
     * occurrence each) — the product-analytics counterpart of the
@@ -204,7 +242,7 @@ object EventStream {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy("ts_us")
     events
-      .select(col("user_id"), expr("ts DIV 1000").as("ts_us"))
+      .select(col("user_id"), graft.Tables.tsUs(events).as("ts_us"))
       .withColumn("__prev", lag("ts_us", 1).over(w))
       .withColumn("__new", (col("__prev").isNull ||
         col("ts_us") - col("__prev") > gapUs).cast("int"))

@@ -51,7 +51,7 @@ class EventStreamSpec extends SparkSpec {
 
   test("sessionize (flatMapGroupsWithState) equals the window-gap batch plan") {
     val gap = 3600L * 1000000
-    val ev = events.select(col("user_id"), expr("ts DIV 1000").as("tsUs"))
+    val ev = events.select(col("user_id"), Tables.tsUs(events).as("tsUs"))
       .as[EventStream.SessionEvent]
     val stateful = EventStream.sessionize(ev, gap).collect()
       .map(s => (s.user_id, s.session_start_us, s.session_end_us, s.n_events)).toSet
@@ -88,6 +88,52 @@ class EventStreamSpec extends SparkSpec {
     // batch boundary would be wrong — they are 0.5s apart in batch 1 and
     // close only when batch 2's event arrives 5s later
     assert(closed == Set((1L, 1000000L, 1500000L, 2L)))
+  }
+
+  test("attributionJoin: stream equals batch across a micro-batch split") {
+    val s = spark
+    import s.implicits._
+    // ts in ns (LongType branch of Tables.tsUs); purchase 100 opens a
+    // 1h window; clicks at +30m (in), +59m59s (in), +1h (out, exclusive),
+    // -1s (out, before); user 2 noise
+    val h = 3600L * 1000000000L
+    def row(id: Long, uid: Long, tpe: String, tsNs: Long) = (id, tsNs, uid, tpe)
+    val batch1 = Seq(row(100, 1, "purchase", 10L * h),
+      row(200, 1, "click", 10L * h - 1000000000L),
+      row(201, 1, "click", 10L * h + h / 2))
+    val batch2 = Seq(row(202, 1, "click", 10L * h + h - 1000000000L),
+      row(203, 1, "click", 10L * h + h),
+      row(300, 2, "click", 10L * h + h / 2),
+      // late watermark driver so the stream closes state
+      row(999, 9, "click", 20L * h))
+    val all = (batch1 ++ batch2).toDF("event_id", "ts", "user_id", "event_type")
+
+    val expected = Set((100L, 201L), (100L, 202L))
+    val got = EventStream.attributionJoin(all, "purchase", "click")
+      .select("open_id", "point_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+
+    val dir = Files.createTempDirectory("graft-attr").toString
+    batch1.toDF("event_id", "ts", "user_id", "event_type")
+      .coalesce(1).write.mode("append").parquet(dir)
+    Thread.sleep(300)
+    batch2.toDF("event_id", "ts", "user_id", "event_type")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val src = spark.readStream
+      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+    val q = EventStream.attributionJoin(src, "purchase", "click")
+      .writeStream.format("memory").queryName("attr_test")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("attr_test")
+      .select("open_id", "point_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == expected)
   }
 
   test("stepFunnel counts ordered completions, not mere event presence") {
