@@ -501,18 +501,21 @@ object SparkEntry {
     // per-user sort/window (a bot user costs its aggregate rows only).
     // µs-truncated event times on both sides (DuckDB reads parquet ns
     // as µs) ----
-    "q_funnel_steps" -> ((s, dir) =>
-      streaming.EventStream.stepFunnel(load(s, dir, "events"),
-        col("user_id"), col("event_type"), expr("ts DIV 1000"),
-        Seq("signup", "click", "purchase"))),
+    "q_funnel_steps" -> ((s, dir) => {
+      val ev = load(s, dir, "events")
+      streaming.EventStream.stepFunnel(ev,
+        col("user_id"), col("event_type"), Tables.tsUs(ev),
+        Seq("signup", "click", "purchase"))
+    }),
 
     // ---- §7 streaming analytics: gap sessionization via
     // flatMapGroupsWithState (O(1) state per user; closed sessions emit
     // exactly once across micro-batches) ----
     "q_w2_sessions" -> ((s, dir) => {
       import s.implicits._
-      val ev = load(s, dir, "events")
-        .select(col("user_id"), expr("ts DIV 1000").as("tsUs"))
+      val raw = load(s, dir, "events")
+      val ev = raw
+        .select(col("user_id"), Tables.tsUs(raw).as("tsUs"))
         .as[streaming.EventStream.SessionEvent]
       streaming.EventStream.sessionize(ev, gapUs = 3600L * 1000000).toDF()
         .orderBy("user_id", "session_start_us")
@@ -603,11 +606,12 @@ object SparkEntry {
     }),
 
     // ---- T10: spool-file timestamp formatting over event times ----
-    "q_t10_stamp" -> ((s, dir) =>
-      load(s, dir, "events").filter(col("event_id") < 2000)
-        .select(col("event_id"),
-          util.Convert.stampCol(timestamp_micros(expr("ts DIV 1000"))).as("stamp"))
-        .orderBy("event_id")),
+    "q_t10_stamp" -> ((s, dir) => {
+      val ev = load(s, dir, "events").filter(col("event_id") < 2000)
+      ev.select(col("event_id"),
+          util.Convert.stampCol(timestamp_micros(Tables.tsUs(ev))).as("stamp"))
+        .orderBy("event_id")
+    }),
 
     // ================= multimodal / binary payload operators ============
     // The fixture has no native binary column, so the payload is the
@@ -1124,12 +1128,14 @@ object SparkEntry {
     // the micro-batch compaction inside K2's foreachBatch, run as a batch
     // query over the events change-log table.
     "q_j3_compaction" -> ((s, dir) => {
-      // ts is ns-since-epoch (nanosAsLong); compact at µs precision because
-      // DuckDB coerces parquet ns-timestamps to µs — ordering must use the
-      // same precision on both sides or tie-breaks diverge.
-      val tsUs = expr("ts DIV 1000")
+      // Compact at µs precision, whatever the fixture's physical ts type
+      // (Tables.tsUs) — DuckDB coerces parquet timestamps to µs, and
+      // ordering must use the same precision on both sides or tie-breaks
+      // diverge.
+      val ev = load(s, dir, "events")
+      val tsUs = Tables.tsUs(ev)
       val w = Window.partitionBy("user_id").orderBy(tsUs.desc, col("event_id").desc)
-      load(s, dir, "events")
+      ev
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("user_id"), col("event_id"), col("event_type"),
@@ -1551,6 +1557,184 @@ object SparkEntry {
       }.toDF("total", "completed", "failed", "eta_ms", "pending",
         "rows_copied", "live_run_ok")
         .orderBy("total")
+    }),
+
+    // ---- §7 time-series: as-of (backward temporal) join — each click
+    // picks up the user's latest at-or-before purchase. Union + tagged
+    // per-key running window (ops/AsofJoin.scala): ONE hash exchange on
+    // user_id, zero joins — never the quadratic non-equi join Spark
+    // would plan for `r.t <= p.t`. ----
+    "q_asof" -> ((s, dir) => {
+      val raw = load(s, dir, "events")
+      val ev = raw
+        .select(col("event_id"), col("user_id"),
+          Tables.tsUs(raw).as("ts_us"), col("event_type"), col("value"))
+      val probes = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts_us")
+      val refs = ev
+        .filter(col("event_type") === "purchase" && col("value").isNotNull)
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
+      ops.AsofJoin.asofLast(probes, refs, key = "user_id",
+          timeCol = "ts_us", tieCol = "event_id",
+          payload = Seq("event_id", "value"))
+        .orderBy("event_id")
+    }),
+
+    // ---- §7 time-series: bucketed interval join — clicks attributed to
+    // the purchase window [purchase_ts, purchase_ts + 1h). Intervals
+    // explode to ≤2 hour-buckets, the join is a plain equi-join on
+    // (user, bucket) + exact residual (ops/RangeJoin.scala) — no
+    // per-key cross product, no BroadcastNestedLoop. ----
+    "q_range_join" -> ((s, dir) => {
+      val raw = load(s, dir, "events")
+      val ev = raw
+        .select(col("event_id"), col("user_id"),
+          Tables.tsUs(raw).as("ts_us"), col("event_type"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us").as("t_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts_us").as("start_us"),
+          (col("ts_us") + lit(3600000000L)).as("end_us"))
+      val hits = ops.RangeJoin.intervalJoin(clicks, purchases,
+        key = "user_id", t = "t_us", start = "start_us", end = "end_us",
+        bucketWidth = 3600000000L)
+      val counts = hits.groupBy("purchase_id")
+        .agg(count(lit(1)).as("n_clicks"), min("t_us").as("first_click_us"))
+      purchases.select("purchase_id")
+        .join(counts, Seq("purchase_id"), "left")
+        .na.fill(0L, Seq("n_clicks"))
+        .orderBy("purchase_id")
+    }),
+
+    // ---- §4 layout: Z-order zone-map statistics — Morton-interleave
+    // (user, day), bucket by Z-prefix, emit per-zone min/max exactly as
+    // a parquet footer would carry them (ops/ZOrder.scala). Pure integer
+    // shift/mask arithmetic → bit-identical in DuckDB via
+    // ZOrder.zvalueSql; the write-side layout operator
+    // (ZOrder.layout) is one repartitionByRange on the same code. ----
+    "q_zorder" -> ((s, dir) => {
+      val raw = load(s, dir, "events")
+      val ev = raw.select(col("user_id").as("u"), Tables.tsUs(raw).as("ts_us"))
+        .select(col("u"), expr("ts_us DIV 86400000000").as("d"))
+      ops.ZOrder.zoneStats(ev, col("u"), col("d"), bits = 16, zoneShift = 8)
+        .orderBy("zone")
+    }),
+
+    // ---- §7 SQL surface: ROLLUP grouping sets with GROUPING id — the
+    // hierarchy subtotal shape (per flag+status, per flag, grand total)
+    // in ONE pass: Spark expands grouping sets map-side, so the plan is
+    // a single hash aggregate + one exchange, not three scans. ----
+    "q_rollup" -> ((s, dir) => {
+      load(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(grouping_id().cast("long").as("gid"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          count(lit(1)).as("n_items"))
+        .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n_items")
+        .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // ---- §7 grouped top-k as a first-class operator: most frequent
+    // terms per language. The per-group candidate set (one row per
+    // (lang, term)) is unbounded, so the rank runs through the SAME
+    // salted two-level top-k that bounds BM25 (Retrieval.saltedTopK) —
+    // never a raw per-group window over corpus-sized candidates. ----
+    "q_topk_group" -> ((s, dir) => {
+      val counts = load(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("lang"),
+          explode(text.TextFunctions.whitespaceTokens(lower(col("text"))))
+            .as("tok"))
+        .groupBy("lang", "tok").agg(count(lit(1)).as("n"))
+      text.Retrieval.saltedTopK(counts, col("lang"), col("tok"),
+          Seq(col("n").desc, col("tok")), k = 5)
+        .select(col("lang"), col("rank").cast("long").as("rank"),
+          col("tok"), col("n"))
+        .orderBy("lang", "rank")
+    }),
+
+    // ---- §7 warehouse surface: SCD-2 history build — per-user runs of
+    // equal event_type collapsed to [valid_from, valid_to) validity
+    // intervals (gaps-and-islands; ops/Scd2.scala). Two per-key window
+    // passes + one aggregate; bounded per key, no global op. ----
+    "q_scd2" -> ((s, dir) => {
+      val raw = load(s, dir, "events")
+      val ev = raw.select(col("user_id"), Tables.tsUs(raw).as("ts_us"),
+        col("event_id"), col("event_type"))
+      ops.Scd2.intervals(ev, key = "user_id", time = col("ts_us"),
+          tieCol = "event_id", value = "event_type")
+        .orderBy("user_id", "valid_from")
+    }),
+
+    // ---- §4 layout: size-aware output binning (small-files fix) — docs
+    // packed into ≈16 KiB bins over a deterministic md5 order via the
+    // sharded prefix-sum (ops/BinPack.scala: per-shard running sums +
+    // a shards-row offset table, never a global sort/reducer). Pinned
+    // via per-bin stats; all integer md5 arithmetic → engine-exact. ----
+    "q_binpack" -> ((s, dir) => {
+      val d = load(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      ops.BinPack.assignBins(d, "doc_id", "n_chars", targetBytes = 16384L,
+          salt = "v0", shards = 64)
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("bytes"))
+        .orderBy("bin")
+    }),
+
+    // ---- §7 SQL surface: anti-join (NOT EXISTS) — parts never shipped
+    // in a quantity-50 line. left_anti is the one-sided hash join Spark
+    // plans for NOT EXISTS; no count/distinct pre-pass. ----
+    "q_anti" -> ((s, dir) => {
+      val p = load(s, dir, "part").select(col("p_partkey"))
+      val l = load(s, dir, "lineitem").filter(col("l_quantity") > 49)
+        .select(col("l_partkey"))
+      p.join(l, p("p_partkey") === l("l_partkey"), "left_anti")
+        .orderBy("p_partkey")
+    }),
+
+    // ---- §7 SQL surface: set operations — INTERSECT/EXCEPT with
+    // set (distinct) semantics on both engines. Each leg is one
+    // hash-partitioned distinct + join; tagged union for one output. ----
+    "q_setops" -> ((s, dir) => {
+      val o = load(s, dir, "orders")
+      val f = o.filter(col("o_orderstatus") === "F").select("o_custkey")
+      val open = o.filter(col("o_orderstatus") === "O").select("o_custkey")
+      f.intersect(open).withColumn("tag", lit("both"))
+        .unionByName(f.except(open).withColumn("tag", lit("f_only")))
+        .orderBy("tag", "o_custkey")
+    }),
+
+    // ---- §6 sketches: HLL++ approximate distinct with an ENGINE-EXACT
+    // gate — the oracle cannot replay Spark's HLL, so the pinned output
+    // is the exact count plus a tolerance flag (|est − exact| ≤ 5%):
+    // if the sketch ever drifts out of tolerance the flag flips and the
+    // hash compare fails. At 100 TB the sketch replaces the exact
+    // distinct's full shuffle with constant-size mergeable state. ----
+    "q_approx_distinct" -> ((s, dir) => {
+      load(s, dir, "documents")
+        .groupBy("lang")
+        .agg(countDistinct(col("doc_id")).as("n_exact"),
+          approx_count_distinct(col("doc_id"), 0.02).as("__est"))
+        .select(col("lang"), col("n_exact"),
+          (abs(col("__est") - col("n_exact")) <=
+            col("n_exact") * lit(0.05)).as("approx_ok"))
+        .orderBy("lang")
+    }),
+
+    // ---- §7 SQL surface: pivot (wide conditional aggregation) — event
+    // counts per day × type. The value list is PINNED, so no
+    // distinct-collect pre-pass runs (at 100 TB an unpinned pivot's
+    // domain scan is a full extra job); the plan is one hash aggregate
+    // over day with 5 conditional counts. ----
+    "q_pivot" -> ((s, dir) => {
+      val raw = load(s, dir, "events")
+      raw
+        .select(Tables.tsUs(raw).as("ts_us"), col("event_type"))
+        .select(expr("ts_us DIV 86400000000").as("day"), col("event_type"))
+        .groupBy("day")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
+        .orderBy("day")
     })
   )
 
@@ -3305,6 +3489,127 @@ object SparkEntry {
         |FROM (VALUES
         |  (CAST(4 AS BIGINT), CAST(4 AS BIGINT), CAST(0 AS BIGINT), CAST(2000 AS BIGINT)),
         |  (8, 1, 0, 1000), (10, 0, 0, 500), (100, 25, 5, 60000)) t(total, completed, failed, elapsed)
-        |ORDER BY total""".stripMargin
+        |ORDER BY total""".stripMargin,
+    "q_asof" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+        |           FROM events),
+        |u AS (
+        |  SELECT user_id, ts_us AS t, 0 AS tag, event_id AS tie,
+        |         event_id AS r_eid, value AS r_val,
+        |         CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS BIGINT) AS ts_us
+        |  FROM e WHERE event_type = 'purchase' AND value IS NOT NULL
+        |  UNION ALL
+        |  SELECT user_id, ts_us, 1, 0,
+        |         CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), event_id, ts_us
+        |  FROM e WHERE event_type = 'click'),
+        |c AS (
+        |  SELECT user_id, tag, event_id, ts_us,
+        |    last_value(r_eid IGNORE NULLS) OVER w AS ref_event_id,
+        |    last_value(r_val IGNORE NULLS) OVER w AS ref_value
+        |  FROM u
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY t, tag, tie
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, ts_us, ref_event_id, ref_value
+        |FROM c WHERE tag = 1 ORDER BY event_id""".stripMargin,
+    "q_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+        |           FROM events),
+        |p AS (SELECT event_id AS purchase_id, user_id, ts_us FROM e
+        |      WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts_us FROM e WHERE event_type = 'click')
+        |SELECT p.purchase_id,
+        |  count(c.ts_us) AS n_clicks,
+        |  min(c.ts_us) AS first_click_us
+        |FROM p LEFT JOIN c
+        |  ON c.user_id = p.user_id
+        | AND c.ts_us >= p.ts_us AND c.ts_us < p.ts_us + 3600000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_zorder" ->
+      s"""WITH e AS (SELECT user_id AS u, epoch_us(ts) // 86400000000 AS d
+         |           FROM events),
+         |z AS (SELECT u, d, ${ops.ZOrder.zvalueSql("u", "d", 16)} AS z FROM e)
+         |SELECT z >> 8 AS zone, count(*) AS n_rows,
+         |  min(u) AS x_min, max(u) AS x_max,
+         |  min(d) AS y_min, max(d) AS y_max
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n_items
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+    "q_topk_group" ->
+      """WITH t AS (SELECT lang, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+        |           FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT lang, tok, count(*) AS n FROM t GROUP BY 1, 2),
+        |r AS (SELECT lang, tok, n,
+        |        row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS rank
+        |      FROM c)
+        |SELECT lang, rank, tok, n FROM r WHERE rank <= 5
+        |ORDER BY lang, rank""".stripMargin,
+    "q_scd2" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id, event_type
+        |           FROM events),
+        |m AS (SELECT user_id, t, event_id, event_type,
+        |        CASE WHEN event_type IS NOT DISTINCT FROM lag(event_type) OVER w
+        |             THEN 0 ELSE 1 END AS chg
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |i AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |      FROM m),
+        |g AS (SELECT user_id, island, min(event_type) AS event_type,
+        |        min(t) AS valid_from, count(*) AS n_obs
+        |      FROM i GROUP BY 1, 2)
+        |SELECT user_id, event_type, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY user_id
+        |    ORDER BY valid_from, island) AS valid_to,
+        |  n_obs
+        |FROM g ORDER BY user_id, valid_from""".stripMargin,
+    "q_binpack" ->
+      """WITH r AS (SELECT doc_id, n_chars,
+        |             md5(CAST(doc_id AS VARCHAR) || '#v0') AS rk
+        |           FROM documents),
+        |s AS (SELECT *, CAST(floor(CAST(('0x' || substr(rk, 1, 4)) AS BIGINT)
+        |        * 64 / 65536) AS INT) AS shard FROM r),
+        |p AS (SELECT *, coalesce(sum(n_chars) OVER (PARTITION BY shard
+        |        ORDER BY rk, doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS loc
+        |      FROM s),
+        |o AS (SELECT shard, sum(n_chars) AS b FROM s GROUP BY 1),
+        |o2 AS (SELECT shard, coalesce(sum(b) OVER (ORDER BY shard
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |       FROM o)
+        |SELECT CAST((o2.off + p.loc) // 16384 AS BIGINT) AS bin,
+        |  count(*) AS n_docs, CAST(sum(p.n_chars) AS BIGINT) AS bytes
+        |FROM p JOIN o2 USING (shard)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_anti" ->
+      """SELECT p_partkey FROM part p
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+        |                  WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 49)
+        |ORDER BY p_partkey""".stripMargin,
+    "q_setops" ->
+      """SELECT o_custkey, 'both' AS tag FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |UNION ALL
+        |SELECT o_custkey, 'f_only' AS tag FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |ORDER BY tag, o_custkey""".stripMargin,
+    "q_approx_distinct" ->
+      """SELECT lang, count(DISTINCT doc_id) AS n_exact, TRUE AS approx_ok
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_pivot" ->
+      """SELECT epoch_us(ts) // 86400000000 AS day,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
