@@ -21,6 +21,8 @@ import scala.jdk.CollectionConverters._
   *   `-sql <config.json>`     ad-hoc SQL over a catalog (engine extension)
   *   `-curate <config.json>`  corpus curation pipeline → training manifest
   *                            (engine extension)
+  *   `-optimize <config.json>` Z-order + size-balanced file rewrite of a
+  *                            namespace (engine extension)
   *   `-version`               print version
   *
   * (`-worker` has no Spark counterpart: the reference spawns queue
@@ -45,7 +47,7 @@ import scala.jdk.CollectionConverters._
   */
 object Main {
 
-  val Version = "graft-0.7"
+  val Version = "graft-0.8"
 
   def main(args: Array[String]): Unit = {
     val rc = run(args.toIndexedSeq,
@@ -58,19 +60,21 @@ object Main {
   def run(args: Seq[String], session: () => SparkSession): Int = {
     def usage(): Int = {
       Console.err.println(
-        "usage: graft -start|-resume|-compare|-sim|-sql|-curate <config.json> | -version")
+        "usage: graft -start|-resume|-compare|-sim|-sql|-curate|-optimize <config.json> | -version")
       1
     }
     args match {
       case Seq("-version") => println(Version); 0
       case Seq(flag, file)
-          if Set("-start", "-resume", "-compare", "-sim", "-sql", "-curate")(flag) =>
+          if Set("-start", "-resume", "-compare", "-sim", "-sql", "-curate",
+            "-optimize")(flag) =>
         val json = new String(
           java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file)), "UTF-8")
         flag match {
           case "-sim" => sim(session(), json)
           case "-sql" => sql(session(), json)
           case "-curate" => curate(session(), json)
+          case "-optimize" => optimize(session(), json)
           case "-compare" => compare(session(), MigratorConfig.parse(json))
           case "-start" => lifecycle(session(), MigratorConfig.parse(json), resume = false)
           case "-resume" => lifecycle(session(), MigratorConfig.parse(json), resume = true)
@@ -274,6 +278,67 @@ object Main {
     val perSplit = written.groupBy("split").count().collect()
       .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(", ")
     println(s"curated $ns: $nInput doc(s) in, ${written.count()} selected ($perSplit); wrote $out")
+    0
+  }
+
+  /** `-optimize` (engine extension): rewrite one namespace in Z-order
+    * with size-balanced output files — the lake-side `OPTIMIZE ...
+    * ZORDER BY` maintenance job. Config:
+    * `{"source": <catalog root>, "namespace": "db.coll",
+    *   "out": <dir>, "dims": ["colA", "colB"],
+    *   "bits": 16, "targetBytes": 16777216, "shardShift": 20}`.
+    * Both dims are masked to `bits` bits of their integer value
+    * (callers quantize non-integers upstream). Rows get a Morton code
+    * (ops/ZOrder.scala), pack into ≈targetBytes next-fit bins along
+    * the Z order (ops/BinPack.assignBinsInOrder — sharded prefix sum,
+    * no global sort), and write one file per bin, Z-sorted within —
+    * so every output file is a tight zone-map rectangle in BOTH
+    * dimensions and parquet min/max pruning works for predicates on
+    * either. A layout report (per-bin rows/bytes + both dims' min/max)
+    * lands at `<out>/_layout_report` and prints as a summary line. */
+  private def optimize(spark: SparkSession, json: String): Int = {
+    import org.apache.spark.sql.functions._
+    val n = new ObjectMapper().readTree(json)
+    require(n != null && n.isObject, "optimize config must be a JSON object")
+    def req(f: String): String = {
+      require(n.has(f) && n.get(f).asText().nonEmpty, s"optimize config needs $f")
+      n.get(f).asText()
+    }
+    val dir = req("source"); val ns = req("namespace"); val out = req("out")
+    val dims = if (n.has("dims"))
+      n.get("dims").elements().asScala.map(_.asText()).toSeq else Seq()
+    require(dims.size == 2, "optimize config needs dims: [colA, colB]")
+    val bits = if (n.has("bits")) n.get("bits").asInt() else 16
+    val target = if (n.has("targetBytes")) n.get("targetBytes").asLong()
+      else 16L * 1024 * 1024
+    val shardShift = if (n.has("shardShift")) n.get("shardShift").asInt()
+      else math.max(0, 2 * bits - 10)
+    val sizeCol = if (n.has("sizeCol")) Some(n.get("sizeCol").asText()) else None
+
+    val cat = catalogAt(spark, dir,
+      MigratorConfig(command = "data", source = dir, target = dir))
+    val df = cat.read(ns)
+    val Seq(dx, dy) = dims
+    // row size: an explicit byte column when the table has one, else a
+    // flat per-row estimate (bin balance only needs relative weight)
+    val size = sizeCol.map(col).getOrElse(lit(128L))
+    val z = ops.ZOrder.zvalue(col(dx), col(dy), bits)
+    val idCol = df.columns.head
+    val binned = ops.BinPack.assignBinsInOrder(
+      df.withColumn("__size", size), z, idCol, "__size", target, shardShift)
+      .drop("__size")
+    val laid = binned.repartition(col("bin"))
+      .sortWithinPartitions(ops.ZOrder.zvalue(col(dx), col(dy), bits))
+    laid.write.mode("overwrite").parquet(out)
+    val report = binned.groupBy("bin").agg(
+      count(lit(1)).as("n_rows"),
+      sum(size).as("bytes"),
+      min(col(dx)).as(s"${dx}_min"), max(col(dx)).as(s"${dx}_max"),
+      min(col(dy)).as(s"${dy}_min"), max(col(dy)).as(s"${dy}_max"))
+    report.write.mode("overwrite").parquet(s"$out/_layout_report")
+    val nBins = report.count()
+    val nRows = spark.read.parquet(out).count()
+    println(s"optimized $ns: $nRows row(s) into $nBins bin(s) at $out")
     0
   }
 

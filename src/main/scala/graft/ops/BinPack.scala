@@ -66,4 +66,40 @@ object BinPack {
       .withColumn("bin", expr(s"(__off + __local) DIV $targetBytes"))
       .drop("__rk", "__shard", "__local", "__off")
   }
+
+  /** Next-fit bins over a CALLER-SUPPLIED total order instead of the
+    * md5 shuffle order — the write-optimizer path: pass a Z-order
+    * Morton code ([[ZOrder.zvalue]]) and rows pack into ≈target-sized
+    * bins that preserve multi-dimensional locality (each bin = one
+    * output file = one tight zone-map rectangle).
+    *
+    * Same sharded prefix-sum decomposition, but the shard is
+    * `orderVal >> shardShift` — deterministic (no sampled range
+    * boundaries), and shard order equals value order, so the global
+    * prefix is exact. `orderVal` must be a NON-NEGATIVE long;
+    * (orderVal, tie on `idCol`) must be a total order. Pick
+    * `shardShift` so 2^(orderBits − shardShift) shards each fit a task
+    * sort. */
+  def assignBinsInOrder(df: DataFrame, orderVal: Column, idCol: String,
+      sizeCol: String, targetBytes: Long, shardShift: Int): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    require(shardShift >= 0 && shardShift < 63, "shardShift in [0, 63)")
+    val withShard = df
+      .withColumn("__ov", orderVal.cast("long"))
+      .withColumn("__shard", shiftrightunsigned(col("__ov"), shardShift))
+    val perShard = Window.partitionBy(col("__shard"))
+      .orderBy(col("__ov"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = withShard.withColumn("__local",
+      coalesce(sum(col(sizeCol).cast("long")).over(perShard), lit(0L)))
+    val sizes = withShard.groupBy(col("__shard"))
+      .agg(sum(col(sizeCol).cast("long")).as("__b"))
+    val offW = Window.orderBy(col("__shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sizes.select(col("__shard"),
+      coalesce(sum(col("__b")).over(offW), lit(0L)).as("__off"))
+    ranked.join(broadcast(offsets), Seq("__shard"))
+      .withColumn("bin", expr(s"(__off + __local) DIV $targetBytes"))
+      .drop("__ov", "__shard", "__local", "__off")
+  }
 }
