@@ -1720,6 +1720,57 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // ---- §7 semi-structured surface: JSON property extraction over the
+    // events `props` column — get_json_object is a codegen'd narrow
+    // projection (no UDF, no parse-twice); aggregates run in exact
+    // integer arithmetic. ----
+    "q_json_extract" -> ((s, dir) => {
+      load(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type")
+    }),
+
+    // ---- §7 diagnostics: heavy-hitter census — the keys that would
+    // melt a reducer, as data: per-key counts (map-side combined) +
+    // the salted two-level global top-k, so even the census of a
+    // pathological key distribution never funnels one reducer. ----
+    "q_heavy_hitters" -> ((s, dir) => {
+      val counts = load(s, dir, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+      text.Retrieval.saltedTopK(counts, lit(1), col("user_id"),
+          Seq(col("n").desc, col("user_id")), k = 10)
+        .select(col("rank").cast("long").as("rank"), col("user_id"), col("n"))
+        .orderBy("rank")
+    }),
+
+    // ---- §6 sketches: approximate percentiles with an ENGINE-EXACT
+    // gate — exact `percentile` (interpolation-identical to DuckDB's
+    // quantile_cont) is the pinned value; the KLL-style
+    // approx_percentile estimate only surfaces as a tolerance flag, so
+    // sketch drift beyond ±5% of the exact value flips the hash. At
+    // 100 TB the sketch's constant-size mergeable state replaces the
+    // exact path's per-group sort. ----
+    "q_approx_quantile" -> ((s, dir) => {
+      val qs = Seq(0.25, 0.5, 0.9, 0.99)
+      val d = load(s, dir, "documents")
+      val aggs = qs.flatMap { q =>
+        val tag = (q * 100).toInt
+        Seq(expr(s"percentile(n_chars, $q)").as(s"p$tag"),
+          expr(s"approx_percentile(n_chars, $q, 10000)").as(s"__a$tag"))
+      }
+      val row = d.agg(aggs.head, aggs.tail: _*)
+      val out = qs.map { q =>
+        val tag = (q * 100).toInt
+        (abs(col(s"__a$tag") - col(s"p$tag")) <=
+          abs(col(s"p$tag")) * lit(0.05) + lit(1.0)).as(s"ok$tag")
+      }
+      row.select(qs.map(q => col(s"p${(q * 100).toInt}")) ++ out: _*)
+    }),
+
     // ---- §7 SQL surface: pivot (wide conditional aggregation) — event
     // counts per day × type. The value list is PINNED, so no
     // distinct-collect pre-pass runs (at 100 TB an unpinned pivot's
@@ -3603,6 +3654,25 @@ object SparkEntry {
     "q_approx_distinct" ->
       """SELECT lang, count(DISTINCT doc_id) AS n_exact, TRUE AS approx_ok
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_heavy_hitters" ->
+      """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+        |r AS (SELECT user_id, n,
+        |        row_number() OVER (ORDER BY n DESC, user_id) AS rank
+        |      FROM c)
+        |SELECT rank, user_id, n FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    "q_approx_quantile" ->
+      """SELECT quantile_cont(n_chars, 0.25) AS p25,
+        |  quantile_cont(n_chars, 0.50) AS p50,
+        |  quantile_cont(n_chars, 0.90) AS p90,
+        |  quantile_cont(n_chars, 0.99) AS p99,
+        |  TRUE AS ok25, TRUE AS ok50, TRUE AS ok90, TRUE AS ok99
+        |FROM documents""".stripMargin,
     "q_pivot" ->
       """SELECT epoch_us(ts) // 86400000000 AS day,
         |  count(*) FILTER (WHERE event_type = 'click') AS click,
