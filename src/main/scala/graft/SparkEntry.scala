@@ -1720,6 +1720,56 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // ---- §7 sampling: weight-proportional Bernoulli (importance
+    // sampling by document length) — keep P = min(1, n_chars/wCap),
+    // decided by integer md5 arithmetic (Sampling.sampleByWeight): a
+    // narrow filter, no rand(), engine-exact membership. ----
+    "q_weighted_sample" -> ((s, dir) => {
+      val d = load(s, dir, "documents")
+      text.Sampling.sampleByWeight(d, col("doc_id"), col("n_chars"),
+          wCap = 2000L, salt = "ws1")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_kept"))
+        .orderBy("lang")
+    }),
+
+    // ---- §7 dedup verify: edit distance on candidate pairs — the
+    // expensive exact metric runs ONLY on already-blocked pairs (the
+    // planted near-dup copies), over a bounded 64-char suffix window
+    // (levenshtein is O(n·m) per pair — never corpus × corpus, never
+    // unbounded strings). ----
+    "q_edit_distance" -> ((s, dir) => {
+      val corpus = nearDupCorpus(load(s, dir, "documents"))
+        .withColumn("sfx",
+          expr("substr(text, greatest(length(text) - 63, 1), 64)"))
+      val orig = corpus.filter(col("doc_id") < 100000L)
+        .select(col("doc_id"), col("sfx").as("t_a"))
+      val mut = corpus.filter(col("doc_id") >= 100000L)
+        .select((col("doc_id") - 100000L).as("doc_id"), col("sfx").as("t_b"))
+      orig.join(mut, Seq("doc_id"))
+        .select(col("doc_id"),
+          levenshtein(col("t_a"), col("t_b")).cast("long").as("dist"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- §7 validation: declarative data-quality report — N rules in
+    // ONE conditional-aggregation scan (ops/Checks.scala); uniqueness
+    // as exact count − count(DISTINCT), everything else as narrow
+    // predicate counters. The pre-training gate over any table. ----
+    "q_dq_checks" -> ((s, dir) => {
+      val o = load(s, dir, "orders")
+      ops.Checks.report(o, Seq(
+        ops.Checks.uniqueRule("orderkey_unique", col("o_orderkey")),
+        ops.Checks.rowRule("orderkey_not_null", col("o_orderkey").isNotNull),
+        ops.Checks.rowRule("totalprice_positive", col("o_totalprice") > 0),
+        ops.Checks.rowRule("status_domain",
+          col("o_orderstatus").isin("F", "O", "P")),
+        ops.Checks.rowRule("date_in_range",
+          col("o_orderdate") >= lit("1992-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("2000-01-01").cast("timestamp"))))
+        .orderBy("rule")
+    }),
+
     // ---- §7 semi-structured surface: JSON property extraction over the
     // events `props` column — get_json_object is a codegen'd narrow
     // projection (no UDF, no parse-twice); aggregates run in exact
@@ -3654,6 +3704,41 @@ object SparkEntry {
     "q_approx_distinct" ->
       """SELECT lang, count(DISTINCT doc_id) AS n_exact, TRUE AS approx_ok
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_weighted_sample" ->
+      """SELECT lang, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS chars_kept
+        |FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#ws1'), 1, 8)) AS BIGINT)
+        |        * 2000 < n_chars * 4294967296
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_edit_distance" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text || ' near duplicate tail'
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |s AS (SELECT doc_id,
+        |        substr(text, greatest(length(text) - 63, 1), 64) AS sfx
+        |      FROM corpus)
+        |SELECT a.doc_id, CAST(levenshtein(a.sfx, b.sfx) AS BIGINT) AS dist
+        |FROM s a JOIN s b ON b.doc_id = a.doc_id + 100000
+        |WHERE a.doc_id < 100000
+        |ORDER BY a.doc_id""".stripMargin,
+    "q_dq_checks" ->
+      """WITH w AS (SELECT
+        |  count(o_orderkey) - count(DISTINCT o_orderkey) AS orderkey_unique,
+        |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orderkey_not_null,
+        |  CAST(sum(CASE WHEN NOT coalesce(o_totalprice > 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS totalprice_positive,
+        |  CAST(sum(CASE WHEN NOT coalesce(o_orderstatus IN ('F','O','P'), FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS status_domain,
+        |  CAST(sum(CASE WHEN NOT coalesce(o_orderdate >= TIMESTAMP '1992-01-01'
+        |        AND o_orderdate < TIMESTAMP '2000-01-01', FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS date_in_range
+        |  FROM orders)
+        |SELECT rule, n_violations, n_violations = 0 AS pass FROM (
+        |  SELECT 'orderkey_unique' AS rule, orderkey_unique AS n_violations FROM w
+        |  UNION ALL SELECT 'orderkey_not_null', orderkey_not_null FROM w
+        |  UNION ALL SELECT 'totalprice_positive', totalprice_positive FROM w
+        |  UNION ALL SELECT 'status_domain', status_domain FROM w
+        |  UNION ALL SELECT 'date_in_range', date_in_range FROM w)
+        |ORDER BY rule""".stripMargin,
     "q_json_extract" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

@@ -140,4 +140,34 @@ object Sampling {
     require(fraction >= 0 && fraction <= 1, "fraction in [0,1]")
     df.filter(splitBucket(key, salt) < math.round(fraction * Granularity))
   }
+
+  /** Weight-proportional Bernoulli sampling (importance sampling by
+    * document length, quality score, domain weight …): keep each row
+    * with probability `min(1, weight / wCap)`, decided by pure integer
+    * arithmetic over an md5-derived 32-bit uniform —
+    *
+    *   keep  ⇔  u32 · wCap  <  weight · 2³²
+    *
+    * so membership is engine-exact, retry-stable, and a pure function
+    * of (key, salt): no rand(), no floating-point probability whose
+    * rounding could flip a row between engines. Rows with
+    * `weight ≥ wCap` are always kept; `weight ≤ 0` never. A narrow
+    * filter — zero shuffle, pushes past column pruning to the scan.
+    *
+    * Overflow domain: `weight · 2³² < 2⁶³` requires weight < 2³¹, and
+    * `u32 · wCap < 2⁶³` requires wCap < 2³¹ — both enforced. */
+  def sampleByWeight(df: DataFrame, key: Column, weight: Column,
+      wCap: Long, salt: String): DataFrame = {
+    require(wCap > 0 && wCap < (1L << 31), "wCap in (0, 2^31)")
+    val u32 = conv(substring(
+      md5(concat(key.cast("string"), lit("#" + salt))), 1, 8), 16, 10)
+      .cast("long")
+    // loud domain guard: a 2³¹ weight would silently wrap the product
+    // under non-ANSI mode (the outlierCounts discipline)
+    val w = when(weight.cast("long") < lit(1L << 31), weight.cast("long"))
+      .otherwise(raise_error(concat(
+        lit("sampleByWeight domain: weight >= 2^31 ("),
+        weight.cast("string"), lit(")"))))
+    df.filter(u32 * lit(wCap) < w * lit(1L << 32))
+  }
 }

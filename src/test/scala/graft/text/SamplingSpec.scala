@@ -49,6 +49,37 @@ class SamplingSpec extends SparkSpec {
     assert(other.select("doc_id").exceptAll(sampled.select("doc_id")).isEmpty)
   }
 
+  test("sampleByWeight keeps rows in proportion to weight, exactly at the caps") {
+    val s = spark
+    import s.implicits._
+    // weights 0, wCap/2, wCap, 2*wCap across many keys
+    val df = s.range(4000).select($"id".as("k"),
+      (($"id" % 4) * 1000).as("w")) // 0, 1000, 2000, 3000 with wCap 2000
+    val kept = Sampling.sampleByWeight(df, col("k"), col("w"), wCap = 2000L,
+      salt = "t")
+    val byW = kept.groupBy("w").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!byW.contains(0L), "zero weight never kept")
+    assert(byW(2000L) == 1000L, "weight == wCap always kept")
+    assert(byW(3000L) == 1000L, "weight > wCap always kept")
+    val half = byW(1000L).toDouble / 1000
+    assert(math.abs(half - 0.5) < 0.1, s"~half expected, got $half")
+    // deterministic membership
+    val again = Sampling.sampleByWeight(df, col("k"), col("w"), 2000L, "t")
+    assert(kept.select("k").exceptAll(again.select("k")).isEmpty)
+    assert(again.select("k").exceptAll(kept.select("k")).isEmpty)
+  }
+
+  test("sampleByWeight raises loudly beyond the weight domain") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 1L << 31)).toDF("k", "w")
+    val e = intercept[Exception] {
+      Sampling.sampleByWeight(df, col("k"), col("w"), 2000L, "t").count()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("capPerGroup thins only over-quota groups, deterministically, without windows") {
     val hot = (1L to 1000L).map(i => (i, "hot"))
     val cold = (2001L to 2005L).map(i => (i, "cold"))
