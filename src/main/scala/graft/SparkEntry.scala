@@ -1720,6 +1720,54 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // ---- §7 SQL surface: "above the group average" (the correlated-
+    // subquery shape) decorrelated into one aggregate + key join, with
+    // the comparison denominator-cleared into exact DECIMAL
+    // (bal·n > Σbal) — no double average whose last ulp could flip a
+    // boundary row between engines. ----
+    "q_above_avg" -> ((s, dir) => {
+      val c = load(s, dir, "customer")
+        .select(col("c_nationkey"),
+          col("c_acctbal").cast("decimal(18,2)").as("bal"))
+      val stats = c.groupBy("c_nationkey")
+        .agg(sum(col("bal")).as("s"), count(lit(1)).as("n_c"))
+      c.join(stats, Seq("c_nationkey"))
+        .filter(col("bal") * col("n_c") > col("s"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_above"))
+        .orderBy("c_nationkey")
+    }),
+
+    // ---- §7 SQL surface: the window-function suite (lag/lead/ntile/
+    // running count) over per-customer order sequences — bounded
+    // per-key partitions, one exchange + one sort. ----
+    "q_window_suite" -> ((s, dir) => {
+      val o = load(s, dir, "orders").select("o_custkey", "o_orderkey")
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      o.select(col("o_custkey"), col("o_orderkey"),
+          row_number().over(w).cast("long").as("rn"),
+          lag("o_orderkey", 1).over(w).as("prev_key"),
+          lead("o_orderkey", 1).over(w).as("next_key"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          count(lit(1)).over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .as("running_n"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // ---- §7 SQL surface: exact grouped percentiles — Spark's
+    // `percentile` interpolates identically to DuckDB's quantile_cont,
+    // so the values pin bit-for-bit. This is the exact (per-group sort
+    // aggregate) path; the 100 TB shape for integer metrics is the
+    // histogram route (q_len_quantiles) — both live on the surface. ----
+    "q_group_quantiles" -> ((s, dir) => {
+      load(s, dir, "documents")
+        .groupBy("lang")
+        .agg(expr("percentile(n_chars, 0.5)").as("p50"),
+          expr("percentile(n_chars, 0.9)").as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy("lang")
+    }),
+
     // ---- §7 sampling: weight-proportional Bernoulli (importance
     // sampling by document length) — keep P = min(1, n_chars/wCap),
     // decided by integer md5 arithmetic (Sampling.sampleByWeight): a
@@ -3703,6 +3751,30 @@ object SparkEntry {
         |ORDER BY tag, o_custkey""".stripMargin,
     "q_approx_distinct" ->
       """SELECT lang, count(DISTINCT doc_id) AS n_exact, TRUE AS approx_ok
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_above_avg" ->
+      """WITH c AS (SELECT c_nationkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+        |           FROM customer),
+        |st AS (SELECT c_nationkey, sum(bal) AS s, count(*) AS n_c
+        |       FROM c GROUP BY 1)
+        |SELECT c.c_nationkey, count(*) AS n_above
+        |FROM c JOIN st USING (c_nationkey)
+        |WHERE c.bal * st.n_c > st.s
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_window_suite" ->
+      """SELECT o_custkey, o_orderkey,
+        |  row_number() OVER w AS rn,
+        |  lag(o_orderkey, 1) OVER w AS prev_key,
+        |  lead(o_orderkey, 1) OVER w AS next_key,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_group_quantiles" ->
+      """SELECT lang, quantile_cont(n_chars, 0.5) AS p50,
+        |  quantile_cont(n_chars, 0.9) AS p90, count(*) AS n
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_weighted_sample" ->
       """SELECT lang, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS chars_kept
