@@ -1720,6 +1720,21 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // ---- §7 iterative computation: integer PageRank over the
+    // customer↔part interaction graph (ops/Graph.scala) — N short
+    // join+aggregate jobs with lineage cuts, floor arithmetic only, so
+    // the trajectory pins bit-for-bit against the oracle's unrolled
+    // twin. The missing workload family: loops. ----
+    "q_pagerank" -> ((s, dir) => {
+      val o = load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = load(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val edges = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("p"), col("l_partkey")).as("dst"))
+        .distinct()
+      ops.Graph.pageRankInt(edges, iterations = 2).orderBy("node")
+    }),
+
     // ---- §7 SQL surface: "above the group average" (the correlated-
     // subquery shape) decorrelated into one aggregate + key join, with
     // the comparison denominator-cleared into exact DECIMAL
@@ -3752,6 +3767,24 @@ object SparkEntry {
     "q_approx_distinct" ->
       """SELECT lang, count(DISTINCT doc_id) AS n_exact, TRUE AS approx_ok
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_pagerank" ->
+      """WITH e0 AS (SELECT DISTINCT
+        |         'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+        |         'p' || CAST(l.l_partkey AS VARCHAR) AS dst
+        |       FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+        |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
+        |i1 AS (SELECT e.dst AS node, sum(r0.r // deg.d) AS inc
+        |       FROM e JOIN deg USING (src) JOIN r0 ON r0.node = e.src
+        |       GROUP BY 1),
+        |r1 AS (SELECT node, CAST(150000 + (inc * 85) // 100 AS BIGINT) AS r
+        |       FROM i1),
+        |i2 AS (SELECT e.dst AS node, sum(r1.r // deg.d) AS inc
+        |       FROM e JOIN deg USING (src) JOIN r1 ON r1.node = e.src
+        |       GROUP BY 1)
+        |SELECT node, CAST(150000 + (inc * 85) // 100 AS BIGINT) AS r
+        |FROM i2 ORDER BY node""".stripMargin,
     "q_above_avg" ->
       """WITH c AS (SELECT c_nationkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
         |           FROM customer),

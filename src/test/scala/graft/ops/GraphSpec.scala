@@ -1,0 +1,36 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRankInt on a path graph matches the hand-computed iteration") {
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val r1 = Graph.pageRankInt(edges, iterations = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // deg: a=1, b=2, c=1; contribs: a→b 10⁶, b→a 5·10⁵, b→c 5·10⁵, c→b 10⁶
+    assert(r1 == Map("a" -> 575000L, "b" -> 1850000L, "c" -> 575000L))
+  }
+
+  test("symmetric graphs stay symmetric; iterations are deterministic") {
+    val tri = Seq(("x", "y"), ("y", "z"), ("z", "x")).toDF("src", "dst")
+    val r = Graph.pageRankInt(tri, iterations = 3)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(r.size == 1, "triangle nodes must share one rank")
+    val again = Graph.pageRankInt(tri, iterations = 3)
+      .collect().map(row => (row.getString(0), row.getLong(1))).sorted.toSeq
+    val first = Graph.pageRankInt(tri, iterations = 3)
+      .collect().map(row => (row.getString(0), row.getLong(1))).sorted.toSeq
+    assert(again == first)
+  }
+
+  test("a hub out-ranks leaves and multi-edges collapse") {
+    val star = Seq(("hub", "l1"), ("hub", "l2"), ("hub", "l3"),
+      ("hub", "l1") /* dup */).toDF("src", "dst")
+    val r = Graph.pageRankInt(star, iterations = 2)
+      .collect().map(row => row.getString(0) -> row.getLong(1)).toMap
+    assert(r("hub") > r("l1") && r("l1") == r("l2") && r("l2") == r("l3"))
+  }
+}
