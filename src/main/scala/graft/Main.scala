@@ -322,14 +322,27 @@ object Main {
     // row size: an explicit byte column when the table has one, else a
     // flat per-row estimate (bin balance only needs relative weight)
     val size = sizeCol.map(col).getOrElse(lit(128L))
-    val z = ops.ZOrder.zvalue(col(dx), col(dy), bits)
+    // range-normalize both dimensions so each fills its bit budget from
+    // the TOP — raw-value interleave gives a narrow dimension zero
+    // pruning (ZOrder.quantize scaladoc; measured in tools/PruneSweep)
+    val bounds = df.agg(min(col(dx)).cast("long"), max(col(dx)).cast("long"),
+      min(col(dy)).cast("long"), max(col(dy)).cast("long")).head()
+    require(!bounds.anyNull, s"dims $dx/$dy must be non-null numeric")
+    def qz(d: org.apache.spark.sql.DataFrame) = ops.ZOrder.zvalue(
+      ops.ZOrder.quantize(col(dx), bounds.getLong(0), bounds.getLong(1), bits),
+      ops.ZOrder.quantize(col(dy), bounds.getLong(2), bounds.getLong(3), bits),
+      bits)
     val idCol = df.columns.head
     val binned = ops.BinPack.assignBinsInOrder(
-      df.withColumn("__size", size), z, idCol, "__size", target, shardShift)
+      df.withColumn("__size", size), qz(df), idCol, "__size", target, shardShift)
       .drop("__size")
+    // one output FILE per bin: hash repartition would collide distant
+    // bins into one file and widen its min/max envelope (measured in
+    // tools/PruneSweep); partitionBy writes each bin's rows — already
+    // grouped in one task — to its own directory/file, Z-sorted within
     val laid = binned.repartition(col("bin"))
-      .sortWithinPartitions(ops.ZOrder.zvalue(col(dx), col(dy), bits))
-    laid.write.mode("overwrite").parquet(out)
+      .sortWithinPartitions(qz(binned))
+    laid.write.mode("overwrite").partitionBy("bin").parquet(out)
     val report = binned.groupBy("bin").agg(
       count(lit(1)).as("n_rows"),
       sum(size).as("bytes"),

@@ -1621,6 +1621,28 @@ object SparkEntry {
         .orderBy("zone")
     }),
 
+    // ---- §4 layout: the RANGE-NORMALIZED Z-code the -optimize path
+    // uses (ZOrder.quantize ∘ zvalue): both dims fill their bit budget
+    // from the top, so zone stats are tight in BOTH dimensions even at
+    // wildly different cardinalities (user ~1500 values, day ~30). The
+    // quantize arithmetic is exact-double floor division, pinned here
+    // bit-for-bit against DuckDB. ----
+    "q_zorder_norm" -> ((s, dir) => {
+      val raw = load(s, dir, "events")
+      val ev = raw.select(col("user_id").as("u"), Tables.tsUs(raw).as("ts_us"))
+        .select(col("u"), expr("ts_us DIV 86400000000").as("d"))
+      val b = ev.agg(min("u"), max("u"), min("d"), max("d")).head()
+      val z = ops.ZOrder.zvalue(
+        ops.ZOrder.quantize(col("u"), b.getLong(0), b.getLong(1), 16),
+        ops.ZOrder.quantize(col("d"), b.getLong(2), b.getLong(3), 16), 16)
+      ev.select(shiftrightunsigned(z, 26).as("zone"), col("u"), col("d"))
+        .groupBy("zone")
+        .agg(count(lit(1)).as("n_rows"),
+          min("u").as("u_min"), max("u").as("u_max"),
+          min("d").as("d_min"), max("d").as("d_max"))
+        .orderBy("zone")
+    }),
+
     // ---- §7 SQL surface: ROLLUP grouping sets with GROUPING id — the
     // hierarchy subtotal shape (per flag+status, per flag, grand total)
     // in ONE pass: Spark expands grouping sets map-side, so the plan is
@@ -1718,6 +1740,20 @@ object SparkEntry {
           (abs(col("__est") - col("n_exact")) <=
             col("n_exact") * lit(0.05)).as("approx_ok"))
         .orderBy("lang")
+    }),
+
+    // ---- §7 ETL refresh: incremental aggregate maintenance — a
+    // materialized per-key state folded with a delta batch
+    // (ops/IncrementalAgg.scala); cost scales with |delta| + |state|,
+    // never the history. The oracle is the FULL recompute, so the
+    // algebraic-merge identity is what the gate pins. ----
+    "q_incr_agg" -> ((s, dir) => {
+      val ev = load(s, dir, "events").select("user_id", "event_id")
+      val base = ev.filter(col("event_id") % 4 =!= 0)
+      val delta = ev.filter(col("event_id") % 4 === 0)
+      val st = ops.IncrementalAgg.state(base, col("user_id"), col("event_id"))
+      ops.IncrementalAgg.merge(st, delta, col("user_id"), col("event_id"))
+        .orderBy("key")
     }),
 
     // ---- §7 iterative computation: integer PageRank over the
@@ -3696,6 +3732,20 @@ object SparkEntry {
          |  min(u) AS x_min, max(u) AS x_max,
          |  min(d) AS y_min, max(d) AS y_max
          |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_zorder_norm" ->
+      s"""WITH e AS (SELECT user_id AS u, epoch_us(ts) // 86400000000 AS d
+         |           FROM events),
+         |b AS (SELECT min(u) AS mu, max(u) AS xu, min(d) AS md, max(d) AS xd
+         |      FROM e),
+         |q AS (SELECT u, d,
+         |        CAST(floor((u - mu) * 65536 / (xu - mu + 1)) AS BIGINT) AS qu,
+         |        CAST(floor((d - md) * 65536 / (xd - md + 1)) AS BIGINT) AS qd
+         |      FROM e CROSS JOIN b),
+         |z AS (SELECT u, d, ${ops.ZOrder.zvalueSql("qu", "qd", 16)} AS z FROM q)
+         |SELECT z >> 26 AS zone, count(*) AS n_rows,
+         |  min(u) AS u_min, max(u) AS u_max,
+         |  min(d) AS d_min, max(d) AS d_max
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
@@ -3767,6 +3817,11 @@ object SparkEntry {
     "q_approx_distinct" ->
       """SELECT lang, count(DISTINCT doc_id) AS n_exact, TRUE AS approx_ok
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_incr_agg" ->
+      """SELECT user_id AS key, count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS s,
+        |  min(event_id) AS mn, max(event_id) AS mx
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_pagerank" ->
       """WITH e0 AS (SELECT DISTINCT
         |         'c' || CAST(o.o_custkey AS VARCHAR) AS src,

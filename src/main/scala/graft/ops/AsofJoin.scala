@@ -75,4 +75,21 @@ object AsofJoin {
     carried.filter(col("__tag") === 1)
       .select(probeCols.map(col) ++ payload.map(c => col(s"ref_$c")): _*)
   }
+
+  /** Forward as-of join: the EARLIEST reference at-or-after each probe
+    * (ties at equal time still go to the reference; among refs sharing
+    * (key, time), the SMALLEST `tieCol` wins). Implemented by running
+    * [[asofLast]] over negated times — one extra narrow projection,
+    * same single-exchange plan. `timeCol` must be a long. */
+  def asofNext(probe: DataFrame, ref: DataFrame, key: String,
+      timeCol: String, tieCol: String, payload: Seq[String]): DataFrame = {
+    val negP = probe.withColumn(timeCol, -col(timeCol))
+    val negR = ref.withColumn(timeCol, -col(timeCol))
+      .withColumn(tieCol, -col(tieCol))
+    val out = asofLast(negP, negR, key, timeCol, tieCol, payload)
+      .withColumn(timeCol, -col(timeCol))
+    if (payload.contains(tieCol))
+      out.withColumn(s"ref_$tieCol", -col(s"ref_$tieCol"))
+    else out
+  }
 }

@@ -37,6 +37,27 @@ object ZOrder {
     }
   }
 
+  /** Range-normalize an integer dimension into [0, 2^bits) before
+    * interleaving: `floor((v − min) · 2^bits / range)`. Raw-value
+    * interleave puts a narrow dimension's varying bits at the BOTTOM of
+    * the code — a 4-value day column next to a 10-bit user column gets
+    * zero zone-map pruning because every Z-run cycles all days
+    * (measured: tools/PruneSweep). Normalization aligns each
+    * dimension's variation to the TOP of its bit budget, which is what
+    * production Z-order layouts interleave (range/rank ids, not raw
+    * values). Exactness: numerator ≤ range · 2^bits must stay ≤ 2⁵²
+    * so the double division is exact — enforced; pre-scale wider
+    * dimensions (e.g. µs → days) before quantizing. */
+  def quantize(c: Column, minV: Long, maxV: Long, bits: Int): Column = {
+    require(bits > 0 && bits <= 31, "bits must be in [1, 31]")
+    require(maxV >= minV, "maxV must be >= minV")
+    val range = maxV - minV + 1
+    require(range <= (1L << (52 - bits)),
+      s"dimension range $range too wide for exact $bits-bit quantization")
+    val clamped = least(greatest(c.cast("long"), lit(minV)), lit(maxV))
+    floor((clamped - lit(minV)) * lit(1L << bits) / lit(range)).cast("long")
+  }
+
   /** The identical Morton code as ANSI SQL over column expressions
     * `x`/`y` — the DuckDB oracle twin of [[zvalue]]. */
   def zvalueSql(x: String, y: String, bits: Int): String = {

@@ -71,6 +71,25 @@ class AsofJoinSpec extends SparkSpec {
     assert(fast.count() == p.count())
   }
 
+  test("asofNext picks the earliest at-or-after reference, smallest tie first") {
+    val out = AsofJoin.asofNext(probes, refs, key = "user_id", timeCol = "t",
+        tieCol = "rid", payload = Seq("rid", "v"))
+      .orderBy("event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))
+    assert(out.toSeq == Seq(
+      (1L, 100L, None),        // after every ref
+      (2L, 50L, Some(101L)),   // ref at t=50 counts (at-or-after)
+      (3L, 9L, Some(100L)),    // next ref is t=10
+      (4L, 10L, Some(100L)),   // tie at t=10 matches
+      (5L, 100L, None),        // no refs for user 2
+      (6L, 30L, Some(200L)),   // SMALLEST rid wins the equal-t tie
+      (7L, 50L, Some(101L))))
+    // probe times come back un-negated
+    assert(out.map(_._2).toSeq == Seq(100L, 50L, 9L, 10L, 100L, 30L, 50L))
+  }
+
   test("asofLast plans one exchange and no join") {
     val out = AsofJoin.asofLast(probes, refs, "user_id", "t", "rid", Seq("v"))
     val plan = out.queryExecution.executedPlan.toString

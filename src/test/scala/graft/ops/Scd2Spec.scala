@@ -43,6 +43,36 @@ class Scd2Spec extends SparkSpec {
       (Some("A"), 10L, 1L), (None, 20L, 2L), (Some("A"), 40L, 1L)))
   }
 
+  test("random feeds match a sequential driver reference (seeded)") {
+    val r = new scala.util.Random(42)
+    for (_ <- 1 to 5) {
+      val rows = (0 until 400).map(i =>
+        (r.nextInt(6).toLong, r.nextInt(50).toLong, i.toLong,
+          "v" + r.nextInt(3)))
+      val df = rows.toDF("k", "t", "tie", "v")
+      val got = Scd2.intervals(df, "k", col("t"), "tie", "v").collect()
+        .map(row => (row.getLong(0), row.getString(1), row.getLong(2),
+          Option(row.get(3)).map(_.asInstanceOf[Long]), row.getLong(4)))
+        .toSet
+      val expect = rows.groupBy(_._1).flatMap { case (k, rs) =>
+        val sorted = rs.sortBy(x => (x._2, x._3))
+        val runs = sorted.foldLeft(Vector.empty[(String, Long, Long)]) {
+          case (acc, (_, t, _, v)) =>
+            acc.lastOption match {
+              case Some((pv, from, n)) if pv == v =>
+                acc.init :+ ((pv, from, n + 1))
+              case _ => acc :+ ((v, t, 1L))
+            }
+        }
+        runs.zipWithIndex.map { case ((v, from, n), i) =>
+          val to = if (i + 1 < runs.size) Some(runs(i + 1)._2) else None
+          (k, v, from, to, n)
+        }
+      }.toSet
+      assert(got == expect)
+    }
+  }
+
   test("intervals tile each key's timeline: valid_to equals the successor's valid_from") {
     val feed = spark.range(2000).select(
       ($"id" % 7).as("user_id"), (($"id" * 37) % 500).as("ts_us"),

@@ -50,6 +50,25 @@ class ZOrderSpec extends SparkSpec {
     assert(stats.map(_.getAs[Long]("n_rows")).sum == 64L * 64)
   }
 
+  test("quantize fills the bit budget from the top and clamps the domain") {
+    val df = Seq(-5L, 0L, 1L, 2L, 3L, 99L).toDF("v")
+    val got = df.select(ZOrder.quantize(col("v"), 0L, 3L, 16).as("q"))
+      .collect().map(_.getLong(0)).toSeq
+    // range 4 over 16 bits: values land at 0, 1/4, 2/4, 3/4 of the
+    // space (TOP two bits vary — the property that makes the narrow
+    // dimension prunable after interleave); out-of-range clamps
+    assert(got == Seq(0L, 0L, 16384L, 32768L, 49152L, 49152L))
+    // monotone over a wide domain
+    val wide = spark.range(1000).select(($"id" * 37).as("v"))
+    val qs = wide.select(ZOrder.quantize(col("v"), 0L, 36963L, 16).as("q"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(qs == qs.sorted && qs.head == 0L && qs.last >= 65530L &&
+      qs.last <= 65535L)
+    intercept[IllegalArgumentException] {
+      ZOrder.quantize(col("v"), 0L, 1L << 40, 16)
+    }
+  }
+
   test("layout orders rows by the Morton code within partitions") {
     val grid = spark.range(1024).select(($"id" % 32).as("x"), ($"id" / 32).cast("long").as("y"))
     val laid = ZOrder.layout(grid, col("x"), col("y"), bits = 5, partitions = 4)
