@@ -1742,6 +1742,14 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // ---- §7 time-series downsampling: OHLC bars per (user, hour) —
+    // open/close via algebraic min/max(struct) (no per-key sort or
+    // window), values milli-quantized before aggregation so every
+    // field is engine-exact. ----
+    "q_ohlc" -> ((s, dir) =>
+      streaming.EventStream.ohlcBars(load(s, dir, "events"))
+        .orderBy("user_id", "bar")),
+
     // ---- §7 ETL refresh: incremental aggregate maintenance — a
     // materialized per-key state folded with a delta batch
     // (ops/IncrementalAgg.scala); cost scales with |delta| + |state|,
@@ -3817,6 +3825,18 @@ object SparkEntry {
     "q_approx_distinct" ->
       """SELECT lang, count(DISTINCT doc_id) AS n_exact, TRUE AS approx_ok
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_ohlc" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |             CAST(floor(value * 1000) AS BIGINT) AS v_milli
+        |           FROM events WHERE value IS NOT NULL),
+        |h AS (SELECT user_id, ts_us // 3600000000 AS bar, ts_us, event_id,
+        |        v_milli FROM e)
+        |SELECT user_id, bar,
+        |  (min(struct_pack(a := ts_us, b := event_id, c := v_milli))).c AS open_milli,
+        |  max(v_milli) AS high_milli, min(v_milli) AS low_milli,
+        |  (max(struct_pack(a := ts_us, b := event_id, c := v_milli))).c AS close_milli,
+        |  count(*) AS n
+        |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_incr_agg" ->
       """SELECT user_id AS key, count(*) AS n,
         |  CAST(sum(event_id) AS BIGINT) AS s,

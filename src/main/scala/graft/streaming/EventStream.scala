@@ -164,6 +164,33 @@ object EventStream {
       .agg(max(col("n")).as("n_events"), sum(col("__out")).as("n_outliers"))
   }
 
+  /** OHLC time bars (the financial/monitoring downsampling shape): per
+    * (key, bar) the opening, high, low, and closing value plus count.
+    *
+    * Open/close use the algebraic `min(struct)`/`max(struct)` trick
+    * (the Lines.lineDedup discipline): the struct leads with
+    * (time, tiebreak), so its min IS the first observation — map-side
+    * combined, no per-key sort or window, hot keys safe. Values are
+    * milli-quantized to integers BEFORE aggregation so every output is
+    * engine-exact (`q_ohlc`); null values carry no signal and are
+    * dropped. One hash aggregate — the same code path runs under
+    * `readStream` with a watermark on the bar time. */
+  def ohlcBars(events: DataFrame, barUs: Long = 3600000000L): DataFrame = {
+    require(barUs > 0, "barUs must be positive")
+    val ev = events.filter(col("value").isNotNull)
+      .select(col("user_id"), graft.Tables.tsUs(events).as("ts_us"),
+        col("event_id"), floor(col("value") * 1000).cast("long").as("v_milli"))
+      .select(col("user_id"), expr(s"ts_us DIV $barUs").as("bar"),
+        col("ts_us"), col("event_id"), col("v_milli"))
+    val obs = struct(col("ts_us"), col("event_id"), col("v_milli"))
+    ev.groupBy("user_id", "bar")
+      .agg(min(obs).getField("v_milli").as("open_milli"),
+        max(col("v_milli")).as("high_milli"),
+        min(col("v_milli")).as("low_milli"),
+        max(obs).getField("v_milli").as("close_milli"),
+        count(lit(1)).as("n"))
+  }
+
   /** Stream-stream interval join (attribution): every `pointType` event
     * joins each `openType` event of the same user that opened within
     * the preceding `horizon` — the streaming twin of the batch

@@ -90,6 +90,27 @@ class EventStreamSpec extends SparkSpec {
     assert(closed == Set((1L, 1000000L, 1500000L, 2L)))
   }
 
+  test("ohlcBars: open/close pick the (ts, event_id)-first/last observation") {
+    val s = spark
+    import s.implicits._
+    val h = 3600L * 1000000000L // 1h in ns (LongType ts branch)
+    val df = Seq(
+      // user 1, one bar: open ties at t=0 → event_id 1 wins; close at t=30m
+      (1L, 0L, 1L, 5.0), (2L, 0L, 1L, 9.0), (3L, h / 2, 1L, 1.5),
+      // user 1, next bar: single obs
+      (4L, h + 1000L, 1L, 7.25),
+      // null value dropped
+      (5L, h / 4, 1L, Double.NaN)
+    ).map { case (e, t, u, v) => (e, t, u, "click", if (v.isNaN) None else Some(v)) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventStream.ohlcBars(df).orderBy("bar").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+    assert(out.toSeq == Seq(
+      (0L, 5000L, 9000L, 1500L, 1500L, 3L),
+      (1L, 7250L, 7250L, 7250L, 7250L, 1L)))
+  }
+
   test("attributionJoin: stream equals batch across a micro-batch split") {
     val s = spark
     import s.implicits._
