@@ -1742,6 +1742,25 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // ---- §7 calendar surface: per-month order stats + an integer
+    // weekday histogram. Weekday comes from epoch-day arithmetic
+    // ((day + 4) % 7, 0 = Sunday) — Spark's dayofweek() and DuckDB's
+    // differ in origin convention, so the portable form is the pure
+    // integer one. year()/month() agree as-is. ----
+    "q_calendar" -> ((s, dir) => {
+      val o = load(s, dir, "orders")
+        .select(col("o_orderdate").cast("timestamp").as("ts"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"))
+        .withColumn("epoch_day", expr("unix_micros(ts) DIV 86400000000"))
+      o.groupBy(year(col("ts")).as("y"), month(col("ts")).as("m"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("price")).cast("double").as("sum_price"),
+          sum((expr("pmod(epoch_day + 4, 7)") === 0).cast("long")).as("n_sunday"),
+          sum((expr("pmod(epoch_day + 4, 7)").isin(0, 6)).cast("long"))
+            .as("n_weekend"))
+        .orderBy("y", "m")
+    }),
+
     // ---- §7 time-series downsampling: OHLC bars per (user, hour) —
     // open/close via algebraic min/max(struct) (no per-key sort or
     // window), values milli-quantized before aggregation so every
@@ -1772,10 +1791,12 @@ object SparkEntry {
     "q_pagerank" -> ((s, dir) => {
       val o = load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
       val l = load(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      // no .distinct() here: pageRankInt dedups after the bidirectional
+      // union anyway — a pre-distinct would just add a second full
+      // exchange over the edge list
       val edges = o.join(l, o("o_orderkey") === l("l_orderkey"))
         .select(concat(lit("c"), col("o_custkey")).as("src"),
           concat(lit("p"), col("l_partkey")).as("dst"))
-        .distinct()
       ops.Graph.pageRankInt(edges, iterations = 2).orderBy("node")
     }),
 
@@ -3825,6 +3846,17 @@ object SparkEntry {
     "q_approx_distinct" ->
       """SELECT lang, count(DISTINCT doc_id) AS n_exact, TRUE AS approx_ok
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_calendar" ->
+      """WITH o AS (SELECT o_orderdate AS ts,
+        |             CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |             epoch_us(o_orderdate) // 86400000000 AS epoch_day
+        |           FROM orders)
+        |SELECT CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m,
+        |  count(*) AS n_orders,
+        |  CAST(sum(price) AS DOUBLE) AS sum_price,
+        |  CAST(sum(CASE WHEN (epoch_day + 4) % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sunday,
+        |  CAST(sum(CASE WHEN (epoch_day + 4) % 7 IN (0, 6) THEN 1 ELSE 0 END) AS BIGINT) AS n_weekend
+        |FROM o GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_ohlc" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
         |             CAST(floor(value * 1000) AS BIGINT) AS v_milli

@@ -36,9 +36,10 @@ object Graph {
     * node, `rank = (100−damp)% · 10⁶ + damp% · Σ (neighbor rank DIV
     * neighbor degree)` each iteration. */
   def pageRankInt(edges: DataFrame, iterations: Int,
-      dampPct: Int = 85): DataFrame = {
+      dampPct: Int = 85, ckptEvery: Int = 4): DataFrame = {
     require(iterations >= 1 && iterations <= 50, "iterations in [1, 50]")
     require(dampPct > 0 && dampPct < 100, "dampPct in (0, 100)")
+    require(ckptEvery >= 1, "ckptEvery must be positive")
     val bidi = edges.select(col("src").cast("string").as("src"),
         col("dst").cast("string").as("dst"))
       .unionByName(edges.select(col("dst").cast("string").as("src"),
@@ -49,7 +50,6 @@ object Graph {
     val topo = bidi.join(deg, Seq("src")).localCheckpoint(true)
     val base = lit((100L - dampPct) * 10000L) // (1−d) · 10⁶ in µ-units
     var ranks = deg.select(col("src").as("node"), lit(1000000L).as("r"))
-      .localCheckpoint(true)
     var i = 0
     while (i < iterations) {
       val contribs = topo
@@ -57,7 +57,11 @@ object Graph {
         .select(col("dst").as("node"), expr("r DIV d").as("c"))
       ranks = contribs.groupBy("node")
         .agg((base + expr(s"(sum(c) * $dampPct) DIV 100")).as("r"))
-        .localCheckpoint(true)
+      // lineage cut only every ckptEvery iterations: short chains plan
+      // as ONE fused job (exchange reuse + AQE runtime broadcasts work
+      // across iterations), while long runs still bound plan depth
+      if ((i + 1) % ckptEvery == 0 && i + 1 < iterations)
+        ranks = ranks.localCheckpoint(true)
       i += 1
     }
     ranks
