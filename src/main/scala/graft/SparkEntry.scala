@@ -1742,6 +1742,16 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // ---- §7 product analytics: cohort retention — users grouped by
+    // first-seen day, counted again k days later (ops/Cohort.scala).
+    // Distinct user-day activity first, so event-count skew dies at
+    // step 1; no windows, no sorts, integer arithmetic only. ----
+    "q_retention" -> ((s, dir) => {
+      val raw = load(s, dir, "events")
+      ops.Cohort.retention(raw, col("user_id"), Tables.tsUs(raw))
+        .orderBy("cohort", "k")
+    }),
+
     // ---- §7 calendar surface: per-month order stats + an integer
     // weekday histogram. Weekday comes from epoch-day arithmetic
     // ((day + 4) % 7, 0 = Sunday) — Spark's dayofweek() and DuckDB's
@@ -3846,6 +3856,14 @@ object SparkEntry {
     "q_approx_distinct" ->
       """SELECT lang, count(DISTINCT doc_id) AS n_exact, TRUE AS approx_ok
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id AS u,
+        |             epoch_us(ts) // 86400000000 AS p
+        |           FROM events),
+        |c AS (SELECT u, min(p) AS cohort FROM a GROUP BY 1)
+        |SELECT c.cohort, a.p - c.cohort AS k, count(*) AS n_users
+        |FROM a JOIN c USING (u)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_calendar" ->
       """WITH o AS (SELECT o_orderdate AS ts,
         |             CAST(o_totalprice AS DECIMAL(18,2)) AS price,
