@@ -1742,6 +1742,14 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // ---- §7 validation: table profiling (ANALYZE-TABLE shape) — per
+    // column the null count, exact distinct count, and canonical
+    // min/max, in ONE scan (ops/Profile.scala). Canonical = never a
+    // float/timestamp rendered to text: doubles go out milli-quantized,
+    // timestamps as epoch µs. ----
+    "q_profile" -> ((s, dir) =>
+      ops.Profile.report(load(s, dir, "orders")).orderBy("column")),
+
     // ---- §7 product analytics: cohort retention — users grouped by
     // first-seen day, counted again k days later (ops/Cohort.scala).
     // Distinct user-day activity first, so event-count skew dies at
@@ -3856,6 +3864,32 @@ object SparkEntry {
     "q_approx_distinct" ->
       """SELECT lang, count(DISTINCT doc_id) AS n_exact, TRUE AS approx_ok
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_profile" ->
+      """WITH m AS (SELECT
+        |  count(*) - count(o_orderkey) AS null_k, count(DISTINCT o_orderkey) AS nd_k,
+        |    CAST(min(o_orderkey) AS VARCHAR) AS mn_k, CAST(max(o_orderkey) AS VARCHAR) AS mx_k,
+        |  count(*) - count(o_custkey) AS null_c, count(DISTINCT o_custkey) AS nd_c,
+        |    CAST(min(o_custkey) AS VARCHAR) AS mn_c, CAST(max(o_custkey) AS VARCHAR) AS mx_c,
+        |  count(*) - count(o_orderstatus) AS null_s, count(DISTINCT o_orderstatus) AS nd_s,
+        |    min(o_orderstatus) AS mn_s, max(o_orderstatus) AS mx_s,
+        |  count(*) - count(o_totalprice) AS null_p, count(DISTINCT o_totalprice) AS nd_p,
+        |    CAST(CAST(floor(min(o_totalprice) * 1000) AS BIGINT) AS VARCHAR) AS mn_p,
+        |    CAST(CAST(floor(max(o_totalprice) * 1000) AS BIGINT) AS VARCHAR) AS mx_p,
+        |  count(*) - count(o_orderdate) AS null_d, count(DISTINCT o_orderdate) AS nd_d,
+        |    CAST(epoch_us(min(o_orderdate)) AS VARCHAR) AS mn_d,
+        |    CAST(epoch_us(max(o_orderdate)) AS VARCHAR) AS mx_d,
+        |  count(*) - count(o_orderpriority) AS null_o, count(DISTINCT o_orderpriority) AS nd_o,
+        |    min(o_orderpriority) AS mn_o, max(o_orderpriority) AS mx_o
+        |  FROM orders)
+        |SELECT * FROM (
+        |  SELECT 'o_orderkey' AS "column", null_k AS n_null, nd_k AS n_distinct,
+        |         mn_k AS min_canon, mx_k AS max_canon FROM m
+        |  UNION ALL SELECT 'o_custkey', null_c, nd_c, mn_c, mx_c FROM m
+        |  UNION ALL SELECT 'o_orderstatus', null_s, nd_s, mn_s, mx_s FROM m
+        |  UNION ALL SELECT 'o_totalprice', null_p, nd_p, mn_p, mx_p FROM m
+        |  UNION ALL SELECT 'o_orderdate', null_d, nd_d, mn_d, mx_d FROM m
+        |  UNION ALL SELECT 'o_orderpriority', null_o, nd_o, mn_o, mx_o FROM m)
+        |ORDER BY "column"""".stripMargin,
     "q_retention" ->
       """WITH a AS (SELECT DISTINCT user_id AS u,
         |             epoch_us(ts) // 86400000000 AS p
