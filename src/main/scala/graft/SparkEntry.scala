@@ -1742,6 +1742,19 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // ---- §7 windowed distinct: exact unique users per hour — the
+    // expand-shuffle exact path; the constant-state scale path is the
+    // HLL gate (q_approx_distinct). ----
+    "q_window_users" -> ((s, dir) => {
+      val raw = load(s, dir, "events")
+      raw.select(Tables.tsUs(raw).as("ts_us"), col("user_id"))
+        .select(expr("ts_us DIV 3600000000").as("hour"), col("user_id"))
+        .groupBy("hour")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("hour")
+    }),
+
     // ---- §7 validation: table profiling (ANALYZE-TABLE shape) — per
     // column the null count, exact distinct count, and canonical
     // min/max, in ONE scan (ops/Profile.scala). Canonical = never a
@@ -3864,6 +3877,10 @@ object SparkEntry {
     "q_approx_distinct" ->
       """SELECT lang, count(DISTINCT doc_id) AS n_exact, TRUE AS approx_ok
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_window_users" ->
+      """SELECT epoch_us(ts) // 3600000000 AS hour,
+        |  count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_profile" ->
       """WITH m AS (SELECT
         |  count(*) - count(o_orderkey) AS null_k, count(DISTINCT o_orderkey) AS nd_k,

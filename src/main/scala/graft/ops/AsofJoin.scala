@@ -54,7 +54,10 @@ object AsofJoin {
     // Reference rows: tag 0, probe columns nulled; probe rows: tag 1,
     // payload nulled. Column positions (not names) drive unionByName here
     // via explicit select, so caller column order never matters.
-    val refSide = ref.select(
+    // a null-time reference would sort BEFORE every probe (nulls-first
+    // ordering) and get carried into all of them — drop such rows so
+    // the semantics match the non-equi formulation (null <= t is false)
+    val refSide = ref.filter(col(timeCol).isNotNull).select(
       Seq(col(key), col(timeCol).as("__t"), lit(0).as("__tag"),
         col(tieCol).cast("long").as("__tie")) ++
         payload.map(c => col(c).as(s"ref_$c")) ++

@@ -71,6 +71,15 @@ class AsofJoinSpec extends SparkSpec {
     assert(fast.count() == p.count())
   }
 
+  test("null-time references never match (non-equi semantics, not nulls-first)") {
+    val p = Seq((1L, 1L, 100L)).toDF("event_id", "user_id", "t")
+    val r = Seq((1L, Option.empty[Long], 999L, 1.0),
+      (1L, Some(50L), 100L, 2.0)).toDF("user_id", "t", "rid", "v")
+    val out = AsofJoin.asofLast(p, r, "user_id", "t", "rid", Seq("rid"))
+      .head()
+    assert(out.getLong(3) == 100L, "the null-time ref must be ignored")
+  }
+
   test("asofNext picks the earliest at-or-after reference, smallest tie first") {
     val out = AsofJoin.asofNext(probes, refs, key = "user_id", timeCol = "t",
         tieCol = "rid", payload = Seq("rid", "v"))
