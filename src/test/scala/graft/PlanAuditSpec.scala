@@ -86,6 +86,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles <= 3, s"q_decontaminate has $shuffles shuffles:\n$plan")
   }
 
+  test("round-8 operators keep their scale shapes") {
+    // as-of: union + per-key window — exactly one shuffle for the
+    // window partitioning plus the trailing orderBy range exchange,
+    // and NO join anywhere
+    val asof = SparkEntry.queries("q_asof")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!asof.contains("Join"), s"q_asof plans a join:\n$asof")
+    // interval join: an equi-join on (key, bucket), never a nested loop
+    val rj = SparkEntry.queries("q_range_join")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!rj.contains("BroadcastNestedLoopJoin") &&
+      !rj.contains("CartesianProduct"), s"q_range_join degenerates:\n$rj")
+    // retention and OHLC: aggregates only — no window operator at all
+    for (q <- Seq("q_retention", "q_ohlc")) {
+      val plan = SparkEntry.queries(q)(spark, sf0001)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"$q plans a window:\n$plan")
+    }
+    // grouped top-k: the per-group window must always be preceded by
+    // the salted partial (never a raw single window over candidates)
+    val tk = SparkEntry.queries("q_topk_group")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert("Window".r.findAllIn(tk).size >= 2,
+      s"q_topk_group lost its two-level top-k:\n$tk")
+  }
+
   test("scans are pruned to the referenced columns") {
     // q1_agg touches 4 of lineitem's 16 columns: the scan must not
     // read the other 12
