@@ -23,6 +23,8 @@ import scala.jdk.CollectionConverters._
   *                            (engine extension)
   *   `-optimize <config.json>` Z-order + size-balanced file rewrite of a
   *                            namespace (engine extension)
+  *   `-profile <config.json>` one-scan ANALYZE-style column profile of
+  *                            a namespace (engine extension)
   *   `-version`               print version
   *
   * (`-worker` has no Spark counterpart: the reference spawns queue
@@ -60,14 +62,14 @@ object Main {
   def run(args: Seq[String], session: () => SparkSession): Int = {
     def usage(): Int = {
       Console.err.println(
-        "usage: graft -start|-resume|-compare|-sim|-sql|-curate|-optimize <config.json> | -version")
+        "usage: graft -start|-resume|-compare|-sim|-sql|-curate|-optimize|-profile <config.json> | -version")
       1
     }
     args match {
       case Seq("-version") => println(Version); 0
       case Seq(flag, file)
           if Set("-start", "-resume", "-compare", "-sim", "-sql", "-curate",
-            "-optimize")(flag) =>
+            "-optimize", "-profile")(flag) =>
         val json = new String(
           java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file)), "UTF-8")
         flag match {
@@ -75,6 +77,7 @@ object Main {
           case "-sql" => sql(session(), json)
           case "-curate" => curate(session(), json)
           case "-optimize" => optimize(session(), json)
+          case "-profile" => profile(session(), json)
           case "-compare" => compare(session(), MigratorConfig.parse(json))
           case "-start" => lifecycle(session(), MigratorConfig.parse(json), resume = false)
           case "-resume" => lifecycle(session(), MigratorConfig.parse(json), resume = true)
@@ -352,6 +355,33 @@ object Main {
     val nBins = report.count()
     val nRows = spark.read.parquet(out).count()
     println(s"optimized $ns: $nRows row(s) into $nBins bin(s) at $out")
+    0
+  }
+
+  /** `-profile` (engine extension): one-scan ANALYZE-style table
+    * profile of a namespace — per column the null count, exact
+    * distinct count, and canonical min/max (ops/Profile.scala).
+    * Config: `{"source": <catalog root>, "namespace": "db.coll"}`
+    * plus optional `"columns": [...]` (default: all profilable
+    * columns) and `"out": <dir>` (default: print). */
+  private def profile(spark: SparkSession, json: String): Int = {
+    val n = new ObjectMapper().readTree(json)
+    require(n != null && n.isObject, "profile config must be a JSON object")
+    def req(f: String): String = {
+      require(n.has(f) && n.get(f).asText().nonEmpty, s"profile config needs $f")
+      n.get(f).asText()
+    }
+    val dir = req("source"); val ns = req("namespace")
+    val cols = if (n.has("columns"))
+      n.get("columns").elements().asScala.map(_.asText()).toSeq else Seq()
+    val cat = catalogAt(spark, dir,
+      MigratorConfig(command = "data", source = dir, target = dir))
+    val report = ops.Profile.report(cat.read(ns), cols).orderBy("column")
+    if (n.has("out")) {
+      val out = n.get("out").asText()
+      report.write.mode("overwrite").parquet(out)
+      println(s"wrote $out")
+    } else report.show(truncate = false)
     0
   }
 

@@ -132,6 +132,22 @@ class MainSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Main.run(Seq("-optimize", bad), sess) }
   }
 
+  test("-profile writes the one-scan column profile of a namespace") {
+    val out = tmp("graft-cli-prof") + "/report"
+    val cfg = writeCfg(tmp("graft-cli-profcfg"),
+      s"""{"source":"$sf0001","namespace":"local.nation","out":"$out"}""")
+    assert(Main.run(Seq("-profile", cfg), sess) == 0)
+    val rep = spark.read.parquet(out).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4)))).toMap
+    assert(rep.keySet == Tables.load(spark, sf0001, "nation").columns.toSet)
+    assert(rep("n_nationkey") == ((0L, 25L, "0", "24")))
+    // a bad column list is rejected
+    val bad = writeCfg(tmp("graft-cli-profcfg2"),
+      s"""{"source":"$sf0001","namespace":"local.nation","columns":["nope"]}""")
+    intercept[Exception] { Main.run(Seq("-profile", bad), sess) }
+  }
+
   test("-curate writes the corpus manifest: dedup, gates, split, budgets") {
     val out = tmp("graft-cli-curate") + "/manifest"
     val cfg = writeCfg(tmp("graft-cli-curatecfg"),
