@@ -1742,6 +1742,23 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // ---- §7 composition: session-duration stats — the gap-session
+    // operator feeding exact percentiles in one chain (operators
+    // compose; nothing is a dead end). Durations are integer µs, so
+    // the percentiles pin bit-for-bit. ----
+    "q_session_stats" -> ((s, dir) => {
+      val sessions = streaming.EventStream.sessionizeBatch(
+        load(s, dir, "events"), gapUs = 3600L * 1000000)
+      sessions
+        .select((col("session_end_us") - col("session_start_us")).as("dur_us"),
+          col("n_events"))
+        .agg(count(lit(1)).as("n_sessions"),
+          expr("percentile(dur_us, 0.5)").as("dur_p50"),
+          expr("percentile(dur_us, 0.9)").as("dur_p90"),
+          sum(col("n_events")).as("n_events"),
+          max(col("dur_us")).as("dur_max"))
+    }),
+
     // ---- §7 windowed distinct: exact unique users per hour — the
     // expand-shuffle exact path; the constant-state scale path is the
     // HLL gate (q_approx_distinct). ----
@@ -3877,6 +3894,27 @@ object SparkEntry {
     "q_approx_distinct" ->
       """SELECT lang, count(DISTINCT doc_id) AS n_exact, TRUE AS approx_ok
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_session_stats" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+        |g AS (
+        |  SELECT user_id, ts_us,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |           OR ts_us - lag(ts_us) OVER w > 3600000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+        |s AS (
+        |  SELECT user_id, ts_us,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g),
+        |sess AS (
+        |  SELECT max(ts_us) - min(ts_us) AS dur_us, count(*) AS n_events
+        |  FROM s GROUP BY user_id, sid)
+        |SELECT count(*) AS n_sessions,
+        |  quantile_cont(dur_us, 0.5) AS dur_p50,
+        |  quantile_cont(dur_us, 0.9) AS dur_p90,
+        |  CAST(sum(n_events) AS BIGINT) AS n_events,
+        |  max(dur_us) AS dur_max
+        |FROM sess""".stripMargin,
     "q_window_users" ->
       """SELECT epoch_us(ts) // 3600000000 AS hour,
         |  count(DISTINCT user_id) AS n_users, count(*) AS n_events
