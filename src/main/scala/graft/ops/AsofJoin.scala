@@ -86,13 +86,17 @@ object AsofJoin {
     * same single-exchange plan. `timeCol` must be a long. */
   def asofNext(probe: DataFrame, ref: DataFrame, key: String,
       timeCol: String, tieCol: String, payload: Seq[String]): DataFrame = {
+    require(timeCol != tieCol,
+      "tieCol must differ from timeCol (double negation would cancel)")
     val negP = probe.withColumn(timeCol, -col(timeCol))
     val negR = ref.withColumn(timeCol, -col(timeCol))
       .withColumn(tieCol, -col(tieCol))
     val out = asofLast(negP, negR, key, timeCol, tieCol, payload)
       .withColumn(timeCol, -col(timeCol))
-    if (payload.contains(tieCol))
-      out.withColumn(s"ref_$tieCol", -col(s"ref_$tieCol"))
-    else out
+    // un-negate any payload column that was negated on the way in
+    // (ref_<tieCol> AND ref_<timeCol> — "what time was the matched ref"
+    // is a common payload)
+    Seq(tieCol, timeCol).filter(payload.contains)
+      .foldLeft(out)((d, c) => d.withColumn(s"ref_$c", -col(s"ref_$c")))
   }
 }

@@ -29,16 +29,34 @@ object Profile {
       floor(c.cast("double") * 1000).cast("long").cast("string")
     case TimestampType | TimestampNTZType =>
       unix_micros(c.cast("timestamp")).cast("string")
+    case DateType => unix_date(c).cast("long").cast("string") // epoch days
     case StringType => c
     case BooleanType => c.cast("int").cast("string")
     case other => throw new IllegalArgumentException(
       s"unprofilable column type $other")
   }
 
+  private def profilable(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType |
+         DoubleType | _: DecimalType | TimestampType | TimestampNTZType |
+         DateType | StringType | BooleanType => true
+    case _ => false
+  }
+
   /** One row per column: (column, n_null, n_distinct, min_canon,
-    * max_canon); min/max are null for all-null columns. */
+    * max_canon); min/max are null for all-null columns. Default (no
+    * `cols`): all PROFILABLE columns — arrays/structs/binary are
+    * silently skipped so `-profile` works on any namespace; naming an
+    * unprofilable column explicitly fails, naming the column. */
   def report(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
-    val names = if (cols.nonEmpty) cols else df.columns.toSeq
+    cols.foreach { n =>
+      val dt = df.schema(n).dataType
+      require(profilable(dt),
+        s"column '$n' of type $dt is not profilable; omit it " +
+          "(the default profiles every profilable column)")
+    }
+    val names = if (cols.nonEmpty) cols
+      else df.columns.toSeq.filter(n => profilable(df.schema(n).dataType))
     require(names.nonEmpty, "nothing to profile")
     val aggs = names.flatMap { n =>
       val dt = df.schema(n).dataType

@@ -45,7 +45,17 @@ object RangeJoin {
   def intervalJoin(points: DataFrame, intervals: DataFrame, key: String,
       t: String, start: String, end: String, bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    def bucketOf(c: Column): Column = floor(c / lit(bucketWidth))
+    // exact floor division over the full long range: double division
+    // (floor(c / w)) rounds for |c| > 2^53 (ns-since-epoch territory) and
+    // can land a point and its covering interval in different buckets,
+    // silently dropping the match before the residual filter runs.
+    // Subtracting the positive remainder makes the numerator exactly
+    // divisible, so integral `div` equals floor. (Sole corner: t ==
+    // Long.MinValue underflows; no time encoding uses that sentinel.)
+    def bucketOf(c: Column): Column = {
+      val cl = c.cast("long")
+      call_function("div", cl - pmod(cl, lit(bucketWidth)), lit(bucketWidth))
+    }
     // sequence() is inclusive on both ends; end is exclusive, so the last
     // covered bucket is that of (end - 1). Empty intervals explode to
     // zero rows via the filter guard.

@@ -27,8 +27,11 @@ object PruneSweep {
   private def measure(spark: SparkSession, df: DataFrame): Long = {
     records.set(0)
     df.foreach(_ => ()) // full action through the scan
-    // listener bus drains asynchronously; give it a beat
-    Thread.sleep(500)
+    // block until the async listener bus has delivered every task-end
+    // event — a fixed sleep undercounts under load. The counter still
+    // assumes no CONCURRENT jobs on this session (single-threaded main;
+    // noted in the output contract).
+    org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
     records.get()
   }
 

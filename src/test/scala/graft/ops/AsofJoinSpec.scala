@@ -99,6 +99,23 @@ class AsofJoinSpec extends SparkSpec {
     assert(out.map(_._2).toSeq == Seq(100L, 50L, 9L, 10L, 100L, 30L, 50L))
   }
 
+  test("asofNext returns ref_<timeCol> un-negated when time is in the payload") {
+    val out = AsofJoin.asofNext(probes, refs, key = "user_id", timeCol = "t",
+        tieCol = "rid", payload = Seq("t", "rid"))
+      .orderBy("event_id")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long])))
+    assert(out.toSeq == Seq(
+      (1L, None, None),
+      (2L, Some(50L), Some(101L)), // matched-ref time, positive
+      (3L, Some(10L), Some(100L)),
+      (4L, Some(10L), Some(100L)),
+      (5L, None, None),
+      (6L, Some(30L), Some(200L)),
+      (7L, Some(50L), Some(101L))))
+  }
+
   test("asofLast plans one exchange and no join") {
     val out = AsofJoin.asofLast(probes, refs, "user_id", "t", "rid", Seq("v"))
     val plan = out.queryExecution.executedPlan.toString

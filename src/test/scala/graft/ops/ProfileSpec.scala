@@ -29,8 +29,24 @@ class ProfileSpec extends SparkSpec {
     assert(row.isNullAt(3) && row.isNullAt(4))
   }
 
-  test("unsupported column types fail loudly") {
-    val df = Seq((1L, Seq(1, 2))).toDF("k", "arr")
-    intercept[IllegalArgumentException] { Profile.report(df) }
+  test("default path skips unprofilable columns; naming one fails loudly") {
+    val df = Seq((1L, Seq(1, 2)), (2L, Seq(3))).toDF("k", "arr")
+    // default: arr silently skipped, k still profiled (-profile works on
+    // any namespace)
+    val cols = Profile.report(df).select("column").as[String].collect().toSeq
+    assert(cols == Seq("k"))
+    // explicit request names the offending column
+    val e = intercept[IllegalArgumentException] {
+      Profile.report(df, Seq("arr"))
+    }
+    assert(e.getMessage.contains("arr"))
+  }
+
+  test("date columns profile as epoch days") {
+    val df = Seq("2020-01-02", "1969-12-31").toDF("d")
+      .select(to_date(col("d")).as("d"))
+    val row = Profile.report(df).head()
+    // 1969-12-31 = epoch day -1; 2020-01-02 = 18263
+    assert(row.getString(3) == "-1" && row.getString(4) == "18263")
   }
 }

@@ -44,6 +44,19 @@ class RangeJoinSpec extends SparkSpec {
     assert(RangeJoin.intervalJoin(p, iv, "k", "t", "s", "e", 64L).count() == 0)
   }
 
+  test("bucketing is exact past 2^53 (ns-epoch longs) and for negatives") {
+    // doubles round 2^60-magnitude longs: floor(t / w) as a double could
+    // place the point and its interval in different buckets. Pin a match
+    // straddling a bucket edge at huge magnitude, both signs.
+    val base = 1L << 60
+    val p = Seq((1L, base + 1L, 1L), (1L, -base - 1L, 2L)).toDF("k", "t", "pid")
+    val iv = Seq((1L, base - 5L, base + 10L, 10L),
+      (1L, -base - 10L, -base + 5L, 11L)).toDF("k", "s", "e", "iid")
+    val hits = RangeJoin.intervalJoin(p, iv, "k", "t", "s", "e", 1000L)
+      .select("pid", "iid").as[(Long, Long)].collect().sorted.toSeq
+    assert(hits == Seq((1L, 10L), (2L, 11L)))
+  }
+
   test("plan is an equi-join on (key, bucket), not a nested loop") {
     val fast = RangeJoin.intervalJoin(points, intervals, "k", "t", "s", "e", 100L)
     val plan = fast.queryExecution.executedPlan.toString
