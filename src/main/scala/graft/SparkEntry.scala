@@ -1743,20 +1743,32 @@ object SparkEntry {
     }),
 
     // ---- §7 composition: session-duration stats — the gap-session
-    // operator feeding exact percentiles in one chain (operators
-    // compose; nothing is a dead end). Durations are integer µs, so
-    // the percentiles pin bit-for-bit. ----
+    // operator feeding the HISTOGRAM percentile route in one chain
+    // (operators compose; nothing is a dead end). Durations quantize to
+    // integer ms (bounded distinct values), so p50/p90 ride
+    // ops.Quantiles.exactQuantiles — no corpus-sized single-group sort
+    // aggregate anywhere (PlanAuditSpec bans global `percentile` on the
+    // declared surface) — and still pin bit-for-bit as integer
+    // milli-ms. ----
     "q_session_stats" -> ((s, dir) => {
       val sessions = streaming.EventStream.sessionizeBatch(
-        load(s, dir, "events"), gapUs = 3600L * 1000000)
+          load(s, dir, "events"), gapUs = 3600L * 1000000)
+        .select(expr("(session_end_us - session_start_us) DIV 1000")
+          .as("dur_ms"), col("n_events"))
+      val quants = ops.Quantiles.exactQuantiles(
+          sessions, col("dur_ms"), Seq(500, 900))
+        .agg(
+          max(when(col("q_mille") === 500, col("value_milli")))
+            .as("dur_p50_milli_ms"),
+          max(when(col("q_mille") === 900, col("value_milli")))
+            .as("dur_p90_milli_ms"))
       sessions
-        .select((col("session_end_us") - col("session_start_us")).as("dur_us"),
-          col("n_events"))
         .agg(count(lit(1)).as("n_sessions"),
-          expr("percentile(dur_us, 0.5)").as("dur_p50"),
-          expr("percentile(dur_us, 0.9)").as("dur_p90"),
           sum(col("n_events")).as("n_events"),
-          max(col("dur_us")).as("dur_max"))
+          max(col("dur_ms")).as("dur_max_ms"))
+        .crossJoin(broadcast(quants))
+        .select(col("n_sessions"), col("dur_p50_milli_ms"),
+          col("dur_p90_milli_ms"), col("n_events"), col("dur_max_ms"))
     }),
 
     // ---- §7 windowed distinct: exact unique users per hour — the
@@ -1885,8 +1897,9 @@ object SparkEntry {
     // ---- §7 SQL surface: exact grouped percentiles — Spark's
     // `percentile` interpolates identically to DuckDB's quantile_cont,
     // so the values pin bit-for-bit. This is the exact (per-group sort
-    // aggregate) path; the 100 TB shape for integer metrics is the
-    // histogram route (q_len_quantiles) — both live on the surface. ----
+    // aggregate) ANCHOR; the 100 TB shape for integer metrics is the
+    // grouped histogram route, which lives on the same surface as
+    // q_group_quantiles_hist (pinned equal by QuantilesSpec). ----
     "q_group_quantiles" -> ((s, dir) => {
       load(s, dir, "documents")
         .groupBy("lang")
@@ -1895,6 +1908,16 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .orderBy("lang")
     }),
+
+    // ---- §7 the grouped HISTOGRAM quantile route — the 100 TB shape
+    // q_group_quantiles' scaladoc points at, as code: per-(lang, value)
+    // histogram, cumulative window per group over DISTINCT values, rank
+    // targets equi-joined back. QuantilesSpec pins it equal to the
+    // per-group `percentile` sort aggregate. ----
+    "q_group_quantiles_hist" -> ((s, dir) =>
+      ops.Quantiles.exactQuantilesBy(
+          load(s, dir, "documents"), "lang", col("n_chars"), Seq(500, 900))
+        .orderBy("lang", "q_mille")),
 
     // ---- §7 sampling: weight-proportional Bernoulli (importance
     // sampling by document length) — keep P = min(1, n_chars/wCap),
@@ -3907,14 +3930,36 @@ object SparkEntry {
         |                     ROWS UNBOUNDED PRECEDING) AS sid
         |  FROM g),
         |sess AS (
-        |  SELECT max(ts_us) - min(ts_us) AS dur_us, count(*) AS n_events
-        |  FROM s GROUP BY user_id, sid)
-        |SELECT count(*) AS n_sessions,
-        |  quantile_cont(dur_us, 0.5) AS dur_p50,
-        |  quantile_cont(dur_us, 0.9) AS dur_p90,
-        |  CAST(sum(n_events) AS BIGINT) AS n_events,
-        |  max(dur_us) AS dur_max
-        |FROM sess""".stripMargin,
+        |  SELECT (max(ts_us) - min(ts_us)) // 1000 AS dur_ms,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM s GROUP BY user_id, sid),
+        |hist AS (SELECT dur_ms AS v, count(*) AS cnt FROM sess GROUP BY 1),
+        |cum AS (SELECT v, CAST(sum(cnt) OVER
+        |          (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |        FROM hist),
+        |ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sess),
+        |t AS (SELECT q_mille, n,
+        |        (n-1) * q_mille // 1000 AS idx,
+        |        (n-1) * q_mille % 1000 AS rem,
+        |        least((n-1) * q_mille // 1000 + 1, n-1) AS idx2
+        |      FROM (VALUES (500),(900)) q(q_mille), ns),
+        |a AS (SELECT t.q_mille, t.rem, min(c.v) AS v_lo,
+        |        min(CASE WHEN c.cum > t.idx2 THEN c.v END) AS v_hi
+        |      FROM t JOIN cum c ON c.cum > t.idx GROUP BY 1, 2),
+        |q AS (SELECT
+        |    max(CASE WHEN q_mille = 500 THEN
+        |      1000 * v_lo + (coalesce(v_hi, v_lo) - v_lo) * rem END)
+        |      AS dur_p50_milli_ms,
+        |    max(CASE WHEN q_mille = 900 THEN
+        |      1000 * v_lo + (coalesce(v_hi, v_lo) - v_lo) * rem END)
+        |      AS dur_p90_milli_ms
+        |  FROM a),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+        |         CAST(sum(n_events) AS BIGINT) AS n_events,
+        |         max(dur_ms) AS dur_max_ms FROM sess)
+        |SELECT n_sessions, dur_p50_milli_ms, dur_p90_milli_ms, n_events,
+        |  dur_max_ms
+        |FROM st, q""".stripMargin,
     "q_window_users" ->
       """SELECT epoch_us(ts) // 3600000000 AS hour,
         |  count(DISTINCT user_id) AS n_users, count(*) AS n_events
@@ -4023,6 +4068,29 @@ object SparkEntry {
       """SELECT lang, quantile_cont(n_chars, 0.5) AS p50,
         |  quantile_cont(n_chars, 0.9) AS p90, count(*) AS n
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_group_quantiles_hist" ->
+      """WITH vals AS (SELECT lang, CAST(n_chars AS BIGINT) AS v
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |hist AS (SELECT lang, v, count(*) AS cnt FROM vals GROUP BY 1, 2),
+        |cum AS (SELECT lang, v, CAST(sum(cnt) OVER
+        |          (PARTITION BY lang ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |          AS BIGINT) AS cum
+        |        FROM hist),
+        |ns AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+        |       FROM vals GROUP BY 1),
+        |t AS (SELECT lang, q_mille, n,
+        |        (n-1) * q_mille // 1000 AS idx,
+        |        (n-1) * q_mille % 1000 AS rem,
+        |        least((n-1) * q_mille // 1000 + 1, n-1) AS idx2
+        |      FROM (VALUES (500),(900)) q(q_mille), ns),
+        |a AS (SELECT t.lang, t.q_mille, t.n, t.rem, min(c.v) AS v_lo,
+        |        min(CASE WHEN c.cum > t.idx2 THEN c.v END) AS v_hi
+        |      FROM t JOIN cum c ON c.lang = t.lang AND c.cum > t.idx
+        |      GROUP BY 1, 2, 3, 4)
+        |SELECT lang, CAST(q_mille AS INT) AS q_mille, n AS n_rows, v_lo,
+        |  coalesce(v_hi, v_lo) AS v_hi,
+        |  1000 * v_lo + (coalesce(v_hi, v_lo) - v_lo) * rem AS value_milli
+        |FROM a ORDER BY lang, q_mille""".stripMargin,
     "q_weighted_sample" ->
       """SELECT lang, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS chars_kept
         |FROM documents

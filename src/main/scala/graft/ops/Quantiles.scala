@@ -62,4 +62,49 @@ object Quantiles {
       .withColumn("value_milli",
         expr("1000 * v_lo + (v_hi - v_lo) * ((n_rows - 1) * q_mille % 1000)"))
   }
+
+  /** Grouped variant of [[exactQuantiles]] — the 100 TB shape for
+    * "p50/p90 per language" style profiling. Identical algebra, with
+    * every window PARTITIONED BY the group: the per-(group, value)
+    * histogram is map-side combined, the cumulative sum runs over each
+    * group's distinct values (never its rows), and the rank targets —
+    * one tiny per-group (n, rank) table — come back via an equi-join on
+    * the group key. No stage anywhere holds a group's raw rows in one
+    * buffer, which is exactly what `percentile(...) GROUP BY g` does
+    * (per-group sort aggregate; `q_group_quantiles` keeps that as the
+    * documented exact anchor, cross-referencing this route).
+    *
+    * Output: (<group>, q_mille, n_rows, v_lo, v_hi, value_milli), one
+    * row per (group, rank); groups with only null values are absent. */
+  def exactQuantilesBy(df: DataFrame, groupCol: String, value: Column,
+      qMille: Seq[Int]): DataFrame = {
+    require(qMille.nonEmpty && qMille.forall(q => q >= 0 && q <= 1000),
+      "ranks must be per-mille in [0, 1000]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df.select(col(groupCol).as("__g"),
+        value.cast("long").as("v"))
+      .filter(col("v").isNotNull)
+    val hist = vals.groupBy("__g", "v").agg(count(lit(1)).as("cnt"))
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(
+      Window.partitionBy("__g").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ranks = broadcast(qMille.distinct.sorted.toDF("q_mille"))
+    val targets = vals.groupBy("__g").agg(count(lit(1)).as("n"))
+      .crossJoin(ranks)
+      .withColumn("idx", expr("(n - 1) * q_mille DIV 1000"))
+      .withColumn("idx2", least(expr("(n - 1) * q_mille DIV 1000 + 1"),
+        col("n") - 1))
+      .withColumnRenamed("__g", "__tg")
+    cum.join(targets,
+        col("__g") === col("__tg") && col("cum") > col("idx"))
+      .groupBy("__g", "q_mille", "n", "idx2")
+      .agg(min(col("v")).as("v_lo"),
+        min(when(col("cum") > col("idx2"), col("v"))).as("__v_hi"))
+      .select(col("__g").as(groupCol), col("q_mille"),
+        col("n").as("n_rows"), col("v_lo"),
+        coalesce(col("__v_hi"), col("v_lo")).as("v_hi"))
+      .withColumn("value_milli",
+        expr("1000 * v_lo + (v_hi - v_lo) * ((n_rows - 1) * q_mille % 1000)"))
+  }
 }

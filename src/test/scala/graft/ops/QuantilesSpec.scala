@@ -33,6 +33,39 @@ class QuantilesSpec extends SparkSpec {
     assert(out(900) == 17000L)
   }
 
+  test("exactQuantilesBy equals the per-group percentile sort aggregate") {
+    val d = Tables.load(spark, sf0001, "documents")
+    val got = Quantiles.exactQuantilesBy(d, "lang", col("n_chars"),
+        Seq(250, 500, 900))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(5) / 1000.0)
+      .toMap
+    val expect = d.filter(col("n_chars").isNotNull)
+      .groupBy("lang")
+      .agg(percentile(col("n_chars"),
+        typedLit(Seq(0.25, 0.5, 0.9))).as("p"))
+      .collect()
+      .flatMap(r => Seq(250, 500, 900).zip(r.getSeq[Double](1))
+        .map { case (q, v) => (r.getString(0), q) -> v })
+      .toMap
+    assert(got.keySet == expect.keySet && got.nonEmpty)
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - expect(k)) < 1e-6,
+        s"$k: histogram says $v, percentile says ${expect(k)}")
+    }
+  }
+
+  test("exactQuantilesBy windows are group-partitioned (no global sort stage)") {
+    val d = Tables.load(spark, sf0001, "documents")
+    val out = Quantiles.exactQuantilesBy(d, "lang", col("n_chars"), Seq(500))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), "expected the cumulative window")
+    // a windowspecdefinition that STARTS with the value column (no __g
+    // partition key before it) would be the global-sort shape
+    assert("windowspecdefinition\\(v#".r.findFirstIn(plan).isEmpty,
+      s"unpartitioned window found:\n$plan")
+  }
+
   test("exactQuantiles equals Spark's percentile aggregate on real lengths") {
     val lens = Tables.load(spark, sf0001, "documents")
       .filter(col("text").isNotNull)
