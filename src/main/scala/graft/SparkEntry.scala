@@ -1580,6 +1580,27 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // ---- §7 time-series: FORWARD as-of join — each click picks up the
+    // user's earliest at-or-after purchase (smallest event_id on time
+    // ties), with the matched purchase TIME in the payload. Same
+    // union+carry single-exchange shape as q_asof, run over negated
+    // times (ops/AsofJoin.asofNext). ----
+    "q_asof_next" -> ((s, dir) => {
+      val raw = load(s, dir, "events")
+      val ev = raw
+        .select(col("event_id"), col("user_id"),
+          Tables.tsUs(raw).as("ts_us"), col("event_type"), col("value"))
+      val probes = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts_us")
+      val refs = ev
+        .filter(col("event_type") === "purchase" && col("value").isNotNull)
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
+      ops.AsofJoin.asofNext(probes, refs, key = "user_id",
+          timeCol = "ts_us", tieCol = "event_id",
+          payload = Seq("ts_us", "event_id", "value"))
+        .orderBy("event_id")
+    }),
+
     // ---- §7 time-series: bucketed interval join — clicks attributed to
     // the purchase window [purchase_ts, purchase_ts + 1h). Intervals
     // explode to ≤2 hour-buckets, the join is a plain equi-join on
@@ -3810,6 +3831,29 @@ object SparkEntry {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY t, tag, tie
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |SELECT event_id, user_id, ts_us, ref_event_id, ref_value
+        |FROM c WHERE tag = 1 ORDER BY event_id""".stripMargin,
+    "q_asof_next" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+        |           FROM events),
+        |u AS (
+        |  SELECT user_id, ts_us AS t, 0 AS tag, event_id AS tie,
+        |         ts_us AS r_ts, event_id AS r_eid, value AS r_val,
+        |         CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS BIGINT) AS ts_us
+        |  FROM e WHERE event_type = 'purchase' AND value IS NOT NULL
+        |  UNION ALL
+        |  SELECT user_id, ts_us, 1, 0,
+        |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |         CAST(NULL AS DOUBLE), event_id, ts_us
+        |  FROM e WHERE event_type = 'click'),
+        |c AS (
+        |  SELECT user_id, tag, event_id, ts_us,
+        |    last_value(r_ts IGNORE NULLS) OVER w AS ref_ts_us,
+        |    last_value(r_eid IGNORE NULLS) OVER w AS ref_event_id,
+        |    last_value(r_val IGNORE NULLS) OVER w AS ref_value
+        |  FROM u
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY t DESC, tag, tie DESC
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, ts_us, ref_ts_us, ref_event_id, ref_value
         |FROM c WHERE tag = 1 ORDER BY event_id""".stripMargin,
     "q_range_join" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
