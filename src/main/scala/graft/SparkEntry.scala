@@ -1269,6 +1269,129 @@ object SparkEntry {
         .orderBy("k")
     }),
 
+    // ---- ST1: the copy/stream-overlap handoff — the reference starts
+    // oplog capture BEFORE the data copy, so cached ops overlap what the
+    // copy already read (oplog_streamer.go:112-158: CacheOplogs runs
+    // from the start; ApplyCachedOplogs replays the full cache after the
+    // copy). Here the copied snapshot ALREADY reflects every logged op
+    // (set-updates on part %3, deletes on %7∖%3, inserts on a fresh key
+    // space), then the FULL backlog replays on top of it. The idempotent
+    // op classes (insert=replace, $set, delete) make the replay converge
+    // to the same state — the at-least-once handoff discipline, pinned:
+    // the oracle recomputes the post-op state straight from `part`. ----
+    "q_st1_overlap" -> ((s, dir) => {
+      val out = scratchDir("st1")
+      val sink = new sources.ParquetCatalog(s, s"$out/sink", db = "app")
+      val cfg = config.MigratorConfig(command = "data", source = dir, target = out)
+      val p = load(s, dir, "part")
+      val k = col("p_partkey")
+      val ns = lit("app.part_state")
+      def op(ts: Long, opc: String, o: org.apache.spark.sql.Column,
+          o2: org.apache.spark.sql.Column) = Seq(
+        lit(ts).as("ts"), lit(opc).as("op"), ns.as("ns"), o.as("o"), o2.as("o2"),
+        lit(0L).as("h"), lit(0L).as("t"), lit(2).as("v"))
+      val nullS = lit(null).cast("string")
+      // the change log captured while the copy ran
+      val updates = p.filter(k % 3 === 0).select(op(1L, "u",
+        to_json(struct(struct(struct(lit("X").as("brand")).as("u")).as("diff"))),
+        to_json(struct(k.as("_id")))): _*)
+      val deletes = p.filter(k % 7 === 0 && k % 3 =!= 0)
+        .select(op(2L, "d", to_json(struct(k.as("_id"))), nullS): _*)
+      val inserts = p.filter(k % 10 === 0).select(op(3L, "i",
+        to_json(struct((k + 100000000L).as("_id"), lit("NEW").as("brand"),
+          lit(9.99).as("retail"))), nullS): _*)
+      val logDir = s"$out/changelog"
+      Seq(updates, deletes, inserts)
+        .foreach(_.coalesce(1).write.mode("append").parquet(logDir))
+      // the copy lands AFTER those ops: snapshot = post-op state
+      val surviving = p.filter(!(k % 7 === 0 && k % 3 =!= 0))
+        .select(k.cast("string").as("id"),
+          to_json(struct(k.as("_id"),
+            when(k % 3 === 0, lit("X")).otherwise(col("p_brand")).as("brand"),
+            col("p_retailprice").as("retail"))).as("doc"))
+      val insertedRows = p.filter(k % 10 === 0)
+        .select((k + 100000000L).cast("string").as("id"),
+          to_json(struct((k + 100000000L).as("_id"), lit("NEW").as("brand"),
+            lit(9.99).as("retail"))).as("doc"))
+      sink.write("app.part_state", surviving.unionByName(insertedRows))
+      val nBefore = sink.read("app.part_state").count()
+      // ST1 handoff: replay the FULL backlog over the copied snapshot
+      streaming.ApplyJob.catchUp(s, logDir, sink, cfg, s"$out/ckpt",
+        maxFilesPerTrigger = 1)
+      sink.read("app.part_state")
+        .select(
+          get_json_object(col("doc"), "$._id").cast("long").as("k"),
+          get_json_object(col("doc"), "$.brand").as("brand"),
+          get_json_object(col("doc"), "$.retail").cast("double").as("retail"))
+        .withColumn("n_before", lit(nBefore))
+        .orderBy("k")
+    }),
+
+    // ---- ST3: live tail — the stream runs under Trigger.ProcessingTime
+    // (LiveStreamOplogs, oplog_streamer.go:300-323) while new change-log
+    // files land BEHIND it, and the replication-lag metric (now − newest
+    // applied ts, :308-316) is read off the running Handle. Key classes
+    // are disjoint, so the final state is batch-cut independent; the
+    // oracle recomputes it from `customer` plus pins the applied-op
+    // total and a sane-lag flag (event times sit at a fixed past epoch,
+    // so lag must land in (0, 1e9) s). ----
+    "q_st3_tail" -> ((s, dir) => {
+      val out = scratchDir("st3")
+      val sink = new sources.ParquetCatalog(s, s"$out/sink", db = "app")
+      val cfg = config.MigratorConfig(command = "data", source = dir, target = out)
+      val c = load(s, dir, "customer")
+      val k = col("c_custkey")
+      sink.write("app.cust_state", c.select(
+        k.cast("string").as("id"),
+        to_json(struct(k.as("_id"), col("c_acctbal").as("bal"),
+          col("c_mktsegment").as("seg"))).as("doc")))
+      val ns = lit("app.cust_state")
+      // BSON-Timestamp packing: epoch seconds ride in the high 32 bits
+      val t0 = 1700000000L << 32
+      def op(ts: Long, opc: String, o: org.apache.spark.sql.Column,
+          o2: org.apache.spark.sql.Column) = Seq(
+        lit(ts).as("ts"), lit(opc).as("op"), ns.as("ns"), o.as("o"), o2.as("o2"),
+        lit(0L).as("h"), lit(0L).as("t"), lit(2).as("v"))
+      val nullS = lit(null).cast("string")
+      val updates = c.filter(k % 3 === 0).select(op(t0 + 1, "u",
+        to_json(struct(struct(struct(lit("GOLD").as("seg")).as("u")).as("diff"))),
+        to_json(struct(k.as("_id")))): _*)
+      val deletes = c.filter(k % 7 === 0 && k % 3 =!= 0)
+        .select(op(t0 + 2, "d", to_json(struct(k.as("_id"))), nullS): _*)
+      val inserts = c.filter(k % 10 === 0).select(op(t0 + 3, "i",
+        to_json(struct((k + 100000000L).as("_id"), lit(0.0).as("bal"),
+          lit("NEW").as("seg"))), nullS): _*)
+      val expected =
+        c.filter(k % 3 === 0).count() +
+          c.filter(k % 7 === 0 && k % 3 =!= 0).count() +
+          c.filter(k % 10 === 0).count()
+      val logDir = s"$out/changelog"
+      // wave 1 is on disk before the stream starts (the backlog)…
+      updates.coalesce(1).write.mode("append").parquet(logDir)
+      val h = streaming.ApplyJob.stream(s, logDir, sink, cfg, s"$out/ckpt",
+        trigger = org.apache.spark.sql.streaming.Trigger
+          .ProcessingTime("500 milliseconds"),
+        maxFilesPerTrigger = 2)
+      try {
+        // …waves 2 and 3 land while the tail is live
+        deletes.coalesce(1).write.mode("append").parquet(logDir)
+        inserts.coalesce(1).write.mode("append").parquet(logDir)
+        val deadline = System.currentTimeMillis() + 120000
+        while (h.counts.total < expected &&
+            System.currentTimeMillis() < deadline)
+          Thread.sleep(200)
+      } finally h.stop()
+      val lagOk = h.lagSeconds > 0 && h.lagSeconds < 1e9
+      sink.read("app.cust_state")
+        .select(
+          get_json_object(col("doc"), "$._id").cast("long").as("k"),
+          get_json_object(col("doc"), "$.bal").cast("double").as("bal"),
+          get_json_object(col("doc"), "$.seg").as("seg"))
+        .withColumn("applied_total", lit(h.counts.total))
+        .withColumn("lag_ok", lit(lagOk))
+        .orderBy("k")
+    }),
+
     // ---- S5/S6/P5: catalog scans — databases, namespaces, and the
     // system-collection filter (ListDatabaseNames/ListCollectionNames +
     // the system.* skip, mongo_utils.go) — over a freshly-seeded
@@ -1377,6 +1500,59 @@ object SparkEntry {
         .withColumn("suggested", lit(n))
         .withColumn("unchunked_is_none", lit(unchunkedNone))
         .orderBy("min_key")
+    }),
+
+    // ---- S8/D3: sharding-config replication — the four decisions the
+    // reference replays against a sharded target (config_copier.go:
+    // 89-102 primary mapping incl. its overwrite quirk, :132-158 zone
+    // pairing, :244-297 split selection, :299-336 round-robin moves) as
+    // pure arithmetic (ddl/Sharding.scala) over a metadata fixture
+    // derived from region/nation: source shards = the 5 region names,
+    // target shards = the 3 regions with key < 3 ("-T" suffix), chunk
+    // mins = the 25 nation names. The chunk/sharded sections round-trip
+    // through the REAL manifest persist/load (the S8 state-store scan)
+    // before the arithmetic reads them back. Shard lists and chunk maps
+    // are config-sized metadata — driver-resident by nature, exactly as
+    // the reference collects them. ----
+    "q_d3_shards" -> ((s, dir) => {
+      import s.implicits._
+      val out = scratchDir("d3")
+      val sink = new sources.ParquetCatalog(s, s"$out/sink", db = "tgt")
+      val sourceShards = load(s, dir, "region")
+        .select(col("r_name")).as[String].collect().sorted.toIndexedSeq
+      val targetShards = load(s, dir, "region")
+        .filter(col("r_regionkey") < 3)
+        .select(col("r_name")).as[String].collect().sorted
+        .map(_ + "-T").toIndexedSeq
+      val chunkMins = load(s, dir, "nation")
+        .select(col("n_name")).as[String].collect().sorted.toIndexedSeq
+      // persist the sharding sections through the catalog, then act on
+      // the LOADED manifest (min keys ride as opaque strings)
+      val m = ddl.Manifest(
+        shardedCollections = Seq(
+          ddl.ShardedCollectionSpec("app.customer", """{"c_custkey":1}""")),
+        chunks = chunkMins.zipWithIndex.map { case (mn, i) =>
+          ddl.ChunkSpec("app.customer", mn,
+            if (i + 1 < chunkMins.size) chunkMins(i + 1) else "$maxKey",
+            sourceShards(i % sourceShards.size))
+        })
+      ddl.Manifest.persist(s, sink, m)
+      val back = ddl.Manifest.load(s, sink)
+      val mins = back.chunks.filter(_.ns == "app.customer")
+        .map(_.minJson).sorted
+      val splits = ddl.Sharding.splitPoints(mins, targetShards.size)
+      val rows =
+        ddl.Sharding.primaryMap(sourceShards, targetShards).toSeq
+          .map { case (a, b) => ("primary", a, b) } ++
+        ddl.Sharding.zoneAssignments(
+            sourceShards.map(n => n -> Seq(s"zone_$n")),
+            sourceShards.map(_ + "-T"))
+          .map { case (t, z) => ("zone", t, z) } ++
+        back.shardedCollections.map(sc => ("sharded", sc.ns, sc.keyJson)) ++
+        splits.map(("split", "app.customer", _)) ++
+        ddl.Sharding.chunkMoves(mins.head +: splits, targetShards)
+          .map { case (mn, sh) => ("move", mn, sh) }
+      rows.toDF("section", "k", "v").orderBy("section", "k", "v")
     }),
 
     // ---- P3/X3: wildcard include expansion through the REAL copy
@@ -3704,6 +3880,38 @@ object SparkEntry {
         |SELECT k, custkey, status, price FROM updated
         |UNION ALL SELECT k, custkey, status, price FROM inserted
         |ORDER BY k""".stripMargin,
+    "q_st1_overlap" ->
+      """WITH survived AS (
+        |  SELECT p_partkey AS k,
+        |    CASE WHEN p_partkey % 3 = 0 THEN 'X' ELSE p_brand END AS brand,
+        |    CAST(p_retailprice AS DOUBLE) AS retail
+        |  FROM part WHERE NOT (p_partkey % 7 = 0 AND p_partkey % 3 <> 0)),
+        |inserted AS (
+        |  SELECT p_partkey + 100000000 AS k, 'NEW' AS brand,
+        |    CAST(9.99 AS DOUBLE) AS retail
+        |  FROM part WHERE p_partkey % 10 = 0),
+        |state AS (SELECT * FROM survived UNION ALL SELECT * FROM inserted)
+        |SELECT k, brand, retail,
+        |  (SELECT count(*) FROM state) AS n_before
+        |FROM state ORDER BY k""".stripMargin,
+    "q_st3_tail" ->
+      """WITH survived AS (
+        |  SELECT c_custkey AS k, CAST(c_acctbal AS DOUBLE) AS bal,
+        |    CASE WHEN c_custkey % 3 = 0 THEN 'GOLD' ELSE c_mktsegment END AS seg
+        |  FROM customer WHERE NOT (c_custkey % 7 = 0 AND c_custkey % 3 <> 0)),
+        |inserted AS (
+        |  SELECT c_custkey + 100000000 AS k, CAST(0.0 AS DOUBLE) AS bal,
+        |    'NEW' AS seg
+        |  FROM customer WHERE c_custkey % 10 = 0),
+        |state AS (SELECT * FROM survived UNION ALL SELECT * FROM inserted),
+        |n AS (SELECT
+        |  (SELECT count(*) FROM customer WHERE c_custkey % 3 = 0) +
+        |  (SELECT count(*) FROM customer
+        |     WHERE c_custkey % 7 = 0 AND c_custkey % 3 <> 0) +
+        |  (SELECT count(*) FROM customer WHERE c_custkey % 10 = 0)
+        |  AS applied_total)
+        |SELECT k, bal, seg, n.applied_total, TRUE AS lag_ok
+        |FROM state CROSS JOIN n ORDER BY k""".stripMargin,
     "q_o6_resume" ->
       """SELECT s_suppkey, s_name, s_nationkey,
         |  (SELECT count(*) FROM region) AS n_region
@@ -3736,6 +3944,42 @@ object SparkEntry {
         |  'shard' || CAST(i % 3 AS VARCHAR) AS shard,
         |  CAST(n AS INT) AS suggested, TRUE AS unchunked_is_none
         |FROM o, c ORDER BY min_key""".stripMargin,
+    "q_d3_shards" ->
+      """WITH src AS (SELECT r_name AS s,
+        |               row_number() OVER (ORDER BY r_name) - 1 AS i
+        |             FROM region),
+        |ntc AS (SELECT count(*) AS nt FROM region WHERE r_regionkey < 3),
+        |tgt AS (SELECT r_name || '-T' AS t,
+        |          row_number() OVER (ORDER BY r_name) - 1 AS j
+        |        FROM region WHERE r_regionkey < 3),
+        |nat AS (SELECT n_name AS m,
+        |          row_number() OVER (ORDER BY n_name) - 1 AS i,
+        |          count(*) OVER () AS n
+        |        FROM nation),
+        |seg AS (SELECT mx.n // ntc.nt AS seg, ntc.nt AS nt
+        |        FROM (SELECT max(n) AS n FROM nat) mx CROSS JOIN ntc),
+        |prim AS (SELECT 'primary' AS section, src.s AS k, tgt.t AS v
+        |         FROM src CROSS JOIN ntc JOIN tgt ON tgt.j =
+        |           CASE WHEN src.i < ntc.nt - 1 THEN src.i
+        |                ELSE (src.i - (ntc.nt - 1)) % ntc.nt END),
+        |zone AS (SELECT 'zone' AS section, r_name || '-T' AS k,
+        |           'zone_' || r_name AS v FROM region),
+        |sh AS (SELECT 'sharded' AS section, 'app.customer' AS k,
+        |         '{"c_custkey":1}' AS v),
+        |spl AS (SELECT 'split' AS section, 'app.customer' AS k, nat.m AS v
+        |        FROM nat CROSS JOIN seg
+        |        WHERE nat.i > 0 AND nat.i % seg.seg = 0
+        |          AND nat.i // seg.seg < seg.nt),
+        |rng AS (SELECT nat.m, row_number() OVER (ORDER BY nat.i) - 1 AS r
+        |        FROM nat CROSS JOIN seg
+        |        WHERE nat.i = 0 OR (nat.i > 0 AND nat.i % seg.seg = 0
+        |          AND nat.i // seg.seg < seg.nt)),
+        |mv AS (SELECT 'move' AS section, rng.m AS k, tgt.t AS v
+        |       FROM rng JOIN tgt ON tgt.j = rng.r)
+        |SELECT * FROM prim UNION ALL SELECT * FROM zone
+        |UNION ALL SELECT * FROM sh UNION ALL SELECT * FROM spl
+        |UNION ALL SELECT * FROM mv
+        |ORDER BY section, k, v""".stripMargin,
     "q_p3_wildcards" ->
       """SELECT 'src.nation' AS ns, 'src.nation' AS to_ns,
         |  (SELECT count(*) FROM nation) AS rows_read,
