@@ -231,10 +231,12 @@ object Dedup {
     *
     * Output: (id_a, id_b, n_inter, n_small, containment_permille) with
     * id_a < id_b, filtered to ≥ `minPermille`, eagerly materialized
-    * (the [[lshCandidatesFromShingles]] contract). */
+    * (the [[lshCandidatesFromShingles]] contract). `stagingDir`
+    * switches the candidate shingle-set intermediate from `persist()`
+    * to a parquet staging write ([[graft.util.Staging]]). */
   def containmentPairs(df: DataFrame, idCol: String, text: Column,
       minPermille: Int = 500, maxBucket: Int = 1000,
-      shingleWords: Int = 3): DataFrame = {
+      shingleWords: Int = 3, stagingDir: Option[String] = None): DataFrame = {
     require(minPermille >= 0 && minPermille <= 1000,
       "minPermille must be in [0, 1000]")
     val banded = Lines.lineRows(df, idCol, text)
@@ -244,12 +246,13 @@ object Dedup {
     val candIds = pairs.select(col("id_a").as(idCol))
       .unionByName(pairs.select(col("id_b").as(idCol)))
       .distinct()
-    val ssets = df.join(candIds, Seq(idCol), "left_semi")
-      .select(col(idCol), array_distinct(array_compact(
-        Shingles.wordNGramsOf(
-          slice(split(lower(text), " "), 1, MaxShingleWords),
-          shingleWords))).as("__sset"))
-      .persist()
+    val (ssets, release) = graft.util.Staging.stage(
+      df.join(candIds, Seq(idCol), "left_semi")
+        .select(col(idCol), array_distinct(array_compact(
+          Shingles.wordNGramsOf(
+            slice(split(lower(text), " "), 1, MaxShingleWords),
+            shingleWords))).as("__sset")),
+      stagingDir, "containment_ssets")
     try {
       ssets.count(): Unit // materialize BEFORE the two consuming joins
       pairs
@@ -267,7 +270,7 @@ object Dedup {
             .otherwise(lit(0L)))
         .filter(col("containment_permille") >= minPermille)
         .localCheckpoint(true)
-    } finally { ssets.unpersist(false); () }
+    } finally release()
   }
 
   /** Incremental exact dedup: the rows of `batch` whose content does

@@ -69,12 +69,17 @@ object Dsir {
 
   /** Per-document DSIR log importance weights of `raw` against
     * `target` (see object doc). `target` and `raw` need not overlap;
-    * only `raw` documents are scored. */
+    * only `raw` documents are scored. `stagingDir` switches the
+    * corpus-sized per-(doc, bucket) intermediate from `persist()` to a
+    * parquet staging write — the production shape at 100 TB
+    * ([[graft.util.Staging]]). */
   def importanceScores(raw: DataFrame, target: DataFrame, idCol: String,
       text: Column, buckets: Int = DefaultBuckets,
-      salt: String = "dsir"): DataFrame = {
+      salt: String = "dsir", stagingDir: Option[String] = None): DataFrame = {
     require(buckets > 0, "buckets must be positive")
-    val dn = bucketCounts(raw, idCol, text, buckets, salt).persist()
+    val (dn, release) = graft.util.Staging.stage(
+      bucketCounts(raw, idCol, text, buckets, salt),
+      stagingDir, "dsir_bucket_counts")
     try {
       dn.count(): Unit // materialize once for the two consuming subtrees
       val hq = dn.groupBy(col("__b")).agg(sum(col("__n")).as("__cq"))
@@ -99,6 +104,6 @@ object Dsir {
         .withColumn("avg_lr_nats",
           col("dsir_mnats").cast("double") / lit(1000.0) / col("n_feats"))
         .localCheckpoint(true)
-    } finally { dn.unpersist(false); () }
+    } finally release()
   }
 }

@@ -344,6 +344,26 @@ class DedupSpec extends SparkSpec {
     assert(!rows.keySet.exists { case (a, b) => a >= 10L && b <= 14L })
   }
 
+  test("containmentPairs: parquet-staging path returns the persist path's exact rows") {
+    val srcLines = (1 to 5).map(i =>
+      s"line $i " + (1 to 20).map(j => s"w${i}x$j").mkString(" "))
+    val corpus = Seq(
+      (1L, srcLines.mkString("\n")),
+      (2L, srcLines.slice(1, 3).mkString("\n")),
+      (3L, "totally unrelated content\nwith its own lines"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("cont-stage").toString
+    try {
+      def run(staging: Option[String]) = Dedup.containmentPairs(corpus,
+          "doc_id", col("text"), minPermille = 500, stagingDir = staging)
+        .collect().toSet
+      assert(run(Some(dir)) == run(None))
+      assert(new java.io.File(s"$dir/containment_ssets").exists())
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("dupSpans matches a sequential reference on real docs with planted copies") {
     val d = docs.select(col("doc_id"), col("text"))
     val corpus = d.unionByName(

@@ -79,4 +79,19 @@ class DsirSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
     assert(a == b && a.size == 50)
   }
+
+  test("importanceScores: parquet-staging path returns the persist path's exact rows") {
+    val raw = (1L to 40L).map(i => (i, s"tok$i alpha beta")).toDF("doc_id", "text")
+    val tgt = (1L to 5L).map(i => (i, "alpha beta")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("dsir-stage").toString
+    try {
+      def run(staging: Option[String]) = Dsir.importanceScores(raw, tgt,
+          "doc_id", col("text"), buckets = 32, stagingDir = staging)
+        .collect().toSet
+      assert(run(Some(dir)) == run(None))
+      assert(new java.io.File(s"$dir/dsir_bucket_counts").exists())
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
