@@ -1989,6 +1989,25 @@ object SparkEntry {
     "q_profile" -> ((s, dir) =>
       ops.Profile.report(load(s, dir, "orders")).orderBy("column")),
 
+    // ---- §7 validation at 100 TB: the sketch-profiled twin — HLL++
+    // distinct counts (no EXPAND row multiplication, constant mergeable
+    // state) gated against the exact profile with the q_approx_distinct
+    // tolerance discipline: the pinned output is the EXACT count plus a
+    // within-5% flag, so sketch drift flips a boolean and fails the
+    // hash compare. ----
+    "q_profile_approx" -> ((s, dir) => {
+      val o = load(s, dir, "orders")
+      val exact = ops.Profile.report(o)
+      val est = ops.Profile.report(o, approxRsd = Some(0.02))
+        .select(col("column"), col("n_distinct").as("__est"))
+      exact.join(est, Seq("column"))
+        .select(col("column"), col("n_null"), col("n_distinct"),
+          col("min_canon"), col("max_canon"),
+          (abs(col("__est") - col("n_distinct")) <=
+            col("n_distinct") * lit(0.05)).as("approx_ok"))
+        .orderBy("column")
+    }),
+
     // ---- §7 product analytics: cohort retention — users grouped by
     // first-seen day, counted again k days later (ops/Cohort.scala).
     // Distinct user-day activity first, so event-count skew dies at
@@ -4270,6 +4289,32 @@ object SparkEntry {
         |    min(o_orderpriority) AS mn_o, max(o_orderpriority) AS mx_o
         |  FROM orders)
         |SELECT * FROM (
+        |  SELECT 'o_orderkey' AS "column", null_k AS n_null, nd_k AS n_distinct,
+        |         mn_k AS min_canon, mx_k AS max_canon FROM m
+        |  UNION ALL SELECT 'o_custkey', null_c, nd_c, mn_c, mx_c FROM m
+        |  UNION ALL SELECT 'o_orderstatus', null_s, nd_s, mn_s, mx_s FROM m
+        |  UNION ALL SELECT 'o_totalprice', null_p, nd_p, mn_p, mx_p FROM m
+        |  UNION ALL SELECT 'o_orderdate', null_d, nd_d, mn_d, mx_d FROM m
+        |  UNION ALL SELECT 'o_orderpriority', null_o, nd_o, mn_o, mx_o FROM m)
+        |ORDER BY "column"""".stripMargin,
+    "q_profile_approx" ->
+      """WITH m AS (SELECT
+        |  count(*) - count(o_orderkey) AS null_k, count(DISTINCT o_orderkey) AS nd_k,
+        |    CAST(min(o_orderkey) AS VARCHAR) AS mn_k, CAST(max(o_orderkey) AS VARCHAR) AS mx_k,
+        |  count(*) - count(o_custkey) AS null_c, count(DISTINCT o_custkey) AS nd_c,
+        |    CAST(min(o_custkey) AS VARCHAR) AS mn_c, CAST(max(o_custkey) AS VARCHAR) AS mx_c,
+        |  count(*) - count(o_orderstatus) AS null_s, count(DISTINCT o_orderstatus) AS nd_s,
+        |    min(o_orderstatus) AS mn_s, max(o_orderstatus) AS mx_s,
+        |  count(*) - count(o_totalprice) AS null_p, count(DISTINCT o_totalprice) AS nd_p,
+        |    CAST(CAST(floor(min(o_totalprice) * 1000) AS BIGINT) AS VARCHAR) AS mn_p,
+        |    CAST(CAST(floor(max(o_totalprice) * 1000) AS BIGINT) AS VARCHAR) AS mx_p,
+        |  count(*) - count(o_orderdate) AS null_d, count(DISTINCT o_orderdate) AS nd_d,
+        |    CAST(epoch_us(min(o_orderdate)) AS VARCHAR) AS mn_d,
+        |    CAST(epoch_us(max(o_orderdate)) AS VARCHAR) AS mx_d,
+        |  count(*) - count(o_orderpriority) AS null_o, count(DISTINCT o_orderpriority) AS nd_o,
+        |    min(o_orderpriority) AS mn_o, max(o_orderpriority) AS mx_o
+        |  FROM orders)
+        |SELECT *, TRUE AS approx_ok FROM (
         |  SELECT 'o_orderkey' AS "column", null_k AS n_null, nd_k AS n_distinct,
         |         mn_k AS min_canon, mx_k AS max_canon FROM m
         |  UNION ALL SELECT 'o_custkey', null_c, nd_c, mn_c, mx_c FROM m

@@ -47,8 +47,17 @@ object Profile {
     * max_canon); min/max are null for all-null columns. Default (no
     * `cols`): all PROFILABLE columns — arrays/structs/binary are
     * silently skipped so `-profile` works on any namespace; naming an
-    * unprofilable column explicitly fails, naming the column. */
-  def report(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
+    * unprofilable column explicitly fails, naming the column.
+    *
+    * `approxRsd` switches the distinct counts to HLL++ sketches at the
+    * given relative standard deviation — the 100 TB path: the exact
+    * counts share one scan via Spark's EXPAND (k profiled columns ⇒ a
+    * k-fold row multiplication into the shuffle), while sketches keep
+    * the scan single-row with constant-size mergeable state per column.
+    * `q_profile_approx` gates the estimate against the exact count the
+    * same way `q_approx_distinct` does. */
+  def report(df: DataFrame, cols: Seq[String] = Nil,
+      approxRsd: Option[Double] = None): DataFrame = {
     cols.foreach { n =>
       val dt = df.schema(n).dataType
       require(profilable(dt),
@@ -62,8 +71,12 @@ object Profile {
       val dt = df.schema(n).dataType
       // min/max on the NATIVE type (string-min would be lexicographic
       // for numbers), canonicalized after
+      val nd = approxRsd match {
+        case Some(r) => approx_count_distinct(col(n), r)
+        case None => countDistinct(col(n))
+      }
       Seq(sum(col(n).isNull.cast("long")).as(s"__null_$n"),
-        countDistinct(col(n)).as(s"__nd_$n"),
+        nd.as(s"__nd_$n"),
         canon(min(col(n)), dt).as(s"__mn_$n"),
         canon(max(col(n)), dt).as(s"__mx_$n"))
     }

@@ -42,6 +42,22 @@ class ProfileSpec extends SparkSpec {
     assert(e.getMessage.contains("arr"))
   }
 
+  test("approx path: no EXPAND in the plan, estimates within tolerance") {
+    val df = spark.range(2000).selectExpr("id AS k", "id % 37 AS m")
+    val exactPlan = Profile.report(df)
+      .queryExecution.executedPlan.toString
+    assert(exactPlan.contains("Expand"),
+      "exact multi-column distinct should use EXPAND (sanity)")
+    val approx = Profile.report(df, approxRsd = Some(0.02))
+    val approxPlan = approx.queryExecution.executedPlan.toString
+    assert(!approxPlan.contains("Expand"),
+      s"sketch path must not multiply rows:\n$approxPlan")
+    val est = approx.collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(math.abs(est("k") - 2000L) <= 100 &&
+      math.abs(est("m") - 37L) <= 3, s"estimates off: $est")
+  }
+
   test("date columns profile as epoch days") {
     val df = Seq("2020-01-02", "1969-12-31").toDF("d")
       .select(to_date(col("d")).as("d"))
