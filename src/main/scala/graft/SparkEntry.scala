@@ -306,6 +306,36 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- ANN scale path 3: product quantization (ADC scan) — corpus
+    // stored as m=4 codeword ids (4 bytes/vector vs 256 float32), query
+    // scores = m table lookups; codebook = deterministic init (the 16
+    // lowest-id vectors' subvectors) so the oracle reproduces the index.
+    "q_ann_pq" -> ((s, dir) => {
+      val e = load(s, dir, "embeddings").filter(col("vec_id") < 1000)
+      ml.Similarity.pqTopK(e.filter(col("vec_id") < 50), e, "vec_id",
+          "embedding", k = 3, m = 4, ksub = 16)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- learned quality gate: train token-level integer weights +
+    // decision threshold on a labeled 1-in-3 split, then score EVERY
+    // doc — the fastText-style classifier-filtering recipe (mean
+    // centered token contribution, trained midpoint threshold),
+    // ln/sigmoid-free so it is engine-exact. Supervision is a
+    // text-derived deterministic label (token 'vector' present) — the
+    // fixture's metadata labels are independent of its token soup; any
+    // 0/1 column (human labels, an LLM judge) plugs in identically ----
+    "q_quality_clf" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("text"),
+          array_contains(text.QualityClassifier.featureTokens(col("text")),
+            "vector").cast("int").as("label"))
+      text.QualityClassifier.distill(docs, "doc_id", col("text"),
+          train, col("text"), col("label"), minDf = 5, vocabSize = 512)
+        .orderBy("doc_id")
+    }),
+
     // ---- text quality statistics + integer quality score ----
     "q_text_stats" -> ((s, dir) =>
       text.TextFunctions.qualityStats(load(s, dir, "documents"), col("text"))
@@ -2839,6 +2869,35 @@ object SparkEntry {
          |       ORDER BY dot_q DESC, neighbor_id) AS INT) AS rank
          |FROM pairs QUALIFY rank <= 3
          |ORDER BY query_id, rank""".stripMargin,
+    "q_ann_pq" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000),
+        |x AS (SELECT vec_id, u.i AS i, CAST((u.i - 1) // 16 AS INT) AS j,
+        |        CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1000) AS BIGINT) AS xq
+        |      FROM e, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) u),
+        |cwid AS (SELECT row_number() OVER (ORDER BY vec_id) AS cidx, vec_id
+        |         FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT 16)),
+        |cw AS (SELECT w.cidx, x.j, x.i, x.xq AS cq
+        |       FROM cwid w JOIN x ON x.vec_id = w.vec_id),
+        |d2 AS (SELECT v.vec_id, v.j, c.cidx,
+        |         CAST(sum((v.xq - c.cq) * (v.xq - c.cq)) AS BIGINT) AS d2
+        |       FROM x v JOIN cw c ON c.i = v.i
+        |       GROUP BY 1, 2, 3),
+        |enc AS (SELECT vec_id, j, cidx AS code FROM (
+        |          SELECT vec_id, j, cidx,
+        |            row_number() OVER (PARTITION BY vec_id, j
+        |                 ORDER BY d2, cidx) AS rn
+        |          FROM d2) WHERE rn = 1),
+        |score AS (SELECT qd.vec_id AS query_id, v.vec_id AS neighbor_id,
+        |            CAST(sum(qd.d2) AS BIGINT) AS adist
+        |          FROM enc v JOIN d2 qd ON qd.j = v.j AND qd.cidx = v.code
+        |          WHERE qd.vec_id < 50 AND qd.vec_id <> v.vec_id
+        |          GROUP BY 1, 2)
+        |SELECT query_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |       ORDER BY adist, neighbor_id) AS INT) AS rank,
+        |  neighbor_id, adist
+        |FROM score QUALIFY rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
     "q_embed_neardup" ->
       s"""WITH base AS (SELECT * FROM embeddings WHERE vec_id < 2000),
          |corpus AS (
@@ -2877,6 +2936,38 @@ object SparkEntry {
         |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha,
         |    CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit
         |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "q_quality_clf" ->
+      """WITH tr AS (SELECT doc_id, text,
+        |         CAST(list_contains(list_distinct(
+        |           regexp_extract_all(lower(text), '[a-z]+')), 'vector') AS INT) AS y
+        |       FROM documents WHERE doc_id % 3 = 0),
+        |base AS (SELECT (1000 * (sum(y) + 1)) // (count(*) + 2) AS w0 FROM tr),
+        |ttok AS (SELECT tr.doc_id, tr.y, t.token
+        |         FROM tr, LATERAL (SELECT unnest(list_distinct(
+        |           regexp_extract_all(lower(tr.text), '[a-z]+'))) AS token) t),
+        |stats AS (SELECT token, sum(y) AS n_good, sum(1 - y) AS n_bad
+        |          FROM ttok GROUP BY 1),
+        |vocab AS (SELECT token,
+        |            (1000 * (n_good + 1)) // (n_good + n_bad + 2) AS w
+        |          FROM (SELECT * FROM stats WHERE n_good + n_bad >= 5
+        |                ORDER BY n_good + n_bad DESC, token LIMIT 512)),
+        |atok AS (SELECT d.doc_id, t.token
+        |         FROM documents d, LATERAL (SELECT unnest(list_distinct(
+        |           regexp_extract_all(lower(d.text), '[a-z]+'))) AS token) t),
+        |sc AS (SELECT a.doc_id, count(*) AS h,
+        |         (1000 * sum(v.w - (SELECT w0 FROM base))) // count(*) AS s
+        |       FROM atok a JOIN vocab v USING (token) GROUP BY 1),
+        |thr AS (SELECT (sum(CASE WHEN y = 1 THEN coalesce(s, 0) END)
+        |                  // sum(CASE WHEN y = 1 THEN 1 END)
+        |              + sum(CASE WHEN y = 0 THEN coalesce(s, 0) END)
+        |                  // sum(CASE WHEN y = 0 THEN 1 END)) // 2 AS t
+        |        FROM tr LEFT JOIN sc USING (doc_id))
+        |SELECT d.doc_id,
+        |  CAST(coalesce(sc.h, 0) AS BIGINT) AS n_hits,
+        |  CAST(coalesce(sc.s, 0) AS BIGINT) AS score,
+        |  CAST(coalesce(sc.s, 0) > (SELECT t FROM thr) AS INT) AS pred_good
+        |FROM documents d LEFT JOIN sc USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     "q_lang_id" ->
       """SELECT doc_id, lang, en_n, fr_n, es_n, de_n,

@@ -370,6 +370,97 @@ object Similarity {
         (col(idCol) === col("root")).cast("int").as("keep"))
   }
 
+  /** Product-quantization codebook: the corpus split into `m` contiguous
+    * subspaces, each with `ksub` codewords taken from the `ksub`
+    * lowest-id vectors' subvectors (quantized). Like [[ivfCentroids]]
+    * this is the deterministic INITIALIZATION an external oracle can
+    * reproduce row-for-row; a production build would refine each
+    * subspace's codewords with per-subspace Lloyd iterations (same
+    * narrow assign + tiny re-average shape as [[ivfRefine]]) without
+    * changing the query-side plan. Codebook size is index METADATA:
+    * m × ksub × (dims/m) longs = ksub × dims total — kilobytes.
+    * Returns `book(j)(c)` = codeword `c` of subspace `j` (0-based). */
+  def pqCodebook(corpus: DataFrame, idCol: String, embCol: String,
+      m: Int, ksub: Int): IndexedSeq[IndexedSeq[IndexedSeq[Long]]] = {
+    val rows = corpus.orderBy(col(idCol)).limit(ksub)
+      .select(quantize(col(embCol)))
+      .collect().map(_.getSeq[Long](0).toIndexedSeq).toIndexedSeq
+    require(rows.nonEmpty, "corpus is empty")
+    val dims = rows.head.size
+    require(m > 0 && dims % m == 0, s"dims=$dims must be divisible by m=$m")
+    val sub = dims / m
+    (0 until m).map(j => rows.map(r => r.slice(j * sub, (j + 1) * sub)))
+  }
+
+  /** Product-quantization top-k (ADC scan) — the bytes-per-vector floor
+    * of the ANN family: each corpus vector is stored as `m` codeword ids
+    * (m bytes at ksub ≤ 256) instead of dims floats — 64× smaller than
+    * float32 at m=4/dims=64 — and scoring a candidate is `m` table
+    * lookups instead of a dims-length dot product. At 100 TB the ANN
+    * scan is memory-bandwidth-bound ([[sq8Index]] doc), so the code
+    * table IS the speedup; accuracy trades against m/ksub exactly as in
+    * an IVF-PQ index (compose with [[ivfTopK]]'s list pruning for the
+    * full FAISS-style recipe — the encode below is a narrow projection
+    * that composes with any candidate pruning upstream).
+    *
+    * All arithmetic is exact integers: encode picks, per subspace, the
+    * codeword minimizing the quantized squared L2 (ties → lowest index;
+    * the vector's own subspace norm is dropped — constant per
+    * (vector, subspace), it cannot move an argmin); the query-side
+    * asymmetric-distance table carries the FULL squared L2
+    * `‖q_j − c‖²  =  n2q_j + n2c − 2·⟨q_j,c⟩`, so `adist` is the true
+    * quantized squared distance between the query and the candidate's
+    * reconstruction — deterministic in any engine. The per-query top-k
+    * (ascending `adist`) is the salted two-level pass, so no query
+    * funnels a corpus-sized candidate list through one reducer.
+    * Output: (query_id, rank, neighbor_id, adist). */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      embCol: String, k: Int, m: Int, ksub: Int,
+      salts: Int = graft.text.Retrieval.TopKSalts): DataFrame = {
+    require(k > 0, "k must be positive")
+    val book = pqCodebook(corpus, idCol, embCol, m, ksub)
+    val sub = book.head.head.size
+    // codeword squared norms, one tiny driver-side table per subspace
+    val n2c: IndexedSeq[IndexedSeq[Long]] =
+      book.map(_.map(cw => cw.map(x => x * x).sum))
+    def subspace(qe: Column, j: Int): Column = slice(qe, j * sub + 1, sub)
+    // encode: argmin_c ‖v_j − c‖² = argmin_c (n2c − 2·dot) — n2v_j is
+    // constant within the argmin and dropped
+    def codes(qe: Column): Column = array((0 until m).map { j =>
+      val d = zip_with(typedLit(n2c(j)),
+        transform(typedLit(book(j)), c => dotQ(subspace(qe, j), c)),
+        (nc, dot) => nc - lit(2L) * dot)
+      array_position(d, array_min(d)).cast("int")
+    }: _*)
+    // ADC lookup tables: lut(j)(c) = full ‖q_j − c‖². The subspace norms
+    // are materialized in a prior projection (`__n2q`) so they evaluate
+    // once per row, not once per codeword (the re-evaluation-per-element
+    // trap — see [[sq8Index]]).
+    def luts(qe: Column, n2q: Column): Column = array((0 until m).map { j =>
+      val s = subspace(qe, j)
+      val nq = element_at(n2q, j + 1)
+      zip_with(typedLit(n2c(j)),
+        transform(typedLit(book(j)), c => dotQ(s, c)),
+        (nc, dot) => nq + nc - lit(2L) * dot)
+    }: _*)
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        quantize(col(embCol)).as("__ce"))
+      .select(col("neighbor_id"), codes(col("__ce")).as("__code"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+        quantize(col(embCol)).as("__qe"))
+      .withColumn("__n2q", array((0 until m).map { j =>
+        val s = subspace(col("__qe"), j); dotQ(s, s) }: _*))
+      .select(col("query_id"),
+        luts(col("__qe"), col("__n2q")).as("__lut")))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", aggregate(
+        zip_with(col("__lut"), col("__code"), (l, cd) => element_at(l, cd)),
+        lit(0L), (acc, v) => acc + v))
+    graft.text.Retrieval.saltedTopK(scored, col("query_id"),
+        col("neighbor_id"), Seq(col("adist").asc, col("neighbor_id")), k, salts)
+      .select("query_id", "rank", "neighbor_id", "adist")
+  }
+
   /** Near-duplicate pairs by quantized cosine threshold within a bucket:
     * cos(a,b) ≥ t  ⇔  dot² · S ≥ t²·S · |a|²·|b|²  (dot > 0), kept in
     * exact integer arithmetic: with t = 0.9 and S = 100:

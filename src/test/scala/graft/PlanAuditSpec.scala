@@ -112,6 +112,31 @@ class PlanAuditSpec extends SparkSpec {
       s"q_topk_group lost its two-level top-k:\n$tk")
   }
 
+  test("round-9 operators keep their scale shapes") {
+    // PQ ADC scan: the query side (LUTs) broadcasts into the corpus
+    // scan — the corpus side must reach the join with NO exchange
+    // (encode is a narrow literal projection), and the per-query top-k
+    // must be the salted two-level pass (two windows)
+    val pq = SparkEntry.queries("q_ann_pq")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(pq.contains("BroadcastNestedLoopJoin"),
+      s"q_ann_pq lost its broadcast-queries shape:\n$pq")
+    assert("Window".r.findAllIn(pq).size >= 2,
+      s"q_ann_pq lost its two-level top-k:\n$pq")
+    assert(!pq.contains("SortMergeJoin"),
+      s"q_ann_pq shuffles the corpus for a join:\n$pq")
+    // learned classifier: the vocabulary joins must all be broadcast —
+    // the corpus-sized token stream never shuffles to meet a ≤ vocabSize
+    // weight table (the only sort-merge-eligible join is the final
+    // doc-id left join, which is corpus-keyed and fine)
+    val clf = SparkEntry.queries("q_quality_clf")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(clf.contains("BroadcastHashJoin"),
+      s"q_quality_clf lost its broadcast vocab join:\n$clf")
+    assert(!clf.contains("CartesianProduct"),
+      s"q_quality_clf degenerates:\n$clf")
+  }
+
   test("scans are pruned to the referenced columns") {
     // q1_agg touches 4 of lineitem's 16 columns: the scan must not
     // read the other 12

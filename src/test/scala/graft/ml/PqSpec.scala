@@ -1,0 +1,78 @@
+package graft.ml
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb = Tables.load(spark, sf0001, "embeddings")
+
+  private def quantized(n: Int): Map[Long, IndexedSeq[Long]] =
+    emb.filter(col("vec_id") < n)
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+      .as[(Long, Array[Long])].collect()
+      .map { case (id, q) => id -> q.toIndexedSeq }.toMap
+
+  test("pqCodebook slices the ksub lowest-id vectors into m subspaces") {
+    val book = Similarity.pqCodebook(emb, "vec_id", "embedding", m = 4, ksub = 8)
+    val base = quantized(8)
+    assert(book.size == 4 && book.forall(_.size == 8))
+    val dims = base(0L).size
+    val sub = dims / 4
+    for (j <- 0 until 4; c <- 0 until 8)
+      assert(book(j)(c) == base(c.toLong).slice(j * sub, (j + 1) * sub))
+  }
+
+  test("pqTopK adist matches a driver-side encode + ADC reconstruction") {
+    val corpus = emb.filter(col("vec_id") < 60)
+    val queries = corpus.filter(col("vec_id") < 5)
+    val m = 4; val ksub = 8
+    val book = Similarity.pqCodebook(corpus, "vec_id", "embedding", m, ksub)
+    val sub = book.head.head.size
+    val base = quantized(60)
+    def d2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // driver-side encode: per subspace, the first min-distance codeword
+    def codeOf(v: IndexedSeq[Long], j: Int): Int = {
+      val s = v.slice(j * sub, (j + 1) * sub)
+      val ds = book(j).map(c => d2(s, c))
+      ds.indexOf(ds.min)
+    }
+    val got = Similarity.pqTopK(queries, corpus, "vec_id", "embedding",
+        k = 3, m = m, ksub = ksub)
+      .select("query_id", "neighbor_id", "adist", "rank")
+      .as[(Long, Long, Long, Int)].collect()
+    assert(got.length == 5 * 3)
+    got.foreach { case (q, n, adist, _) =>
+      val want = (0 until m).map { j =>
+        d2(base(q).slice(j * sub, (j + 1) * sub), book(j)(codeOf(base(n), j)))
+      }.sum
+      assert(adist == want, s"query $q neighbor $n")
+    }
+    // ranks are 1..k ascending in adist per query
+    got.groupBy(_._1).values.foreach { rows =>
+      val byRank = rows.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq == (1 to 3))
+      assert(byRank.map(_._3).toSeq == byRank.map(_._3).sorted.toSeq)
+    }
+  }
+
+  test("salted two-level PQ top-k equals the single-window plan") {
+    val corpus = emb.filter(col("vec_id") < 100)
+    val queries = corpus.filter(col("vec_id") < 5)
+    def run(salts: Int) = Similarity.pqTopK(queries, corpus, "vec_id",
+        "embedding", k = 4, m = 4, ksub = 8, salts = salts)
+      .select("query_id", "rank", "neighbor_id", "adist")
+      .as[(Long, Int, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(run(1) == run(16))
+  }
+
+  test("pqTopK excludes self-pairs and respects the id filter") {
+    val corpus = emb.filter(col("vec_id") < 40)
+    val out = Similarity.pqTopK(corpus.filter(col("vec_id") < 3), corpus,
+      "vec_id", "embedding", k = 2, m = 2, ksub = 4)
+    assert(out.filter(col("query_id") === col("neighbor_id")).count() == 0)
+    assert(out.filter(col("neighbor_id") >= 40).count() == 0)
+  }
+}
