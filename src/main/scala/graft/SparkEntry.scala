@@ -317,6 +317,29 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- ANN scale path 4: IVF-PQ (the full FAISS recipe) — IVF list
+    // pruning bounds WHICH candidates are scored, PQ ADC bounds the
+    // bytes per scored candidate; one narrow corpus projection computes
+    // both the list and the code ----
+    "q_ann_ivfpq" -> ((s, dir) => {
+      val e = load(s, dir, "embeddings").filter(col("vec_id") < 1000)
+      ml.Similarity.ivfPqTopK(e.filter(col("vec_id") < 50), e, "vec_id",
+          "embedding", k = 3, numCentroids = 8, nprobe = 2, m = 4, ksub = 16)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- ANN quality harness on the declared surface: per-query recall
+    // of the IVF index against the exact top-k — the number nprobe /
+    // numCentroids are tuned against ----
+    "q_ann_recall" -> ((s, dir) => {
+      val e = load(s, dir, "embeddings").filter(col("vec_id") < 1000)
+      val qs = e.filter(col("vec_id") < 50)
+      val exact = ml.Similarity.bruteForceTopK(qs, e, "vec_id", "embedding", 3)
+      val approx = ml.Similarity.ivfTopK(qs, e, "vec_id", "embedding",
+        k = 3, numCentroids = 16, nprobe = 2)
+      ml.Similarity.recallAtK(exact, approx).orderBy("query_id")
+    }),
+
     // ---- learned quality gate: train token-level integer weights +
     // decision threshold on a labeled 1-in-3 split, then score EVERY
     // doc — the fastText-style classifier-filtering recipe (mean
@@ -2898,6 +2921,97 @@ object SparkEntry {
         |  neighbor_id, adist
         |FROM score QUALIFY rank <= 3
         |ORDER BY query_id, rank""".stripMargin,
+    "q_ann_ivfpq" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000),
+         |cent AS (SELECT row_number() OVER (ORDER BY vec_id) AS ccidx, embedding
+         |         FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+         |cd AS (SELECT v.vec_id, c.ccidx,
+         |         ${dotQ("v.embedding", "c.embedding")} AS dot
+         |       FROM e v, cent c),
+         |asgn AS (SELECT vec_id, ccidx FROM (
+         |           SELECT vec_id, ccidx,
+         |             row_number() OVER (PARTITION BY vec_id
+         |                  ORDER BY dot DESC, ccidx) AS rn
+         |           FROM cd) WHERE rn = 1),
+         |probe AS (SELECT vec_id, ccidx FROM (
+         |           SELECT vec_id, ccidx,
+         |             row_number() OVER (PARTITION BY vec_id
+         |                  ORDER BY dot DESC, ccidx) AS rn
+         |           FROM cd WHERE vec_id < 50) WHERE rn <= 2),
+         |x AS (SELECT vec_id, u.i AS i, CAST((u.i - 1) // 16 AS INT) AS j,
+         |        CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1000) AS BIGINT) AS xq
+         |      FROM e, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) u),
+         |cwid AS (SELECT row_number() OVER (ORDER BY vec_id) AS cidx, vec_id
+         |         FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT 16)),
+         |cw AS (SELECT w.cidx, x.j, x.i, x.xq AS cq
+         |       FROM cwid w JOIN x ON x.vec_id = w.vec_id),
+         |d2 AS (SELECT v.vec_id, v.j, c.cidx,
+         |         CAST(sum((v.xq - c.cq) * (v.xq - c.cq)) AS BIGINT) AS d2
+         |       FROM x v JOIN cw c ON c.i = v.i
+         |       GROUP BY 1, 2, 3),
+         |enc AS (SELECT vec_id, j, cidx AS code FROM (
+         |          SELECT vec_id, j, cidx,
+         |            row_number() OVER (PARTITION BY vec_id, j
+         |                 ORDER BY d2, cidx) AS rn
+         |          FROM d2) WHERE rn = 1),
+         |pairs AS (SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
+         |          FROM probe p JOIN asgn a
+         |            ON a.ccidx = p.ccidx AND a.vec_id <> p.vec_id),
+         |score AS (SELECT pr.query_id, pr.neighbor_id,
+         |            CAST(sum(qd.d2) AS BIGINT) AS adist
+         |          FROM pairs pr
+         |          JOIN enc v ON v.vec_id = pr.neighbor_id
+         |          JOIN d2 qd ON qd.vec_id = pr.query_id
+         |            AND qd.j = v.j AND qd.cidx = v.code
+         |          GROUP BY 1, 2)
+         |SELECT query_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |       ORDER BY adist, neighbor_id) AS INT) AS rank,
+         |  neighbor_id, adist
+         |FROM score QUALIFY rank <= 3
+         |ORDER BY query_id, rank""".stripMargin,
+    "q_ann_recall" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000),
+         |ex AS (SELECT query_id, neighbor_id FROM (
+         |        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |          row_number() OVER (PARTITION BY q.vec_id
+         |               ORDER BY ${dotQ("q.embedding", "c.embedding")} DESC,
+         |                        c.vec_id) AS rn
+         |        FROM e q JOIN e c ON c.vec_id <> q.vec_id
+         |        WHERE q.vec_id < 50) WHERE rn <= 3),
+         |cent AS (SELECT row_number() OVER (ORDER BY vec_id) AS cidx, embedding
+         |         FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)),
+         |cd AS (SELECT v.vec_id, c.cidx,
+         |         ${dotQ("v.embedding", "c.embedding")} AS dot
+         |       FROM e v, cent c),
+         |asgn AS (SELECT vec_id, cidx FROM (
+         |           SELECT vec_id, cidx,
+         |             row_number() OVER (PARTITION BY vec_id
+         |                  ORDER BY dot DESC, cidx) AS rn
+         |           FROM cd) WHERE rn = 1),
+         |probe AS (SELECT vec_id, cidx FROM (
+         |           SELECT vec_id, cidx,
+         |             row_number() OVER (PARTITION BY vec_id
+         |                  ORDER BY dot DESC, cidx) AS rn
+         |           FROM cd WHERE vec_id < 50) WHERE rn <= 2),
+         |appx AS (SELECT query_id, neighbor_id FROM (
+         |          SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+         |            row_number() OVER (PARTITION BY p.vec_id
+         |                 ORDER BY ${dotQ("q.embedding", "n.embedding")} DESC,
+         |                          a.vec_id) AS rn
+         |          FROM probe p
+         |          JOIN asgn a ON a.cidx = p.cidx AND a.vec_id <> p.vec_id
+         |          JOIN e q ON q.vec_id = p.vec_id
+         |          JOIN e n ON n.vec_id = a.vec_id) WHERE rn <= 3)
+         |SELECT ex.query_id,
+         |  CAST(sum(CASE WHEN appx.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS hits,
+         |  CAST(count(*) AS BIGINT) AS exact_k,
+         |  sum(CASE WHEN appx.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    / count(*) AS recall
+         |FROM ex LEFT JOIN appx ON appx.query_id = ex.query_id
+         |  AND appx.neighbor_id = ex.neighbor_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_embed_neardup" ->
       s"""WITH base AS (SELECT * FROM embeddings WHERE vec_id < 2000),
          |corpus AS (

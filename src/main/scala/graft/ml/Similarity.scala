@@ -414,12 +414,11 @@ object Similarity {
     * (ascending `adist`) is the salted two-level pass, so no query
     * funnels a corpus-sized candidate list through one reducer.
     * Output: (query_id, rank, neighbor_id, adist). */
-  def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      embCol: String, k: Int, m: Int, ksub: Int,
-      salts: Int = graft.text.Retrieval.TopKSalts): DataFrame = {
-    require(k > 0, "k must be positive")
-    val book = pqCodebook(corpus, idCol, embCol, m, ksub)
-    val sub = book.head.head.size
+  /** The PQ codebook plus derived constants, bundled so the encode /
+    * LUT expressions are shared between [[pqTopK]] and [[ivfPqTopK]]. */
+  private final case class PqBook(book: IndexedSeq[IndexedSeq[IndexedSeq[Long]]]) {
+    val m: Int = book.size
+    val sub: Int = book.head.head.size
     // codeword squared norms, one tiny driver-side table per subspace
     val n2c: IndexedSeq[IndexedSeq[Long]] =
       book.map(_.map(cw => cw.map(x => x * x).sum))
@@ -436,6 +435,8 @@ object Similarity {
     // are materialized in a prior projection (`__n2q`) so they evaluate
     // once per row, not once per codeword (the re-evaluation-per-element
     // trap — see [[sq8Index]]).
+    def n2q(qe: Column): Column = array((0 until m).map { j =>
+      val s = subspace(qe, j); dotQ(s, s) }: _*)
     def luts(qe: Column, n2q: Column): Column = array((0 until m).map { j =>
       val s = subspace(qe, j)
       val nq = element_at(n2q, j + 1)
@@ -443,19 +444,63 @@ object Similarity {
         transform(typedLit(book(j)), c => dotQ(s, c)),
         (nc, dot) => nq + nc - lit(2L) * dot)
     }: _*)
+    def adist(lut: Column, code: Column): Column = aggregate(
+      zip_with(lut, code, (l, cd) => element_at(l, cd)),
+      lit(0L), (acc, v) => acc + v)
+  }
+
+  def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      embCol: String, k: Int, m: Int, ksub: Int,
+      salts: Int = graft.text.Retrieval.TopKSalts): DataFrame = {
+    require(k > 0, "k must be positive")
+    val pb = PqBook(pqCodebook(corpus, idCol, embCol, m, ksub))
     val c = corpus.select(col(idCol).as("neighbor_id"),
         quantize(col(embCol)).as("__ce"))
-      .select(col("neighbor_id"), codes(col("__ce")).as("__code"))
+      .select(col("neighbor_id"), pb.codes(col("__ce")).as("__code"))
     val q = broadcast(queries.select(col(idCol).as("query_id"),
         quantize(col(embCol)).as("__qe"))
-      .withColumn("__n2q", array((0 until m).map { j =>
-        val s = subspace(col("__qe"), j); dotQ(s, s) }: _*))
+      .withColumn("__n2q", pb.n2q(col("__qe")))
       .select(col("query_id"),
-        luts(col("__qe"), col("__n2q")).as("__lut")))
+        pb.luts(col("__qe"), col("__n2q")).as("__lut")))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("adist", aggregate(
-        zip_with(col("__lut"), col("__code"), (l, cd) => element_at(l, cd)),
-        lit(0L), (acc, v) => acc + v))
+      .withColumn("adist", pb.adist(col("__lut"), col("__code")))
+    graft.text.Retrieval.saltedTopK(scored, col("query_id"),
+        col("neighbor_id"), Seq(col("adist").asc, col("neighbor_id")), k, salts)
+      .select("query_id", "rank", "neighbor_id", "adist")
+  }
+
+  /** IVF-PQ top-k — the full FAISS-style recipe: IVF list pruning
+    * ([[ivfTopK]]'s candidate contract: ≈ corpus/numCentroids × nprobe
+    * candidates per query) composed with PQ ADC scoring ([[pqTopK]]'s
+    * bytes contract: m codeword ids per scanned candidate). The corpus
+    * side is ONE narrow projection computing both the IVF list and the
+    * PQ code (no shuffle, no index-build job); queries fan out to
+    * `nprobe` rows and BROADCAST into the corpus scan carrying their
+    * ADC tables; the only exchange is the salted per-query top-k.
+    * `adist` is identical to [[pqTopK]]'s (the exact integer quantized
+    * squared L2 to the candidate's reconstruction) — list pruning
+    * changes WHICH candidates are scored, never their score.
+    * Output: (query_id, rank, neighbor_id, adist). */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      embCol: String, k: Int, numCentroids: Int, nprobe: Int,
+      m: Int, ksub: Int,
+      centroids: Option[IndexedSeq[Seq[Long]]] = None,
+      salts: Int = graft.text.Retrieval.TopKSalts): DataFrame = {
+    require(k > 0, "k must be positive")
+    val cents = centroids.getOrElse(ivfCentroids(corpus, idCol, embCol, numCentroids))
+    val pb = PqBook(pqCodebook(corpus, idCol, embCol, m, ksub))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        quantize(col(embCol)).as("__ce"))
+      .select(col("neighbor_id"), ivfAssign(col("__ce"), cents).as("__list"),
+        pb.codes(col("__ce")).as("__code"))
+    val q = queries.select(col(idCol).as("query_id"),
+        quantize(col(embCol)).as("__qe"))
+      .withColumn("__n2q", pb.n2q(col("__qe")))
+      .select(col("query_id"), pb.luts(col("__qe"), col("__n2q")).as("__lut"),
+        explode(ivfProbes(col("__qe"), cents, nprobe)).as("__list"))
+    val scored = broadcast(q).join(c, Seq("__list"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", pb.adist(col("__lut"), col("__code")))
     graft.text.Retrieval.saltedTopK(scored, col("query_id"),
         col("neighbor_id"), Seq(col("adist").asc, col("neighbor_id")), k, salts)
       .select("query_id", "rank", "neighbor_id", "adist")

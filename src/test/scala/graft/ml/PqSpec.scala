@@ -68,6 +68,38 @@ class PqSpec extends SparkSpec {
     assert(run(1) == run(16))
   }
 
+  test("ivfPqTopK with nprobe = numCentroids degenerates to pqTopK") {
+    val corpus = emb.filter(col("vec_id") < 100)
+    val queries = corpus.filter(col("vec_id") < 5)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id", "adist")
+        .as[(Long, Int, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val full = norm(Similarity.ivfPqTopK(queries, corpus, "vec_id",
+      "embedding", k = 3, numCentroids = 4, nprobe = 4, m = 4, ksub = 8))
+    val pq = norm(Similarity.pqTopK(queries, corpus, "vec_id",
+      "embedding", k = 3, m = 4, ksub = 8))
+    assert(full == pq)
+  }
+
+  test("ivfPqTopK scores only candidates from probed lists") {
+    val corpus = emb.filter(col("vec_id") < 100)
+    val queries = corpus.filter(col("vec_id") < 5)
+    val cents = Similarity.ivfCentroids(corpus, "vec_id", "embedding", 4)
+    // every returned neighbor must live in one of its query's 2 probed lists
+    val probed = queries
+      .select(col("vec_id").as("query_id"),
+        Similarity.ivfProbes(Similarity.quantize(col("embedding")), cents, 2)
+          .as("lists"))
+    val asgn = corpus.select(col("vec_id").as("neighbor_id"),
+      Similarity.ivfAssign(Similarity.quantize(col("embedding")), cents)
+        .as("list"))
+    val out = Similarity.ivfPqTopK(queries, corpus, "vec_id", "embedding",
+      k = 3, numCentroids = 4, nprobe = 2, m = 4, ksub = 8)
+    val bad = out.join(probed, Seq("query_id")).join(asgn, Seq("neighbor_id"))
+      .filter(!array_contains(col("lists"), col("list")))
+    assert(bad.count() == 0)
+  }
+
   test("pqTopK excludes self-pairs and respects the id filter") {
     val corpus = emb.filter(col("vec_id") < 40)
     val out = Similarity.pqTopK(corpus.filter(col("vec_id") < 3), corpus,
