@@ -328,6 +328,21 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- materialized IVF-PQ: stage (id, code) parquet PARTITIONED BY
+    // the IVF list + a kilobytes meta frame, then answer the query batch
+    // from the index alone — the codes scan prunes to the probed lists
+    // (PartitionFilters), the index-reuse shape of a retrieval service.
+    // Same oracle as q_ann_ivfpq: staging must not change a single row.
+    "q_ann_ivfpq_staged" -> ((s, dir) => {
+      val e = load(s, dir, "embeddings").filter(col("vec_id") < 1000)
+      val idx = scratchDir("ivfpq")
+      ml.Similarity.stageIvfPq(e, "vec_id", "embedding",
+        numCentroids = 8, m = 4, ksub = 16, dir = idx)
+      ml.Similarity.stagedIvfPqTopK(s, idx, e.filter(col("vec_id") < 50),
+          "vec_id", "embedding", k = 3, nprobe = 2)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- ANN quality harness on the declared surface: per-query recall
     // of the IVF index against the exact top-k — the number nprobe /
     // numCentroids are tuned against ----
@@ -2488,7 +2503,60 @@ object SparkEntry {
       .mkString(" || ' ' || ")
   private val gram13: String = gramN(13)
 
+  /** Shared by q_ann_ivfpq and q_ann_ivfpq_staged — the materialized
+    * index must return row-identical results to the direct scan. */
+  private lazy val ivfPqOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000),
+       |cent AS (SELECT row_number() OVER (ORDER BY vec_id) AS ccidx, embedding
+       |         FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+       |cd AS (SELECT v.vec_id, c.ccidx,
+       |         ${dotQ("v.embedding", "c.embedding")} AS dot
+       |       FROM e v, cent c),
+       |asgn AS (SELECT vec_id, ccidx FROM (
+       |           SELECT vec_id, ccidx,
+       |             row_number() OVER (PARTITION BY vec_id
+       |                  ORDER BY dot DESC, ccidx) AS rn
+       |           FROM cd) WHERE rn = 1),
+       |probe AS (SELECT vec_id, ccidx FROM (
+       |           SELECT vec_id, ccidx,
+       |             row_number() OVER (PARTITION BY vec_id
+       |                  ORDER BY dot DESC, ccidx) AS rn
+       |           FROM cd WHERE vec_id < 50) WHERE rn <= 2),
+       |x AS (SELECT vec_id, u.i AS i, CAST((u.i - 1) // 16 AS INT) AS j,
+       |        CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1000) AS BIGINT) AS xq
+       |      FROM e, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) u),
+       |cwid AS (SELECT row_number() OVER (ORDER BY vec_id) AS cidx, vec_id
+       |         FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT 16)),
+       |cw AS (SELECT w.cidx, x.j, x.i, x.xq AS cq
+       |       FROM cwid w JOIN x ON x.vec_id = w.vec_id),
+       |d2 AS (SELECT v.vec_id, v.j, c.cidx,
+       |         CAST(sum((v.xq - c.cq) * (v.xq - c.cq)) AS BIGINT) AS d2
+       |       FROM x v JOIN cw c ON c.i = v.i
+       |       GROUP BY 1, 2, 3),
+       |enc AS (SELECT vec_id, j, cidx AS code FROM (
+       |          SELECT vec_id, j, cidx,
+       |            row_number() OVER (PARTITION BY vec_id, j
+       |                 ORDER BY d2, cidx) AS rn
+       |          FROM d2) WHERE rn = 1),
+       |pairs AS (SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
+       |          FROM probe p JOIN asgn a
+       |            ON a.ccidx = p.ccidx AND a.vec_id <> p.vec_id),
+       |score AS (SELECT pr.query_id, pr.neighbor_id,
+       |            CAST(sum(qd.d2) AS BIGINT) AS adist
+       |          FROM pairs pr
+       |          JOIN enc v ON v.vec_id = pr.neighbor_id
+       |          JOIN d2 qd ON qd.vec_id = pr.query_id
+       |            AND qd.j = v.j AND qd.cidx = v.code
+       |          GROUP BY 1, 2)
+       |SELECT query_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |       ORDER BY adist, neighbor_id) AS INT) AS rank,
+       |  neighbor_id, adist
+       |FROM score QUALIFY rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q_ann_ivfpq_staged" -> ivfPqOracle,
     "q_t11_docgen" ->
       """WITH g AS (SELECT CAST(range AS BIGINT) AS id FROM range(0, 2000)),
         |d AS (SELECT id, id + 1001 AS n,
@@ -2921,55 +2989,7 @@ object SparkEntry {
         |  neighbor_id, adist
         |FROM score QUALIFY rank <= 3
         |ORDER BY query_id, rank""".stripMargin,
-    "q_ann_ivfpq" ->
-      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000),
-         |cent AS (SELECT row_number() OVER (ORDER BY vec_id) AS ccidx, embedding
-         |         FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
-         |cd AS (SELECT v.vec_id, c.ccidx,
-         |         ${dotQ("v.embedding", "c.embedding")} AS dot
-         |       FROM e v, cent c),
-         |asgn AS (SELECT vec_id, ccidx FROM (
-         |           SELECT vec_id, ccidx,
-         |             row_number() OVER (PARTITION BY vec_id
-         |                  ORDER BY dot DESC, ccidx) AS rn
-         |           FROM cd) WHERE rn = 1),
-         |probe AS (SELECT vec_id, ccidx FROM (
-         |           SELECT vec_id, ccidx,
-         |             row_number() OVER (PARTITION BY vec_id
-         |                  ORDER BY dot DESC, ccidx) AS rn
-         |           FROM cd WHERE vec_id < 50) WHERE rn <= 2),
-         |x AS (SELECT vec_id, u.i AS i, CAST((u.i - 1) // 16 AS INT) AS j,
-         |        CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1000) AS BIGINT) AS xq
-         |      FROM e, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) u),
-         |cwid AS (SELECT row_number() OVER (ORDER BY vec_id) AS cidx, vec_id
-         |         FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT 16)),
-         |cw AS (SELECT w.cidx, x.j, x.i, x.xq AS cq
-         |       FROM cwid w JOIN x ON x.vec_id = w.vec_id),
-         |d2 AS (SELECT v.vec_id, v.j, c.cidx,
-         |         CAST(sum((v.xq - c.cq) * (v.xq - c.cq)) AS BIGINT) AS d2
-         |       FROM x v JOIN cw c ON c.i = v.i
-         |       GROUP BY 1, 2, 3),
-         |enc AS (SELECT vec_id, j, cidx AS code FROM (
-         |          SELECT vec_id, j, cidx,
-         |            row_number() OVER (PARTITION BY vec_id, j
-         |                 ORDER BY d2, cidx) AS rn
-         |          FROM d2) WHERE rn = 1),
-         |pairs AS (SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
-         |          FROM probe p JOIN asgn a
-         |            ON a.ccidx = p.ccidx AND a.vec_id <> p.vec_id),
-         |score AS (SELECT pr.query_id, pr.neighbor_id,
-         |            CAST(sum(qd.d2) AS BIGINT) AS adist
-         |          FROM pairs pr
-         |          JOIN enc v ON v.vec_id = pr.neighbor_id
-         |          JOIN d2 qd ON qd.vec_id = pr.query_id
-         |            AND qd.j = v.j AND qd.cidx = v.code
-         |          GROUP BY 1, 2)
-         |SELECT query_id,
-         |  CAST(row_number() OVER (PARTITION BY query_id
-         |       ORDER BY adist, neighbor_id) AS INT) AS rank,
-         |  neighbor_id, adist
-         |FROM score QUALIFY rank <= 3
-         |ORDER BY query_id, rank""".stripMargin,
+    "q_ann_ivfpq" -> ivfPqOracle,
     "q_ann_recall" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000),
          |ex AS (SELECT query_id, neighbor_id FROM (

@@ -506,6 +506,67 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "adist")
   }
 
+  /** Materialize an IVF-PQ index as parquet — the index-REUSE shape for
+    * repeated query batches: [[ivfPqTopK]] re-derives the index on
+    * every call (fine for one-shot jobs — encode is a narrow
+    * projection), but a retrieval service queries the same corpus many
+    * times, and at 100 TB re-encoding per batch is the dominant cost.
+    * `dir/codes` holds (id, code) PARTITIONED BY the IVF list — m
+    * codeword ids per vector, the PQ bytes contract — so a query batch
+    * scans only its probed lists via parquet partition pruning;
+    * `dir/meta` holds the centroids + codebook (kilobytes). */
+  def stageIvfPq(corpus: DataFrame, idCol: String, embCol: String,
+      numCentroids: Int, m: Int, ksub: Int, dir: String): Unit = {
+    val cents = ivfCentroids(corpus, idCol, embCol, numCentroids)
+    val pb = PqBook(pqCodebook(corpus, idCol, embCol, m, ksub))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus.select(col(idCol).as("id"), quantize(col(embCol)).as("__ce"))
+      .select(col("id"), pb.codes(col("__ce")).as("code"),
+        ivfAssign(col("__ce"), cents).as("list"))
+      .write.mode("overwrite").partitionBy("list").parquet(s"$dir/codes")
+    val metaRows: Seq[(String, Int, Int, Seq[Long])] =
+      cents.zipWithIndex.map { case (v, i) => ("cent", 0, i, v) } ++
+        (for (j <- 0 until pb.m; (cw, ci) <- pb.book(j).zipWithIndex)
+          yield ("code", j, ci, cw: Seq[Long]))
+    metaRows.toDF("kind", "j", "idx", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Query a [[stageIvfPq]] index. The probe set (≤ queries × nprobe
+    * list ids — tiny) is collected so the codes scan prunes
+    * STATICALLY: the parquet reader lists only the probed partitions
+    * (`PartitionFilters` on `list`), which is the whole point of the
+    * materialized layout. Scoring is identical to [[ivfPqTopK]]
+    * (PqSpec pins staged == direct). */
+  def stagedIvfPqTopK(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, idCol: String, embCol: String, k: Int,
+      nprobe: Int, salts: Int = graft.text.Retrieval.TopKSalts): DataFrame = {
+    require(k > 0, "k must be positive")
+    val meta = spark.read.parquet(s"$dir/meta").collect()
+    val cents: IndexedSeq[Seq[Long]] = meta.filter(_.getString(0) == "cent")
+      .sortBy(_.getInt(2)).map(_.getSeq[Long](3)).toIndexedSeq
+    val byJ = meta.filter(_.getString(0) == "code").groupBy(_.getInt(1))
+    val book = (0 until byJ.size).map(j =>
+      byJ(j).sortBy(_.getInt(2)).map(_.getSeq[Long](3).toIndexedSeq).toIndexedSeq)
+    val pb = PqBook(book)
+    val q = queries.select(col(idCol).as("query_id"),
+        quantize(col(embCol)).as("__qe"))
+      .withColumn("__n2q", pb.n2q(col("__qe")))
+      .select(col("query_id"), pb.luts(col("__qe"), col("__n2q")).as("__lut"),
+        explode(ivfProbes(col("__qe"), cents, nprobe)).as("list"))
+    val probed = q.select("list").distinct().collect().map(_.getInt(0))
+    val c = spark.read.parquet(s"$dir/codes")
+      .filter(col("list").isin(probed: _*))
+      .select(col("id").as("neighbor_id"), col("code"), col("list"))
+    val scored = broadcast(q).join(c, Seq("list"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", pb.adist(col("__lut"), col("code")))
+    graft.text.Retrieval.saltedTopK(scored, col("query_id"),
+        col("neighbor_id"), Seq(col("adist").asc, col("neighbor_id")), k, salts)
+      .select("query_id", "rank", "neighbor_id", "adist")
+  }
+
   /** Near-duplicate pairs by quantized cosine threshold within a bucket:
     * cos(a,b) ≥ t  ⇔  dot² · S ≥ t²·S · |a|²·|b|²  (dot > 0), kept in
     * exact integer arithmetic: with t = 0.9 and S = 100:

@@ -100,6 +100,34 @@ class PqSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("staged IVF-PQ index matches the direct scan and prunes partitions") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val corpus = emb.filter(col("vec_id") < 100)
+    val queries = corpus.filter(col("vec_id") < 2)
+    val dir = java.nio.file.Files.createTempDirectory("pqidx").toString
+    Similarity.stageIvfPq(corpus, "vec_id", "embedding",
+      numCentroids = 8, m = 4, ksub = 8, dir = dir)
+    val staged = Similarity.stagedIvfPqTopK(spark, dir, queries,
+      "vec_id", "embedding", k = 3, nprobe = 2)
+    val direct = Similarity.ivfPqTopK(queries, corpus, "vec_id", "embedding",
+      k = 3, numCentroids = 8, nprobe = 2, m = 4, ksub = 8)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id", "adist")
+        .as[(Long, Int, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(norm(staged) == norm(direct))
+    // static pruning: the codes scan carries a partition filter on `list`
+    val plan = staged.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    val codeScans = plan.collect { case s: FileSourceScanExec => s }
+      .filter(_.metadata.get("Location").exists(_.contains("codes")))
+    assert(codeScans.nonEmpty, s"no codes scan in:\n$plan")
+    assert(codeScans.forall(_.partitionFilters.nonEmpty),
+      s"codes scan reads every partition:\n$plan")
+  }
+
   test("pqTopK excludes self-pairs and respects the id filter") {
     val corpus = emb.filter(col("vec_id") < 40)
     val out = Similarity.pqTopK(corpus.filter(col("vec_id") < 3), corpus,
