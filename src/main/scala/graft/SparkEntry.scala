@@ -343,6 +343,38 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- Lloyd-refined IVF: one integer Lloyd iteration (assign by
+    // literal-matrix argmax, re-center by floorDiv of coordinate sums)
+    // before the probe/scan — the production coarse quantizer; the
+    // oracle unrolls the iteration component-wise with exact floor
+    // division, pinning the refinement arithmetic end-to-end ----
+    "q_ann_ivf_refined" -> ((s, dir) => {
+      val e = load(s, dir, "embeddings").filter(col("vec_id") < 1000)
+      val init = ml.Similarity.ivfCentroids(e, "vec_id", "embedding", 8)
+      val cents = ml.Similarity.ivfRefine(e, "embedding", init, iters = 1)
+      ml.Similarity.ivfTopK(e.filter(col("vec_id") < 50), e, "vec_id",
+          "embedding", k = 3, numCentroids = 8, nprobe = 2,
+          centroids = Some(cents))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- incremental index maintenance: stage the index on the first
+    // half of the corpus, APPEND the second half against the frozen
+    // centroids/codebook, query — must be row-identical to the direct
+    // full-corpus scan (same oracle). Batch-proportional append cost;
+    // existing codes untouched ----
+    "q_ann_index_incr" -> ((s, dir) => {
+      val e = load(s, dir, "embeddings").filter(col("vec_id") < 1000)
+      val idx = scratchDir("ivfpq_incr")
+      ml.Similarity.stageIvfPq(e.filter(col("vec_id") < 500), "vec_id",
+        "embedding", numCentroids = 8, m = 4, ksub = 16, dir = idx)
+      ml.Similarity.appendIvfPq(e.filter(col("vec_id") >= 500), "vec_id",
+        "embedding", dir = idx)
+      ml.Similarity.stagedIvfPqTopK(s, idx, e.filter(col("vec_id") < 50),
+          "vec_id", "embedding", k = 3, nprobe = 2)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- ANN quality harness on the declared surface: per-query recall
     // of the IVF index against the exact top-k — the number nprobe /
     // numCentroids are tuned against ----
@@ -2557,6 +2589,48 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q_ann_ivfpq_staged" -> ivfPqOracle,
+    "q_ann_index_incr" -> ivfPqOracle,
+    "q_ann_ivf_refined" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000),
+         |x AS (SELECT vec_id, u.i AS i,
+         |        CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1000) AS BIGINT) AS xq
+         |      FROM e, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) u),
+         |c0id AS (SELECT row_number() OVER (ORDER BY vec_id) AS cidx, vec_id
+         |         FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT 8)),
+         |c0 AS (SELECT g.cidx, x.i, x.xq AS cq
+         |       FROM c0id g JOIN x ON x.vec_id = g.vec_id),
+         |cd0 AS (SELECT v.vec_id, c.cidx, sum(v.xq * c.cq) AS dot
+         |        FROM x v JOIN c0 c ON c.i = v.i GROUP BY 1, 2),
+         |a0 AS (SELECT vec_id, cidx FROM (
+         |         SELECT vec_id, cidx, row_number() OVER (PARTITION BY vec_id
+         |              ORDER BY dot DESC, cidx) AS rn FROM cd0) WHERE rn = 1),
+         |c1s AS (SELECT a0.cidx, x.i, sum(x.xq) AS s, count(*) AS n
+         |        FROM a0 JOIN x ON x.vec_id = a0.vec_id GROUP BY 1, 2),
+         |c1f AS (SELECT c0.cidx, c0.i,
+         |          coalesce((c1s.s - (((c1s.s % c1s.n) + c1s.n) % c1s.n)) // c1s.n,
+         |                   c0.cq) AS cq
+         |        FROM c0 LEFT JOIN c1s ON c1s.cidx = c0.cidx AND c1s.i = c0.i),
+         |cd1 AS (SELECT v.vec_id, c.cidx, sum(v.xq * c.cq) AS dot
+         |        FROM x v JOIN c1f c ON c.i = v.i GROUP BY 1, 2),
+         |asgn AS (SELECT vec_id, cidx FROM (
+         |           SELECT vec_id, cidx, row_number() OVER (PARTITION BY vec_id
+         |                ORDER BY dot DESC, cidx) AS rn FROM cd1) WHERE rn = 1),
+         |probe AS (SELECT vec_id, cidx FROM (
+         |           SELECT vec_id, cidx, row_number() OVER (PARTITION BY vec_id
+         |                ORDER BY dot DESC, cidx) AS rn
+         |           FROM cd1 WHERE vec_id < 50) WHERE rn <= 2),
+         |pairs AS (
+         |  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+         |    ${dotQ("q.embedding", "n.embedding")} AS dot_q
+         |  FROM probe p
+         |  JOIN asgn a ON a.cidx = p.cidx AND a.vec_id <> p.vec_id
+         |  JOIN e q ON q.vec_id = p.vec_id
+         |  JOIN e n ON n.vec_id = a.vec_id)
+         |SELECT query_id, neighbor_id, dot_q,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |       ORDER BY dot_q DESC, neighbor_id) AS INT) AS rank
+         |FROM pairs QUALIFY rank <= 3
+         |ORDER BY query_id, rank""".stripMargin,
     "q_t11_docgen" ->
       """WITH g AS (SELECT CAST(range AS BIGINT) AS id FROM range(0, 2000)),
         |d AS (SELECT id, id + 1001 AS n,

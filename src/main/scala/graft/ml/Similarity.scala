@@ -533,6 +533,36 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
+  /** The frozen index metadata of a [[stageIvfPq]] dir. */
+  private def readIvfPqMeta(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (IndexedSeq[Seq[Long]], PqBook) = {
+    val meta = spark.read.parquet(s"$dir/meta").collect()
+    val cents: IndexedSeq[Seq[Long]] = meta.filter(_.getString(0) == "cent")
+      .sortBy(_.getInt(2)).map(_.getSeq[Long](3)).toIndexedSeq
+    val byJ = meta.filter(_.getString(0) == "code").groupBy(_.getInt(1))
+    val book = (0 until byJ.size).map(j =>
+      byJ(j).sortBy(_.getInt(2)).map(_.getSeq[Long](3).toIndexedSeq).toIndexedSeq)
+    (cents, PqBook(book))
+  }
+
+  /** Append a batch of new vectors to a [[stageIvfPq]] index WITHOUT
+    * rebuilding — the incremental-maintenance shape (the ANN analog of
+    * dedup-against-a-frozen-corpus): the centroids + codebook are
+    * FROZEN at index creation and read back from `dir/meta`, the batch
+    * is encoded by the same narrow literal projections, and its codes
+    * APPEND into the partitioned frame — batch-proportional cost, the
+    * existing codes are never touched. (Re-deriving the metadata from
+    * a grown corpus would silently re-key every existing code;
+    * periodic re-training is an explicit full [[stageIvfPq]].) */
+  def appendIvfPq(batch: DataFrame, idCol: String, embCol: String,
+      dir: String): Unit = {
+    val (cents, pb) = readIvfPqMeta(batch.sparkSession, dir)
+    batch.select(col(idCol).as("id"), quantize(col(embCol)).as("__ce"))
+      .select(col("id"), pb.codes(col("__ce")).as("code"),
+        ivfAssign(col("__ce"), cents).as("list"))
+      .write.mode("append").partitionBy("list").parquet(s"$dir/codes")
+  }
+
   /** Query a [[stageIvfPq]] index. The probe set (≤ queries × nprobe
     * list ids — tiny) is collected so the codes scan prunes
     * STATICALLY: the parquet reader lists only the probed partitions
@@ -543,13 +573,7 @@ object Similarity {
       queries: DataFrame, idCol: String, embCol: String, k: Int,
       nprobe: Int, salts: Int = graft.text.Retrieval.TopKSalts): DataFrame = {
     require(k > 0, "k must be positive")
-    val meta = spark.read.parquet(s"$dir/meta").collect()
-    val cents: IndexedSeq[Seq[Long]] = meta.filter(_.getString(0) == "cent")
-      .sortBy(_.getInt(2)).map(_.getSeq[Long](3)).toIndexedSeq
-    val byJ = meta.filter(_.getString(0) == "code").groupBy(_.getInt(1))
-    val book = (0 until byJ.size).map(j =>
-      byJ(j).sortBy(_.getInt(2)).map(_.getSeq[Long](3).toIndexedSeq).toIndexedSeq)
-    val pb = PqBook(book)
+    val (cents, pb) = readIvfPqMeta(spark, dir)
     val q = queries.select(col(idCol).as("query_id"),
         quantize(col(embCol)).as("__qe"))
       .withColumn("__n2q", pb.n2q(col("__qe")))

@@ -128,6 +128,29 @@ class PqSpec extends SparkSpec {
       s"codes scan reads every partition:\n$plan")
   }
 
+  test("appendIvfPq against frozen metadata equals a full restage") {
+    val corpus = emb.filter(col("vec_id") < 100)
+    val queries = corpus.filter(col("vec_id") < 3)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id", "adist")
+        .as[(Long, Int, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val full = java.nio.file.Files.createTempDirectory("pqfull").toString
+    Similarity.stageIvfPq(corpus, "vec_id", "embedding",
+      numCentroids = 8, m = 4, ksub = 8, dir = full)
+    val incr = java.nio.file.Files.createTempDirectory("pqincr").toString
+    // first half carries the 8 lowest ids, so the frozen metadata is
+    // identical to the full stage's — append must then change nothing
+    Similarity.stageIvfPq(corpus.filter(col("vec_id") < 40), "vec_id",
+      "embedding", numCentroids = 8, m = 4, ksub = 8, dir = incr)
+    Similarity.appendIvfPq(corpus.filter(col("vec_id") >= 40), "vec_id",
+      "embedding", dir = incr)
+    val a = norm(Similarity.stagedIvfPqTopK(spark, full, queries,
+      "vec_id", "embedding", k = 3, nprobe = 2))
+    val b = norm(Similarity.stagedIvfPqTopK(spark, incr, queries,
+      "vec_id", "embedding", k = 3, nprobe = 2))
+    assert(a == b && a.nonEmpty)
+  }
+
   test("pqTopK excludes self-pairs and respects the id filter") {
     val corpus = emb.filter(col("vec_id") < 40)
     val out = Similarity.pqTopK(corpus.filter(col("vec_id") < 3), corpus,
