@@ -62,14 +62,14 @@ object Main {
   def run(args: Seq[String], session: () => SparkSession): Int = {
     def usage(): Int = {
       Console.err.println(
-        "usage: graft -start|-resume|-compare|-sim|-sql|-curate|-optimize|-profile <config.json> | -version")
+        "usage: graft -start|-resume|-compare|-sim|-sql|-curate|-optimize|-profile|-index <config.json> | -version")
       1
     }
     args match {
       case Seq("-version") => println(Version); 0
       case Seq(flag, file)
           if Set("-start", "-resume", "-compare", "-sim", "-sql", "-curate",
-            "-optimize", "-profile")(flag) =>
+            "-optimize", "-profile", "-index")(flag) =>
         val json = new String(
           java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file)), "UTF-8")
         flag match {
@@ -78,6 +78,7 @@ object Main {
           case "-curate" => curate(session(), json)
           case "-optimize" => optimize(session(), json)
           case "-profile" => profile(session(), json)
+          case "-index" => index(session(), json)
           case "-compare" => compare(session(), MigratorConfig.parse(json))
           case "-start" => lifecycle(session(), MigratorConfig.parse(json), resume = false)
           case "-resume" => lifecycle(session(), MigratorConfig.parse(json), resume = true)
@@ -382,6 +383,56 @@ object Main {
       report.write.mode("overwrite").parquet(out)
       println(s"wrote $out")
     } else report.show(truncate = false)
+    0
+  }
+
+  /** `-index` (engine extension): build / append / query a
+    * materialized IVF-PQ ANN index over an embedding column
+    * (ml/Similarity.scala: stageIvfPq / appendIvfPq / stagedIvfPqTopK).
+    * Config: `{"source": <catalog root>, "namespace": "db.coll",
+    * "index": <index dir>, "action": "build"|"append"|"query"}` with
+    * `"id"`/`"embedding"` column names (defaults `vec_id`/`embedding`);
+    * build takes `"centroids"` (64), `"m"` (4), `"ksub"` (16); query
+    * takes `"queries"` (a namespace, default the corpus namespace
+    * itself), `"k"` (5), `"nprobe"` (4) and optional `"out"`. */
+  private def index(spark: SparkSession, json: String): Int = {
+    val n = new ObjectMapper().readTree(json)
+    require(n != null && n.isObject, "index config must be a JSON object")
+    def req(f: String): String = {
+      require(n.has(f) && n.get(f).asText().nonEmpty, s"index config needs $f")
+      n.get(f).asText()
+    }
+    def int(f: String, dflt: Int): Int =
+      if (n.has(f)) n.get(f).asInt() else dflt
+    val dir = req("source"); val ns = req("namespace")
+    val idx = req("index"); val action = req("action")
+    val id = if (n.has("id")) n.get("id").asText() else "vec_id"
+    val emb = if (n.has("embedding")) n.get("embedding").asText() else "embedding"
+    val cat = catalogAt(spark, dir,
+      MigratorConfig(command = "data", source = dir, target = dir))
+    action match {
+      case "build" =>
+        ml.Similarity.stageIvfPq(cat.read(ns), id, emb,
+          numCentroids = int("centroids", 64), m = int("m", 4),
+          ksub = int("ksub", 16), dir = idx)
+        println(s"built index for $ns at $idx")
+      case "append" =>
+        ml.Similarity.appendIvfPq(cat.read(ns), id, emb, dir = idx)
+        println(s"appended $ns into $idx")
+      case "query" =>
+        val qns = if (n.has("queries")) n.get("queries").asText() else ns
+        val result = ml.Similarity.stagedIvfPqTopK(spark, idx,
+            cat.read(qns), id, emb, k = int("k", 5), nprobe = int("nprobe", 4))
+          .orderBy("query_id", "rank")
+        if (n.has("out")) {
+          val out = n.get("out").asText()
+          result.write.mode("overwrite").parquet(out)
+          println(s"wrote $out")
+        } else result.show(truncate = false)
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown index action '$other' (build|append|query)")
+    }
     0
   }
 

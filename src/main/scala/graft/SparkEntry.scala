@@ -375,6 +375,37 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- streaming index ingest: bootstrap the index on the first
+    // half, then drain the second half through a real Structured
+    // Streaming source (2 files, 1 per micro-batch) whose foreachBatch
+    // is appendIvfPq — the live-ingest shape of a retrieval service.
+    // Same oracle as the direct full scan: micro-batching must not
+    // change a row ----
+    "q_st_index" -> ((s, dir) => {
+      val e = load(s, dir, "embeddings").filter(col("vec_id") < 1000)
+      val idx = scratchDir("ivfpq_st")
+      val feed = scratchDir("ivfpq_feed")
+      ml.Similarity.stageIvfPq(e.filter(col("vec_id") < 500), "vec_id",
+        "embedding", numCentroids = 8, m = 4, ksub = 16, dir = idx)
+      e.filter(col("vec_id") >= 500 && col("vec_id") < 750)
+        .repartition(1).write.mode("append").parquet(s"$feed/in")
+      e.filter(col("vec_id") >= 750)
+        .repartition(1).write.mode("append").parquet(s"$feed/in")
+      val drain = s.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$feed/in")
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          ml.Similarity.appendIvfPq(b, "vec_id", "embedding", dir = idx)
+        }
+        .option("checkpointLocation", s"$feed/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      drain.awaitTermination()
+      ml.Similarity.stagedIvfPqTopK(s, idx, e.filter(col("vec_id") < 50),
+          "vec_id", "embedding", k = 3, nprobe = 2)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- ANN quality harness on the declared surface: per-query recall
     // of the IVF index against the exact top-k — the number nprobe /
     // numCentroids are tuned against ----
@@ -2590,6 +2621,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_ann_ivfpq_staged" -> ivfPqOracle,
     "q_ann_index_incr" -> ivfPqOracle,
+    "q_st_index" -> ivfPqOracle,
     "q_ann_ivf_refined" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000),
          |x AS (SELECT vec_id, u.i AS i,

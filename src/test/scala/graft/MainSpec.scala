@@ -71,6 +71,37 @@ class MainSpec extends SparkSpec {
     assert(Main.run(Seq("-compare", cmpCfg), sess) == 2)
   }
 
+  test("-index builds, appends, and queries a materialized ANN index") {
+    val root = tmp("graft-cli-idxsrc")
+    val cat = new ParquetCatalog(spark, root, "db")
+    val e = Tables.load(spark, sf0001, "embeddings")
+    cat.write("db.head", e.filter($"vec_id" < 400))
+    cat.write("db.tail", e.filter($"vec_id" >= 400))
+    val idx = tmp("graft-cli-idx") + "/ix"
+    val build = writeCfg(tmp("graft-cli-idxcfg1"),
+      s"""{"source":"$root","namespace":"db.head","index":"$idx",
+         |"action":"build","centroids":8,"m":4,"ksub":16}""".stripMargin)
+    assert(Main.run(Seq("-index", build), sess) == 0)
+    val append = writeCfg(tmp("graft-cli-idxcfg2"),
+      s"""{"source":"$root","namespace":"db.tail","index":"$idx",
+         |"action":"append"}""".stripMargin)
+    assert(Main.run(Seq("-index", append), sess) == 0)
+    val out = tmp("graft-cli-idxout") + "/res"
+    val query = writeCfg(tmp("graft-cli-idxcfg3"),
+      s"""{"source":"$root","namespace":"db.head","index":"$idx",
+         |"action":"query","k":3,"nprobe":8,"out":"$out"}""".stripMargin)
+    assert(Main.run(Seq("-index", query), sess) == 0)
+    val res = spark.read.parquet(out)
+    assert(res.count() == 400 * 3)
+    // the appended batch is reachable: some top-3 slot holds a tail id
+    assert(res.filter($"neighbor_id" >= 400).count() > 0)
+    // unknown action is rejected
+    val bad = writeCfg(tmp("graft-cli-idxcfg4"),
+      s"""{"source":"$root","namespace":"db.head","index":"$idx",
+         |"action":"rebuild"}""".stripMargin)
+    intercept[IllegalArgumentException] { Main.run(Seq("-index", bad), sess) }
+  }
+
   test("-sql runs ad-hoc statements over catalog views with graft functions") {
     val out = tmp("graft-cli-sqlout") + "/res"
     // bare `nation` view (unambiguous) + a registered graft_* function
