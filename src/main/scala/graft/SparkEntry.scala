@@ -1089,6 +1089,22 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- materialized inverted index: stage (doc, term, tf) postings
+    // PARTITIONED BY a term hash bucket (+ df/dl/stats frames), then
+    // answer the query batch from the index alone — postings and df
+    // scans prune statically to the query vocabulary's buckets. The
+    // sparse twin of q_ann_ivfpq_staged; same oracle as q_bm25 ----
+    "q_bm25_staged" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq((1L, "key table scan"), (2L, "fast merge batch window"),
+        (3L, "customer order part")).toDF("query_id", "qtext")
+      val idx = scratchDir("bm25idx")
+      text.Retrieval.stageBm25(load(s, dir, "documents"), "doc_id",
+        col("text"), dir = idx, buckets = 64)
+      text.Retrieval.stagedBm25TopK(s, idx, qs, "query_id", col("qtext"), k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- hybrid retrieval: BM25 ∪ dense ANN fused by reciprocal-rank
     // fusion in integer micro-units — the two-tower retrieval stack as
     // one composition (queries share the corpus id space: query k's
@@ -2566,6 +2582,46 @@ object SparkEntry {
       .mkString(" || ' ' || ")
   private val gram13: String = gramN(13)
 
+  /** Shared by q_bm25 and q_bm25_staged — the materialized inverted
+    * index must return row-identical results to the direct pipeline. */
+  private lazy val bm25Oracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term
+      |  FROM documents WHERE text IS NOT NULL),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |qs AS (SELECT CAST(query_id AS BIGINT) AS query_id, qtext
+      |       FROM (VALUES (1, 'key table scan'),
+      |        (2, 'fast merge batch window'), (3, 'customer order part'))
+      |       v(query_id, qtext)),
+      |qterms AS (
+      |  SELECT DISTINCT query_id, unnest(regexp_extract_all(lower(qtext), '\S+')) AS term
+      |  FROM qs),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+      |stats AS (SELECT count(*) AS n,
+      |            CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+      |dfreq AS (
+      |  SELECT term, count(*) AS df FROM tf
+      |  WHERE term IN (SELECT term FROM qterms) GROUP BY 1),
+      |scored AS (
+      |  SELECT q.query_id, t.doc_id,
+      |    CAST(floor(
+      |      CAST(floor(1000.0 * ln((CAST(s.n AS DOUBLE) - f.df + 0.5) / (f.df + 0.5) + 1.0)) AS BIGINT)
+      |        * t.tf * 2.2 / (t.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl)) * 1000.0
+      |    ) AS BIGINT) AS s_micro
+      |  FROM tf t
+      |  JOIN qterms q ON q.term = t.term
+      |  JOIN dfreq f ON f.term = t.term
+      |  JOIN dl d ON d.doc_id = t.doc_id, stats s),
+      |agg AS (
+      |  SELECT query_id, doc_id, CAST(sum(s_micro) AS BIGINT) AS score_micro,
+      |    count(*) AS n_terms_hit
+      |  FROM scored GROUP BY 1, 2)
+      |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY score_micro DESC, doc_id) AS INT) AS rank,
+      |  doc_id, score_micro, n_terms_hit
+      |FROM agg QUALIFY rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
   /** Shared by q_ann_ivfpq and q_ann_ivfpq_staged — the materialized
     * index must return row-identical results to the direct scan. */
   private lazy val ivfPqOracle: String =
@@ -3774,43 +3830,8 @@ object SparkEntry {
         |  min(CASE WHEN op <> 'i' THEN o END) AS min_o,
         |  max(CASE WHEN op <> 'i' THEN o END) AS max_o
         |FROM rows GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "q_bm25" ->
-      """WITH tok AS (
-        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term
-        |  FROM documents WHERE text IS NOT NULL),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
-        |qs AS (SELECT CAST(query_id AS BIGINT) AS query_id, qtext
-        |       FROM (VALUES (1, 'key table scan'),
-        |        (2, 'fast merge batch window'), (3, 'customer order part'))
-        |       v(query_id, qtext)),
-        |qterms AS (
-        |  SELECT DISTINCT query_id, unnest(regexp_extract_all(lower(qtext), '\S+')) AS term
-        |  FROM qs),
-        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
-        |stats AS (SELECT count(*) AS n,
-        |            CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
-        |dfreq AS (
-        |  SELECT term, count(*) AS df FROM tf
-        |  WHERE term IN (SELECT term FROM qterms) GROUP BY 1),
-        |scored AS (
-        |  SELECT q.query_id, t.doc_id,
-        |    CAST(floor(
-        |      CAST(floor(1000.0 * ln((CAST(s.n AS DOUBLE) - f.df + 0.5) / (f.df + 0.5) + 1.0)) AS BIGINT)
-        |        * t.tf * 2.2 / (t.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl)) * 1000.0
-        |    ) AS BIGINT) AS s_micro
-        |  FROM tf t
-        |  JOIN qterms q ON q.term = t.term
-        |  JOIN dfreq f ON f.term = t.term
-        |  JOIN dl d ON d.doc_id = t.doc_id, stats s),
-        |agg AS (
-        |  SELECT query_id, doc_id, CAST(sum(s_micro) AS BIGINT) AS score_micro,
-        |    count(*) AS n_terms_hit
-        |  FROM scored GROUP BY 1, 2)
-        |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
-        |    ORDER BY score_micro DESC, doc_id) AS INT) AS rank,
-        |  doc_id, score_micro, n_terms_hit
-        |FROM agg QUALIFY rank <= 5
-        |ORDER BY query_id, rank""".stripMargin,
+    "q_bm25" -> bm25Oracle,
+    "q_bm25_staged" -> bm25Oracle,
     "q_hybrid_rrf" -> (
       s"""WITH tok AS (
         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS term

@@ -117,32 +117,109 @@ object Retrieval {
       val dfreq = tf.join(broadcast(qterms.select("term").distinct()), Seq("term"),
           "left_semi")
         .groupBy("term").agg(count(lit(1)).as("df"))
-      val scored = tf
-        .join(broadcast(qterms), Seq("term"))
-        .join(broadcast(dfreq), Seq("term"))
-        // dl is doc-count-sized (NOT broadcastable): a plain key join —
-        // only the query-matched rows reach this exchange
-        .join(dl, Seq(idCol))
-        .crossJoin(broadcast(stats))
-        // idf in integer milli-nats (BM25+ positive form), then the tf
-        // normalization as one fixed double expression tree, quantized
-        // to integer micro-units per term
-        .withColumn("__idf_mn", floor(lit(1000.0) *
-          log((col("__n").cast("double") - col("df") + 0.5) / (col("df") + 0.5)
-            + 1.0)).cast("long"))
-        .withColumn("__s_micro", floor(
-          col("__idf_mn") * col("tf") * lit(1.0 + K1) /
-            (col("tf") + lit(K1) * (lit(1.0 - B) +
-              lit(B) * col("dl") / col("avgdl"))) * lit(1000.0)).cast("long"))
-      val agg = scored.groupBy(col(queryIdCol), col(idCol))
-        .agg(sum(col("__s_micro")).as("score_micro"),
-          count(lit(1)).as("n_terms_hit"))
-      saltedTopK(agg, col(queryIdCol), col(idCol),
-          Seq(col("score_micro").desc, col(idCol)), k, salts)
-        .select(col(queryIdCol), col("rank"), col(idCol),
-          col("score_micro"), col("n_terms_hit"))
+      bm25Score(tf, idCol, qterms, queryIdCol, dfreq, dl, stats, k, salts)
         .localCheckpoint(true)
     } finally { release() }
+  }
+
+  /** The BM25 scoring pipeline shared by [[bm25TopK]] (index pieces
+    * derived in-flight) and [[stagedBm25TopK]] (index pieces read back
+    * from parquet) — identical expressions, so the staged path is
+    * bit-for-bit the direct one. */
+  private def bm25Score(tf: DataFrame, idCol: String, qterms: DataFrame,
+      queryIdCol: String, dfreq: DataFrame, dl: DataFrame, stats: DataFrame,
+      k: Int, salts: Int): DataFrame = {
+    val scored = tf
+      .join(broadcast(qterms), Seq("term"))
+      .join(broadcast(dfreq), Seq("term"))
+      // dl is doc-count-sized (NOT broadcastable): a plain key join —
+      // only the query-matched rows reach this exchange
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      // idf in integer milli-nats (BM25+ positive form), then the tf
+      // normalization as one fixed double expression tree, quantized
+      // to integer micro-units per term
+      .withColumn("__idf_mn", floor(lit(1000.0) *
+        log((col("__n").cast("double") - col("df") + 0.5) / (col("df") + 0.5)
+          + 1.0)).cast("long"))
+      .withColumn("__s_micro", floor(
+        col("__idf_mn") * col("tf") * lit(1.0 + K1) /
+          (col("tf") + lit(K1) * (lit(1.0 - B) +
+            lit(B) * col("dl") / col("avgdl"))) * lit(1000.0)).cast("long"))
+    val agg = scored.groupBy(col(queryIdCol), col(idCol))
+      .agg(sum(col("__s_micro")).as("score_micro"),
+        count(lit(1)).as("n_terms_hit"))
+    saltedTopK(agg, col(queryIdCol), col(idCol),
+        Seq(col("score_micro").desc, col(idCol)), k, salts)
+      .select(col(queryIdCol), col("rank"), col(idCol),
+        col("score_micro"), col("n_terms_hit"))
+  }
+
+  /** Materialize a BM25 inverted index as parquet — the sparse twin of
+    * [[graft.ml.Similarity.stageIvfPq]]: [[bm25TopK]] re-tokenizes the
+    * corpus per call (fine for one-shot jobs), but a retrieval service
+    * pays that corpus pass once and answers every later query batch
+    * from the index. Layout under `dir`:
+    *  - `postings/` — (id, term, tf) PARTITIONED BY
+    *    `bkt = pmod(xxhash64(term), buckets)`, so a query batch scans
+    *    only its vocabulary's buckets;
+    *  - `df/` — per-term document frequency, same bucketing;
+    *  - `dl/` — per-doc length (doc-count-sized, narrow);
+    *  - `stats/` — one row: corpus size, exact-sum avgdl, and the
+    *    bucket count (so queries derive the same bucketing). */
+  def stageBm25(corpus: DataFrame, idCol: String, text: Column,
+      dir: String, buckets: Int = 64): Unit = {
+    require(buckets > 0, "buckets must be positive")
+    val toks = corpus.filter(text.isNotNull)
+      .select(col(idCol), explode(TextFunctions.whitespaceTokens(lower(text)))
+        .as("term"))
+    toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .withColumn("bkt", pmod(xxhash64(col("term")), lit(buckets.toLong)))
+      .write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/postings")
+    // derive dl/df/stats from the WRITTEN postings — the corpus is
+    // tokenized exactly once
+    val spark = corpus.sparkSession
+    val tf = spark.read.parquet(s"$dir/postings")
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    dl.write.mode("overwrite").parquet(s"$dir/dl")
+    tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .withColumn("bkt", pmod(xxhash64(col("term")), lit(buckets.toLong)))
+      .write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/df")
+    dl.agg(count(lit(1)).as("__n"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"),
+        lit(buckets.toLong).as("buckets"))
+      .write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** Query a [[stageBm25]] index. The query vocabulary's bucket set
+    * (tiny) is collected so both the postings and df scans prune
+    * STATICALLY to the probed partitions; everything downstream is the
+    * shared [[bm25Score]] pipeline, so the result is row-identical to
+    * [[bm25TopK]] over the staged corpus (RetrievalSpec pins it). The
+    * doc id column is inferred from the postings schema. */
+  def stagedBm25TopK(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, queryIdCol: String, queryText: Column,
+      k: Int = 5, salts: Int = TopKSalts): DataFrame = {
+    require(k > 0, "k must be positive")
+    val qterms = queries.select(col(queryIdCol),
+        explode(TextFunctions.whitespaceTokens(lower(queryText))).as("term"))
+      .distinct()
+    val postings = spark.read.parquet(s"$dir/postings")
+    val idCol = postings.columns.filterNot(Set("term", "tf", "bkt")).head
+    val st = spark.read.parquet(s"$dir/stats")
+    val buckets = st.head().getAs[Long]("buckets")
+    val qb = qterms
+      .select(pmod(xxhash64(col("term")), lit(buckets)).as("bkt"))
+      .distinct().collect().map(_.getLong(0))
+    val tf = postings.filter(col("bkt").isin(qb: _*)).drop("bkt")
+    val dfreq = spark.read.parquet(s"$dir/df")
+      .filter(col("bkt").isin(qb: _*))
+      .join(broadcast(qterms.select("term").distinct()), Seq("term"),
+        "left_semi")
+      .drop("bkt")
+    val dl = spark.read.parquet(s"$dir/dl")
+    bm25Score(tf, idCol, qterms, queryIdCol, dfreq, dl,
+      st.select("__n", "avgdl"), k, salts)
   }
 
   /** Hybrid retrieval: BM25 ∪ dense ANN, fused by reciprocal-rank

@@ -116,6 +116,36 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("stagedBm25TopK == bm25TopK, and the postings scan prunes buckets") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val corpus = Tables.load(spark, sf0001, "documents").limit(200)
+      .select("doc_id", "text").localCheckpoint(true)
+    val qs = Seq((1L, "key table scan"), (2L, "fast merge batch"))
+      .toDF("query_id", "qtext")
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    Retrieval.stageBm25(corpus, "doc_id", col("text"), dir, buckets = 32)
+    val staged = Retrieval.stagedBm25TopK(spark, dir, qs, "query_id",
+      col("qtext"), k = 5)
+    val direct = Retrieval.bm25TopK(corpus, "doc_id", col("text"), qs,
+      "query_id", col("qtext"), k = 5)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Int, Long, Long, Long)].collect()
+        .sortBy(r => (r._1, r._2)).toSeq
+    assert(norm(staged) == norm(direct) && norm(staged).nonEmpty)
+    // the postings/df scans carry partition filters on `bkt`
+    val plan = staged.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    val bucketed = plan.collect { case s: FileSourceScanExec => s }
+      .filter(_.metadata.get("Location").exists(l =>
+        l.contains("postings") || l.contains("/df")))
+    assert(bucketed.nonEmpty, s"no bucketed scan in:\n$plan")
+    assert(bucketed.forall(_.partitionFilters.nonEmpty),
+      s"a bucketed scan reads every partition:\n$plan")
+  }
+
   test("hybridTopK: IVF dense side (centroids supplied) fuses like the brute side") {
     val corpus = Seq(
       (1L, "red apple pie"), (2L, "green apple tart"), (3L, "blue berry jam"))
