@@ -229,6 +229,20 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- dedup-harness twin of q_ann_recall: banding efficiency —
+    // candidate volume vs exact-Jaccard-verified true pairs at the 0.6
+    // threshold, integer per-mille precision. The number the LSH
+    // (bands, rows) trade is tuned against ----
+    "q_dedup_eval" -> ((s, dir) => {
+      val corpus = nearDupCorpus(load(s, dir, "documents"))
+      val cand = text.Dedup.lshCandidates(corpus, "doc_id", col("text"))
+      text.Dedup.jaccardVerify(corpus, cand, "doc_id", col("text"))
+        .agg(count(lit(1)).as("n_candidates"),
+          sum((col("jaccard") >= 0.6).cast("long")).as("n_verified"))
+        .withColumn("precision_permille",
+          expr("(1000 * n_verified) DIV n_candidates"))
+    }),
+
     // ---- cluster resolution: verified near-dup pairs → connected
     // components via min-label propagation — the step that turns pairs
     // into a deduped corpus (keep the component root, drop the rest).
@@ -2359,6 +2373,15 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // ---- §6 sketches: Count-Min frequency estimation with the
+    // q_profile_approx gate discipline — the pinned rows are the exact
+    // census top-k; the CMS estimate only surfaces as the contract
+    // flag n ≤ est ≤ n + ⌊eps·N⌋ (fixed seed → deterministic) ----
+    "q_cms_topk" -> ((s, dir) =>
+      ops.Sketches.cmsHeavyHitters(load(s, dir, "events"), col("user_id"),
+          k = 10, eps = 0.01, confidence = 0.99, seed = 42)
+        .orderBy("rank")),
+
     // ---- §6 sketches: approximate percentiles with an ENGINE-EXACT
     // gate — exact `percentile` (interpolation-identical to DuckDB's
     // quantile_cont) is the pinned value; the KLL-style
@@ -3018,6 +3041,14 @@ object SparkEntry {
     "q_ngram_jaccard" ->
       (minhashCtes + jaccardCtes +
         "SELECT id_a, id_b, n_inter, n_union, jaccard FROM jac ORDER BY 1, 2"),
+    "q_dedup_eval" ->
+      (minhashCtes + jaccardCtes +
+        """SELECT count(*) AS n_candidates,
+          |  CAST(sum(CASE WHEN jaccard >= 0.6 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_verified,
+          |  (1000 * CAST(sum(CASE WHEN jaccard >= 0.6 THEN 1 ELSE 0 END)
+          |    AS BIGINT)) // count(*) AS precision_permille
+          |FROM jac""".stripMargin),
     "q_dedup_resolve" ->
       (minhashCtes.replace("WITH corpus", "WITH RECURSIVE corpus") + jaccardCtes +
         """, verified AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.6),
@@ -3832,6 +3863,15 @@ object SparkEntry {
         |FROM rows GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_bm25" -> bm25Oracle,
     "q_bm25_staged" -> bm25Oracle,
+    "q_cms_topk" ->
+      """WITH counts AS (
+        |  SELECT CAST(user_id AS BIGINT) AS key, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |top AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY n DESC, key) AS BIGINT)
+        |           AS rank, key, n
+        |  FROM counts QUALIFY rank <= 10)
+        |SELECT rank, key, n, TRUE AS cms_ok FROM top ORDER BY rank""".stripMargin,
     "q_hybrid_rrf" -> (
       s"""WITH tok AS (
         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS term

@@ -151,6 +151,28 @@ class PqSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("pqTopK with ksub = corpus size degenerates to exact L2 top-k") {
+    // every corpus vector is its own codeword → reconstruction is
+    // exact → adist is the true quantized squared L2
+    val n = 32
+    val corpus = emb.filter(col("vec_id") < n)
+    val queries = corpus.filter(col("vec_id") < 3)
+    val base = quantized(n)
+    def l2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val got = Similarity.pqTopK(queries, corpus, "vec_id", "embedding",
+        k = 4, m = 4, ksub = n)
+      .select("query_id", "rank", "neighbor_id", "adist")
+      .as[(Long, Int, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val want = (0L until 3L).flatMap { q =>
+      (0L until n.toLong).filter(_ != q)
+        .map(v => (v, l2(base(q), base(v))))
+        .sortBy { case (v, d) => (d, v) }.take(4).zipWithIndex
+        .map { case ((v, d), i) => (q, i + 1, v, d) }
+    }
+    assert(got == want)
+  }
+
   test("pqTopK excludes self-pairs and respects the id filter") {
     val corpus = emb.filter(col("vec_id") < 40)
     val out = Similarity.pqTopK(corpus.filter(col("vec_id") < 3), corpus,
