@@ -1254,6 +1254,35 @@ object SparkEntry {
           "doc_id", col("text"))
         .orderBy("doc_id")),
 
+    // ---- Substring-level exact dedup (Lee et al. 2022 ExactSubstr):
+    // maximal verbatim-duplicated char spans ≥ k, alignment-independent
+    // — the corpus ∪ interior-slice copies fixture plants cross-aligned
+    // shared regions document hashes and fixed-stride chunks both miss.
+    // Census is one map-side-combined groupBy(h) + a shuffle join back;
+    // span-merge windows are per-document ----
+    "q_substr_spans" -> ((s, dir) =>
+      text.Substrings.dupSpans(substrCorpus(load(s, dir, "documents")),
+          "doc_id", col("text"), k = 40)
+        .orderBy("doc_id", "span_start")),
+
+    // ---- the per-document report + the cut step: span counts, integer
+    // per-mille duplicated, and the md5 of the text with every
+    // duplicated span removed (pinned by hash — the oracle rebuilds the
+    // cleaned text independently) ----
+    "q_substr_stats" -> ((s, dir) =>
+      text.Substrings.dupStats(substrCorpus(load(s, dir, "documents")),
+          "doc_id", col("text"), k = 40)
+        .orderBy("doc_id")),
+
+    // ---- the tuning harness for the 100 TB path: winnowing anchors
+    // (SIGMOD '03; ~2/(G+1) of gram positions, any shared run ≥
+    // guarantee chars still caught) vs the exact span surface — the
+    // number (k, guarantee) is tuned against, like q_ann_recall for
+    // nprobe and q_dedup_eval for (bands, rows) ----
+    "q_substr_eval" -> ((s, dir) =>
+      text.Substrings.coverageEval(substrCorpus(load(s, dir, "documents")),
+        "doc_id", col("text"), k = 40, guarantee = 64)),
+
     // ---- T11: the DocGen full type palette, oracle-pinned — every
     // scalar the generator derives (oid, rainbow color, num fields,
     // formatted string, epoch time, int array, self-nested subdoc,
@@ -2472,6 +2501,55 @@ object SparkEntry {
       .select((col("doc_id") + 300000L).as("doc_id"), col("text")))
   }
 
+  /** Shared substring-dedup fixture: documents ∪ an interior 170-char
+    * slice of every 7th long-enough doc behind a variable-length
+    * "COPY:<id> " prefix (id+400000) — a shared region at a DIFFERENT
+    * alignment in source and copy, the case substring dedup exists for.
+    * Reproduced verbatim in [[substrCorpusCte]]. */
+  private def substrCorpus(d: DataFrame): DataFrame = {
+    val base = d.filter(col("text").isNotNull).select(col("doc_id"), col("text"))
+    base.unionByName(
+      base.filter(col("doc_id") % 7 === 0 && length(col("text")) >= 240)
+        .select((col("doc_id") + 400000L).as("doc_id"),
+          concat(lit("COPY:"), col("doc_id").cast("string"), lit(" "),
+            expr("substring(text, 31, 170)")).as("text")))
+  }
+
+  /** Oracle twin of [[substrCorpus]] + the exact dup-span chain
+    * (k = 40): all gram positions, the >1-occurrence census, and the
+    * per-document cumulative-max span merge — mirrors
+    * [[graft.text.Substrings.dupSpans]] stage for stage. */
+  private val substrCorpusCte: String =
+    """WITH base AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+      |corpus AS (
+      |  SELECT doc_id, text FROM base
+      |  UNION ALL
+      |  SELECT doc_id + 400000,
+      |    'COPY:' || CAST(doc_id AS VARCHAR) || ' ' || substring(text, 31, 170)
+      |  FROM base WHERE doc_id % 7 = 0 AND length(text) >= 240),
+      |g AS (
+      |  SELECT doc_id, u.p AS p, md5(substring(text, u.p, 40)) AS h
+      |  FROM corpus, LATERAL (SELECT unnest(generate_series(
+      |    1, length(text) - 39)) AS p) u
+      |  WHERE length(text) >= 40),
+      |dup AS (
+      |  SELECT doc_id, p, p + 39 AS e FROM g
+      |  WHERE h IN (SELECT h FROM g GROUP BY h HAVING count(*) > 1)),
+      |mrk AS (
+      |  SELECT doc_id, p, e,
+      |    CASE WHEN p > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY p
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+      |      THEN 1 ELSE 0 END AS brk
+      |  FROM dup),
+      |spans AS (
+      |  SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+      |    CAST(max(e) AS BIGINT) AS span_end
+      |  FROM (SELECT doc_id, p, e,
+      |          sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS gid
+      |        FROM mrk)
+      |  GROUP BY doc_id, gid)
+      |""".stripMargin
+
   /** Oracle twin of [[lineCorpus]] + the line split (0-based `pos`,
     * matching posexplode). */
   private val lineCorpusCte: String =
@@ -2827,6 +2905,95 @@ object SparkEntry {
         |  CAST(len(string_split(c.text, chr(10))) AS BIGINT) AS n_lines
         |FROM corpus c LEFT JOIN agg a ON a.doc_id = c.doc_id
         |ORDER BY c.doc_id""".stripMargin),
+    "q_substr_spans" -> (substrCorpusCte +
+      """SELECT doc_id, span_start, span_end,
+        |  span_end - span_start + 1 AS span_len
+        |FROM spans ORDER BY doc_id, span_start""".stripMargin),
+    "q_substr_stats" -> (substrCorpusCte +
+      """, headseg AS (
+        |  SELECT s.doc_id, s.span_start AS ord,
+        |    substring(c.text,
+        |      CAST(coalesce(lag(s.span_end) OVER (PARTITION BY s.doc_id
+        |        ORDER BY s.span_start), 0) + 1 AS INT),
+        |      CAST(s.span_start - coalesce(lag(s.span_end) OVER (
+        |        PARTITION BY s.doc_id ORDER BY s.span_start), 0) - 1 AS INT)) AS seg
+        |  FROM spans s JOIN corpus c USING (doc_id)),
+        |tailseg AS (
+        |  SELECT s.doc_id, 2000000000 AS ord,
+        |    substring(c.text, CAST(max(s.span_end) AS INT) + 1) AS seg
+        |  FROM spans s JOIN corpus c USING (doc_id)
+        |  GROUP BY s.doc_id, c.text),
+        |clean AS (
+        |  SELECT doc_id, string_agg(seg, '' ORDER BY ord) AS text_clean
+        |  FROM (SELECT * FROM headseg UNION ALL SELECT * FROM tailseg)
+        |  GROUP BY doc_id),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_spans,
+        |    sum(span_end - span_start + 1) AS dup_chars
+        |  FROM spans GROUP BY doc_id)
+        |SELECT c.doc_id, CAST(length(c.text) AS BIGINT) AS n_chars,
+        |  CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(coalesce(a.dup_chars, 0) AS BIGINT) AS dup_chars,
+        |  CAST(1000 * coalesce(a.dup_chars, 0) // length(c.text) AS BIGINT)
+        |    AS dup_permille,
+        |  md5(coalesce(cl.text_clean, c.text)) AS clean_md5
+        |FROM corpus c
+        |LEFT JOIN agg a ON a.doc_id = c.doc_id
+        |LEFT JOIN clean cl ON cl.doc_id = c.doc_id
+        |ORDER BY c.doc_id""".stripMargin),
+    // winnowing (leftmost-tie minimizer, G = 25): a position is selected
+    // iff some full window of 25 consecutive gram positions has it as
+    // (h, p)-rank minimum — the bounded nearest-smaller-rank
+    // characterization; short docs select their overall rank-min
+    "q_substr_eval" -> (substrCorpusCte +
+      """, win AS (
+        |  SELECT doc_id, p, h, count(*) OVER (PARTITION BY doc_id) AS L
+        |  FROM g),
+        |nb AS (
+        |  SELECT a.doc_id, a.p, a.h, a.L,
+        |    max(CASE WHEN b.p < a.p THEN b.p END) AS qstar,
+        |    min(CASE WHEN b.p > a.p THEN b.p END) AS rstar
+        |  FROM win a LEFT JOIN win b
+        |    ON a.doc_id = b.doc_id AND b.p BETWEEN a.p - 24 AND a.p + 24
+        |    AND b.p <> a.p AND (b.h < a.h OR (b.h = a.h AND b.p < a.p))
+        |  GROUP BY a.doc_id, a.p, a.h, a.L),
+        |sel AS (
+        |  SELECT doc_id, p, h FROM nb
+        |  WHERE greatest(1, coalesce(qstar, 0) + 1, p - 24)
+        |     <= least(p, greatest(L - 24, 1), coalesce(rstar, L + 25) - 25)),
+        |adup AS (
+        |  SELECT doc_id, p, p + 39 AS e FROM sel
+        |  WHERE h IN (SELECT h FROM sel GROUP BY h HAVING count(*) > 1)),
+        |amrk AS (
+        |  SELECT doc_id, p, e,
+        |    CASE WHEN p > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY p
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM adup),
+        |aspans AS (
+        |  SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+        |    CAST(max(e) AS BIGINT) AS span_end
+        |  FROM (SELECT doc_id, p, e,
+        |          sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS gid
+        |        FROM amrk)
+        |  GROUP BY doc_id, gid),
+        |ex AS (SELECT count(*) AS exact_spans,
+        |         sum(span_end - span_start + 1) AS exact_chars FROM spans),
+        |an AS (SELECT count(*) AS anchor_spans,
+        |         sum(span_end - span_start + 1) AS anchor_chars FROM aspans),
+        |ov AS (
+        |  SELECT coalesce(sum(least(e.span_end, a.span_end)
+        |    - greatest(e.span_start, a.span_start) + 1), 0) AS overlap_chars
+        |  FROM spans e JOIN aspans a USING (doc_id)
+        |  WHERE least(e.span_end, a.span_end)
+        |    - greatest(e.span_start, a.span_start) + 1 > 0)
+        |SELECT CAST(exact_spans AS BIGINT) AS exact_spans,
+        |  CAST(exact_chars AS BIGINT) AS exact_chars,
+        |  CAST(anchor_spans AS BIGINT) AS anchor_spans,
+        |  CAST(anchor_chars AS BIGINT) AS anchor_chars,
+        |  CAST(overlap_chars AS BIGINT) AS overlap_chars,
+        |  CAST(1000 * overlap_chars // exact_chars AS BIGINT) AS covered_permille
+        |FROM ex, an, ov""".stripMargin),
     "q_vocab" ->
       """SELECT tok, count(*) AS n, count(DISTINCT doc_id) AS doc_freq
         |FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok

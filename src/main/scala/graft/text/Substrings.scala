@@ -1,0 +1,249 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ExprBridge
+
+/** Substring-level exact dedup — the Lee et al. 2022 ("Deduplicating
+  * Training Data Makes Language Models Better") family: find and remove
+  * every VERBATIM substring that occurs more than once in the corpus,
+  * regardless of alignment or the surrounding document. Document- and
+  * line-level dedup ([[Dedup]], [[Lines]]) miss these: a quoted
+  * paragraph, a syndicated article body, boilerplate stitched into
+  * otherwise-distinct pages.
+  *
+  * Two paths, one semantics:
+  *
+  *  - '''Exact''' ([[dupSpans]]): a char is duplicated iff it lies
+  *    inside some k-char gram that occurs ≥ 2 times in the corpus
+  *    (within or across documents). For a repeated region of length
+  *    ≥ k this marks EXACTLY the full region (every char of it sits in
+  *    a fully-contained dup gram), so merged spans are the maximal
+  *    duplicated substrings — the same answer the reference suffix-array
+  *    formulation gives at ≥ k granularity, reached with two hash
+  *    aggregates instead of a global suffix sort. Cost: one row per
+  *    CHAR of corpus through the census shuffle (~48 bytes each:
+  *    md5 hex + id + pos) — the honest price of exactness.
+  *
+  *  - '''Anchored''' ([[anchorSpans]]): winnowing fingerprint selection
+  *    ([[graft.functions.WinnowAnchors]]) first picks an
+  *    alignment-robust ~2/(G+1) subset of gram positions
+  *    (G = guarantee − k + 1); only those enter the census. Any shared
+  *    substring of ≥ `guarantee` chars is still caught (the winnowing
+  *    window guarantee), shorter dups may be missed, and marked spans
+  *    cover the selected grams rather than the full region — the
+  *    13×-lighter shuffle you run at 100 TB, tuned against the exact
+  *    path by [[coverageEval]] (the dedup twin of the ANN recall
+  *    harness).
+  *
+  * Scale notes: the census is `groupBy(h).count` — map-side combined,
+  * so a gram repeated a billion times collapses per map task before the
+  * exchange; the join back to positions is a plain shuffle join (AQE
+  * splits hot grams). Span merging windows are partitioned per DOCUMENT
+  * (bounded by one doc's gram count), never corpus-global. Swapping
+  * md5 for xxhash64 would shrink the census key 4× — kept md5 so every
+  * value is recomputable by any engine (the DuckDB oracle pins each
+  * stage bit-for-bit).
+  *
+  * Reference: lee2021dedup ExactSubstr; also suffix_array.py in the
+  * google-research/deduplicate-text-datasets release (public paper +
+  * code; the reference repo has no substring-level operator).
+  */
+object Substrings {
+
+  /** (idCol, p, h): every k-gram position of every document, 1-based,
+    * with its md5 hex. `maxChars` caps the per-document scan (0 = no
+    * cap) — the [[Shingles.MaxChars]]-style per-doc cost ceiling. */
+  def gramRows(df: DataFrame, idCol: String, text: Column, k: Int,
+      maxChars: Int = 0): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val t = capped(text, maxChars)
+    df.filter(text.isNotNull)
+      .select(col(idCol),
+        posexplode(ExprBridge.column(
+          graft.functions.GramMd5s(ExprBridge.expression(t), k)))
+          .as(Seq("__p0", "h")))
+      .select(col(idCol), (col("__p0") + 1).as("p"), col("h"))
+  }
+
+  /** Declarative twin of [[gramRows]]' native expression — pinned equal
+    * by SubstringsSpec; the formulation the DuckDB oracle mirrors. */
+  private[graft] def gramRowsDeclarative(df: DataFrame, idCol: String,
+      text: Column, k: Int, maxChars: Int = 0): DataFrame = {
+    val t = capped(text, maxChars)
+    df.filter(text.isNotNull && length(t) >= k)
+      .select(col(idCol), explode(sequence(lit(1), length(t) - (k - 1))).as("p"),
+        t.as("__t"))
+      .select(col(idCol), col("p"), md5(col("__t").substr(col("p"), lit(k))).as("h"))
+  }
+
+  /** Maximal duplicated spans per document (see object doc, exact
+    * path): (idCol, span_start, span_end, span_len), 1-based inclusive
+    * char bounds, spans disjoint and non-adjacent per document. */
+  def dupSpans(df: DataFrame, idCol: String, text: Column, k: Int,
+      maxChars: Int = 0): DataFrame = {
+    val g = gramRows(df, idCol, text, k, maxChars)
+    mergeSpans(dupPositions(g, k), idCol)
+  }
+
+  /** Positions of grams whose hash occurs more than once corpus-wide,
+    * as char spans [p, p+k−1]. */
+  private def dupPositions(g: DataFrame, k: Int): DataFrame = {
+    val census = g.groupBy(col("h")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1)
+      .select(col("h"))
+    g.join(census, "h")
+      .select(g.columns.head, "p")
+      .withColumn("e", col("p") + (k - 1))
+  }
+
+  /** Merge overlapping-or-adjacent [p, e] spans per document: classic
+    * cumulative-max sweep — window per DOCUMENT (never corpus-global),
+    * then one output-sized aggregate. */
+  private[graft] def mergeSpans(spans: DataFrame, idCol: String): DataFrame = {
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("p"))
+    val runEnd = byDoc.rowsBetween(Window.unboundedPreceding, -1)
+    spans
+      .withColumn("__brk",
+        when(col("p") > coalesce(max(col("e")).over(
+          Window.partitionBy(col(idCol)).orderBy(col("p"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0)) + 1, 1)
+          .otherwise(0))
+      .withColumn("__gid", sum(col("__brk")).over(byDoc))
+      .groupBy(col(idCol), col("__gid"))
+      .agg(min(col("p")).cast("long").as("span_start"),
+        max(col("e")).cast("long").as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_len"))
+  }
+
+  /** Per-document dedup report over the exact spans: char counts, the
+    * integer per-mille duplicated, and the md5 of the text with every
+    * duplicated span REMOVED (the Lee-et-al cut step, pinned by hash so
+    * the oracle compares without shipping rebuilt documents).
+    * Documents with no duplicated span report dup_chars 0 and the md5
+    * of their original text. */
+  def dupStats(df: DataFrame, idCol: String, text: Column, k: Int,
+      maxChars: Int = 0): DataFrame = {
+    val spans = dupSpans(df, idCol, text, k, maxChars)
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("span_start"), col("span_end"))))
+          .as("__sp"),
+        count(lit(1)).as("n_spans"),
+        sum(col("span_len")).as("dup_chars"))
+    df.filter(text.isNotNull)
+      .select(col(idCol), capped(text, maxChars).as("__t"))
+      .join(spans, Seq(idCol), "left")
+      .select(col(idCol),
+        length(col("__t")).cast("long").as("n_chars"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        floor(lit(1000) * coalesce(col("dup_chars"), lit(0L))
+          / length(col("__t"))).as("dup_permille"),
+        md5(when(col("__sp").isNull, col("__t"))
+          .otherwise(removedCol(col("__t"), col("__sp")))).as("clean_md5"))
+  }
+
+  /** Text with the sorted spans cut out: segment i runs from (previous
+    * span end)+1 up to the next span start (the final segment to end of
+    * string) — one narrow array expression, no second shuffle. */
+  private def removedCol(t: Column, sp: Column): Column = {
+    val segs = transform(sequence(lit(0), size(sp)), i => {
+      val lo = when(i === 0, lit(1))
+        .otherwise(element_at(sp, i).getField("span_end") + 1)
+      val hi = when(i === size(sp), length(t) + 1)
+        .otherwise(element_at(sp, i + 1).getField("span_start"))
+      t.substr(lo.cast("int"), greatest(hi - lo, lit(0)).cast("int"))
+    })
+    concat_ws("", segs)
+  }
+
+  /** Winnowing-selected fingerprints: (idCol, p, h), the ~2/(G+1)
+    * density subset ([[graft.functions.WinnowAnchors]]). */
+  def winnowRows(df: DataFrame, idCol: String, text: Column, k: Int,
+      guarantee: Int, maxChars: Int = 0): DataFrame = {
+    val t = capped(text, maxChars)
+    df.filter(text.isNotNull)
+      .select(col(idCol),
+        explode(ExprBridge.column(graft.functions.WinnowAnchors(
+          ExprBridge.expression(t), k, guarantee))).as("__a"))
+      .select(col(idCol), col("__a").getField("pos").as("p"),
+        col("__a").getField("h").as("h"))
+  }
+
+  /** Declarative twin of [[winnowRows]] — the bounded
+    * nearest-smaller-rank formulation the DuckDB oracle mirrors
+    * (rank = (h, p); a position is selected iff some full window of G
+    * consecutive positions has it as rank-min; a document shorter than
+    * one window selects its overall rank-min). O(L·G) join rows — the
+    * spec's cross-check, not the scan path. */
+  private[graft] def winnowRowsDeclarative(df: DataFrame, idCol: String,
+      text: Column, k: Int, guarantee: Int, maxChars: Int = 0): DataFrame = {
+    val G = guarantee - k + 1
+    val g = gramRowsDeclarative(df, idCol, text, k, maxChars)
+      .withColumn("__L", count(lit(1)).over(Window.partitionBy(col(idCol))))
+    val a = g.select(col(idCol).as("__id"), col("p").as("__pa"),
+      col("h").as("__ha"), col("__L"))
+    val b = g.select(col(idCol).as("__idb"), col("p").as("__pb"), col("h").as("__hb"))
+    a.join(b,
+        col("__idb") === col("__id") &&
+          col("__pb").between(col("__pa") - (G - 1), col("__pa") + (G - 1)) &&
+          col("__pb") =!= col("__pa") &&
+          (col("__hb") < col("__ha") ||
+            (col("__hb") === col("__ha") && col("__pb") < col("__pa"))),
+        "left")
+      .groupBy(col("__id"), col("__pa"), col("__ha"), col("__L"))
+      .agg(max(when(col("__pb") < col("__pa"), col("__pb"))).as("__qstar"),
+        min(when(col("__pb") > col("__pa"), col("__pb"))).as("__rstar"))
+      .filter(
+        greatest(lit(1), coalesce(col("__qstar"), lit(0)) + 1, col("__pa") - (G - 1))
+          <= least(col("__pa"), greatest(col("__L") - (G - 1), lit(1)),
+            coalesce(col("__rstar"), col("__L") + G) - G))
+      .select(col("__id").as(idCol), col("__pa").as("p"), col("__ha").as("h"))
+  }
+
+  /** Anchored duplicated spans (scale path): winnow-selected grams whose
+    * hash occurs ≥ 2 times among SELECTED grams corpus-wide, merged per
+    * document. Subset of [[dupSpans]]' coverage by construction; any
+    * shared run of ≥ `guarantee` chars contributes at least one anchor
+    * on each side. */
+  def anchorSpans(df: DataFrame, idCol: String, text: Column, k: Int,
+      guarantee: Int, maxChars: Int = 0): DataFrame = {
+    val w = winnowRows(df, idCol, text, k, guarantee, maxChars)
+    mergeSpans(dupPositions(w, k), idCol)
+  }
+
+  /** The tuning harness: how much of the exact duplicated surface do the
+    * anchors mark at this (k, guarantee)? One row:
+    * (exact_spans, exact_chars, anchor_spans, anchor_chars,
+    * overlap_chars, covered_permille). Both span sets are disjoint
+    * within a document, so summed pairwise overlaps = |intersection|. */
+  def coverageEval(df: DataFrame, idCol: String, text: Column, k: Int,
+      guarantee: Int, maxChars: Int = 0): DataFrame = {
+    val ex = dupSpans(df, idCol, text, k, maxChars)
+    val an = anchorSpans(df, idCol, text, k, guarantee, maxChars)
+    val exAgg = ex.agg(count(lit(1)).as("exact_spans"),
+      sum(col("span_len")).as("exact_chars"))
+    val anAgg = an.agg(count(lit(1)).as("anchor_spans"),
+      sum(col("span_len")).as("anchor_chars"))
+    val ov = ex.select(col(idCol).as("__id"), col("span_start").as("__es"),
+        col("span_end").as("__ee"))
+      .join(an.select(col(idCol).as("__id"), col("span_start").as("__as"),
+        col("span_end").as("__ae")), Seq("__id"))
+      .select((least(col("__ee"), col("__ae"))
+        - greatest(col("__es"), col("__as")) + 1).as("__ov"))
+      .filter(col("__ov") > 0)
+      .agg(coalesce(sum(col("__ov")), lit(0L)).as("overlap_chars"))
+    exAgg.crossJoin(anAgg).crossJoin(ov)
+      .select(col("exact_spans"), col("exact_chars"), col("anchor_spans"),
+        col("anchor_chars"), col("overlap_chars"),
+        floor(lit(1000) * col("overlap_chars") / col("exact_chars"))
+          .as("covered_permille"))
+  }
+
+  private def capped(text: Column, maxChars: Int): Column = {
+    require(maxChars >= 0, "maxChars must be >= 0")
+    if (maxChars == 0) text else substring(text, 1, maxChars)
+  }
+}

@@ -1,0 +1,148 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class SubstringsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  // -- exact path ----------------------------------------------------------
+
+  test("dupSpans marks the full shared region regardless of alignment") {
+    val shared = "0123456789abcdefghijklmnopqrstuvwxyz" // 36 chars
+    val df = corpus(
+      1L -> s"AAAA${shared}BBBBBBBB",
+      2L -> s"NOPQRSTUVWX${shared}YY")
+    val spans = Substrings.dupSpans(df, "doc_id", col("text"), k = 10)
+      .orderBy("doc_id").collect()
+    // doc 1: shared at chars 5..40; doc 2: at 12..47 — exactly the region
+    assert(spans.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 5L, 40L), (2L, 12L, 47L)))
+  }
+
+  test("dupSpans ignores repeats shorter than k and catches within-doc repeats") {
+    val run = "qwertyuiopasdfgh" // 16 chars, repeated within doc 1
+    val df = corpus(
+      1L -> s"${run}-1234-${run}",
+      2L -> "completely distinct text with shrt dup") // "shrt dup" < k elsewhere
+    val spans = Substrings.dupSpans(df, "doc_id", col("text"), k = 12)
+      .orderBy("doc_id", "span_start").collect()
+    assert(spans.forall(_.getLong(0) == 1L))
+    assert(spans.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 16L), (23L, 38L)))
+  }
+
+  test("dupSpans merges overlapping and adjacent gram spans into maximal runs") {
+    // one long shared run → every k-gram inside duplicates → ONE span
+    val shared = "a1b2c3d4e5f6g7h8i9j0" * 3 // 60 chars
+    val df = corpus(1L -> s"xx${shared}xx".replace("x", "L"),
+      2L -> s"rrrrr${shared}")
+    val spans = Substrings.dupSpans(df, "doc_id", col("text"), k = 8)
+    assert(spans.filter($"doc_id" === 2L).count() == 1)
+  }
+
+  test("gramRows native expression == declarative twin") {
+    val df = spark.read.parquet(s"$sf0001/documents.parquet").limit(60)
+    val a = Substrings.gramRows(df, "doc_id", col("text"), k = 17)
+    val b = Substrings.gramRowsDeclarative(df, "doc_id", col("text"), k = 17)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // and the cap truncates identically
+    val ac = Substrings.gramRows(df, "doc_id", col("text"), 17, maxChars = 100)
+    val bc = Substrings.gramRowsDeclarative(df, "doc_id", col("text"), 17, maxChars = 100)
+    assert(ac.exceptAll(bc).isEmpty && bc.exceptAll(ac).isEmpty)
+  }
+
+  test("dupStats removal: clean hash drops exactly the spans; clean docs intact") {
+    val shared = "0123456789abcdefghijklmnopqrstuvwxyz"
+    val df = corpus(
+      1L -> s"AAAA${shared}BBBBBBBB",
+      2L -> s"NOPQRSTUVWX${shared}YY",
+      3L -> "untouched document with no duplicate content at all")
+    val st = Substrings.dupStats(df, "doc_id", col("text"), k = 10)
+      .orderBy("doc_id").collect()
+    val md5hex = (s: String) => java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(st(0).getAs[String]("clean_md5") == md5hex("AAAABBBBBBBB"))
+    assert(st(1).getAs[String]("clean_md5") == md5hex("NOPQRSTUVWXYY"))
+    assert(st(2).getAs[String]("clean_md5") == md5hex(
+      "untouched document with no duplicate content at all"))
+    assert(st(0).getAs[Long]("dup_chars") == 36L)
+    assert(st(2).getAs[Long]("dup_chars") == 0L &&
+      st(2).getAs[Long]("n_spans") == 0L)
+    // dup_permille is integer floor(1000*dup/n)
+    assert(st(0).getAs[Long]("dup_permille") == 1000L * 36 / st(0).getAs[Long]("n_chars"))
+  }
+
+  // -- winnowing -----------------------------------------------------------
+
+  test("winnowRows native deque == declarative nearest-smaller-rank twin") {
+    val df = spark.read.parquet(s"$sf0001/documents.parquet").limit(80)
+    val a = Substrings.winnowRows(df, "doc_id", col("text"), k = 12, guarantee = 30)
+    val b = Substrings.winnowRowsDeclarative(df, "doc_id", col("text"), 12, 30)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    assert(a.count() > 0)
+  }
+
+  test("winnow guarantee: docs sharing >= guarantee chars share an anchor") {
+    // plant a 64-char shared run at wildly different offsets in pairs of
+    // otherwise-random docs; every pair must share a selected gram hash
+    val rnd = new scala.util.Random(7)
+    def junk(n: Int) = (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val shared = (0 until 4).map(_ => junk(64))
+    val rows = shared.zipWithIndex.flatMap { case (s, i) =>
+      Seq((i * 2L, junk(rnd.nextInt(90)) + s + junk(rnd.nextInt(90))),
+        (i * 2L + 1, junk(rnd.nextInt(90)) + s + junk(rnd.nextInt(90))))
+    }
+    val w = Substrings.winnowRows(rows.toDF("doc_id", "text"), "doc_id",
+      col("text"), k = 20, guarantee = 64)
+    // a hash selected by BOTH docs of a pair marks that pair covered
+    val sel = w.collect().map(r => (r.getLong(0), r.getString(2)))
+    val covered = (0 until 4).map { p =>
+      val a = sel.collect { case (id, h) if id == 2L * p => h }.toSet
+      val b = sel.collect { case (id, h) if id == 2L * p + 1 => h }.toSet
+      (a & b).nonEmpty
+    }
+    assert(covered.forall(identity), s"uncovered pairs: $covered")
+  }
+
+  test("winnow density is ~2/(G+1) and short docs still fingerprint") {
+    val df = spark.read.parquet(s"$sf0001/documents.parquet")
+    val k = 40; val guarantee = 64 // G = 25
+    val w = Substrings.winnowRows(df, "doc_id", col("text"), k, guarantee)
+    val g = Substrings.gramRows(df, "doc_id", col("text"), k)
+    val density = w.count().toDouble / g.count()
+    assert(density > 0.04 && density < 0.12, s"density $density")
+    // every doc with >= k chars selects at least one anchor
+    val docsWithGrams = g.select("doc_id").distinct().count()
+    assert(w.select("doc_id").distinct().count() == docsWithGrams)
+  }
+
+  test("anchorSpans is a subset of dupSpans coverage; eval reports sane numbers") {
+    val base = spark.read.parquet(s"$sf0001/documents.parquet")
+    val planted = base.filter($"doc_id" % 7 === 0 && length($"text") >= 240)
+      .select(($"doc_id" + 400000).as("doc_id"),
+        concat(lit("COPY:"), $"doc_id".cast("string"), lit(" "),
+          expr("substring(text, 31, 170)")).as("text"))
+    val df = base.select($"doc_id", $"text").unionAll(planted)
+    val ev = Substrings.coverageEval(df, "doc_id", col("text"), k = 40,
+      guarantee = 64).collect()(0)
+    assert(ev.getAs[Long]("exact_chars") > 0)
+    assert(ev.getAs[Long]("overlap_chars") <= ev.getAs[Long]("exact_chars"))
+    assert(ev.getAs[Long]("anchor_chars") <= ev.getAs[Long]("exact_chars"))
+    val pm = ev.getAs[Long]("covered_permille")
+    assert(pm > 0 && pm <= 1000, s"covered_permille $pm")
+  }
+
+  test("null and sub-k documents are handled") {
+    val df = Seq((1L, null: String), (2L, "tiny"), (3L, "x" * 50))
+      .toDF("doc_id", "text")
+    assert(Substrings.gramRows(df, "doc_id", col("text"), 10).count() == 41)
+    val st = Substrings.dupStats(df, "doc_id", col("text"), 10)
+    assert(st.count() == 2) // null doc dropped, tiny doc kept with 0 dups
+    assert(st.filter($"doc_id" === 2).select("dup_chars").as[Long].head() == 0L)
+  }
+}
