@@ -1283,6 +1283,28 @@ object SparkEntry {
       text.Substrings.coverageEval(substrCorpus(load(s, dir, "documents")),
         "doc_id", col("text"), k = 40, guarantee = 64)),
 
+    // ---- incremental substring dedup: stage the reference corpus'
+    // gram census ONCE (bucket-partitioned parquet), then probe an
+    // incoming batch against the frozen index — batch chars duplicating
+    // the reference or repeated within the batch get spanned; nothing
+    // reference-sized shuffles, and the census scan prunes to the
+    // batch's hash buckets. The substring analog of q_dedup_new ----
+    "q_substr_new" -> ((s, dir) => {
+      val base = load(s, dir, "documents").filter(col("text").isNotNull)
+      val idx = scratchDir("gramidx")
+      text.Substrings.stageGramCensus(base.filter(col("doc_id") % 3 =!= 1),
+        "doc_id", col("text"), k = 40, dir = idx, buckets = 64)
+      val batch = base.filter(col("doc_id") % 3 === 1)
+        .select(col("doc_id"), col("text"))
+        .unionByName(base
+          .filter(col("doc_id") % 21 === 0 && length(col("text")) >= 240)
+          .select((col("doc_id") + 500000L).as("doc_id"),
+            concat(lit("NEW:"), col("doc_id").cast("string"), lit(" "),
+              expr("substring(text, 61, 150)")).as("text")))
+      text.Substrings.newDupSpans(batch, "doc_id", col("text"), idx)
+        .orderBy("doc_id", "span_start")
+    }),
+
     // ---- T11: the DocGen full type palette, oracle-pinned — every
     // scalar the generator derives (oid, rainbow color, num fields,
     // formatted string, epoch time, int array, self-nested subdoc,
@@ -2994,6 +3016,44 @@ object SparkEntry {
         |  CAST(overlap_chars AS BIGINT) AS overlap_chars,
         |  CAST(1000 * overlap_chars // exact_chars AS BIGINT) AS covered_permille
         |FROM ex, an, ov""".stripMargin),
+    "q_substr_new" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        |refg AS (
+        |  SELECT DISTINCT md5(substring(text, u.p, 40)) AS h
+        |  FROM base, LATERAL (SELECT unnest(generate_series(
+        |    1, length(text) - 39)) AS p) u
+        |  WHERE doc_id % 3 <> 1 AND length(text) >= 40),
+        |batch AS (
+        |  SELECT doc_id, text FROM base WHERE doc_id % 3 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 500000,
+        |    'NEW:' || CAST(doc_id AS VARCHAR) || ' ' || substring(text, 61, 150)
+        |  FROM base WHERE doc_id % 21 = 0 AND length(text) >= 240),
+        |bg AS (
+        |  SELECT doc_id, u.p AS p, md5(substring(text, u.p, 40)) AS h
+        |  FROM batch, LATERAL (SELECT unnest(generate_series(
+        |    1, length(text) - 39)) AS p) u
+        |  WHERE length(text) >= 40),
+        |dup AS (
+        |  SELECT doc_id, p, p + 39 AS e FROM bg
+        |  WHERE h IN (SELECT h FROM bg GROUP BY h HAVING count(*) > 1)
+        |     OR h IN (SELECT h FROM refg)),
+        |mrk AS (
+        |  SELECT doc_id, p, e,
+        |    CASE WHEN p > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY p
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM dup),
+        |spans AS (
+        |  SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+        |    CAST(max(e) AS BIGINT) AS span_end
+        |  FROM (SELECT doc_id, p, e,
+        |          sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS gid
+        |        FROM mrk)
+        |  GROUP BY doc_id, gid)
+        |SELECT doc_id, span_start, span_end,
+        |  span_end - span_start + 1 AS span_len
+        |FROM spans ORDER BY doc_id, span_start""".stripMargin,
     "q_vocab" ->
       """SELECT tok, count(*) AS n, count(DISTINCT doc_id) AS doc_freq
         |FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok

@@ -242,6 +242,81 @@ object Substrings {
           .as("covered_permille"))
   }
 
+  /** Materialize the gram census as a reusable index — the substring
+    * analog of [[Dedup.exactNew]]'s frozen-reference admission and
+    * [[Retrieval.stageBm25]]'s staged postings: a curation service pays
+    * the reference-corpus gram pass ONCE, then probes every incoming
+    * batch against it at batch-proportional cost. Layout under `dir`:
+    *  - `census/` — (h, n) per distinct gram hash, PARTITIONED BY
+    *    `bkt = pmod(xxhash64(h), buckets)` so a batch probe scans only
+    *    its own hashes' buckets;
+    *  - `stats/` — one row: (k, buckets, n_grams, n_docs) — probes and
+    *    appends derive the SAME gram width and bucketing from the
+    *    index, never from caller arguments. */
+  def stageGramCensus(corpus: DataFrame, idCol: String, text: Column, k: Int,
+      dir: String, buckets: Int = 64, maxChars: Int = 0): Unit = {
+    require(buckets > 0, "buckets must be positive")
+    val g = gramRows(corpus, idCol, text, k, maxChars)
+    g.groupBy(col("h")).agg(count(lit(1)).as("n"))
+      .withColumn("bkt", pmod(xxhash64(col("h")), lit(buckets.toLong)))
+      .write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/census")
+    val spark = corpus.sparkSession
+    val docs = corpus.filter(text.isNotNull).count()
+    spark.read.parquet(s"$dir/census")
+      .agg(count(lit(1)).as("n_grams"))
+      .select(lit(k).as("k"), lit(buckets.toLong).as("buckets"),
+        col("n_grams"), lit(docs).as("n_docs"))
+      .write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** Fold a new batch into a [[stageGramCensus]] index WITHOUT
+    * re-scanning the reference corpus: the batch's own census appends
+    * as new rows (existing files untouched — readers sum `n` per hash,
+    * so append-then-probe ≡ restage-from-scratch; SubstringsSpec pins
+    * it). Batch-proportional, the [[graft.ml.Similarity.appendIvfPq]]
+    * discipline. */
+  def appendGramCensus(batch: DataFrame, idCol: String, text: Column,
+      dir: String, maxChars: Int = 0): Unit = {
+    val spark = batch.sparkSession
+    val st = spark.read.parquet(s"$dir/stats").head()
+    val k = st.getAs[Int]("k")
+    val buckets = st.getAs[Long]("buckets")
+    gramRows(batch, idCol, text, k, maxChars)
+      .groupBy(col("h")).agg(count(lit(1)).as("n"))
+      .withColumn("bkt", pmod(xxhash64(col("h")), lit(buckets)))
+      .write.mode("append").partitionBy("bkt").parquet(s"$dir/census")
+  }
+
+  /** Duplicated spans of an incoming BATCH against a frozen
+    * [[stageGramCensus]] reference: a batch char is duplicated iff its
+    * gram occurs in the reference index OR more than once within the
+    * batch itself (so the probe also catches batch-internal copies —
+    * same census rule as [[dupSpans]], with the reference pre-counted).
+    * The census scan prunes statically to the batch's hash buckets, and
+    * nothing reference-corpus-sized shuffles: probe cost scales with
+    * the BATCH. Output matches [[dupSpans]]' span frame. */
+  def newDupSpans(batch: DataFrame, idCol: String, text: Column,
+      dir: String, maxChars: Int = 0): DataFrame = {
+    val spark = batch.sparkSession
+    val st = spark.read.parquet(s"$dir/stats").head()
+    val k = st.getAs[Int]("k")
+    val buckets = st.getAs[Long]("buckets")
+    val g = gramRows(batch, idCol, text, k, maxChars)
+    val bc = g.groupBy(col("h")).agg(count(lit(1)).as("__nb"))
+    val qb = bc.select(pmod(xxhash64(col("h")), lit(buckets)).as("bkt"))
+      .distinct().collect().map(_.getLong(0))
+    val ref = spark.read.parquet(s"$dir/census")
+      .filter(col("bkt").isin(qb: _*))
+      .select(col("h"))
+    val dupH = bc.filter(col("__nb") > 1).select(col("h"))
+      .unionByName(bc.select(col("h")).join(ref, Seq("h"), "left_semi"))
+      .distinct()
+    val spans = g.join(dupH, "h")
+      .select(col(idCol), col("p"))
+      .withColumn("e", col("p") + (k - 1))
+    mergeSpans(spans, idCol)
+  }
+
   private def capped(text: Column, maxChars: Int): Column = {
     require(maxChars >= 0, "maxChars must be >= 0")
     if (maxChars == 0) text else substring(text, 1, maxChars)

@@ -137,6 +137,55 @@ class SubstringsSpec extends SparkSpec {
     assert(pm > 0 && pm <= 1000, s"covered_permille $pm")
   }
 
+  // -- staged census index --------------------------------------------------
+
+  test("newDupSpans against a staged census == batch rule computed directly") {
+    val base = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter($"text".isNotNull)
+    val ref = base.filter($"doc_id" % 3 =!= 1)
+    val batch = base.filter($"doc_id" % 3 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("gramidx").toString
+    Substrings.stageGramCensus(ref, "doc_id", col("text"), k = 40, dir = dir)
+    val staged = Substrings.newDupSpans(batch, "doc_id", col("text"), dir)
+
+    // direct formulation of the same rule: batch gram dups against
+    // (reference grams ∪ batch grams occurring > 1)
+    val bg = Substrings.gramRows(batch, "doc_id", col("text"), 40)
+    val refH = Substrings.gramRows(ref, "doc_id", col("text"), 40)
+      .select("h").distinct()
+    val dupH = bg.groupBy("h").count().filter($"count" > 1).select("h")
+      .unionByName(bg.select("h").join(refH, Seq("h"), "left_semi"))
+      .distinct()
+    val direct = Substrings.mergeSpans(
+      bg.join(dupH, "h").select(col("doc_id"), col("p"))
+        .withColumn("e", col("p") + 39), "doc_id")
+    assert(staged.exceptAll(direct).isEmpty && direct.exceptAll(staged).isEmpty)
+    assert(staged.count() > 0)
+  }
+
+  test("appendGramCensus: stage half + append half == stage all") {
+    val base = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter($"text".isNotNull).limit(200)
+    val h1 = base.filter($"doc_id" % 2 === 0)
+    val h2 = base.filter($"doc_id" % 2 === 1)
+    val dirInc = java.nio.file.Files.createTempDirectory("gramidx_inc").toString
+    val dirAll = java.nio.file.Files.createTempDirectory("gramidx_all").toString
+    Substrings.stageGramCensus(h1, "doc_id", col("text"), k = 30, dir = dirInc)
+    Substrings.appendGramCensus(h2, "doc_id", col("text"), dirInc)
+    Substrings.stageGramCensus(base, "doc_id", col("text"), k = 30, dir = dirAll)
+    // readers sum n per hash — the merged view must equal the restage
+    val inc = spark.read.parquet(s"$dirInc/census")
+      .groupBy("h").agg(sum("n").as("n"))
+    val all = spark.read.parquet(s"$dirAll/census")
+      .groupBy("h").agg(sum("n").as("n"))
+    assert(inc.exceptAll(all).isEmpty && all.exceptAll(inc).isEmpty)
+    // and a probe through the incremental index == through the restage
+    val probe = base.limit(30)
+    val a = Substrings.newDupSpans(probe, "doc_id", col("text"), dirInc)
+    val b = Substrings.newDupSpans(probe, "doc_id", col("text"), dirAll)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("null and sub-k documents are handled") {
     val df = Seq((1L, null: String), (2L, "tiny"), (3L, "x" * 50))
       .toDF("doc_id", "text")
