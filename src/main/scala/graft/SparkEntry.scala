@@ -1254,6 +1254,16 @@ object SparkEntry {
           "doc_id", col("text"))
         .orderBy("doc_id")),
 
+    // ---- Gopher within-doc structural repetition: duplicate-line and
+    // duplicate-paragraph excess (count + char mass) as integer
+    // per-mille — pure narrow array expressions (array_distinct +
+    // array_join give the excess char mass with no per-element
+    // counting), zero shuffles, runs at scan speed ----
+    "q_rep_lines" -> ((s, dir) =>
+      text.Lines.lineRepetitionStats(paraCorpus(load(s, dir, "documents")),
+          "doc_id", col("text"))
+        .orderBy("doc_id")),
+
     // ---- Substring-level exact dedup (Lee et al. 2022 ExactSubstr):
     // maximal verbatim-duplicated char spans ≥ k, alignment-independent
     // — the corpus ∪ interior-slice copies fixture plants cross-aligned
@@ -2523,6 +2533,24 @@ object SparkEntry {
       .select((col("doc_id") + 300000L).as("doc_id"), col("text")))
   }
 
+  /** Paragraph-structured fixture for the within-doc repetition
+    * operator: shared intro/footer paragraphs, body cut into paragraphs
+    * at " table " and into lines at " the ", plus a duplicated
+    * paragraph for every 4th doc and a twice-repeated line (inside ONE
+    * paragraph) for every 5th — so line- and paragraph-level metrics
+    * separate. Mirrored verbatim in the q_rep_lines oracle. */
+  private def paraCorpus(d: DataFrame): DataFrame =
+    d.filter(col("text").isNotNull).select(col("doc_id"),
+      concat(
+        lit("Shared intro paragraph.\n\n"),
+        regexp_replace(regexp_replace(col("text"), " table ", ".\n\n"),
+          " the ", ".\n"),
+        lit("\n\nShared footer paragraph."),
+        when(col("doc_id") % 4 === 0, lit("\n\nShared intro paragraph."))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit("\n\nRepeat line.\nRepeat line."))
+          .otherwise(lit(""))).as("text"))
+
   /** Shared substring-dedup fixture: documents ∪ an interior 170-char
     * slice of every 7th long-enough doc behind a variable-length
     * "COPY:<id> " prefix (id+400000) — a shared region at a DIFFERENT
@@ -2927,6 +2955,46 @@ object SparkEntry {
         |  CAST(len(string_split(c.text, chr(10))) AS BIGINT) AS n_lines
         |FROM corpus c LEFT JOIN agg a ON a.doc_id = c.doc_id
         |ORDER BY c.doc_id""".stripMargin),
+    "q_rep_lines" ->
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |    'Shared intro paragraph.' || chr(10) || chr(10) ||
+        |    regexp_replace(regexp_replace(text,
+        |      ' table ', '.' || chr(10) || chr(10), 'g'),
+        |      ' the ', '.' || chr(10), 'g') ||
+        |    chr(10) || chr(10) || 'Shared footer paragraph.' ||
+        |    CASE WHEN doc_id % 4 = 0 THEN chr(10) || chr(10) ||
+        |      'Shared intro paragraph.' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN chr(10) || chr(10) ||
+        |      'Repeat line.' || chr(10) || 'Repeat line.' ELSE '' END AS text
+        |  FROM documents WHERE text IS NOT NULL),
+        |m AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(string_split(text, chr(10)),
+        |      x -> trim(x)), x -> length(x) > 0) AS ls,
+        |    list_filter(list_transform(string_split(text,
+        |      chr(10) || chr(10)), x -> trim(x)), x -> length(x) > 0) AS ps
+        |  FROM corpus)
+        |SELECT doc_id,
+        |  CAST(len(ls) AS BIGINT) AS n_lines,
+        |  CAST(CASE WHEN len(ls) > 0 THEN
+        |    1000 * (len(ls) - len(list_distinct(ls))) // len(ls)
+        |    ELSE 0 END AS BIGINT) AS dup_lines_permille,
+        |  CAST(CASE WHEN length(array_to_string(ls, '')) > 0 THEN
+        |    1000 * (length(array_to_string(ls, ''))
+        |      - length(array_to_string(list_distinct(ls), '')))
+        |      // length(array_to_string(ls, ''))
+        |    ELSE 0 END AS BIGINT) AS dup_lines_char_permille,
+        |  CAST(len(ps) AS BIGINT) AS n_paras,
+        |  CAST(CASE WHEN len(ps) > 0 THEN
+        |    1000 * (len(ps) - len(list_distinct(ps))) // len(ps)
+        |    ELSE 0 END AS BIGINT) AS dup_paras_permille,
+        |  CAST(CASE WHEN length(array_to_string(ps, '')) > 0 THEN
+        |    1000 * (length(array_to_string(ps, ''))
+        |      - length(array_to_string(list_distinct(ps), '')))
+        |      // length(array_to_string(ps, ''))
+        |    ELSE 0 END AS BIGINT) AS dup_paras_char_permille
+        |FROM m ORDER BY doc_id""".stripMargin,
     "q_substr_spans" -> (substrCorpusCte +
       """SELECT doc_id, span_start, span_end,
         |  span_end - span_start + 1 AS span_len

@@ -84,6 +84,45 @@ object Lines {
       size(split(text, "\n")).cast("long").as("n_lines"))
   }
 
+  /** Gopher-family WITHIN-document structural repetition (Rae et al.
+    * 2021, MassiveText A1.2): how much of a document is repeated lines
+    * or repeated paragraphs — boilerplate loops, pagination artifacts,
+    * template spam. Complements [[TextFunctions.repetitionStats]]
+    * (word/2-gram level) at the two coarser granularities the paper
+    * gates on.
+    *
+    * Both fractions are the EXCESS beyond one copy of each distinct
+    * value (a doc with every line unique scores 0), reported as
+    * integer per-mille so any engine reproduces them bit-for-bit:
+    *  - `dup_*_permille`       = 1000·(n − n_distinct) ⁄ n
+    *  - `dup_*_char_permille`  = 1000·(chars − distinct_chars) ⁄ chars
+    *
+    * The whole computation is built-in array expressions on the split
+    * text — `array_distinct` + `array_join` give the excess char mass
+    * with NO per-element lambda counting and no n² scan — inside one
+    * codegen'd projection: zero shuffles, the filter runs at scan
+    * speed. Lines split on `\n`, paragraphs on blank-line boundaries
+    * (`\n\n`), both trimmed, blanks dropped. Docs with no non-blank
+    * line report 0s. */
+  def lineRepetitionStats(df: DataFrame, idCol: String, text: Column): DataFrame = {
+    def metrics(sep: String, tag: String): Seq[Column] = {
+      val parts = filter(transform(split(text, sep), p => trim(p)),
+        p => length(p) > 0)
+      val uniq = array_distinct(parts)
+      val n = size(parts).cast("long")
+      val nd = size(uniq).cast("long")
+      val chars = length(array_join(parts, "")).cast("long")
+      val dchars = length(array_join(uniq, "")).cast("long")
+      Seq(n.as(s"n_$tag"),
+        when(n > 0, floor(lit(1000) * (n - nd) / n)).otherwise(0L)
+          .as(s"dup_${tag}_permille"),
+        when(chars > 0, floor(lit(1000) * (chars - dchars) / chars))
+          .otherwise(0L).as(s"dup_${tag}_char_permille"))
+    }
+    df.filter(text.isNotNull)
+      .select(col(idCol) +: (metrics("\n", "lines") ++ metrics("\n\n", "paras")): _*)
+  }
+
   /** [[lineFilterCol]] over a frame: (idCol, text_kept, n_kept,
     * n_lines). Narrow — no shuffle, no explode (the per-line work stays
     * inside one array expression per document). */

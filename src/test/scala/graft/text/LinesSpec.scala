@@ -57,4 +57,24 @@ class LinesSpec extends SparkSpec {
       .queryExecution.optimizedPlan.toString
     assert(!plan.contains("Window"), "hot-line skew: dedup must not window over the line hash")
   }
+
+  test("lineRepetitionStats: hand-computed line and paragraph excess, no shuffle") {
+    val c = Seq(
+      (1L, "X\nY\n\nX\nZ"),                 // dup line X, no dup para
+      (2L, "A\n\nB\nC\n\nB\nC\n\nA"),       // dup lines AND dup paras
+      (3L, "only\none\ncopy\nof\neach"),    // clean
+      (4L, null: String)
+    ).toDF("doc_id", "text")
+    val out = Lines.lineRepetitionStats(c, "doc_id", col("text"))
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+    val rows = out.orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    // doc 1: lines X,Y,X,Z → 1000*(4-3)/4 = 250 count & char; paras 0
+    assert(rows(0) == ((1L, 4L, 250L, 250L, 2L, 0L, 0L)))
+    // doc 2: lines A,B,C,B,C,A → 500; paras "A","B\nC","B\nC","A" → 500
+    // para char mass counts the interior \n: 1+3+3+1=8 vs 4 → 500
+    assert(rows(1) == ((2L, 6L, 500L, 500L, 4L, 500L, 500L)))
+    assert(rows(2) == ((3L, 5L, 0L, 0L, 1L, 0L, 0L)))
+    assert(rows.length == 3) // null doc dropped
+  }
 }
