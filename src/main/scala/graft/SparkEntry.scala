@@ -1264,6 +1264,39 @@ object SparkEntry {
           "doc_id", col("text"))
         .orderBy("doc_id")),
 
+    // ---- streaming census ingest: bootstrap the gram census on a
+    // third of the corpus, drain another third through a real
+    // Structured Streaming source (2 files, 1 per micro-batch) whose
+    // foreachBatch is appendGramCensus, then probe the held-out third
+    // against the final index — the live-ingest shape of a curation
+    // service. Micro-batching must not change a span: the index
+    // converges to the same census a full restage gives ----
+    "q_st_substr" -> ((s, dir) => {
+      val base = load(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+      val idx = scratchDir("gramidx_st")
+      val feed = scratchDir("gram_feed")
+      text.Substrings.stageGramCensus(base.filter(col("doc_id") % 3 === 0),
+        "doc_id", col("text"), k = 40, dir = idx, buckets = 64)
+      base.filter(col("doc_id") % 3 === 2 && col("doc_id") % 2 === 0)
+        .repartition(1).write.mode("append").parquet(s"$feed/in")
+      base.filter(col("doc_id") % 3 === 2 && col("doc_id") % 2 === 1)
+        .repartition(1).write.mode("append").parquet(s"$feed/in")
+      val drain = s.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$feed/in")
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          text.Substrings.appendGramCensus(b, "doc_id", col("text"), idx)
+        }
+        .option("checkpointLocation", s"$feed/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      drain.awaitTermination()
+      text.Substrings.newDupSpans(base.filter(col("doc_id") % 3 === 1),
+          "doc_id", col("text"), idx)
+        .orderBy("doc_id", "span_start")
+    }),
+
     // ---- Substring-level exact dedup (Lee et al. 2022 ExactSubstr):
     // maximal verbatim-duplicated char spans ≥ k, alignment-independent
     // — the corpus ∪ interior-slice copies fixture plants cross-aligned
@@ -3084,6 +3117,41 @@ object SparkEntry {
         |  CAST(overlap_chars AS BIGINT) AS overlap_chars,
         |  CAST(1000 * overlap_chars // exact_chars AS BIGINT) AS covered_permille
         |FROM ex, an, ov""".stripMargin),
+    // the streamed-ingest index must converge to the full census of the
+    // bootstrap ∪ streamed thirds — same probe rule as q_substr_new,
+    // reference = everything outside the probe third, no planted batch
+    "q_st_substr" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        |refg AS (
+        |  SELECT DISTINCT md5(substring(text, u.p, 40)) AS h
+        |  FROM base, LATERAL (SELECT unnest(generate_series(
+        |    1, length(text) - 39)) AS p) u
+        |  WHERE doc_id % 3 <> 1 AND length(text) >= 40),
+        |bg AS (
+        |  SELECT doc_id, u.p AS p, md5(substring(text, u.p, 40)) AS h
+        |  FROM base, LATERAL (SELECT unnest(generate_series(
+        |    1, length(text) - 39)) AS p) u
+        |  WHERE doc_id % 3 = 1 AND length(text) >= 40),
+        |dup AS (
+        |  SELECT doc_id, p, p + 39 AS e FROM bg
+        |  WHERE h IN (SELECT h FROM bg GROUP BY h HAVING count(*) > 1)
+        |     OR h IN (SELECT h FROM refg)),
+        |mrk AS (
+        |  SELECT doc_id, p, e,
+        |    CASE WHEN p > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY p
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM dup),
+        |spans AS (
+        |  SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+        |    CAST(max(e) AS BIGINT) AS span_end
+        |  FROM (SELECT doc_id, p, e,
+        |          sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS gid
+        |        FROM mrk)
+        |  GROUP BY doc_id, gid)
+        |SELECT doc_id, span_start, span_end,
+        |  span_end - span_start + 1 AS span_len
+        |FROM spans ORDER BY doc_id, span_start""".stripMargin,
     "q_substr_new" ->
       """WITH base AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
         |refg AS (

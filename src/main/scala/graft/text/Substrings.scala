@@ -274,7 +274,9 @@ object Substrings {
     * as new rows (existing files untouched — readers sum `n` per hash,
     * so append-then-probe ≡ restage-from-scratch; SubstringsSpec pins
     * it). Batch-proportional, the [[graft.ml.Similarity.appendIvfPq]]
-    * discipline. */
+    * discipline. The stats frame is NOT rewritten: its `k` and
+    * `buckets` are the index contract (immutable by design); its
+    * n_grams/n_docs counters describe the last full stage. */
   def appendGramCensus(batch: DataFrame, idCol: String, text: Column,
       dir: String, maxChars: Int = 0): Unit = {
     val spark = batch.sparkSession

@@ -113,20 +113,34 @@ object ScaleSweep {
           (3L, "customer order part")).toDF("query_id", "qtext")
         Retrieval.bm25TopK(c, "doc_id", col("text"), qs,
           "query_id", col("qtext")).count()
-      }))
+      }),
+      // round-9: substring-level dedup — copies are token-salted, so
+      // each copy only duplicates against itself: dup output grows
+      // linearly with the multiple, and seconds must track the gram
+      // census (one row per char), never corpus²
+      "substr_spans" -> (c => Substrings.dupSpans(
+        c, "doc_id", col("text"), k = 40).count()),
+      "substr_anchors" -> (c => Substrings.anchorSpans(
+        c, "doc_id", col("text"), k = 40, guarantee = 64).count()))
     // the bucketed near-dup candidate pipelines, on the dup-rate-
     // invariant corpus: output (and so seconds) may grow linearly, but
     // never quadratically — the banded-join contract
     val dupPipelines: Seq[(String, DataFrame => Long)] = Seq(
       "minhash_lsh" -> (c => Dedup.lshCandidates(c, "doc_id", col("text")).count()),
       "simhash_band" -> (c => Dedup.simhashCandidates(c, "doc_id", col("text")).count()))
+    // builder-side subset filter (comma-separated pipeline names)
+    val only = sys.env.get("SPARK_GRAFT_SWEEP_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def keep(kv: (String, DataFrame => Long)) = only.forall(_.contains(kv._1))
+    val selP = pipelines.filter(keep)
+    val selD = dupPipelines.filter(keep)
     // warm-up at 1x so codegen/JIT is out of the timed region
     val warm = corpus(spark, dir, 1)
-    pipelines.foreach { case (_, f) => f(warm); () }
+    selP.foreach { case (_, f) => f(warm); () }
     val warmDup = nearDupCorpus(spark, dir, 1)
-    dupPipelines.foreach { case (_, f) => f(warmDup); () }
+    selD.foreach { case (_, f) => f(warmDup); () }
     for (mult <- Seq(1, 3, 10)) {
-      for ((name, f) <- pipelines) {
+      for ((name, f) <- selP) {
         spark.catalog.clearCache()
         val c = corpus(spark, dir, mult)
         val (s1, n) = time(f(c))
@@ -134,7 +148,7 @@ object ScaleSweep {
         val (s2, _) = time(f(c))
         println(f"""{"pipeline":"$name","mult":$mult,"sec":${math.min(s1, s2)}%.3f,"rows":$n}""")
       }
-      for ((name, f) <- dupPipelines) {
+      for ((name, f) <- selD) {
         spark.catalog.clearCache()
         val c = nearDupCorpus(spark, dir, mult)
         val (s1, n) = time(f(c))
