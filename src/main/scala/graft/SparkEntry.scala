@@ -1056,6 +1056,19 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // ---- SSL-prototype data pruning (Sorscher et al. '22): cosine to
+    // the own-cluster centroid as an IEEE-exact micro score, keep the
+    // 70% least prototypical per cluster via a (cluster, score)
+    // histogram — cumulative window over score LEVELS, never a
+    // per-cluster sort of the corpus ----
+    "q_prototype" -> ((s, dir) => {
+      val e = load(s, dir, "embeddings").filter(col("vec_id") < 1500)
+        .select("vec_id", "embedding")
+      ml.Similarity.prototypicality(e, "vec_id", "embedding",
+          numCentroids = 16, keepPermille = 700)
+        .orderBy("vec_id")
+    }),
+
     // ---- sequence packing manifest: split + shard + windowed cumsum —
     // where every doc lands in the fixed-capacity training sequences.
     // Sharding by the split bucket keeps windows small and parallel
@@ -4551,6 +4564,51 @@ object SparkEntry {
          |  CAST(r.id = r.root_id AS INT) AS keep
          |FROM roots r JOIN asgn a ON a.vec_id = r.id
          |ORDER BY vec_id""".stripMargin,
+    "q_prototype" ->
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1500),
+         |cent AS (SELECT row_number() OVER (ORDER BY vec_id) AS cidx, embedding
+         |         FROM (SELECT * FROM corpus ORDER BY vec_id LIMIT 16)),
+         |cn AS (SELECT cidx, ${dotQ("embedding", "embedding")} AS n2c FROM cent),
+         |vv AS (SELECT vec_id, embedding,
+         |         ${dotQ("embedding", "embedding")} AS n2 FROM corpus),
+         |cd AS (SELECT v.vec_id, c.cidx,
+         |         ${dotQ("v.embedding", "c.embedding")} AS dot
+         |       FROM vv v, cent c),
+         |asgn AS (SELECT vec_id, CAST(cidx AS INT) AS cluster FROM (
+         |           SELECT vec_id, cidx,
+         |             row_number() OVER (PARTITION BY vec_id
+         |                  ORDER BY dot DESC, cidx) AS rn
+         |           FROM cd) WHERE rn = 1),
+         |scored AS (
+         |  SELECT v.vec_id, a.cluster,
+         |    CAST(floor(1000000 * d.dot / sqrt(CAST(v.n2 AS DOUBLE))
+         |      / sqrt(CAST(n.n2c AS DOUBLE))) AS BIGINT) AS proto_micro
+         |  FROM vv v
+         |  JOIN asgn a ON a.vec_id = v.vec_id
+         |  JOIN cd d ON d.vec_id = v.vec_id AND d.cidx = a.cluster
+         |  JOIN cn n ON n.cidx = a.cluster
+         |  WHERE v.n2 > 0),
+         |lv AS (SELECT cluster, proto_micro, count(*) AS cnt
+         |       FROM scored GROUP BY 1, 2),
+         |lv2 AS (SELECT cluster, proto_micro,
+         |         sum(cnt) OVER (PARTITION BY cluster
+         |           ORDER BY proto_micro) AS cum,
+         |         coalesce(sum(cnt) OVER (PARTITION BY cluster
+         |           ORDER BY proto_micro
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cp,
+         |         (700 * sum(cnt) OVER (PARTITION BY cluster)) // 1000 AS quota
+         |       FROM lv),
+         |dec AS (
+         |  SELECT s.vec_id, s.cluster, s.proto_micro, l.cum, l.cp, l.quota,
+         |    row_number() OVER (PARTITION BY s.cluster, s.proto_micro
+         |      ORDER BY s.vec_id) AS rk
+         |  FROM scored s
+         |  JOIN lv2 l ON l.cluster = s.cluster AND l.proto_micro = s.proto_micro)
+         |SELECT vec_id, cluster, proto_micro,
+         |  CAST(CASE WHEN cum <= quota OR (cp < quota AND rk <= quota - cp)
+         |    THEN 1 ELSE 0 END AS INT) AS keep
+         |FROM dec ORDER BY vec_id""".stripMargin,
     "q_pack" ->
       """WITH d AS (
         |  SELECT doc_id,

@@ -370,6 +370,72 @@ object Similarity {
         (col(idCol) === col("root")).cast("int").as("keep"))
   }
 
+  /** SSL-prototype data pruning (Sorscher et al., NeurIPS '22 "Beyond
+    * neural scaling laws"): cluster the embedding space with the IVF
+    * coarse quantizer; an example's PROTOTYPICALITY is its cosine to
+    * its own cluster centroid; keep the `keepPermille` LEAST
+    * prototypical per cluster — with abundant data, pruning the easy
+    * (prototypical) examples is what beats power-law scaling.
+    *
+    * Determinism discipline: assignment is the literal-matrix
+    * [[ivfAssign]] (integer, ties to the lower index); the score
+    * `floor(10⁶·dot ∕ √n2_vec ∕ √n2_centroid)` is ONE fixed IEEE
+    * expression tree — products stay < 2⁵³ and IEEE-754 sqrt/divide
+    * are correctly rounded, so every engine computes the identical
+    * micro-cosine. Zero-norm embeddings are excluded (no cosine).
+    *
+    * NO per-cluster sort: the keep rule goes through a
+    * (cluster, score) HISTOGRAM — cumulative window over score LEVELS
+    * (bounded by distinct scores per cluster, not by corpus), quota
+    * `keepPermille·n DIV 1000`, whole levels below the threshold kept,
+    * the boundary level broken by smallest id (a tie-heavy boundary
+    * level is the only window whose partition can grow; sub-salt the
+    * score with an id hash upstream if a fixture ever makes one hot).
+    *
+    * Output: (idCol, cluster, proto_micro, keep ∈ {0,1}). */
+  def prototypicality(df: DataFrame, idCol: String, embCol: String,
+      numCentroids: Int, keepPermille: Int,
+      centroids: Option[IndexedSeq[Seq[Long]]] = None): DataFrame = {
+    require(keepPermille >= 0 && keepPermille <= 1000,
+      "keepPermille in [0, 1000]")
+    val cents = centroids.getOrElse(ivfCentroids(df, idCol, embCol, numCentroids))
+    val n2c: Seq[Long] = cents.map(c => c.map(x => x * x).sum)
+    require(n2c.forall(_ > 0), "a centroid has zero norm — no cosine exists")
+    val scored = df
+      .select(col(idCol), quantize(col(embCol)).as("__q"))
+      .withColumn("__n2", dotQ(col("__q"), col("__q")))
+      .filter(col("__n2") > 0)
+      .withColumn("cluster", ivfAssign(col("__q"), cents))
+      .withColumn("proto_micro", floor(
+        lit(1000000L) * dotQ(col("__q"),
+            element_at(typedLit(cents.map(_.toIndexedSeq)), col("cluster")))
+          / sqrt(col("__n2").cast("double"))
+          / sqrt(element_at(typedLit(n2c.toIndexedSeq), col("cluster"))
+            .cast("double"))).cast("long"))
+      .select(col(idCol), col("cluster"), col("proto_micro"))
+    import org.apache.spark.sql.expressions.Window
+    val byLvl = Window.partitionBy(col("cluster")).orderBy(col("proto_micro"))
+    val lvls = scored.groupBy(col("cluster"), col("proto_micro"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__cum", sum(col("__cnt")).over(byLvl))
+      .withColumn("__cp", coalesce(sum(col("__cnt")).over(
+        byLvl.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__quota", floor(lit(keepPermille.toLong)
+        * sum(col("__cnt")).over(Window.partitionBy(col("cluster")))
+        / lit(1000)).cast("long"))
+      .select(col("cluster"), col("proto_micro"),
+        col("__cum"), col("__cp"), col("__quota"))
+    scored.join(lvls, Seq("cluster", "proto_micro"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("cluster"), col("proto_micro"))
+          .orderBy(col(idCol))))
+      .select(col(idCol), col("cluster"), col("proto_micro"),
+        (col("__cum") <= col("__quota") ||
+          (col("__cp") < col("__quota") &&
+            col("__rk") <= col("__quota") - col("__cp")))
+          .cast("int").as("keep"))
+  }
+
   /** Product-quantization codebook: the corpus split into `m` contiguous
     * subspaces, each with `ksub` codewords taken from the `ksub`
     * lowest-id vectors' subvectors (quantized). Like [[ivfCentroids]]

@@ -237,4 +237,35 @@ class SimilaritySpec extends SparkSpec {
     assert(top.orderBy("query_id", "rank").collect()
       .sameElements(single.orderBy("query_id", "rank").collect()))
   }
+
+  test("prototypicality: per-cluster keep quota honored, deterministic, zero-norm excluded") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .filter(col("vec_id") < 600).select("vec_id", "embedding")
+    // plant a zero vector — it must be excluded, not crash the cosine
+    val dims = e.head().getSeq[Float](1).size
+    val zero = Seq((9999L, Seq.fill(dims)(0.0f))).toDF("vec_id", "embedding")
+    val df = e.unionByName(zero)
+    val out = Similarity.prototypicality(df, "vec_id", "embedding",
+      numCentroids = 8, keepPermille = 700)
+    assert(out.filter(col("vec_id") === 9999L).count() == 0)
+    // per cluster: kept == (700 * n) / 1000 exactly (integer floor)
+    val perCluster = out.groupBy("cluster")
+      .agg(count(lit(1)).as("n"), sum(col("keep")).as("kept"))
+      .collect()
+    perCluster.foreach { r =>
+      assert(r.getAs[Long]("kept") == 700L * r.getAs[Long]("n") / 1000L,
+        s"cluster ${r.getInt(0)}: ${r.getAs[Long]("kept")} of ${r.getAs[Long]("n")}")
+    }
+    // kept examples are the LEAST prototypical: every kept score <=
+    // every dropped score within a cluster (modulo the boundary level)
+    val agg = out.groupBy("cluster").agg(
+      max(when(col("keep") === 1, col("proto_micro"))).as("max_kept"),
+      min(when(col("keep") === 0, col("proto_micro"))).as("min_dropped"))
+      .filter(col("min_dropped").isNotNull)
+    assert(agg.filter(col("max_kept") > col("min_dropped")).count() == 0)
+    // deterministic across recomputation
+    val again = Similarity.prototypicality(df, "vec_id", "embedding",
+      numCentroids = 8, keepPermille = 700)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
 }
