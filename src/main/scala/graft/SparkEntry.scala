@@ -1267,6 +1267,15 @@ object SparkEntry {
           "doc_id", col("text"))
         .orderBy("doc_id")),
 
+    // ---- the FULL Gopher A1.2 n-gram repetition table: char mass of
+    // the dominant 2/3/4-gram and of repeated 5..10-grams, integer
+    // per-mille — nine one-pass hashmap expressions inside ONE
+    // codegen'd projection, zero shuffles ----
+    "q_rep_ngrams" -> ((s, dir) =>
+      text.TextFunctions.repetitionCharStats(
+          repNgramCorpus(load(s, dir, "documents")), "doc_id", col("text"))
+        .orderBy("doc_id")),
+
     // ---- Gopher within-doc structural repetition: duplicate-line and
     // duplicate-paragraph excess (count + char mass) as integer
     // per-mille — pure narrow array expressions (array_distinct +
@@ -2579,6 +2588,67 @@ object SparkEntry {
       .select((col("doc_id") + 300000L).as("doc_id"), col("text")))
   }
 
+  /** Repetition-planted fixture for the n-gram char-share table: every
+    * 6th doc gains a degenerate "buy now" loop (dominant 2-gram),
+    * every 8th-mod-1 doc is doubled (every n-gram duplicated).
+    * Mirrored verbatim in [[repNgramOracle]]. */
+  private def repNgramCorpus(d: DataFrame): DataFrame =
+    d.filter(col("text").isNotNull).select(col("doc_id"),
+      when(col("doc_id") % 6 === 0,
+          concat(col("text"), lit(" buy now buy now buy now buy now")))
+        .when(col("doc_id") % 8 === 1, concat(col("text"), lit(" "), col("text")))
+        .otherwise(col("text")).as("text"))
+
+  /** Oracle twin of q_rep_ngrams: per n ∈ 2..10, explode the n-grams,
+    * count per (doc, gram), then char masses — total, dup (count ≥ 2)
+    * and the (count desc, gram asc)-first element's. Generated per n. */
+  private lazy val repNgramOracle: String = {
+    val ns = 2 to 10
+    val frags = ns.map { n =>
+      s"""g$n AS (
+         |  SELECT doc_id, ${gramN(n)} AS gram
+         |  FROM arr, LATERAL (SELECT unnest(generate_series(
+         |    1, greatest(len(w) - ${n - 1}, 1))) AS i) u),
+         |c$n AS (SELECT doc_id, gram, count(*) AS c
+         |        FROM g$n WHERE gram IS NOT NULL GROUP BY 1, 2),
+         |s$n AS (SELECT doc_id, sum(c * length(gram)) AS total_chars,
+         |          sum(CASE WHEN c >= 2 THEN c * length(gram) ELSE 0 END)
+         |            AS dup_chars
+         |        FROM c$n GROUP BY 1),
+         |t$n AS (SELECT doc_id, c * length(gram) AS top_chars FROM (
+         |          SELECT doc_id, gram, c, row_number() OVER (
+         |            PARTITION BY doc_id ORDER BY c DESC, gram) AS rn
+         |          FROM c$n) WHERE rn = 1)""".stripMargin
+    }
+    val topCols = (2 to 4).map { n =>
+      s"""  CAST(CASE WHEN coalesce(s$n.total_chars, 0) > 0
+         |    THEN 1000 * t$n.top_chars // s$n.total_chars
+         |    ELSE 0 END AS BIGINT) AS top_${n}gram_char_permille""".stripMargin
+    }
+    val dupCols = (5 to 10).map { n =>
+      s"""  CAST(CASE WHEN coalesce(s$n.total_chars, 0) > 0
+         |    THEN 1000 * s$n.dup_chars // s$n.total_chars
+         |    ELSE 0 END AS BIGINT) AS dup_${n}gram_char_permille""".stripMargin
+    }
+    val joins = ns.map(n => s"LEFT JOIN s$n ON s$n.doc_id = arr.doc_id") ++
+      (2 to 4).map(n => s"LEFT JOIN t$n ON t$n.doc_id = arr.doc_id")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, CASE
+       |    WHEN doc_id % 6 = 0 THEN text || ' buy now buy now buy now buy now'
+       |    WHEN doc_id % 8 = 1 THEN text || ' ' || text
+       |    ELSE text END AS text
+       |  FROM documents WHERE text IS NOT NULL),
+       |arr AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS w
+       |  FROM corpus),
+       |${frags.mkString(",\n")}
+       |SELECT arr.doc_id, CAST(len(w) AS BIGINT) AS n_words,
+       |${(topCols ++ dupCols).mkString(",\n")}
+       |FROM arr
+       |${joins.mkString("\n")}
+       |ORDER BY arr.doc_id""".stripMargin
+  }
+
   /** Paragraph-structured fixture for the within-doc repetition
     * operator: shared intro/footer paragraphs, body cut into paragraphs
     * at " table " and into lines at " the ", plus a duplicated
@@ -3001,6 +3071,7 @@ object SparkEntry {
         |  CAST(len(string_split(c.text, chr(10))) AS BIGINT) AS n_lines
         |FROM corpus c LEFT JOIN agg a ON a.doc_id = c.doc_id
         |ORDER BY c.doc_id""".stripMargin),
+    "q_rep_ngrams" -> repNgramOracle,
     "q_rep_lines" ->
       """WITH corpus AS (
         |  SELECT doc_id,

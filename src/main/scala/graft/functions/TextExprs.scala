@@ -410,6 +410,90 @@ case class TokenStats(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** [[TokenStats]] plus CHAR-MASS accounting in the same single hashmap
+  * pass — the Gopher A1.2 n-gram repetition metrics need how many
+  * characters sit in repeated or dominant n-grams, not just counts:
+  *  - `top_chars`   = count·len of the most frequent element (ties →
+  *    the lexicographically smallest, a total order any engine agrees
+  *    on);
+  *  - `dup_chars`   = Σ count·len over elements occurring ≥ 2 times;
+  *  - `total_chars` = Σ count·len over all elements.
+  * Char mass is over the element MULTISET (every occurrence counts its
+  * full length; overlapping positions are not unioned — positional
+  * union at gram level is [[graft.text.Substrings]]' job). NULL
+  * elements are skipped; empty/all-NULL input → NULL struct.
+  */
+case class TokenCharStats(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"token_char_stats expects array<string>, got ${t.sql}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_total", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("top_count", LongType, nullable = false),
+    StructField("top_chars", LongType, nullable = false),
+    StructField("dup_chars", LongType, nullable = false),
+    StructField("total_chars", LongType, nullable = false)))
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = compute(input)
+
+  def compute(input: Any): InternalRow = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counts = new java.util.HashMap[UTF8String, java.lang.Long]()
+    var total = 0L
+    var j = 0
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        val s = arr.getUTF8String(j).clone()
+        val prev = counts.get(s)
+        counts.put(s, if (prev == null) 1L else prev.longValue() + 1L)
+        total += 1
+      }
+      j += 1
+    }
+    if (total == 0) return null
+    var topCount = 0L
+    var topGram: UTF8String = null
+    var topChars = 0L
+    var dupChars = 0L
+    var totalChars = 0L
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val c = e.getValue.longValue()
+      val len = e.getKey.numChars().toLong
+      totalChars += c * len
+      if (c >= 2) dupChars += c * len
+      if (c > topCount ||
+        (c == topCount && (topGram == null || e.getKey.compareTo(topGram) < 0))) {
+        topCount = c
+        topGram = e.getKey
+        topChars = c * len
+      }
+    }
+    InternalRow(total, counts.size.toLong, topCount, topChars, dupChars, totalChars)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokenCharStats", this, classOf[TokenCharStats].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""org.apache.spark.sql.catalyst.InternalRow ${ev.value}$$r =
+         |  (org.apache.spark.sql.catalyst.InternalRow) $ref.compute($c);
+         |if (${ev.value}$$r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}$$r; }""".stripMargin)
+  }
+
+  override def prettyName: String = "token_char_stats"
+  override protected def withNewChildInternal(newChild: Expression): TokenCharStats =
+    copy(child = newChild)
+}
+
 /** `bits`-wide SimHash over a token MULTISET in one pass: bit j of a
   * token's hash is bit (3 − j%4) of hex digit j/4 of md5(token) —
   * equivalently bit (7 − j%8) of digest byte j/8 — and the document bit

@@ -198,6 +198,47 @@ object TextFunctions {
         (lit(1.0) - col("__g").getField("n_distinct").cast("double")
           / col("__g").getField("n_total")).as("dup_2gram_ratio"))
 
+  /** One-pass char-mass repetition stats over a BOUND token-array
+    * column ([[graft.functions.TokenCharStats]]). */
+  def tokenCharStatsCol(tokens: Column): Column =
+    ExprBridge.column(graft.functions.TokenCharStats(ExprBridge.expression(tokens)))
+
+  /** The FULL Gopher A1.2 n-gram repetition table (Rae et al. 2021,
+    * MassiveText): what fraction of a document's characters sit in its
+    * dominant or repeated word n-grams —
+    *  - `top_{2,3,4}gram_char_permille`: char mass of the single most
+    *    frequent n-gram (all its occurrences; ties to the
+    *    lexicographically smallest) over the n-gram multiset's total
+    *    char mass;
+    *  - `dup_{5..10}gram_char_permille`: char mass of every n-gram
+    *    occurring ≥ 2 times over the same total.
+    * Gopher gates at ~0.18/0.16/0.14 for top-2/3/4 and ~0.15…0.10 for
+    * dup-5…10 — integer per-mille here, so the thresholds are exact
+    * integer comparisons in any engine.
+    *
+    * Char mass is over the n-gram MULTISET (each occurrence counts its
+    * full length, spaces included; overlapping positions are NOT
+    * unioned — positional union is [[Substrings.dupSpans]]' exact-span
+    * semantics). Each column is one [[tokenCharStatsCol]] pass over the
+    * shingle array — nine hashmap passes per document inside ONE
+    * codegen'd projection: zero shuffles, scan speed. Docs with fewer
+    * than n words score 0 for that n (no repetition evidence). */
+  def repetitionCharStats(df: DataFrame, idCol: String, text: Column): DataFrame = {
+    val withToks = df.filter(text.isNotNull)
+      .select(col(idCol), whitespaceTokens(lower(text)).as("__tok"))
+    def permille(n: Int, field: String, out: String): Column = {
+      val st = tokenCharStatsCol(Shingles.wordNGramsOf(col("__tok"), n))
+      coalesce(when(st.getField("total_chars") > 0,
+          floor(lit(1000) * st.getField(field) / st.getField("total_chars"))),
+        lit(0L)).cast("long").as(out)
+    }
+    withToks.select(
+      col(idCol) +:
+        (size(col("__tok")).cast("long").as("n_words") +:
+          ((2 to 4).map(n => permille(n, "top_chars", s"top_${n}gram_char_permille")) ++
+            (5 to 10).map(n => permille(n, "dup_chars", s"dup_${n}gram_char_permille")))): _*)
+  }
+
   /** Vocabulary building: global token frequencies + document
     * frequencies, top-K by count (ties broken by token — a total order,
     * so the cutoff is deterministic). The canonical word-count: one

@@ -224,4 +224,26 @@ class TextFunctionsSpec extends SparkSpec {
     val kl = out.values.map(_._4).sum
     assert(kl > 0, s"KL estimate should be positive, got $kl")
   }
+
+  test("repetitionCharStats: hand-computed char shares, ties to smallest gram") {
+    val c = Seq(
+      (1L, "buy buy buy sale"),          // 2-grams: "buy buy"×2 (14) + "buy sale" (8)
+      (2L, "a b c d e a b c d e"),       // 5-grams: "a b c d e"×2 of 6 total
+      (3L, "x y x z"),                   // all 2-grams unique → tie → "x y"
+      (4L, "one")                        // < 2 words → all zeros
+    ).toDF("doc_id", "text")
+    val out = TextFunctions.repetitionCharStats(c, "doc_id", col("text"))
+    val rows = out.orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def f(id: Long, name: String) = rows(id).getAs[Long](name)
+    assert(f(1, "top_2gram_char_permille") == 1000L * 14 / 22)
+    assert(f(2, "dup_5gram_char_permille") == 1000L * 18 / 54)
+    // tie on count: lexicographically smallest 2-gram ("x y") wins
+    assert(f(3, "top_2gram_char_permille") == 1000L * 3 / 9)
+    assert((2 to 4).forall(n => f(4, s"top_${n}gram_char_permille") == 0L))
+    assert((5 to 10).forall(n => f(4, s"dup_${n}gram_char_permille") == 0L))
+    assert(f(2, "n_words") == 10L)
+    // narrow: one projection, no Exchange
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
 }
