@@ -37,7 +37,8 @@ object Bench {
     * (AvailableNow/ProcessingTime micro-batch overhead, live-tail waits)
     * rather than plan cost — batch-proportional at scale, constant here. */
   val streamingQueries: Set[String] =
-    Set("q_st2_catchup", "q_st1_overlap", "q_st3_tail", "q_st_index")
+    Set("q_st2_catchup", "q_st1_overlap", "q_st3_tail", "q_st_index",
+      "q_st_substr", "q_st_curate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

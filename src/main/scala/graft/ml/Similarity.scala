@@ -590,6 +590,8 @@ object Similarity {
     corpus.select(col(idCol).as("id"), quantize(col(embCol)).as("__ce"))
       .select(col("id"), pb.codes(col("__ce")).as("code"),
         ivfAssign(col("__ce"), cents).as("list"))
+      // one file per IVF list instead of tasks×lists tiny files
+      .repartition(col("list"))
       .write.mode("overwrite").partitionBy("list").parquet(s"$dir/codes")
     val metaRows: Seq[(String, Int, Int, Seq[Long])] =
       cents.zipWithIndex.map { case (v, i) => ("cent", 0, i, v) } ++
@@ -626,6 +628,7 @@ object Similarity {
     batch.select(col(idCol).as("id"), quantize(col(embCol)).as("__ce"))
       .select(col("id"), pb.codes(col("__ce")).as("code"),
         ivfAssign(col("__ce"), cents).as("list"))
+      .repartition(col("list")) // one file per touched list per append
       .write.mode("append").partitionBy("list").parquet(s"$dir/codes")
   }
 

@@ -175,6 +175,10 @@ object Retrieval {
         .as("term"))
     toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
       .withColumn("bkt", pmod(xxhash64(col("term")), lit(buckets.toLong)))
+      // co-locate each bucket before the write — the aggregate exchange
+      // hashes on (id, term), so without this every task holds every
+      // bucket and the layout sprays tasks×buckets tiny files
+      .repartition(col("bkt"))
       .write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/postings")
     // derive dl/df/stats from the WRITTEN postings — the corpus is
     // tokenized exactly once
@@ -184,6 +188,7 @@ object Retrieval {
     dl.write.mode("overwrite").parquet(s"$dir/dl")
     tf.groupBy("term").agg(count(lit(1)).as("df"))
       .withColumn("bkt", pmod(xxhash64(col("term")), lit(buckets.toLong)))
+      .repartition(col("bkt"))
       .write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/df")
     dl.agg(count(lit(1)).as("__n"),
         (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"),

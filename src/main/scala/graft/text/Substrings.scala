@@ -259,6 +259,10 @@ object Substrings {
     val g = gramRows(corpus, idCol, text, k, maxChars)
     g.groupBy(col("h")).agg(count(lit(1)).as("n"))
       .withColumn("bkt", pmod(xxhash64(col("h")), lit(buckets.toLong)))
+      // co-locate each bucket before the write: without this every task
+      // holds rows of every bucket (the census exchange hashes on `h`)
+      // and the layout sprays tasks×buckets tiny files
+      .repartition(col("bkt"))
       .write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/census")
     val spark = corpus.sparkSession
     val docs = corpus.filter(text.isNotNull).count()
@@ -286,6 +290,7 @@ object Substrings {
     gramRows(batch, idCol, text, k, maxChars)
       .groupBy(col("h")).agg(count(lit(1)).as("n"))
       .withColumn("bkt", pmod(xxhash64(col("h")), lit(buckets)))
+      .repartition(col("bkt")) // one file per touched bucket per append
       .write.mode("append").partitionBy("bkt").parquet(s"$dir/census")
   }
 
