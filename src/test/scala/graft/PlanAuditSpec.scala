@@ -137,6 +137,40 @@ class PlanAuditSpec extends SparkSpec {
       s"q_quality_clf degenerates:\n$clf")
   }
 
+  test("substring dedup and prototype pruning keep their scale shapes") {
+    // exact substring spans: the census must be a hash aggregate
+    // (map-side combined — a hot gram collapses before the exchange),
+    // the join back an equi-join, and every window partitioned per
+    // DOCUMENT (a global window would funnel the corpus through one
+    // reducer)
+    val sp = SparkEntry.queries("q_substr_spans")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!sp.contains("BroadcastNestedLoopJoin") &&
+      !sp.contains("CartesianProduct"), s"q_substr_spans degenerates:\n$sp")
+    // a global window or one-row funnel would show as a SinglePartition
+    // exchange; the only exchanges allowed are hash (census, per-doc
+    // windows) and the final range sort
+    assert(!sp.contains("SinglePartition"),
+      s"q_substr_spans funnels through one partition:\n$sp")
+    // the repetition gates are pure projections: zero exchanges before
+    // the final presentation sort
+    for (q <- Seq("q_rep_lines", "q_rep_ngrams")) {
+      val plan = SparkEntry.queries(q)(spark, sf0001)
+        .queryExecution.executedPlan.toString
+      assert("Exchange".r.findAllIn(plan).size <= 1, // the orderBy only
+        s"$q shuffles beyond the presentation sort:\n$plan")
+      assert(!plan.contains("Join"), s"$q plans a join:\n$plan")
+    }
+    // prototypicality: no corpus-wide per-cluster sort — the only
+    // windows run over (cluster) score LEVELS and the boundary
+    // tie-break; centroid scoring itself must stay join-free (the
+    // literal matrix rides in the projection)
+    val pr = SparkEntry.queries("q_prototype")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!pr.contains("CartesianProduct") &&
+      !pr.contains("BroadcastNestedLoopJoin"), s"q_prototype degenerates:\n$pr")
+  }
+
   test("scans are pruned to the referenced columns") {
     // q1_agg touches 4 of lineitem's 16 columns: the scan must not
     // read the other 12
