@@ -189,17 +189,20 @@ object Main {
   /** `-curate` (engine extension): run the batch curation pipeline over
     * a catalog namespace and write the training-corpus manifest —
     * the CLI shape of `q_pipeline_corpus` / `DocStream.curateStream`:
-    * optional C4 line gate → corpus-wide exact dedup (min-id winner) →
-    * quality + language filter → deterministic split assignment →
-    * optional per-stratum token budgets ([[graft.text.Mixing]]).
+    * corpus-wide exact dedup (min-id winner) → optional substring-level
+    * cut ([[graft.text.Substrings]], `substrCut` = gram width k) →
+    * optional C4 line gate → quality + language filter → deterministic
+    * split assignment → optional per-stratum token budgets
+    * ([[graft.text.Mixing]]).
     *
     * Config: `{"source": "<catalog root>", "namespace": "db.coll",
     * "out": "<dir>", "id": "doc_id", "text": "text", "minQuality": 3,
     * "langs": ["en"], "salt": "42",
     * "weights": {"train": 0.8, "val": 0.1, "test": 0.1},
-    * "lineGate": 5, "budgets": {"en": 4000000000}}` — the last two
-    * optional. Writes parquet (id, n_tokens, quality_score, pred_lang,
-    * bucket, split) to `out` and prints the stage counts. */
+    * "lineGate": 5, "substrCut": 40, "budgets": {"en": 4000000000}}` —
+    * the last three optional. Writes parquet (id, n_tokens,
+    * quality_score, pred_lang, bucket, split) to `out` and prints the
+    * stage counts. */
   private def curate(spark: SparkSession, json: String): Int = {
     import org.apache.spark.sql.functions._
     import graft.text.{Lines, Mixing, Sampling, TextFunctions}
@@ -221,6 +224,7 @@ object Main {
         .map(e => e.getKey -> e.getValue.asDouble())
       else Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
     val lineGate = if (n.has("lineGate")) Some(n.get("lineGate").asInt()) else None
+    val substrCut = if (n.has("substrCut")) Some(n.get("substrCut").asInt()) else None
     val budgets = if (n.has("budgets"))
       Some(n.get("budgets").fields().asScala.toSeq
         .map(e => e.getKey -> e.getValue.asLong()))
@@ -246,12 +250,28 @@ object Main {
       .agg(min(struct((col(idCol) +: rcols.filterNot(_ == idCol).map(col))
         .toIndexedSeq: _*)).as("__w"))
       .select("__w.*")
+    // optional substring-level cut (Lee et al. ExactSubstr, k-char
+    // grams): remove corpus-wide duplicated spans from the SURVIVING
+    // docs before gating/scoring, so boilerplate runs don't inflate
+    // quality or token counts. Batch-only: the streaming twin
+    // (DocStream.curateStream) dedups whole documents; an incremental
+    // substring cut would probe a frozen census (Substrings.newDupSpans)
+    // — different semantics, so it is not silently implied here.
+    val cut = substrCut match {
+      case Some(k) =>
+        deduped.join(
+            graft.text.Substrings.cleanedCorpus(deduped, idCol,
+              col(textName), k).select(col(idCol), col("text_clean")),
+            Seq(idCol))
+          .drop(textName).withColumnRenamed("text_clean", textName)
+      case None => deduped
+    }
     val (gated, scoredText) = lineGate match {
       case Some(minWords) =>
-        (deduped.withColumn("__text_kept",
+        (cut.withColumn("__text_kept",
           Lines.lineFilterCol(col(textName), minWords).getField("text_kept")),
           col("__text_kept"))
-      case None => (deduped, col(textName))
+      case None => (cut, col(textName))
     }
     val stats = TextFunctions.languageId(
       TextFunctions.qualityStats(gated, scoredText), scoredText)

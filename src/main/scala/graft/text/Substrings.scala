@@ -125,7 +125,34 @@ object Substrings {
     * Documents with no duplicated span report dup_chars 0 and the md5
     * of their original text. */
   def dupStats(df: DataFrame, idCol: String, text: Column, k: Int,
-      maxChars: Int = 0): DataFrame = {
+      maxChars: Int = 0): DataFrame =
+    spanAgged(df, idCol, text, k, maxChars)
+      .select(col(idCol),
+        length(col("__t")).cast("long").as("n_chars"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        floor(lit(1000) * coalesce(col("dup_chars"), lit(0L))
+          / length(col("__t"))).as("dup_permille"),
+        md5(when(col("__sp").isNull, col("__t"))
+          .otherwise(removedCol(col("__t"), col("__sp")))).as("clean_md5"))
+
+  /** The cut step as a joinable frame: (idCol, text_clean, dup_chars) —
+    * the corpus with every duplicated span removed; span-free documents
+    * pass through unchanged. The batch curation pipeline
+    * ([[graft.Main]] `-curate` `substrCut`) joins this back by id. */
+  def cleanedCorpus(df: DataFrame, idCol: String, text: Column, k: Int,
+      maxChars: Int = 0): DataFrame =
+    spanAgged(df, idCol, text, k, maxChars)
+      .select(col(idCol),
+        when(col("__sp").isNull, col("__t"))
+          .otherwise(removedCol(col("__t"), col("__sp"))).as("text_clean"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
+
+  /** Corpus left-joined with its sorted merged spans:
+    * (idCol, __t, __sp, n_spans, dup_chars); __sp NULL for span-free
+    * docs. */
+  private def spanAgged(df: DataFrame, idCol: String, text: Column, k: Int,
+      maxChars: Int): DataFrame = {
     val spans = dupSpans(df, idCol, text, k, maxChars)
       .groupBy(col(idCol))
       .agg(array_sort(collect_list(struct(col("span_start"), col("span_end"))))
@@ -135,14 +162,6 @@ object Substrings {
     df.filter(text.isNotNull)
       .select(col(idCol), capped(text, maxChars).as("__t"))
       .join(spans, Seq(idCol), "left")
-      .select(col(idCol),
-        length(col("__t")).cast("long").as("n_chars"),
-        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
-        floor(lit(1000) * coalesce(col("dup_chars"), lit(0L))
-          / length(col("__t"))).as("dup_permille"),
-        md5(when(col("__sp").isNull, col("__t"))
-          .otherwise(removedCol(col("__t"), col("__sp")))).as("clean_md5"))
   }
 
   /** Text with the sorted spans cut out: segment i runs from (previous

@@ -212,6 +212,37 @@ class MainSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Main.run(Seq("-curate", bad), sess) }
   }
 
+  test("-curate substrCut removes cross-doc duplicated spans before scoring") {
+    // docs 1 and 2 share an 80-char prefix with distinct tails; the cut
+    // must remove EXACTLY the shared region from both (the maximal dup
+    // span), so each manifest row counts only its tail's tokens
+    val shared =
+      "The quick brown fox jumps over the lazy dog and the cat of the house sat still."
+    val t1 = "Alpha section keeps the unique content of this one here today."
+    val t2 = "Beta part holds the different words of that other one there."
+    val srcDir = tmp("graft-cli-curate-substr")
+    Seq((1L, s"$shared $t1"), (2L, s"$shared $t2"),
+        (3L, "An untouched document where the words of this text stay whole."))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$srcDir/docs.parquet")
+    def run(cut: String, outTag: String): Map[Long, Long] = {
+      val out = tmp(s"graft-cli-curate-substr-$outTag") + "/manifest"
+      val cfg = writeCfg(tmp(s"graft-cli-curate-substrcfg-$outTag"),
+        s"""{"source":"$srcDir","namespace":"local.docs","out":"$out",
+           |"minQuality":0,"langs":["en"]$cut}""".stripMargin)
+      assert(Main.run(Seq("-curate", cfg), sess) == 0)
+      spark.read.parquet(out).select("doc_id", "n_tokens").as[(Long, Long)]
+        .collect().toMap
+    }
+    val without = run("", "off")
+    val withCut = run(""","substrCut":40""", "on")
+    def nTok(s: String): Long = s.trim.split("\\s+").length.toLong
+    assert(without(1L) == nTok(s"$shared $t1"))
+    assert(withCut(1L) == nTok(t1), s"doc 1 kept ${withCut(1L)} tokens")
+    assert(withCut(2L) == nTok(t2), s"doc 2 kept ${withCut(2L)} tokens")
+    assert(withCut(3L) == without(3L)) // span-free doc untouched
+  }
+
   test("-curate dedups on RAW text before the line gate (stream-surface parity)") {
     // docs 1 and 2 differ in raw text but gate to the identical kept
     // line; doc 3 is a raw duplicate of doc 1. Dedup-before-gate (the
