@@ -1056,6 +1056,27 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // ---- embedding-level decontamination: corpus items sitting on top
+    // of an eval-set vector (quantized cosine ≥ 0.9, integer
+    // cross-multiplied test) — the dense sibling of q_decontaminate's
+    // 13-gram rule, for paraphrased leaks that share no gram. Eval set
+    // broadcasts; the corpus never shuffles; best match per item is an
+    // algebraic max(struct), no window ----
+    "q_decontam_dense" -> ((s, dir) => {
+      val base = load(s, dir, "embeddings")
+      val ev = base.filter(col("vec_id") >= 450 && col("vec_id") < 500)
+        .select(col("vec_id"), col("embedding"))
+      val corpus = base.filter(col("vec_id") < 450)
+        .select(col("vec_id"), col("embedding"))
+        .unionByName(ev.filter(col("vec_id") % 5 === 0).select(
+          (col("vec_id") + 200000L).as("vec_id"),
+          transform(col("embedding"), x => (x.cast("double") * 1.1).cast("float"))
+            .as("embedding")))
+      ml.Similarity.contaminatedDense(corpus, "vec_id", "embedding",
+          ev, "vec_id", "embedding")
+        .orderBy("vec_id")
+    }),
+
     // ---- SSL-prototype data pruning (Sorscher et al. '22): cosine to
     // the own-cluster centroid as an IEEE-exact micro score, keep the
     // 70% least prototypical per cluster via a (cluster, score)
@@ -4635,6 +4656,39 @@ object SparkEntry {
          |  CAST(r.id = r.root_id AS INT) AS keep
          |FROM roots r JOIN asgn a ON a.vec_id = r.id
          |ORDER BY vec_id""".stripMargin,
+    "q_decontam_dense" ->
+      s"""WITH ev AS (
+         |  SELECT vec_id AS eid, embedding FROM embeddings
+         |  WHERE vec_id >= 450 AND vec_id < 500),
+         |corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 450
+         |  UNION ALL
+         |  SELECT eid + 200000,
+         |    list_transform(embedding, v -> CAST(CAST(v AS DOUBLE) * 1.1 AS FLOAT))
+         |  FROM ev WHERE eid % 5 = 0),
+         |cs AS (SELECT vec_id, embedding,
+         |         ${dotQ("embedding", "embedding")} AS n2c FROM corpus),
+         |es AS (SELECT eid, embedding,
+         |         ${dotQ("embedding", "embedding")} AS n2e FROM ev),
+         |hits AS (
+         |  SELECT c.vec_id, e.eid,
+         |    ${dotQ("c.embedding", "e.embedding")} AS d, c.n2c, e.n2e
+         |  FROM cs c, es e WHERE c.n2c > 0 AND e.n2e > 0),
+         |flt AS (
+         |  SELECT vec_id, eid,
+         |    CAST(floor(1000000 * d / sqrt(CAST(n2c AS DOUBLE))
+         |      / sqrt(CAST(n2e AS DOUBLE))) AS BIGINT) AS cos_micro
+         |  FROM hits
+         |  WHERE d > 0 AND 1000000 * CAST(d AS HUGEINT) * CAST(d AS HUGEINT)
+         |    >= 810000 * CAST(n2c AS HUGEINT) * CAST(n2e AS HUGEINT)),
+         |r AS (SELECT vec_id, eid, cos_micro,
+         |        row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY cos_micro DESC, eid DESC) AS rn,
+         |        count(*) OVER (PARTITION BY vec_id) AS n_hits
+         |      FROM flt)
+         |SELECT vec_id, CAST(n_hits AS BIGINT) AS n_hits,
+         |  eid AS best_eval_id, cos_micro AS best_cos_micro
+         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "q_prototype" ->
       s"""WITH corpus AS (
          |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1500),

@@ -436,6 +436,57 @@ object Similarity {
           .cast("int").as("keep"))
   }
 
+  /** Embedding-level benchmark decontamination — the dense sibling of
+    * [[graft.text.Dedup.contaminated]] (13-gram overlap): corpus items
+    * whose quantized cosine to ANY eval-set vector clears `threshold`
+    * per-mille are flagged, with their best-matching eval item. A
+    * paraphrased or reformatted eval leak shares no 13-gram but sits on
+    * top of the eval item in embedding space.
+    *
+    * Scale shape: the EVAL SET broadcasts (benchmarks are thousands of
+    * rows; the corpus is the big side) — the corpus never shuffles, the
+    * non-equi threshold join is a BroadcastNestedLoop over the tiny
+    * side by construction. The threshold test is the integer
+    * cross-multiplied rule (`10⁶·dot² ≥ thr²·n2_c·n2_e` in
+    * decimal(38,0) — exact); the reported `best_cos_micro` is the fixed
+    * IEEE tree `floor(10⁶·dot ∕ √n2_c ∕ √n2_e)`, and the best match per
+    * corpus item is the algebraic `max(struct(cos, eval_id))` — no
+    * window. Zero-norm vectors on either side are excluded.
+    *
+    * Output: (idCol, n_hits, best_eval_id, best_cos_micro), one row per
+    * CONTAMINATED corpus item. */
+  def contaminatedDense(corpus: DataFrame, idCol: String, embCol: String,
+      evalSet: DataFrame, evalIdCol: String, evalEmbCol: String,
+      thresholdPermille: Int = 900): DataFrame = {
+    require(thresholdPermille > 0 && thresholdPermille <= 1000,
+      "thresholdPermille in (0, 1000]")
+    val c = corpus.select(col(idCol), quantize(col(embCol)).as("__qc"))
+      .withColumn("__n2c", dotQ(col("__qc"), col("__qc")))
+      .filter(col("__n2c") > 0)
+    val e = evalSet.select(col(evalIdCol).as("__eid"),
+        quantize(col(evalEmbCol)).as("__qe"))
+      .withColumn("__n2e", dotQ(col("__qe"), col("__qe")))
+      .filter(col("__n2e") > 0)
+    val thr2 = thresholdPermille.toLong * thresholdPermille
+    val hits = c.crossJoin(broadcast(e))
+      .withColumn("__d", dotQ(col("__qc"), col("__qe")))
+      .filter {
+        val d = col("__d").cast("decimal(38,0)")
+        col("__d") > 0 &&
+          lit(1000000L) * d * d >= lit(thr2) *
+            col("__n2c").cast("decimal(38,0)") * col("__n2e").cast("decimal(38,0)")
+      }
+      .withColumn("__cos", floor(lit(1000000L) * col("__d")
+        / sqrt(col("__n2c").cast("double"))
+        / sqrt(col("__n2e").cast("double"))).cast("long"))
+    hits.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"),
+        max(struct(col("__cos"), col("__eid"))).as("__best"))
+      .select(col(idCol), col("n_hits"),
+        col("__best").getField("__eid").as("best_eval_id"),
+        col("__best").getField("__cos").as("best_cos_micro"))
+  }
+
   /** Product-quantization codebook: the corpus split into `m` contiguous
     * subspaces, each with `ksub` codewords taken from the `ksub`
     * lowest-id vectors' subvectors (quantized). Like [[ivfCentroids]]

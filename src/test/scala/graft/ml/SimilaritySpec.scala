@@ -238,6 +238,35 @@ class SimilaritySpec extends SparkSpec {
       .sameElements(single.orderBy("query_id", "rank").collect()))
   }
 
+  test("contaminatedDense flags planted eval copies and nothing else") {
+    val base = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val ev = base.filter(col("vec_id") >= 450).select("vec_id", "embedding")
+    // corpus: disjoint vectors + scaled copies of 10 eval items
+    val planted = ev.filter(col("vec_id") % 5 === 0).select(
+      (col("vec_id") + 200000L).as("vec_id"),
+      transform(col("embedding"), x => (x.cast("double") * 1.1).cast("float"))
+        .as("embedding"))
+    val corpus = base.filter(col("vec_id") < 450)
+      .select("vec_id", "embedding").unionByName(planted)
+    val out = Similarity.contaminatedDense(corpus, "vec_id", "embedding",
+      ev, "vec_id", "embedding")
+    val flagged = out.collect().map(r =>
+      r.getLong(0) -> (r.getAs[Long]("best_eval_id"), r.getAs[Long]("best_cos_micro"))).toMap
+    // every planted copy is flagged, matched to ITS source, cosine ~1
+    val plantedIds = planted.select("vec_id").as[Long].collect()
+    assert(plantedIds.nonEmpty)
+    plantedIds.foreach { id =>
+      assert(flagged.contains(id), s"planted $id not flagged")
+      assert(flagged(id)._1 == id - 200000L, s"planted $id matched ${flagged(id)._1}")
+      assert(flagged(id)._2 > 999000L, s"planted $id cos ${flagged(id)._2}")
+    }
+    // the fixture's independent vectors must not cross 0.9
+    assert(out.filter(col("vec_id") < 450).count() == 0)
+    // the eval side broadcasts: no shuffle of the corpus for the join
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"eval side not broadcast:\n$plan")
+  }
+
   test("prototypicality: per-cluster keep quota honored, deterministic, zero-norm excluded") {
     val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
       .filter(col("vec_id") < 600).select("vec_id", "embedding")
