@@ -1090,6 +1090,23 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // ---- NO-SPLIT sequence packing: docs land intact, next-fit per
+    // shard — the attention-mask-respecting packing. The one deliberate
+    // per-group fold on the surface (next-fit's reset is sequential);
+    // shards bound memory and give the parallelism ----
+    "q_pack_nosplit" -> ((s, dir) => {
+      val d = text.TextFunctions.qualityStats(
+          load(s, dir, "documents").filter(col("text").isNotNull), col("text"))
+        .select(col("doc_id"), col("n_tokens"))
+      val sp = text.Sampling.hashSplit(d, col("doc_id"), "42",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .withColumn("shard", concat(col("split"), lit(":"),
+          (col("bucket") % 8).cast("string")))
+      text.Packing.packNoSplit(sp, "doc_id", col("n_tokens"),
+          col("shard"), 2048L)
+        .orderBy("doc_id")
+    }),
+
     // ---- sequence packing manifest: split + shard + windowed cumsum —
     // where every doc lands in the fixed-capacity training sequences.
     // Sharding by the split bucket keeps windows small and parallel
@@ -4734,6 +4751,41 @@ object SparkEntry {
          |  CAST(CASE WHEN cum <= quota OR (cp < quota AND rk <= quota - cp)
          |    THEN 1 ELSE 0 END AS INT) AS keep
          |FROM dec ORDER BY vec_id""".stripMargin,
+    // next-fit unrolled as a recursive CTE stepping one doc per shard
+    // at a time — mirrors packNoSplit's fold exactly (reset only when
+    // the sequence already holds something)
+    "q_pack_nosplit" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8)) AS BIGINT)
+        |      % 10000 AS bucket
+        |  FROM documents WHERE text IS NOT NULL),
+        |docs AS (
+        |  SELECT (CASE WHEN bucket < 8000 THEN 'train'
+        |               WHEN bucket < 9000 THEN 'val' ELSE 'test' END)
+        |           || ':' || CAST(bucket % 8 AS VARCHAR) AS shard,
+        |    doc_id, n_tokens,
+        |    row_number() OVER (PARTITION BY (CASE WHEN bucket < 8000 THEN 'train'
+        |      WHEN bucket < 9000 THEN 'val' ELSE 'test' END)
+        |      || ':' || CAST(bucket % 8 AS VARCHAR) ORDER BY doc_id) AS rn
+        |  FROM d),
+        |step AS (
+        |  SELECT shard, rn, doc_id, n_tokens,
+        |    CAST(0 AS BIGINT) AS seq_idx, CAST(0 AS BIGINT) AS seq_offset,
+        |    n_tokens AS fill
+        |  FROM docs WHERE rn = 1
+        |  UNION ALL
+        |  SELECT nx.shard, nx.rn, nx.doc_id, nx.n_tokens,
+        |    CASE WHEN s.fill > 0 AND s.fill + nx.n_tokens > 2048
+        |      THEN s.seq_idx + 1 ELSE s.seq_idx END,
+        |    CASE WHEN s.fill > 0 AND s.fill + nx.n_tokens > 2048
+        |      THEN CAST(0 AS BIGINT) ELSE s.fill END,
+        |    CASE WHEN s.fill > 0 AND s.fill + nx.n_tokens > 2048
+        |      THEN nx.n_tokens ELSE s.fill + nx.n_tokens END
+        |  FROM step s JOIN docs nx ON nx.shard = s.shard AND nx.rn = s.rn + 1)
+        |SELECT shard, doc_id, n_tokens, seq_idx, seq_offset
+        |FROM step ORDER BY doc_id""".stripMargin,
     "q_pack" ->
       """WITH d AS (
         |  SELECT doc_id,

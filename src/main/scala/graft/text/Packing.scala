@@ -44,4 +44,46 @@ object Packing {
       .withColumn("seq_idx", floor(col("start_tok") / capacity).cast("long"))
       .withColumn("seq_offset", (col("start_tok") % capacity).cast("long"))
   }
+
+  /** NO-SPLIT sequence packing: every document lands INTACT in one
+    * fixed-capacity sequence, next-fit along the deterministic
+    * (shard, id) order — the packing used when attention must not
+    * cross document cuts (so [[packManifest]]'s concatenate-and-cut
+    * layout is unusable). A document that alone exceeds `capacity`
+    * occupies its own sequence (truncation is the tokenizer's policy,
+    * downstream).
+    *
+    * Next-fit's running reset is inherently sequential, so this is the
+    * text family's one deliberate per-group FOLD (typed
+    * `flatMapGroups`) instead of a window: each shard — bounded by
+    * construction, e.g. `split:bucket%64` — sorts its documents by id
+    * in memory and folds once. Shards pack independently, the fold is
+    * a pure function of the shard's (id, n) multiset, and so the
+    * manifest is partitioning/retry-reproducible. Shard count is the
+    * parallelism dial; shard size the memory bound — the same contract
+    * as [[packManifest]]'s windows.
+    *
+    * Output: (shard, idCol, n_tokens, seq_idx, seq_offset). */
+  def packNoSplit(df: DataFrame, idCol: String, nTokens: Column,
+      shardCol: Column, capacity: Long): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(shardCol.cast("string").as("shard"),
+        col(idCol).cast("long").as("__id"), nTokens.cast("long").as("__n"))
+      .as[(String, Long, Long)]
+    ds.groupByKey(_._1)
+      .flatMapGroups { (shard: String, it: Iterator[(String, Long, Long)]) =>
+        val docs = it.toArray.sortBy(_._2)
+        var seq = 0L
+        var fill = 0L
+        docs.iterator.map { case (_, id, n) =>
+          if (fill > 0 && fill + n > capacity) { seq += 1; fill = 0L }
+          val off = fill
+          fill += n
+          (shard, id, n, seq, off)
+        }
+      }
+      .toDF("shard", idCol, "n_tokens", "seq_idx", "seq_offset")
+  }
 }

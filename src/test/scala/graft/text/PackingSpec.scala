@@ -29,4 +29,31 @@ class PackingSpec extends SparkSpec {
       "doc_id", col("n"), Seq(col("grp")), 1024)
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
+
+  test("packNoSplit: next-fit keeps docs intact, oversize docs get their own sequence") {
+    val docs = Seq( // shard s: capacity 10
+      (1L, "s", 4L), (2L, "s", 5L),  // seq 0: 4+5=9
+      (3L, "s", 2L),                 // doesn't fit (9+2>10) → seq 1
+      (4L, "s", 25L),                // oversize → seq 2 alone
+      (5L, "s", 1L),                 // after oversize → seq 3
+      (6L, "t", 10L), (7L, "t", 10L) // exact fits: seq 0, seq 1
+    ).toDF("doc_id", "shard", "n")
+    val out = Packing.packNoSplit(docs, "doc_id", col("n"), col("shard"), 10L)
+      .orderBy("doc_id")
+      .select("doc_id", "seq_idx", "seq_offset").as[(Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(
+      (1L, 0L, 0L), (2L, 0L, 4L), (3L, 1L, 0L), (4L, 2L, 0L), (5L, 3L, 0L),
+      (6L, 0L, 0L), (7L, 1L, 0L)))
+    // no sequence holds more than capacity unless a single doc exceeds it
+    val byCap = Packing.packNoSplit(docs, "doc_id", col("n"), col("shard"), 10L)
+      .groupBy("shard", "seq_idx")
+      .agg(sum("n_tokens").as("tot"), count(lit(1)).as("ndocs"))
+      .filter(col("tot") > 10 && col("ndocs") > 1)
+    assert(byCap.count() == 0)
+    // partitioning-independent
+    val again = Packing.packNoSplit(docs.repartition(5), "doc_id", col("n"),
+      col("shard"), 10L)
+    val first = Packing.packNoSplit(docs, "doc_id", col("n"), col("shard"), 10L)
+    assert(first.exceptAll(again).isEmpty && again.exceptAll(first).isEmpty)
+  }
 }
