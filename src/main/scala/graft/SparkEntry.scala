@@ -45,6 +45,12 @@ object SparkEntry {
     p.toString
   }
 
+  /** BPE training depth / word-table cap for `q_bpe_*` — small enough
+    * that the oracle's unrolled CTE stages stay cheap, large enough to
+    * exercise multi-char merge chains on the sf corpus. */
+  private val BpeK = 8
+  private val BpeMaxWords = 2000
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- A1: hash aggregate (status group-count shape, TPC-H Q1 style) ----
     // map-side partial aggregation; one shuffle on the (2-value) group keys.
@@ -859,6 +865,36 @@ object SparkEntry {
       text.TextFunctions.vocabulary(load(s, dir, "documents"), "doc_id",
           col("text"), 1000)
         .orderBy(col("n").desc, col("tok"))),
+
+    // ---- BPE tokenizer training (Sennrich et al. 2016): distributed
+    // merge learning — corpus-sized work is ONE token groupBy + ONE
+    // broadcast join; the k-round loop runs on the capped
+    // word-frequency table with per-WORD windows (run-parity greedy
+    // merge, no sequential fold). The oracle unrolls the loop as CTE
+    // stages ----
+    "q_bpe_merges" -> ((s, dir) => {
+      val (merges, _) = text.Bpe.trainMerges(load(s, dir, "documents"),
+        col("text"), BpeK, BpeMaxWords)
+      merges.orderBy("rank")
+    }),
+    "q_bpe_fertility" -> ((s, dir) => {
+      val d = load(s, dir, "documents")
+      val (_, syms) = text.Bpe.trainMerges(d, col("text"), BpeK, BpeMaxWords)
+      text.Bpe.fertility(d, "doc_id", col("text"), syms).orderBy("doc_id")
+    }),
+    // ---- tokenize a DIFFERENT table under the documents-trained model:
+    // the learned merge list replays over the batch's distinct words
+    // (unseen words still merge by the learned rules) ----
+    "q_bpe_encode" -> ((s, dir) => {
+      val (mergesDf, _) = text.Bpe.trainMerges(load(s, dir, "documents"),
+        col("text"), BpeK, BpeMaxWords)
+      val merges = mergesDf.orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      text.Bpe.encode(
+          load(s, dir, "part").filter(col("p_partkey") % 7 === 0),
+          "p_partkey", col("p_name"), merges)
+        .orderBy("p_partkey")
+    }),
 
     // ---- benchmark decontamination: corpus docs sharing a 13-word
     // n-gram with the benchmark set (every 50th doc plays the leaked
@@ -2887,6 +2923,53 @@ object SparkEntry {
       .mkString(" || ' ' || ")
   private val gram13: String = gramN(13)
 
+  /** Oracle twin of [[graft.text.Bpe]]: the k-round merge-learning
+    * loop unrolled as CTE stages — per stage i: `x` (lead pairs), `b`
+    * (argmax pair, ties lexicographic), `g/h/j/e` (run-parity greedy
+    * merge marks), `s` (renumbered symbol table). Shared prefix of
+    * q_bpe_merges and q_bpe_fertility. */
+  private def bpeXSql(i: Int, p: String): String =
+    s"""${p}x$i AS (SELECT word, freq, pos, sym,
+       |  lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM $p${i - 1})""".stripMargin
+
+  /** Apply the already-defined winning pair `b_i` to `<p>{i-1}` →
+    * `<p>{i}` (run-parity greedy merge). Training uses p = "s"; the
+    * encode replay reuses the SAME b_i CTEs over p = "t". */
+  private def bpeRestSql(i: Int, p: String): String =
+    s"""${p}g$i AS (SELECT x.*, (x.sym = b.l AND x.nxt = b.r) AS m
+       |  FROM ${p}x$i x CROSS JOIN b$i b),
+       |${p}h$i AS (SELECT *, CASE WHEN m THEN pos - sum(CASE WHEN m THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY word ORDER BY pos) END AS grp FROM ${p}g$i),
+       |${p}j$i AS (SELECT *, CASE WHEN m THEN row_number()
+       |    OVER (PARTITION BY word, grp ORDER BY pos) END AS idx FROM ${p}h$i),
+       |${p}e$i AS (SELECT *, (m AND idx % 2 = 1) AS merged,
+       |  coalesce(lag(m AND idx % 2 = 1) OVER (PARTITION BY word ORDER BY pos),
+       |    FALSE) AS consumed FROM ${p}j$i),
+       |$p$i AS (SELECT word, freq,
+       |  row_number() OVER (PARTITION BY word ORDER BY pos) - 1 AS pos,
+       |  CASE WHEN merged THEN sym || nxt ELSE sym END AS sym
+       |  FROM ${p}e$i WHERE NOT consumed)""".stripMargin
+
+  private lazy val bpeStagesSql: String = {
+    val stages = (1 to BpeK).map { i =>
+      bpeXSql(i, "s") + ",\n" +
+        s"""b$i AS (SELECT sym AS l, nxt AS r, sum(freq) AS cnt FROM sx$i
+           |  WHERE nxt IS NOT NULL GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1),
+           |""".stripMargin +
+        bpeRestSql(i, "s")
+    }.mkString(",\n")
+    s"""WITH toks AS (
+       |  SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS word
+       |  FROM documents WHERE text IS NOT NULL),
+       |wf AS (SELECT word, count(*) AS freq FROM toks GROUP BY 1),
+       |words AS (SELECT word, freq FROM (
+       |  SELECT word, freq, row_number() OVER (ORDER BY freq DESC, word) AS rk
+       |  FROM wf) WHERE rk <= $BpeMaxWords),
+       |s0 AS (SELECT word, freq, i - 1 AS pos, substr(word, i, 1) AS sym
+       |  FROM words, LATERAL (SELECT unnest(generate_series(1, len(word))) AS i) u),
+       |$stages""".stripMargin
+  }
+
   /** Shared by q_bm25 and q_bm25_staged — the materialized inverted
     * index must return row-identical results to the direct pipeline. */
   private lazy val bm25Oracle: String =
@@ -3317,6 +3400,39 @@ object SparkEntry {
         |FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
         |      FROM documents WHERE text IS NOT NULL)
         |GROUP BY 1 ORDER BY n DESC, tok LIMIT 1000""".stripMargin,
+    "q_bpe_merges" ->
+      (bpeStagesSql + "\n" +
+        (1 to BpeK).map { i =>
+          if (i == 1)
+            s"SELECT CAST($i AS INT) AS rank, l AS left_sym, r AS right_sym, CAST(cnt AS BIGINT) AS pair_count FROM b$i"
+          else s"SELECT $i, l, r, CAST(cnt AS BIGINT) FROM b$i"
+        }.mkString("\nUNION ALL ") + "\nORDER BY rank"),
+    "q_bpe_fertility" ->
+      (bpeStagesSql + s""",
+         |nt AS (SELECT word, count(*) AS ntok FROM s$BpeK GROUP BY 1),
+         |dw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS word
+         |  FROM documents WHERE text IS NOT NULL)
+         |SELECT doc_id, count(*) AS n_words,
+         |  CAST(sum(coalesce(nt.ntok, len(dw.word))) AS BIGINT) AS n_tokens
+         |FROM dw LEFT JOIN nt USING (word)
+         |GROUP BY 1 ORDER BY 1""".stripMargin),
+    "q_bpe_encode" ->
+      (bpeStagesSql + s""",
+         |tw AS (SELECT DISTINCT unnest(regexp_extract_all(lower(p_name), '\\S+')) AS word
+         |  FROM part WHERE p_partkey % 7 = 0 AND p_name IS NOT NULL),
+         |t0 AS (SELECT word, CAST(1 AS BIGINT) AS freq, i - 1 AS pos, substr(word, i, 1) AS sym
+         |  FROM tw, LATERAL (SELECT unnest(generate_series(1, len(word))) AS i) u),
+         |""".stripMargin +
+        (1 to BpeK).map(i => bpeXSql(i, "t") + ",\n" + bpeRestSql(i, "t"))
+          .mkString(",\n") +
+        s"""
+           |, tnt AS (SELECT word, count(*) AS ntok FROM t$BpeK GROUP BY 1),
+           |tdw AS (SELECT p_partkey, unnest(regexp_extract_all(lower(p_name), '\\S+')) AS word
+           |  FROM part WHERE p_partkey % 7 = 0 AND p_name IS NOT NULL)
+           |SELECT p_partkey, count(*) AS n_words,
+           |  CAST(sum(tnt.ntok) AS BIGINT) AS n_tokens
+           |FROM tdw JOIN tnt USING (word)
+           |GROUP BY 1 ORDER BY 1""".stripMargin),
     "q_decontaminate" ->
       s"""WITH cw AS (
          |  SELECT doc_id, list_slice(str_split(lower(text), ' '), 1, 4096) AS w
