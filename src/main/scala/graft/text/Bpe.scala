@@ -109,7 +109,9 @@ object Bpe {
     * classic BPE property). Each iteration `collect`s exactly ONE row
     * (the argmax pair) — driver-side control flow à la
     * [[graft.ops.Graph.pageRankInt]], with `localCheckpoint` cutting
-    * the window-chain lineage per round. Requires the corpus to
+    * the window-chain lineage every second round (each argmax action
+    * then re-executes at most one un-checkpointed merge chain — half
+    * the materializations of a per-round cut). Requires the corpus to
     * support `k` merges (throws otherwise, so the unrolled SQL twin
     * can never silently diverge on an early stop). */
   def trainMerges(df: DataFrame, text: Column, k: Int,
@@ -128,7 +130,8 @@ object Bpe {
       val row = top.head
       val (l, r) = (row.getString(0), row.getString(1))
       merges += ((i, l, r, row.getLong(2)))
-      syms = applyMerge(syms, l, r).localCheckpoint()
+      syms = applyMerge(syms, l, r)
+      if (i % 2 == 0 || i == k) syms = syms.localCheckpoint()
     }
     val mergesDf = merges.result()
       .toDF("rank", "left_sym", "right_sym", "pair_count")
