@@ -171,6 +171,24 @@ class PlanAuditSpec extends SparkSpec {
       !pr.contains("BroadcastNestedLoopJoin"), s"q_prototype degenerates:\n$pr")
   }
 
+  test("no-split packing: one shard exchange, local sort, no windows") {
+    // packNoSplit is the surface's one deliberate per-group fold: the
+    // plan must be scan → project → ONE hash exchange on the shard key
+    // → per-partition (non-global) sort → MapGroups, plus the
+    // presentation range sort — and nothing else. A Window here would
+    // mean the fold regressed to a global pass; a third exchange that
+    // the shard co-location broke.
+    val plan = SparkEntry.queries("q_pack_nosplit")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("MapGroups"), s"lost the typed fold:\n$plan")
+    assert("Exchange".r.findAllIn(plan).size == 2,
+      s"expected shard + presentation exchanges only:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected window:\n$plan")
+    val cols = scans("q_pack_nosplit").map(_.output.map(_.name))
+    assert(cols.nonEmpty && cols.forall(_.toSet.subsetOf(Set("doc_id", "text"))),
+      s"q_pack_nosplit scan reads: $cols")
+  }
+
   test("scans are pruned to the referenced columns") {
     // q1_agg touches 4 of lineitem's 16 columns: the scan must not
     // read the other 12
