@@ -464,6 +464,19 @@ object SparkEntry {
           "alpha_ratio", "avg_token_len", "quality_score")
         .orderBy("doc_id")),
 
+    // ---- character-entropy quality signal: one-pass native census
+    // projection (zero shuffles); milli-nat quantization per LEVEL so
+    // the per-doc sum is exact integer arithmetic ----
+    "q_entropy" -> ((s, dir) =>
+      load(s, dir, "documents")
+        .filter(col("text").isNotNull && length(col("text")) > 0)
+        .select(col("doc_id"),
+          text.TextFunctions.charEntropyCol(col("text")).as("__e"))
+        .select(col("doc_id"), col("__e.n_chars").as("n_chars"),
+          col("__e.total_mnats").as("total_mnats"),
+          col("__e.entropy_nats").as("entropy_nats"))
+        .orderBy("doc_id")),
+
     // ---- language-ID: stopword-marker argmax heuristic ----
     "q_lang_id" -> ((s, dir) =>
       text.TextFunctions.languageId(load(s, dir, "documents"), col("text"))
@@ -3848,6 +3861,18 @@ object SparkEntry {
          |  AND 100 * CAST(dot_q AS HUGEINT) * CAST(dot_q AS HUGEINT)
          |      >= 81 * CAST(n2_a AS HUGEINT) * CAST(n2_b AS HUGEINT)
          |ORDER BY 1, 2""".stripMargin,
+    "q_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, substr(text, i, 1) AS c
+        |  FROM documents, LATERAL (SELECT unnest(generate_series(1, len(text))) AS i) u
+        |  WHERE text IS NOT NULL AND len(text) > 0),
+        |cen AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS L FROM cen GROUP BY 1)
+        |SELECT cen.doc_id, L AS n_chars,
+        |  CAST(sum(n * CAST(floor(-1000.0 * ln(CAST(n AS DOUBLE) / L)) AS BIGINT)) AS BIGINT) AS total_mnats,
+        |  CAST(sum(n * CAST(floor(-1000.0 * ln(CAST(n AS DOUBLE) / L)) AS BIGINT)) AS BIGINT) / 1000.0 / L AS entropy_nats
+        |FROM cen JOIN tot USING (doc_id)
+        |GROUP BY cen.doc_id, L ORDER BY 1""".stripMargin,
     "q_text_stats" ->
       """SELECT doc_id, n_len, n_tokens, n_bpeish, n_alpha, n_digit,
         |  CAST(n_alpha AS DOUBLE) / NULLIF(n_len, 0) AS alpha_ratio,

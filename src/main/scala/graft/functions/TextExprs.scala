@@ -566,3 +566,79 @@ case class SimHashN(child: Expression, bits: Int) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): SimHashN =
     copy(child = newChild)
 }
+
+/** Shannon CHARACTER entropy of a string in one hashmap pass — the
+  * compressibility quality signal (degenerate pages — repeated chars,
+  * padding, ascii art — score low; natural prose sits near its
+  * language's ~2.3–2.9 nats): H = Σ_c (n_c/L)·ln(L/n_c) over the
+  * code-point census.
+  *
+  * Exactness convention of [[graft.text.TextFunctions.unigramSurprisal]]:
+  * each distinct character's −ln(n_c/L) is floored to integer
+  * MILLI-NATS first, then weighted by the integer count n_c and
+  * integer-summed, so engines agree exactly (residual ln-ulp caveat on
+  * the quantization itself, documented there). Code-POINT census, not
+  * UTF-16 units — matches `substr(text, i, 1)`/`len()` in both Spark
+  * and DuckDB.
+  *
+  * Output struct: (n_chars, total_mnats, entropy_nats) where
+  * entropy_nats = total_mnats / 1000.0 / n_chars (one fixed IEEE tree).
+  * NULL for the empty string (no census → entropy undefined).
+  *
+  * Scale shape: a pure codegen'd projection — zero shuffles, zero
+  * joins; the declarative twin (explode + two aggregates) costs two
+  * corpus-sized shuffles, which is exactly why this is native. */
+case class CharEntropy(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"char_entropy expects string, got ${t.sql}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_chars", LongType, nullable = false),
+    StructField("total_mnats", LongType, nullable = false),
+    StructField("entropy_nats", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = compute(input)
+
+  def compute(input: Any): InternalRow = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val counts = new java.util.HashMap[Integer, java.lang.Long]()
+    var total = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val key = Integer.valueOf(cp)
+      val prev = counts.get(key)
+      counts.put(key, if (prev == null) 1L else prev.longValue() + 1L)
+      total += 1
+      i += Character.charCount(cp)
+    }
+    if (total == 0) return null
+    var mnats = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val n = it.next().longValue()
+      // the one fixed IEEE tree per level: a double division, one ln,
+      // scale, floor — mirrored verbatim by the SQL twin
+      mnats += n * math.floor(-1000.0 * math.log(n.toDouble / total)).toLong
+    }
+    InternalRow(total, mnats, mnats.toDouble / 1000.0 / total)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("charEntropy", this, classOf[CharEntropy].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""org.apache.spark.sql.catalyst.InternalRow ${ev.value}$$r =
+         |  (org.apache.spark.sql.catalyst.InternalRow) $ref.compute($c);
+         |if (${ev.value}$$r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}$$r; }""".stripMargin)
+  }
+
+  override def prettyName: String = "char_entropy"
+  override protected def withNewChildInternal(newChild: Expression): CharEntropy =
+    copy(child = newChild)
+}

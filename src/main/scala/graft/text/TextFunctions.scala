@@ -163,6 +163,12 @@ object TextFunctions {
   def tokenStatsCol(tokens: Column): Column =
     ExprBridge.column(graft.functions.TokenStats(ExprBridge.expression(tokens)))
 
+  /** Shannon character entropy (compressibility quality signal) as a
+    * one-pass native projection — struct (n_chars, total_mnats,
+    * entropy_nats); see [[graft.functions.CharEntropy]]. */
+  def charEntropyCol(text: Column): Column =
+    ExprBridge.column(graft.functions.CharEntropy(ExprBridge.expression(text)))
+
   /** Gopher-family repetition quality signals per document, all derived
     * from two one-pass [[tokenStatsCol]] projections (words and word
     * 2-grams) — the serious form of "quality scoring" a pretraining

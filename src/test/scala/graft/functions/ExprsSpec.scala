@@ -207,4 +207,33 @@ class ExprsSpec extends SparkSpec {
     // at least one real doc should set a bit in the top 16 (sign-side) band
     assert(narrow.exists { case (_, sig) => (sig >>> 48) != 0L })
   }
+
+  test("CharEntropy: code-point census, milli-nat quantization, null on empty") {
+    val df = Seq(
+      (1L, "aab"), (2L, "aaaa"), (3L, "ab"),
+      (4L, "\uD834\uDD1E\uD834\uDD1Ea"), // astral G-clef x2 + a == aab shape
+      (5L, "hello world"), (6L, ""), (7L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    val got = df.select($"id",
+        graft.text.TextFunctions.charEntropyCol($"text").as("e"))
+      .select($"id", $"e.n_chars", $"e.total_mnats", $"e.entropy_nats")
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+        else Some((r.getLong(1), r.getLong(2), r.getDouble(3))))).toMap
+    assert(got(1L) == Some((3L, 1908L, 0.636)))
+    assert(got(2L) == Some((4L, 0L, 0.0)))      // one repeated char -> 0
+    assert(got(3L) == Some((2L, 1386L, 0.693)))
+    assert(got(4L) == Some((3L, 1908L, 0.636))) // surrogate pair = 1 code point
+    assert(got(5L).exists { case (l, m, _) => l == 11L && m == 21687L })
+    assert(got(6L).isEmpty && got(7L).isEmpty)
+    // interpreted fallback agrees with codegen
+    val prev = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val e = df.filter($"id" === 1L)
+        .select(graft.text.TextFunctions.charEntropyCol($"text").getField("total_mnats"))
+        .collect()(0).getLong(0)
+      assert(e == 1908L)
+    } finally spark.conf.set("spark.sql.codegen.factoryMode", prev)
+  }
 }
