@@ -879,6 +879,13 @@ object SparkEntry {
           col("text"), 1000)
         .orderBy(col("n").desc, col("tok"))),
 
+    // ---- Zipf rank-frequency fit: least squares over the log-log
+    // top-1000 vocabulary (micro-nat quantized, decimal-exact sums,
+    // one fixed IEEE tree) — corpus-health next to q_vocab_drift ----
+    "q_zipf" -> ((s, dir) =>
+      text.TextFunctions.zipfFit(load(s, dir, "documents"), "doc_id",
+        col("text"), 1000)),
+
     // ---- BPE tokenizer training (Sennrich et al. 2016): distributed
     // merge learning — corpus-sized work is ONE token groupBy + ONE
     // broadcast join; the k-round loop runs on the capped
@@ -3413,6 +3420,28 @@ object SparkEntry {
         |FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
         |      FROM documents WHERE text IS NOT NULL)
         |GROUP BY 1 ORDER BY n DESC, tok LIMIT 1000""".stripMargin,
+    "q_zipf" ->
+      """WITH v AS (
+        |  SELECT tok, count(*) AS n
+        |  FROM (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+        |        FROM documents WHERE text IS NOT NULL)
+        |  GROUP BY 1 ORDER BY n DESC, tok LIMIT 1000),
+        |r AS (SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rank FROM v),
+        |q AS (SELECT
+        |  CAST(floor(1000000.0 * ln(CAST(rank AS DOUBLE))) AS BIGINT) AS x,
+        |  CAST(floor(1000000.0 * ln(CAST(n AS DOUBLE))) AS BIGINT) AS y FROM r),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS cnt,
+        |  sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx, sum(x*y) AS sxy,
+        |  sum(y*y) AS syy FROM q),
+        |t AS (SELECT cnt AS n_terms,
+        |  CAST(cnt AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+        |  CAST(cnt AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den,
+        |  CAST(cnt AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS den2,
+        |  CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd FROM s)
+        |SELECT n_terms, num / den AS slope,
+        |  (syd - num / den * sxd) / CAST(n_terms AS DOUBLE) / 1000000.0 AS intercept,
+        |  num * num / (den * den2) AS r2
+        |FROM t""".stripMargin,
     "q_bpe_merges" ->
       (bpeStagesSql + "\n" +
         (1 to BpeK).map { i =>

@@ -1,8 +1,10 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ExprBridge
+import org.apache.spark.sql.types.DecimalType
 
 /** Text-analysis operators for the LLM-data-pipeline surface (SURVEY
   * §7.1-10): tokenization, shingling, quality stats, language-ID,
@@ -261,6 +263,53 @@ object TextFunctions {
       .agg(count(lit(1)).as("n"), countDistinct(col(idCol)).as("doc_freq"))
       .orderBy(col("n").desc, col("tok"))
       .limit(topK)
+
+  /** Zipf rank-frequency fit over the top-`topK` vocabulary — the
+    * corpus-health diagnostic next to [[vocabularyDrift]]: natural
+    * corpora follow ln(freq) ≈ intercept + slope·ln(rank) with slope
+    * near −1 and high r²; template/spam floods flatten the head
+    * (slope → 0) and machine-generated token salad breaks linearity
+    * (r² drops). One row: (n_terms, slope, intercept, r2); slope is
+    * dimensionless, intercept in NATS (ln of the extrapolated rank-1
+    * frequency).
+    *
+    * Determinism: ln(rank) and ln(freq) are floored to integer
+    * MICRO-nats per term, the moment sums accumulate in decimal(38,0)
+    * (exact — a long sum of y² would wrap past vocab ~10⁶ × freq
+    * ~10¹³), and the closed-form least squares is one fixed IEEE tree
+    * over the exact sums cast to double — engines agree bit-for-bit
+    * (residual ln-ulp caveat as in [[unigramSurprisal]]).
+    *
+    * Scale shape: everything after `vocabulary`'s TakeOrdered runs on
+    * ≤ topK rows (the ranking window is bounded by construction). */
+  def zipfFit(df: DataFrame, idCol: String, text: Column,
+      topK: Int): DataFrame = {
+    val w = Window.orderBy(col("n").desc, col("tok"))
+    val dec = DecimalType(38, 0)
+    val q = vocabulary(df, idCol, text, topK)
+      .withColumn("rank", row_number().over(w))
+      .select(
+        floor(lit(1000000.0) * log(col("rank").cast("double")))
+          .cast("long").as("x"),
+        floor(lit(1000000.0) * log(col("n").cast("double")))
+          .cast("long").as("y"))
+    val s = q.agg(count(lit(1)).cast("long").as("cnt"),
+      sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+      sum((col("x") * col("x")).cast(dec)).as("sxx"),
+      sum((col("x") * col("y")).cast(dec)).as("sxy"),
+      sum((col("y") * col("y")).cast(dec)).as("syy"))
+    def d(c: String): Column = col(c).cast("double")
+    s.select(col("cnt").as("n_terms"),
+        (d("cnt") * d("sxy") - d("sx") * d("sy")).as("num"),
+        (d("cnt") * d("sxx") - d("sx") * d("sx")).as("den"),
+        (d("cnt") * d("syy") - d("sy") * d("sy")).as("den2"),
+        d("sx").as("sxd"), d("sy").as("syd"))
+      .select(col("n_terms"),
+        (col("num") / col("den")).as("slope"),
+        ((col("syd") - col("num") / col("den") * col("sxd"))
+          / col("n_terms").cast("double") / lit(1000000.0)).as("intercept"),
+        (col("num") * col("num") / (col("den") * col("den2"))).as("r2"))
+  }
 
   /** Vocabulary drift between two corpus snapshots — the monitoring
     * operator of a continuously-ingesting pipeline: which terms became

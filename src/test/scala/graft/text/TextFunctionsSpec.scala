@@ -246,4 +246,29 @@ class TextFunctionsSpec extends SparkSpec {
     // narrow: one projection, no Exchange
     assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
   }
+
+  test("zipfFit matches a local least-squares over the quantized log-log vocab") {
+    // freqs 8/4/2/1 over ranks 1..4 (ties broken by token)
+    val docs = Seq((1L, ("a " * 8 + "b " * 4 + "c " * 2 + "d").trim))
+      .toDF("doc_id", "text")
+    val got = TextFunctions.zipfFit(docs, "doc_id", col("text"), 10)
+      .collect()(0)
+    val xy = Seq((1, 8), (2, 4), (3, 2), (4, 1)).map { case (r, n) =>
+      (math.floor(1e6 * math.log(r)).toLong, math.floor(1e6 * math.log(n)).toLong)
+    }
+    val cnt = xy.size.toDouble
+    val sx = xy.map(_._1).sum.toDouble
+    val sy = xy.map(_._2).sum.toDouble
+    val sxx = xy.map(p => p._1 * p._1).sum.toDouble
+    val sxy = xy.map(p => p._1 * p._2).sum.toDouble
+    val syy = xy.map(p => p._2 * p._2).sum.toDouble
+    val num = cnt * sxy - sx * sy
+    val den = cnt * sxx - sx * sx
+    assert(got.getLong(0) == 4L)
+    assert(got.getDouble(1) == num / den)
+    assert(got.getDouble(2) == (sy - num / den * sx) / cnt / 1000000.0)
+    assert(got.getDouble(3) == num * num / (den * (cnt * syy - sy * sy)))
+    // a doubling-geometric corpus is exactly Zipf-ish with slope ~ -1.5/ln-steps
+    assert(got.getDouble(1) < 0 && got.getDouble(3) > 0.9)
+  }
 }
