@@ -1150,17 +1150,28 @@ object SparkEntry {
     // shard — the attention-mask-respecting packing. The one deliberate
     // per-group fold on the surface (next-fit's reset is sequential);
     // shards bound memory and give the parallelism ----
-    "q_pack_nosplit" -> ((s, dir) => {
-      val d = text.TextFunctions.qualityStats(
-          load(s, dir, "documents").filter(col("text").isNotNull), col("text"))
-        .select(col("doc_id"), col("n_tokens"))
-      val sp = text.Sampling.hashSplit(d, col("doc_id"), "42",
-          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-        .withColumn("shard", concat(col("split"), lit(":"),
-          (col("bucket") % 8).cast("string")))
-      text.Packing.packNoSplit(sp, "doc_id", col("n_tokens"),
-          col("shard"), 2048L)
-        .orderBy("doc_id")
+    "q_pack_nosplit" -> ((s, dir) =>
+      packNoSplitDf(s, dir).orderBy("doc_id")),
+
+    // ---- packing-efficiency harness: per-split padding permille of
+    // the no-split layout — the number `capacity` (and the oversize
+    // truncation policy) is tuned against, next to q_ann_recall /
+    // q_dedup_eval in the tuning-harness family ----
+    "q_pack_eval" -> ((s, dir) => {
+      val seqs = packNoSplitDf(s, dir)
+        .groupBy(col("shard"), col("seq_idx"))
+        .agg(sum("n_tokens").as("fill"), count(lit(1)).as("ndocs"))
+      seqs.groupBy(substring_index(col("shard"), ":", 1).as("split"))
+        .agg(sum("ndocs").as("n_docs"), count(lit(1)).as("n_seqs"),
+          sum(when(col("fill") > 2048, 1L).otherwise(0L)).as("n_oversize"),
+          sum("fill").as("total_tokens"),
+          sum(when(col("fill") <= 2048, lit(2048L) - col("fill"))
+            .otherwise(0L)).as("pad"))
+        .select(col("split"), col("n_docs"), col("n_seqs"),
+          col("n_oversize"), col("total_tokens"),
+          expr("(1000 * pad) DIV nullif(2048 * (n_seqs - n_oversize), 0)")
+            .as("padding_permille"))
+        .orderBy("split")
     }),
 
     // ---- sequence packing manifest: split + shard + windowed cumsum —
@@ -2942,6 +2953,58 @@ object SparkEntry {
     (0 until n).map(o => if (o == 0) "w[u.i]" else s"w[u.i+$o]")
       .mkString(" || ' ' || ")
   private val gram13: String = gramN(13)
+
+  /** The no-split packed manifest pipeline shared by q_pack_nosplit and
+    * q_pack_eval: token counts → deterministic split/shard → per-shard
+    * next-fit fold. */
+  private def packNoSplitDf(s: SparkSession, dir: String): DataFrame = {
+    val d = text.TextFunctions.qualityStats(
+        load(s, dir, "documents").filter(col("text").isNotNull), col("text"))
+      .select(col("doc_id"), col("n_tokens"))
+    val sp = text.Sampling.hashSplit(d, col("doc_id"), "42",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .withColumn("shard", concat(col("split"), lit(":"),
+        (col("bucket") % 8).cast("string")))
+    text.Packing.packNoSplit(sp, "doc_id", col("n_tokens"),
+      col("shard"), 2048L)
+  }
+
+  /** Next-fit unrolled as a recursive CTE stepping one doc per shard at
+    * a time — mirrors `Packing.packNoSplit`'s fold exactly (reset only
+    * when the sequence already holds something). Shared by
+    * q_pack_nosplit (the manifest) and q_pack_eval (the padding
+    * harness). */
+  private lazy val packNoSplitCte: String =
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8)) AS BIGINT)
+      |      % 10000 AS bucket
+      |  FROM documents WHERE text IS NOT NULL),
+      |docs AS (
+      |  SELECT (CASE WHEN bucket < 8000 THEN 'train'
+      |               WHEN bucket < 9000 THEN 'val' ELSE 'test' END)
+      |           || ':' || CAST(bucket % 8 AS VARCHAR) AS shard,
+      |    doc_id, n_tokens,
+      |    row_number() OVER (PARTITION BY (CASE WHEN bucket < 8000 THEN 'train'
+      |      WHEN bucket < 9000 THEN 'val' ELSE 'test' END)
+      |      || ':' || CAST(bucket % 8 AS VARCHAR) ORDER BY doc_id) AS rn
+      |  FROM d),
+      |step AS (
+      |  SELECT shard, rn, doc_id, n_tokens,
+      |    CAST(0 AS BIGINT) AS seq_idx, CAST(0 AS BIGINT) AS seq_offset,
+      |    n_tokens AS fill
+      |  FROM docs WHERE rn = 1
+      |  UNION ALL
+      |  SELECT nx.shard, nx.rn, nx.doc_id, nx.n_tokens,
+      |    CASE WHEN s.fill > 0 AND s.fill + nx.n_tokens > 2048
+      |      THEN s.seq_idx + 1 ELSE s.seq_idx END,
+      |    CASE WHEN s.fill > 0 AND s.fill + nx.n_tokens > 2048
+      |      THEN CAST(0 AS BIGINT) ELSE s.fill END,
+      |    CASE WHEN s.fill > 0 AND s.fill + nx.n_tokens > 2048
+      |      THEN nx.n_tokens ELSE s.fill + nx.n_tokens END
+      |  FROM step s JOIN docs nx ON nx.shard = s.shard AND nx.rn = s.rn + 1)
+      |""".stripMargin
 
   /** Oracle twin of [[graft.text.Bpe]]: the k-round merge-learning
     * loop unrolled as CTE stages — per stage i: `x` (lead pairs), `b`
@@ -4925,37 +4988,26 @@ object SparkEntry {
     // at a time — mirrors packNoSplit's fold exactly (reset only when
     // the sequence already holds something)
     "q_pack_nosplit" ->
-      """WITH RECURSIVE d AS (
-        |  SELECT doc_id,
-        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
-        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8)) AS BIGINT)
-        |      % 10000 AS bucket
-        |  FROM documents WHERE text IS NOT NULL),
-        |docs AS (
-        |  SELECT (CASE WHEN bucket < 8000 THEN 'train'
-        |               WHEN bucket < 9000 THEN 'val' ELSE 'test' END)
-        |           || ':' || CAST(bucket % 8 AS VARCHAR) AS shard,
-        |    doc_id, n_tokens,
-        |    row_number() OVER (PARTITION BY (CASE WHEN bucket < 8000 THEN 'train'
-        |      WHEN bucket < 9000 THEN 'val' ELSE 'test' END)
-        |      || ':' || CAST(bucket % 8 AS VARCHAR) ORDER BY doc_id) AS rn
-        |  FROM d),
-        |step AS (
-        |  SELECT shard, rn, doc_id, n_tokens,
-        |    CAST(0 AS BIGINT) AS seq_idx, CAST(0 AS BIGINT) AS seq_offset,
-        |    n_tokens AS fill
-        |  FROM docs WHERE rn = 1
-        |  UNION ALL
-        |  SELECT nx.shard, nx.rn, nx.doc_id, nx.n_tokens,
-        |    CASE WHEN s.fill > 0 AND s.fill + nx.n_tokens > 2048
-        |      THEN s.seq_idx + 1 ELSE s.seq_idx END,
-        |    CASE WHEN s.fill > 0 AND s.fill + nx.n_tokens > 2048
-        |      THEN CAST(0 AS BIGINT) ELSE s.fill END,
-        |    CASE WHEN s.fill > 0 AND s.fill + nx.n_tokens > 2048
-        |      THEN nx.n_tokens ELSE s.fill + nx.n_tokens END
-        |  FROM step s JOIN docs nx ON nx.shard = s.shard AND nx.rn = s.rn + 1)
-        |SELECT shard, doc_id, n_tokens, seq_idx, seq_offset
-        |FROM step ORDER BY doc_id""".stripMargin,
+      (packNoSplitCte +
+        """SELECT shard, doc_id, n_tokens, seq_idx, seq_offset
+          |FROM step ORDER BY doc_id""".stripMargin),
+    "q_pack_eval" ->
+      (packNoSplitCte +
+        """, seqs AS (
+          |  SELECT shard, seq_idx, CAST(sum(fill0) AS BIGINT) AS fill,
+          |    count(*) AS ndocs
+          |  FROM (SELECT shard, seq_idx, n_tokens AS fill0 FROM step)
+          |  GROUP BY 1, 2)
+          |SELECT split_part(shard, ':', 1) AS split,
+          |  CAST(sum(ndocs) AS BIGINT) AS n_docs,
+          |  count(*) AS n_seqs,
+          |  CAST(sum(CASE WHEN fill > 2048 THEN 1 ELSE 0 END) AS BIGINT) AS n_oversize,
+          |  CAST(sum(fill) AS BIGINT) AS total_tokens,
+          |  (1000 * CAST(sum(CASE WHEN fill <= 2048 THEN 2048 - fill ELSE 0 END) AS BIGINT))
+          |    // NULLIF(2048 * (count(*) -
+          |      CAST(sum(CASE WHEN fill > 2048 THEN 1 ELSE 0 END) AS BIGINT)), 0)
+          |    AS padding_permille
+          |FROM seqs GROUP BY 1 ORDER BY 1""".stripMargin),
     "q_pack" ->
       """WITH d AS (
         |  SELECT doc_id,
