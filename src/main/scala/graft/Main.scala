@@ -25,6 +25,9 @@ import scala.jdk.CollectionConverters._
   *                            namespace (engine extension)
   *   `-profile <config.json>` one-scan ANALYZE-style column profile of
   *                            a namespace (engine extension)
+  *   `-tokenize <config.json>` train a BPE subword model over a
+  *                            namespace; write merges/fertility/encoded
+  *                            (engine extension)
   *   `-version`               print version
   *
   * (`-worker` has no Spark counterpart: the reference spawns queue
@@ -69,7 +72,7 @@ object Main {
       case Seq("-version") => println(Version); 0
       case Seq(flag, file)
           if Set("-start", "-resume", "-compare", "-sim", "-sql", "-curate",
-            "-optimize", "-profile", "-index")(flag) =>
+            "-optimize", "-profile", "-index", "-tokenize")(flag) =>
         val json = new String(
           java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file)), "UTF-8")
         flag match {
@@ -79,6 +82,7 @@ object Main {
           case "-optimize" => optimize(session(), json)
           case "-profile" => profile(session(), json)
           case "-index" => index(session(), json)
+          case "-tokenize" => tokenize(session(), json)
           case "-compare" => compare(session(), MigratorConfig.parse(json))
           case "-start" => lifecycle(session(), MigratorConfig.parse(json), resume = false)
           case "-resume" => lifecycle(session(), MigratorConfig.parse(json), resume = true)
@@ -453,6 +457,49 @@ object Main {
         throw new IllegalArgumentException(
           s"unknown index action '$other' (build|append|query)")
     }
+    0
+  }
+
+  /** `-tokenize` (engine extension): train a BPE subword model over a
+    * namespace's text column and materialize the tokenizer artifacts
+    * ([[graft.text.Bpe]]): `<out>/merges` (the rank-ordered model) and
+    * `<out>/fertility` (per-doc word/token costs). Config:
+    * `{"source": <catalog root>, "namespace": "db.coll",
+    * "out": <dir>}` with optional `"id"`/`"text"` column names
+    * (defaults `doc_id`/`text`), `"merges"` (k, default 32),
+    * `"maxWords"` (50000), and `"encode"` — another namespace to
+    * tokenize under the trained model → `<out>/encoded`. */
+  private def tokenize(spark: SparkSession, json: String): Int = {
+    import org.apache.spark.sql.functions.col
+    val n = new ObjectMapper().readTree(json)
+    require(n != null && n.isObject, "tokenize config must be a JSON object")
+    def req(f: String): String = {
+      require(n.has(f) && n.get(f).asText().nonEmpty, s"tokenize config needs $f")
+      n.get(f).asText()
+    }
+    def int(f: String, dflt: Int): Int =
+      if (n.has(f)) n.get(f).asInt() else dflt
+    def str(f: String, dflt: String): String =
+      if (n.has(f)) n.get(f).asText() else dflt
+    val dir = req("source"); val ns = req("namespace"); val out = req("out")
+    val idCol = str("id", "doc_id"); val textCol = str("text", "text")
+    val cat = catalogAt(spark, dir,
+      MigratorConfig(command = "data", source = dir, target = dir))
+    val corpus = cat.read(ns)
+    val (merges, syms) = text.Bpe.trainMerges(corpus, col(textCol),
+      int("merges", 32), int("maxWords", 50000))
+    merges.coalesce(1).write.mode("overwrite").parquet(s"$out/merges")
+    text.Bpe.fertility(corpus, idCol, col(textCol), syms)
+      .write.mode("overwrite").parquet(s"$out/fertility")
+    n.path("encode").asText("") match {
+      case "" => ()
+      case encNs =>
+        val mseq = merges.orderBy("rank").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        text.Bpe.encode(cat.read(encNs), idCol, col(textCol), mseq)
+          .write.mode("overwrite").parquet(s"$out/encoded")
+    }
+    println(s"wrote $out")
     0
   }
 

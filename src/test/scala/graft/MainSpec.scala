@@ -179,6 +179,31 @@ class MainSpec extends SparkSpec {
     intercept[Exception] { Main.run(Seq("-profile", bad), sess) }
   }
 
+  test("-tokenize writes BPE merges, fertility, and the encoded twin") {
+    val out = tmp("graft-cli-tok") + "/model"
+    val cfg = writeCfg(tmp("graft-cli-tokcfg"),
+      s"""{"source":"$sf001","namespace":"local.documents","out":"$out",
+         |"merges":6,"maxWords":500,"encode":"local.documents"}""".stripMargin)
+    assert(Main.run(Seq("-tokenize", cfg), sess) == 0)
+    val merges = spark.read.parquet(s"$out/merges")
+    assert(merges.columns.toSeq ==
+      Seq("rank", "left_sym", "right_sym", "pair_count"))
+    assert(merges.count() == 6)
+    // the model matches a direct library run exactly
+    val (lib, syms) = graft.text.Bpe.trainMerges(
+      Tables.load(spark, sf001, "documents"), $"text", 6, 500)
+    assert(merges.exceptAll(lib).isEmpty && lib.exceptAll(merges).isEmpty)
+    val fert = spark.read.parquet(s"$out/fertility")
+    assert(fert.columns.toSet == Set("doc_id", "n_words", "n_tokens"))
+    val viaLib = graft.text.Bpe.fertility(
+      Tables.load(spark, sf001, "documents"), "doc_id", $"text", syms)
+    assert(fert.exceptAll(viaLib).isEmpty && viaLib.exceptAll(fert).isEmpty)
+    // encode of the training corpus itself: words all known, so every
+    // doc's token cost can only be <= the unmerged char count
+    val enc = spark.read.parquet(s"$out/encoded")
+    assert(enc.count() == fert.count())
+  }
+
   test("-curate writes the corpus manifest: dedup, gates, split, budgets") {
     val out = tmp("graft-cli-curate") + "/manifest"
     val cfg = writeCfg(tmp("graft-cli-curatecfg"),
