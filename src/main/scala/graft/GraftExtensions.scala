@@ -169,6 +169,11 @@ object GraftFunctions {
       expect("graft_text_stats", 1, es)
       x(text.TextFunctions.qualityStatsCol(c(es(0))))
     },
+    fn("graft_char_entropy",
+      "graft_char_entropy(text) - struct(n_chars, total_mnats, entropy_nats) Shannon code-point entropy") { es =>
+      expect("graft_char_entropy", 1, es)
+      x(text.TextFunctions.charEntropyCol(c(es(0))))
+    },
     fn("graft_lang_id",
       "graft_lang_id(text) - struct(en_n, fr_n, es_n, de_n, pred_lang) stopword-marker language id") { es =>
       expect("graft_lang_id", 1, es)

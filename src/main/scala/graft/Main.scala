@@ -65,7 +65,7 @@ object Main {
   def run(args: Seq[String], session: () => SparkSession): Int = {
     def usage(): Int = {
       Console.err.println(
-        "usage: graft -start|-resume|-compare|-sim|-sql|-curate|-optimize|-profile|-index <config.json> | -version")
+        "usage: graft -start|-resume|-compare|-sim|-sql|-curate|-optimize|-profile|-index|-tokenize <config.json> | -version")
       1
     }
     args match {
@@ -494,9 +494,8 @@ object Main {
     n.path("encode").asText("") match {
       case "" => ()
       case encNs =>
-        val mseq = merges.orderBy("rank").collect()
-          .map(r => (r.getString(1), r.getString(2))).toSeq
-        text.Bpe.encode(cat.read(encNs), idCol, col(textCol), mseq)
+        text.Bpe.encode(cat.read(encNs), idCol, col(textCol),
+            text.Bpe.mergeSeq(merges))
           .write.mode("overwrite").parquet(s"$out/encoded")
     }
     println(s"wrote $out")

@@ -51,6 +51,11 @@ object SparkEntry {
   private val BpeK = 8
   private val BpeMaxWords = 2000
 
+  /** Sequence capacity shared by the no-split packing manifest and the
+    * padding harness tuned against it (q_pack_nosplit / q_pack_eval,
+    * Spark AND oracle sides) — one dial, no drift. */
+  private val PackCapacity = 2048L
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- A1: hash aggregate (status group-count shape, TPC-H Q1 style) ----
     // map-side partial aggregation; one shuffle on the (2-value) group keys.
@@ -908,8 +913,7 @@ object SparkEntry {
     "q_bpe_encode" -> ((s, dir) => {
       val (mergesDf, _) = text.Bpe.trainMerges(load(s, dir, "documents"),
         col("text"), BpeK, BpeMaxWords)
-      val merges = mergesDf.orderBy("rank").collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val merges = text.Bpe.mergeSeq(mergesDf)
       text.Bpe.encode(
           load(s, dir, "part").filter(col("p_partkey") % 7 === 0),
           "p_partkey", col("p_name"), merges)
@@ -1163,13 +1167,14 @@ object SparkEntry {
         .agg(sum("n_tokens").as("fill"), count(lit(1)).as("ndocs"))
       seqs.groupBy(substring_index(col("shard"), ":", 1).as("split"))
         .agg(sum("ndocs").as("n_docs"), count(lit(1)).as("n_seqs"),
-          sum(when(col("fill") > 2048, 1L).otherwise(0L)).as("n_oversize"),
+          sum(when(col("fill") > PackCapacity, 1L).otherwise(0L))
+            .as("n_oversize"),
           sum("fill").as("total_tokens"),
-          sum(when(col("fill") <= 2048, lit(2048L) - col("fill"))
+          sum(when(col("fill") <= PackCapacity, lit(PackCapacity) - col("fill"))
             .otherwise(0L)).as("pad"))
         .select(col("split"), col("n_docs"), col("n_seqs"),
           col("n_oversize"), col("total_tokens"),
-          expr("(1000 * pad) DIV nullif(2048 * (n_seqs - n_oversize), 0)")
+          expr(s"(1000 * pad) DIV nullif($PackCapacity * (n_seqs - n_oversize), 0)")
             .as("padding_permille"))
         .orderBy("split")
     }),
@@ -2966,7 +2971,7 @@ object SparkEntry {
       .withColumn("shard", concat(col("split"), lit(":"),
         (col("bucket") % 8).cast("string")))
     text.Packing.packNoSplit(sp, "doc_id", col("n_tokens"),
-      col("shard"), 2048L)
+      col("shard"), PackCapacity)
   }
 
   /** Next-fit unrolled as a recursive CTE stepping one doc per shard at
@@ -2997,14 +3002,14 @@ object SparkEntry {
       |  FROM docs WHERE rn = 1
       |  UNION ALL
       |  SELECT nx.shard, nx.rn, nx.doc_id, nx.n_tokens,
-      |    CASE WHEN s.fill > 0 AND s.fill + nx.n_tokens > 2048
+      |    CASE WHEN s.fill > 0 AND s.fill + nx.n_tokens > __CAP__
       |      THEN s.seq_idx + 1 ELSE s.seq_idx END,
-      |    CASE WHEN s.fill > 0 AND s.fill + nx.n_tokens > 2048
+      |    CASE WHEN s.fill > 0 AND s.fill + nx.n_tokens > __CAP__
       |      THEN CAST(0 AS BIGINT) ELSE s.fill END,
-      |    CASE WHEN s.fill > 0 AND s.fill + nx.n_tokens > 2048
+      |    CASE WHEN s.fill > 0 AND s.fill + nx.n_tokens > __CAP__
       |      THEN nx.n_tokens ELSE s.fill + nx.n_tokens END
       |  FROM step s JOIN docs nx ON nx.shard = s.shard AND nx.rn = s.rn + 1)
-      |""".stripMargin
+      |""".stripMargin.replace("__CAP__", PackCapacity.toString)
 
   /** Oracle twin of [[graft.text.Bpe]]: the k-round merge-learning
     * loop unrolled as CTE stages — per stage i: `x` (lead pairs), `b`
@@ -4993,7 +4998,7 @@ object SparkEntry {
           |FROM step ORDER BY doc_id""".stripMargin),
     "q_pack_eval" ->
       (packNoSplitCte +
-        """, seqs AS (
+        s""", seqs AS (
           |  SELECT shard, seq_idx, CAST(sum(fill0) AS BIGINT) AS fill,
           |    count(*) AS ndocs
           |  FROM (SELECT shard, seq_idx, n_tokens AS fill0 FROM step)
@@ -5001,11 +5006,11 @@ object SparkEntry {
           |SELECT split_part(shard, ':', 1) AS split,
           |  CAST(sum(ndocs) AS BIGINT) AS n_docs,
           |  count(*) AS n_seqs,
-          |  CAST(sum(CASE WHEN fill > 2048 THEN 1 ELSE 0 END) AS BIGINT) AS n_oversize,
+          |  CAST(sum(CASE WHEN fill > $PackCapacity THEN 1 ELSE 0 END) AS BIGINT) AS n_oversize,
           |  CAST(sum(fill) AS BIGINT) AS total_tokens,
-          |  (1000 * CAST(sum(CASE WHEN fill <= 2048 THEN 2048 - fill ELSE 0 END) AS BIGINT))
-          |    // NULLIF(2048 * (count(*) -
-          |      CAST(sum(CASE WHEN fill > 2048 THEN 1 ELSE 0 END) AS BIGINT)), 0)
+          |  (1000 * CAST(sum(CASE WHEN fill <= $PackCapacity THEN $PackCapacity - fill ELSE 0 END) AS BIGINT))
+          |    // NULLIF($PackCapacity * (count(*) -
+          |      CAST(sum(CASE WHEN fill > $PackCapacity THEN 1 ELSE 0 END) AS BIGINT)), 0)
           |    AS padding_permille
           |FROM seqs GROUP BY 1 ORDER BY 1""".stripMargin),
     "q_pack" ->

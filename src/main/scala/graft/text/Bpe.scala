@@ -138,6 +138,12 @@ object Bpe {
     (mergesDf, syms)
   }
 
+  /** The driver-local merge list of a [[trainMerges]] output — the
+    * 8-or-so-row model in the form [[encode]] replays. */
+  def mergeSeq(merges: DataFrame): Seq[(String, String)] =
+    merges.orderBy("rank").select("left_sym", "right_sym").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+
   /** ENCODE a new corpus under a trained model: replay the learned
     * merge list, in rank order, over the batch's distinct words — the
     * actual BPE tokenize step, where an UNSEEN word still merges by
@@ -175,8 +181,11 @@ object Bpe {
     * n_words, n_tokens) where each word costs its learned token count,
     * or — for words outside the trained table — its character count
     * (the fully-unmerged fallback, exactly what BPE encode does to
-    * unseen words before any merge applies). The learned table is
-    * vocabulary-sized → broadcast join; the corpus scans once. */
+    * unseen words before any merge applies). The join is deliberately
+    * UNHINTED (the [[encode]] discipline): a capped word table
+    * auto-broadcasts under the threshold, while a 10⁶–10⁸-word model —
+    * the scale the object doc advertises — must shuffle on the word
+    * key rather than OOM a forced broadcast build. */
   def fertility(df: DataFrame, idCol: String, text: Column,
       finalSymbols: DataFrame): DataFrame = {
     val ntok = finalSymbols.groupBy("word")
@@ -184,7 +193,7 @@ object Bpe {
     df.filter(text.isNotNull)
       .select(col(idCol),
         explode(TextFunctions.whitespaceTokens(lower(text))).as("word"))
-      .join(broadcast(ntok), Seq("word"), "left")
+      .join(ntok, Seq("word"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"),
         sum(coalesce(col("__ntok"), length(col("word")).cast("long")))

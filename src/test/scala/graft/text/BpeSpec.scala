@@ -60,8 +60,7 @@ class BpeSpec extends SparkSpec {
 
   test("encode replays learned merges over unseen words") {
     val (mergesDf, _) = Bpe.trainMerges(sennrich, col("text"), 5, 100)
-    val merges = mergesDf.orderBy("rank").collect()
-      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val merges = Bpe.mergeSeq(mergesDf)
     // lowest: (e,s)→l,o,w,es,t; (es,t)→l,o,w,est; (l,o)→lo,w,est;
     // (lo,w)→low,est = 2 tokens — an UNSEEN word still merges.
     // zq: no merges apply → 2 tokens. low: 1 token.
@@ -81,12 +80,13 @@ class BpeSpec extends SparkSpec {
       s"pairCounts lost its shape:\n$pc")
     val am = Bpe.applyMerge(syms, "e", "s").queryExecution.executedPlan.toString
     assert(!am.contains("SinglePartition"), s"applyMerge funnels:\n$am")
-    // fertility: vocabulary-sized learned table must broadcast — the
-    // corpus-sized word stream never shuffles to meet it
+    // fertility: the join is unhinted — a capped learned table still
+    // auto-broadcasts under the threshold (while a 10⁸-word model may
+    // shuffle instead of OOMing a forced broadcast build)
     val f = Bpe.fertility(sennrich, "doc_id", col("text"), syms)
       .queryExecution.executedPlan.toString
     assert(f.contains("BroadcastHashJoin") && !f.contains("SortMergeJoin"),
-      s"fertility lost its broadcast join:\n$f")
+      s"fertility lost its auto-broadcast join:\n$f")
   }
 
   test("wordFreq caps to maxWords by (freq desc, word asc)") {
