@@ -637,7 +637,7 @@ object Dedup {
     * corpus — at 100 TB the verify stage never tokenizes the long tail
     * LSH already cleared. */
   def jaccardVerify(df: DataFrame, pairs: DataFrame, idCol: String, text: Column,
-      shingleWords: Int = 3): DataFrame = {
+      shingleWords: Int = 3, stagingDir: Option[String] = None): DataFrame = {
     val candIds = pairs.select(col("id_a").as(idCol))
       .unionByName(pairs.select(col("id_b").as(idCol)))
       .distinct()
@@ -646,12 +646,16 @@ object Dedup {
     // array_intersect per pair (cost |A|+|B|), and the per-pair join
     // volume is two array payloads instead of every shingle row.
     // Persisted because both pair sides consume it.
-    val ssets = df.join(candIds, Seq(idCol), "left_semi")
-      .select(col(idCol), array_distinct(array_compact(
-        Shingles.wordNGramsOf(
-          slice(split(lower(text), " "), 1, MaxShingleWords),
-          shingleWords))).as("__sset"))
-      .persist()
+    // `stagingDir` switches this candidate-pruned (still corpus-
+    // proportional on a dup-heavy corpus) intermediate from persist()
+    // to a parquet staging write (util/Staging contract).
+    val (ssets, release) = graft.util.Staging.stage(
+      df.join(candIds, Seq(idCol), "left_semi")
+        .select(col(idCol), array_distinct(array_compact(
+          Shingles.wordNGramsOf(
+            slice(split(lower(text), " "), 1, MaxShingleWords),
+            shingleWords))).as("__sset")),
+      stagingDir, "jaccard_ssets")
     try {
       ssets.count(): Unit // materialize BEFORE the two consuming joins
       pairs
@@ -665,7 +669,7 @@ object Dedup {
         .withColumn("jaccard", col("n_inter").cast("double") / col("n_union"))
         .select("id_a", "id_b", "n_inter", "n_union", "jaccard")
         .localCheckpoint(true)
-    } finally { ssets.unpersist(false); () }
+    } finally { release() }
   }
 
   /** [[jaccardVerify]] over a precomputed (persisted) shingle set —

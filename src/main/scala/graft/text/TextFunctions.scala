@@ -379,13 +379,17 @@ object TextFunctions {
     * the per-doc sum. OOV tokens cannot exist when the model is built
     * from the scored corpus itself; scoring NEW docs against a frozen
     * model needs a smoothing floor — callers pre-join and fill. */
-  def unigramSurprisal(df: DataFrame, idCol: String, text: Column): DataFrame = {
+  def unigramSurprisal(df: DataFrame, idCol: String, text: Column,
+      stagingDir: Option[String] = None): DataFrame = {
     // the token table feeds three subtrees (model, total, probe):
-    // persist once, materialize small output, release — the same cache
-    // contract as Dedup.jaccardVerify
-    val toks = df.filter(text.isNotNull)
-      .select(col(idCol), explode(whitespaceTokens(lower(text))).as("tok"))
-      .persist()
+    // materialize once, release on return. `stagingDir` switches the
+    // corpus-sized intermediate from persist() to a parquet staging
+    // write — the production shape at 100 TB (util/Staging contract,
+    // as in bm25TopK / Dsir / containmentPairs).
+    val (toks, release) = graft.util.Staging.stage(
+      df.filter(text.isNotNull)
+        .select(col(idCol), explode(whitespaceTokens(lower(text))).as("tok")),
+      stagingDir, "surprisal_toks")
     try {
       val total = toks.count()
       val model = toks.groupBy("tok").agg(count(lit(1)).as("__tf"))
@@ -398,7 +402,7 @@ object TextFunctions {
         .withColumn("avg_surprisal_nats",
           col("total_mnats").cast("double") / lit(1000.0) / col("n_tokens"))
         .localCheckpoint(true)
-    } finally { toks.unpersist(false); () }
+    } finally { release() }
   }
 
   /** Bigram-LM surprisal — the next rung above [[unigramSurprisal]] on
@@ -428,17 +432,19 @@ object TextFunctions {
     * still sort-free. Scoring NEW docs against a frozen model needs a
     * smoothing floor for unseen bigrams — callers pre-join and fill
     * (OOV cannot exist when the model is the corpus itself). */
-  def bigramSurprisal(df: DataFrame, idCol: String, text: Column): DataFrame = {
+  def bigramSurprisal(df: DataFrame, idCol: String, text: Column,
+      stagingDir: Option[String] = None): DataFrame = {
     val toks = whitespaceTokens(lower(text))
-    val pos = df.filter(text.isNotNull)
-      .select(col(idCol), toks.as("__toks"))
-      .filter(size(col("__toks")) >= 1)
-      .select(col(idCol), explode(transform(
-        sequence(lit(1), size(col("__toks"))),
-        i => struct(element_at(col("__toks"), i).as("tok"),
-          when(i > 1, element_at(col("__toks"), i - 1)).as("prev")))).as("__p"))
-      .select(col(idCol), col("__p.tok").as("tok"), col("__p.prev").as("prev"))
-      .persist()
+    val (pos, release) = graft.util.Staging.stage(
+      df.filter(text.isNotNull)
+        .select(col(idCol), toks.as("__toks"))
+        .filter(size(col("__toks")) >= 1)
+        .select(col(idCol), explode(transform(
+          sequence(lit(1), size(col("__toks"))),
+          i => struct(element_at(col("__toks"), i).as("tok"),
+            when(i > 1, element_at(col("__toks"), i - 1)).as("prev")))).as("__p"))
+        .select(col(idCol), col("__p.tok").as("tok"), col("__p.prev").as("prev")),
+      stagingDir, "surprisal_bigram_pos")
     try {
       val total = pos.count()
       val uni = pos.groupBy("tok").agg(count(lit(1)).as("__tf"))
@@ -460,7 +466,7 @@ object TextFunctions {
         .withColumn("avg_surprisal_nats",
           col("total_mnats").cast("double") / lit(1000.0) / col("n_tokens"))
         .localCheckpoint(true)
-    } finally { pos.unpersist(false); () }
+    } finally { release() }
   }
 
   /** Canonical text normalization — the pre-dedup cleanup pass:
@@ -493,13 +499,15 @@ object TextFunctions {
     * partitions are single documents' vocabularies — never hot. The
     * (doc, token) aggregate feeds two subtrees (probe + doc_freq), so
     * it persists for the duration and is released on return. */
-  def tfIdfTopK(df: DataFrame, idCol: String, text: Column, k: Int = 3): DataFrame = {
+  def tfIdfTopK(df: DataFrame, idCol: String, text: Column, k: Int = 3,
+      stagingDir: Option[String] = None): DataFrame = {
     require(k > 0, "k must be positive")
     val nonNull = df.filter(text.isNotNull)
-    val tf = nonNull
-      .select(col(idCol), explode(whitespaceTokens(lower(text))).as("tok"))
-      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
-      .persist()
+    val (tf, release) = graft.util.Staging.stage(
+      nonNull
+        .select(col(idCol), explode(whitespaceTokens(lower(text))).as("tok"))
+        .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf")),
+      stagingDir, "tfidf_tf")
     try {
       val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("doc_freq"))
       val n = nonNull.agg(count(lit(1)).as("__n"))
@@ -514,7 +522,7 @@ object TextFunctions {
         .select(col(idCol), col("rank"), col("tok"), col("tf"),
           col("doc_freq"), col("score_mnats"))
         .localCheckpoint(true)
-    } finally { tf.unpersist(false); () }
+    } finally { release() }
   }
 
   /** Content fingerprint: the lexicographic min of md5 over the

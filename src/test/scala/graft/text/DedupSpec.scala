@@ -344,6 +344,23 @@ class DedupSpec extends SparkSpec {
     assert(!rows.keySet.exists { case (a, b) => a >= 10L && b <= 14L })
   }
 
+  test("jaccardVerify: parquet-staging path returns the persist path's exact rows") {
+    val corpus = Seq(
+      (1L, (1 to 30).map(i => s"w$i").mkString(" ")),
+      (2L, (1 to 30).map(i => s"w$i").mkString(" ") + " tail"),
+      (3L, "totally different content with many words here")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val dir = java.nio.file.Files.createTempDirectory("jac-stage").toString
+    try {
+      def run(staging: Option[String]) = Dedup.jaccardVerify(corpus, pairs,
+          "doc_id", col("text"), stagingDir = staging).collect().toSet
+      assert(run(Some(dir)) == run(None))
+      assert(new java.io.File(s"$dir/jaccard_ssets").exists())
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("containmentPairs: parquet-staging path returns the persist path's exact rows") {
     val srcLines = (1 to 5).map(i =>
       s"line $i " + (1 to 20).map(j => s"w${i}x$j").mkString(" "))

@@ -271,4 +271,31 @@ class TextFunctionsSpec extends SparkSpec {
     // a doubling-geometric corpus is exactly Zipf-ish with slope ~ -1.5/ln-steps
     assert(got.getDouble(1) < 0 && got.getDouble(3) > 0.9)
   }
+
+  test("surprisal/tfidf: parquet-staging path returns the persist path's exact rows") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat ran"),
+      (3L, "a dog sat")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("tf-stage").toString
+    try {
+      def eq(a: org.apache.spark.sql.DataFrame,
+          b: org.apache.spark.sql.DataFrame): Boolean =
+        a.collect().toSet == b.collect().toSet
+      assert(eq(
+        TextFunctions.unigramSurprisal(docs, "doc_id", col("text"), Some(dir)),
+        TextFunctions.unigramSurprisal(docs, "doc_id", col("text"))))
+      assert(eq(
+        TextFunctions.bigramSurprisal(docs, "doc_id", col("text"), Some(dir)),
+        TextFunctions.bigramSurprisal(docs, "doc_id", col("text"))))
+      assert(eq(
+        TextFunctions.tfIdfTopK(docs, "doc_id", col("text"), 2, Some(dir)),
+        TextFunctions.tfIdfTopK(docs, "doc_id", col("text"), 2)))
+      assert(new java.io.File(s"$dir/surprisal_toks").exists())
+      assert(new java.io.File(s"$dir/surprisal_bigram_pos").exists())
+      assert(new java.io.File(s"$dir/tfidf_tf").exists())
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
