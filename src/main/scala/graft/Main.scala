@@ -228,6 +228,8 @@ object Main {
         .map(e => e.getKey -> e.getValue.asDouble())
       else Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
     val lineGate = if (n.has("lineGate")) Some(n.get("lineGate").asInt()) else None
+    val minEntropy =
+      if (n.has("minEntropy")) Some(n.get("minEntropy").asDouble()) else None
     val substrCut = if (n.has("substrCut")) Some(n.get("substrCut").asInt()) else None
     val budgets = if (n.has("budgets"))
       Some(n.get("budgets").fields().asScala.toSeq
@@ -279,8 +281,16 @@ object Main {
     }
     val stats = TextFunctions.languageId(
       TextFunctions.qualityStats(gated, scoredText), scoredText)
-    val kept = stats.filter(col("quality_score") >= minQuality &&
+    val keptBase = stats.filter(col("quality_score") >= minQuality &&
       col("pred_lang").isin(langs: _*))
+    // optional compressibility gate: Shannon char entropy of the SCORED
+    // text (one-pass native census — a narrow predicate, no extra
+    // pass). NULL entropy (empty kept text) fails the gate by design.
+    val kept = minEntropy match {
+      case Some(me) => keptBase.filter(TextFunctions
+        .charEntropyCol(scoredText).getField("entropy_nats") >= me)
+      case None => keptBase
+    }
     // the split frame feeds the budget selection AND the join-back:
     // persist so the scan + dedup + scoring pipeline runs once
     // (materialize-then-release, same contract as budgetSelect's ann)

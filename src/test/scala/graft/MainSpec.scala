@@ -179,6 +179,32 @@ class MainSpec extends SparkSpec {
     intercept[Exception] { Main.run(Seq("-profile", bad), sess) }
   }
 
+  test("-curate minEntropy gate drops exactly the low-entropy docs") {
+    // baseline run (no gate), then re-run with the median entropy as
+    // the threshold — the gated manifest must be exactly the baseline
+    // rows at/above it
+    val outA = tmp("graft-cli-ent") + "/base"
+    val cfgA = writeCfg(tmp("graft-cli-entcfgA"),
+      s"""{"source":"$sf001","namespace":"local.documents","out":"$outA",
+         |"minQuality":0,"langs":["en","fr","es","de"],"salt":"42"}""".stripMargin)
+    assert(Main.run(Seq("-curate", cfgA), sess) == 0)
+    val base = spark.read.parquet(outA).select("doc_id")
+    val ents = base.join(Tables.load(spark, sf001, "documents"), Seq("doc_id"))
+      .select($"doc_id", graft.text.TextFunctions.charEntropyCol($"text")
+        .getField("entropy_nats").as("e"))
+    val cutoff = ents.selectExpr("percentile(e, 0.5)").collect()(0).getDouble(0)
+    val outB = tmp("graft-cli-ent") + "/gated"
+    val cfgB = writeCfg(tmp("graft-cli-entcfgB"),
+      s"""{"source":"$sf001","namespace":"local.documents","out":"$outB",
+         |"minQuality":0,"langs":["en","fr","es","de"],"salt":"42",
+         |"minEntropy":$cutoff}""".stripMargin)
+    assert(Main.run(Seq("-curate", cfgB), sess) == 0)
+    val gated = spark.read.parquet(outB).select("doc_id")
+    val want = ents.filter($"e" >= cutoff).select("doc_id")
+    assert(gated.exceptAll(want).isEmpty && want.exceptAll(gated).isEmpty)
+    assert(gated.count() < base.count() && gated.count() > 0)
+  }
+
   test("-tokenize writes BPE merges, fertility, and the encoded twin") {
     val out = tmp("graft-cli-tok") + "/model"
     val cfg = writeCfg(tmp("graft-cli-tokcfg"),
