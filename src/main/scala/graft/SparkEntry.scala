@@ -884,6 +884,18 @@ object SparkEntry {
           col("text"), 1000)
         .orderBy(col("n").desc, col("tok"))),
 
+    // ---- held-out surprisal: unigram model FROZEN on the train split,
+    // Laplace-smoothed scoring of val — the cross-split perplexity-eval
+    // shape the self-trained q_surprisal defers to callers ----
+    "q_surprisal_heldout" -> ((s, dir) => {
+      val sp = text.Sampling.hashSplit(load(s, dir, "documents"),
+        col("doc_id"), "42", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      text.TextFunctions.unigramSurprisalFrozen(
+          sp.filter(col("split") === "train"),
+          sp.filter(col("split") === "val"), "doc_id", col("text"))
+        .orderBy("doc_id")
+    }),
+
     // ---- Zipf rank-frequency fit: least squares over the log-log
     // top-1000 vocabulary (micro-nat quantized, decimal-exact sums,
     // one fixed IEEE tree) — corpus-health next to q_vocab_drift ----
@@ -3488,6 +3500,28 @@ object SparkEntry {
         |FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
         |      FROM documents WHERE text IS NOT NULL)
         |GROUP BY 1 ORDER BY n DESC, tok LIMIT 1000""".stripMargin,
+    "q_surprisal_heldout" ->
+      """WITH b AS (
+        |  SELECT doc_id, text,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8)) AS BIGINT)
+        |      % 10000 AS bucket
+        |  FROM documents WHERE text IS NOT NULL),
+        |tt AS (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+        |       FROM b WHERE bucket < 8000),
+        |m AS (SELECT tok, count(*) AS tf FROM tt GROUP BY 1),
+        |nv AS (SELECT CAST(sum(tf) AS BIGINT) + count(*) AS denom FROM m),
+        |st AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+        |       FROM b WHERE bucket >= 8000 AND bucket < 9000)
+        |SELECT st.doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN m.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen,
+        |  CAST(sum(CAST(floor(-1000.0 * ln(
+        |    CAST(coalesce(m.tf, 0) + 1 AS DOUBLE) / denom)) AS BIGINT)) AS BIGINT)
+        |    AS total_mnats,
+        |  CAST(sum(CAST(floor(-1000.0 * ln(
+        |    CAST(coalesce(m.tf, 0) + 1 AS DOUBLE) / denom)) AS BIGINT)) AS BIGINT)
+        |    / 1000.0 / count(*) AS avg_surprisal_nats
+        |FROM st LEFT JOIN m ON st.tok = m.tok CROSS JOIN nv
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_zipf" ->
       """WITH v AS (
         |  SELECT tok, count(*) AS n

@@ -405,6 +405,46 @@ object TextFunctions {
     } finally { release() }
   }
 
+  /** [[unigramSurprisal]] against a FROZEN model — the cross-split
+    * shape (perplexity eval, CCNet-style quality scoring of NEW data
+    * under a reference-corpus model) that the self-trained variant's
+    * scaladoc defers to callers. The model is trained on `train` with
+    * Laplace (add-one) smoothing over the TRAIN vocabulary, so a
+    * scored token unseen in train gets the smoothing floor
+    * `1/(N+V)` instead of −∞: `p(t) = (c(t)+1)/(N+V)`.
+    *
+    * Same exactness convention: per-token −ln p floored to integer
+    * milli-nats before the per-doc sum. Scale shape: ONE groupBy over
+    * the train tokens (map-side combined), the vocabulary-sized model
+    * broadcasts (swap for an unhinted join past ~10⁸ terms), the
+    * scored corpus explodes once. */
+  def unigramSurprisalFrozen(train: DataFrame, score: DataFrame,
+      idCol: String, text: Column): DataFrame = {
+    val trainToks = train.filter(text.isNotNull)
+      .select(explode(whitespaceTokens(lower(text))).as("tok"))
+    val model = trainToks.groupBy("tok").agg(count(lit(1)).as("__tf"))
+      .persist()
+    try {
+      val agg = model.agg(sum(col("__tf")).as("__n"),
+        count(lit(1)).as("__v")).collect()(0)
+      val denom = agg.getLong(0) + agg.getLong(1) // N + V
+      score.filter(text.isNotNull)
+        .select(col(idCol),
+          explode(whitespaceTokens(lower(text))).as("tok"))
+        .join(broadcast(model), Seq("tok"), "left")
+        .withColumn("__mnats", floor(lit(-1000.0) * log(
+          (coalesce(col("__tf"), lit(0L)) + lit(1L)).cast("double") / denom))
+          .cast("long"))
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("__tf").isNull, 1L).otherwise(0L)).as("n_unseen"),
+          sum(col("__mnats")).as("total_mnats"))
+        .withColumn("avg_surprisal_nats",
+          col("total_mnats").cast("double") / lit(1000.0) / col("n_tokens"))
+        .localCheckpoint(true)
+    } finally { model.unpersist(false); () }
+  }
+
   /** Bigram-LM surprisal — the next rung above [[unigramSurprisal]] on
     * the CCNet/KenLM quality ladder: each token is scored by its
     * in-context probability `p(w_i | w_{i−1})` from a bigram model

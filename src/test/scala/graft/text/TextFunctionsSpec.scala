@@ -247,6 +247,20 @@ class TextFunctionsSpec extends SparkSpec {
     assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("unigramSurprisalFrozen: Laplace floor for unseen tokens, hand model") {
+    val train = Seq((1L, "a a b")).toDF("doc_id", "text")
+    val score = Seq((10L, "a c"), (11L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextFunctions.unigramSurprisalFrozen(train, score, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // model a:2 b:1, N=3 V=2 → denom 5; a → (2+1)/5, c (unseen) → 1/5
+    val ma = math.floor(-1000.0 * math.log(3.0 / 5)).toLong
+    val mc = math.floor(-1000.0 * math.log(1.0 / 5)).toLong
+    assert(out.keySet == Set(10L))
+    assert(out(10L) == ((2L, 1L, ma + mc, (ma + mc).toDouble / 1000.0 / 2)))
+  }
+
   test("zipfFit matches a local least-squares over the quantized log-log vocab") {
     // freqs 8/4/2/1 over ranks 1..4 (ties broken by token)
     val docs = Seq((1L, ("a " * 8 + "b " * 4 + "c " * 2 + "d").trim))
