@@ -122,6 +122,14 @@ class GraftFunctionsSpec extends SparkSpec {
       .orderBy("doc_id")
       .select("n_tokens", "quality_score", "pred_lang").collect()
     assert(sqlStats.toSeq === apiStats.toSeq)
+
+    val sqlEnt = spark.sql(
+      "SELECT graft_char_entropy(text).total_mnats AS m FROM gf_docs WHERE doc_id = 1")
+      .collect().head.getLong(0)
+    val apiEnt = nonNull.filter(col("doc_id") === 1)
+      .select(text.TextFunctions.charEntropyCol(col("text"))
+        .getField("total_mnats").as("m")).collect().head.getLong(0)
+    assert(sqlEnt === apiEnt)
   }
 
   test("graft_line_filter and graft_cdc_boundaries match their Scala twins") {
