@@ -2176,6 +2176,40 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // ---- §7 time-series: TOLERANCE-bounded as-of join — each click
+    // picks up the user's latest at-or-before purchase, but only if it
+    // happened within the last hour (pandas merge_asof(tolerance=…) /
+    // attribution-horizon semantics). Same single-exchange union+carry
+    // plan as q_asof; the gate is one narrow integer projection
+    // (ops/AsofJoin.asofWithin) — no extra shuffle, join, or window. ----
+    "q_asof_within" -> ((s, dir) => {
+      val raw = load(s, dir, "events")
+      val ev = raw
+        .select(col("event_id"), col("user_id"),
+          Tables.tsUs(raw).as("ts_us"), col("event_type"), col("value"))
+      val probes = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts_us")
+      val refs = ev
+        .filter(col("event_type") === "purchase" && col("value").isNotNull)
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
+      ops.AsofJoin.asofWithin(probes, refs, key = "user_id",
+          timeCol = "ts_us", tieCol = "event_id",
+          payload = Seq("event_id", "value"), toleranceUs = 3600000000L)
+        .orderBy("event_id")
+    }),
+
+    // ---- §7 stream-stream attribution join, pinned through its batch
+    // twin (identical code path; the watermark node is eliminated for
+    // batch inputs): every purchase within [view_ts, view_ts + 1h) per
+    // user. The equality key (user_id) carries the shuffle; the range
+    // condition is a narrow residual — and in streaming it is the
+    // load-bearing state-eviction bound (EventStream.attributionJoin;
+    // EventStreamSpec pins stream == batch across a micro-batch split). ----
+    "q_attribution" -> ((s, dir) =>
+      streaming.EventStream.attributionJoin(
+          load(s, dir, "events"), openType = "view", pointType = "purchase")
+        .orderBy("open_id", "point_id")),
+
     // ---- §7 time-series: bucketed interval join — clicks attributed to
     // the purchase window [purchase_ts, purchase_ts + 1h). Intervals
     // explode to ≤2 hour-buckets, the join is a plain equi-join on
@@ -2533,6 +2567,32 @@ object SparkEntry {
       ops.Quantiles.exactQuantilesBy(
           load(s, dir, "documents"), "lang", col("n_chars"), Seq(500, 900))
         .orderBy("lang", "q_mille")),
+
+    // ---- §7 the histogram PERCENTILE-RANK annotator — "normalize each
+    // doc's length to a corpus percentile" without percent_rank()'s
+    // global row sort (one reducer holding every row). One map-side
+    // histogram, a cumulative window over DISTINCT values only, an
+    // equi-join back on the value; ranks are exact integers (rank_lt,
+    // ppm via integer division) so any engine agrees bit-for-bit
+    // (ops/Quantiles.percentileRanks). ----
+    "q_pct_rank" -> ((s, dir) =>
+      ops.Quantiles.percentileRanks(
+          load(s, dir, "documents").select("doc_id", "n_chars"),
+          col("n_chars"))
+        .select("doc_id", "n_chars", "rank_lt", "n_rows", "pr_ppm")
+        .orderBy("doc_id")),
+
+    // ---- §7 curriculum training order: bins ascend (length-curriculum
+    // here — shorter docs first), pseudorandom within each bin; the
+    // global permutation index comes from per-(bin, shard) row_number
+    // windows plus a metadata-sized offset prefix-sum — never a global
+    // sort (text/Sampling.curriculumManifest). ----
+    "q_curriculum" -> ((s, dir) =>
+      text.Sampling.curriculumManifest(
+          load(s, dir, "documents"), "doc_id",
+          expr("n_chars DIV 500"), salt = "cur1",
+          shards = 8)
+        .orderBy("doc_id")),
 
     // ---- §7 sampling: weight-proportional Bernoulli (importance
     // sampling by document length) — keep P = min(1, n_chars/wCap),
@@ -5369,6 +5429,42 @@ object SparkEntry {
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |SELECT event_id, user_id, ts_us, ref_ts_us, ref_event_id, ref_value
         |FROM c WHERE tag = 1 ORDER BY event_id""".stripMargin,
+    "q_asof_within" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+        |           FROM events),
+        |u AS (
+        |  SELECT user_id, ts_us AS t, 0 AS tag, event_id AS tie,
+        |         ts_us AS r_ts, event_id AS r_eid, value AS r_val,
+        |         CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS BIGINT) AS ts_us
+        |  FROM e WHERE event_type = 'purchase' AND value IS NOT NULL
+        |  UNION ALL
+        |  SELECT user_id, ts_us, 1, 0,
+        |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |         CAST(NULL AS DOUBLE), event_id, ts_us
+        |  FROM e WHERE event_type = 'click'),
+        |c AS (
+        |  SELECT user_id, tag, event_id, ts_us,
+        |    last_value(r_ts IGNORE NULLS) OVER w AS m_ts,
+        |    last_value(r_eid IGNORE NULLS) OVER w AS m_eid,
+        |    last_value(r_val IGNORE NULLS) OVER w AS m_val
+        |  FROM u
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY t, tag, tie
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, ts_us,
+        |  CASE WHEN m_ts IS NOT NULL AND ts_us - m_ts <= 3600000000
+        |       THEN m_eid END AS ref_event_id,
+        |  CASE WHEN m_ts IS NOT NULL AND ts_us - m_ts <= 3600000000
+        |       THEN m_val END AS ref_value
+        |FROM c WHERE tag = 1 ORDER BY event_id""".stripMargin,
+    "q_attribution" ->
+      """SELECT o.event_id AS open_id, p.event_id AS point_id, o.user_id,
+        |  epoch_us(o.ts) AS open_us, epoch_us(p.ts) AS point_us
+        |FROM events o JOIN events p
+        |  ON o.user_id = p.user_id
+        | AND o.event_type = 'view' AND p.event_type = 'purchase'
+        | AND epoch_us(p.ts) >= epoch_us(o.ts)
+        | AND epoch_us(p.ts) < epoch_us(o.ts) + 3600000000
+        |ORDER BY open_id, point_id""".stripMargin,
     "q_range_join" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
         |           FROM events),
@@ -5675,6 +5771,26 @@ object SparkEntry {
         |  coalesce(v_hi, v_lo) AS v_hi,
         |  1000 * v_lo + (coalesce(v_hi, v_lo) - v_lo) * rem AS value_milli
         |FROM a ORDER BY lang, q_mille""".stripMargin,
+    "q_curriculum" ->
+      """WITH b AS (SELECT doc_id, n_chars // 500 AS bin,
+        |    md5(CAST(doc_id AS VARCHAR) || '#cur1') AS rk
+        |  FROM documents),
+        |s AS (SELECT doc_id, bin, rk,
+        |    CAST(CAST(('0x' || substr(rk, 1, 4)) AS BIGINT) * 8 // 65536 AS INT) AS shard
+        |  FROM b)
+        |SELECT doc_id, bin, shard,
+        |  CAST(row_number() OVER (ORDER BY bin, rk, doc_id) - 1 AS BIGINT) AS pos
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q_pct_rank" ->
+      """WITH r AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |    CAST(rank() OVER (ORDER BY n_chars) - 1 AS BIGINT) AS rank_lt,
+        |    CAST(count(*) OVER () AS BIGINT) AS n_rows
+        |  FROM documents WHERE n_chars IS NOT NULL)
+        |SELECT doc_id, n_chars, rank_lt, n_rows,
+        |  CASE WHEN n_rows > 1 THEN rank_lt * 1000000 // (n_rows - 1)
+        |       ELSE CAST(0 AS BIGINT) END AS pr_ppm
+        |FROM r ORDER BY doc_id""".stripMargin,
     "q_weighted_sample" ->
       """SELECT lang, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS chars_kept
         |FROM documents

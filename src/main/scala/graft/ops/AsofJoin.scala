@@ -79,6 +79,32 @@ object AsofJoin {
       .select(probeCols.map(col) ++ payload.map(c => col(s"ref_$c")): _*)
   }
 
+  /** Backward as-of join with a match-window tolerance: like
+    * [[asofLast]], but a carried reference OLDER than `toleranceUs`
+    * (probe time − reference time, in `timeCol` units) is nulled out —
+    * the pandas `merge_asof(tolerance=...)` / "only attribute within
+    * the last N hours" semantics. Implemented as the identical
+    * single-exchange union+carry plan plus one narrow projection: the
+    * reference time rides along as payload and gates every payload
+    * column, so the tolerance adds NO extra shuffle, join, or window.
+    * `timeCol` must be integer (µs recommended) — the gate is exact
+    * integer subtraction, bit-identical in any engine. */
+  def asofWithin(probe: DataFrame, ref: DataFrame, key: String,
+      timeCol: String, tieCol: String, payload: Seq[String],
+      toleranceUs: Long): DataFrame = {
+    require(toleranceUs >= 0, "tolerance must be non-negative")
+    val withT = if (payload.contains(timeCol)) payload else payload :+ timeCol
+    val joined = asofLast(probe, ref, key, timeCol, tieCol, withT)
+    val refT = col(s"ref_$timeCol")
+    val inTol = refT.isNotNull &&
+      (col(timeCol) - refT <= lit(toleranceUs))
+    val gated = joined.select(joined.columns.map { c =>
+      if (withT.exists(p => s"ref_$p" == c)) when(inTol, col(c)).as(c)
+      else col(c)
+    }.toIndexedSeq: _*)
+    if (payload.contains(timeCol)) gated else gated.drop(s"ref_$timeCol")
+  }
+
   /** Forward as-of join: the EARLIEST reference at-or-after each probe
     * (ties at equal time still go to the reference; among refs sharing
     * (key, time), the SMALLEST `tieCol` wins). Implemented by running

@@ -63,6 +63,39 @@ object Quantiles {
         expr("1000 * v_lo + (v_hi - v_lo) * ((n_rows - 1) * q_mille % 1000)"))
   }
 
+  /** Annotate every row with its EXACT percentile rank of `value` —
+    * the "normalize quality scores to a corpus percentile before
+    * thresholding/mixing" primitive — without the global row sort that
+    * `percent_rank() OVER (ORDER BY v)` plans (one reducer holding
+    * every row). The histogram route: one map-side-combined
+    * groupBy(value) count, a cumulative sum over distinct VALUES (the
+    * only unpartitioned window is histogram-sized), then an equi-join
+    * back on the value to annotate rows. Ranks come back as exact
+    * integers — `rank_lt` (rows strictly below, i.e. SQL `rank() - 1`,
+    * ties share it) and `n_rows` — plus `pr_ppm`, the SQL
+    * `percent_rank` floored to parts-per-million via pure integer
+    * division (exact below ~9·10⁹ rows at ppm scale; any engine
+    * computes the identical integers). NULL values pass through with
+    * null ranks and do not count toward `n_rows`. */
+  def percentileRanks(df: DataFrame, value: Column,
+      out: String = "pr_ppm"): DataFrame = {
+    val tagged = df.withColumn("__v", value.cast("long"))
+    val vals = tagged.filter(col("__v").isNotNull).select("__v")
+    val hist = vals.groupBy("__v").agg(count(lit(1)).as("__cnt"))
+    val cum = hist
+      .withColumn("__cum", sum(col("__cnt")).over(
+        Window.orderBy("__v").rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .withColumn("rank_lt", col("__cum") - col("__cnt"))
+      .select("__v", "rank_lt")
+    val n = broadcast(vals.agg(count(lit(1)).as("n_rows")))
+    tagged.join(cum, Seq("__v"), "left").crossJoin(n)
+      .withColumn(out, when(col("rank_lt").isNotNull,
+        expr("CASE WHEN n_rows > 1 THEN rank_lt * 1000000 DIV (n_rows - 1) " +
+          "ELSE 0 END")))
+      .drop("__v")
+  }
+
   /** Grouped variant of [[exactQuantiles]] — the 100 TB shape for
     * "p50/p90 per language" style profiling. Identical algebra, with
     * every window PARTITIONED BY the group: the per-(group, value)

@@ -95,6 +95,49 @@ object Sampling {
       .select(key, col("shard"), (col("__off") + col("__r") - 1).as("pos"))
   }
 
+  /** Curriculum training-order manifest: a deterministic TOTAL ORDER
+    * that walks `binCol` ASCENDING (easy→hard curriculum bins — e.g.
+    * quality-percentile deciles from `Quantiles.percentileRanks`) and
+    * pseudorandomly WITHIN each bin — computed, like
+    * [[shuffleManifest]], without ever sorting the corpus in one
+    * reducer.
+    *
+    * Order key is (bin, md5(key#salt), key); the shard is (bin, range
+    * partition of the 16-bit md5 prefix), so global order IS
+    * (bin, shard, rank-key) order: a row_number window per (bin,
+    * shard) — bounded independent sorts — plus offsets from a
+    * (bins × shards)-row prefix-sum aggregate (metadata-sized,
+    * broadcast back). A new salt redraws every within-bin permutation
+    * while preserving the curriculum; the layout is a pure function of
+    * (keys, bins, salt), so retries and engines agree byte-for-byte.
+    * Bins must be a bounded small domain (deciles, grade levels);
+    * shard within-bin volume via `shards` exactly as in
+    * [[shuffleManifest]]. */
+  def curriculumManifest(df: DataFrame, idCol: String, binCol: Column,
+      salt: String, shards: Int): DataFrame = {
+    require(shards > 0 && shards <= 65536, "shards in [1, 65536]")
+    val key = col(idCol)
+    val rk = md5(concat(key.cast("string"), lit("#"), lit(salt)))
+    val withShard = df.select(key, binCol.cast("long").as("bin"), rk.as("__rk"))
+      .withColumn("shard",
+        floor(conv(substring(col("__rk"), 1, 4), 16, 10).cast("long")
+          * shards / 65536).cast("int"))
+    val perShard = Window.partitionBy(col("bin"), col("shard"))
+      .orderBy(col("__rk"), key)
+    val ranked = withShard
+      .withColumn("__r", row_number().over(perShard).cast("long"))
+    val sizes = withShard.groupBy(col("bin"), col("shard"))
+      .agg(count(lit(1)).as("__n"))
+    // prefix-sum over bins × shards rows — metadata-sized
+    val offW = Window.orderBy(col("bin"), col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sizes.select(col("bin"), col("shard"),
+      coalesce(sum(col("__n")).over(offW), lit(0L)).as("__off"))
+    ranked.join(broadcast(offsets), Seq("bin", "shard"))
+      .select(key, col("bin"), col("shard"),
+        (col("__off") + col("__r") - 1).as("pos"))
+  }
+
   /** Per-group document cap — the anti-spam gate ("no domain may
     * contribute more than `cap` documents"), planned WITHOUT per-group
     * row_number windows: a hot domain with 10⁹ pages would sort them

@@ -116,6 +116,44 @@ class AsofJoinSpec extends SparkSpec {
       (7L, Some(50L), Some(101L))))
   }
 
+  test("asofWithin nulls payloads older than the tolerance") {
+    val out = AsofJoin.asofWithin(probes, refs, key = "user_id", timeCol = "t",
+        tieCol = "rid", payload = Seq("rid", "v"), toleranceUs = 40L)
+      .orderBy("event_id")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Double])))
+    assert(out.toSeq == Seq(
+      (1L, None, None),            // match at t=50 is 50 back — beyond 40
+      (2L, Some(101L), Some(2.0)), // 0 back
+      (3L, None, None),
+      (4L, Some(100L), Some(1.0)), // exact tie, 0 back
+      (5L, None, None),
+      (6L, Some(201L), Some(6.0)),
+      (7L, Some(101L), Some(2.0))))
+    // tolerance columns: ref_t only survives when requested
+    assert(!out.isEmpty)
+    val cols = AsofJoin.asofWithin(probes, refs, "user_id", "t", "rid",
+      Seq("rid", "v"), 40L).columns.toSeq
+    assert(cols == Seq("event_id", "user_id", "t", "ref_rid", "ref_v"))
+    val colsT = AsofJoin.asofWithin(probes, refs, "user_id", "t", "rid",
+      Seq("t", "rid"), 40L).columns.toSeq
+    assert(colsT == Seq("event_id", "user_id", "t", "ref_t", "ref_rid"))
+  }
+
+  test("asofWithin(Long.MaxValue tolerance) == asofLast") {
+    val p = spark.range(200).select(
+      $"id".as("event_id"), ($"id" % 11).as("user_id"),
+      (($"id" * 37) % 500).as("t"))
+    val r = spark.range(150).select(
+      ($"id" % 11).as("user_id"), (($"id" * 53) % 500).as("t"),
+      $"id".as("rid"), ($"id" % 7).cast("double").as("v"))
+    val a = AsofJoin.asofLast(p, r, "user_id", "t", "rid", Seq("rid", "v"))
+    val b = AsofJoin.asofWithin(p, r, "user_id", "t", "rid", Seq("rid", "v"),
+      Long.MaxValue)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("asofLast plans one exchange and no join") {
     val out = AsofJoin.asofLast(probes, refs, "user_id", "t", "rid", Seq("v"))
     val plan = out.queryExecution.executedPlan.toString

@@ -66,6 +66,55 @@ class QuantilesSpec extends SparkSpec {
       s"unpartitioned window found:\n$plan")
   }
 
+  test("percentileRanks matches percent_rank() and keeps nulls unranked") {
+    val df = Seq[(Long, java.lang.Long)]((1L, 10L), (2L, 20L), (3L, 20L),
+      (4L, 30L), (5L, null), (6L, 5L)).toDF("id", "v")
+    val got = Quantiles.percentileRanks(df, col("v"))
+      .orderBy("id")
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("id")),
+        Option(r.get(r.fieldIndex("rank_lt"))).map(_.asInstanceOf[Long]),
+        Option(r.get(r.fieldIndex("pr_ppm"))).map(_.asInstanceOf[Long])))
+    // 5 non-null values: 5,10,20,20,30 → rank_lt: 1,2,2,4,0; n-1 = 4
+    assert(got.toSeq == Seq(
+      (1L, Some(1L), Some(250000L)),
+      (2L, Some(2L), Some(500000L)),
+      (3L, Some(2L), Some(500000L)),
+      (4L, Some(4L), Some(1000000L)),
+      (5L, None, None),
+      (6L, Some(0L), Some(0L))))
+  }
+
+  test("percentileRanks matches the window percent_rank on real lengths") {
+    val lens = Tables.load(spark, sf0001, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("n_chars"))
+    val got = Quantiles.percentileRanks(lens, col("n_chars"))
+      .select(col("doc_id"), col("pr_ppm"))
+    val expect = lens.select(col("doc_id"),
+      floor(percent_rank().over(
+        org.apache.spark.sql.expressions.Window.orderBy("n_chars"))
+        * 1000000).cast("long").as("pr_ppm"))
+    // percent_rank = rank_lt/(n-1) exactly; floor via double may differ
+    // by 1 ppm at representation boundaries — allow that slack
+    val joined = got.join(expect.withColumnRenamed("pr_ppm", "pr_w"), "doc_id")
+      .select(abs(col("pr_ppm") - col("pr_w")).as("d"))
+      .agg(max("d")).collect().head.getLong(0)
+    assert(joined <= 1, s"ppm ranks diverged by $joined")
+  }
+
+  test("percentileRanks has no row-sized unpartitioned window") {
+    val df = Seq((1L, 10L), (2L, 20L)).toDF("id", "v")
+    val out = Quantiles.percentileRanks(df, col("v"))
+    val plan = out.queryExecution.optimizedPlan.toString
+    // the only Window in the plan consumes the histogram aggregate,
+    // never the raw rows: Window's child chain must contain Aggregate
+    val winIdx = plan.indexOf("Window")
+    assert(winIdx >= 0)
+    assert(plan.indexOf("Aggregate", winIdx) > winIdx,
+      s"window does not sit on the histogram:\n$plan")
+  }
+
   test("exactQuantiles equals Spark's percentile aggregate on real lengths") {
     val lens = Tables.load(spark, sf0001, "documents")
       .filter(col("text").isNotNull)

@@ -133,6 +133,42 @@ class SamplingSpec extends SparkSpec {
       s"offsets must broadcast:\n$plan")
   }
 
+  test("curriculumManifest walks bins ascending, pseudorandom within each bin") {
+    val d = docs.select(col("doc_id"), expr("n_chars DIV 500").as("b"))
+    val out = Sampling.curriculumManifest(d, "doc_id", col("b"), "cur1", 8)
+    val n = d.count()
+    val rows = out.orderBy("pos")
+      .select("doc_id", "bin", "shard", "pos").as[(Long, Long, Int, Long)]
+      .collect()
+    assert(rows.map(_._4).toSeq == (0L until n).toSeq, "pos must be 0..n-1 exactly")
+    // bins are non-decreasing along the order; within a bin, order is
+    // the (md5 rank-key, key) order — the single-sort definition
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sorted.toSeq)
+    val byDef = d.select(col("doc_id"), col("b"),
+        md5(concat(col("doc_id").cast("string"), lit("#cur1"))).as("rk"))
+      .orderBy("b", "rk", "doc_id").select("doc_id").as[Long].collect()
+    assert(rows.map(_._1).toSeq == byDef.toSeq)
+    // same salt, bins dropped → plain shuffleManifest order differs
+    // (the curriculum is load-bearing, not cosmetic)
+    val flat = Sampling.shuffleManifest(d, "doc_id", "cur1", 8)
+    val moved = out.select("doc_id", "pos")
+      .join(flat.select(col("doc_id"), col("pos").as("p2")), Seq("doc_id"))
+      .filter(col("pos") =!= col("p2")).count()
+    assert(moved > 0)
+  }
+
+  test("curriculumManifest plan: windows partition by (bin, shard)") {
+    val d = docs.select(col("doc_id"), expr("n_chars DIV 500").as("b"))
+    val plan = Sampling.curriculumManifest(d, "doc_id", col("b"), "cur1", 8)
+      .queryExecution.executedPlan.toString
+    val globalWindows = plan.linesIterator
+      .filter(l => l.contains("Window") && l.contains(", [], ["))
+      .size
+    assert(globalWindows <= 1, s"corpus window must partition by (bin, shard):\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"offsets must broadcast:\n$plan")
+  }
+
   test("splitBucket stays a narrow pushdown-friendly projection (no shuffle)") {
     val plan = Sampling.hashSplit(docs.select("doc_id"), col("doc_id"), "42",
       Seq("train" -> 0.8, "val" -> 0.2))
