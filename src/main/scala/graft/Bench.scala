@@ -30,7 +30,13 @@ import org.apache.spark.sql.SparkSession
   *    the file never does;
   *  - a query that throws is recorded under "errors" with a null time,
   *    and the run exits non-zero — a regression can never make the bench
-  *    look faster. */
+  *    look faster;
+  *  - two FIXED-WORK machine probes (`probe_cpu_sec`: 200M-long codegen
+  *    hash loop; `probe_shuffle_sec`: 2M-row 32-partition hash-agg) run
+  *    each session and land in the JSON, so round-over-round deltas can
+  *    be normalized against the box itself: queries moved AND probes
+  *    moved ⇒ the machine changed; queries moved, probes didn't ⇒ a
+  *    plan regressed. */
 object Bench {
 
   /** Queries whose wall-clock is Structured-Streaming trigger cadence
@@ -76,6 +82,28 @@ object Bench {
       try { fn(spark, warm).count(); () } catch { case _: Throwable => warmupFailed += 1 }
     }
     spark.catalog.clearCache()
+    // ---- machine-calibration probes: FIXED work, independent of the
+    // scale factor and of any query code — a codegen'd CPU loop (hash
+    // 200M longs) and a small 32-partition shuffle (2M rows hash-agg).
+    // Round-over-round query deltas divide by these to separate "the
+    // box changed" (probes moved with the queries) from "a plan
+    // regressed" (query moved, probes didn't). min of 3, untimed
+    // warm-up first; ~1 s on a healthy 32-cpu box. ----
+    import org.apache.spark.sql.functions.{col, count, expr, lit, sum}
+    def probeCpu(): Long = spark.range(200000000L)
+      .select(expr("bit_xor(xxhash64(id))")).collect()(0).getLong(0)
+    def probeShuffle(): Long = spark.range(2000000L)
+      .select((col("id") % 100000L).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n"))
+      .select(sum(col("n"))).collect()(0).getLong(0)
+    def timeProbe(f: () => Long): Double = {
+      f() // warm
+      (0 until 3).map { _ =>
+        val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    val probeCpuSec = timeProbe(() => probeCpu())
+    val probeShuffleSec = timeProbe(() => probeShuffle())
     val results = selected.toSeq.map { case (name, fn) =>
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       var err: Option[String] = None
@@ -122,7 +150,7 @@ object Bench {
     val streamingList = results.collect {
       case (k, _, _, _, _) if streamingQueries(k) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"median":$medians,"spread":$spreads,"streaming_total":$streamingTotal,"streaming_queries":$streamingList,"repeats":$repeats,"warmup_failed":$warmupFailed,"errors":$errs,"n_failed":${results.count(_._5.nonEmpty)},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"median":$medians,"spread":$spreads,"streaming_total":$streamingTotal,"streaming_queries":$streamingList,"repeats":$repeats,"warmup_failed":$warmupFailed,"probe_cpu_sec":$probeCpuSec,"probe_shuffle_sec":$probeShuffleSec,"errors":$errs,"n_failed":${results.count(_._5.nonEmpty)},"sf":"$sfDir"}"""
     println(line)
     // the driver's log tail truncates long lines — the file never does
     val outFile = java.nio.file.Paths.get(

@@ -896,6 +896,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- CCNet-style perplexity bucketing (Wenzek et al. 2020): each
+    // language's docs split into head/middle/tail surprisal terciles —
+    // "keep the head, sample the middle, drop the tail". Integer
+    // milli-nats per token, tercile cuts via the grouped HISTOGRAM
+    // quantile route (never a per-language row sort), integer label
+    // rule → identical buckets in any engine (Curation.perplexityBuckets). ----
+    "q_ccnet_buckets" -> ((s, dir) =>
+      text.Curation.perplexityBuckets(load(s, dir, "documents"), "doc_id",
+          col("text"), col("lang"))
+        .orderBy("doc_id")),
+
     // ---- Zipf rank-frequency fit: least squares over the log-log
     // top-1000 vocabulary (micro-nat quantized, decimal-exact sums,
     // one fixed IEEE tree) — corpus-health next to q_vocab_drift ----
@@ -2582,6 +2593,24 @@ object SparkEntry {
         .select("doc_id", "n_chars", "rank_lt", "n_rows", "pr_ppm")
         .orderBy("doc_id")),
 
+    // ---- §7 record linkage / entity resolution: near-identical
+    // customers via multi-pass blocking (nation + two different
+    // name-digit windows — a typo missed by one window still collides
+    // on the other) + edit-distance verify per CANDIDATE pair. Each
+    // pass is one equi-self-join on its block key, hot blocks capped by
+    // census — never an all-pairs comparison (ops/Linkage.scala). ----
+    "q_linkage" -> ((s, dir) => {
+      val c = load(s, dir, "customer")
+      val passes = Seq(
+        concat(col("c_nationkey").cast("string"), lit("|"),
+          substring(col("c_name"), 16, 3)),
+        concat(col("c_nationkey").cast("string"), lit("|"),
+          substring(col("c_name"), 14, 3)))
+      val cand = ops.Linkage.candidates(c, "c_custkey", passes, maxBlock = 1000)
+      ops.Linkage.verifyEdit(c, cand, "c_custkey", col("c_name"), maxDist = 2)
+        .orderBy("c_custkey", "id2")
+    }),
+
     // ---- §7 curriculum training order: bins ascend (length-curriculum
     // here — shorter docs first), pseudorandom within each bin; the
     // global permutation index comes from per-(bin, shard) row_number
@@ -2592,6 +2621,17 @@ object SparkEntry {
           load(s, dir, "documents"), "doc_id",
           expr("n_chars DIV 500"), salt = "cur1",
           shards = 8)
+        .orderBy("doc_id")),
+
+    // ---- §7 grouped percentile ranks — each doc's length percentile
+    // WITHIN its language (per-language normalization before a
+    // cross-language gate); identical histogram algebra partitioned by
+    // the group (ops/Quantiles.percentileRanksBy). ----
+    "q_pct_rank_by" -> ((s, dir) =>
+      ops.Quantiles.percentileRanksBy(
+          load(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+          "lang", col("n_chars"))
+        .select("doc_id", "lang", "n_chars", "rank_lt", "n_group", "pr_ppm")
         .orderBy("doc_id")),
 
     // ---- §7 sampling: weight-proportional Bernoulli (importance
@@ -3582,6 +3622,48 @@ object SparkEntry {
         |    / 1000.0 / count(*) AS avg_surprisal_nats
         |FROM st LEFT JOIN m ON st.tok = m.tok CROSS JOIN nv
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_ccnet_buckets" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |model AS (SELECT tok, count(*) AS tf FROM tok GROUP BY 1),
+        |tot AS (SELECT count(*) AS n FROM tok),
+        |sc AS (
+        |  SELECT t.doc_id,
+        |    CAST(floor(-1000.0 * ln(CAST(m.tf AS DOUBLE) / tot.n)) AS BIGINT) AS mnats
+        |  FROM tok t JOIN model m ON m.tok = t.tok CROSS JOIN tot),
+        |doc AS (
+        |  SELECT sc.doc_id, d.lang,
+        |    CAST(sum(mnats) AS BIGINT) // count(*) AS mnpt
+        |  FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+        |  GROUP BY 1, 2),
+        |hist AS (SELECT lang, mnpt AS v, count(*) AS cnt FROM doc GROUP BY 1, 2),
+        |cum AS (SELECT lang, v, CAST(sum(cnt) OVER
+        |          (PARTITION BY lang ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |          AS BIGINT) AS cum
+        |        FROM hist),
+        |ns AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM doc GROUP BY 1),
+        |t AS (SELECT lang, q_mille, n,
+        |        (n-1) * q_mille // 1000 AS idx,
+        |        (n-1) * q_mille % 1000 AS rem,
+        |        least((n-1) * q_mille // 1000 + 1, n-1) AS idx2
+        |      FROM (VALUES (333), (667)) q(q_mille), ns),
+        |a AS (SELECT t.lang, t.q_mille, t.rem, min(c.v) AS v_lo,
+        |        min(CASE WHEN c.cum > t.idx2 THEN c.v END) AS v_hi
+        |      FROM t JOIN cum c ON c.lang = t.lang AND c.cum > t.idx
+        |      GROUP BY 1, 2, 3),
+        |w AS (SELECT lang,
+        |        min(CASE WHEN q_mille = 333 THEN
+        |          1000 * v_lo + (coalesce(v_hi, v_lo) - v_lo) * rem END) AS c333,
+        |        min(CASE WHEN q_mille = 667 THEN
+        |          1000 * v_lo + (coalesce(v_hi, v_lo) - v_lo) * rem END) AS c667
+        |      FROM a GROUP BY 1)
+        |SELECT doc.doc_id, doc.lang, doc.mnpt,
+        |  CASE WHEN mnpt * 1000 <= c333 THEN 'head'
+        |       WHEN mnpt * 1000 <= c667 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM doc JOIN w ON w.lang = doc.lang
+        |ORDER BY doc_id""".stripMargin,
     "q_zipf" ->
       """WITH v AS (
         |  SELECT tok, count(*) AS n
@@ -5771,6 +5853,29 @@ object SparkEntry {
         |  coalesce(v_hi, v_lo) AS v_hi,
         |  1000 * v_lo + (coalesce(v_hi, v_lo) - v_lo) * rem AS value_milli
         |FROM a ORDER BY lang, q_mille""".stripMargin,
+    "q_linkage" ->
+      """WITH c AS (SELECT c_custkey AS id, c_name AS nm,
+        |    CAST(c_nationkey AS VARCHAR) AS nk
+        |  FROM customer),
+        |p1 AS (SELECT id, nk || '|' || substr(nm, 16, 3) AS bk FROM c
+        |       WHERE nm IS NOT NULL),
+        |ok1 AS (SELECT bk FROM p1 GROUP BY 1 HAVING count(*) <= 1000),
+        |pr1 AS (SELECT a.id AS ida, b.id AS idb
+        |        FROM p1 a JOIN p1 b ON a.bk = b.bk AND a.id < b.id
+        |        WHERE a.bk IN (SELECT bk FROM ok1)),
+        |p2 AS (SELECT id, nk || '|' || substr(nm, 14, 3) AS bk FROM c
+        |       WHERE nm IS NOT NULL),
+        |ok2 AS (SELECT bk FROM p2 GROUP BY 1 HAVING count(*) <= 1000),
+        |pr2 AS (SELECT a.id AS ida, b.id AS idb
+        |        FROM p2 a JOIN p2 b ON a.bk = b.bk AND a.id < b.id
+        |        WHERE a.bk IN (SELECT bk FROM ok2)),
+        |u AS (SELECT DISTINCT ida, idb
+        |      FROM (SELECT * FROM pr1 UNION ALL SELECT * FROM pr2))
+        |SELECT u.ida AS c_custkey, u.idb AS id2,
+        |  CAST(levenshtein(a.nm, b.nm) AS INT) AS dist
+        |FROM u JOIN c a ON a.id = u.ida JOIN c b ON b.id = u.idb
+        |WHERE levenshtein(a.nm, b.nm) <= 2
+        |ORDER BY 1, 2""".stripMargin,
     "q_curriculum" ->
       """WITH b AS (SELECT doc_id, n_chars // 500 AS bin,
         |    md5(CAST(doc_id AS VARCHAR) || '#cur1') AS rk
@@ -5789,6 +5894,17 @@ object SparkEntry {
         |  FROM documents WHERE n_chars IS NOT NULL)
         |SELECT doc_id, n_chars, rank_lt, n_rows,
         |  CASE WHEN n_rows > 1 THEN rank_lt * 1000000 // (n_rows - 1)
+        |       ELSE CAST(0 AS BIGINT) END AS pr_ppm
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "q_pct_rank_by" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+        |    CAST(rank() OVER (PARTITION BY lang ORDER BY n_chars) - 1 AS BIGINT)
+        |      AS rank_lt,
+        |    CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n_group
+        |  FROM documents WHERE n_chars IS NOT NULL)
+        |SELECT doc_id, lang, n_chars, rank_lt, n_group,
+        |  CASE WHEN n_group > 1 THEN rank_lt * 1000000 // (n_group - 1)
         |       ELSE CAST(0 AS BIGINT) END AS pr_ppm
         |FROM r ORDER BY doc_id""".stripMargin,
     "q_weighted_sample" ->

@@ -96,6 +96,36 @@ object Quantiles {
       .drop("__v")
   }
 
+  /** Grouped variant of [[percentileRanks]] — each row's exact
+    * percentile rank WITHIN its group (per-language quality
+    * normalization before a cross-language mixing gate). Identical
+    * histogram algebra with every window/aggregate partitioned by the
+    * group; the per-group totals table is groups-sized and joins back
+    * on the group key. */
+  def percentileRanksBy(df: DataFrame, groupCol: String, value: Column,
+      out: String = "pr_ppm"): DataFrame = {
+    val tagged = df.withColumn("__v", value.cast("long"))
+    val vals = tagged.filter(col("__v").isNotNull)
+      .select(col(groupCol).as("__g"), col("__v"))
+    val hist = vals.groupBy("__g", "__v").agg(count(lit(1)).as("__cnt"))
+    val cum = hist
+      .withColumn("__cum", sum(col("__cnt")).over(
+        Window.partitionBy("__g").orderBy("__v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rank_lt", col("__cum") - col("__cnt"))
+      .select(col("__g"), col("__v"), col("rank_lt"))
+    val n = vals.groupBy("__g").agg(count(lit(1)).as("n_group"))
+    val keyed = cum.join(n, Seq("__g"))
+      .withColumnRenamed("__g", "__jg").withColumnRenamed("__v", "__jv")
+    tagged.join(keyed,
+        col(groupCol) === col("__jg") && col("__v") === col("__jv"), "left")
+      .drop("__jg", "__jv")
+      .withColumn(out, when(col("rank_lt").isNotNull,
+        expr("CASE WHEN n_group > 1 THEN rank_lt * 1000000 DIV (n_group - 1) " +
+          "ELSE 0 END")))
+      .drop("__v")
+  }
+
   /** Grouped variant of [[exactQuantiles]] — the 100 TB shape for
     * "p50/p90 per language" style profiling. Identical algebra, with
     * every window PARTITIONED BY the group: the per-(group, value)

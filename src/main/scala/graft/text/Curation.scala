@@ -116,4 +116,40 @@ object Curation {
         rules.map(_.cast("long")).reduce(_ + _))
       .withColumn("keep", rules.reduce(_ && _).cast("long"))
   }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): split each
+    * language's documents into head / middle / tail terciles of
+    * language-model surprisal — the standard "keep the head, sample
+    * the middle, drop the tail" pretraining gate. The LM here is the
+    * repo's unigram surprisal ([[TextFunctions.unigramSurprisal]],
+    * integer milli-nats); swap in the frozen/bigram variants for a
+    * stronger model, the bucketing algebra is identical.
+    *
+    * Exactness: the per-doc score is integer milli-nats PER TOKEN
+    * (`total_mnats DIV n_tokens` — integer division, engine-exact),
+    * tercile cuts come from the grouped histogram quantile route
+    * ([[graft.ops.Quantiles.exactQuantilesBy]] at 333/667 per mille —
+    * per-(lang, value) histogram, distinct-value windows, NEVER a
+    * per-language row sort), and the label rule compares integers
+    * (`mnpt·1000 ≤ cut_milli`), so any engine assigns every document
+    * the identical bucket. The cut table is languages-sized and
+    * broadcasts back — one narrow join, no second corpus pass. */
+  def perplexityBuckets(df: DataFrame, idCol: String, text: Column,
+      langCol: Column, stagingDir: Option[String] = None): DataFrame = {
+    val scored = TextFunctions.unigramSurprisal(df, idCol, text, stagingDir)
+      .select(col(idCol), expr("total_mnats DIV n_tokens").as("mnpt"))
+    val withLang = df.select(col(idCol), langCol.as("lang"))
+      .join(scored, Seq(idCol))
+    val cuts = graft.ops.Quantiles.exactQuantilesBy(withLang, "lang",
+      col("mnpt"), Seq(333, 667))
+    val cutsWide = cuts.groupBy("lang").agg(
+      min(when(col("q_mille") === 333, col("value_milli"))).as("__c333"),
+      min(when(col("q_mille") === 667, col("value_milli"))).as("__c667"))
+    withLang.join(broadcast(cutsWide), Seq("lang"))
+      .withColumn("bucket",
+        when(col("mnpt") * 1000 <= col("__c333"), lit("head"))
+          .when(col("mnpt") * 1000 <= col("__c667"), lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col(idCol), col("lang"), col("mnpt"), col("bucket"))
+  }
 }

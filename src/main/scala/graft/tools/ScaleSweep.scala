@@ -121,7 +121,29 @@ object ScaleSweep {
       "substr_spans" -> (c => Substrings.dupSpans(
         c, "doc_id", col("text"), k = 40).count()),
       "substr_anchors" -> (c => Substrings.anchorSpans(
-        c, "doc_id", col("text"), k = 40, guarantee = 64).count()))
+        c, "doc_id", col("text"), k = 40, guarantee = 64).count()),
+      // round-9 late additions: curriculum order, CCNet buckets, and
+      // blocked record linkage (names = text prefixes, regions hashed
+      // from the id; the salt token keeps blocks within one copy)
+      "curriculum" -> (c => Sampling.curriculumManifest(
+        c.filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            (length(col("text")).cast("long") / 500L).cast("long").as("b")),
+        "doc_id", col("b"), "cur1", 64).count()),
+      "ccnet_buckets" -> (c => Curation.perplexityBuckets(
+        c.withColumn("lang", (col("doc_id") % 4).cast("string")),
+        "doc_id", col("text"), col("lang")).count()),
+      "linkage" -> (c => {
+        val recs = c.filter(col("text").isNotNull)
+          .select(col("doc_id"), substring(col("text"), 1, 24).as("nm"),
+            (col("doc_id") % 64).cast("string").as("rg"))
+        val passes = Seq(
+          concat(col("rg"), lit("|"), substring(col("nm"), 1, 8)),
+          concat(col("rg"), lit("|"), substring(col("nm"), 9, 8)))
+        val cand = graft.ops.Linkage.candidates(recs, "doc_id", passes)
+        graft.ops.Linkage.verifyEdit(recs, cand, "doc_id", col("nm"), 4)
+          .count()
+      }))
     // the bucketed near-dup candidate pipelines, on the dup-rate-
     // invariant corpus: output (and so seconds) may grow linearly, but
     // never quadratically — the banded-join contract

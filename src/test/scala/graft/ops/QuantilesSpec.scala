@@ -103,6 +103,31 @@ class QuantilesSpec extends SparkSpec {
     assert(joined <= 1, s"ppm ranks diverged by $joined")
   }
 
+  test("percentileRanksBy ranks within each group independently") {
+    val df = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L),
+      (4L, "b", 5L), (5L, "b", 5L)).toDF("id", "g", "v")
+    val got = Quantiles.percentileRanksBy(df, "g", col("v"))
+      .orderBy("id")
+      .select("id", "rank_lt", "n_group", "pr_ppm")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0L, 3L, 0L), (2L, 1L, 3L, 500000L), (3L, 2L, 3L, 1000000L),
+      (4L, 0L, 2L, 0L), (5L, 0L, 2L, 0L)))
+    // matches the per-group window percent_rank on real data
+    val lens = Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val a = Quantiles.percentileRanksBy(lens, "lang", col("n_chars"))
+      .select(col("doc_id"), col("pr_ppm"))
+    val b = lens.select(col("doc_id"),
+      floor(percent_rank().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lang")
+          .orderBy("n_chars")) * 1000000).cast("long").as("pr_w"))
+    val maxD = a.join(b, "doc_id")
+      .select(abs(col("pr_ppm") - col("pr_w")).as("d"))
+      .agg(max("d")).collect().head.getLong(0)
+    assert(maxD <= 1, s"ppm ranks diverged by $maxD")
+  }
+
   test("percentileRanks has no row-sized unpartitioned window") {
     val df = Seq((1L, 10L), (2L, 20L)).toDF("id", "v")
     val out = Quantiles.percentileRanks(df, col("v"))

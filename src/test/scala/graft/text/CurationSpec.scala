@@ -64,4 +64,35 @@ class CurationSpec extends SparkSpec {
     assert(sym.getAs[Long]("n_symbols") == 27L)
     assert(sym.getAs[Long]("n_words") == 68L)
   }
+
+  test("perplexityBuckets splits each language into surprisal terciles") {
+    val d = Tables.load(spark, sf0001, "documents")
+    val out = Curation.perplexityBuckets(d, "doc_id", col("text"), col("lang"))
+    val n = out.count()
+    assert(n == d.filter(col("text").isNotNull).count())
+    // per lang: every bucket label appears for languages with >= 3 docs,
+    // and head <= middle <= tail in mnpt (tercile ordering)
+    val byLang = out.groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n"), min("mnpt").as("lo"), max("mnpt").as("hi"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+    val langs = byLang.map(_._1).distinct
+    langs.foreach { l =>
+      val b = byLang.filter(_._1 == l).map(t => t._2 -> (t._3, t._4, t._5)).toMap
+      (b.get("head"), b.get("middle"), b.get("tail")) match {
+        case (Some(h), Some(m), Some(t)) =>
+          assert(h._3 <= m._2 && m._3 <= t._2,
+            s"lang $l tercile ranges overlap: $b")
+          // terciles are roughly balanced (within a distinct-value tie
+          // of a third each)
+          val tot = h._1 + m._1 + t._1
+          assert(h._1 <= tot * 2 / 3 + 1 && t._1 <= tot * 2 / 3 + 1)
+        case _ => // a tiny language may collapse a tercile on ties
+      }
+    }
+    // deterministic: a second run assigns identical buckets
+    val again = Curation.perplexityBuckets(d, "doc_id", col("text"), col("lang"))
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
 }
