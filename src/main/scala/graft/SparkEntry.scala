@@ -2593,6 +2593,25 @@ object SparkEntry {
         .select("doc_id", "n_chars", "rank_lt", "n_rows", "pr_ppm")
         .orderBy("doc_id")),
 
+    // ---- §7 correlation profiling: the exact Pearson matrix over
+    // integer-quantized metrics (deci-value × hour × portable weekday),
+    // ALL pairs in ONE map-side-combined scan; r_ppm derives from the
+    // exact integer sums through a fixed IEEE tree, so even the floored
+    // coefficient is engine-exact (ops/Profile.correlations; the
+    // dataset-search sketch of ICDE'22 is the sub-scan approximation,
+    // this is its exact anchor). ----
+    "q_correlation" -> ((s, dir) => {
+      val raw = load(s, dir, "events")
+      val base = raw.select(col("value"), Tables.tsUs(raw).as("us"))
+        .select(floor(col("value") * 10).as("vd"),
+          expr("(us DIV 3600000000) % 24").as("hr"),
+          expr("((us DIV 86400000000) + 4) % 7").as("wd"))
+      ops.Profile.correlations(base, Seq(
+          "value_deci" -> col("vd"), "hour" -> col("hr"),
+          "weekday" -> col("wd")))
+        .orderBy("x_name", "y_name")
+    }),
+
     // ---- §7 record linkage / entity resolution: near-identical
     // customers via multi-pass blocking (nation + two different
     // name-digit windows — a typo missed by one window still collides
@@ -5853,6 +5872,47 @@ object SparkEntry {
         |  coalesce(v_hi, v_lo) AS v_hi,
         |  1000 * v_lo + (coalesce(v_hi, v_lo) - v_lo) * rem AS value_milli
         |FROM a ORDER BY lang, q_mille""".stripMargin,
+    "q_correlation" ->
+      """WITH b AS (SELECT CAST(floor(value * 10) AS BIGINT) AS vd,
+        |    (epoch_us(ts) // 3600000000) % 24 AS hr,
+        |    ((epoch_us(ts) // 86400000000) + 4) % 7 AS wd
+        |  FROM events),
+        |u AS (
+        |  SELECT 'value_deci' AS x_name, 'hour' AS y_name, vd AS x, hr AS y FROM b
+        |  UNION ALL
+        |  SELECT 'value_deci', 'weekday', vd, wd FROM b
+        |  UNION ALL
+        |  SELECT 'hour', 'weekday', hr, wd FROM b),
+        |s AS (SELECT x_name, y_name,
+        |    CAST(count(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN 1 END)
+        |      AS BIGINT) AS n,
+        |    CAST(coalesce(sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN x END), 0)
+        |      AS BIGINT) AS sx,
+        |    CAST(coalesce(sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN y END), 0)
+        |      AS BIGINT) AS sy,
+        |    CAST(coalesce(sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN x * x END), 0)
+        |      AS BIGINT) AS sxx,
+        |    CAST(coalesce(sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN y * y END), 0)
+        |      AS BIGINT) AS syy,
+        |    CAST(coalesce(sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN x * y END), 0)
+        |      AS BIGINT) AS sxy
+        |  FROM u GROUP BY 1, 2)
+        |SELECT x_name, y_name, n, sx, sy, sxx, syy, sxy,
+        |  CASE WHEN n > 1
+        |        AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+        |        AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+        |  THEN greatest(CAST(-1000000 AS BIGINT), least(CAST(1000000 AS BIGINT),
+        |    CAST(floor(1000000.0 *
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |     * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) AS BIGINT)))
+        |  END AS r_ppm
+        |FROM s ORDER BY x_name, y_name""".stripMargin,
     "q_linkage" ->
       """WITH c AS (SELECT c_custkey AS id, c_name AS nm,
         |    CAST(c_nationkey AS VARCHAR) AS nk

@@ -90,4 +90,71 @@ object Profile {
         col("v.n_distinct").as("n_distinct"),
         col("v.min_canon").as("min_canon"), col("v.max_canon").as("max_canon"))
   }
+
+  /** One-scan exact Pearson correlation MATRIX over integer-quantized
+    * metrics — the column-correlation probe of dataset/feature search
+    * (cf. "A Sketch-based Index for Correlated Dataset Search", ICDE
+    * 2022: the sketch is the sub-scan approximation; this is the exact
+    * anchor on quantized metrics). All k metrics' sums, k self
+    * cross-products, and k·(k−1)/2 pairwise cross-products ride ONE
+    * map-side-combined aggregate — one corpus scan regardless of pair
+    * count; the pair rows then unfold from the single aggregate row
+    * (driver-scale).
+    *
+    * Exactness: the sufficient statistics (n, Σx, Σy, Σx², Σy², Σxy)
+    * are exact integer sums. `r_ppm` derives from them through a FIXED
+    * IEEE-754 expression tree — cast each integer to double first,
+    * then the same multiplies/subtracts/sqrt/divide/floor in the same
+    * order — so even the floored ppm coefficient is bit-identical in
+    * any engine. Null handling is per-PAIR (a row missing either
+    * metric leaves that pair's statistics untouched, matching SQL
+    * `corr`). Callers quantize so Σx² stays in long range; under ANSI
+    * the aggregate raises on overflow rather than wrap.
+    *
+    * Output: (x_name, y_name, n, sx, sy, sxx, syy, sxy, r_ppm), one
+    * row per unordered metric pair (declaration order); `r_ppm` null
+    * when a side is constant or n < 2. */
+  def correlations(df: DataFrame, metrics: Seq[(String, Column)])
+      : DataFrame = {
+    require(metrics.size >= 2, "need at least two metrics")
+    val q = df.select(metrics.zipWithIndex.map { case ((_, c), i) =>
+      c.cast("long").as(s"__m$i") }: _*)
+    val pairs = for {
+      i <- metrics.indices; j <- metrics.indices if i < j
+    } yield (i, j)
+    def both(i: Int, j: Int): Column =
+      col(s"__m$i").isNotNull && col(s"__m$j").isNotNull
+    def s(i: Int, j: Int, e: Column) = sum(when(both(i, j), e))
+    val aggs = pairs.flatMap { case (i, j) =>
+      val (x, y) = (col(s"__m$i"), col(s"__m$j"))
+      Seq(count(when(both(i, j), lit(1))).as(s"n_${i}_$j"),
+        s(i, j, x).as(s"sx_${i}_$j"), s(i, j, y).as(s"sy_${i}_$j"),
+        s(i, j, x * x).as(s"sxx_${i}_$j"), s(i, j, y * y).as(s"syy_${i}_$j"),
+        s(i, j, x * y).as(s"sxy_${i}_$j"))
+    }
+    val wide = q.agg(aggs.head, aggs.tail: _*)
+    // ONE aggregate row fans out to pair rows via a single explode —
+    // a per-pair select-union would let column pruning specialize each
+    // branch's aggregate and re-scan the corpus once per pair
+    val pairStructs = pairs.map { case (i, j) =>
+      def d(p: String) = col(s"${p}_${i}_$j").cast("double")
+      val num = d("n") * d("sxy") - d("sx") * d("sy")
+      val vx = d("n") * d("sxx") - d("sx") * d("sx")
+      val vy = d("n") * d("syy") - d("sy") * d("sy")
+      // floor over the IEEE tree can land ±1 ppm past a ±1 pole
+      // (sqrt(a)·sqrt(b) ≠ ab exactly) — deterministic in any engine,
+      // but clamp so the reported range stays [−10⁶, 10⁶]
+      val rppm = greatest(lit(-1000000L), least(lit(1000000L),
+        floor(lit(1000000.0) * num / (sqrt(vx) * sqrt(vy))).cast("long")))
+      struct(lit(metrics(i)._1).as("x_name"), lit(metrics(j)._1).as("y_name"),
+        col(s"n_${i}_$j").as("n"),
+        coalesce(col(s"sx_${i}_$j"), lit(0L)).as("sx"),
+        coalesce(col(s"sy_${i}_$j"), lit(0L)).as("sy"),
+        coalesce(col(s"sxx_${i}_$j"), lit(0L)).as("sxx"),
+        coalesce(col(s"syy_${i}_$j"), lit(0L)).as("syy"),
+        coalesce(col(s"sxy_${i}_$j"), lit(0L)).as("sxy"),
+        when(col(s"n_${i}_$j") > 1 && vx > 0 && vy > 0, rppm).as("r_ppm"))
+    }
+    wide.select(explode(array(pairStructs: _*)).as("__p")).select("__p.*")
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.SparkSpec
+import graft.{SparkSpec, Tables}
 import org.apache.spark.sql.functions._
 
 class ProfileSpec extends SparkSpec {
@@ -64,5 +64,39 @@ class ProfileSpec extends SparkSpec {
     val row = Profile.report(df).head()
     // 1969-12-31 = epoch day -1; 2020-01-02 = 18263
     assert(row.getString(3) == "-1" && row.getString(4) == "18263")
+  }
+
+  test("correlations: exact ±1 poles, constant→null, pairwise nulls") {
+    val df = Seq[(java.lang.Long, java.lang.Long, java.lang.Long, java.lang.Long)](
+      (1L, 2L, -1L, 7L), (2L, 4L, -2L, 7L), (3L, 6L, -3L, 7L),
+      (4L, null, -4L, 7L)).toDF("x", "y2", "neg", "c")
+    val out = Profile.correlations(df, Seq("x" -> col("x"), "y2" -> col("y2"),
+        "neg" -> col("neg"), "c" -> col("c")))
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), Option(r.get(8)).map(_.asInstanceOf[Long])))).toMap
+    def m2(a: String, b: String) = out((a, b))
+    assert(m2("x", "y2") == ((3L, Some(1000000L))))  // null row excluded pairwise
+    assert(m2("x", "neg") == ((4L, Some(-1000000L))))
+    assert(m2("x", "c") == ((4L, None)))             // constant side
+    assert(m2("y2", "neg") == ((3L, Some(-1000000L)))) // pole, clamped
+  }
+
+  test("correlations match Spark's corr to 1e-6 and reuse one scan") {
+    val e = Tables.load(spark, sf0001, "events")
+      .select(floor(col("value") * 10).as("vd"),
+        (col("event_id") % 24).as("hr"))
+    val got = Profile.correlations(e, Seq("vd" -> col("vd"), "hr" -> col("hr")))
+    val row = got.collect().head
+    val rPpm = row.getLong(row.fieldIndex("r_ppm"))
+    val expect = e.agg(corr(col("vd"), col("hr"))).collect().head.getDouble(0)
+    assert(math.abs(rPpm / 1e6 - expect) < 1e-5,
+      s"r_ppm $rPpm vs corr $expect")
+    // the three metric pairs must share ONE scan+aggregate (explode of
+    // the single wide row — never a per-pair union that re-scans)
+    val three = Profile.correlations(e, Seq("vd" -> col("vd"),
+      "hr" -> col("hr"), "id" -> (col("hr") + 1)))
+    val plan = three.queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.count(_.contains("FileScan"))
+    assert(scans == 1, s"expected one corpus scan, saw $scans:\n$plan")
   }
 }
