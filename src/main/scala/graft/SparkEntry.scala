@@ -2593,6 +2593,24 @@ object SparkEntry {
         .select("doc_id", "n_chars", "rank_lt", "n_rows", "pr_ppm")
         .orderBy("doc_id")),
 
+    // ---- §7 path analysis: the event-type TRANSITION MATRIX (Markov
+    // bigrams) — what users do next. One lead() window per user (the
+    // per-key sort is bounded by per-user volume; a bot-heavy feed
+    // caps users via Sampling.capPerGroup first — same discipline as
+    // AsofJoin's key-granularity contract), then a map-side-combined
+    // (from, to) count. ----
+    "q_transitions" -> ((s, dir) => {
+      val raw = load(s, dir, "events")
+      val e = raw.select(col("user_id"), col("event_id"), col("event_type"),
+        Tables.tsUs(raw).as("us"))
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      e.withColumn("__next", lead(col("event_type"), 1).over(w))
+        .filter(col("__next").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("__next").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("from_type", "to_type")
+    }),
+
     // ---- §7 classic 3-way join analytics (TPC-H Q3 shape): segment
     // customers ⨝ open orders ⨝ shipped lineitems, top-10 orders by
     // revenue. Revenue is per-row centi-quantized BEFORE the sum
@@ -5940,6 +5958,16 @@ object SparkEntry {
         |  coalesce(v_hi, v_lo) AS v_hi,
         |  1000 * v_lo + (coalesce(v_hi, v_lo) - v_lo) * rem AS value_milli
         |FROM a ORDER BY lang, q_mille""".stripMargin,
+    "q_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |           FROM events),
+        |t AS (SELECT event_type AS from_type,
+        |        lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |          AS to_type
+        |      FROM e)
+        |SELECT from_type, to_type, count(*) AS n
+        |FROM t WHERE to_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_tpch3" ->
       """SELECT l.l_orderkey, epoch_us(o.o_orderdate) AS order_us,
         |  CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100)
