@@ -2679,6 +2679,16 @@ object SparkEntry {
           minItemSupport = 10, minPairSupport = 2)
         .orderBy("item_a", "item_b")),
 
+    // ---- §7 association rules over the frequent pairs: directed
+    // confidences as exact integer ppm, lift through the fixed-IEEE-
+    // tree discipline (integers → double → one multiply/divide/floor
+    // chain — engine-exact, overflow-free at any corpus size). ----
+    "q_assoc_rules" -> ((s, dir) =>
+      ops.Itemsets.rules(load(s, dir, "lineitem"),
+          col("l_orderkey"), col("l_partkey"),
+          minItemSupport = 10, minPairSupport = 3)
+        .orderBy("item_a", "item_b")),
+
     // ---- §7 correlation profiling: the exact Pearson matrix over
     // integer-quantized metrics (deci-value × hour × portable weekday),
     // ALL pairs in ONE map-side-combined scan; r_ppm derives from the
@@ -6008,6 +6018,30 @@ object SparkEntry {
         |GROUP BY 1, 2
         |HAVING count(*) >= 2
         |ORDER BY 1, 2""".stripMargin,
+    "q_assoc_rules" ->
+      """WITH bi AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS b,
+        |    CAST(l_partkey AS BIGINT) AS i
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM bi),
+        |sup AS (SELECT i, CAST(count(*) AS BIGINT) AS n_i FROM bi GROUP BY 1),
+        |freq AS (SELECT i FROM bi GROUP BY 1 HAVING count(*) >= 10),
+        |pr AS (SELECT bi.* FROM bi WHERE i IN (SELECT i FROM freq)),
+        |ok AS (SELECT b FROM pr GROUP BY 1 HAVING count(*) <= 1000),
+        |kept AS (SELECT pr.* FROM pr WHERE b IN (SELECT b FROM ok)),
+        |pairs AS (SELECT a.i AS item_a, k.i AS item_b,
+        |    CAST(count(*) AS BIGINT) AS n_baskets
+        |  FROM kept a JOIN kept k ON a.b = k.b AND a.i < k.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT p.item_a, p.item_b, p.n_baskets, sa.n_i AS n_a, sb.n_i AS n_b,
+        |  p.n_baskets * 1000000 // sa.n_i AS conf_a_to_b_ppm,
+        |  p.n_baskets * 1000000 // sb.n_i AS conf_b_to_a_ppm,
+        |  CAST(floor(1000000.0 * (CAST(p.n_baskets AS DOUBLE) * CAST(nb.n AS DOUBLE))
+        |    / (CAST(sa.n_i AS DOUBLE) * CAST(sb.n_i AS DOUBLE))) AS BIGINT) AS lift_ppm
+        |FROM pairs p
+        |JOIN sup sa ON sa.i = p.item_a
+        |JOIN sup sb ON sb.i = p.item_b
+        |CROSS JOIN nb
+        |ORDER BY item_a, item_b""".stripMargin,
     "q_correlation" ->
       """WITH b AS (SELECT CAST(floor(value * 10) AS BIGINT) AS vd,
         |    (epoch_us(ts) // 3600000000) % 24 AS hr,

@@ -47,4 +47,42 @@ object Itemsets {
       .groupBy("item_a", "item_b").agg(count(lit(1)).as("n_baskets"))
       .filter(col("n_baskets") >= minPairSupport)
   }
+
+  /** Association rules over [[frequentPairs]]: per pair, both item
+    * supports, the two directed confidences, and the lift.
+    *
+    * Confidence is exact integer per-million (`n_ab·10⁶ DIV n_a` —
+    * n_ab ≤ n_a keeps it ≤ 10⁶; the product needs n_ab < 9·10¹²,
+    * comfortably past any real pair support). Lift crosses three
+    * counts (`n_ab·N / (n_a·n_b)`), which overflows integer range at
+    * corpus scale, so it derives through the [[Profile.correlations]]
+    * discipline instead: cast the exact integers to double FIRST, then
+    * one fixed IEEE multiply/divide/floor tree — bit-identical in any
+    * engine, no wraparound ever. The supports table is
+    * frequent-items-sized and joins back on the item key (AQE
+    * broadcast while it fits). */
+  def rules(df: DataFrame, basket: Column, item: Column,
+      minItemSupport: Long = 2, minPairSupport: Long = 2,
+      maxBasket: Int = 1000): DataFrame = {
+    val bi = df.select(basket.cast("long").as("__b"),
+        item.cast("long").as("__i"))
+      .filter(col("__b").isNotNull && col("__i").isNotNull)
+      .distinct()
+    val nBaskets = bi.select("__b").distinct().count()
+    val supports = bi.groupBy("__i").agg(count(lit(1)).as("__n"))
+    val pairs = frequentPairs(df, basket, item, minItemSupport,
+      minPairSupport, maxBasket)
+    def d(c: String) = col(c).cast("double")
+    pairs
+      .join(supports.select(col("__i").as("item_a"), col("__n").as("n_a")),
+        Seq("item_a"))
+      .join(supports.select(col("__i").as("item_b"), col("__n").as("n_b")),
+        Seq("item_b"))
+      .select(col("item_a"), col("item_b"), col("n_baskets"),
+        col("n_a"), col("n_b"),
+        expr("n_baskets * 1000000 DIV n_a").as("conf_a_to_b_ppm"),
+        expr("n_baskets * 1000000 DIV n_b").as("conf_b_to_a_ppm"),
+        floor(lit(1000000.0) * (d("n_baskets") * lit(nBaskets.toDouble))
+          / (d("n_a") * d("n_b"))).cast("long").as("lift_ppm"))
+  }
 }

@@ -44,6 +44,17 @@ class ItemsetsSpec extends SparkSpec {
     assert(capped.filter($"item_a" === 10L && $"item_b" === 20L).count() == 1)
   }
 
+  test("rules: hand-computed confidence and lift") {
+    val out = Itemsets.rules(rows, $"b", $"i", 2, 2)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    // N=5 baskets; supports 10→4, 20→3; pair (10,20) in 3 baskets:
+    // conf 10→20 = 3e6 DIV 4; conf 20→10 = 3e6 DIV 3;
+    // lift = 1e6·(3·5)/(4·3) = 1 250 000
+    assert(out == Seq((20L, 10L, 3L, 4L, 3L, 750000L, 1000000L, 1250000L))
+      || out == Seq((10L, 20L, 3L, 4L, 3L, 750000L, 1000000L, 1250000L)))
+  }
+
   test("pair expansion runs on pruned baskets only (semi-joins in plan)") {
     val plan = Itemsets.frequentPairs(rows, $"b", $"i", 2, 2)
       .queryExecution.executedPlan.toString
