@@ -2221,6 +2221,21 @@ object SparkEntry {
           load(s, dir, "events"), openType = "view", pointType = "purchase")
         .orderBy("open_id", "point_id")),
 
+    // ---- §7 time-series resampling: each user's purchases forward-
+    // filled onto a daily grid. Grid = per-key span/step rows (loud
+    // guard on runaway spans); the fill IS AsofJoin.asofLast — the
+    // audited zero-join union+carry plan (ops/Resample.scala). ----
+    "q_resample" -> ((s, dir) => {
+      val raw = load(s, dir, "events")
+      val obs = raw
+        .filter(col("event_type") === "purchase" && col("value").isNotNull)
+        .select(col("user_id"), Tables.tsUs(raw).as("ts_us"),
+          col("event_id"), col("value"))
+      ops.Resample.forwardFill(obs, "user_id", "ts_us", tieCol = "event_id",
+          payload = Seq("event_id", "value"), stepUs = 86400000000L)
+        .orderBy("user_id", "ts_us")
+    }),
+
     // ---- §7 time-series: bucketed interval join — clicks attributed to
     // the purchase window [purchase_ts, purchase_ts + 1h). Intervals
     // explode to ≤2 hour-buckets, the join is a plain equi-join on
@@ -2678,6 +2693,18 @@ object SparkEntry {
           col("l_orderkey"), col("l_partkey"),
           minItemSupport = 10, minPairSupport = 2)
         .orderBy("item_a", "item_b")),
+
+    // ---- §7 exact triangle census over the co-order graph: edges
+    // point from the lower-(degree, id) endpoint to the higher, so the
+    // wedge self-join runs on O(√m)-wide oriented out-lists even on a
+    // power-law graph — two equi-joins, no windows
+    // (ops/Graph.triangleStats; edges = the a-priori frequent pairs). ----
+    "q_triangles" -> ((s, dir) => {
+      val edges = ops.Itemsets.frequentPairs(load(s, dir, "lineitem"),
+        col("l_orderkey"), col("l_partkey"),
+        minItemSupport = 10, minPairSupport = 2)
+      ops.Graph.triangleStats(edges, col("item_a"), col("item_b"))
+    }),
 
     // ---- §7 association rules over the frequent pairs: directed
     // confidences as exact integer ppm, lift through the fixed-IEEE-
@@ -5662,6 +5689,32 @@ object SparkEntry {
         | AND epoch_us(p.ts) >= epoch_us(o.ts)
         | AND epoch_us(p.ts) < epoch_us(o.ts) + 3600000000
         |ORDER BY open_id, point_id""".stripMargin,
+    "q_resample" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id, value
+        |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+        |spans AS (SELECT user_id, min(t) AS lo, max(t) AS hi FROM e GROUP BY 1),
+        |grid AS (SELECT user_id,
+        |    unnest(generate_series(lo // 86400000000 * 86400000000, hi,
+        |      86400000000)) AS g
+        |  FROM spans),
+        |u AS (
+        |  SELECT user_id, t, 0 AS tag, event_id AS tie,
+        |         event_id AS r_eid, value AS r_val,
+        |         CAST(NULL AS BIGINT) AS ts_us
+        |  FROM e
+        |  UNION ALL
+        |  SELECT user_id, g, 1, 0,
+        |         CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), g
+        |  FROM grid),
+        |c AS (
+        |  SELECT user_id, tag, ts_us,
+        |    last_value(r_eid IGNORE NULLS) OVER w AS ref_event_id,
+        |    last_value(r_val IGNORE NULLS) OVER w AS ref_value
+        |  FROM u
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY t, tag, tie
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, ts_us, ref_event_id, ref_value
+        |FROM c WHERE tag = 1 ORDER BY user_id, ts_us""".stripMargin,
     "q_range_join" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
         |           FROM events),
@@ -6018,6 +6071,25 @@ object SparkEntry {
         |GROUP BY 1, 2
         |HAVING count(*) >= 2
         |ORDER BY 1, 2""".stripMargin,
+    "q_triangles" ->
+      """WITH bi AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS b,
+        |    CAST(l_partkey AS BIGINT) AS i
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |freq AS (SELECT i FROM bi GROUP BY 1 HAVING count(*) >= 10),
+        |pr AS (SELECT bi.* FROM bi WHERE i IN (SELECT i FROM freq)),
+        |ok AS (SELECT b FROM pr GROUP BY 1 HAVING count(*) <= 1000),
+        |kept AS (SELECT pr.* FROM pr WHERE b IN (SELECT b FROM ok)),
+        |ed AS (SELECT a.i AS a, k.i AS b
+        |  FROM kept a JOIN kept k ON a.b = k.b AND a.i < k.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |nodes AS (SELECT a AS n FROM ed UNION SELECT b FROM ed)
+        |SELECT CAST((SELECT count(*) FROM nodes) AS BIGINT) AS n_nodes,
+        |  CAST((SELECT count(*) FROM ed) AS BIGINT) AS n_edges,
+        |  CAST((SELECT count(*)
+        |        FROM ed e1
+        |        JOIN ed e2 ON e2.a = e1.a AND e2.b > e1.b
+        |        JOIN ed e3 ON e3.a = e1.b AND e3.b = e2.b) AS BIGINT)
+        |    AS n_triangles""".stripMargin,
     "q_assoc_rules" ->
       """WITH bi AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS b,
         |    CAST(l_partkey AS BIGINT) AS i

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph computation, Spark-first: each iteration is one
@@ -65,5 +65,55 @@ object Graph {
       i += 1
     }
     ranks
+  }
+
+  /** Exact triangle census — the clustering-coefficient numerator and
+    * the classic "can your join engine survive a social graph"
+    * benchmark. Degree-oriented: every edge points from its lower-
+    * (degree, id) endpoint to the higher, which turns the wedge
+    * enumeration into a self-join on the ORIENTED out-lists, whose
+    * width is O(√m) per node even on a power-law graph — the
+    * celebrity node with 10⁸ canonical neighbors contributes almost
+    * no out-wedges because nearly all its edges orient INTO it
+    * (Suri–Vassilvitskii / "MapReduce triangles" orientation). Plan:
+    * two equi-joins and map-side-combined counts, no windows.
+    *
+    * Output: one row — n_nodes, n_edges (canonical distinct,
+    * self-loops dropped), n_triangles (each counted once). */
+  def triangleStats(df: DataFrame, src: Column, dst: Column): DataFrame = {
+    val canon = df.select(src.cast("long").as("__x"), dst.cast("long").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull &&
+        col("__x") =!= col("__y"))
+      .select(least(col("__x"), col("__y")).as("a"),
+        greatest(col("__x"), col("__y")).as("b"))
+      .distinct()
+    val deg = canon.select(col("a").as("n"))
+      .unionByName(canon.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val withD = canon
+      .join(deg.select(col("n").as("a"), col("d").as("__da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("d").as("__db")), Seq("b"))
+    def rank(d: Column, n: Column) = struct(d.as("d"), n.as("n"))
+    val aLower = rank(col("__da"), col("a")) < rank(col("__db"), col("b"))
+    val o = withD.select(
+        when(aLower, col("a")).otherwise(col("b")).as("u"),
+        when(aLower, col("b")).otherwise(col("a")).as("v"),
+        when(aLower, rank(col("__db"), col("b")))
+          .otherwise(rank(col("__da"), col("a"))).as("__rv"))
+      .localCheckpoint(true) // wedge + closure both consume it
+    val wedges = o.select(col("u"), col("v").as("__v1"), col("__rv").as("__r1"))
+      .join(o.select(col("u"), col("v").as("__v2"), col("__rv").as("__r2")),
+        Seq("u"))
+      .filter(col("__r1") < col("__r2"))
+      .select(col("__v1"), col("__v2"))
+    // a wedge (v1, v2) closes iff the oriented edge v1→v2 exists
+    // (rank(v1) < rank(v2) by construction, so orientation matches)
+    val tri = wedges.join(o.select(col("u").as("__v1"), col("v").as("__v2")),
+      Seq("__v1", "__v2"), "left_semi").count()
+    val nodes = deg.count()
+    val edges = canon.count()
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((nodes, edges, tri)).toDF("n_nodes", "n_edges", "n_triangles")
   }
 }

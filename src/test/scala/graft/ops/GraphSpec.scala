@@ -33,4 +33,30 @@ class GraphSpec extends SparkSpec {
       .collect().map(row => row.getString(0) -> row.getLong(1)).toMap
     assert(r("hub") > r("l1") && r("l1") == r("l2") && r("l2") == r("l3"))
   }
+
+  test("triangleStats: hand-computed census, dups/loops/direction-proof") {
+    // K4 on {1,2,3,4} (4 triangles) + pendant 5 + a reversed dup edge
+    // + a self-loop: loops drop, (b,a) == (a,b)
+    val k4 = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    val edges = (k4 ++ Seq((5L, 1L), (2L, 1L) /* reversed dup */,
+      (3L, 3L) /* loop */)).toDF("x", "y")
+    val out = Graph.triangleStats(edges, $"x", $"y")
+      .as[(Long, Long, Long)].collect().head
+    assert(out == ((5L, 7L, 4L)))
+  }
+
+  test("triangleStats equals the canonical a<b<c three-join on a random graph") {
+    val e = spark.range(300).select(
+      (($"id" * 37) % 40).as("x"), (($"id" * 53 + 11) % 40).as("y"))
+    val fast = Graph.triangleStats(e, $"x", $"y")
+      .select("n_triangles").as[Long].collect().head
+    val ed = e.filter($"x" =!= $"y")
+      .select(least($"x", $"y").as("a"), greatest($"x", $"y").as("b"))
+      .distinct()
+    val naive = ed.as("e1")
+      .join(ed.as("e2"), col("e2.a") === col("e1.a") && col("e2.b") > col("e1.b"))
+      .join(ed.as("e3"), col("e3.a") === col("e1.b") && col("e3.b") === col("e2.b"))
+      .count()
+    assert(fast == naive)
+  }
 }
