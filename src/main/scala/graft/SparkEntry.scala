@@ -2694,6 +2694,28 @@ object SparkEntry {
           minItemSupport = 10, minPairSupport = 2)
         .orderBy("item_a", "item_b")),
 
+    // ---- §7 sketch-as-data incremental distinct: one HLL sketch per
+    // day (mergeable binary state — the thing a 100 TB pipeline
+    // PERSISTS so "distinct users ever" costs |days| sketch rows, not
+    // a history rescan), union-merged and gated against the exact
+    // count with the q_profile_approx tolerance discipline: the pinned
+    // output is exact integers + a within-5% flag, so sketch drift
+    // flips a boolean and fails the hash compare. ----
+    "q_hll_daily" -> ((s, dir) => {
+      val raw = load(s, dir, "events")
+      val e = raw.select(col("user_id"), Tables.tsUs(raw).as("us"))
+        .select(col("user_id"), expr("us DIV 86400000000").as("day"))
+      val daily = e.groupBy("day")
+        .agg(expr("hll_sketch_agg(user_id)").as("__sk"))
+      val merged = daily.agg(count(lit(1)).as("n_days"),
+        expr("hll_sketch_estimate(hll_union_agg(__sk))").as("__est"))
+      val exact = e.agg(countDistinct(col("user_id")).as("exact_users"))
+      merged.crossJoin(broadcast(exact))
+        .select(col("n_days"), col("exact_users"),
+          (abs(col("__est") - col("exact_users")) * 100 <=
+            col("exact_users") * 5).as("merged_within_5pct"))
+    }),
+
     // ---- §7 exact triangle census over the co-order graph: edges
     // point from the lower-(degree, id) endpoint to the higher, so the
     // wedge self-join runs on O(√m)-wide oriented out-lists even on a
@@ -6071,6 +6093,11 @@ object SparkEntry {
         |GROUP BY 1, 2
         |HAVING count(*) >= 2
         |ORDER BY 1, 2""".stripMargin,
+    "q_hll_daily" ->
+      """SELECT CAST(count(DISTINCT epoch_us(ts) // 86400000000) AS BIGINT) AS n_days,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  TRUE AS merged_within_5pct
+        |FROM events""".stripMargin,
     "q_triangles" ->
       """WITH bi AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS b,
         |    CAST(l_partkey AS BIGINT) AS i
