@@ -76,17 +76,24 @@ object Linkage {
 
   /** Verify candidate pairs by edit distance over `field`: attaches
     * both sides' values via two key joins (never re-blocking) and
-    * keeps pairs with `levenshtein(a, b) <= maxDist`. Cost is one DP
-    * per CANDIDATE pair — bounded by the blocking stage's output. */
+    * keeps pairs with `levenshtein(a, b) <= maxDist`. The distance
+    * runs THRESHOLDED (Spark's banded DP: O(maxDist·n) per pair and
+    * an early exit on the |len(a)−len(b)| bound, returning −1 past
+    * the threshold) instead of the full O(n·m) matrix — on long
+    * fields the band is the difference between "per-candidate" and
+    * "per-character²" verify cost. Surviving rows carry the TRUE
+    * distance (≤ maxDist by construction), so the thresholded and
+    * full computations emit identical output. */
   def verifyEdit(df: DataFrame, pairs: DataFrame, idCol: String,
       field: Column, maxDist: Int): DataFrame = {
+    require(maxDist >= 0, "maxDist must be non-negative")
     val vals = df.select(col(idCol).as("__vid"), field.as("__f"))
     pairs
       .join(vals, col(idCol) === col("__vid")).drop("__vid")
       .withColumnRenamed("__f", "__fa")
       .join(vals, col("id2") === col("__vid")).drop("__vid")
       .select(col(idCol), col("id2"),
-        levenshtein(col("__fa"), col("__f")).as("dist"))
-      .filter(col("dist") <= maxDist)
+        levenshtein(col("__fa"), col("__f"), maxDist).as("dist"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
   }
 }
