@@ -96,12 +96,15 @@ object Bench {
       .select((col("id") % 100000L).as("k"))
       .groupBy("k").agg(count(lit(1)).as("n"))
       .select(sum(col("n"))).collect()(0).getLong(0)
-    def timeProbe(f: () => Long): Double = {
-      f() // warm
-      (0 until 3).map { _ =>
-        val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
-      }.min
-    }
+    // a probe failure must not abort the bench (queries isolate their
+    // errors; the probes do too) — report -1 and keep timing
+    def timeProbe(f: () => Long): Double =
+      try {
+        f() // warm
+        (0 until 3).map { _ =>
+          val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+        }.min
+      } catch { case _: Throwable => -1.0 }
     val probeCpuSec = timeProbe(() => probeCpu())
     val probeShuffleSec = timeProbe(() => probeShuffle())
     val results = selected.toSeq.map { case (name, fn) =>

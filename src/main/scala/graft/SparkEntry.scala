@@ -2603,7 +2603,10 @@ object SparkEntry {
     // (ops/Quantiles.percentileRanks). ----
     "q_pct_rank" -> ((s, dir) =>
       ops.Quantiles.percentileRanks(
-          load(s, dir, "documents").select("doc_id", "n_chars"),
+          load(s, dir, "documents").select("doc_id", "n_chars")
+            // the op passes null metrics through with null ranks; the
+            // SQL twin drops them — pin the same (non-null) row set
+            .filter(col("n_chars").isNotNull),
           col("n_chars"))
         .select("doc_id", "n_chars", "rank_lt", "n_rows", "pr_ppm")
         .orderBy("doc_id")),
@@ -2793,7 +2796,8 @@ object SparkEntry {
     // the group (ops/Quantiles.percentileRanksBy). ----
     "q_pct_rank_by" -> ((s, dir) =>
       ops.Quantiles.percentileRanksBy(
-          load(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+          load(s, dir, "documents").select("doc_id", "lang", "n_chars")
+            .filter(col("n_chars").isNotNull),
           "lang", col("n_chars"))
         .select("doc_id", "lang", "n_chars", "rank_lt", "n_group", "pr_ppm")
         .orderBy("doc_id")),
@@ -6213,7 +6217,8 @@ object SparkEntry {
         |    CAST(CAST(('0x' || substr(rk, 1, 4)) AS BIGINT) * 8 // 65536 AS INT) AS shard
         |  FROM b)
         |SELECT doc_id, bin, shard,
-        |  CAST(row_number() OVER (ORDER BY bin, rk, doc_id) - 1 AS BIGINT) AS pos
+        |  CAST(row_number() OVER (ORDER BY bin NULLS FIRST, rk, doc_id) - 1 AS BIGINT)
+        |    AS pos
         |FROM s ORDER BY doc_id""".stripMargin,
     "q_pct_rank" ->
       """WITH r AS (

@@ -81,15 +81,20 @@ object Graph {
     * Output: one row — n_nodes, n_edges (canonical distinct,
     * self-loops dropped), n_triangles (each counted once). */
   def triangleStats(df: DataFrame, src: Column, dst: Column): DataFrame = {
+    // canonical edges + degrees each feed multiple consumers (the
+    // orientation join, the node/edge counts) — materialize once so
+    // the edge-set distinct shuffle runs exactly once
     val canon = df.select(src.cast("long").as("__x"), dst.cast("long").as("__y"))
       .filter(col("__x").isNotNull && col("__y").isNotNull &&
         col("__x") =!= col("__y"))
       .select(least(col("__x"), col("__y")).as("a"),
         greatest(col("__x"), col("__y")).as("b"))
       .distinct()
+      .localCheckpoint(true)
     val deg = canon.select(col("a").as("n"))
       .unionByName(canon.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
     val withD = canon
       .join(deg.select(col("n").as("a"), col("d").as("__da")), Seq("a"))
       .join(deg.select(col("n").as("b"), col("d").as("__db")), Seq("b"))

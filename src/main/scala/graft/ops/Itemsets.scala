@@ -19,20 +19,22 @@ import org.apache.spark.sql.functions._
   * A pathological basket (one "order" with 10⁶ items) would still
   * square; `maxBasket` caps it exactly as LSH buckets and linkage
   * blocks are capped — oversized baskets are excluded, countable via
-  * the returned census rather than silently truncated.
+  * [[basketCensus]] rather than silently truncated.
   *
   * Output: (item_a, item_b, n_baskets), item_a < item_b, pairs with
   * support ≥ `minPairSupport`. All counts are exact integers. */
 object Itemsets {
 
-  /** Frequent co-occurring pairs. `basket`/`item` casts to long. */
-  def frequentPairs(df: DataFrame, basket: Column, item: Column,
-      minItemSupport: Long = 2, minPairSupport: Long = 2,
-      maxBasket: Int = 1000): DataFrame = {
-    val bi = df.select(basket.cast("long").as("__b"),
-        item.cast("long").as("__i"))
+  /** Distinct (basket, item) rows — the shared intermediate every
+    * entry point consumes exactly once. */
+  private def basketItems(df: DataFrame, basket: Column,
+      item: Column): DataFrame =
+    df.select(basket.cast("long").as("__b"), item.cast("long").as("__i"))
       .filter(col("__b").isNotNull && col("__i").isNotNull)
       .distinct()
+
+  private def pairsFromBi(bi: DataFrame, minItemSupport: Long,
+      minPairSupport: Long, maxBasket: Int): DataFrame = {
     // a-priori prune: items below support can't be in a frequent pair
     val freq = bi.groupBy("__i").agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= minItemSupport).select("__i")
@@ -48,6 +50,34 @@ object Itemsets {
       .filter(col("n_baskets") >= minPairSupport)
   }
 
+  /** Frequent co-occurring pairs. `basket`/`item` casts to long. */
+  def frequentPairs(df: DataFrame, basket: Column, item: Column,
+      minItemSupport: Long = 2, minPairSupport: Long = 2,
+      maxBasket: Int = 1000): DataFrame =
+    pairsFromBi(basketItems(df, basket, item), minItemSupport,
+      minPairSupport, maxBasket)
+
+  /** Post-prune basket-size census — how many baskets (and rows) the
+    * `maxBasket` cap excludes from [[frequentPairs]], measured on the
+    * item-pruned table the cap actually applies to. One row:
+    * (n_baskets, max_basket, n_dropped_baskets, n_dropped_rows);
+    * nonzero drops say the cap is biting and co-occurrence mass is
+    * being excluded. */
+  def basketCensus(df: DataFrame, basket: Column, item: Column,
+      minItemSupport: Long = 2, maxBasket: Int = 1000): DataFrame = {
+    val bi = basketItems(df, basket, item)
+    val freq = bi.groupBy("__i").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minItemSupport).select("__i")
+    bi.join(freq, Seq("__i"), "left_semi")
+      .groupBy("__b").agg(count(lit(1)).as("__k"))
+      .agg(count(lit(1)).as("n_baskets"),
+        max(col("__k")).as("max_basket"),
+        sum(when(col("__k") > maxBasket, 1L).otherwise(0L))
+          .as("n_dropped_baskets"),
+        sum(when(col("__k") > maxBasket, col("__k")).otherwise(0L))
+          .as("n_dropped_rows"))
+  }
+
   /** Association rules over [[frequentPairs]]: per pair, both item
     * supports, the two directed confidences, and the lift.
     *
@@ -60,18 +90,18 @@ object Itemsets {
     * one fixed IEEE multiply/divide/floor tree — bit-identical in any
     * engine, no wraparound ever. The supports table is
     * frequent-items-sized and joins back on the item key (AQE
-    * broadcast while it fits). */
+    * broadcast while it fits).
+    *
+    * The (basket, item) distinct table is materialized ONCE
+    * (`localCheckpoint`) and feeds the basket count, the supports,
+    * and the pair expansion — never three scans of the raw input. */
   def rules(df: DataFrame, basket: Column, item: Column,
       minItemSupport: Long = 2, minPairSupport: Long = 2,
       maxBasket: Int = 1000): DataFrame = {
-    val bi = df.select(basket.cast("long").as("__b"),
-        item.cast("long").as("__i"))
-      .filter(col("__b").isNotNull && col("__i").isNotNull)
-      .distinct()
+    val bi = basketItems(df, basket, item).localCheckpoint(true)
     val nBaskets = bi.select("__b").distinct().count()
     val supports = bi.groupBy("__i").agg(count(lit(1)).as("__n"))
-    val pairs = frequentPairs(df, basket, item, minItemSupport,
-      minPairSupport, maxBasket)
+    val pairs = pairsFromBi(bi, minItemSupport, minPairSupport, maxBasket)
     def d(c: String) = col(c).cast("double")
     pairs
       .join(supports.select(col("__i").as("item_a"), col("__n").as("n_a")),

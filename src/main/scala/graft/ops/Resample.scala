@@ -34,7 +34,12 @@ object Resample {
     val spans = df.filter(col(timeCol).isNotNull)
       .groupBy(key)
       .agg(min(col(timeCol)).as("__lo"), max(col(timeCol)).as("__hi"))
-      .withColumn("__start", expr(s"__lo DIV $stepUs * $stepUs"))
+      // FLOOR division (DIV truncates toward zero — one step late for
+      // negative, pre-1970 µs; DuckDB's // floors, so parity needs the
+      // explicit correction), in exact integer arithmetic
+      .withColumn("__start", expr(
+        s"(__lo DIV $stepUs - (CASE WHEN __lo % $stepUs != 0 AND __lo < 0 " +
+          s"THEN 1 ELSE 0 END)) * $stepUs"))
     val worst = spans
       .agg(max(expr(s"(__hi - __start) DIV $stepUs + 1"))).collect()(0)
     require(worst.isNullAt(0) || worst.getLong(0) <= maxPoints,

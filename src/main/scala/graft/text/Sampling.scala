@@ -76,23 +76,40 @@ object Sampling {
     * Size `shards` so one shard's keys fit a task sort (~corpus rows /
     * a few million). */
   def shuffleManifest(df: DataFrame, idCol: String, salt: String,
-      shards: Int): DataFrame = {
+      shards: Int): DataFrame =
+    rankedManifest(df, idCol, lit(0L), salt, shards).drop("bin")
+
+  /** Shared manifest algebra for [[shuffleManifest]] (constant bin) and
+    * [[curriculumManifest]]: rank key md5(key#salt), shard = range
+    * partition of the 16-bit prefix, row_number per (bin, shard),
+    * offsets from a (bins × shards)-row prefix-sum broadcast back.
+    * The offsets join is NULL-SAFE on the bin so a null bin (unknown
+    * difficulty) keeps its rows — they order FIRST (Spark's ascending
+    * null ordering), preserving the 0..n−1 permutation contract. */
+  private def rankedManifest(df: DataFrame, idCol: String, binCol: Column,
+      salt: String, shards: Int): DataFrame = {
     require(shards > 0 && shards <= 65536, "shards in [1, 65536]")
     val key = col(idCol)
     val rk = md5(concat(key.cast("string"), lit("#"), lit(salt)))
-    val withShard = df.select(key, rk.as("__rk"))
+    val withShard = df.select(key, binCol.cast("long").as("bin"), rk.as("__rk"))
       .withColumn("shard",
         floor(conv(substring(col("__rk"), 1, 4), 16, 10).cast("long")
           * shards / 65536).cast("int"))
-    val perShard = Window.partitionBy(col("shard")).orderBy(col("__rk"), key)
-    val ranked = withShard.withColumn("__r", row_number().over(perShard).cast("long"))
-    val sizes = withShard.groupBy(col("shard")).agg(count(lit(1)).as("__n"))
-    // prefix-sum over `shards` rows — a metadata-sized global window
-    val offW = Window.orderBy(col("shard")).rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = sizes.select(col("shard"),
+    val perShard = Window.partitionBy(col("bin"), col("shard"))
+      .orderBy(col("__rk"), key)
+    val ranked = withShard
+      .withColumn("__r", row_number().over(perShard).cast("long"))
+    val sizes = withShard.groupBy(col("bin"), col("shard"))
+      .agg(count(lit(1)).as("__n"))
+    // prefix-sum over bins × shards rows — metadata-sized
+    val offW = Window.orderBy(col("bin"), col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sizes.select(col("bin").as("__ob"), col("shard").as("__os"),
       coalesce(sum(col("__n")).over(offW), lit(0L)).as("__off"))
-    ranked.join(broadcast(offsets), Seq("shard"))
-      .select(key, col("shard"), (col("__off") + col("__r") - 1).as("pos"))
+    ranked.join(broadcast(offsets),
+        col("bin") <=> col("__ob") && col("shard") === col("__os"))
+      .select(key, col("bin"), col("shard"),
+        (col("__off") + col("__r") - 1).as("pos"))
   }
 
   /** Curriculum training-order manifest: a deterministic TOTAL ORDER
@@ -112,31 +129,13 @@ object Sampling {
     * (keys, bins, salt), so retries and engines agree byte-for-byte.
     * Bins must be a bounded small domain (deciles, grade levels);
     * shard within-bin volume via `shards` exactly as in
-    * [[shuffleManifest]]. */
+    * [[shuffleManifest]]. Rows with a NULL bin are kept and order
+    * FIRST (Spark's ascending null ordering; the offsets join is
+    * null-safe), preserving the 0..n−1 permutation over the full
+    * corpus. */
   def curriculumManifest(df: DataFrame, idCol: String, binCol: Column,
-      salt: String, shards: Int): DataFrame = {
-    require(shards > 0 && shards <= 65536, "shards in [1, 65536]")
-    val key = col(idCol)
-    val rk = md5(concat(key.cast("string"), lit("#"), lit(salt)))
-    val withShard = df.select(key, binCol.cast("long").as("bin"), rk.as("__rk"))
-      .withColumn("shard",
-        floor(conv(substring(col("__rk"), 1, 4), 16, 10).cast("long")
-          * shards / 65536).cast("int"))
-    val perShard = Window.partitionBy(col("bin"), col("shard"))
-      .orderBy(col("__rk"), key)
-    val ranked = withShard
-      .withColumn("__r", row_number().over(perShard).cast("long"))
-    val sizes = withShard.groupBy(col("bin"), col("shard"))
-      .agg(count(lit(1)).as("__n"))
-    // prefix-sum over bins × shards rows — metadata-sized
-    val offW = Window.orderBy(col("bin"), col("shard"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = sizes.select(col("bin"), col("shard"),
-      coalesce(sum(col("__n")).over(offW), lit(0L)).as("__off"))
-    ranked.join(broadcast(offsets), Seq("bin", "shard"))
-      .select(key, col("bin"), col("shard"),
-        (col("__off") + col("__r") - 1).as("pos"))
-  }
+      salt: String, shards: Int): DataFrame =
+    rankedManifest(df, idCol, binCol, salt, shards)
 
   /** Per-group document cap — the anti-spam gate ("no domain may
     * contribute more than `cap` documents"), planned WITHOUT per-group

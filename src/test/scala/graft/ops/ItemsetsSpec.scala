@@ -44,6 +44,16 @@ class ItemsetsSpec extends SparkSpec {
     assert(capped.filter($"item_a" === 10L && $"item_b" === 20L).count() == 1)
   }
 
+  test("basketCensus reports what the cap would drop") {
+    val hot = (1L to 6L).map(i => (99L, i * 10)).toDF("b", "i")
+      .union(rows)
+    val cen = Itemsets.basketCensus(hot, $"b", $"i",
+        minItemSupport = 1, maxBasket = 5)
+      .as[(Long, Long, Long, Long)].collect().head
+    // baskets after item-prune: 1(3),2(2),3(2),4(2),5(1),99(6)
+    assert(cen == ((6L, 6L, 1L, 6L)))
+  }
+
   test("rules: hand-computed confidence and lift") {
     val out = Itemsets.rules(rows, $"b", $"i", 2, 2)
       .as[(Long, Long, Long, Long, Long, Long, Long, Long)]

@@ -27,6 +27,17 @@ class ResampleSpec extends SparkSpec {
       (2L, 120L, Some(21L)))) // obs exactly ON the line fills it
   }
 
+  test("forwardFill floors the grid start for negative (pre-1970) times") {
+    val neg = Seq((3L, -105L, 31L, 1.0), (3L, -95L, 32L, 2.0))
+      .toDF("k", "t", "oid", "v")
+    val out = Resample.forwardFill(neg, "k", "t", "oid", Seq("oid"), 10L)
+      .orderBy("t")
+      .collect()
+      .map(r => (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long])))
+    // ⌊−105/10⌋·10 = −110 (DIV would give −100 and skip the lead-in)
+    assert(out.toSeq == Seq((-110L, None), (-100L, Some(31L))))
+  }
+
   test("forwardFill raises loudly on a runaway grid") {
     val e = intercept[IllegalArgumentException] {
       Resample.forwardFill(obs, "k", "t", "oid", Seq("v"),

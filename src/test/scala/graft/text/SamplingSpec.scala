@@ -157,6 +157,17 @@ class SamplingSpec extends SparkSpec {
     assert(moved > 0)
   }
 
+  test("curriculumManifest keeps null-bin rows, ordered first") {
+    val d = Seq[(Long, java.lang.Long)]((1L, 5L), (2L, null), (3L, 0L),
+      (4L, null)).toDF("doc_id", "b")
+    val out = Sampling.curriculumManifest(d, "doc_id", col("b"), "s1", 4)
+      .orderBy("pos")
+      .select("doc_id", "pos").as[(Long, Long)].collect().toSeq
+    assert(out.map(_._2) == Seq(0L, 1L, 2L, 3L), s"pos not a permutation: $out")
+    // the two null-bin docs occupy positions 0 and 1
+    assert(out.take(2).map(_._1).toSet == Set(2L, 4L))
+  }
+
   test("curriculumManifest plan: windows partition by (bin, shard)") {
     val d = docs.select(col("doc_id"), expr("n_chars DIV 500").as("b"))
     val plan = Sampling.curriculumManifest(d, "doc_id", col("b"), "cur1", 8)
