@@ -143,6 +143,29 @@ object ScaleSweep {
         val cand = graft.ops.Linkage.candidates(recs, "doc_id", passes)
         graft.ops.Linkage.verifyEdit(recs, cand, "doc_id", col("nm"), 4)
           .count()
+      }),
+      // word co-occurrence baskets: each doc's first 32 distinct token
+      // hashes; itemsets/triangles are output-sensitive on this
+      // fixture (shared vocabulary ⇒ pair density grows with corpus)
+      "itemsets" -> (c => {
+        val bi = c.filter(col("text").isNotNull)
+          .select(col("doc_id"), explode(slice(array_distinct(
+            TextFunctions.whitespaceTokens(lower(col("text")))), 1, 32))
+            .as("w"))
+          .select(col("doc_id"), pmod(xxhash64(col("w")), lit(100000L)).as("w"))
+        graft.ops.Itemsets.frequentPairs(bi, col("doc_id"), col("w"),
+          minItemSupport = 50, minPairSupport = 50, maxBasket = 64).count()
+      }),
+      "triangles" -> (c => {
+        val bi = c.filter(col("text").isNotNull)
+          .select(col("doc_id"), explode(slice(array_distinct(
+            TextFunctions.whitespaceTokens(lower(col("text")))), 1, 32))
+            .as("w"))
+          .select(col("doc_id"), pmod(xxhash64(col("w")), lit(100000L)).as("w"))
+        val edges = graft.ops.Itemsets.frequentPairs(bi, col("doc_id"),
+          col("w"), minItemSupport = 50, minPairSupport = 50, maxBasket = 64)
+        graft.ops.Graph.triangleStats(edges, col("item_a"), col("item_b"))
+          .select("n_triangles").count()
       }))
     // the bucketed near-dup candidate pipelines, on the dup-rate-
     // invariant corpus: output (and so seconds) may grow linearly, but
