@@ -28,6 +28,9 @@ import scala.jdk.CollectionConverters._
   *   `-tokenize <config.json>` train a BPE subword model over a
   *                            namespace; write merges/fertility/encoded
   *                            (engine extension)
+  *   `-mine <config.json>`    market-basket mining: frequent pairs,
+  *                            association rules, basket census, triangle
+  *                            census (engine extension)
   *   `-version`               print version
   *
   * (`-worker` has no Spark counterpart: the reference spawns queue
@@ -65,14 +68,14 @@ object Main {
   def run(args: Seq[String], session: () => SparkSession): Int = {
     def usage(): Int = {
       Console.err.println(
-        "usage: graft -start|-resume|-compare|-sim|-sql|-curate|-optimize|-profile|-index|-tokenize <config.json> | -version")
+        "usage: graft -start|-resume|-compare|-sim|-sql|-curate|-optimize|-profile|-index|-tokenize|-mine <config.json> | -version")
       1
     }
     args match {
       case Seq("-version") => println(Version); 0
       case Seq(flag, file)
           if Set("-start", "-resume", "-compare", "-sim", "-sql", "-curate",
-            "-optimize", "-profile", "-index", "-tokenize")(flag) =>
+            "-optimize", "-profile", "-index", "-tokenize", "-mine")(flag) =>
         val json = new String(
           java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file)), "UTF-8")
         flag match {
@@ -83,6 +86,7 @@ object Main {
           case "-profile" => profile(session(), json)
           case "-index" => index(session(), json)
           case "-tokenize" => tokenize(session(), json)
+          case "-mine" => mine(session(), json)
           case "-compare" => compare(session(), MigratorConfig.parse(json))
           case "-start" => lifecycle(session(), MigratorConfig.parse(json), resume = false)
           case "-resume" => lifecycle(session(), MigratorConfig.parse(json), resume = true)
@@ -417,6 +421,56 @@ object Main {
       report.write.mode("overwrite").parquet(out)
       println(s"wrote $out")
     } else report.show(truncate = false)
+    0
+  }
+
+  /** `-mine` (engine extension): market-basket mining over a
+    * namespace — a-priori frequent pairs, association rules
+    * (ops/Itemsets.scala) and the triangle census over the pair graph
+    * (ops/Graph.triangleStats), plus the basket-cap census so nothing
+    * is silently dropped. Config: `{"source": <catalog root>,
+    * "namespace": "db.coll", "basket": <col>, "item": <col>}` with
+    * optional `"minItemSupport"` (2), `"minPairSupport"` (2),
+    * `"maxBasket"` (1000), `"out"` (parquet dir: rules + census +
+    * triangles sub-tables; default: show). */
+  private def mine(spark: SparkSession, json: String): Int = {
+    val n = new ObjectMapper().readTree(json)
+    require(n != null && n.isObject, "mine config must be a JSON object")
+    def req(f: String): String = {
+      require(n.has(f) && n.get(f).asText().nonEmpty, s"mine config needs $f")
+      n.get(f).asText()
+    }
+    def long(f: String, dflt: Long): Long =
+      if (n.has(f)) n.get(f).asLong() else dflt
+    val dir = req("source"); val ns = req("namespace")
+    val basket = org.apache.spark.sql.functions.col(req("basket"))
+    val item = org.apache.spark.sql.functions.col(req("item"))
+    val minItem = long("minItemSupport", 2L)
+    val minPair = long("minPairSupport", 2L)
+    val maxBasket = long("maxBasket", 1000L).toInt
+    val cat = catalogAt(spark, dir,
+      MigratorConfig(command = "data", source = dir, target = dir))
+    val docs = cat.read(ns)
+    val rules = ops.Itemsets.rules(docs, basket, item, minItem, minPair,
+      maxBasket).orderBy("item_a", "item_b")
+    val census = ops.Itemsets.basketCensus(docs, basket, item, minItem,
+      maxBasket)
+    val tri = ops.Graph.triangleStats(
+      ops.Itemsets.frequentPairs(docs, basket, item, minItem, minPair,
+        maxBasket),
+      org.apache.spark.sql.functions.col("item_a"),
+      org.apache.spark.sql.functions.col("item_b"))
+    if (n.has("out")) {
+      val out = n.get("out").asText()
+      rules.write.mode("overwrite").parquet(s"$out/rules")
+      census.write.mode("overwrite").parquet(s"$out/census")
+      tri.write.mode("overwrite").parquet(s"$out/triangles")
+      println(s"wrote $out/{rules,census,triangles}")
+    } else {
+      rules.show(20, truncate = false)
+      census.show(truncate = false)
+      tri.show(truncate = false)
+    }
     0
   }
 

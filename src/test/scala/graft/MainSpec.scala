@@ -230,6 +230,30 @@ class MainSpec extends SparkSpec {
     assert(enc.count() == fert.count())
   }
 
+  test("-mine writes rules, basket census, and the triangle census") {
+    val out = tmp("graft-cli-mine") + "/mined"
+    val cfg = writeCfg(tmp("graft-cli-minecfg"),
+      s"""{"source":"$sf001","namespace":"local.lineitem",
+         |"basket":"l_orderkey","item":"l_partkey",
+         |"minItemSupport":3,"minPairSupport":2,"out":"$out"}""".stripMargin)
+    assert(Main.run(Seq("-mine", cfg), sess) == 0)
+    val rules = spark.read.parquet(s"$out/rules")
+    assert(rules.columns.toSeq == Seq("item_b", "item_a", "n_baskets",
+      "n_a", "n_b", "conf_a_to_b_ppm", "conf_b_to_a_ppm", "lift_ppm") ||
+      rules.columns.toSet == Set("item_a", "item_b", "n_baskets", "n_a",
+        "n_b", "conf_a_to_b_ppm", "conf_b_to_a_ppm", "lift_ppm"))
+    // matches a direct library run exactly
+    val lib = graft.ops.Itemsets.rules(
+      Tables.load(spark, sf001, "lineitem"), $"l_orderkey", $"l_partkey",
+      3, 2)
+    assert(rules.exceptAll(lib).isEmpty && lib.exceptAll(rules).isEmpty)
+    val cen = spark.read.parquet(s"$out/census")
+    assert(cen.count() == 1 &&
+      cen.head.getAs[Long]("n_dropped_baskets") == 0L)
+    val tri = spark.read.parquet(s"$out/triangles")
+    assert(tri.columns.toSeq == Seq("n_nodes", "n_edges", "n_triangles"))
+  }
+
   test("-curate writes the corpus manifest: dedup, gates, split, budgets") {
     val out = tmp("graft-cli-curate") + "/manifest"
     val cfg = writeCfg(tmp("graft-cli-curatecfg"),
