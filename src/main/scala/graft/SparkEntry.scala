@@ -2313,6 +2313,21 @@ object SparkEntry {
         .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
     }),
 
+    // ---- §7 SQL surface: full CUBE grouping sets — all four subtotal
+    // combinations (flag×status, flag, status, grand total) in the
+    // same one-pass map-side-expanded aggregate as q_rollup. ----
+    "q_cube" -> ((s, dir) => {
+      load(s, dir, "orders")
+        .cube("o_orderpriority", "o_orderstatus")
+        .agg(grouping_id().cast("long").as("gid"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"),
+          count(lit(1)).as("n_orders"))
+        .select("o_orderpriority", "o_orderstatus", "gid", "sum_price",
+          "n_orders")
+        .orderBy(col("gid"), col("o_orderpriority"), col("o_orderstatus"))
+    }),
+
     // ---- §7 grouped top-k as a first-class operator: most frequent
     // terms per language. The per-group candidate set (one row per
     // (lang, term)) is unbounded, so the rank runs through the SAME
@@ -2801,6 +2816,17 @@ object SparkEntry {
           "lang", col("n_chars"))
         .select("doc_id", "lang", "n_chars", "rank_lt", "n_group", "pr_ppm")
         .orderBy("doc_id")),
+
+    // ---- §7 deterministic EXACT-n stratified sample: 5 docs per
+    // language in md5(key#salt) order, forever stable — ranked through
+    // the salted two-level top-k, never a raw per-stratum window
+    // (text/Sampling.stratifiedExactN). ----
+    "q_stratified" -> ((s, dir) =>
+      text.Sampling.stratifiedExactN(
+          load(s, dir, "documents").select("doc_id", "lang"),
+          col("lang"), col("doc_id"), n = 5, salt = "st1")
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("lang", "rank")),
 
     // ---- §7 sampling: weight-proportional Bernoulli (importance
     // sampling by document length) — keep P = min(1, n_chars/wCap),
@@ -5783,6 +5809,13 @@ object SparkEntry {
         |  count(*) AS n_items
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+    "q_cube" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        |  CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+        |ORDER BY gid, o_orderpriority, o_orderstatus""".stripMargin,
     "q_topk_group" ->
       """WITH t AS (SELECT lang, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
         |           FROM documents WHERE text IS NOT NULL),
@@ -6241,6 +6274,15 @@ object SparkEntry {
         |  CASE WHEN n_group > 1 THEN rank_lt * 1000000 // (n_group - 1)
         |       ELSE CAST(0 AS BIGINT) END AS pr_ppm
         |FROM r ORDER BY doc_id""".stripMargin,
+    "q_stratified" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || '#st1'), doc_id)
+        |      AS BIGINT) AS rank
+        |  FROM documents)
+        |SELECT doc_id, lang, rank FROM r WHERE rank <= 5
+        |ORDER BY lang, rank""".stripMargin,
     "q_weighted_sample" ->
       """SELECT lang, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS chars_kept
         |FROM documents

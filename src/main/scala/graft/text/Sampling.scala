@@ -137,6 +137,25 @@ object Sampling {
       salt: String, shards: Int): DataFrame =
     rankedManifest(df, idCol, binCol, salt, shards)
 
+  /** Deterministic EXACT-n per-stratum sample: the first `n` rows of
+    * each group in md5(key#salt) order — eval-set construction ("5
+    * docs per language, stable forever") where [[capPerGroup]]'s
+    * hash-threshold gate (approximately cap, zero sorts) is the wrong
+    * trade. The rank runs through the salted two-level top-k
+    * ([[graft.text.Retrieval.saltedTopK]]): partial top-n per hash
+    * shard, final window over ≤ salts·n rows per group — a hot
+    * stratum never sorts through one reducer. Same determinism
+    * contract as [[shuffleManifest]]: a pure function of (keys, salt),
+    * reproducible in any engine. Output: the input rows + `rank`
+    * (1-based within the stratum). */
+  def stratifiedExactN(df: DataFrame, group: Column, key: Column, n: Int,
+      salt: String): DataFrame = {
+    require(n > 0, "n must be positive")
+    val rk = md5(concat(key.cast("string"), lit("#"), lit(salt)))
+    graft.text.Retrieval.saltedTopK(df.withColumn("__rk", rk), group, key,
+      Seq(col("__rk"), key), n).drop("__rk")
+  }
+
   /** Per-group document cap — the anti-spam gate ("no domain may
     * contribute more than `cap` documents"), planned WITHOUT per-group
     * row_number windows: a hot domain with 10⁹ pages would sort them

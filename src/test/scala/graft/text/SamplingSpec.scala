@@ -1,6 +1,7 @@
 package graft.text
 
 import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 class SamplingSpec extends SparkSpec {
@@ -155,6 +156,26 @@ class SamplingSpec extends SparkSpec {
       .join(flat.select(col("doc_id"), col("pos").as("p2")), Seq("doc_id"))
       .filter(col("pos") =!= col("p2")).count()
     assert(moved > 0)
+  }
+
+  test("stratifiedExactN takes exactly n per stratum in md5 order") {
+    val d = docs.select(col("doc_id"), col("lang"))
+    val out = Sampling.stratifiedExactN(d, col("lang"), col("doc_id"),
+      n = 3, salt = "st1")
+    val sizes = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val avail = d.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    avail.foreach { case (l, n) =>
+      assert(sizes(l) == math.min(3L, n), s"lang $l: ${sizes.get(l)}")
+    }
+    // equals the single-window reference rank
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(concat(col("doc_id").cast("string"), lit("#st1"))),
+        col("doc_id"))
+    val ref = d.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+    assert(out.exceptAll(ref).isEmpty && ref.exceptAll(out).isEmpty)
   }
 
   test("curriculumManifest keeps null-bin rows, ordered first") {
