@@ -33,21 +33,31 @@ object Itemsets {
       .filter(col("__b").isNotNull && col("__i").isNotNull)
       .distinct()
 
-  private def pairsFromBi(bi: DataFrame, minItemSupport: Long,
+  private def pairsFromBi(bi0: DataFrame, minItemSupport: Long,
       minPairSupport: Long, maxBasket: Int): DataFrame = {
-    // a-priori prune: items below support can't be in a frequent pair
-    val freq = bi.groupBy("__i").agg(count(lit(1)).as("__n"))
-      .filter(col("__n") >= minItemSupport).select("__i")
-    val pruned = bi.join(freq, Seq("__i"), "left_semi")
-    // basket cap (census-style, like Linkage.candidates)
-    val ok = pruned.groupBy("__b").agg(count(lit(1)).as("__k"))
-      .filter(col("__k") <= maxBasket).select("__b")
-    val kept = pruned.join(ok, Seq("__b"), "left_semi")
-    kept.select(col("__b"), col("__i").as("item_a"))
-      .join(kept.select(col("__b"), col("__i").as("item_b")), Seq("__b"))
-      .filter(col("item_a") < col("item_b"))
-      .groupBy("item_a", "item_b").agg(count(lit(1)).as("n_baskets"))
-      .filter(col("n_baskets") >= minPairSupport)
+    // bi feeds the support census AND the prune; kept feeds both pair
+    // sides — materialize each once (persist for the pipeline's
+    // lifetime, released before return; the result is eagerly cut, the
+    // lshCandidates contract) so neither derivation re-scans the input
+    val bi = bi0.persist()
+    try {
+      // a-priori prune: items below support can't be in a frequent pair
+      val freq = bi.groupBy("__i").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") >= minItemSupport).select("__i")
+      val pruned = bi.join(freq, Seq("__i"), "left_semi")
+      // basket cap (census-style, like Linkage.candidates)
+      val ok = pruned.groupBy("__b").agg(count(lit(1)).as("__k"))
+        .filter(col("__k") <= maxBasket).select("__b")
+      val kept = pruned.join(ok, Seq("__b"), "left_semi").persist()
+      try {
+        kept.select(col("__b"), col("__i").as("item_a"))
+          .join(kept.select(col("__b"), col("__i").as("item_b")), Seq("__b"))
+          .filter(col("item_a") < col("item_b"))
+          .groupBy("item_a", "item_b").agg(count(lit(1)).as("n_baskets"))
+          .filter(col("n_baskets") >= minPairSupport)
+          .localCheckpoint(true)
+      } finally { kept.unpersist(false); () }
+    } finally { bi.unpersist(false); () }
   }
 
   /** Frequent co-occurring pairs. `basket`/`item` casts to long. */

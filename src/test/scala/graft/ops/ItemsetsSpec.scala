@@ -65,10 +65,18 @@ class ItemsetsSpec extends SparkSpec {
       || out == Seq((10L, 20L, 3L, 4L, 3L, 750000L, 1000000L, 1250000L)))
   }
 
-  test("pair expansion runs on pruned baskets only (semi-joins in plan)") {
-    val plan = Itemsets.frequentPairs(rows, $"b", $"i", 2, 2)
+  test("item prune is a semi-join; the pair result is eagerly cut") {
+    // the lazy census exposes the semi-join prune shape the (eagerly
+    // materialized) pair pipeline shares
+    val cen = Itemsets.basketCensus(rows, $"b", $"i", 2, 4)
       .queryExecution.executedPlan.toString
+    assert(cen.contains("LeftSemi"), s"expected semi-join pruning:\n$cen")
+    // frequentPairs returns a materialized frame (lshCandidates
+    // contract): its persisted intermediates are already released
+    val out = Itemsets.frequentPairs(rows, $"b", $"i", 2, 2)
+    val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
-    assert(plan.contains("LeftSemi"), s"expected semi-join pruning:\n$plan")
+    assert(plan.contains("ExistingRDD") || plan.contains("LogicalRDD"),
+      s"expected an eagerly-cut result:\n$plan")
   }
 }
