@@ -141,6 +141,37 @@ class AsofJoinSpec extends SparkSpec {
     assert(colsT == Seq("event_id", "user_id", "t", "ref_t", "ref_rid"))
   }
 
+  test("asofWithin equals the tolerance-filtered brute-force join") {
+    val p = spark.range(500).select(
+      $"id".as("event_id"), ($"id" % 17).as("user_id"),
+      (($"id" * 37) % 1000).as("t"))
+    val r = spark.range(300).select(
+      ($"id" % 17).as("user_id"), (($"id" * 53) % 1000).as("t"),
+      $"id".as("rid"), ($"id" % 7).cast("double").as("v"))
+    val tol = 60L
+    val fast = AsofJoin.asofWithin(p, r, "user_id", "t", "rid",
+        Seq("rid", "v"), tol)
+      .select("event_id", "ref_rid", "ref_v")
+    // brute force: latest at-or-before AND within the horizon — the
+    // tolerance applies to the MATCHED ref, not as a search widening
+    val w = Window.partitionBy("event_id")
+      .orderBy(col("r_t").desc_nulls_last, col("rid").desc_nulls_last)
+    val rr = r.select(col("user_id").as("r_uid"), col("t").as("r_t"),
+      col("rid"), col("v"))
+    val brute = p.join(rr,
+        col("user_id") === col("r_uid") && col("r_t") <= col("t"), "left")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"),
+        when(col("t") - col("r_t") <= tol, col("rid")).as("ref_rid"),
+        when(col("t") - col("r_t") <= tol, col("v")).as("ref_v"))
+    val key = (row: org.apache.spark.sql.Row) =>
+      (row.getLong(0), Option(row.get(1)), Option(row.get(2)))
+    assert(fast.collect().map(key).sortBy(_._1).toSeq ==
+      brute.collect().map(key).sortBy(_._1).toSeq)
+    assert(fast.count() == p.count())
+  }
+
   test("asofWithin(Long.MaxValue tolerance) == asofLast") {
     val p = spark.range(200).select(
       $"id".as("event_id"), ($"id" % 11).as("user_id"),
