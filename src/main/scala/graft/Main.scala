@@ -447,7 +447,10 @@ object Main {
     val item = org.apache.spark.sql.functions.col(req("item"))
     val minItem = long("minItemSupport", 2L)
     val minPair = long("minPairSupport", 2L)
-    val maxBasket = long("maxBasket", 1000L).toInt
+    val maxBasketL = long("maxBasket", 1000L)
+    require(maxBasketL > 0 && maxBasketL <= Int.MaxValue,
+      s"maxBasket out of range: $maxBasketL")
+    val maxBasket = maxBasketL.toInt
     val cat = catalogAt(spark, dir,
       MigratorConfig(command = "data", source = dir, target = dir))
     val docs = cat.read(ns)
@@ -455,9 +458,10 @@ object Main {
       maxBasket).orderBy("item_a", "item_b")
     val census = ops.Itemsets.basketCensus(docs, basket, item, minItem,
       maxBasket)
-    val tri = ops.Graph.triangleStats(
-      ops.Itemsets.frequentPairs(docs, basket, item, minItem, minPair,
-        maxBasket),
+    // the rules rows ARE the frequent pairs (inner joins to supports
+    // drop nothing) — feed them to the triangle census instead of
+    // re-running the eager pair pipeline
+    val tri = ops.Graph.triangleStats(rules,
       org.apache.spark.sql.functions.col("item_a"),
       org.apache.spark.sql.functions.col("item_b"))
     if (n.has("out")) {

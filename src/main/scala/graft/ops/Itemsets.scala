@@ -33,31 +33,48 @@ object Itemsets {
       .filter(col("__b").isNotNull && col("__i").isNotNull)
       .distinct()
 
+  /** The pair pipeline, LAZY — exposed package-private so the plan
+    * tests can assert the semi-join prune and non-cartesian expansion
+    * shapes that the materialized entry points hide behind their
+    * lineage cut. `keptTransform` is the materialization hook. */
+  private[ops] def lazyPairs(bi: DataFrame, minItemSupport: Long,
+      minPairSupport: Long, maxBasket: Int,
+      keptTransform: DataFrame => DataFrame = identity): DataFrame = {
+    // a-priori prune: items below support can't be in a frequent pair
+    val freq = bi.groupBy("__i").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minItemSupport).select("__i")
+    val pruned = bi.join(freq, Seq("__i"), "left_semi")
+    // basket cap (census-style, like Linkage.candidates)
+    val ok = pruned.groupBy("__b").agg(count(lit(1)).as("__k"))
+      .filter(col("__k") <= maxBasket).select("__b")
+    val kept = keptTransform(pruned.join(ok, Seq("__b"), "left_semi"))
+    kept.select(col("__b"), col("__i").as("item_a"))
+      .join(kept.select(col("__b"), col("__i").as("item_b")), Seq("__b"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("n_baskets"))
+      .filter(col("n_baskets") >= minPairSupport)
+  }
+
+  /** [[lazyPairs]] with the materialization contract: bi feeds the
+    * support census AND the prune; kept feeds both pair sides — each
+    * persists once for the pipeline's lifetime (released before
+    * return; the result is eagerly cut, the lshCandidates contract).
+    * `biMaterialized` skips the bi persist when the caller already
+    * holds a checkpointed frame (rules) — a second cached copy of the
+    * largest intermediate buys nothing. */
   private def pairsFromBi(bi0: DataFrame, minItemSupport: Long,
-      minPairSupport: Long, maxBasket: Int): DataFrame = {
-    // bi feeds the support census AND the prune; kept feeds both pair
-    // sides — materialize each once (persist for the pipeline's
-    // lifetime, released before return; the result is eagerly cut, the
-    // lshCandidates contract) so neither derivation re-scans the input
-    val bi = bi0.persist()
+      minPairSupport: Long, maxBasket: Int,
+      biMaterialized: Boolean = false): DataFrame = {
+    val bi = if (biMaterialized) bi0 else bi0.persist()
     try {
-      // a-priori prune: items below support can't be in a frequent pair
-      val freq = bi.groupBy("__i").agg(count(lit(1)).as("__n"))
-        .filter(col("__n") >= minItemSupport).select("__i")
-      val pruned = bi.join(freq, Seq("__i"), "left_semi")
-      // basket cap (census-style, like Linkage.candidates)
-      val ok = pruned.groupBy("__b").agg(count(lit(1)).as("__k"))
-        .filter(col("__k") <= maxBasket).select("__b")
-      val kept = pruned.join(ok, Seq("__b"), "left_semi").persist()
+      var keptRef: Option[DataFrame] = None
       try {
-        kept.select(col("__b"), col("__i").as("item_a"))
-          .join(kept.select(col("__b"), col("__i").as("item_b")), Seq("__b"))
-          .filter(col("item_a") < col("item_b"))
-          .groupBy("item_a", "item_b").agg(count(lit(1)).as("n_baskets"))
-          .filter(col("n_baskets") >= minPairSupport)
-          .localCheckpoint(true)
-      } finally { kept.unpersist(false); () }
-    } finally { bi.unpersist(false); () }
+        lazyPairs(bi, minItemSupport, minPairSupport, maxBasket,
+          keptTransform = { k =>
+            val p = k.persist(); keptRef = Some(p); p
+          }).localCheckpoint(true)
+      } finally { keptRef.foreach(_.unpersist(false)); () }
+    } finally { if (!biMaterialized) { bi.unpersist(false); () } }
   }
 
   /** Frequent co-occurring pairs. `basket`/`item` casts to long. */
@@ -111,7 +128,8 @@ object Itemsets {
     val bi = basketItems(df, basket, item).localCheckpoint(true)
     val nBaskets = bi.select("__b").distinct().count()
     val supports = bi.groupBy("__i").agg(count(lit(1)).as("__n"))
-    val pairs = pairsFromBi(bi, minItemSupport, minPairSupport, maxBasket)
+    val pairs = pairsFromBi(bi, minItemSupport, minPairSupport, maxBasket,
+      biMaterialized = true)
     def d(c: String) = col(c).cast("double")
     pairs
       .join(supports.select(col("__i").as("item_a"), col("__n").as("n_a")),

@@ -45,6 +45,15 @@ object ScaleSweep {
           concat(col("text"), lit(" near duplicate tail")).as("text")))
   }
 
+  /** Shared word-basket fixture for the itemsets/triangles pipelines:
+    * each doc's first 32 distinct token hashes. */
+  private def wordBaskets(c: DataFrame): DataFrame =
+    c.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(slice(array_distinct(
+        graft.text.TextFunctions.whitespaceTokens(lower(col("text")))),
+        1, 32)).as("w"))
+      .select(col("doc_id"), pmod(xxhash64(col("w")), lit(100000L)).as("w"))
+
   private def time(f: => Long): (Double, Long) = {
     val t0 = System.nanoTime()
     val n = f
@@ -147,23 +156,14 @@ object ScaleSweep {
       // word co-occurrence baskets: each doc's first 32 distinct token
       // hashes; itemsets/triangles are output-sensitive on this
       // fixture (shared vocabulary ⇒ pair density grows with corpus)
-      "itemsets" -> (c => {
-        val bi = c.filter(col("text").isNotNull)
-          .select(col("doc_id"), explode(slice(array_distinct(
-            TextFunctions.whitespaceTokens(lower(col("text")))), 1, 32))
-            .as("w"))
-          .select(col("doc_id"), pmod(xxhash64(col("w")), lit(100000L)).as("w"))
-        graft.ops.Itemsets.frequentPairs(bi, col("doc_id"), col("w"),
-          minItemSupport = 50, minPairSupport = 50, maxBasket = 64).count()
-      }),
+      "itemsets" -> (c =>
+        graft.ops.Itemsets.frequentPairs(wordBaskets(c), col("doc_id"),
+          col("w"), minItemSupport = 50, minPairSupport = 50,
+          maxBasket = 64).count()),
       "triangles" -> (c => {
-        val bi = c.filter(col("text").isNotNull)
-          .select(col("doc_id"), explode(slice(array_distinct(
-            TextFunctions.whitespaceTokens(lower(col("text")))), 1, 32))
-            .as("w"))
-          .select(col("doc_id"), pmod(xxhash64(col("w")), lit(100000L)).as("w"))
-        val edges = graft.ops.Itemsets.frequentPairs(bi, col("doc_id"),
-          col("w"), minItemSupport = 50, minPairSupport = 50, maxBasket = 64)
+        val edges = graft.ops.Itemsets.frequentPairs(wordBaskets(c),
+          col("doc_id"), col("w"), minItemSupport = 50,
+          minPairSupport = 50, maxBasket = 64)
         graft.ops.Graph.triangleStats(edges, col("item_a"), col("item_b"))
           .select("n_triangles").count()
       }))

@@ -238,10 +238,8 @@ class MainSpec extends SparkSpec {
          |"minItemSupport":3,"minPairSupport":2,"out":"$out"}""".stripMargin)
     assert(Main.run(Seq("-mine", cfg), sess) == 0)
     val rules = spark.read.parquet(s"$out/rules")
-    assert(rules.columns.toSeq == Seq("item_b", "item_a", "n_baskets",
-      "n_a", "n_b", "conf_a_to_b_ppm", "conf_b_to_a_ppm", "lift_ppm") ||
-      rules.columns.toSet == Set("item_a", "item_b", "n_baskets", "n_a",
-        "n_b", "conf_a_to_b_ppm", "conf_b_to_a_ppm", "lift_ppm"))
+    assert(rules.columns.toSet == Set("item_a", "item_b", "n_baskets",
+      "n_a", "n_b", "conf_a_to_b_ppm", "conf_b_to_a_ppm", "lift_ppm"))
     // matches a direct library run exactly
     val lib = graft.ops.Itemsets.rules(
       Tables.load(spark, sf001, "lineitem"), $"l_orderkey", $"l_partkey",

@@ -65,18 +65,20 @@ class ItemsetsSpec extends SparkSpec {
       || out == Seq((10L, 20L, 3L, 4L, 3L, 750000L, 1000000L, 1250000L)))
   }
 
-  test("item prune is a semi-join; the pair result is eagerly cut") {
-    // the lazy census exposes the semi-join prune shape the (eagerly
-    // materialized) pair pipeline shares
-    val cen = Itemsets.basketCensus(rows, $"b", $"i", 2, 4)
+  test("the pair pipeline plans semi-join prunes and no cartesian product") {
+    // assert on the LAZY pipeline — the materialized entry points hide
+    // the shape behind their lineage cut
+    val bi = rows.select($"b".as("__b"), $"i".as("__i")).distinct()
+    val plan = Itemsets.lazyPairs(bi, 2, 2, 1000)
       .queryExecution.executedPlan.toString
-    assert(cen.contains("LeftSemi"), s"expected semi-join pruning:\n$cen")
-    // frequentPairs returns a materialized frame (lshCandidates
-    // contract): its persisted intermediates are already released
-    val out = Itemsets.frequentPairs(rows, $"b", $"i", 2, 2)
-    val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
-    assert(plan.contains("ExistingRDD") || plan.contains("LogicalRDD"),
-      s"expected an eagerly-cut result:\n$plan")
+    assert(plan.contains("LeftSemi"), s"expected semi-join pruning:\n$plan")
+    // frequentPairs (the materialized wrapper) computes the same rows
+    val lazyRows = Itemsets.lazyPairs(bi, 2, 2, 1000)
+    val eager = Itemsets.frequentPairs(rows, $"b", $"i", 2, 2)
+    assert(eager.exceptAll(lazyRows).isEmpty && lazyRows.exceptAll(eager).isEmpty)
+    val eagerPlan = eager.queryExecution.executedPlan.toString
+    assert(eagerPlan.contains("ExistingRDD") || eagerPlan.contains("LogicalRDD"),
+      s"expected an eagerly-cut result:\n$eagerPlan")
   }
 }
