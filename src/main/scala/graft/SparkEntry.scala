@@ -2712,6 +2712,16 @@ object SparkEntry {
           minItemSupport = 10, minPairSupport = 2)
         .orderBy("item_a", "item_b")),
 
+    // ---- §7 snapshot profile drift — the data-contract monitor: two
+    // one-scan profiles joined column-wise (reports-sized metadata)
+    // surfacing schema changes and null/distinct/bounds drift between
+    // a table and its next drop (ops/Profile.drift). ----
+    "q_profile_drift" -> ((s, dir) => {
+      val n = load(s, dir, "nation")
+      ops.Profile.drift(n, n.filter(col("n_nationkey") < 20))
+        .orderBy("column")
+    }),
+
     // ---- §7 sketch-as-data incremental distinct: one HLL sketch per
     // day (mergeable binary state — the thing a 100 TB pipeline
     // PERSISTS so "distinct users ever" costs |days| sketch rows, not
@@ -6130,6 +6140,48 @@ object SparkEntry {
         |GROUP BY 1, 2
         |HAVING count(*) >= 2
         |ORDER BY 1, 2""".stripMargin,
+    "q_profile_drift" ->
+      """WITH ma AS (SELECT
+        |    count(*) - count(n_nationkey) AS null_k,
+        |    count(DISTINCT n_nationkey) AS nd_k,
+        |    CAST(min(n_nationkey) AS VARCHAR) AS mn_k,
+        |    CAST(max(n_nationkey) AS VARCHAR) AS mx_k,
+        |    count(*) - count(n_name) AS null_n, count(DISTINCT n_name) AS nd_n,
+        |    min(n_name) AS mn_n, max(n_name) AS mx_n,
+        |    count(*) - count(n_regionkey) AS null_r,
+        |    count(DISTINCT n_regionkey) AS nd_r,
+        |    CAST(min(n_regionkey) AS VARCHAR) AS mn_r,
+        |    CAST(max(n_regionkey) AS VARCHAR) AS mx_r
+        |  FROM nation),
+        |mb AS (SELECT
+        |    count(*) - count(n_nationkey) AS null_k,
+        |    count(DISTINCT n_nationkey) AS nd_k,
+        |    CAST(min(n_nationkey) AS VARCHAR) AS mn_k,
+        |    CAST(max(n_nationkey) AS VARCHAR) AS mx_k,
+        |    count(*) - count(n_name) AS null_n, count(DISTINCT n_name) AS nd_n,
+        |    min(n_name) AS mn_n, max(n_name) AS mx_n,
+        |    count(*) - count(n_regionkey) AS null_r,
+        |    count(DISTINCT n_regionkey) AS nd_r,
+        |    CAST(min(n_regionkey) AS VARCHAR) AS mn_r,
+        |    CAST(max(n_regionkey) AS VARCHAR) AS mx_r
+        |  FROM nation WHERE n_nationkey < 20),
+        |pa AS (
+        |  SELECT 'n_nationkey' AS "column", null_k AS n_null, nd_k AS n_distinct,
+        |         mn_k AS mn, mx_k AS mx FROM ma
+        |  UNION ALL SELECT 'n_name', null_n, nd_n, mn_n, mx_n FROM ma
+        |  UNION ALL SELECT 'n_regionkey', null_r, nd_r, mn_r, mx_r FROM ma),
+        |pb AS (
+        |  SELECT 'n_nationkey' AS "column", null_k AS n_null, nd_k AS n_distinct,
+        |         mn_k AS mn, mx_k AS mx FROM mb
+        |  UNION ALL SELECT 'n_name', null_n, nd_n, mn_n, mx_n FROM mb
+        |  UNION ALL SELECT 'n_regionkey', null_r, nd_r, mn_r, mx_r FROM mb)
+        |SELECT pa."column", 'both' AS presence,
+        |  pa.n_null AS n_null_a, pb.n_null AS n_null_b,
+        |  pa.n_distinct AS n_distinct_a, pb.n_distinct AS n_distinct_b,
+        |  (pa.mn IS DISTINCT FROM pb.mn OR pa.mx IS DISTINCT FROM pb.mx)
+        |    AS bounds_changed
+        |FROM pa JOIN pb USING ("column")
+        |ORDER BY "column"""".stripMargin,
     "q_hll_daily" ->
       """SELECT CAST(count(DISTINCT epoch_us(ts) // 86400000000) AS BIGINT) AS n_days,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,

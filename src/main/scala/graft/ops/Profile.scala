@@ -91,6 +91,38 @@ object Profile {
         col("v.min_canon").as("min_canon"), col("v.max_canon").as("max_canon"))
   }
 
+  /** Snapshot profile drift — the data-contract monitor: profile two
+    * snapshots of "the same" table ([[report]], one scan each) and
+    * join the per-column reports to surface schema changes (columns
+    * added/removed) and stat drift (null counts, distinct counts,
+    * canonical bounds). The join is reports-sized (columns, not rows),
+    * so the whole comparison costs two scans + driver-scale metadata —
+    * run it on every drop before trusting the data.
+    *
+    * Output per column: presence ('both'/'added'/'removed' — relative
+    * to `before`), both sides' null/distinct counts, and
+    * `bounds_changed` (null-safe canonical min/max comparison; columns
+    * present on one side only report bounds_changed = true). */
+  def drift(before: DataFrame, after: DataFrame,
+      cols: Seq[String] = Nil): DataFrame = {
+    def side(df: DataFrame, tag: String) =
+      report(df, cols).select(col("column"),
+        col("n_null").as(s"n_null_$tag"),
+        col("n_distinct").as(s"n_distinct_$tag"),
+        col("min_canon").as(s"__mn_$tag"),
+        col("max_canon").as(s"__mx_$tag"))
+        .withColumn(s"__present_$tag", lit(true))
+    side(before, "a").join(side(after, "b"), Seq("column"), "full_outer")
+      .select(col("column"),
+        when(col("__present_a").isNull, lit("added"))
+          .when(col("__present_b").isNull, lit("removed"))
+          .otherwise(lit("both")).as("presence"),
+        col("n_null_a"), col("n_null_b"),
+        col("n_distinct_a"), col("n_distinct_b"),
+        (!(col("__mn_a") <=> col("__mn_b")) ||
+          !(col("__mx_a") <=> col("__mx_b"))).as("bounds_changed"))
+  }
+
   /** One-scan exact Pearson correlation MATRIX over integer-quantized
     * metrics — the column-correlation probe of dataset/feature search
     * (cf. "A Sketch-based Index for Correlated Dataset Search", ICDE

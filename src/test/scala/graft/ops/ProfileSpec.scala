@@ -66,6 +66,23 @@ class ProfileSpec extends SparkSpec {
     assert(row.getString(3) == "-1" && row.getString(4) == "18263")
   }
 
+  test("drift flags added/removed columns and bound changes") {
+    val a = Seq((1L, "x"), (2L, "y")).toDF("id", "s")
+    val b = Seq((1L, 9.0), (3L, 8.0)).toDF("id", "d")
+    val out = Profile.drift(a, b).collect()
+      .map(r => r.getString(0) ->
+        ((r.getString(1), Option(r.get(r.fieldIndex("n_distinct_b")))
+          .map(_.asInstanceOf[Long]),
+          r.getBoolean(r.fieldIndex("bounds_changed"))))).toMap
+    assert(out("id") == (("both", Some(2L), true)))  // max 2 → 3
+    assert(out("s") == (("removed", None, true)))
+    assert(out("d")._1 == "added" && out("d")._3)
+    // identical snapshots: nothing drifts
+    val same = Profile.drift(a, a)
+    assert(same.filter(col("bounds_changed") ||
+      col("presence") =!= "both").count() == 0)
+  }
+
   test("correlations: exact ±1 poles, constant→null, pairwise nulls") {
     val df = Seq[(java.lang.Long, java.lang.Long, java.lang.Long, java.lang.Long)](
       (1L, 2L, -1L, 7L), (2L, 4L, -2L, 7L), (3L, 6L, -3L, 7L),
