@@ -2803,6 +2803,22 @@ object SparkEntry {
         .orderBy("c_custkey", "id2")
     }),
 
+    // ---- §7 the linkage blocking-pass census — the "no silent caps"
+    // dial for q_linkage: per pass, how many blocks exist, the hottest
+    // block, and how many rows an over-cap block would drop
+    // (ops/Linkage.blockCensus; one groups-sized aggregate per pass). ----
+    "q_linkage_census" -> ((s, dir) => {
+      val c = load(s, dir, "customer")
+      val passes = Seq(
+        concat(col("c_nationkey").cast("string"), lit("|"),
+          substring(col("c_name"), 16, 3)),
+        concat(col("c_nationkey").cast("string"), lit("|"),
+          substring(col("c_name"), 14, 3)))
+      ops.Linkage.blockCensus(c, "c_custkey", passes, maxBlock = 100)
+        .withColumn("pass", col("pass").cast("long"))
+        .orderBy("pass")
+    }),
+
     // ---- §7 curriculum training order: bins ascend (length-curriculum
     // here — shorter docs first), pseudorandom within each bin; the
     // global permutation index comes from per-(bin, shard) row_number
@@ -6294,6 +6310,26 @@ object SparkEntry {
         |FROM u JOIN c a ON a.id = u.ida JOIN c b ON b.id = u.idb
         |WHERE levenshtein(a.nm, b.nm) <= 2
         |ORDER BY 1, 2""".stripMargin,
+    "q_linkage_census" ->
+      """WITH c AS (SELECT c_custkey AS id, c_name AS nm,
+        |    CAST(c_nationkey AS VARCHAR) AS nk
+        |  FROM customer),
+        |p1 AS (SELECT nk || '|' || substr(nm, 16, 3) AS bk FROM c
+        |       WHERE nm IS NOT NULL AND nk IS NOT NULL),
+        |g1 AS (SELECT bk, count(*) AS n FROM p1 GROUP BY 1),
+        |p2 AS (SELECT nk || '|' || substr(nm, 14, 3) AS bk FROM c
+        |       WHERE nm IS NOT NULL AND nk IS NOT NULL),
+        |g2 AS (SELECT bk, count(*) AS n FROM p2 GROUP BY 1)
+        |SELECT CAST(0 AS BIGINT) AS pass, count(*) AS n_blocks,
+        |  CAST(max(n) AS BIGINT) AS max_block,
+        |  CAST(coalesce(sum(CASE WHEN n > 100 THEN n END), 0) AS BIGINT)
+        |    AS n_dropped_rows
+        |FROM g1
+        |UNION ALL
+        |SELECT 1, count(*), CAST(max(n) AS BIGINT),
+        |  CAST(coalesce(sum(CASE WHEN n > 100 THEN n END), 0) AS BIGINT)
+        |FROM g2
+        |ORDER BY pass""".stripMargin,
     "q_curriculum" ->
       """WITH b AS (SELECT doc_id, n_chars // 500 AS bin,
         |    md5(CAST(doc_id AS VARCHAR) || '#cur1') AS rk
