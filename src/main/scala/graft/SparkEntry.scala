@@ -2272,7 +2272,7 @@ object SparkEntry {
     "q_zorder" -> ((s, dir) => {
       val raw = load(s, dir, "events")
       val ev = raw.select(col("user_id").as("u"), Tables.tsUs(raw).as("ts_us"))
-        .select(col("u"), expr("ts_us DIV 86400000000").as("d"))
+        .select(col("u"), Tables.floorDiv("ts_us", 86400000000L).as("d"))
       ops.ZOrder.zoneStats(ev, col("u"), col("d"), bits = 16, zoneShift = 8)
         .orderBy("zone")
     }),
@@ -2286,7 +2286,7 @@ object SparkEntry {
     "q_zorder_norm" -> ((s, dir) => {
       val raw = load(s, dir, "events")
       val ev = raw.select(col("user_id").as("u"), Tables.tsUs(raw).as("ts_us"))
-        .select(col("u"), expr("ts_us DIV 86400000000").as("d"))
+        .select(col("u"), Tables.floorDiv("ts_us", 86400000000L).as("d"))
       val b = ev.agg(min("u"), max("u"), min("d"), max("d")).head()
       val z = ops.ZOrder.zvalue(
         ops.ZOrder.quantize(col("u"), b.getLong(0), b.getLong(1), 16),
@@ -2448,7 +2448,7 @@ object SparkEntry {
     "q_window_users" -> ((s, dir) => {
       val raw = load(s, dir, "events")
       raw.select(Tables.tsUs(raw).as("ts_us"), col("user_id"))
-        .select(expr("ts_us DIV 3600000000").as("hour"), col("user_id"))
+        .select(Tables.floorDiv("ts_us", 3600000000L).as("hour"), col("user_id"))
         .groupBy("hour")
         .agg(countDistinct(col("user_id")).as("n_users"),
           count(lit(1)).as("n_events"))
@@ -2501,7 +2501,7 @@ object SparkEntry {
       val o = load(s, dir, "orders")
         .select(col("o_orderdate").cast("timestamp").as("ts"),
           col("o_totalprice").cast("decimal(18,2)").as("price"))
-        .withColumn("epoch_day", expr("unix_micros(ts) DIV 86400000000"))
+        .withColumn("epoch_day", Tables.floorDiv("unix_micros(ts)", 86400000000L))
       o.groupBy(year(col("ts")).as("y"), month(col("ts")).as("m"))
         .agg(count(lit(1)).as("n_orders"),
           sum(col("price")).cast("double").as("sum_price"),
@@ -2732,7 +2732,7 @@ object SparkEntry {
     "q_hll_daily" -> ((s, dir) => {
       val raw = load(s, dir, "events")
       val e = raw.select(col("user_id"), Tables.tsUs(raw).as("us"))
-        .select(col("user_id"), expr("us DIV 86400000000").as("day"))
+        .select(col("user_id"), Tables.floorDiv("us", 86400000000L).as("day"))
       val daily = e.groupBy("day")
         .agg(expr("hll_sketch_agg(user_id)").as("__sk"))
       val merged = daily.agg(count(lit(1)).as("n_days"),
@@ -2777,8 +2777,8 @@ object SparkEntry {
       val raw = load(s, dir, "events")
       val base = raw.select(col("value"), Tables.tsUs(raw).as("us"))
         .select(floor(col("value") * 10).as("vd"),
-          expr("(us DIV 3600000000) % 24").as("hr"),
-          expr("((us DIV 86400000000) + 4) % 7").as("wd"))
+          expr(s"(${Tables.floorDivSql("us", 3600000000L)}) % 24").as("hr"),
+          expr(s"((${Tables.floorDivSql("us", 86400000000L)}) + 4) % 7").as("wd"))
       ops.Profile.correlations(base, Seq(
           "value_deci" -> col("vd"), "hour" -> col("hr"),
           "weekday" -> col("wd")))
@@ -2973,7 +2973,7 @@ object SparkEntry {
       val raw = load(s, dir, "events")
       raw
         .select(Tables.tsUs(raw).as("ts_us"), col("event_type"))
-        .select(expr("ts_us DIV 86400000000").as("day"), col("event_type"))
+        .select(Tables.floorDiv("ts_us", 86400000000L).as("day"), col("event_type"))
         .groupBy("day")
         .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
         .agg(count(lit(1)))

@@ -38,6 +38,20 @@ object Tables {
     }
   }
 
+  /** Exact integer FLOOR division as a SQL fragment — the portable twin
+    * of DuckDB/Python `//`. Spark's `DIV` truncates toward zero, so a
+    * negative (pre-1970) epoch value buckets one step late vs the
+    * oracle; `(a - pmod(a, b)) DIV b` floors in pure integer arithmetic
+    * at any magnitude (no double rounding; Resample.scala applies the
+    * same correction). `b` must be a positive literal. */
+  def floorDivSql(a: String, b: Long): String = {
+    require(b > 0, "floorDivSql divisor must be positive")
+    s"((($a) - pmod(($a), $b)) DIV $b)"
+  }
+
+  def floorDiv(a: String, b: Long): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.expr(floorDivSql(a, b))
+
   /** The primary key ("_id" analog) per table — used by the range
     * splitter (X1), idempotent sinks (K1) and the compare job (J1). */
   val keys: Map[String, String] = Map(

@@ -36,7 +36,8 @@ object Cohort {
     require(periodUs > 0, "periodUs must be positive")
     val activity = events
       .select(user.as("u"), timeUs.as("t_us"))
-      .select(col("u"), expr(s"t_us DIV $periodUs").as("p"))
+      // floor, not truncate: pre-1970 µs must bucket like DuckDB `//`
+      .select(col("u"), graft.Tables.floorDiv("t_us", periodUs).as("p"))
       .distinct()
     val cohorts = activity.groupBy("u").agg(min(col("p")).as("cohort"))
     activity.join(cohorts, Seq("u"))

@@ -115,10 +115,16 @@ object Quantiles {
       .withColumn("rank_lt", col("__cum") - col("__cnt"))
       .select(col("__g"), col("__v"), col("rank_lt"))
     val n = vals.groupBy("__g").agg(count(lit(1)).as("n_group"))
-    val keyed = cum.join(n, Seq("__g"))
+      .withColumnRenamed("__g", "__ng")
+    // both joins null-safe: a NULL group key is a real partition
+    val keyed = cum.join(n, col("__g") <=> col("__ng")).drop("__ng")
       .withColumnRenamed("__g", "__jg").withColumnRenamed("__v", "__jv")
+    // null-safe on the group key: a NULL group is a real partition (SQL
+    // percent_rank ranks it; the DuckDB twin PARTITIONs it) — a plain
+    // === would leave its rows rankless (Sampling.rankedManifest
+    // precedent)
     tagged.join(keyed,
-        col(groupCol) === col("__jg") && col("__v") === col("__jv"), "left")
+        col(groupCol) <=> col("__jg") && col("__v") === col("__jv"), "left")
       .drop("__jg", "__jv")
       .withColumn(out, when(col("rank_lt").isNotNull,
         expr("CASE WHEN n_group > 1 THEN rank_lt * 1000000 DIV (n_group - 1) " +

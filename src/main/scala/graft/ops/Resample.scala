@@ -40,6 +40,10 @@ object Resample {
       .withColumn("__start", expr(
         s"(__lo DIV $stepUs - (CASE WHEN __lo % $stepUs != 0 AND __lo < 0 " +
           s"THEN 1 ELSE 0 END)) * $stepUs"))
+      // groups-sized, but consumed twice (guard collect + grid build):
+      // eager localCheckpoint materializes it once and cuts the lineage,
+      // so the input min/max scan runs exactly once per call
+      .localCheckpoint()
     val worst = spans
       .agg(max(expr(s"(__hi - __start) DIV $stepUs + 1"))).collect()(0)
     require(worst.isNullAt(0) || worst.getLong(0) <= maxPoints,

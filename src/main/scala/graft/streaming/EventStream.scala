@@ -180,7 +180,8 @@ object EventStream {
     val ev = events.filter(col("value").isNotNull)
       .select(col("user_id"), graft.Tables.tsUs(events).as("ts_us"),
         col("event_id"), floor(col("value") * 1000).cast("long").as("v_milli"))
-      .select(col("user_id"), expr(s"ts_us DIV $barUs").as("bar"),
+      // floor, not truncate: pre-1970 µs must bucket like DuckDB `//`
+      .select(col("user_id"), graft.Tables.floorDiv("ts_us", barUs).as("bar"),
         col("ts_us"), col("event_id"), col("v_milli"))
     val obs = struct(col("ts_us"), col("event_id"), col("v_milli"))
     ev.groupBy("user_id", "bar")

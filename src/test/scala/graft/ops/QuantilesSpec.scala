@@ -128,6 +128,21 @@ class QuantilesSpec extends SparkSpec {
     assert(maxD <= 1, s"ppm ranks diverged by $maxD")
   }
 
+  test("percentileRanksBy ranks the NULL group as its own partition") {
+    // SQL `percent_rank() OVER (PARTITION BY g ...)` puts NULL-keyed
+    // rows in one partition and ranks them; a plain === join would
+    // leave them rankless (the advisory case — join is null-safe <=>)
+    val df = Seq[(Long, String, Long)]((1L, null, 10L), (2L, null, 20L),
+      (3L, null, 30L), (4L, "a", 5L)).toDF("id", "g", "v")
+    val got = Quantiles.percentileRanksBy(df, "g", col("v"))
+      .orderBy("id")
+      .select("id", "rank_lt", "n_group", "pr_ppm")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0L, 3L, 0L), (2L, 1L, 3L, 500000L), (3L, 2L, 3L, 1000000L),
+      (4L, 0L, 1L, 0L)))
+  }
+
   test("percentileRanks has no row-sized unpartitioned window") {
     val df = Seq((1L, 10L), (2L, 20L)).toDF("id", "v")
     val out = Quantiles.percentileRanks(df, col("v"))
