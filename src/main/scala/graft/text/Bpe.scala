@@ -101,25 +101,57 @@ object Bpe {
           .otherwise(col("sym")).as("sym"))
   }
 
+  /** Word-count cap under which [[trainMerges]] routes to the
+    * driver-local trainer: 2²⁰ words × a handful of symbols each is a
+    * few-hundred-MB driver working set — comfortably in-heap, and the
+    * classic BPE `maxWords` trim lands far below it anyway. */
+  val LocalTrainWordCap: Long = 1L << 20
+
   /** Learn `k` merges. Returns (merges, finalSymbols): merges is the
     * ordered merge table (rank, left_sym, right_sym, pair_count) — the
     * tokenizer model — and finalSymbols the word table after all `k`
     * merges (its per-word row count is the word's token count, i.e.
     * the corpus is already encoded as a side effect of training, the
-    * classic BPE property). Each iteration `collect`s exactly ONE row
-    * (the argmax pair) — driver-side control flow à la
+    * classic BPE property).
+    *
+    * The corpus-sized work is [[wordFreq]] — one distributed token
+    * groupBy — regardless of path. The merge LOOP then auto-switches on
+    * a probed word count (the `Dedup.resolveClusters` discipline):
+    * below [[LocalTrainWordCap]] the capped word-frequency table is
+    * collected ONCE and all `k` merges are learned in memory with
+    * incremental pair-count deltas ([[trainMergesLocal]] — the
+    * sentencepiece shape: zero Spark jobs inside the loop, so a 32k
+    * vocabulary costs zero scheduling cadence); above it the
+    * window-algebra fold ([[trainMergesDistributed]]) runs, one
+    * single-row argmax collect per merge. Both paths are pinned
+    * IDENTICAL (BpeSpec equivalence; `q_bpe_merges`' unrolled SQL twin
+    * pins the local path since the fixture sits under the cap). */
+  def trainMerges(df: DataFrame, text: Column, k: Int,
+      maxWords: Int): (DataFrame, DataFrame) = {
+    require(k > 0, "k must be positive")
+    val words = wordFreq(df, text, maxWords).localCheckpoint()
+    if (words.count() <= LocalTrainWordCap) trainMergesLocal(words, k)
+    else trainMergesDistributed(words, k)
+  }
+
+  /** The distributed merge loop over a (word, freq) table — the
+    * uncapped path. Each iteration `collect`s exactly ONE row (the
+    * argmax pair) — driver-side control flow à la
     * [[graft.ops.Graph.pageRankInt]], with `localCheckpoint` cutting
     * the window-chain lineage every second round (each argmax action
     * then re-executes at most one un-checkpointed merge chain — half
     * the materializations of a per-round cut). Requires the corpus to
     * support `k` merges (throws otherwise, so the unrolled SQL twin
-    * can never silently diverge on an early stop). */
-  def trainMerges(df: DataFrame, text: Column, k: Int,
-      maxWords: Int): (DataFrame, DataFrame) = {
+    * can never silently diverge on an early stop). One Spark job per
+    * merge: correct at any word-table size, but at a 32k-merge
+    * production vocabulary the scheduling cadence alone is hours —
+    * which is why [[trainMerges]] prefers [[trainMergesLocal]]
+    * whenever the table fits the driver. */
+  def trainMergesDistributed(words: DataFrame, k: Int): (DataFrame, DataFrame) = {
     require(k > 0, "k must be positive")
-    val spark = df.sparkSession
+    val spark = words.sparkSession
     import spark.implicits._
-    var syms = initSymbols(wordFreq(df, text, maxWords)).localCheckpoint()
+    var syms = initSymbols(words).localCheckpoint()
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     for (i <- 1 to k) {
       val top = pairCounts(syms)
@@ -136,6 +168,102 @@ object Bpe {
     val mergesDf = merges.result()
       .toDF("rank", "left_sym", "right_sym", "pair_count")
     (mergesDf, syms)
+  }
+
+  /** Driver-local merge trainer over a capped (word, freq) table — the
+    * sentencepiece discipline. Collects the vocab-sized table once,
+    * then learns all `k` merges in memory: a pair→count map and a
+    * pair→words inverted index give O(affected-words · word-length)
+    * per merge with NO Spark job inside the loop. The per-merge argmax
+    * is a SCAN of the live pair-count map — it only holds pairs with
+    * positive counts (bounded by distinct adjacent symbol pairs, tens
+    * of thousands at worst), so a scan beats a lazy-deletion priority
+    * queue, whose stale entries grow with UPDATE volume
+    * (words × word-length per merge on a hot-pair corpus — measured
+    * 10× slower via tools/BpeSweep). Determinism is bit-identical to
+    * [[trainMergesDistributed]]: greedy left-to-right application (the
+    * run-parity rule collapses to the plain scan locally), argmax by
+    * (count desc, left, right) with string order as UNSIGNED UTF-8
+    * byte comparison (Spark's UTF8String order — Java's UTF-16
+    * compareTo would diverge on supplementary planes), symbols split
+    * by Unicode CODE POINT (Spark `substring` semantics). */
+  def trainMergesLocal(words: DataFrame, k: Int): (DataFrame, DataFrame) = {
+    require(k > 0, "k must be positive")
+    val spark = words.sparkSession
+    import spark.implicits._
+    val table = words.select("word", "freq").as[(String, Long)].collect()
+    val syms: Array[Array[String]] = table.map { case (w, _) =>
+      w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+    }
+
+    def utf8Cmp(a: String, b: String): Int = java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+    val cnt = collection.mutable.HashMap.empty[(String, String), Long]
+    val occ = collection.mutable.HashMap
+      .empty[(String, String), collection.mutable.Set[Int]]
+    def bump(p: (String, String), d: Long, wi: Int): Unit = {
+      val n = cnt.getOrElse(p, 0L) + d
+      if (n <= 0L) { cnt.remove(p); () }
+      else {
+        cnt(p) = n
+        if (d > 0)
+          occ.getOrElseUpdate(p, collection.mutable.Set.empty).add(wi)
+      }
+    }
+    for (wi <- table.indices; j <- 0 until syms(wi).length - 1)
+      bump((syms(wi)(j), syms(wi)(j + 1)), table(wi)._2, wi)
+
+    def greedy(s: Array[String], l: String, r: String): Array[String] = {
+      val out = Array.newBuilder[String]
+      var i = 0
+      while (i < s.length) {
+        if (i + 1 < s.length && s(i) == l && s(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += s(i); i += 1 }
+      }
+      out.result()
+    }
+
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (i <- 1 to k) {
+      // argmax by (count desc, l asc, r asc) over the LIVE map — the
+      // utf8 tie-break only runs among equal-count pairs
+      var bl: String = null; var br: String = null; var bc = 0L
+      cnt.foreachEntry { case ((l, r), n) =>
+        if (n > bc) { bl = l; br = r; bc = n }
+        else if (n == bc && bl != null) {
+          val cl = utf8Cmp(l, bl)
+          if (cl < 0 || (cl == 0 && utf8Cmp(r, br) < 0)) { bl = l; br = r }
+        }
+      }
+      require(bl != null,
+        s"corpus exhausted after ${i - 1} merges; lower k (= $k)")
+      val (l, r, c) = (bl, br, bc)
+      merges += ((i, l, r, c))
+      // re-derive each affected word's pair multiset before/after —
+      // the greedy merge removes every (l, r) adjacency, so the pair
+      // can never win again with a stale count
+      for (wi <- occ.getOrElse((l, r), Nil).toArray.sorted) {
+        val before = syms(wi)
+        val after = greedy(before, l, r)
+        val f = table(wi)._2
+        for (j <- 0 until before.length - 1)
+          bump((before(j), before(j + 1)), -f, wi)
+        syms(wi) = after
+        for (j <- 0 until after.length - 1)
+          bump((after(j), after(j + 1)), f, wi)
+      }
+    }
+    val mergesDf = merges.result()
+      .toDF("rank", "left_sym", "right_sym", "pair_count")
+    val finalSyms = table.indices.flatMap { wi =>
+      syms(wi).zipWithIndex.map { case (s, p) =>
+        (table(wi)._1, table(wi)._2, p, s)
+      }
+    }.toDF("word", "freq", "pos", "sym")
+    (mergesDf, finalSyms)
   }
 
   /** The driver-local merge list of a [[trainMerges]] output — the

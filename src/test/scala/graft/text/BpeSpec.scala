@@ -89,6 +89,41 @@ class BpeSpec extends SparkSpec {
       s"fertility lost its auto-broadcast join:\n$f")
   }
 
+  test("local trainer is pinned IDENTICAL to the distributed fold") {
+    // same word table through both paths: same ordered merge list
+    // (ranks, pairs, counts) AND same final symbol table — on the
+    // worked example and on real fixture text with a deeper k
+    for ((corpus, k, cap) <- Seq((sennrich, 5, 100),
+        (graft.Tables.load(spark, sf0001, "documents")
+          .select(col("doc_id"), col("text")), 12, 200))) {
+      val words = Bpe.wordFreq(corpus, col("text"), cap).localCheckpoint()
+      val (ml, sl) = Bpe.trainMergesLocal(words, k)
+      val (md, sd) = Bpe.trainMergesDistributed(words, k)
+      assert(ml.orderBy("rank").as[(Int, String, String, Long)].collect().toSeq
+        == md.orderBy("rank").as[(Int, String, String, Long)].collect().toSeq)
+      val a = sl.orderBy("word", "pos")
+        .as[(String, Long, Int, String)].collect().toSeq
+      val b = sd.orderBy("word", "pos")
+        .as[(String, Long, Int, String)].collect().toSeq
+      assert(a == b, s"final symbol tables diverged (k=$k)")
+    }
+  }
+
+  test("trainMerges runs ZERO Spark jobs inside the merge loop under the cap") {
+    // the auto-switch: below LocalTrainWordCap the loop is driver-local
+    // — job count must not scale with k
+    def jobs(k: Int): Int = {
+      val g = s"bpe-jobcount-$k"
+      spark.sparkContext.setJobGroup(g, g)
+      try Bpe.trainMerges(sennrich, col("text"), k, 100)
+      finally spark.sparkContext.clearJobGroup()
+      spark.sparkContext.statusTracker.getJobIdsForGroup(g).length
+    }
+    val j2 = jobs(2)
+    val j5 = jobs(5)
+    assert(j5 <= j2 + 1, s"job count grew with k: k=2 → $j2, k=5 → $j5")
+  }
+
   test("wordFreq caps to maxWords by (freq desc, word asc)") {
     val wf = Bpe.wordFreq(sennrich, col("text"), 2)
       .orderBy(col("freq").desc, col("word"))
