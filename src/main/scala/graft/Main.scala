@@ -207,10 +207,16 @@ object Main {
     * "out": "<dir>", "id": "doc_id", "text": "text", "minQuality": 3,
     * "langs": ["en"], "salt": "42",
     * "weights": {"train": 0.8, "val": 0.1, "test": 0.1},
-    * "lineGate": 5, "substrCut": 40, "budgets": {"en": 4000000000}}` —
-    * the last three optional. Writes parquet (id, n_tokens,
-    * quality_score, pred_lang, bucket, split) to `out` and prints the
-    * stage counts. */
+    * "lineGate": 5, "substrCut": 40, "substrMode": "anchored",
+    * "substrGuarantee": 64, "budgets": {"en": 4000000000}}` —
+    * everything after `weights` optional. `substrMode` picks the span
+    * surface the cut removes: `"exact"` (default — the full Lee-et-al
+    * per-char gram census) or `"anchored"` (winnow-anchored census,
+    * ~2/(G+1) the shuffle bytes — the 100 TB default; a shared run of
+    * ≥ `substrGuarantee` chars, default `substrCut + 24`, is still
+    * caught, and `q_substr_eval` is the coverage dial for tuning the
+    * pair). Writes parquet (id, n_tokens, quality_score, pred_lang,
+    * bucket, split) to `out` and prints the stage counts. */
   private def curate(spark: SparkSession, json: String): Int = {
     import org.apache.spark.sql.functions._
     import graft.text.{Lines, Mixing, Sampling, TextFunctions}
@@ -235,6 +241,11 @@ object Main {
     val minEntropy =
       if (n.has("minEntropy")) Some(n.get("minEntropy").asDouble()) else None
     val substrCut = if (n.has("substrCut")) Some(n.get("substrCut").asInt()) else None
+    val substrMode = if (n.has("substrMode")) n.get("substrMode").asText() else "exact"
+    require(Set("exact", "anchored")(substrMode),
+      s"substrMode must be exact|anchored, got $substrMode")
+    val substrGuarantee = if (n.has("substrGuarantee"))
+      n.get("substrGuarantee").asInt() else substrCut.getOrElse(40) + 24
     val budgets = if (n.has("budgets"))
       Some(n.get("budgets").fields().asScala.toSeq
         .map(e => e.getKey -> e.getValue.asLong()))
@@ -269,10 +280,13 @@ object Main {
     // — different semantics, so it is not silently implied here.
     val cut = substrCut match {
       case Some(k) =>
-        deduped.join(
-            graft.text.Substrings.cleanedCorpus(deduped, idCol,
-              col(textName), k).select(col(idCol), col("text_clean")),
-            Seq(idCol))
+        val cleaned = substrMode match {
+          case "anchored" => graft.text.Substrings.cleanedCorpusAnchored(
+            deduped, idCol, col(textName), k, substrGuarantee)
+          case _ => graft.text.Substrings.cleanedCorpus(
+            deduped, idCol, col(textName), k)
+        }
+        deduped.join(cleaned.select(col(idCol), col("text_clean")), Seq(idCol))
           .drop(textName).withColumnRenamed("text_clean", textName)
       case None => deduped
     }
@@ -480,9 +494,14 @@ object Main {
 
   /** `-index` (engine extension): build / append / query a
     * materialized IVF-PQ ANN index over an embedding column
-    * (ml/Similarity.scala: stageIvfPq / appendIvfPq / stagedIvfPqTopK).
+    * (ml/Similarity.scala: stageIvfPq / appendIvfPq / stagedIvfPqTopK),
+    * or `"action": "describe"` — print ANY graft index's shared
+    * manifest (util/IndexManifest: kind, version, build params,
+    * counts), validating it parses and is a supported version; works
+    * on BM25 / gram-census / IVF-PQ layouts alike, and `describe`
+    * needs only `"index"` in the config.
     * Config: `{"source": <catalog root>, "namespace": "db.coll",
-    * "index": <index dir>, "action": "build"|"append"|"query"}` with
+    * "index": <index dir>, "action": "build"|"append"|"query"|"describe"}` with
     * `"id"`/`"embedding"` column names (defaults `vec_id`/`embedding`);
     * build takes `"centroids"` (64), `"m"` (4), `"ksub"` (16); query
     * takes `"queries"` (a namespace, default the corpus namespace
@@ -496,8 +515,14 @@ object Main {
     }
     def int(f: String, dflt: Int): Int =
       if (n.has(f)) n.get(f).asInt() else dflt
-    val dir = req("source"); val ns = req("namespace")
     val idx = req("index"); val action = req("action")
+    if (action == "describe") {
+      // kind-agnostic: any staged index carries the shared manifest
+      val mf = graft.util.IndexManifest.read(spark, idx)
+      println(s"$idx: ${graft.util.IndexManifest.describe(mf)}")
+      return 0
+    }
+    val dir = req("source"); val ns = req("namespace")
     val id = if (n.has("id")) n.get("id").asText() else "vec_id"
     val emb = if (n.has("embedding")) n.get("embedding").asText() else "embedding"
     val cat = catalogAt(spark, dir,
@@ -523,7 +548,7 @@ object Main {
         } else result.show(truncate = false)
       case other =>
         throw new IllegalArgumentException(
-          s"unknown index action '$other' (build|append|query)")
+          s"unknown index action '$other' (build|append|query|describe)")
     }
     0
   }

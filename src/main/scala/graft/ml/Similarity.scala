@@ -650,11 +650,18 @@ object Similarity {
           yield ("code", j, ci, cw: Seq[Long]))
     metaRows.toDF("kind", "j", "idx", "vec")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    graft.util.IndexManifest.write(spark, dir,
+      graft.util.IndexManifest.KindIvfPq,
+      params = Map("centroids" -> cents.size.toString,
+        "m" -> m.toString, "ksub" -> ksub.toString),
+      counts = Map("n_vectors" -> spark.read.parquet(s"$dir/codes").count()))
   }
 
   /** The frozen index metadata of a [[stageIvfPq]] dir. */
   private def readIvfPqMeta(spark: org.apache.spark.sql.SparkSession,
       dir: String): (IndexedSeq[Seq[Long]], PqBook) = {
+    graft.util.IndexManifest.validate(spark, dir,
+      graft.util.IndexManifest.KindIvfPq)
     val meta = spark.read.parquet(s"$dir/meta").collect()
     val cents: IndexedSeq[Seq[Long]] = meta.filter(_.getString(0) == "cent")
       .sortBy(_.getInt(2)).map(_.getSeq[Long](3)).toIndexedSeq

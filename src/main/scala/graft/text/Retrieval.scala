@@ -194,6 +194,10 @@ object Retrieval {
         (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"),
         lit(buckets.toLong).as("buckets"))
       .write.mode("overwrite").parquet(s"$dir/stats")
+    val nDocs = spark.read.parquet(s"$dir/stats").head().getAs[Long]("__n")
+    graft.util.IndexManifest.write(spark, dir, graft.util.IndexManifest.KindBm25,
+      params = Map("buckets" -> buckets.toString, "id_col" -> idCol),
+      counts = Map("n_docs" -> nDocs))
   }
 
   /** Query a [[stageBm25]] index. The query vocabulary's bucket set
@@ -206,6 +210,8 @@ object Retrieval {
       queries: DataFrame, queryIdCol: String, queryText: Column,
       k: Int = 5, salts: Int = TopKSalts): DataFrame = {
     require(k > 0, "k must be positive")
+    graft.util.IndexManifest.validate(spark, dir,
+      graft.util.IndexManifest.KindBm25)
     val qterms = queries.select(col(queryIdCol),
         explode(TextFunctions.whitespaceTokens(lower(queryText))).as("term"))
       .distinct()

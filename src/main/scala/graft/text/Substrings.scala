@@ -142,18 +142,37 @@ object Substrings {
     * ([[graft.Main]] `-curate` `substrCut`) joins this back by id. */
   def cleanedCorpus(df: DataFrame, idCol: String, text: Column, k: Int,
       maxChars: Int = 0): DataFrame =
-    spanAgged(df, idCol, text, k, maxChars)
-      .select(col(idCol),
-        when(col("__sp").isNull, col("__t"))
-          .otherwise(removedCol(col("__t"), col("__sp"))).as("text_clean"),
-        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
+    cleanedFrom(spanAgged(df, idCol, text, k, maxChars))
+
+  /** The cut step over the ANCHORED span surface ([[anchorSpans]]) —
+    * same output contract as [[cleanedCorpus]], ~2/(G+1) of its census
+    * cost (winnow-selected grams only). The 100 TB default: any shared
+    * run of ≥ `guarantee` chars still contributes spans on both sides;
+    * [[coverageEval]] is the dial that tunes (k, guarantee) against the
+    * exact surface. */
+  def cleanedCorpusAnchored(df: DataFrame, idCol: String, text: Column,
+      k: Int, guarantee: Int, maxChars: Int = 0): DataFrame =
+    cleanedFrom(spanJoined(df, idCol, text,
+      anchorSpans(df, idCol, text, k, guarantee, maxChars), maxChars))
+
+  private def cleanedFrom(agged: DataFrame): DataFrame = {
+    val idCol = agged.columns.head
+    agged.select(col(idCol),
+      when(col("__sp").isNull, col("__t"))
+        .otherwise(removedCol(col("__t"), col("__sp"))).as("text_clean"),
+      coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
+  }
 
   /** Corpus left-joined with its sorted merged spans:
     * (idCol, __t, __sp, n_spans, dup_chars); __sp NULL for span-free
     * docs. */
   private def spanAgged(df: DataFrame, idCol: String, text: Column, k: Int,
-      maxChars: Int): DataFrame = {
-    val spans = dupSpans(df, idCol, text, k, maxChars)
+      maxChars: Int): DataFrame =
+    spanJoined(df, idCol, text, dupSpans(df, idCol, text, k, maxChars), maxChars)
+
+  private def spanJoined(df: DataFrame, idCol: String, text: Column,
+      spanFrame: DataFrame, maxChars: Int): DataFrame = {
+    val spans = spanFrame
       .groupBy(col(idCol))
       .agg(array_sort(collect_list(struct(col("span_start"), col("span_end"))))
           .as("__sp"),
@@ -290,6 +309,12 @@ object Substrings {
       .select(lit(k).as("k"), lit(buckets.toLong).as("buckets"),
         col("n_grams"), lit(docs).as("n_docs"))
       .write.mode("overwrite").parquet(s"$dir/stats")
+    graft.util.IndexManifest.write(spark, dir,
+      graft.util.IndexManifest.KindGramCensus,
+      params = Map("k" -> k.toString, "buckets" -> buckets.toString),
+      counts = Map("n_docs" -> docs,
+        "n_grams" -> spark.read.parquet(s"$dir/stats").head()
+          .getAs[Long]("n_grams")))
   }
 
   /** Fold a new batch into a [[stageGramCensus]] index WITHOUT
@@ -303,6 +328,8 @@ object Substrings {
   def appendGramCensus(batch: DataFrame, idCol: String, text: Column,
       dir: String, maxChars: Int = 0): Unit = {
     val spark = batch.sparkSession
+    graft.util.IndexManifest.validate(spark, dir,
+      graft.util.IndexManifest.KindGramCensus)
     val st = spark.read.parquet(s"$dir/stats").head()
     val k = st.getAs[Int]("k")
     val buckets = st.getAs[Long]("buckets")

@@ -314,6 +314,22 @@ class MainSpec extends SparkSpec {
     assert(withCut(1L) == nTok(t1), s"doc 1 kept ${withCut(1L)} tokens")
     assert(withCut(2L) == nTok(t2), s"doc 2 kept ${withCut(2L)} tokens")
     assert(withCut(3L) == without(3L)) // span-free doc untouched
+
+    // anchored mode (the 100 TB default): same knob shape, winnow-
+    // anchored span surface — a SUBSET of the exact cut, so each doc
+    // keeps at least the exact-mode tokens and sheds at least one
+    // shared-prefix token (the 81-char shared run ≥ the default
+    // guarantee of substrCut+24 = 64 guarantees an anchor collision)
+    val withAnch = run(""","substrCut":40,"substrMode":"anchored"""", "anch")
+    assert(withAnch(1L) < without(1L), "anchored cut removed nothing from doc 1")
+    assert(withAnch(2L) < without(2L), "anchored cut removed nothing from doc 2")
+    assert(withAnch(1L) >= withCut(1L) && withAnch(2L) >= withCut(2L),
+      "anchored cut removed MORE than the exact surface")
+    assert(withAnch(3L) == without(3L)) // span-free doc untouched
+    // a bad mode string fails loudly, never silently falls back to exact
+    intercept[IllegalArgumentException] {
+      run(""","substrCut":40,"substrMode":"banded"""", "badmode")
+    }
   }
 
   test("-curate dedups on RAW text before the line gate (stream-surface parity)") {
