@@ -159,6 +159,13 @@ object GraftFunctions {
         s"graft_mask: unknown method '$m'")
       x(ops.Mask.maskedValue(c(es(0)), m))
     },
+    fn("graft_mask_json",
+      "graft_mask_json(json, path, method) - mask a dotted path inside a JSON string (dynamic docs); method in default|partial|hex_deterministic") { es =>
+      expect("graft_mask_json", 3, es)
+      x(ops.Mask.maskJson(c(es(0)),
+        litString("graft_mask_json", "path", es(1)),
+        litString("graft_mask_json", "method", es(2))))
+    },
     fn("graft_bson_sort_key",
       "graft_bson_sort_key(id) - BSON cross-type sort key for a canonical-JSON id; ORDER BY it") { es =>
       expect("graft_bson_sort_key", 1, es)

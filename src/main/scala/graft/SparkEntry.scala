@@ -718,6 +718,43 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // ---- T4, DYNAMIC half (SURVEY §2.12): masking a dotted path inside
+    // a JSON-STRING column whose rows carry heterogeneous shapes — no
+    // DataFrame schema exists, so the withField rewrite can't apply.
+    // Three shapes share one column: user.ssn present / absent / ssn
+    // under an ARRAY of objects. One native expression per row
+    // (functions/JsonMask — Jackson walk, Mask.rewrite semantics);
+    // outputs re-EXTRACT from the masked JSON so the oracle pins the
+    // traversal (masked where present, no-op where absent, siblings
+    // untouched) without comparing serialization bytes ----
+    "q_mask_dynamic" -> ((s, dir) => {
+      val c = load(s, dir, "customer")
+      val doc = when(pmod(col("c_custkey"), lit(3)) === 0,
+          to_json(struct(
+            struct(col("c_name").as("ssn"), col("c_name").as("name")).as("user"),
+            col("c_mktsegment").as("seg"))))
+        .when(pmod(col("c_custkey"), lit(3)) === 1,
+          to_json(struct(
+            struct(col("c_name").as("name")).as("user"),
+            col("c_mktsegment").as("seg"))))
+        .otherwise(
+          to_json(struct(
+            array(struct(col("c_name").as("ssn")),
+              struct(col("c_mktsegment").as("ssn"))).as("accounts"),
+            col("c_mktsegment").as("seg"))))
+      val masked = ops.Mask.maskJson(
+        ops.Mask.maskJson(doc, "user.ssn", ops.Mask.Default),
+        "accounts.ssn", ops.Mask.Default)
+      c.select(col("c_custkey"), masked.as("__m"))
+        .select(col("c_custkey"),
+          get_json_object(col("__m"), "$.user.ssn").as("ssn_masked"),
+          get_json_object(col("__m"), "$.user.name").as("name_kept"),
+          get_json_object(col("__m"), "$.accounts[0].ssn").as("acct0_masked"),
+          get_json_object(col("__m"), "$.accounts[1].ssn").as("acct1_masked"),
+          get_json_object(col("__m"), "$.seg").as("seg_kept"))
+        .orderBy("c_custkey")
+    }),
+
     // ---- skew mitigation correctness: the salted join and the
     // two-level salted aggregate must produce EXACTLY the plain
     // join/groupBy results (the oracle computes the unsalted form) ----
@@ -1421,11 +1458,14 @@ object SparkEntry {
 
     // ---- streaming census ingest: bootstrap the gram census on a
     // third of the corpus, drain another third through a real
-    // Structured Streaming source (2 files, 1 per micro-batch) whose
-    // foreachBatch is appendGramCensus, then probe the held-out third
-    // against the final index — the live-ingest shape of a curation
-    // service. Micro-batching must not change a span: the index
-    // converges to the same census a full restage gives ----
+    // Structured Streaming source (2 files, DELIBERATELY 1 per
+    // micro-batch — two appends is exactly the multi-batch ingest under
+    // test) whose foreachBatch is appendGramCensus, then probe the
+    // held-out third against the final index — the live-ingest shape of
+    // a curation service. Micro-batching must not change a span: the
+    // index converges to the same census a full restage gives. The
+    // bench cost here is the bootstrap stage + probe (the intrinsic
+    // exact-census price, same as q_substr_new), not trigger cadence ----
     "q_st_substr" -> ((s, dir) => {
       val base = load(s, dir, "documents").filter(col("text").isNotNull)
         .select(col("doc_id"), col("text"))
@@ -1725,9 +1765,14 @@ object SparkEntry {
             lit(9.99).as("retail"))).as("doc"))
       sink.write("app.part_state", surviving.unionByName(insertedRows))
       val nBefore = sink.read("app.part_state").count()
-      // ST1 handoff: replay the FULL backlog over the copied snapshot
+      // ST1 handoff: replay the FULL backlog over the copied snapshot.
+      // One micro-batch (maxFilesPerTrigger = all 3 files): the shape
+      // under test is replay-over-converged-snapshot idempotence;
+      // batch-CUT independence is q_st2_catchup's subject (2 files per
+      // trigger there), and each extra trigger here costs a full sink
+      // upsert cycle for no additional coverage
       streaming.ApplyJob.catchUp(s, logDir, sink, cfg, s"$out/ckpt",
-        maxFilesPerTrigger = 1)
+        maxFilesPerTrigger = 3)
       sink.read("app.part_state")
         .select(
           get_json_object(col("doc"), "$._id").cast("long").as("k"),
@@ -2817,6 +2862,32 @@ object SparkEntry {
       ops.Linkage.blockCensus(c, "c_custkey", passes, maxBlock = 100)
         .withColumn("pass", col("pass").cast("long"))
         .orderBy("pass")
+    }),
+
+    // ---- §7 multi-field linkage scoring (Fellegi–Sunter): the same
+    // blocked candidate set as q_linkage, but verified across FOUR
+    // field comparisons — name within edit 2, account-balance
+    // thousand-bucket, market segment, nation — each contributing an
+    // integer log-odds weight; pairs keep when the summed score clears
+    // the threshold. Cost tracks candidates (two hash joins +
+    // codegen'd banded edit distances), never corpus²
+    // (ops/Linkage.scoreFields). ----
+    "q_linkage_score" -> ((s, dir) => {
+      val c = load(s, dir, "customer")
+      val passes = Seq(
+        concat(col("c_nationkey").cast("string"), lit("|"),
+          substring(col("c_name"), 16, 3)),
+        concat(col("c_nationkey").cast("string"), lit("|"),
+          substring(col("c_name"), 14, 3)))
+      val cand = ops.Linkage.candidates(c, "c_custkey", passes, maxBlock = 1000)
+      ops.Linkage.scoreFields(c, cand, "c_custkey", Seq(
+          ops.Linkage.FieldRule("name", col("c_name"), 2, 6, -2),
+          ops.Linkage.FieldRule("bal",
+            floor(col("c_acctbal") / 1000).cast("long").cast("string"), 0, 2, -1),
+          ops.Linkage.FieldRule("seg", col("c_mktsegment"), 0, 1, -1),
+          ops.Linkage.FieldRule("nat", col("c_nationkey").cast("string"), 0, 1, -3)),
+        minScore = 6)
+        .orderBy("c_custkey", "id2")
     }),
 
     // ---- §7 curriculum training order: bins ascend (length-curriculum
@@ -4748,6 +4819,21 @@ object SparkEntry {
         |    struct_pack(alias := regexp_replace(c_mktsegment, '[a-zA-Z0-9]', 'X', 'g'))
         |  ]) AS aliases_json
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    // oracle recomputes the extracted fields from the BASE columns —
+    // masked where the shape has the path, NULL where it doesn't —
+    // so the pin covers traversal + no-op + sibling preservation
+    // without comparing JSON serialization bytes
+    "q_mask_dynamic" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_custkey % 3 = 0
+        |       THEN regexp_replace(c_name, '[a-zA-Z0-9]', 'X', 'g') END AS ssn_masked,
+        |  CASE WHEN c_custkey % 3 IN (0, 1) THEN c_name END AS name_kept,
+        |  CASE WHEN c_custkey % 3 = 2
+        |       THEN regexp_replace(c_name, '[a-zA-Z0-9]', 'X', 'g') END AS acct0_masked,
+        |  CASE WHEN c_custkey % 3 = 2
+        |       THEN regexp_replace(c_mktsegment, '[a-zA-Z0-9]', 'X', 'g') END AS acct1_masked,
+        |  c_mktsegment AS seg_kept
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "q_convert" ->
       """SELECT o_orderkey,
         |  CASE WHEN substr(o_orderpriority, 1, 1) = trim(substr(o_orderpriority, 1, 1))
@@ -6330,6 +6416,47 @@ object SparkEntry {
         |  CAST(coalesce(sum(CASE WHEN n > 100 THEN n END), 0) AS BIGINT)
         |FROM g2
         |ORDER BY pass""".stripMargin,
+    "q_linkage_score" ->
+      """WITH c AS (SELECT c_custkey AS id, c_name AS nm,
+        |    CAST(c_nationkey AS VARCHAR) AS nk,
+        |    CAST(CAST(floor(c_acctbal / 1000) AS BIGINT) AS VARCHAR) AS area,
+        |    c_mktsegment AS seg
+        |  FROM customer),
+        |p1 AS (SELECT id, nk || '|' || substr(nm, 16, 3) AS bk FROM c
+        |       WHERE nm IS NOT NULL),
+        |ok1 AS (SELECT bk FROM p1 GROUP BY 1 HAVING count(*) <= 1000),
+        |pr1 AS (SELECT a.id AS ida, b.id AS idb
+        |        FROM p1 a JOIN p1 b ON a.bk = b.bk AND a.id < b.id
+        |        WHERE a.bk IN (SELECT bk FROM ok1)),
+        |p2 AS (SELECT id, nk || '|' || substr(nm, 14, 3) AS bk FROM c
+        |       WHERE nm IS NOT NULL),
+        |ok2 AS (SELECT bk FROM p2 GROUP BY 1 HAVING count(*) <= 1000),
+        |pr2 AS (SELECT a.id AS ida, b.id AS idb
+        |        FROM p2 a JOIN p2 b ON a.bk = b.bk AND a.id < b.id
+        |        WHERE a.bk IN (SELECT bk FROM ok2)),
+        |u AS (SELECT DISTINCT ida, idb
+        |      FROM (SELECT * FROM pr1 UNION ALL SELECT * FROM pr2)),
+        |f AS (SELECT u.ida, u.idb,
+        |    coalesce(levenshtein(a.nm, b.nm) <= 2, FALSE) AS ag_name,
+        |    coalesce(a.area = b.area, FALSE) AS ag_area,
+        |    coalesce(a.seg = b.seg, FALSE) AS ag_seg,
+        |    coalesce(a.nk = b.nk, FALSE) AS ag_nat
+        |  FROM u JOIN c a ON a.id = u.ida JOIN c b ON b.id = u.idb)
+        |SELECT ida AS c_custkey, idb AS id2,
+        |  CAST(CASE WHEN ag_name THEN 1 ELSE 0 END
+        |     + CASE WHEN ag_area THEN 1 ELSE 0 END
+        |     + CASE WHEN ag_seg THEN 1 ELSE 0 END
+        |     + CASE WHEN ag_nat THEN 1 ELSE 0 END AS INT) AS n_agree,
+        |  CAST(CASE WHEN ag_name THEN 6 ELSE -2 END
+        |     + CASE WHEN ag_area THEN 2 ELSE -1 END
+        |     + CASE WHEN ag_seg THEN 1 ELSE -1 END
+        |     + CASE WHEN ag_nat THEN 1 ELSE -3 END AS INT) AS score
+        |FROM f
+        |WHERE CASE WHEN ag_name THEN 6 ELSE -2 END
+        |    + CASE WHEN ag_area THEN 2 ELSE -1 END
+        |    + CASE WHEN ag_seg THEN 1 ELSE -1 END
+        |    + CASE WHEN ag_nat THEN 1 ELSE -3 END >= 6
+        |ORDER BY 1, 2""".stripMargin,
     "q_curriculum" ->
       """WITH b AS (SELECT doc_id, n_chars // 500 AS bin,
         |    md5(CAST(doc_id AS VARCHAR) || '#cur1') AS rk

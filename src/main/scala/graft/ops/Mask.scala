@@ -69,6 +69,18 @@ object Mask {
     }
   }
 
+  /** Mask a dotted path inside a JSON-STRING column — the DYNAMIC
+    * documents case (SURVEY §2.12): rows carry heterogeneous shapes, so
+    * no DataFrame schema exists for [[maskField]]'s `withField` rewrite.
+    * One native expression per row ([[graft.functions.JsonMask]]) with
+    * the same traversal semantics as [[rewrite]]; deterministic methods
+    * only (task retries must reproduce the row). */
+  def maskJson(c: Column, path: String, method: String): Column =
+    org.apache.spark.sql.graftbridge.ExprBridge.column(
+      graft.functions.JsonMask(
+        org.apache.spark.sql.graftbridge.ExprBridge.expression(c),
+        path.split('.').toSeq, method))
+
   /** Recursive schema-driven rewrite of one path step. */
   private def rewrite(c: Column, dt: DataType, rest: List[String], method: String): Column =
     (dt, rest) match {

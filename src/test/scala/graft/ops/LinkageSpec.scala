@@ -63,6 +63,41 @@ class LinkageSpec extends SparkSpec {
     assert(out == all)
   }
 
+  test("scoreFields sums hand-computed Fellegi-Sunter weights; NULL disagrees") {
+    // fixture with a second comparable field: phone area code
+    val withPhone = Seq(
+      (1L, "ann smith", "a", "212"),
+      (2L, "ann smyth", "a", "212"),   // name≤1, area agree
+      (4L, "bob jones", "a", "415"),
+      (5L, "bob janes", "a", "718"),   // name≤1, area DISAGREE
+      (6L, "zzz zzzzz", "a", null: String)
+    ).toDF("id", "name", "region", "area")
+    val cand = Linkage.candidates(withPhone, "id", Seq(
+      concat($"region", lit("|"), substring($"name", 1, 4))))
+    val rules = Seq(
+      Linkage.FieldRule("name", $"name", 1, 5, -2),
+      Linkage.FieldRule("area", $"area", 0, 2, -1))
+    // (1,2): name agree +5, area agree +2 = 7, n_agree 2
+    // (4,5): name agree +5, area disagree −1 = 4, n_agree 1
+    val all = Linkage.scoreFields(withPhone, cand, "id", rules, minScore = -100)
+      .orderBy("id").as[(Long, Long, Int, Int)].collect().toSeq
+    assert(all == Seq((1L, 2L, 2, 7), (4L, 5L, 1, 4)))
+    // threshold keeps only the both-field match
+    val kept = Linkage.scoreFields(withPhone, cand, "id", rules, minScore = 5)
+      .as[(Long, Long, Int, Int)].collect().toSeq
+    assert(kept == Seq((1L, 2L, 2, 7)))
+    // NULL on either side disagrees — never NULLs the score
+    val nullCand = Seq((1L, 6L)).toDF("id", "id2")
+    val n = Linkage.scoreFields(withPhone, nullCand, "id", rules, minScore = -100)
+      .as[(Long, Long, Int, Int)].collect().head
+    assert(n == ((1L, 6L, 0, -3)))
+    // duplicate rule names would silently collide join columns: refuse
+    intercept[IllegalArgumentException] {
+      Linkage.scoreFields(withPhone, cand, "id",
+        Seq(rules.head, rules.head), 0)
+    }
+  }
+
   test("candidates plans equi-joins on the block key, no cartesian product") {
     val plan = Linkage.candidates(recs, "id", passes)
       .queryExecution.executedPlan.toString

@@ -80,4 +80,56 @@ class MaskSpec extends SparkSpec {
     assert(out.select("ssn").as[String].head() == "XXX-XX-7878")
     assert(out.select("level2.ssn").as[String].head() == "XXX-XX-7878")
   }
+
+  // ---- dynamic documents (§2.12): the JSON-string path must traverse
+  // and mask EXACTLY like the schema-driven rewrite ----
+
+  test("maskJson equals the schema-known rewrite on the same doc, all methods") {
+    // the reference test doc as a JSON column; compare field-for-field
+    // against maskField over the typed twin
+    for (m <- Seq(Mask.Default, Mask.Partial, Mask.HexDeterministic)) {
+      val typed = Mask.maskFields(df, Seq("ssn", "level2.ssn", "array.ssn"), m)
+        .select($"ssn", $"level2.ssn".as("l2"),
+          transform($"array", x => x.getField("ssn")).as("arr"))
+        .head()
+      val json = df.select(to_json(struct($"ssn", $"level2", $"array")).as("j"))
+      val masked = json.select(
+        Mask.maskJson(Mask.maskJson(Mask.maskJson(
+          $"j", "ssn", m), "level2.ssn", m), "array.ssn", m).as("j"))
+      val got = masked.select(
+          get_json_object($"j", "$.ssn"),
+          get_json_object($"j", "$.level2.ssn"),
+          get_json_object($"j", "$.array[0].ssn"),
+          get_json_object($"j", "$.array[1].ssn"))
+        .as[(String, String, String, String)].head()
+      assert(got._1 == typed.getString(0), s"method $m: top-level")
+      assert(got._2 == typed.getString(1), s"method $m: nested")
+      assert(Seq(got._3, got._4) == typed.getSeq[String](2), s"method $m: array")
+    }
+  }
+
+  test("maskJson: heterogeneous shapes — mask, no-op, and array rows coexist") {
+    val docs = Seq(
+      (1L, """{"user":{"ssn":"555-66-7878","name":"ann"}}"""),
+      (2L, """{"user":{"name":"bob"}}"""),
+      (3L, """{"user":[{"ssn":"111-22-3333"},{"ssn":"a1"},{"age":9}]}"""),
+      (4L, """{"user":{"ssn":42}}"""),   // non-string terminal passes
+      (5L, """not json at all"""),       // non-JSON row passes through
+      (6L, null: String)
+    ).toDF("id", "j")
+    val out = docs.select($"id", Mask.maskJson($"j", "user.ssn", Mask.Default).as("j"))
+      .orderBy("id").as[(Long, String)].collect().toMap
+    assert(out(1L) == """{"user":{"ssn":"XXX-XX-XXXX","name":"ann"}}""")
+    assert(out(2L) == """{"user":{"name":"bob"}}""")
+    assert(out(3L) == """{"user":[{"ssn":"XXX-XX-XXXX"},{"ssn":"XX"},{"age":9}]}""")
+    assert(out(4L) == """{"user":{"ssn":42}}""")
+    assert(out(5L) == "not json at all")
+    assert(out(6L) == null)
+  }
+
+  test("maskJson refuses non-deterministic methods (retry idempotence)") {
+    intercept[IllegalArgumentException] {
+      Seq("{}").toDF("j").select(Mask.maskJson($"j", "ssn", Mask.Hex)).collect()
+    }
+  }
 }
