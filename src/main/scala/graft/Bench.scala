@@ -47,6 +47,16 @@ object Bench {
       "q_st_substr", "q_st_curate")
 
   def main(args: Array[String]): Unit = {
+    // tooling hook (tools/bench_iso.py): print the query inventory —
+    // names + which are streaming-cadence — without starting Spark
+    if (sys.env.get("SPARK_GRAFT_BENCH_LIST").contains("1")) {
+      val names = SparkEntry.queries.keys.toSeq.sorted
+        .map(n => "\"" + n + "\"").mkString("[", ",", "]")
+      val st = streamingQueries.toSeq.sorted
+        .map(n => "\"" + n + "\"").mkString("[", ",", "]")
+      println(s"""{"queries":$names,"streaming_queries":$st}""")
+      return
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val repeats = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt)

@@ -1,0 +1,143 @@
+#!/usr/bin/env python3
+"""Isolated full-suite bench: run the graft Bench in CHUNKED fresh JVMs.
+
+One ~190-plan session stresses the JIT code cache and accumulates
+broadcast/codegen garbage that inflates later queries (see build.sbt's
+ReservedCodeCacheSize note); the round-9 verdict asked for the canonical
+round artifact to be produced in isolation instead. This driver:
+
+ 1. asks Bench for the query inventory (SPARK_GRAFT_BENCH_LIST=1 — no
+    Spark session);
+ 2. splits it into chunks of --chunk queries (default 12), streaming-
+    cadence queries in their own chunks so their trigger time never
+    shares a JVM with plan-cost timing;
+ 3. runs each chunk as `java -cp ... graft.Bench` with
+    SPARK_GRAFT_BENCH_ONLY=<chunk> in a FRESH JVM (same JVM flags as
+    build.sbt's fork options);
+ 4. merges the per-chunk JSONs into one bench line — per-query min /
+    median / spread preserved, plan-cost `value` and `streaming_total`
+    recomputed over the union, and every chunk's machine probes
+    recorded under `probes` so tools/bench_compare.py can normalize.
+
+Usage: python3 tools/bench_iso.py [--sf DIR] [--chunk N] [--out FILE]
+The classpath is read from .bench_classpath (run
+  sbt -batch 'export Runtime/fullClasspath' | tail -1 > .bench_classpath
+first, or pass --classpath).
+"""
+import argparse
+import json
+import os
+import pathlib
+import statistics
+import subprocess
+import sys
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+
+JVM_FLAGS = [
+    "-Xmx24g",
+    "-XX:ReservedCodeCacheSize=1g",
+    "-Dspark.ui.enabled=false",
+    "-Dspark.sql.session.timeZone=UTC",
+]
+ADD_OPENS = [
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+]
+for p in ADD_OPENS:
+    JVM_FLAGS += ["--add-opens", f"{p}=ALL-UNNAMED"]
+
+
+def run_java(classpath, env_extra, out_file):
+    env = dict(os.environ)
+    env.update(env_extra)
+    cmd = ["java"] + JVM_FLAGS + ["-cp", classpath, "graft.Bench"]
+    r = subprocess.run(cmd, env=env, cwd=REPO, capture_output=True, text=True)
+    if out_file and pathlib.Path(out_file).exists():
+        return json.loads(pathlib.Path(out_file).read_text()), r.returncode
+    for line in r.stdout.splitlines():
+        if line.startswith("{"):
+            return json.loads(line), r.returncode
+    sys.stderr.write(r.stdout[-4000:] + "\n" + r.stderr[-4000:] + "\n")
+    raise SystemExit(f"chunk produced no JSON (rc={r.returncode})")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--chunk", type=int, default=12)
+    ap.add_argument("--out", default=str(REPO / "bench_out" / "r10_iso.json"))
+    ap.add_argument("--classpath", default=None)
+    ap.add_argument("--repeats", default="3")
+    args = ap.parse_args()
+
+    cp_file = REPO / ".bench_classpath"
+    classpath = args.classpath or cp_file.read_text().strip()
+
+    inv, _ = run_java(classpath, {"SPARK_GRAFT_BENCH_LIST": "1"}, None)
+    streaming = set(inv["streaming_queries"])
+    plan_qs = [q for q in inv["queries"] if q not in streaming]
+    stream_qs = [q for q in inv["queries"] if q in streaming]
+    chunks = [plan_qs[i:i + args.chunk]
+              for i in range(0, len(plan_qs), args.chunk)]
+    chunks += [stream_qs[i:i + args.chunk]
+               for i in range(0, len(stream_qs), args.chunk)]
+
+    merged_q, merged_med, merged_spread, merged_err = {}, {}, {}, {}
+    probes = []
+    warmup_failed = 0
+    out_dir = pathlib.Path(args.out).parent
+    out_dir.mkdir(parents=True, exist_ok=True)
+    for i, chunk in enumerate(chunks):
+        chunk_out = out_dir / f"iso_chunk_{i}.json"
+        j, rc = run_java(classpath, {
+            "SPARK_GRAFT_BENCH_ONLY": ",".join(chunk),
+            "SPARK_GRAFT_SF_DIR": args.sf,
+            "SPARK_GRAFT_CPUS": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+            "SPARK_GRAFT_BENCH_REPEATS": args.repeats,
+            "SPARK_GRAFT_BENCH_OUT": str(chunk_out),
+        }, chunk_out)
+        merged_q.update(j["queries"])
+        merged_med.update(j.get("median", {}))
+        merged_spread.update(j.get("spread", {}))
+        merged_err.update(j.get("errors", {}))
+        warmup_failed += j.get("warmup_failed", 0)
+        probes.append({"chunk": i,
+                       "probe_cpu_sec": j.get("probe_cpu_sec"),
+                       "probe_shuffle_sec": j.get("probe_shuffle_sec")})
+        done = sum(len(c) for c in chunks[:i + 1])
+        print(f"chunk {i + 1}/{len(chunks)}: {len(chunk)} queries, "
+              f"rc={rc}, {done}/{len(inv['queries'])} total", flush=True)
+
+    ok = {k: v for k, v in merged_q.items() if v is not None}
+    total = sum(v for k, v in ok.items() if k not in streaming)
+    streaming_total = sum(v for k, v in ok.items() if k in streaming)
+    cpu = [p["probe_cpu_sec"] for p in probes if p["probe_cpu_sec"] and p["probe_cpu_sec"] > 0]
+    shuf = [p["probe_shuffle_sec"] for p in probes if p["probe_shuffle_sec"] and p["probe_shuffle_sec"] > 0]
+    line = {
+        "metric": "total", "value": total, "unit": "sec",
+        "queries": merged_q, "median": merged_med, "spread": merged_spread,
+        "streaming_total": streaming_total,
+        "streaming_queries": sorted(streaming),
+        "repeats": int(args.repeats),
+        "warmup_failed": warmup_failed,
+        "probe_cpu_sec": statistics.median(cpu) if cpu else -1.0,
+        "probe_shuffle_sec": statistics.median(shuf) if shuf else -1.0,
+        "probes": probes,
+        "errors": merged_err,
+        "n_failed": sum(1 for v in merged_q.values() if v is None),
+        "sf": args.sf, "isolation": f"chunked:{args.chunk}",
+    }
+    pathlib.Path(args.out).write_text(json.dumps(line) + "\n")
+    print(f"wrote {args.out}: plan-cost total {total:.1f}s over {len(ok)} "
+          f"queries, streaming {streaming_total:.1f}s, "
+          f"{line['n_failed']} failed")
+
+
+if __name__ == "__main__":
+    main()
