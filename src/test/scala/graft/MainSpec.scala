@@ -100,6 +100,19 @@ class MainSpec extends SparkSpec {
       s"""{"source":"$root","namespace":"db.head","index":"$idx",
          |"action":"rebuild"}""".stripMargin)
     intercept[IllegalArgumentException] { Main.run(Seq("-index", bad), sess) }
+    // describe works kind-agnostically off the shared manifest and
+    // needs only the index dir
+    val desc = writeCfg(tmp("graft-cli-idxcfg5"),
+      s"""{"index":"$idx","action":"describe"}""")
+    assert(Main.run(Seq("-index", desc), sess) == 0)
+    // a non-index dir is refused with the manifest error, not a
+    // parquet read failure
+    val noIdx = writeCfg(tmp("graft-cli-idxcfg6"),
+      s"""{"index":"$root","action":"describe"}""")
+    val e2 = intercept[IllegalArgumentException] {
+      Main.run(Seq("-index", noIdx), sess)
+    }
+    assert(e2.getMessage.contains("not a graft index"))
   }
 
   test("-sql runs ad-hoc statements over catalog views with graft functions") {
