@@ -117,9 +117,23 @@ object Bench {
       } catch { case _: Throwable => -1.0 }
     val probeCpuSec = timeProbe(() => probeCpu())
     val probeShuffleSec = timeProbe(() => probeShuffle())
+    // opt-in (tools/bench_iso.py sets it): one untimed run of each query
+    // AT THE TARGET SF right before its timed repeats. The sf0.001
+    // warm-up above covers codegen/JIT but not the target-scale page
+    // cache and shuffle paths, so without this the first timed repeat
+    // carries a cold-IO penalty that lands entirely in `spread` (the
+    // min is still honest, but spread then measures cache state, not
+    // jitter). Default off: the driver's crowded-session artifact keeps
+    // its historical shape.
+    val targetWarm = sys.env.get("SPARK_GRAFT_BENCH_TARGET_WARM").contains("1")
     val results = selected.toSeq.map { case (name, fn) =>
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       var err: Option[String] = None
+      if (targetWarm) {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
+      }
       var i = 0
       while (i < repeats && err.isEmpty) {
         spark.catalog.clearCache() // order independence: no inherited caches

@@ -19,8 +19,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * One Jackson parse → dotted-path walk → re-serialize per row, with
   * EXACTLY [[graft.ops.Mask]]'s traversal semantics, pinned by
   * MaskSpec's equivalence test (same doc through both paths):
-  *  - the path descends object fields AND array elements (an array step
-  *    applies the remaining path to every element, mask.go:39-45);
+  *  - the path descends object fields AND arrays of objects (an array
+  *    step applies the remaining path to every OBJECT element,
+  *    mask.go:39-45; nested arrays / scalar elements pass through like
+  *    the typed rewrite's non-struct array case);
   *  - a terminal string is masked; terminal non-strings pass through;
   *  - a missing path step is a per-document no-op (maskDoc's silent
   *    return) — THE point of the dynamic variant: shape A's rows mask,
@@ -56,7 +58,18 @@ case class JsonMask(child: Expression, path: Seq[String], method: String)
 
   def compute(input: Any): UTF8String = {
     val s = input.asInstanceOf[UTF8String].toString
-    val root = try JsonMask.mapper.readTree(s) catch {
+    // parse the WHOLE row: a valid JSON prefix with trailing content
+    // ('{"a":1}{"b":2}', '42 text') is NOT a JSON document — treating
+    // it as one would silently truncate the row to its first value on
+    // re-serialization. readTree alone stops at the first value, so the
+    // trailing-token check is explicit.
+    val root = try {
+      val p = JsonMask.mapper.createParser(s)
+      try {
+        val t = p.readValueAsTree[JsonNode]()
+        if (t != null && p.nextToken() == null) t else null
+      } finally p.close()
+    } catch {
       case _: java.io.IOException => null
     }
     if (root == null) input.asInstanceOf[UTF8String] // non-JSON: pass through
@@ -91,9 +104,19 @@ object JsonMask {
         if (o.has(next)) o.set(next, walk(o.get(next), tail, method)): JsonNode
         else o // missing path: per-document no-op
       case (a: ArrayNode, _) =>
-        // arrays: the remaining path applies to every element
+        // arrays: the remaining path applies to every OBJECT element —
+        // exactly Mask.rewrite's ArrayType(StructType) case. Nested
+        // arrays and scalar elements pass through, matching the typed
+        // rewrite's `case _ => c` (an array-of-arrays is out of the
+        // dotted-path contract on BOTH halves, so neither masks it)
         var i = 0
-        while (i < a.size()) { a.set(i, walk(a.get(i), rest, method)); i += 1 }
+        while (i < a.size()) {
+          a.get(i) match {
+            case o: ObjectNode => a.set(i, walk(o, rest, method)); ()
+            case _ => ()
+          }
+          i += 1
+        }
         a
       case _ => n // scalar mid-path: pass through
     }

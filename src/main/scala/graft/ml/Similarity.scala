@@ -634,6 +634,8 @@ object Similarity {
     * `dir/meta` holds the centroids + codebook (kilobytes). */
   def stageIvfPq(corpus: DataFrame, idCol: String, embCol: String,
       numCentroids: Int, m: Int, ksub: Int, dir: String): Unit = {
+    // invalidate-first/manifest-last (see IndexManifest.invalidate)
+    graft.util.IndexManifest.invalidate(corpus.sparkSession, dir)
     val cents = ivfCentroids(corpus, idCol, embCol, numCentroids)
     val pb = PqBook(pqCodebook(corpus, idCol, embCol, m, ksub))
     val spark = corpus.sparkSession

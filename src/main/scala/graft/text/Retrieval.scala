@@ -170,6 +170,9 @@ object Retrieval {
   def stageBm25(corpus: DataFrame, idCol: String, text: Column,
       dir: String, buckets: Int = 64): Unit = {
     require(buckets > 0, "buckets must be positive")
+    // invalidate-first/manifest-last: a restage that dies mid-rewrite
+    // leaves no manifest (loud probe failure), never a stale one
+    graft.util.IndexManifest.invalidate(corpus.sparkSession, dir)
     val toks = corpus.filter(text.isNotNull)
       .select(col(idCol), explode(TextFunctions.whitespaceTokens(lower(text)))
         .as("term"))

@@ -294,6 +294,8 @@ object Substrings {
   def stageGramCensus(corpus: DataFrame, idCol: String, text: Column, k: Int,
       dir: String, buckets: Int = 64, maxChars: Int = 0): Unit = {
     require(buckets > 0, "buckets must be positive")
+    // invalidate-first/manifest-last (see IndexManifest.invalidate)
+    graft.util.IndexManifest.invalidate(corpus.sparkSession, dir)
     val g = gramRows(corpus, idCol, text, k, maxChars)
     g.groupBy(col("h")).agg(count(lit(1)).as("n"))
       .withColumn("bkt", pmod(xxhash64(col("h")), lit(buckets.toLong)))

@@ -52,7 +52,19 @@ object IndexManifest {
   val KindGramCensus = "gram_census"
   val KindIvfPq = "ivf_pq"
 
-  /** Write (overwrite) the manifest of an index rooted at `dir`. */
+  /** Drop the manifest of `dir` if one exists. Stagers call this FIRST,
+    * before touching the layout: a restage that dies mid-rewrite then
+    * leaves NO manifest (probes fail loudly with "not a graft index")
+    * instead of a stale one that validates the wrong layout. */
+  def invalidate(spark: SparkSession, dir: String): Unit = {
+    val path = new Path(dir, FileName)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) { fs.delete(path, false); () }
+  }
+
+  /** Write the manifest of an index rooted at `dir` — the stager's LAST
+    * step. Atomic: written to a temp name and renamed into place, so a
+    * reader never sees a half-written file. */
   def write(spark: SparkSession, dir: String, kind: String,
       params: Map[String, String], counts: Map[String, Long]): Unit = {
     val m = new ObjectMapper()
@@ -65,10 +77,13 @@ object IndexManifest {
     counts.toSeq.sortBy(_._1).foreach { case (k, v) => c.put(k, v); () }
     root.put("staged_at_ms", System.currentTimeMillis())
     val path = new Path(dir, FileName)
+    val tmp = new Path(dir, FileName + ".tmp")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(path, true)
+    val out = fs.create(tmp, true)
     try out.write(m.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
     finally out.close()
+    if (fs.exists(path)) { fs.delete(path, false); () } // HDFS rename won't overwrite
+    require(fs.rename(tmp, path), s"could not move $tmp into place")
   }
 
   /** Read the manifest of an index rooted at `dir`; loud errors on a
@@ -78,9 +93,14 @@ object IndexManifest {
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(path),
       s"$dir is not a graft index (no $FileName) — was it staged by " +
-        "stageBm25 / stageGramCensus / stageIvfPq?")
+        "stageBm25 / stageGramCensus / stageIvfPq? (an interrupted " +
+        "restage also removes the manifest: restage to recover)")
     val in = fs.open(path)
-    val node = try new ObjectMapper().readTree(in) finally in.close()
+    val node = try new ObjectMapper().readTree(in)
+      catch {
+        case e: java.io.IOException => throw new IllegalArgumentException(
+          s"$path is not parseable JSON (${e.getMessage}) — restage the index", e)
+      } finally in.close()
     require(node != null && node.isObject, s"$path is not a JSON object")
     def obj(f: String): ObjectNode = node.path(f) match {
       case o: ObjectNode => o

@@ -127,6 +127,37 @@ class MaskSpec extends SparkSpec {
     assert(out(6L) == null)
   }
 
+  test("maskJson: trailing content after a JSON prefix is NOT a document") {
+    // re-serializing just the first value would silently truncate the
+    // row; such rows must pass through byte-identical
+    val docs = Seq(
+      (1L, """{"ssn":"12-34"}{"ssn":"56-78"}"""), // concatenated JSON
+      (2L, """42 trailing-text"""),
+      (3L, """{"ssn":"12-34"}   """)              // trailing blanks ARE fine
+    ).toDF("id", "j")
+    val out = docs.select($"id", Mask.maskJson($"j", "ssn", Mask.Default).as("j"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == """{"ssn":"12-34"}{"ssn":"56-78"}""")
+    assert(out(2L) == """42 trailing-text""")
+    assert(out(3L) == """{"ssn":"XX-XX"}""")
+  }
+
+  test("maskJson: nested arrays pass through, matching the typed rewrite") {
+    // ArrayType(ArrayType(StructType)) is outside the dotted-path
+    // contract on the SCHEMA-KNOWN half (rewrite's `case _`): the JSON
+    // half must not silently mask more
+    val typed = Seq(Tuple1(Seq(Seq("555-66-7878"))))
+      .toDF("arr")
+      .select(transform($"arr", a => transform(a, s => struct(s.as("ssn"))))
+        .as("user"))
+    val t = Mask.maskField(typed, "user.ssn", Mask.Default)
+      .select(to_json($"user")).as[String].head()
+    assert(t.contains("555-66-7878"), s"typed rewrite changed: $t")
+    val j = Seq("""{"user":[[{"ssn":"555-66-7878"}]]}""").toDF("j")
+      .select(Mask.maskJson($"j", "user.ssn", Mask.Default)).as[String].head()
+    assert(j == """{"user":[[{"ssn":"555-66-7878"}]]}""")
+  }
+
   test("maskJson refuses non-deterministic methods (retry idempotence)") {
     intercept[IllegalArgumentException] {
       Seq("{}").toDF("j").select(Mask.maskJson($"j", "ssn", Mask.Hex)).collect()

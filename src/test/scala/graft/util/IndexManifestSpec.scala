@@ -62,6 +62,22 @@ class IndexManifestSpec extends SparkSpec {
     IndexManifest.validate(spark, dir, "gram_census", Map("k" -> "40"))
   }
 
+  test("invalidate-first protocol: no stale manifest survives a dead restage") {
+    val dir = tmp("idxmf-inv")
+    IndexManifest.write(spark, dir, "bm25", Map("buckets" -> "64"), Map.empty)
+    // a restage invalidates before touching the layout; if it dies
+    // mid-rewrite, read() must fail loudly rather than validate stale
+    // params against a half-rewritten layout
+    IndexManifest.invalidate(spark, dir)
+    intercept[IllegalArgumentException] { IndexManifest.read(spark, dir) }
+    IndexManifest.invalidate(spark, dir) // idempotent on a bare dir
+    // write is tmp+rename: no .tmp residue after a successful write
+    IndexManifest.write(spark, dir, "bm25", Map("buckets" -> "128"), Map.empty)
+    assert(IndexManifest.read(spark, dir).paramInt("buckets") == 128)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, IndexManifest.FileName + ".tmp")))
+  }
+
   test("all three stagers write the shared manifest; probes refuse a wrong dir") {
     val bm = tmp("idxmf-bm25")
     graft.text.Retrieval.stageBm25(docs, "doc_id", col("text"), bm, buckets = 8)

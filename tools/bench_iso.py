@@ -56,15 +56,24 @@ for p in ADD_OPENS:
 def run_java(classpath, env_extra, out_file):
     env = dict(os.environ)
     env.update(env_extra)
+    if out_file:
+        # a stale chunk file from a previous invocation must never be
+        # mistaken for this run's output (a crashed JVM would otherwise
+        # silently inject the previous build's timings)
+        pathlib.Path(out_file).unlink(missing_ok=True)
     cmd = ["java"] + JVM_FLAGS + ["-cp", classpath, "graft.Bench"]
     r = subprocess.run(cmd, env=env, cwd=REPO, capture_output=True, text=True)
-    if out_file and pathlib.Path(out_file).exists():
-        return json.loads(pathlib.Path(out_file).read_text()), r.returncode
+    if out_file:
+        if pathlib.Path(out_file).exists():
+            return json.loads(pathlib.Path(out_file).read_text()), r.returncode
+        sys.stderr.write(r.stdout[-4000:] + "\n" + r.stderr[-4000:] + "\n")
+        raise SystemExit(
+            f"chunk JVM wrote no output file {out_file} (rc={r.returncode})")
     for line in r.stdout.splitlines():
         if line.startswith("{"):
             return json.loads(line), r.returncode
     sys.stderr.write(r.stdout[-4000:] + "\n" + r.stderr[-4000:] + "\n")
-    raise SystemExit(f"chunk produced no JSON (rc={r.returncode})")
+    raise SystemExit(f"inventory run produced no JSON (rc={r.returncode})")
 
 
 def main():
@@ -100,6 +109,7 @@ def main():
             "SPARK_GRAFT_SF_DIR": args.sf,
             "SPARK_GRAFT_CPUS": os.environ.get("SPARK_GRAFT_CPUS", "32"),
             "SPARK_GRAFT_BENCH_REPEATS": args.repeats,
+            "SPARK_GRAFT_BENCH_TARGET_WARM": "1",
             "SPARK_GRAFT_BENCH_OUT": str(chunk_out),
         }, chunk_out)
         merged_q.update(j["queries"])
