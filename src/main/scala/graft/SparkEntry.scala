@@ -1543,6 +1543,29 @@ object SparkEntry {
         .orderBy("doc_id", "span_start")
     }),
 
+    // ---- the ANCHORED staged census, end-to-end: stage the reference's
+    // winnow-selected gram census (~2/(G+1) of the exact census' rows —
+    // the 100 TB staged default), probe the same incoming batch with its
+    // own anchors. Anchored on BOTH sides, so the winnowing guarantee
+    // composes: any batch run sharing >= 64 chars with the reference
+    // still collides. The oracle recomputes BOTH winnow selections with
+    // the declarative nearest-smaller-rank formulation ----
+    "q_substr_new_anchored" -> ((s, dir) => {
+      val base = load(s, dir, "documents").filter(col("text").isNotNull)
+      val idx = scratchDir("anchidx")
+      text.Substrings.stageAnchorCensus(base.filter(col("doc_id") % 3 =!= 1),
+        "doc_id", col("text"), k = 40, guarantee = 64, dir = idx, buckets = 64)
+      val batch = base.filter(col("doc_id") % 3 === 1)
+        .select(col("doc_id"), col("text"))
+        .unionByName(base
+          .filter(col("doc_id") % 21 === 0 && length(col("text")) >= 240)
+          .select((col("doc_id") + 500000L).as("doc_id"),
+            concat(lit("NEW:"), col("doc_id").cast("string"), lit(" "),
+              expr("substring(text, 61, 150)")).as("text")))
+      text.Substrings.newAnchorSpans(batch, "doc_id", col("text"), idx)
+        .orderBy("doc_id", "span_start")
+    }),
+
     // ---- T11: the DocGen full type palette, oracle-pinned — every
     // scalar the generator derives (oid, rainbow color, num fields,
     // formatted string, epoch time, int array, self-nested subdoc,
@@ -3870,6 +3893,77 @@ object SparkEntry {
         |  SELECT doc_id, p, p + 39 AS e FROM bg
         |  WHERE h IN (SELECT h FROM bg GROUP BY h HAVING count(*) > 1)
         |     OR h IN (SELECT h FROM refg)),
+        |mrk AS (
+        |  SELECT doc_id, p, e,
+        |    CASE WHEN p > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY p
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM dup),
+        |spans AS (
+        |  SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+        |    CAST(max(e) AS BIGINT) AS span_end
+        |  FROM (SELECT doc_id, p, e,
+        |          sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS gid
+        |        FROM mrk)
+        |  GROUP BY doc_id, gid)
+        |SELECT doc_id, span_start, span_end,
+        |  span_end - span_start + 1 AS span_len
+        |FROM spans ORDER BY doc_id, span_start""".stripMargin,
+    // winnow selection (G = 25 windows, leftmost-tie) on BOTH the
+    // reference and the batch — same nearest-smaller-rank formulation
+    // as q_substr_eval, then the q_substr_new probe rule over anchors
+    "q_substr_new_anchored" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        |refg AS (
+        |  SELECT doc_id, u.p AS p, md5(substring(text, u.p, 40)) AS h
+        |  FROM base, LATERAL (SELECT unnest(generate_series(
+        |    1, length(text) - 39)) AS p) u
+        |  WHERE doc_id % 3 <> 1 AND length(text) >= 40),
+        |refwin AS (
+        |  SELECT doc_id, p, h, count(*) OVER (PARTITION BY doc_id) AS L
+        |  FROM refg),
+        |refnb AS (
+        |  SELECT a.doc_id, a.p, a.h, a.L,
+        |    max(CASE WHEN b.p < a.p THEN b.p END) AS qstar,
+        |    min(CASE WHEN b.p > a.p THEN b.p END) AS rstar
+        |  FROM refwin a LEFT JOIN refwin b
+        |    ON a.doc_id = b.doc_id AND b.p BETWEEN a.p - 24 AND a.p + 24
+        |    AND b.p <> a.p AND (b.h < a.h OR (b.h = a.h AND b.p < a.p))
+        |  GROUP BY a.doc_id, a.p, a.h, a.L),
+        |refsel AS (
+        |  SELECT DISTINCT h FROM refnb
+        |  WHERE greatest(1, coalesce(qstar, 0) + 1, p - 24)
+        |     <= least(p, greatest(L - 24, 1), coalesce(rstar, L + 25) - 25)),
+        |batch AS (
+        |  SELECT doc_id, text FROM base WHERE doc_id % 3 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 500000,
+        |    'NEW:' || CAST(doc_id AS VARCHAR) || ' ' || substring(text, 61, 150)
+        |  FROM base WHERE doc_id % 21 = 0 AND length(text) >= 240),
+        |bg AS (
+        |  SELECT doc_id, u.p AS p, md5(substring(text, u.p, 40)) AS h
+        |  FROM batch, LATERAL (SELECT unnest(generate_series(
+        |    1, length(text) - 39)) AS p) u
+        |  WHERE length(text) >= 40),
+        |bwin AS (
+        |  SELECT doc_id, p, h, count(*) OVER (PARTITION BY doc_id) AS L
+        |  FROM bg),
+        |bnb AS (
+        |  SELECT a.doc_id, a.p, a.h, a.L,
+        |    max(CASE WHEN b.p < a.p THEN b.p END) AS qstar,
+        |    min(CASE WHEN b.p > a.p THEN b.p END) AS rstar
+        |  FROM bwin a LEFT JOIN bwin b
+        |    ON a.doc_id = b.doc_id AND b.p BETWEEN a.p - 24 AND a.p + 24
+        |    AND b.p <> a.p AND (b.h < a.h OR (b.h = a.h AND b.p < a.p))
+        |  GROUP BY a.doc_id, a.p, a.h, a.L),
+        |bsel AS (
+        |  SELECT doc_id, p, h FROM bnb
+        |  WHERE greatest(1, coalesce(qstar, 0) + 1, p - 24)
+        |     <= least(p, greatest(L - 24, 1), coalesce(rstar, L + 25) - 25)),
+        |dup AS (
+        |  SELECT doc_id, p, p + 39 AS e FROM bsel
+        |  WHERE h IN (SELECT h FROM bsel GROUP BY h HAVING count(*) > 1)
+        |     OR h IN (SELECT h FROM refsel)),
         |mrk AS (
         |  SELECT doc_id, p, e,
         |    CASE WHEN p > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY p

@@ -292,12 +292,33 @@ object Substrings {
     *    appends derive the SAME gram width and bucketing from the
     *    index, never from caller arguments. */
   def stageGramCensus(corpus: DataFrame, idCol: String, text: Column, k: Int,
-      dir: String, buckets: Int = 64, maxChars: Int = 0): Unit = {
+      dir: String, buckets: Int = 64, maxChars: Int = 0): Unit =
+    stageCensusFrom(corpus, text, gramRows(corpus, idCol, text, k, maxChars),
+      k, dir, buckets, Map("mode" -> "exact"))
+
+  /** Stage the ANCHORED census — the 100 TB staged variant: one row per
+    * WINNOW-SELECTED gram (~2/(G+1) of the exact census' rows and
+    * shuffle bytes; any shared run of ≥ `guarantee` chars still
+    * collides, [[winnowRows]]). Same layout + manifest kind as
+    * [[stageGramCensus]] with `mode=anchored` + `guarantee` params, so
+    * a probe can never silently mix census disciplines: exact probes
+    * ([[newDupSpans]]) and anchored probes ([[newAnchorSpans]]) both
+    * validate the mode before scanning. */
+  def stageAnchorCensus(corpus: DataFrame, idCol: String, text: Column, k: Int,
+      guarantee: Int, dir: String, buckets: Int = 64, maxChars: Int = 0): Unit = {
+    require(guarantee >= k, "guarantee must be >= k")
+    stageCensusFrom(corpus, text,
+      winnowRows(corpus, idCol, text, k, guarantee, maxChars),
+      k, dir, buckets,
+      Map("mode" -> "anchored", "guarantee" -> guarantee.toString))
+  }
+
+  private def stageCensusFrom(corpus: DataFrame, text: Column, rows: DataFrame,
+      k: Int, dir: String, buckets: Int, extraParams: Map[String, String]): Unit = {
     require(buckets > 0, "buckets must be positive")
     // invalidate-first/manifest-last (see IndexManifest.invalidate)
     graft.util.IndexManifest.invalidate(corpus.sparkSession, dir)
-    val g = gramRows(corpus, idCol, text, k, maxChars)
-    g.groupBy(col("h")).agg(count(lit(1)).as("n"))
+    rows.groupBy(col("h")).agg(count(lit(1)).as("n"))
       .withColumn("bkt", pmod(xxhash64(col("h")), lit(buckets.toLong)))
       // co-locate each bucket before the write: without this every task
       // holds rows of every bucket (the census exchange hashes on `h`)
@@ -313,7 +334,8 @@ object Substrings {
       .write.mode("overwrite").parquet(s"$dir/stats")
     graft.util.IndexManifest.write(spark, dir,
       graft.util.IndexManifest.KindGramCensus,
-      params = Map("k" -> k.toString, "buckets" -> buckets.toString),
+      params = Map("k" -> k.toString, "buckets" -> buckets.toString)
+        ++ extraParams,
       counts = Map("n_docs" -> docs,
         "n_grams" -> spark.read.parquet(s"$dir/stats").head()
           .getAs[Long]("n_grams")))
@@ -331,16 +353,35 @@ object Substrings {
       dir: String, maxChars: Int = 0): Unit = {
     val spark = batch.sparkSession
     graft.util.IndexManifest.validate(spark, dir,
-      graft.util.IndexManifest.KindGramCensus)
+      graft.util.IndexManifest.KindGramCensus, Map("mode" -> "exact"))
     val st = spark.read.parquet(s"$dir/stats").head()
     val k = st.getAs[Int]("k")
     val buckets = st.getAs[Long]("buckets")
-    gramRows(batch, idCol, text, k, maxChars)
-      .groupBy(col("h")).agg(count(lit(1)).as("n"))
+    appendCensusRows(gramRows(batch, idCol, text, k, maxChars), dir, buckets)
+  }
+
+  /** [[appendGramCensus]] for an ANCHORED index: the batch contributes
+    * its winnow-selected rows under the index's frozen (k, guarantee)
+    * contract. Same append-≡-restage property (readers sum `n`). */
+  def appendAnchorCensus(batch: DataFrame, idCol: String, text: Column,
+      dir: String, maxChars: Int = 0): Unit = {
+    val spark = batch.sparkSession
+    val mf = graft.util.IndexManifest.validate(spark, dir,
+      graft.util.IndexManifest.KindGramCensus, Map("mode" -> "anchored"))
+    val st = spark.read.parquet(s"$dir/stats").head()
+    val k = st.getAs[Int]("k")
+    val buckets = st.getAs[Long]("buckets")
+    appendCensusRows(
+      winnowRows(batch, idCol, text, k, mf.paramInt("guarantee"), maxChars),
+      dir, buckets)
+  }
+
+  private def appendCensusRows(rows: DataFrame, dir: String,
+      buckets: Long): Unit =
+    rows.groupBy(col("h")).agg(count(lit(1)).as("n"))
       .withColumn("bkt", pmod(xxhash64(col("h")), lit(buckets)))
       .repartition(col("bkt")) // one file per touched bucket per append
       .write.mode("append").partitionBy("bkt").parquet(s"$dir/census")
-  }
 
   /** Duplicated spans of an incoming BATCH against a frozen
     * [[stageGramCensus]] reference: a batch char is duplicated iff its
@@ -353,10 +394,42 @@ object Substrings {
   def newDupSpans(batch: DataFrame, idCol: String, text: Column,
       dir: String, maxChars: Int = 0): DataFrame = {
     val spark = batch.sparkSession
+    graft.util.IndexManifest.validate(spark, dir,
+      graft.util.IndexManifest.KindGramCensus, Map("mode" -> "exact"))
     val st = spark.read.parquet(s"$dir/stats").head()
     val k = st.getAs[Int]("k")
     val buckets = st.getAs[Long]("buckets")
-    val g = gramRows(batch, idCol, text, k, maxChars)
+    probeSpans(gramRows(batch, idCol, text, k, maxChars), idCol, k,
+      dir, buckets)
+  }
+
+  /** [[newDupSpans]] against an ANCHORED index ([[stageAnchorCensus]]):
+    * a batch anchor is duplicated iff its hash occurs in the reference's
+    * SELECTED-gram census or more than once among the batch's own
+    * selected grams. Anchored on BOTH sides, so the winnowing guarantee
+    * composes: a batch run sharing ≥ `guarantee` chars with the
+    * reference selects at least one colliding anchor. Probe cost is
+    * batch-proportional at ~2/(G+1) of the exact probe's rows — the
+    * incremental shape a 100 TB curation service actually runs. */
+  def newAnchorSpans(batch: DataFrame, idCol: String, text: Column,
+      dir: String, maxChars: Int = 0): DataFrame = {
+    val spark = batch.sparkSession
+    val mf = graft.util.IndexManifest.validate(spark, dir,
+      graft.util.IndexManifest.KindGramCensus, Map("mode" -> "anchored"))
+    val st = spark.read.parquet(s"$dir/stats").head()
+    val k = st.getAs[Int]("k")
+    val buckets = st.getAs[Long]("buckets")
+    probeSpans(
+      winnowRows(batch, idCol, text, k, mf.paramInt("guarantee"), maxChars),
+      idCol, k, dir, buckets)
+  }
+
+  /** The shared probe: rows (idCol, p, h) of the batch vs a staged
+    * census — duplicated iff in-reference or ≥2 within the batch's own
+    * rows; census scan prunes statically to the batch's hash buckets. */
+  private def probeSpans(g: DataFrame, idCol: String, k: Int, dir: String,
+      buckets: Long): DataFrame = {
+    val spark = g.sparkSession
     val bc = g.groupBy(col("h")).agg(count(lit(1)).as("__nb"))
     val qb = bc.select(pmod(xxhash64(col("h")), lit(buckets)).as("bkt"))
       .distinct().collect().map(_.getLong(0))

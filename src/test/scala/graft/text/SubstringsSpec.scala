@@ -163,6 +163,52 @@ class SubstringsSpec extends SparkSpec {
     assert(staged.count() > 0)
   }
 
+  test("anchored staged census: probe == direct anchor rule; append == restage; modes never mix") {
+    val base = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter($"text".isNotNull)
+    val ref = base.filter($"doc_id" % 3 =!= 1)
+    val batch = base.filter($"doc_id" % 3 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("anchidx").toString
+    Substrings.stageAnchorCensus(ref, "doc_id", col("text"),
+      k = 40, guarantee = 64, dir = dir)
+    val staged = Substrings.newAnchorSpans(batch, "doc_id", col("text"), dir)
+    // direct formulation over winnow rows on both sides
+    val bw = Substrings.winnowRows(batch, "doc_id", col("text"), 40, 64)
+    val refH = Substrings.winnowRows(ref, "doc_id", col("text"), 40, 64)
+      .select("h").distinct()
+    val dupH = bw.groupBy("h").count().filter($"count" > 1).select("h")
+      .unionByName(bw.select("h").join(refH, Seq("h"), "left_semi"))
+      .distinct()
+    val direct = Substrings.mergeSpans(
+      bw.join(dupH, "h").select(col("doc_id"), col("p"))
+        .withColumn("e", col("p") + 39), "doc_id")
+    assert(staged.exceptAll(direct).isEmpty && direct.exceptAll(staged).isEmpty)
+    assert(staged.count() > 0)
+    // anchored append == anchored restage, probed
+    val dirInc = java.nio.file.Files.createTempDirectory("anchidx_inc").toString
+    val r1 = ref.filter($"doc_id" % 2 === 0)
+    val r2 = ref.filter($"doc_id" % 2 === 1)
+    Substrings.stageAnchorCensus(r1, "doc_id", col("text"),
+      k = 40, guarantee = 64, dir = dirInc)
+    Substrings.appendAnchorCensus(r2, "doc_id", col("text"), dirInc)
+    val viaInc = Substrings.newAnchorSpans(batch, "doc_id", col("text"), dirInc)
+    assert(viaInc.exceptAll(staged).isEmpty && staged.exceptAll(viaInc).isEmpty)
+    // census disciplines never silently mix: exact probe on an anchored
+    // index (and the reverse) refuse by mode
+    intercept[IllegalArgumentException] {
+      Substrings.newDupSpans(batch, "doc_id", col("text"), dir)
+    }
+    val dirEx = java.nio.file.Files.createTempDirectory("examidx").toString
+    Substrings.stageGramCensus(ref.limit(20), "doc_id", col("text"),
+      k = 40, dir = dirEx)
+    intercept[IllegalArgumentException] {
+      Substrings.newAnchorSpans(batch, "doc_id", col("text"), dirEx)
+    }
+    intercept[IllegalArgumentException] {
+      Substrings.appendAnchorCensus(batch, "doc_id", col("text"), dirEx)
+    }
+  }
+
   test("appendGramCensus: stage half + append half == stage all") {
     val base = spark.read.parquet(s"$sf0001/documents.parquet")
       .filter($"text".isNotNull).limit(200)
