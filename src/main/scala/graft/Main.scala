@@ -215,8 +215,11 @@ object Main {
     * ~2/(G+1) the shuffle bytes — the 100 TB default; a shared run of
     * ≥ `substrGuarantee` chars, default `substrCut + 24`, is still
     * caught, and `q_substr_eval` is the coverage dial for tuning the
-    * pair). Writes parquet (id, n_tokens, quality_score, pred_lang,
-    * bucket, split) to `out` and prints the stage counts. */
+    * pair). `"substrIndex": "<dir>"` (mutually exclusive with
+    * `substrCut`) cuts against a FROZEN staged census instead —
+    * incremental curation; the index carries its own gram width and
+    * exact/anchored mode. Writes parquet (id, n_tokens, quality_score,
+    * pred_lang, bucket, split) to `out` and prints the stage counts. */
   private def curate(spark: SparkSession, json: String): Int = {
     import org.apache.spark.sql.functions._
     import graft.text.{Lines, Mixing, Sampling, TextFunctions}
@@ -246,6 +249,11 @@ object Main {
       s"substrMode must be exact|anchored, got $substrMode")
     val substrGuarantee = if (n.has("substrGuarantee"))
       n.get("substrGuarantee").asInt() else substrCut.getOrElse(40) + 24
+    val substrIndex =
+      if (n.has("substrIndex")) Some(n.get("substrIndex").asText()) else None
+    require(substrIndex.isEmpty || substrCut.isEmpty,
+      "substrCut and substrIndex are mutually exclusive: the index " +
+        "carries its own gram width and mode")
     val budgets = if (n.has("budgets"))
       Some(n.get("budgets").fields().asScala.toSeq
         .map(e => e.getKey -> e.getValue.asLong()))
@@ -274,18 +282,29 @@ object Main {
     // optional substring-level cut (Lee et al. ExactSubstr, k-char
     // grams): remove corpus-wide duplicated spans from the SURVIVING
     // docs before gating/scoring, so boilerplate runs don't inflate
-    // quality or token counts. Batch-only: the streaming twin
-    // (DocStream.curateStream) dedups whole documents; an incremental
-    // substring cut would probe a frozen census (Substrings.newDupSpans)
-    // — different semantics, so it is not silently implied here.
-    val cut = substrCut match {
-      case Some(k) =>
-        val cleaned = substrMode match {
+    // quality or token counts. Two explicit shapes, never implied:
+    // substrCut = batch-internal census over THIS corpus;
+    // substrIndex = incremental cut against a FROZEN staged census
+    // (Substrings.cleanedAgainstIndex — different semantics: spans mark
+    // text duplicating the reference, not the batch's own repeats).
+    val cleanedOpt = (substrCut, substrIndex) match {
+      case (Some(k), _) =>
+        Some(substrMode match {
           case "anchored" => graft.text.Substrings.cleanedCorpusAnchored(
             deduped, idCol, col(textName), k, substrGuarantee)
           case _ => graft.text.Substrings.cleanedCorpus(
             deduped, idCol, col(textName), k)
-        }
+        })
+      case (None, Some(ix)) =>
+        // incremental curation: cut spans duplicating a FROZEN staged
+        // reference census (exact or anchored per the index's mode) —
+        // the reference corpus is never re-scanned
+        Some(graft.text.Substrings.cleanedAgainstIndex(
+          deduped, idCol, col(textName), ix))
+      case _ => None
+    }
+    val cut = cleanedOpt match {
+      case Some(cleaned) =>
         deduped.join(cleaned.select(col(idCol), col("text_clean")), Seq(idCol))
           .drop(textName).withColumnRenamed("text_clean", textName)
       case None => deduped
@@ -505,7 +524,15 @@ object Main {
     * `"id"`/`"embedding"` column names (defaults `vec_id`/`embedding`);
     * build takes `"centroids"` (64), `"m"` (4), `"ksub"` (16); query
     * takes `"queries"` (a namespace, default the corpus namespace
-    * itself), `"k"` (5), `"nprobe"` (4) and optional `"out"`. */
+    * itself), `"k"` (5), `"nprobe"` (4) and optional `"out"`.
+    *
+    * `"kind": "census"` switches the same build/append/query verbs to
+    * the staged substring-dedup gram census
+    * (text/Substrings.scala) — the reference side of `-curate`'s
+    * `substrIndex` incremental cut: build takes `"id"`/`"text"`
+    * (defaults `doc_id`/`text`), `"k"` (40), `"buckets"` (64),
+    * `"mode": "exact"|"anchored"` (+ `"guarantee"`, default k+24);
+    * query probes a namespace and writes its duplicated spans. */
   private def index(spark: SparkSession, json: String): Int = {
     val n = new ObjectMapper().readTree(json)
     require(n != null && n.isObject, "index config must be a JSON object")
@@ -523,10 +550,64 @@ object Main {
       return 0
     }
     val dir = req("source"); val ns = req("namespace")
-    val id = if (n.has("id")) n.get("id").asText() else "vec_id"
-    val emb = if (n.has("embedding")) n.get("embedding").asText() else "embedding"
     val cat = catalogAt(spark, dir,
       MigratorConfig(command = "data", source = dir, target = dir))
+    val kind = if (n.has("kind")) n.get("kind").asText() else "ivfpq"
+    require(Set("ivfpq", "census")(kind),
+      s"index kind must be ivfpq|census, got $kind")
+    def outOrShow(result: org.apache.spark.sql.DataFrame): Unit =
+      if (n.has("out")) {
+        val out = n.get("out").asText()
+        result.write.mode("overwrite").parquet(out)
+        println(s"wrote $out")
+      } else result.show(truncate = false)
+    if (kind == "census") {
+      // staged substring-dedup census (text/Substrings.scala) — the
+      // reference side of `-curate`'s `substrIndex` incremental cut
+      import org.apache.spark.sql.functions.col
+      val id = if (n.has("id")) n.get("id").asText() else "doc_id"
+      val textCol = if (n.has("text")) n.get("text").asText() else "text"
+      val mode = if (n.has("mode")) n.get("mode").asText() else "exact"
+      require(Set("exact", "anchored")(mode),
+        s"census mode must be exact|anchored, got $mode")
+      action match {
+        case "build" =>
+          val k = int("k", 40)
+          if (mode == "anchored")
+            text.Substrings.stageAnchorCensus(cat.read(ns), id, col(textCol),
+              k, guarantee = int("guarantee", k + 24), dir = idx,
+              buckets = int("buckets", 64))
+          else
+            text.Substrings.stageGramCensus(cat.read(ns), id, col(textCol),
+              k, dir = idx, buckets = int("buckets", 64))
+          println(s"built $mode census for $ns at $idx")
+        case "append" =>
+          // the index's own manifest decides the discipline — a config
+          // `mode` that contradicts it is refused by the validate
+          if (mode == "anchored")
+            text.Substrings.appendAnchorCensus(cat.read(ns), id, col(textCol), idx)
+          else
+            text.Substrings.appendGramCensus(cat.read(ns), id, col(textCol), idx)
+          println(s"appended $ns into $idx")
+        case "query" =>
+          val qns = if (n.has("queries")) n.get("queries").asText() else ns
+          val mf = graft.util.IndexManifest.validate(spark, idx,
+            graft.util.IndexManifest.KindGramCensus)
+          val spans = mf.params.getOrElse("mode", "exact") match {
+            case "anchored" =>
+              text.Substrings.newAnchorSpans(cat.read(qns), id, col(textCol), idx)
+            case _ =>
+              text.Substrings.newDupSpans(cat.read(qns), id, col(textCol), idx)
+          }
+          outOrShow(spans.orderBy(id, "span_start"))
+        case other =>
+          throw new IllegalArgumentException(
+            s"unknown index action '$other' (build|append|query|describe)")
+      }
+      return 0
+    }
+    val id = if (n.has("id")) n.get("id").asText() else "vec_id"
+    val emb = if (n.has("embedding")) n.get("embedding").asText() else "embedding"
     action match {
       case "build" =>
         ml.Similarity.stageIvfPq(cat.read(ns), id, emb,
@@ -541,11 +622,7 @@ object Main {
         val result = ml.Similarity.stagedIvfPqTopK(spark, idx,
             cat.read(qns), id, emb, k = int("k", 5), nprobe = int("nprobe", 4))
           .orderBy("query_id", "rank")
-        if (n.has("out")) {
-          val out = n.get("out").asText()
-          result.write.mode("overwrite").parquet(out)
-          println(s"wrote $out")
-        } else result.show(truncate = false)
+        outOrShow(result)
       case other =>
         throw new IllegalArgumentException(
           s"unknown index action '$other' (build|append|query|describe)")

@@ -155,6 +155,25 @@ object Substrings {
     cleanedFrom(spanJoined(df, idCol, text,
       anchorSpans(df, idCol, text, k, guarantee, maxChars), maxChars))
 
+  /** The cut step against a FROZEN staged census — incremental
+    * curation: the batch's duplicated spans come from the index probe
+    * ([[newDupSpans]] or [[newAnchorSpans]], chosen by the index's own
+    * `mode`), so a batch is cleaned against a reference corpus the job
+    * never re-scans. Same output contract as [[cleanedCorpus]]. Note
+    * the semantic difference from the batch cut: spans here mark text
+    * duplicating the REFERENCE (or repeated within the batch), not
+    * text merely repeated across the batch's own documents. */
+  def cleanedAgainstIndex(df: DataFrame, idCol: String, text: Column,
+      dir: String, maxChars: Int = 0): DataFrame = {
+    val mf = graft.util.IndexManifest.validate(df.sparkSession, dir,
+      graft.util.IndexManifest.KindGramCensus)
+    val spans = mf.params.getOrElse("mode", "exact") match {
+      case "anchored" => newAnchorSpans(df, idCol, text, dir, maxChars)
+      case _ => newDupSpans(df, idCol, text, dir, maxChars)
+    }
+    cleanedFrom(spanJoined(df, idCol, text, spans, maxChars))
+  }
+
   private def cleanedFrom(agged: DataFrame): DataFrame = {
     val idCol = agged.columns.head
     agged.select(col(idCol),

@@ -115,6 +115,45 @@ class MainSpec extends SparkSpec {
     assert(e2.getMessage.contains("not a graft index"))
   }
 
+  test("-index kind=census builds, appends, probes, and describes a gram census") {
+    val root = tmp("graft-cli-censrc")
+    val cat = new ParquetCatalog(spark, root, "db")
+    val d = Tables.load(spark, sf0001, "documents")
+      .filter($"text".isNotNull).select($"doc_id", $"text")
+    cat.write("db.ref1", d.filter($"doc_id" % 3 === 0))
+    cat.write("db.ref2", d.filter($"doc_id" % 3 === 2))
+    cat.write("db.batch", d.filter($"doc_id" % 3 === 1))
+    val idx = tmp("graft-cli-cens") + "/ix"
+    val build = writeCfg(tmp("graft-cli-censcfg1"),
+      s"""{"source":"$root","namespace":"db.ref1","index":"$idx",
+         |"kind":"census","action":"build","k":40}""".stripMargin)
+    assert(Main.run(Seq("-index", build), sess) == 0)
+    val append = writeCfg(tmp("graft-cli-censcfg2"),
+      s"""{"source":"$root","namespace":"db.ref2","index":"$idx",
+         |"kind":"census","action":"append"}""".stripMargin)
+    assert(Main.run(Seq("-index", append), sess) == 0)
+    val out = tmp("graft-cli-censout") + "/spans"
+    val query = writeCfg(tmp("graft-cli-censcfg3"),
+      s"""{"source":"$root","namespace":"db.batch","index":"$idx",
+         |"kind":"census","action":"query","out":"$out"}""".stripMargin)
+    assert(Main.run(Seq("-index", query), sess) == 0)
+    // the CLI probe == the API probe against the same staged+appended index
+    val api = graft.text.Substrings.newDupSpans(
+      cat.read("db.batch"), "doc_id", col("text"), idx)
+    val cli = spark.read.parquet(out)
+    assert(cli.count() > 0)
+    assert(cli.exceptAll(api).isEmpty && api.exceptAll(cli).isEmpty)
+    // describe reads the shared manifest (mode recorded)
+    val desc = writeCfg(tmp("graft-cli-censcfg4"),
+      s"""{"index":"$idx","action":"describe"}""")
+    assert(Main.run(Seq("-index", desc), sess) == 0)
+    // an anchored append onto an exact index is refused by mode
+    val badAppend = writeCfg(tmp("graft-cli-censcfg5"),
+      s"""{"source":"$root","namespace":"db.ref2","index":"$idx",
+         |"kind":"census","action":"append","mode":"anchored"}""".stripMargin)
+    intercept[IllegalArgumentException] { Main.run(Seq("-index", badAppend), sess) }
+  }
+
   test("-sql runs ad-hoc statements over catalog views with graft functions") {
     val out = tmp("graft-cli-sqlout") + "/res"
     // bare `nation` view (unambiguous) + a registered graft_* function
@@ -342,6 +381,24 @@ class MainSpec extends SparkSpec {
     // a bad mode string fails loudly, never silently falls back to exact
     intercept[IllegalArgumentException] {
       run(""","substrCut":40,"substrMode":"banded"""", "badmode")
+    }
+
+    // incremental cut against a FROZEN staged census (substrIndex):
+    // docs 1/2 duplicate the staged reference's shared run, doc 3
+    // duplicates nothing — the probe rule (newDupSpans: in-reference
+    // OR repeated in-batch) cuts 1/2 and leaves 3 whole
+    val refDir = tmp("graft-cli-curate-refidx")
+    graft.text.Substrings.stageGramCensus(
+      Seq((100L, s"$shared Reference corpus copy one of that prefix here."))
+        .toDF("doc_id", "text"),
+      "doc_id", col("text"), k = 40, dir = refDir)
+    val viaIdx = run(s""","substrIndex":"$refDir"""", "idx")
+    assert(viaIdx(1L) < without(1L) && viaIdx(2L) < without(2L),
+      "index cut removed nothing from the reference-duplicating docs")
+    assert(viaIdx(3L) == without(3L)) // non-duplicating doc untouched
+    // substrCut + substrIndex together are refused
+    intercept[IllegalArgumentException] {
+      run(s""","substrCut":40,"substrIndex":"$refDir"""", "both")
     }
   }
 
