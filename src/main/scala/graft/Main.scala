@@ -254,6 +254,10 @@ object Main {
     require(substrIndex.isEmpty || substrCut.isEmpty,
       "substrCut and substrIndex are mutually exclusive: the index " +
         "carries its own gram width and mode")
+    require(substrIndex.isEmpty ||
+        (!n.has("substrMode") && !n.has("substrGuarantee")),
+      "substrMode/substrGuarantee have no effect with substrIndex — " +
+        "the index's own manifest decides the discipline")
     val budgets = if (n.has("budgets"))
       Some(n.get("budgets").fields().asScala.toSeq
         .map(e => e.getKey -> e.getValue.asLong()))
@@ -570,9 +574,18 @@ object Main {
       val mode = if (n.has("mode")) n.get("mode").asText() else "exact"
       require(Set("exact", "anchored")(mode),
         s"census mode must be exact|anchored, got $mode")
+      // mode (and guarantee) parameterize the BUILD; append/query take
+      // the discipline from the index's own manifest — a config knob
+      // that would be silently ignored is refused instead
+      def indexMode(): String = text.Substrings.censusMode(
+        graft.util.IndexManifest.validate(spark, idx,
+          graft.util.IndexManifest.KindGramCensus))
       action match {
         case "build" =>
           val k = int("k", 40)
+          require(!n.has("guarantee") || mode == "anchored",
+            "census config has 'guarantee' but mode is not 'anchored' — " +
+              "guarantee only parameterizes the anchored census")
           if (mode == "anchored")
             text.Substrings.stageAnchorCensus(cat.read(ns), id, col(textCol),
               k, guarantee = int("guarantee", k + 24), dir = idx,
@@ -582,24 +595,22 @@ object Main {
               k, dir = idx, buckets = int("buckets", 64))
           println(s"built $mode census for $ns at $idx")
         case "append" =>
-          // the index's own manifest decides the discipline — a config
-          // `mode` that contradicts it is refused by the validate
-          if (mode == "anchored")
+          val im = indexMode()
+          require(!n.has("mode") || mode == im,
+            s"config mode '$mode' contradicts the index's '$im' discipline")
+          if (im == "anchored")
             text.Substrings.appendAnchorCensus(cat.read(ns), id, col(textCol), idx)
           else
             text.Substrings.appendGramCensus(cat.read(ns), id, col(textCol), idx)
           println(s"appended $ns into $idx")
         case "query" =>
+          val im = indexMode()
+          require(!n.has("mode") || mode == im,
+            s"config mode '$mode' contradicts the index's '$im' discipline")
           val qns = if (n.has("queries")) n.get("queries").asText() else ns
-          val mf = graft.util.IndexManifest.validate(spark, idx,
-            graft.util.IndexManifest.KindGramCensus)
-          val spans = mf.params.getOrElse("mode", "exact") match {
-            case "anchored" =>
-              text.Substrings.newAnchorSpans(cat.read(qns), id, col(textCol), idx)
-            case _ =>
-              text.Substrings.newDupSpans(cat.read(qns), id, col(textCol), idx)
-          }
-          outOrShow(spans.orderBy(id, "span_start"))
+          outOrShow(text.Substrings
+            .probeIndex(cat.read(qns), id, col(textCol), idx)
+            .orderBy(id, "span_start"))
         case other =>
           throw new IllegalArgumentException(
             s"unknown index action '$other' (build|append|query|describe)")

@@ -156,22 +156,46 @@ object Substrings {
       anchorSpans(df, idCol, text, k, guarantee, maxChars), maxChars))
 
   /** The cut step against a FROZEN staged census — incremental
-    * curation: the batch's duplicated spans come from the index probe
-    * ([[newDupSpans]] or [[newAnchorSpans]], chosen by the index's own
-    * `mode`), so a batch is cleaned against a reference corpus the job
-    * never re-scans. Same output contract as [[cleanedCorpus]]. Note
-    * the semantic difference from the batch cut: spans here mark text
-    * duplicating the REFERENCE (or repeated within the batch), not
-    * text merely repeated across the batch's own documents. */
+    * curation: the batch's duplicated spans come from [[probeIndex]]
+    * (the discipline the index itself declares), so a batch is cleaned
+    * against a reference corpus the job never re-scans. Same output
+    * contract as [[cleanedCorpus]]. Note the semantic difference from
+    * the batch cut: spans here mark text duplicating the REFERENCE (or
+    * repeated within the batch), not text merely repeated across the
+    * batch's own documents. */
   def cleanedAgainstIndex(df: DataFrame, idCol: String, text: Column,
+      dir: String, maxChars: Int = 0): DataFrame =
+    cleanedFrom(spanJoined(df, idCol, text,
+      probeIndex(df, idCol, text, dir, maxChars), maxChars))
+
+  /** Probe a staged census with the discipline the INDEX declares —
+    * the one mode-dispatch point ([[newDupSpans]] for exact,
+    * [[newAnchorSpans]] for anchored). */
+  def probeIndex(batch: DataFrame, idCol: String, text: Column,
       dir: String, maxChars: Int = 0): DataFrame = {
-    val mf = graft.util.IndexManifest.validate(df.sparkSession, dir,
+    val mf = graft.util.IndexManifest.validate(batch.sparkSession, dir,
       graft.util.IndexManifest.KindGramCensus)
-    val spans = mf.params.getOrElse("mode", "exact") match {
-      case "anchored" => newAnchorSpans(df, idCol, text, dir, maxChars)
-      case _ => newDupSpans(df, idCol, text, dir, maxChars)
+    censusMode(mf) match {
+      case "anchored" => newAnchorSpans(batch, idCol, text, dir, maxChars)
+      case _ => newDupSpans(batch, idCol, text, dir, maxChars)
     }
-    cleanedFrom(spanJoined(df, idCol, text, spans, maxChars))
+  }
+
+  /** The census discipline an index declares. Absent `mode` (an index
+    * staged before the anchored variant existed) reads as exact —
+    * consistent everywhere, validation included. */
+  def censusMode(mf: graft.util.IndexManifest): String =
+    mf.params.getOrElse("mode", "exact")
+
+  private def validateCensus(spark: org.apache.spark.sql.SparkSession,
+      dir: String, expectMode: String): graft.util.IndexManifest = {
+    val mf = graft.util.IndexManifest.validate(spark, dir,
+      graft.util.IndexManifest.KindGramCensus)
+    val m = censusMode(mf)
+    require(m == expectMode,
+      s"$dir is a '$m' census; this operation requires '$expectMode' — " +
+        "exact and anchored disciplines never mix")
+    mf
   }
 
   private def cleanedFrom(agged: DataFrame): DataFrame = {
@@ -371,8 +395,7 @@ object Substrings {
   def appendGramCensus(batch: DataFrame, idCol: String, text: Column,
       dir: String, maxChars: Int = 0): Unit = {
     val spark = batch.sparkSession
-    graft.util.IndexManifest.validate(spark, dir,
-      graft.util.IndexManifest.KindGramCensus, Map("mode" -> "exact"))
+    validateCensus(spark, dir, "exact")
     val st = spark.read.parquet(s"$dir/stats").head()
     val k = st.getAs[Int]("k")
     val buckets = st.getAs[Long]("buckets")
@@ -385,8 +408,7 @@ object Substrings {
   def appendAnchorCensus(batch: DataFrame, idCol: String, text: Column,
       dir: String, maxChars: Int = 0): Unit = {
     val spark = batch.sparkSession
-    val mf = graft.util.IndexManifest.validate(spark, dir,
-      graft.util.IndexManifest.KindGramCensus, Map("mode" -> "anchored"))
+    val mf = validateCensus(spark, dir, "anchored")
     val st = spark.read.parquet(s"$dir/stats").head()
     val k = st.getAs[Int]("k")
     val buckets = st.getAs[Long]("buckets")
@@ -413,8 +435,7 @@ object Substrings {
   def newDupSpans(batch: DataFrame, idCol: String, text: Column,
       dir: String, maxChars: Int = 0): DataFrame = {
     val spark = batch.sparkSession
-    graft.util.IndexManifest.validate(spark, dir,
-      graft.util.IndexManifest.KindGramCensus, Map("mode" -> "exact"))
+    validateCensus(spark, dir, "exact")
     val st = spark.read.parquet(s"$dir/stats").head()
     val k = st.getAs[Int]("k")
     val buckets = st.getAs[Long]("buckets")
@@ -433,8 +454,7 @@ object Substrings {
   def newAnchorSpans(batch: DataFrame, idCol: String, text: Column,
       dir: String, maxChars: Int = 0): DataFrame = {
     val spark = batch.sparkSession
-    val mf = graft.util.IndexManifest.validate(spark, dir,
-      graft.util.IndexManifest.KindGramCensus, Map("mode" -> "anchored"))
+    val mf = validateCensus(spark, dir, "anchored")
     val st = spark.read.parquet(s"$dir/stats").head()
     val k = st.getAs[Int]("k")
     val buckets = st.getAs[Long]("buckets")
@@ -449,7 +469,12 @@ object Substrings {
   private def probeSpans(g: DataFrame, idCol: String, k: Int, dir: String,
       buckets: Long): DataFrame = {
     val spark = g.sparkSession
+    // the batch census feeds THREE consumers (the bucket collect, the
+    // >1 filter, the reference semi-join): eager-materialize it once
+    // (the Resample/Staging discipline) so the batch's gram/winnow
+    // scan re-runs only for the span join, not per consumer
     val bc = g.groupBy(col("h")).agg(count(lit(1)).as("__nb"))
+      .localCheckpoint()
     val qb = bc.select(pmod(xxhash64(col("h")), lit(buckets)).as("bkt"))
       .distinct().collect().map(_.getLong(0))
     val ref = spark.read.parquet(s"$dir/census")

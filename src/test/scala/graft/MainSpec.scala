@@ -152,6 +152,11 @@ class MainSpec extends SparkSpec {
       s"""{"source":"$root","namespace":"db.ref2","index":"$idx",
          |"kind":"census","action":"append","mode":"anchored"}""".stripMargin)
     intercept[IllegalArgumentException] { Main.run(Seq("-index", badAppend), sess) }
+    // a guarantee knob on an exact build is refused, never dropped
+    val badBuild = writeCfg(tmp("graft-cli-censcfg6"),
+      s"""{"source":"$root","namespace":"db.ref1","index":"$idx",
+         |"kind":"census","action":"build","k":40,"guarantee":80}""".stripMargin)
+    intercept[IllegalArgumentException] { Main.run(Seq("-index", badBuild), sess) }
   }
 
   test("-sql runs ad-hoc statements over catalog views with graft functions") {
@@ -396,9 +401,13 @@ class MainSpec extends SparkSpec {
     assert(viaIdx(1L) < without(1L) && viaIdx(2L) < without(2L),
       "index cut removed nothing from the reference-duplicating docs")
     assert(viaIdx(3L) == without(3L)) // non-duplicating doc untouched
-    // substrCut + substrIndex together are refused
+    // substrCut + substrIndex together are refused, and knobs the
+    // index would silently override are refused too
     intercept[IllegalArgumentException] {
       run(s""","substrCut":40,"substrIndex":"$refDir"""", "both")
+    }
+    intercept[IllegalArgumentException] {
+      run(s""","substrIndex":"$refDir","substrMode":"anchored"""", "modeidx")
     }
   }
 
