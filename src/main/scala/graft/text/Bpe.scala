@@ -3,6 +3,7 @@ package graft.text
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ExprBridge
 
 /** Byte-pair-encoding tokenizer TRAINING (Sennrich et al. 2016,
   * "Neural Machine Translation of Rare Words with Subword Units") as a
@@ -278,25 +279,25 @@ object Bpe {
     * the learned rules ("lowest" → low·est under the Sennrich model,
     * not six characters). Returns (idCol, n_words, n_tokens).
     *
-    * Scale shape: the merge replay runs on the batch's DISTINCT-word
-    * table (per-word windows, k rounds, zero collects — the model is
-    * already a local list); the batch itself is touched twice — once
-    * to build that table, once for the final word→token-count join.
-    * That join shuffles on the word key (the distinct-word table of an
-    * arbitrary batch has no broadcast guarantee); AQE downgrades it to
-    * a broadcast when the batch is small. */
+    * Scale shape: the whole merge replay is ONE native codegen'd
+    * projection per distinct word ([[graft.functions.BpeTokenCount]] —
+    * greedy left-to-right per merge in rank order, pinned equal to the
+    * window-algebra [[applyMerge]] fold in BpeSpec). The k-stage
+    * declarative replay this replaces cost one Spark job per
+    * checkpoint cadence — the training cadence problem all over again
+    * at encode time once k is a real vocabulary. The batch is touched
+    * twice — once for the distinct-word table, once for the final
+    * word→token-count join. That join shuffles on the word key (the
+    * distinct-word table of an arbitrary batch has no broadcast
+    * guarantee); AQE downgrades it to a broadcast when the batch is
+    * small. */
   def encode(df: DataFrame, idCol: String, text: Column,
       merges: Seq[(String, String)]): DataFrame = {
-    val words = df.filter(text.isNotNull)
+    val ntok = df.filter(text.isNotNull)
       .select(explode(TextFunctions.whitespaceTokens(lower(text))).as("word"))
       .distinct()
-      .withColumn("freq", lit(1L))
-    var syms = initSymbols(words).localCheckpoint()
-    for (((l, r), i) <- merges.zipWithIndex) {
-      syms = applyMerge(syms, l, r)
-      if (i % 2 == 1 || i == merges.size - 1) syms = syms.localCheckpoint()
-    }
-    val ntok = syms.groupBy("word").agg(count(lit(1)).as("__ntok"))
+      .select(col("word"), ExprBridge.column(graft.functions.BpeTokenCount(
+        ExprBridge.expression(col("word")), merges)).as("__ntok"))
     df.filter(text.isNotNull)
       .select(col(idCol),
         explode(TextFunctions.whitespaceTokens(lower(text))).as("word"))

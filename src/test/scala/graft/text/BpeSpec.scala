@@ -36,6 +36,34 @@ class BpeSpec extends SparkSpec {
       (4L, 3L, 12L), (5L, 2L, 5L))) // zq unseen → 2 chars, newest → 3
   }
 
+  test("BpeTokenCount expression == the window-algebra merge fold, per word") {
+    import org.apache.spark.sql.graftbridge.ExprBridge
+    val (merges, _) = Bpe.trainMerges(sennrich, col("text"), 5, 100)
+    val ms = Bpe.mergeSeq(merges)
+    // seen, unseen-but-mergeable, runs, single char, non-ASCII
+    val words = Seq("lowest", "newest", "wider", "low", "aaaa", "l", "née")
+      .toDF("word").withColumn("freq", lit(1L))
+    var syms = Bpe.initSymbols(words).localCheckpoint()
+    for ((l, r) <- ms) syms = Bpe.applyMerge(syms, l, r)
+    val expected = syms.groupBy("word").count()
+      .as[(String, Long)].collect().toMap
+    val got = words.select($"word",
+        ExprBridge.column(graft.functions.BpeTokenCount(
+          ExprBridge.expression($"word"), ms)).as("n"))
+      .as[(String, Int)].collect().toMap
+    assert(got.view.mapValues(_.toLong).toMap == expected)
+    // encode job count must not scale with the merge count anymore
+    def jobs(ms2: Seq[(String, String)], tag: String): Int = {
+      val g = s"bpe-encode-jobs-$tag"
+      spark.sparkContext.setJobGroup(g, g)
+      try Bpe.encode(sennrich, "doc_id", col("text"), ms2).count()
+      finally spark.sparkContext.clearJobGroup()
+      spark.sparkContext.statusTracker.getJobIdsForGroup(g).length
+    }
+    assert(jobs(ms, "k5") == jobs(ms.take(1), "k1"),
+      "encode job count grew with the merge count")
+  }
+
   test("run-parity: greedy left-to-right merging inside same-symbol runs") {
     val df = Seq((1L, "aaaa aaa")).toDF("doc_id", "text")
     val (merges, syms) = Bpe.trainMerges(df, col("text"), 1, 100)
