@@ -169,6 +169,18 @@ class PlanAuditSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!pr.contains("CartesianProduct") &&
       !pr.contains("BroadcastNestedLoopJoin"), s"q_prototype degenerates:\n$pr")
+    // the anchored staged probe: the reference census scan must carry a
+    // PartitionFilter on the bucket column — the static pruning to the
+    // batch's hash buckets IS the point of the staged layout; a plan
+    // that lists every bucket partition has silently regressed to a
+    // full-census scan
+    val an = SparkEntry.queries("q_substr_new_anchored")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(an.contains("PartitionFilters: [bkt"),
+      s"anchored census scan lost its bucket pruning:\n$an")
+    assert(!an.contains("CartesianProduct") &&
+      !an.contains("BroadcastNestedLoopJoin"),
+      s"q_substr_new_anchored degenerates:\n$an")
   }
 
   test("no-split packing: one shard exchange, local sort, no windows") {
