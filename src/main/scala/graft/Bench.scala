@@ -177,7 +177,10 @@ object Bench {
     val streamingList = results.collect {
       case (k, _, _, _, _) if streamingQueries(k) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"median":$medians,"spread":$spreads,"streaming_total":$streamingTotal,"streaming_queries":$streamingList,"repeats":$repeats,"warmup_failed":$warmupFailed,"probe_cpu_sec":$probeCpuSec,"probe_shuffle_sec":$probeShuffleSec,"errors":$errs,"n_failed":${results.count(_._5.nonEmpty)},"sf":"$sfDir"}"""
+    // target_warm changes WHAT the artifact measures (first-repeat cache
+    // state, hence spread) — record it so warmed and unwarmed artifacts
+    // are never compared as if they used one methodology
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"median":$medians,"spread":$spreads,"streaming_total":$streamingTotal,"streaming_queries":$streamingList,"repeats":$repeats,"warmup_failed":$warmupFailed,"target_warm":$targetWarm,"probe_cpu_sec":$probeCpuSec,"probe_shuffle_sec":$probeShuffleSec,"errors":$errs,"n_failed":${results.count(_._5.nonEmpty)},"sf":"$sfDir"}"""
     println(line)
     // the driver's log tail truncates long lines — the file never does
     val outFile = java.nio.file.Paths.get(

@@ -258,6 +258,15 @@ object Main {
         (!n.has("substrMode") && !n.has("substrGuarantee")),
       "substrMode/substrGuarantee have no effect with substrIndex — " +
         "the index's own manifest decides the discipline")
+    // the -index census discipline, mirrored: a knob that would be
+    // silently ignored is refused instead
+    require(substrCut.nonEmpty ||
+        (!n.has("substrMode") && !n.has("substrGuarantee")),
+      "substrMode/substrGuarantee parameterize the substrCut census — " +
+        "without substrCut they would be silently ignored")
+    require(!n.has("substrGuarantee") || substrMode == "anchored",
+      "substrGuarantee only parameterizes the anchored census — " +
+        "set substrMode to 'anchored' or drop substrGuarantee")
     val budgets = if (n.has("budgets"))
       Some(n.get("budgets").fields().asScala.toSeq
         .map(e => e.getKey -> e.getValue.asLong()))
@@ -535,8 +544,11 @@ object Main {
     * (text/Substrings.scala) — the reference side of `-curate`'s
     * `substrIndex` incremental cut: build takes `"id"`/`"text"`
     * (defaults `doc_id`/`text`), `"k"` (40), `"buckets"` (64),
-    * `"mode": "exact"|"anchored"` (+ `"guarantee"`, default k+24);
-    * query probes a namespace and writes its duplicated spans. */
+    * `"mode": "exact"|"anchored"` (+ `"guarantee"`, default k+24), and
+    * for the exact mode `"hash": "md5"|"xxh64"` (md5 default — oracle-
+    * recomputable; xxh64 stores 8-byte census keys, 4× smaller, the
+    * production choice at scale); query probes a namespace and writes
+    * its duplicated spans. */
   private def index(spark: SparkSession, json: String): Int = {
     val n = new ObjectMapper().readTree(json)
     require(n != null && n.isObject, "index config must be a JSON object")
@@ -574,27 +586,39 @@ object Main {
       val mode = if (n.has("mode")) n.get("mode").asText() else "exact"
       require(Set("exact", "anchored")(mode),
         s"census mode must be exact|anchored, got $mode")
-      // mode (and guarantee) parameterize the BUILD; append/query take
-      // the discipline from the index's own manifest — a config knob
-      // that would be silently ignored is refused instead
+      // mode/k/buckets/guarantee parameterize the BUILD; append/query
+      // take the whole discipline from the index's own manifest — a
+      // config knob that would be silently ignored is refused instead
       def indexMode(): String = text.Substrings.censusMode(
         graft.util.IndexManifest.validate(spark, idx,
           graft.util.IndexManifest.KindGramCensus))
+      def refuseBuildKnobs(): Unit =
+        Seq("k", "buckets", "guarantee", "hash").foreach(f =>
+          require(!n.has(f),
+            s"census config has '$f' but the index's staged value is the " +
+              "contract — drop it (only 'build' takes it)"))
       action match {
         case "build" =>
           val k = int("k", 40)
           require(!n.has("guarantee") || mode == "anchored",
             "census config has 'guarantee' but mode is not 'anchored' — " +
               "guarantee only parameterizes the anchored census")
+          require(!n.has("hash") || mode == "exact",
+            "census config has 'hash' but mode is not 'exact' — the " +
+              "anchored census rank is md5-pinned (the winnow selection " +
+              "is part of the oracle contract)")
           if (mode == "anchored")
             text.Substrings.stageAnchorCensus(cat.read(ns), id, col(textCol),
               k, guarantee = int("guarantee", k + 24), dir = idx,
               buckets = int("buckets", 64))
           else
             text.Substrings.stageGramCensus(cat.read(ns), id, col(textCol),
-              k, dir = idx, buckets = int("buckets", 64))
+              k, dir = idx, buckets = int("buckets", 64),
+              hash = if (n.has("hash")) n.get("hash").asText()
+                else text.Substrings.HashMd5)
           println(s"built $mode census for $ns at $idx")
         case "append" =>
+          refuseBuildKnobs()
           val im = indexMode()
           require(!n.has("mode") || mode == im,
             s"config mode '$mode' contradicts the index's '$im' discipline")
@@ -604,6 +628,7 @@ object Main {
             text.Substrings.appendGramCensus(cat.read(ns), id, col(textCol), idx)
           println(s"appended $ns into $idx")
         case "query" =>
+          refuseBuildKnobs()
           val im = indexMode()
           require(!n.has("mode") || mode == im,
             s"config mode '$mode' contradicts the index's '$im' discipline")

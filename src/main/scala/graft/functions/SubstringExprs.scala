@@ -73,6 +73,44 @@ object SubstringExprs {
     out
   }
 
+  /** XXH64 (seed 42 — Spark's `xxhash64` builtin seed) of every k-char
+    * gram of `s`, in position order — the 8-byte census key for the
+    * production hash mode ([[graft.text.Substrings.stageGramCensus]]
+    * `hash = "xxh64"`): 4× smaller than the 32-char md5 hex both on the
+    * census shuffle and at rest. Values match
+    * `xxhash64(substring(s, p, k))` bit-for-bit (SubstringsSpec pins
+    * it), so the declarative twin stays expressible — but NOT
+    * recomputable by DuckDB, which is why md5 remains the default for
+    * oracle-pinned fixtures. */
+  private[functions] def gramHashes64(s: UTF8String, k: Int): Array[Long] = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.Platform
+    val bytes = s.getBytes
+    val numChars = s.numChars()
+    val n = numChars - k + 1
+    if (n <= 0) return Array.empty
+    val out = new Array[Long](n)
+    if (bytes.length == numChars) { // ASCII: byte offset == char offset
+      var p = 0
+      while (p < n) {
+        out(p) = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET + p, k, 42L)
+        p += 1
+      }
+    } else {
+      val str = s.toString
+      var p = 0
+      while (p < n) {
+        val lo = str.offsetByCodePoints(0, p)
+        val hi = str.offsetByCodePoints(lo, k)
+        val b = str.substring(lo, hi)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        out(p) = XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+        p += 1
+      }
+    }
+    out
+  }
+
   /** Unsigned lexicographic digest compare == hex-string compare. */
   private[functions] def cmp(a: Array[Byte], b: Array[Byte]): Int = {
     var i = 0
@@ -114,6 +152,40 @@ case class GramMd5s(child: Expression, k: Int) extends UnaryExpression {
 
   override def prettyName: String = "gram_md5s"
   override protected def withNewChildInternal(newChild: Expression): GramMd5s =
+    copy(child = newChild)
+}
+
+/** xxhash64 (seed 42) of every k-char gram of the input string, positions
+  * 1..len−k+1 (empty array below k chars) — [[GramMd5s]] with the 8-byte
+  * production census key instead of the 32-char oracle-recomputable hex
+  * (see [[SubstringExprs.gramHashes64]]). */
+case class GramXxh64s(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, "k must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"gram_xxh64s expects string, got ${t.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = compute(input)
+
+  def compute(input: Any): ArrayData = {
+    val hs = SubstringExprs.gramHashes64(input.asInstanceOf[UTF8String], k)
+    val out = new Array[Any](hs.length)
+    var i = 0
+    while (i < hs.length) { out(i) = hs(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("gramXxh64s", this, classOf[GramXxh64s].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override def prettyName: String = "gram_xxh64s"
+  override protected def withNewChildInternal(newChild: Expression): GramXxh64s =
     copy(child = newChild)
 }
 

@@ -92,15 +92,24 @@ object DocStream {
       langs: Seq[String] = Seq("en"), salt: String = "42",
       weights: Seq[(String, Double)] =
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
-      lineGate: Option[Int] = None): DataFrame = {
+      lineGate: Option[Int] = None): DataFrame =
+    gateAndSplit(dedupExactStream(docs, text, timeCol, watermark), idCol,
+      text, minQuality, langs, salt, weights, lineGate)
+
+  /** The stateless curation tail (line gate → quality + language filter
+    * → PII scrub → deterministic split) — shared verbatim by the plain
+    * stream, the index-cut stream, and any batch caller, so every
+    * deployment shape gates and splits identically. */
+  private[streaming] def gateAndSplit(docs: DataFrame, idCol: String,
+      text: Column, minQuality: Int, langs: Seq[String], salt: String,
+      weights: Seq[(String, Double)], lineGate: Option[Int]): DataFrame = {
     import graft.text.{Lines, Pii, Sampling, TextFunctions}
-    val deduped = dedupExactStream(docs, text, timeCol, watermark)
     val (gated, scoredText) = lineGate match {
       case Some(minWords) =>
-        (deduped.withColumn("text_kept",
+        (docs.withColumn("text_kept",
           Lines.lineFilterCol(text, minWords).getField("text_kept")),
           col("text_kept"))
-      case None => (deduped, text)
+      case None => (docs, text)
     }
     val scored = gated
       .withColumn("__q", TextFunctions.qualityStatsCol(scoredText))
@@ -113,5 +122,84 @@ object DocStream {
       .withColumn("scrubbed", Pii.scrub(scoredText))
       .drop("__q", "__l")
     Sampling.hashSplit(scored, col(idCol), salt, weights)
+  }
+
+  /** One micro-batch (or any batch frame) through the INDEX-CUT
+    * curation chain — the on-arrival form of `-curate substrIndex`
+    * ([[graft.Main]]): spans duplicating a FROZEN staged gram census
+    * ([[graft.text.Substrings.cleanedAgainstIndex]]) are removed from
+    * each document's text, then the shared [[gateAndSplit]] tail runs
+    * on the CUT text (duplicated boilerplate no longer inflates token
+    * counts or quality scores).
+    *
+    * The cut is REFERENCE-ONLY (`selfDups = false`): each document's
+    * output depends on (document, index) alone, so the result is
+    * invariant under micro-batching — the property DocStreamSpec pins
+    * (stream-cut ≡ batch-cut on the same feed). Batch-internal repeats
+    * are the dedup gate's and the append discipline's job, not the
+    * probe's. */
+  def curateBatchAgainstIndex(batch: DataFrame, idCol: String,
+      textName: String, indexDir: String, minQuality: Int = 3,
+      langs: Seq[String] = Seq("en"), salt: String = "42",
+      weights: Seq[(String, Double)] =
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      lineGate: Option[Int] = None): DataFrame = {
+    val cleaned = graft.text.Substrings.cleanedAgainstIndex(batch, idCol,
+      col(textName), indexDir, selfDups = false)
+    val cut = batch
+      .join(cleaned.select(col(idCol), col("text_clean")), Seq(idCol))
+      .drop(textName).withColumnRenamed("text_clean", textName)
+    gateAndSplit(cut, idCol, col(textName), minQuality, langs, salt,
+      weights, lineGate)
+  }
+
+  /** The streaming curation chain CUT AGAINST A FROZEN CENSUS — the
+    * round-10 verdict's missing operator: continuous ingest where every
+    * arriving document is deduplicated (watermark-bounded state), has
+    * its reference-duplicating substrings removed at batch-proportional
+    * probe cost (the reference corpus is never re-scanned), is gated,
+    * scrubbed, split, and appended to `outPath` as parquet.
+    *
+    * The probe needs a tiny driver-side step per micro-batch (the
+    * census bucket collect), so the cut runs inside `foreachBatch` —
+    * everything upstream of the sink (the dedup gate) is the ordinary
+    * incremental streaming plan, and the per-batch work is
+    * batch-proportional by [[graft.text.Substrings.newDupSpans]]'
+    * contract.
+    *
+    * `appendAfterCut = true` composes the `q_st_substr` ingest
+    * discipline with the cut: after a batch is cut and written, its RAW
+    * grams are appended into the index, so a LATER batch repeating this
+    * batch's text collides and gets cut — cross-batch dedup with
+    * first-arrival-wins semantics, exactly the dedup gate's discipline
+    * at substring granularity. (Within one micro-batch, repeats pass
+    * uncut — the documented horizon of on-arrival semantics; the batch
+    * sweep remains the completeness backstop.)
+    *
+    * Returns the started query; callers own `awaitTermination`. */
+  def curateStreamAgainstIndex(docs: DataFrame, idCol: String,
+      textName: String, timeCol: String, watermark: String,
+      indexDir: String, outPath: String, checkpointDir: String,
+      minQuality: Int = 3, langs: Seq[String] = Seq("en"),
+      salt: String = "42",
+      weights: Seq[(String, Double)] =
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      lineGate: Option[Int] = None, appendAfterCut: Boolean = false,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val deduped = dedupExactStream(docs, col(textName), timeCol, watermark)
+    deduped.writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val curated = curateBatchAgainstIndex(b, idCol, textName, indexDir,
+          minQuality, langs, salt, weights, lineGate)
+        curated.write.mode("append").parquet(outPath)
+        if (appendAfterCut)
+          graft.text.Substrings.appendToIndex(b, idCol, col(textName),
+            indexDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
   }
 }

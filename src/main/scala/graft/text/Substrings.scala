@@ -41,10 +41,14 @@ import org.apache.spark.sql.graftbridge.ExprBridge
   * so a gram repeated a billion times collapses per map task before the
   * exchange; the join back to positions is a plain shuffle join (AQE
   * splits hot grams). Span merging windows are partitioned per DOCUMENT
-  * (bounded by one doc's gram count), never corpus-global. Swapping
-  * md5 for xxhash64 would shrink the census key 4× — kept md5 so every
-  * value is recomputable by any engine (the DuckDB oracle pins each
-  * stage bit-for-bit).
+  * (bounded by one doc's gram count), never corpus-global. The census
+  * hash is a staged parameter ([[HashMd5]]/[[HashXxh64]]): md5 hex
+  * keeps every value recomputable by any engine (the DuckDB oracle
+  * pins each stage bit-for-bit — the fixture default), xxh64 stores
+  * 8-byte keys — 4× less census shuffle and storage, the production
+  * mode for the exact path at 100 TB. Probes and appends derive the
+  * hash from the index's manifest like `k`/`buckets`, and
+  * SubstringsSpec pins that both modes emit identical span frames.
   *
   * Reference: lee2021dedup ExactSubstr; also suffix_array.py in the
   * google-research/deduplicate-text-datasets release (public paper +
@@ -52,18 +56,34 @@ import org.apache.spark.sql.graftbridge.ExprBridge
   */
 object Substrings {
 
+  /** The census hash modes: `md5` (32-char hex — every value
+    * recomputable by any SQL engine, the oracle-pinned default) and
+    * `xxh64` (8-byte long via [[graft.functions.GramXxh64s]], seed-42
+    * `xxhash64(gram)` — 4× smaller census keys on the shuffle and at
+    * rest, the production mode for the 100 TB exact path; spans are
+    * hash-identical absent collisions, pinned by SubstringsSpec). */
+  val HashMd5 = "md5"
+  val HashXxh64 = "xxh64"
+  private def requireHash(hash: String): Unit =
+    require(Set(HashMd5, HashXxh64)(hash),
+      s"census hash must be $HashMd5|$HashXxh64, got $hash")
+
   /** (idCol, p, h): every k-gram position of every document, 1-based,
-    * with its md5 hex. `maxChars` caps the per-document scan (0 = no
-    * cap) — the [[Shingles.MaxChars]]-style per-doc cost ceiling. */
+    * with its hash (md5 hex or xxh64 long — see [[HashMd5]]).
+    * `maxChars` caps the per-document scan (0 = no cap) — the
+    * [[Shingles.MaxChars]]-style per-doc cost ceiling. */
   def gramRows(df: DataFrame, idCol: String, text: Column, k: Int,
-      maxChars: Int = 0): DataFrame = {
+      maxChars: Int = 0, hash: String = HashMd5): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    requireHash(hash)
     val t = capped(text, maxChars)
+    val grams =
+      if (hash == HashXxh64)
+        graft.functions.GramXxh64s(ExprBridge.expression(t), k)
+      else graft.functions.GramMd5s(ExprBridge.expression(t), k)
     df.filter(text.isNotNull)
       .select(col(idCol),
-        posexplode(ExprBridge.column(
-          graft.functions.GramMd5s(ExprBridge.expression(t), k)))
-          .as(Seq("__p0", "h")))
+        posexplode(ExprBridge.column(grams)).as(Seq("__p0", "h")))
       .select(col(idCol), (col("__p0") + 1).as("p"), col("h"))
   }
 
@@ -160,24 +180,50 @@ object Substrings {
     * (the discipline the index itself declares), so a batch is cleaned
     * against a reference corpus the job never re-scans. Same output
     * contract as [[cleanedCorpus]]. Note the semantic difference from
-    * the batch cut: spans here mark text duplicating the REFERENCE (or
-    * repeated within the batch), not text merely repeated across the
-    * batch's own documents. */
+    * the batch cut: spans here mark text duplicating the REFERENCE (or,
+    * with `selfDups` on, repeated within the batch), not text merely
+    * repeated across the batch's own documents.
+    *
+    * `selfDups = false` makes the cut REFERENCE-ONLY: each document's
+    * spans depend on (document, index) alone, never on which other
+    * documents share its batch — the property that makes the cut
+    * micro-batch-invariant, so the STREAMING pipeline
+    * ([[graft.streaming.DocStream.curateStreamAgainstIndex]]) emits the
+    * same corpus for every batching of the same feed (DocStreamSpec
+    * pins stream-cut ≡ batch-cut). Batch-internal repeats are then the
+    * append discipline's job: append each cut batch's grams and later
+    * arrivals collide with the index (first-wins, like the dedup
+    * gate). */
   def cleanedAgainstIndex(df: DataFrame, idCol: String, text: Column,
-      dir: String, maxChars: Int = 0): DataFrame =
+      dir: String, maxChars: Int = 0, selfDups: Boolean = true): DataFrame =
     cleanedFrom(spanJoined(df, idCol, text,
-      probeIndex(df, idCol, text, dir, maxChars), maxChars))
+      probeIndex(df, idCol, text, dir, maxChars, selfDups), maxChars))
 
   /** Probe a staged census with the discipline the INDEX declares —
     * the one mode-dispatch point ([[newDupSpans]] for exact,
-    * [[newAnchorSpans]] for anchored). */
+    * [[newAnchorSpans]] for anchored). `selfDups = false` restricts
+    * spans to reference collisions only (see [[cleanedAgainstIndex]]). */
   def probeIndex(batch: DataFrame, idCol: String, text: Column,
-      dir: String, maxChars: Int = 0): DataFrame = {
+      dir: String, maxChars: Int = 0, selfDups: Boolean = true): DataFrame = {
     val mf = graft.util.IndexManifest.validate(batch.sparkSession, dir,
       graft.util.IndexManifest.KindGramCensus)
     censusMode(mf) match {
-      case "anchored" => newAnchorSpans(batch, idCol, text, dir, maxChars)
-      case _ => newDupSpans(batch, idCol, text, dir, maxChars)
+      case "anchored" => newAnchorSpans(batch, idCol, text, dir, maxChars, selfDups)
+      case _ => newDupSpans(batch, idCol, text, dir, maxChars, selfDups)
+    }
+  }
+
+  /** Append a batch with the discipline the INDEX declares — the
+    * ingest twin of [[probeIndex]]'s one mode-dispatch point
+    * ([[appendGramCensus]] for exact, [[appendAnchorCensus]] for
+    * anchored). */
+  def appendToIndex(batch: DataFrame, idCol: String, text: Column,
+      dir: String, maxChars: Int = 0): Unit = {
+    val mf = graft.util.IndexManifest.validate(batch.sparkSession, dir,
+      graft.util.IndexManifest.KindGramCensus)
+    censusMode(mf) match {
+      case "anchored" => appendAnchorCensus(batch, idCol, text, dir, maxChars)
+      case _ => appendGramCensus(batch, idCol, text, dir, maxChars)
     }
   }
 
@@ -186,6 +232,11 @@ object Substrings {
     * consistent everywhere, validation included. */
   def censusMode(mf: graft.util.IndexManifest): String =
     mf.params.getOrElse("mode", "exact")
+
+  /** The census hash an index declares; absent `hash` (a pre-round-11
+    * index) reads as md5 — the only mode that existed then. */
+  def censusHash(mf: graft.util.IndexManifest): String =
+    mf.params.getOrElse("hash", HashMd5)
 
   private def validateCensus(spark: org.apache.spark.sql.SparkSession,
       dir: String, expectMode: String): graft.util.IndexManifest = {
@@ -335,9 +386,13 @@ object Substrings {
     *    appends derive the SAME gram width and bucketing from the
     *    index, never from caller arguments. */
   def stageGramCensus(corpus: DataFrame, idCol: String, text: Column, k: Int,
-      dir: String, buckets: Int = 64, maxChars: Int = 0): Unit =
-    stageCensusFrom(corpus, text, gramRows(corpus, idCol, text, k, maxChars),
-      k, dir, buckets, Map("mode" -> "exact"))
+      dir: String, buckets: Int = 64, maxChars: Int = 0,
+      hash: String = HashMd5): Unit = {
+    requireHash(hash)
+    stageCensusFrom(corpus, text,
+      gramRows(corpus, idCol, text, k, maxChars, hash),
+      k, dir, buckets, Map("mode" -> "exact", "hash" -> hash))
+  }
 
   /** Stage the ANCHORED census — the 100 TB staged variant: one row per
     * WINNOW-SELECTED gram (~2/(G+1) of the exact census' rows and
@@ -395,11 +450,12 @@ object Substrings {
   def appendGramCensus(batch: DataFrame, idCol: String, text: Column,
       dir: String, maxChars: Int = 0): Unit = {
     val spark = batch.sparkSession
-    validateCensus(spark, dir, "exact")
+    val mf = validateCensus(spark, dir, "exact")
     val st = spark.read.parquet(s"$dir/stats").head()
     val k = st.getAs[Int]("k")
     val buckets = st.getAs[Long]("buckets")
-    appendCensusRows(gramRows(batch, idCol, text, k, maxChars), dir, buckets)
+    appendCensusRows(
+      gramRows(batch, idCol, text, k, maxChars, censusHash(mf)), dir, buckets)
   }
 
   /** [[appendGramCensus]] for an ANCHORED index: the batch contributes
@@ -433,14 +489,14 @@ object Substrings {
     * nothing reference-corpus-sized shuffles: probe cost scales with
     * the BATCH. Output matches [[dupSpans]]' span frame. */
   def newDupSpans(batch: DataFrame, idCol: String, text: Column,
-      dir: String, maxChars: Int = 0): DataFrame = {
+      dir: String, maxChars: Int = 0, selfDups: Boolean = true): DataFrame = {
     val spark = batch.sparkSession
-    validateCensus(spark, dir, "exact")
+    val mf = validateCensus(spark, dir, "exact")
     val st = spark.read.parquet(s"$dir/stats").head()
     val k = st.getAs[Int]("k")
     val buckets = st.getAs[Long]("buckets")
-    probeSpans(gramRows(batch, idCol, text, k, maxChars), idCol, k,
-      dir, buckets)
+    probeSpans(gramRows(batch, idCol, text, k, maxChars, censusHash(mf)),
+      idCol, k, dir, buckets, selfDups)
   }
 
   /** [[newDupSpans]] against an ANCHORED index ([[stageAnchorCensus]]):
@@ -452,7 +508,7 @@ object Substrings {
     * batch-proportional at ~2/(G+1) of the exact probe's rows — the
     * incremental shape a 100 TB curation service actually runs. */
   def newAnchorSpans(batch: DataFrame, idCol: String, text: Column,
-      dir: String, maxChars: Int = 0): DataFrame = {
+      dir: String, maxChars: Int = 0, selfDups: Boolean = true): DataFrame = {
     val spark = batch.sparkSession
     val mf = validateCensus(spark, dir, "anchored")
     val st = spark.read.parquet(s"$dir/stats").head()
@@ -460,14 +516,15 @@ object Substrings {
     val buckets = st.getAs[Long]("buckets")
     probeSpans(
       winnowRows(batch, idCol, text, k, mf.paramInt("guarantee"), maxChars),
-      idCol, k, dir, buckets)
+      idCol, k, dir, buckets, selfDups)
   }
 
   /** The shared probe: rows (idCol, p, h) of the batch vs a staged
-    * census — duplicated iff in-reference or ≥2 within the batch's own
-    * rows; census scan prunes statically to the batch's hash buckets. */
+    * census — duplicated iff in-reference or (with `selfDups`) ≥2
+    * within the batch's own rows; census scan prunes statically to the
+    * batch's hash buckets. */
   private def probeSpans(g: DataFrame, idCol: String, k: Int, dir: String,
-      buckets: Long): DataFrame = {
+      buckets: Long, selfDups: Boolean = true): DataFrame = {
     val spark = g.sparkSession
     // the batch census feeds THREE consumers (the bucket collect, the
     // >1 filter, the reference semi-join): eager-materialize it once
@@ -480,9 +537,12 @@ object Substrings {
     val ref = spark.read.parquet(s"$dir/census")
       .filter(col("bkt").isin(qb: _*))
       .select(col("h"))
-    val dupH = bc.filter(col("__nb") > 1).select(col("h"))
-      .unionByName(bc.select(col("h")).join(ref, Seq("h"), "left_semi"))
-      .distinct()
+    val refHit = bc.select(col("h")).join(ref, Seq("h"), "left_semi")
+    val dupH =
+      if (selfDups)
+        bc.filter(col("__nb") > 1).select(col("h"))
+          .unionByName(refHit).distinct()
+      else refHit
     val spans = g.join(dupH, "h")
       .select(col(idCol), col("p"))
       .withColumn("e", col("p") + (k - 1))

@@ -63,8 +63,16 @@ object IndexManifest {
   }
 
   /** Write the manifest of an index rooted at `dir` — the stager's LAST
-    * step. Atomic: written to a temp name and renamed into place, so a
-    * reader never sees a half-written file. */
+    * step. Written to a temp name and renamed into place, so a reader
+    * never sees a HALF-WRITTEN file. Not fully atomic on
+    * HDFS-semantics filesystems: rename won't overwrite there, so an
+    * existing manifest is deleted first and a concurrent reader can
+    * observe a brief no-manifest window during a re-write — acceptable
+    * under the single-writer staging discipline (stagers call
+    * [[invalidate]] first anyway, so the no-manifest window already
+    * spans the whole restage). A failed rename cleans up its temp file
+    * and leaves no manifest — the same loud "not a graft index" state
+    * an interrupted restage leaves. */
   def write(spark: SparkSession, dir: String, kind: String,
       params: Map[String, String], counts: Map[String, Long]): Unit = {
     val m = new ObjectMapper()
@@ -83,7 +91,10 @@ object IndexManifest {
     try out.write(m.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
     finally out.close()
     if (fs.exists(path)) { fs.delete(path, false); () } // HDFS rename won't overwrite
-    require(fs.rename(tmp, path), s"could not move $tmp into place")
+    if (!fs.rename(tmp, path)) {
+      fs.delete(tmp, false) // don't strand a stale .tmp next to no manifest
+      throw new IllegalStateException(s"could not move $tmp into place")
+    }
   }
 
   /** Read the manifest of an index rooted at `dir`; loud errors on a

@@ -138,6 +138,98 @@ class DocStreamSpec extends SparkSpec {
     assert(batch.find(_._1 == 4L).map(_._5) == streamed.find(_._1 == 4L).map(_._5))
   }
 
+  test("index-cut curation: stream-cut == batch-cut on the same feed") {
+    val boiler = "the shared duplicated boilerplate run appears here verbatim"
+    val refDir = feedDir()
+    val idxDir = Files.createTempDirectory("graft-ds-cenidx").toString
+    // reference corpus carries the boilerplate; stage its exact census
+    Seq((100L, s"reference document one containing $boiler inside it"),
+        (101L, s"reference document two with $boiler again plus a tail"))
+      .toDF("doc_id", "text").createOrReplaceTempView("__ref")
+    graft.text.Substrings.stageGramCensus(spark.table("__ref"), "doc_id",
+      col("text"), k = 12, dir = idxDir)
+
+    val dir = feedDir()
+    val p10 = "the quick brown fox jumps over the lazy dog today "
+    val p13 = "pack my box with five dozen liquor jugs quickly today "
+    Seq((10L, p10 + boiler, "2024-01-01 10:00:00"),
+        (11L, "a perfectly clean english document with many common words here",
+          "2024-01-01 10:00:10"))
+      .toDF("doc_id", "text", "t").withColumn("t", to_timestamp(col("t")))
+      .coalesce(1).write.mode("append").parquet(dir)
+    Thread.sleep(300)
+    Seq((13L, p13 + boiler, "2024-01-01 10:00:20"))
+      .toDF("doc_id", "text", "t").withColumn("t", to_timestamp(col("t")))
+      .coalesce(1).write.mode("append").parquet(dir)
+
+    val out = feedDir() + "/out"
+    val schema = spark.read.parquet(dir).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = DocStream.curateStreamAgainstIndex(src, "doc_id", "text", "t",
+      "1 hour", idxDir, out, feedDir() + "/ckpt")
+    q.awaitTermination()
+    val cols = Seq("doc_id", "text", "n_tokens", "quality_score",
+      "pred_lang", "scrubbed", "split")
+    val streamed = spark.read.parquet(out).select(cols.head, cols.tail: _*)
+      .collect().map(_.toSeq).toSet
+
+    // the cut happened: the boilerplate is gone, the prefix survives
+    // intact (minus its trailing space — the reference also precedes the
+    // boilerplate with a space, so the shared region includes it)
+    val byId = streamed.map(r => r.head.asInstanceOf[Long] -> r).toMap
+    assert(byId.keySet == Set(10L, 11L, 13L))
+    assert(byId(10L)(1) == p10.trim && byId(13L)(1) == p13.trim)
+    assert(!byId(11L)(1).asInstanceOf[String].contains(boiler))
+
+    // the pin: the reference-only cut is micro-batch-invariant, so the
+    // batch twin over the whole feed emits the IDENTICAL rows
+    val batch = DocStream.curateBatchAgainstIndex(
+        DocStream.dedupExactStream(spark.read.parquet(dir), col("text"),
+          "t", "1 hour"),
+        "doc_id", "text", idxDir)
+      .select(cols.head, cols.tail: _*)
+      .collect().map(_.toSeq).toSet
+    assert(batch == streamed)
+  }
+
+  test("index-cut curation with appendAfterCut: later batches collide with earlier ones") {
+    val idxDir = Files.createTempDirectory("graft-ds-cenidx2").toString
+    // reference census WITHOUT the run the feed repeats
+    Seq((200L, "unrelated reference corpus text that matches nothing later"))
+      .toDF("doc_id", "text").createOrReplaceTempView("__ref2")
+    graft.text.Substrings.stageGramCensus(spark.table("__ref2"), "doc_id",
+      col("text"), k = 12, dir = idxDir)
+
+    val run = "a run of text repeated across micro batches of the feed"
+    val pa = "a nice clean english document with many common words here "
+    val pb = "pack my box with five dozen liquor jugs quickly today "
+    val dir = feedDir()
+    Seq((20L, pa + run, "2024-01-01 10:00:00"))
+      .toDF("doc_id", "text", "t").withColumn("t", to_timestamp(col("t")))
+      .coalesce(1).write.mode("append").parquet(dir)
+    Thread.sleep(300)
+    Seq((21L, pb + run, "2024-01-01 10:00:10"))
+      .toDF("doc_id", "text", "t").withColumn("t", to_timestamp(col("t")))
+      .coalesce(1).write.mode("append").parquet(dir)
+
+    val out = feedDir() + "/out"
+    val schema = spark.read.parquet(dir).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = DocStream.curateStreamAgainstIndex(src, "doc_id", "text", "t",
+      "1 hour", idxDir, out, feedDir() + "/ckpt2", appendAfterCut = true)
+    q.awaitTermination()
+    val got = spark.read.parquet(out).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // first arrival keeps the run (nothing in the index yet); the later
+    // repeat collides with the appended grams and is cut — first-wins at
+    // substring granularity (the shared region includes the space both
+    // prefixes end with, hence the trim)
+    assert(got(20L) == pa + run)
+    assert(got(21L) == pb.trim)
+  }
+
   test("curation chain with the line gate: scoring runs on line-filtered text, stream == batch") {
     val dir = feedDir()
     // doc 1: a good sentence line + a no-punct junk line the gate strips;

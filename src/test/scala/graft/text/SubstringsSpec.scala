@@ -232,6 +232,53 @@ class SubstringsSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("gramRows xxh64 native expression == declarative xxhash64 twin") {
+    // includes non-ASCII rows so both the byte-slice fast path and the
+    // codepoint-substring slow path are exercised
+    val df = spark.read.parquet(s"$sf0001/documents.parquet").limit(50)
+      .select($"doc_id", $"text")
+      .unionByName(Seq((900001L, "héllo wörld ünïcode — çafé " * 4),
+        (900002L, "日本語テキストの重複検出テスト" * 5)).toDF("doc_id", "text"))
+    val k = 17
+    val a = Substrings.gramRows(df, "doc_id", col("text"), k,
+      hash = Substrings.HashXxh64)
+    val b = df.filter($"text".isNotNull && length($"text") >= k)
+      .select($"doc_id", explode(sequence(lit(1), length($"text") - (k - 1))).as("p"),
+        $"text")
+      .select($"doc_id", $"p", xxhash64($"text".substr($"p", lit(k))).as("h"))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    assert(a.count() > 0)
+  }
+
+  test("xxh64 census: stage/append/probe spans == md5 census spans") {
+    val base = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter($"text".isNotNull)
+    val ref = base.filter($"doc_id" % 3 =!= 1)
+    val batch = base.filter($"doc_id" % 3 === 1)
+    val dirMd5 = java.nio.file.Files.createTempDirectory("cen_md5").toString
+    val dirX = java.nio.file.Files.createTempDirectory("cen_xxh").toString
+    Substrings.stageGramCensus(ref, "doc_id", col("text"), k = 40, dir = dirMd5)
+    Substrings.stageGramCensus(ref, "doc_id", col("text"), k = 40, dir = dirX,
+      hash = Substrings.HashXxh64)
+    // the manifest carries the staged hash; probes derive it from there
+    val mf = graft.util.IndexManifest.read(spark, dirX)
+    assert(Substrings.censusHash(mf) == Substrings.HashXxh64)
+    assert(spark.read.parquet(s"$dirX/census").schema("h").dataType ==
+      org.apache.spark.sql.types.LongType)
+    val a = Substrings.newDupSpans(batch, "doc_id", col("text"), dirMd5)
+    val b = Substrings.newDupSpans(batch, "doc_id", col("text"), dirX)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    assert(a.count() > 0)
+    // appends inherit the index's hash: half + append == the full stage
+    val dirInc = java.nio.file.Files.createTempDirectory("cen_xxh_inc").toString
+    Substrings.stageGramCensus(ref.filter($"doc_id" % 2 === 0), "doc_id",
+      col("text"), k = 40, dir = dirInc, hash = Substrings.HashXxh64)
+    Substrings.appendGramCensus(ref.filter($"doc_id" % 2 === 1), "doc_id",
+      col("text"), dirInc)
+    val c = Substrings.newDupSpans(batch, "doc_id", col("text"), dirInc)
+    assert(c.exceptAll(a).isEmpty && a.exceptAll(c).isEmpty)
+  }
+
   test("null and sub-k documents are handled") {
     val df = Seq((1L, null: String), (2L, "tiny"), (3L, "x" * 50))
       .toDF("doc_id", "text")

@@ -19,10 +19,17 @@ round artifact to be produced in isolation instead. This driver:
     recomputed over the union, and every chunk's machine probes
     recorded under `probes` so tools/bench_compare.py can normalize.
 
+Streaming-cadence queries get ONE QUERY PER JVM (not just their own
+chunks): their wall-clock is trigger/drain lifecycle, and sharing a JVM
+lets one query's lingering streaming threads (checkpoint fsync, state
+cleanup) land in the next one's timed region — per-query isolation makes
+`streaming_total` comparable round-over-round the way plan-cost is.
+
 Usage: python3 tools/bench_iso.py [--sf DIR] [--chunk N] [--out FILE]
-The classpath is read from .bench_classpath (run
-  sbt -batch 'export Runtime/fullClasspath' | tail -1 > .bench_classpath
-first, or pass --classpath).
+The classpath is read from target/bench_classpath (run
+  sbt -batch 'export Runtime/fullClasspath' | tail -1 > target/bench_classpath
+first, or pass --classpath). Kept under target/ so the generated
+absolute-path dump never sits in the repo root.
 """
 import argparse
 import json
@@ -85,8 +92,10 @@ def main():
     ap.add_argument("--repeats", default="3")
     args = ap.parse_args()
 
-    cp_file = REPO / ".bench_classpath"
-    classpath = args.classpath or cp_file.read_text().strip()
+    cp_file = REPO / "target" / "bench_classpath"
+    legacy = REPO / ".bench_classpath"  # pre-round-11 location
+    classpath = args.classpath or (
+        cp_file if cp_file.exists() else legacy).read_text().strip()
 
     inv, _ = run_java(classpath, {"SPARK_GRAFT_BENCH_LIST": "1"}, None)
     streaming = set(inv["streaming_queries"])
@@ -94,8 +103,8 @@ def main():
     stream_qs = [q for q in inv["queries"] if q in streaming]
     chunks = [plan_qs[i:i + args.chunk]
               for i in range(0, len(plan_qs), args.chunk)]
-    chunks += [stream_qs[i:i + args.chunk]
-               for i in range(0, len(stream_qs), args.chunk)]
+    # streaming queries: one per JVM (see module doc)
+    chunks += [[q] for q in stream_qs]
 
     merged_q, merged_med, merged_spread, merged_err = {}, {}, {}, {}
     probes = []
@@ -142,6 +151,9 @@ def main():
         "errors": merged_err,
         "n_failed": sum(1 for v in merged_q.values() if v is None),
         "sf": args.sf, "isolation": f"chunked:{args.chunk}",
+        # every chunk ran with SPARK_GRAFT_BENCH_TARGET_WARM=1 — recorded
+        # so warmed artifacts are distinguishable from unwarmed ones
+        "target_warm": True,
     }
     pathlib.Path(args.out).write_text(json.dumps(line) + "\n")
     print(f"wrote {args.out}: plan-cost total {total:.1f}s over {len(ok)} "
