@@ -1385,6 +1385,40 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- the INCREMENTAL curation pipeline end-to-end through the real
+    // CLI: stage a frozen gram census from the reference third, then
+    // `-curate` an incoming feed (the held-out third + planted slices of
+    // reference docs) with `substrIndex` — dedup → index cut
+    // (newDupSpans rule: in-reference OR repeated-in-batch) → quality +
+    // language gates → split manifest. The reference corpus is never
+    // re-scanned by the curate job; the oracle recomputes the manifest
+    // from scratch in SQL ----
+    "q_pipeline_incr" -> ((s, dir) => {
+      val base = load(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+      val src = scratchDir("pincr")
+      val idx = s"$src/refidx"
+      text.Substrings.stageGramCensus(base.filter(col("doc_id") % 3 === 0),
+        "doc_id", col("text"), k = 40, dir = idx, buckets = 64)
+      // %21==0 implies %3==0: every planted row slices a REFERENCE doc,
+      // so index hits are guaranteed on top of the natural cross-third dups
+      base.filter(col("doc_id") % 3 === 1)
+        .unionByName(base
+          .filter(col("doc_id") % 21 === 0 && length(col("text")) >= 240)
+          .select((col("doc_id") + 500000L).as("doc_id"),
+            concat(lit("NEW:"), col("doc_id").cast("string"), lit(" "),
+              expr("substring(text, 61, 150)")).as("text")))
+        .write.mode("overwrite").parquet(s"$src/feed.parquet")
+      val cfg = java.nio.file.Files.write(
+        java.nio.file.Paths.get(src, "curate.json"),
+        (s"""{"source":"$src","namespace":"local.feed",""" +
+          s""""out":"$src/manifest","substrIndex":"$idx"}""")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      require(Main.run(Seq("-curate", cfg.toString), () => s) == 0,
+        "curate pipeline failed")
+      s.read.parquet(s"$src/manifest").orderBy("doc_id")
+    }),
+
     // ---- deterministic epoch shuffle: a pseudorandom TOTAL ORDER over
     // the corpus without a global sort — shard = range partition of the
     // md5 rank key's prefix, per-shard row_number windows + broadcast
@@ -1471,8 +1505,11 @@ object SparkEntry {
         .select(col("doc_id"), col("text"))
       val idx = scratchDir("gramidx_st")
       val feed = scratchDir("gram_feed")
+      // 16 buckets: each append writes one file per TOUCHED bucket, so
+      // 64 dirs at fixture scale is 3× the file count for zero pruning
+      // benefit (a whole-corpus-third batch touches every bucket)
       text.Substrings.stageGramCensus(base.filter(col("doc_id") % 3 === 0),
-        "doc_id", col("text"), k = 40, dir = idx, buckets = 64)
+        "doc_id", col("text"), k = 40, dir = idx, buckets = 16)
       base.filter(col("doc_id") % 3 === 2 && col("doc_id") % 2 === 0)
         .repartition(1).write.mode("append").parquet(s"$feed/in")
       base.filter(col("doc_id") % 3 === 2 && col("doc_id") % 2 === 1)
@@ -1729,10 +1766,20 @@ object SparkEntry {
       val noise = orders.filter(k % 13 === 0).select(op(6L, "i", lit("local.junk"),
         lit("""{"_id":1}"""), nullS): _*)
       val logDir = s"$out/changelog"
-      Seq(inserts, v2Updates, v1Incs, deletes, txns, noise)
-        .foreach(_.coalesce(1).write.mode("append").parquet(logDir))
+      // ONE write job emits all six op-class files (range partition on a
+      // class tag = one file per class) instead of six scan+write jobs —
+      // the classes are key-disjoint, so file packing can't affect the
+      // converged state (that independence is this query's subject)
+      Seq(inserts, v2Updates, v1Incs, deletes, txns, noise).zipWithIndex
+        .map { case (df, i) => df.withColumn("__f", lit(i)) }
+        .reduce(_.unionByName(_))
+        .repartitionByRange(6, col("__f")).drop("__f")
+        .write.mode("append").parquet(logDir)
+      // 3 files per trigger over 6 files = TWO micro-batches: still the
+      // multi-batch cut-independence under test (disjoint key classes),
+      // one fewer full sink-upsert cycle of pure fixture cadence
       streaming.ApplyJob.catchUp(s, logDir, sink, cfg, s"$out/ckpt",
-        maxFilesPerTrigger = 2)
+        maxFilesPerTrigger = 3)
       sink.read("app.orders_state")
         .select(
           get_json_object(col("doc"), "$._id").cast("long").as("k"),
@@ -1774,8 +1821,13 @@ object SparkEntry {
         to_json(struct((k + 100000000L).as("_id"), lit("NEW").as("brand"),
           lit(9.99).as("retail"))), nullS): _*)
       val logDir = s"$out/changelog"
-      Seq(updates, deletes, inserts)
-        .foreach(_.coalesce(1).write.mode("append").parquet(logDir))
+      // one write job for all three op classes (they replay in ONE
+      // micro-batch below anyway — see the maxFilesPerTrigger note)
+      Seq(updates, deletes, inserts).zipWithIndex
+        .map { case (df, i) => df.withColumn("__f", lit(i)) }
+        .reduce(_.unionByName(_))
+        .repartitionByRange(3, col("__f")).drop("__f")
+        .write.mode("append").parquet(logDir)
       // the copy lands AFTER those ops: snapshot = post-op state
       val surviving = p.filter(!(k % 7 === 0 && k % 3 =!= 0))
         .select(k.cast("string").as("id"),
@@ -1846,9 +1898,12 @@ object SparkEntry {
       val logDir = s"$out/changelog"
       // wave 1 is on disk before the stream starts (the backlog)…
       updates.coalesce(1).write.mode("append").parquet(logDir)
+      // 250 ms trigger + 50 ms polls: the subject is the LIVE tail (ops
+      // landing behind a running stream + the lag metric), not trigger
+      // idle time — tighter cadence trims pure wait from the fixture
       val h = streaming.ApplyJob.stream(s, logDir, sink, cfg, s"$out/ckpt",
         trigger = org.apache.spark.sql.streaming.Trigger
-          .ProcessingTime("500 milliseconds"),
+          .ProcessingTime("250 milliseconds"),
         maxFilesPerTrigger = 2)
       try {
         // …waves 2 and 3 land while the tail is live
@@ -1857,7 +1912,7 @@ object SparkEntry {
         val deadline = System.currentTimeMillis() + 120000
         while (h.counts.total < expected &&
             System.currentTimeMillis() < deadline)
-          Thread.sleep(200)
+          Thread.sleep(50)
       } finally h.stop()
       val lagOk = h.lagSeconds > 0 && h.lagSeconds < 1e9
       sink.read("app.cust_state")
@@ -2179,6 +2234,46 @@ object SparkEntry {
       s.read.parquet(s"$out/curated")
         .select("doc_id", "n_tokens", "quality_score", "pred_lang",
           "split", "scrubbed")
+        .orderBy("doc_id")
+    }),
+
+    // ---- streaming curation CUT AGAINST A FROZEN CENSUS — the
+    // on-arrival form of q_pipeline_incr: every arriving micro-batch has
+    // its reference-duplicating substrings removed (reference-only probe
+    // — each doc's cut depends on (doc, index) alone, so the result is
+    // micro-batch-invariant; DocStreamSpec pins stream ≡ batch), then
+    // gates/scrub/split run on the CUT text. Feed is pre-deduped so the
+    // watermark gate's first-arrival winner is deterministic for the
+    // oracle (the gate itself is q_st_curate's subject) ----
+    "q_st_curate_index" -> ((s, dir) => {
+      val out = scratchDir("stci")
+      val keepW = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      val base = load(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+        .withColumn("__rn", row_number().over(keepW))
+        .filter(col("__rn") === 1).drop("__rn")
+      val idx = s"$out/refidx"
+      // a 1/6 reference slice and 16 buckets: the fixture's subject is
+      // the per-micro-batch CUT, not the one-time stage — stage cost and
+      // tiny-file listing are kept out of the way (64 bucket dirs at
+      // sf0.1 are pure metadata overhead)
+      text.Substrings.stageGramCensus(base.filter(col("doc_id") % 6 === 0),
+        "doc_id", col("text"), k = 40, dir = idx, buckets = 16)
+      val feed = base.filter(col("doc_id") % 3 === 1)
+        .withColumn("event_ts",
+          timestamp_seconds(lit(1700000000L) + col("doc_id")))
+      // one job, two files (range partition on parity) = two micro-batches
+      feed.withColumn("__f", col("doc_id") % 2)
+        .repartitionByRange(2, col("__f")).drop("__f")
+        .write.mode("append").parquet(s"$out/feed")
+      val src = s.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$out/feed")
+      val q = streaming.DocStream.curateStreamAgainstIndex(src, "doc_id",
+        "text", "event_ts", "1 hour", idx, s"$out/curated", s"$out/ckpt")
+      q.awaitTermination()
+      s.read.parquet(s"$out/curated")
+        .select(col("doc_id"), col("n_tokens"), col("quality_score"),
+          col("pred_lang"), col("split"), md5(col("text")).as("clean_md5"))
         .orderBy("doc_id")
     }),
 
@@ -5641,6 +5736,93 @@ object SparkEntry {
         |          % 10000 AS b
         |      FROM q WHERE quality_score >= 3 AND pred_lang = 'en')
         |ORDER BY doc_id""".stripMargin,
+    // the full -curate substrIndex pipeline recomputed from scratch:
+    // min-id dedup, the newDupSpans probe rule (in-reference OR
+    // repeated-in-batch), span merge + text rebuild, gates on the CUT
+    // text, hash split — the manifest the CLI writes, row for row
+    "q_pipeline_incr" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        |refg AS (
+        |  SELECT DISTINCT md5(substring(text, u.p, 40)) AS h
+        |  FROM base, LATERAL (SELECT unnest(generate_series(
+        |    1, length(text) - 39)) AS p) u
+        |  WHERE doc_id % 3 = 0 AND length(text) >= 40),
+        |feed AS (
+        |  SELECT doc_id, text FROM base WHERE doc_id % 3 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 500000,
+        |    'NEW:' || CAST(doc_id AS VARCHAR) || ' ' || substring(text, 61, 150)
+        |  FROM base WHERE doc_id % 21 = 0 AND length(text) >= 240),
+        |ded AS (SELECT min(doc_id) AS doc_id FROM feed GROUP BY md5(text)),
+        |fd AS (SELECT f.doc_id, f.text FROM feed f JOIN ded USING (doc_id)),
+        |bg AS (
+        |  SELECT doc_id, u.p AS p, md5(substring(text, u.p, 40)) AS h
+        |  FROM fd, LATERAL (SELECT unnest(generate_series(
+        |    1, length(text) - 39)) AS p) u
+        |  WHERE length(text) >= 40),
+        |dup AS (
+        |  SELECT doc_id, p, p + 39 AS e FROM bg
+        |  WHERE h IN (SELECT h FROM bg GROUP BY h HAVING count(*) > 1)
+        |     OR h IN (SELECT h FROM refg)),
+        |mrk AS (
+        |  SELECT doc_id, p, e,
+        |    CASE WHEN p > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY p
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM dup),
+        |spans AS (
+        |  SELECT doc_id, min(p) AS span_start, max(e) AS span_end
+        |  FROM (SELECT doc_id, p, e,
+        |          sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS gid
+        |        FROM mrk)
+        |  GROUP BY doc_id, gid),
+        |headseg AS (
+        |  SELECT s.doc_id, s.span_start AS ord,
+        |    substring(c.text,
+        |      CAST(coalesce(lag(s.span_end) OVER (PARTITION BY s.doc_id
+        |        ORDER BY s.span_start), 0) + 1 AS INT),
+        |      CAST(s.span_start - coalesce(lag(s.span_end) OVER (
+        |        PARTITION BY s.doc_id ORDER BY s.span_start), 0) - 1 AS INT)) AS seg
+        |  FROM spans s JOIN fd c USING (doc_id)),
+        |tailseg AS (
+        |  SELECT s.doc_id, 2000000000 AS ord,
+        |    substring(c.text, CAST(max(s.span_end) AS INT) + 1) AS seg
+        |  FROM spans s JOIN fd c USING (doc_id)
+        |  GROUP BY s.doc_id, c.text),
+        |clean AS (
+        |  SELECT doc_id, string_agg(seg, '' ORDER BY ord) AS text_clean
+        |  FROM (SELECT * FROM headseg UNION ALL SELECT * FROM tailseg)
+        |  GROUP BY doc_id),
+        |cut AS (
+        |  SELECT f.doc_id, coalesce(cl.text_clean, f.text) AS text
+        |  FROM fd f LEFT JOIN clean cl USING (doc_id)),
+        |st AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |    CAST(length(text) AS BIGINT) AS n_len,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|is)\b')) AS BIGINT) AS en_n,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(le|la|et|les|des)\b')) AS BIGINT) AS fr_n,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(el|los|las|y|que)\b')) AS BIGINT) AS es_n,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist)\b')) AS BIGINT) AS de_n
+        |  FROM cut),
+        |q AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(n_tokens >= 10 AS INT) + CAST(n_tokens <= 1000 AS INT)
+        |      + CAST(CAST(n_len AS DOUBLE)/NULLIF(n_tokens, 0) >= 3
+        |              AND CAST(n_len AS DOUBLE)/NULLIF(n_tokens, 0) <= 12 AS INT)
+        |      + CAST(CAST(n_alpha AS DOUBLE)/NULLIF(n_len, 0) > 0.7 AS INT) AS quality_score,
+        |    CASE WHEN en_n >= fr_n AND en_n >= es_n AND en_n >= de_n THEN 'en'
+        |         WHEN fr_n >= es_n AND fr_n >= de_n THEN 'fr'
+        |         WHEN es_n >= de_n THEN 'es' ELSE 'de' END AS pred_lang
+        |  FROM st)
+        |SELECT doc_id, n_tokens, quality_score, pred_lang, b AS bucket,
+        |  CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT *,
+        |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8)) AS BIGINT)
+        |          % 10000 AS b
+        |      FROM q WHERE quality_score >= 3 AND pred_lang = 'en')
+        |ORDER BY doc_id""".stripMargin,
     "q_j3_compaction" ->
       """SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us
         |FROM events
@@ -5850,6 +6032,87 @@ object SparkEntry {
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS scrubbed
+        |FROM (SELECT *,
+        |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8)) AS BIGINT)
+        |          % 10000 AS b
+        |      FROM q WHERE quality_score >= 3 AND pred_lang = 'en')
+        |ORDER BY doc_id""".stripMargin,
+    // the stream twin of q_pipeline_incr: REFERENCE-ONLY probe (no
+    // in-batch rule — the cut is micro-batch-invariant by construction),
+    // gates on the cut text, clean_md5 pins the rebuilt text by hash
+    "q_st_curate_index" ->
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+        |  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+        |refg AS (
+        |  SELECT DISTINCT md5(substring(text, u1.p, 40)) AS h
+        |  FROM u, LATERAL (SELECT unnest(generate_series(
+        |    1, length(text) - 39)) AS p) u1
+        |  WHERE doc_id % 6 = 0 AND length(text) >= 40),
+        |fd AS (SELECT doc_id, text FROM u WHERE doc_id % 3 = 1),
+        |bg AS (
+        |  SELECT doc_id, u2.p AS p, md5(substring(text, u2.p, 40)) AS h
+        |  FROM fd, LATERAL (SELECT unnest(generate_series(
+        |    1, length(text) - 39)) AS p) u2
+        |  WHERE length(text) >= 40),
+        |dup AS (
+        |  SELECT doc_id, p, p + 39 AS e FROM bg
+        |  WHERE h IN (SELECT h FROM refg)),
+        |mrk AS (
+        |  SELECT doc_id, p, e,
+        |    CASE WHEN p > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY p
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM dup),
+        |spans AS (
+        |  SELECT doc_id, min(p) AS span_start, max(e) AS span_end
+        |  FROM (SELECT doc_id, p, e,
+        |          sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS gid
+        |        FROM mrk)
+        |  GROUP BY doc_id, gid),
+        |headseg AS (
+        |  SELECT s.doc_id, s.span_start AS ord,
+        |    substring(c.text,
+        |      CAST(coalesce(lag(s.span_end) OVER (PARTITION BY s.doc_id
+        |        ORDER BY s.span_start), 0) + 1 AS INT),
+        |      CAST(s.span_start - coalesce(lag(s.span_end) OVER (
+        |        PARTITION BY s.doc_id ORDER BY s.span_start), 0) - 1 AS INT)) AS seg
+        |  FROM spans s JOIN fd c USING (doc_id)),
+        |tailseg AS (
+        |  SELECT s.doc_id, 2000000000 AS ord,
+        |    substring(c.text, CAST(max(s.span_end) AS INT) + 1) AS seg
+        |  FROM spans s JOIN fd c USING (doc_id)
+        |  GROUP BY s.doc_id, c.text),
+        |clean AS (
+        |  SELECT doc_id, string_agg(seg, '' ORDER BY ord) AS text_clean
+        |  FROM (SELECT * FROM headseg UNION ALL SELECT * FROM tailseg)
+        |  GROUP BY doc_id),
+        |cut AS (
+        |  SELECT f.doc_id, coalesce(cl.text_clean, f.text) AS text
+        |  FROM fd f LEFT JOIN clean cl USING (doc_id)),
+        |st AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |    CAST(length(text) AS BIGINT) AS n_len,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|is)\b')) AS BIGINT) AS en_n,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(le|la|et|les|des)\b')) AS BIGINT) AS fr_n,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(el|los|las|y|que)\b')) AS BIGINT) AS es_n,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist)\b')) AS BIGINT) AS de_n
+        |  FROM cut),
+        |q AS (
+        |  SELECT doc_id, text, n_tokens,
+        |    CAST(n_tokens >= 10 AS INT) + CAST(n_tokens <= 1000 AS INT)
+        |      + CAST(CAST(n_len AS DOUBLE)/NULLIF(n_tokens, 0) >= 3
+        |              AND CAST(n_len AS DOUBLE)/NULLIF(n_tokens, 0) <= 12 AS INT)
+        |      + CAST(CAST(n_alpha AS DOUBLE)/NULLIF(n_len, 0) > 0.7 AS INT) AS quality_score,
+        |    CASE WHEN en_n >= fr_n AND en_n >= es_n AND en_n >= de_n THEN 'en'
+        |         WHEN fr_n >= es_n AND fr_n >= de_n THEN 'fr'
+        |         WHEN es_n >= de_n THEN 'es' ELSE 'de' END AS pred_lang
+        |  FROM st)
+        |SELECT doc_id, n_tokens, quality_score, pred_lang,
+        |  CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val' ELSE 'test' END AS split,
+        |  md5(text) AS clean_md5
         |FROM (SELECT *,
         |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8)) AS BIGINT)
         |          % 10000 AS b

@@ -191,12 +191,19 @@ object DocStream {
     val deduped = dedupExactStream(docs, col(textName), timeCol, watermark)
     deduped.writeStream
       .foreachBatch { (b: DataFrame, _: Long) =>
-        val curated = curateBatchAgainstIndex(b, idCol, textName, indexDir,
-          minQuality, langs, salt, weights, lineGate)
-        curated.write.mode("append").parquet(outPath)
-        if (appendAfterCut)
-          graft.text.Substrings.appendToIndex(b, idCol, col(textName),
-            indexDir)
+        // a micro-batch frame RE-EXECUTES its plan — including the
+        // stateful dedup exchange — on every action, and the cut needs
+        // it three times (gram scan, span join-back, sink write) plus
+        // once more for the append: pay the stateful plan ONCE
+        val bb = b.persist()
+        try {
+          val curated = curateBatchAgainstIndex(bb, idCol, textName,
+            indexDir, minQuality, langs, salt, weights, lineGate)
+          curated.write.mode("append").parquet(outPath)
+          if (appendAfterCut)
+            graft.text.Substrings.appendToIndex(bb, idCol, col(textName),
+              indexDir)
+        } finally { bb.unpersist(false); () }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

@@ -90,6 +90,8 @@ def main():
     ap.add_argument("--out", default=str(REPO / "bench_out" / "r10_iso.json"))
     ap.add_argument("--classpath", default=None)
     ap.add_argument("--repeats", default="3")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated query subset (debugging aid)")
     args = ap.parse_args()
 
     cp_file = REPO / "target" / "bench_classpath"
@@ -99,8 +101,15 @@ def main():
 
     inv, _ = run_java(classpath, {"SPARK_GRAFT_BENCH_LIST": "1"}, None)
     streaming = set(inv["streaming_queries"])
-    plan_qs = [q for q in inv["queries"] if q not in streaming]
-    stream_qs = [q for q in inv["queries"] if q in streaming]
+    queries = inv["queries"]
+    if args.only:
+        want = set(x.strip() for x in args.only.split(",") if x.strip())
+        unknown = want - set(queries)
+        if unknown:
+            raise SystemExit(f"--only names unknown queries: {sorted(unknown)}")
+        queries = [q for q in queries if q in want]
+    plan_qs = [q for q in queries if q not in streaming]
+    stream_qs = [q for q in queries if q in streaming]
     chunks = [plan_qs[i:i + args.chunk]
               for i in range(0, len(plan_qs), args.chunk)]
     # streaming queries: one per JVM (see module doc)
