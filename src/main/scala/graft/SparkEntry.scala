@@ -1507,9 +1507,16 @@ object SparkEntry {
       val feed = scratchDir("gram_feed")
       // 16 buckets: each append writes one file per TOUCHED bucket, so
       // 64 dirs at fixture scale is 3× the file count for zero pruning
-      // benefit (a whole-corpus-third batch touches every bucket)
+      // benefit (a whole-corpus-third batch touches every bucket).
+      // xxh64 census: the PRODUCTION hash mode, exercised end-to-end
+      // through stage → streamed appends → probe (appends/probes derive
+      // it from the manifest). Oracle-neutral: the oracle pins spans by
+      // gram EQUALITY (DuckDB-side md5 on both sides), never by the
+      // Spark census key — and 4× smaller keys halve the stage+probe
+      // cost this fixture pays per repeat (tools/CensusSweep).
       text.Substrings.stageGramCensus(base.filter(col("doc_id") % 3 === 0),
-        "doc_id", col("text"), k = 40, dir = idx, buckets = 16)
+        "doc_id", col("text"), k = 40, dir = idx, buckets = 16,
+        hash = text.Substrings.HashXxh64)
       base.filter(col("doc_id") % 3 === 2 && col("doc_id") % 2 === 0)
         .repartition(1).write.mode("append").parquet(s"$feed/in")
       base.filter(col("doc_id") % 3 === 2 && col("doc_id") % 2 === 1)
@@ -2256,9 +2263,13 @@ object SparkEntry {
       // a 1/6 reference slice and 16 buckets: the fixture's subject is
       // the per-micro-batch CUT, not the one-time stage — stage cost and
       // tiny-file listing are kept out of the way (64 bucket dirs at
-      // sf0.1 are pure metadata overhead)
+      // sf0.1 are pure metadata overhead). xxh64 = the production census
+      // hash, end-to-end through the streaming cut (probes derive it
+      // from the manifest); oracle-neutral — spans are pinned by gram
+      // equality, the census key never reaches the output
       text.Substrings.stageGramCensus(base.filter(col("doc_id") % 6 === 0),
-        "doc_id", col("text"), k = 40, dir = idx, buckets = 16)
+        "doc_id", col("text"), k = 40, dir = idx, buckets = 16,
+        hash = text.Substrings.HashXxh64)
       val feed = base.filter(col("doc_id") % 3 === 1)
         .withColumn("event_ts",
           timestamp_seconds(lit(1700000000L) + col("doc_id")))

@@ -414,29 +414,34 @@ object Substrings {
   private def stageCensusFrom(corpus: DataFrame, text: Column, rows: DataFrame,
       k: Int, dir: String, buckets: Int, extraParams: Map[String, String]): Unit = {
     require(buckets > 0, "buckets must be positive")
+    val spark = corpus.sparkSession
     // invalidate-first/manifest-last (see IndexManifest.invalidate)
-    graft.util.IndexManifest.invalidate(corpus.sparkSession, dir)
+    graft.util.IndexManifest.invalidate(spark, dir)
+    // n_grams rides an Observation on the census write itself — the
+    // alternative (re-scanning the written census to count it) pays a
+    // second full census pass per stage, which at one row per corpus
+    // char is a second pass over the corpus' gram surface
+    val obs = org.apache.spark.sql.Observation()
     rows.groupBy(col("h")).agg(count(lit(1)).as("n"))
+      .observe(obs, count(lit(1)).as("n_grams"))
       .withColumn("bkt", pmod(xxhash64(col("h")), lit(buckets.toLong)))
       // co-locate each bucket before the write: without this every task
       // holds rows of every bucket (the census exchange hashes on `h`)
       // and the layout sprays tasks×buckets tiny files
       .repartition(col("bkt"))
       .write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/census")
-    val spark = corpus.sparkSession
+    val nGrams = obs.get("n_grams").asInstanceOf[Long]
     val docs = corpus.filter(text.isNotNull).count()
-    spark.read.parquet(s"$dir/census")
-      .agg(count(lit(1)).as("n_grams"))
-      .select(lit(k).as("k"), lit(buckets.toLong).as("buckets"),
-        col("n_grams"), lit(docs).as("n_docs"))
+    import spark.implicits._
+    Seq((k, buckets.toLong, nGrams, docs))
+      .toDF("k", "buckets", "n_grams", "n_docs")
+      .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/stats")
     graft.util.IndexManifest.write(spark, dir,
       graft.util.IndexManifest.KindGramCensus,
       params = Map("k" -> k.toString, "buckets" -> buckets.toString)
         ++ extraParams,
-      counts = Map("n_docs" -> docs,
-        "n_grams" -> spark.read.parquet(s"$dir/stats").head()
-          .getAs[Long]("n_grams")))
+      counts = Map("n_docs" -> docs, "n_grams" -> nGrams))
   }
 
   /** Fold a new batch into a [[stageGramCensus]] index WITHOUT

@@ -1,0 +1,62 @@
+package graft.tools
+
+import graft.{GraftSession, SparkEntry}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+
+import java.util.concurrent.ConcurrentHashMap
+
+/** Where does a fixture's wall-clock actually go? Runs one declared
+  * query and splits its wall time into JOB-BUSY (the union of Spark job
+  * intervals — executor work plus per-job scheduling) and GAP (no job
+  * running: driver-side logic, streaming trigger waits, checkpoint
+  * fsync, stream start/stop latency). The split is what tells a
+  * streaming-fixture optimization where to aim: a gap-dominated query
+  * needs fewer/faster lifecycle cycles, a busy-dominated one needs a
+  * cheaper plan. Builder-side tooling — not part of the driver contract.
+  *
+  * Usage: runMain graft.tools.StreamProfile <query>[,<query>...] [sfDir]
+  */
+object StreamProfile {
+  def main(args: Array[String]): Unit = {
+    val names = args.headOption.map(_.split(",").toSeq)
+      .getOrElse(Seq("q_st2_catchup"))
+    val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.create("local[32]")
+    val starts = new ConcurrentHashMap[Int, Long]()
+    val intervals = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(Long, Long)]())
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        starts.put(js.jobId, System.nanoTime()): Unit
+      override def onJobEnd(je: SparkListenerJobEnd): Unit = {
+        val s = starts.remove(je.jobId)
+        if (s != 0L) intervals.add((s, System.nanoTime())): Unit
+      }
+    })
+    for (name <- names) {
+      intervals.clear()
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(name)(spark, dir).count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      // listener events are async; give the bus a beat to drain
+      Thread.sleep(300)
+      val ivs = {
+        import scala.jdk.CollectionConverters._
+        intervals.asScala.toSeq.sortBy(_._1)
+      }
+      val busy = { // union of job intervals clipped to the query window
+        var cover = 0L; var hi = Long.MinValue
+        for ((s, e) <- ivs) {
+          if (s > hi) { cover += e - s; hi = e }
+          else if (e > hi) { cover += e - hi; hi = e }
+        }
+        cover / 1e9
+      }
+      val jobSum = ivs.map { case (s, e) => e - s }.sum / 1e9
+      println(f"$name%-22s rows=$n%-7d wall=$wall%6.2f s  " +
+        f"jobs=${ivs.size}%3d  busy=$busy%6.2f s  gap=${wall - busy}%6.2f s  " +
+        f"jobsum=$jobSum%6.2f s")
+    }
+    spark.stop()
+  }
+}
