@@ -1398,8 +1398,12 @@ object SparkEntry {
         .select(col("doc_id"), col("text"))
       val src = scratchDir("pincr")
       val idx = s"$src/refidx"
+      // xxh64 = the production census hash; -curate derives it from the
+      // index's manifest, and the oracle pins spans by gram equality
+      // (see q_substr_new)
       text.Substrings.stageGramCensus(base.filter(col("doc_id") % 3 === 0),
-        "doc_id", col("text"), k = 40, dir = idx, buckets = 64)
+        "doc_id", col("text"), k = 40, dir = idx, buckets = 64,
+        hash = text.Substrings.HashXxh64)
       // %21==0 implies %3==0: every planted row slices a REFERENCE doc,
       // so index hits are guaranteed on top of the natural cross-third dups
       base.filter(col("doc_id") % 3 === 1)
@@ -1521,18 +1525,23 @@ object SparkEntry {
         .repartition(1).write.mode("append").parquet(s"$feed/in")
       base.filter(col("doc_id") % 3 === 2 && col("doc_id") % 2 === 1)
         .repartition(1).write.mode("append").parquet(s"$feed/in")
+      // open the index ONCE; each micro-batch appends through the
+      // handle (the continuous-ingest discipline — no per-batch
+      // manifest/stats reads)
+      val censusIdx = text.Substrings.openIndex(s, idx)
       val drain = s.readStream.schema(base.schema)
         .option("maxFilesPerTrigger", 1).parquet(s"$feed/in")
         .writeStream
         .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-          text.Substrings.appendGramCensus(b, "doc_id", col("text"), idx)
+          text.Substrings.appendToIndex(b, "doc_id", col("text"),
+            censusIdx, maxChars = 0)
         }
         .option("checkpointLocation", s"$feed/ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       drain.awaitTermination()
       text.Substrings.newDupSpans(base.filter(col("doc_id") % 3 === 1),
-          "doc_id", col("text"), idx)
+          "doc_id", col("text"), censusIdx, maxChars = 0, selfDups = true)
         .orderBy("doc_id", "span_start")
     }),
 
@@ -1574,8 +1583,15 @@ object SparkEntry {
     "q_substr_new" -> ((s, dir) => {
       val base = load(s, dir, "documents").filter(col("text").isNotNull)
       val idx = scratchDir("gramidx")
+      // xxh64 = the production census hash (4× smaller keys, ~2× faster
+      // stage+probe — tools/CensusSweep); oracle-neutral: spans are
+      // pinned by gram equality (the oracle's md5 is its own key on
+      // both of its sides), the Spark census key never reaches the
+      // output. md5-mode staged coverage lives in SubstringsSpec's
+      // xxh64 ≡ md5 span pin.
       text.Substrings.stageGramCensus(base.filter(col("doc_id") % 3 =!= 1),
-        "doc_id", col("text"), k = 40, dir = idx, buckets = 64)
+        "doc_id", col("text"), k = 40, dir = idx, buckets = 64,
+        hash = text.Substrings.HashXxh64)
       val batch = base.filter(col("doc_id") % 3 === 1)
         .select(col("doc_id"), col("text"))
         .unionByName(base

@@ -640,9 +640,14 @@ object Similarity {
     val pb = PqBook(pqCodebook(corpus, idCol, embCol, m, ksub))
     val spark = corpus.sparkSession
     import spark.implicits._
+    // n_vectors rides an Observation on the codes write itself — the
+    // alternative (re-counting the written codes) is a second full pass
+    // over the corpus-sized codes layout per stage
+    val obs = org.apache.spark.sql.Observation()
     corpus.select(col(idCol).as("id"), quantize(col(embCol)).as("__ce"))
       .select(col("id"), pb.codes(col("__ce")).as("code"),
         ivfAssign(col("__ce"), cents).as("list"))
+      .observe(obs, count(lit(1)).as("n_vectors"))
       // one file per IVF list instead of tasks×lists tiny files
       .repartition(col("list"))
       .write.mode("overwrite").partitionBy("list").parquet(s"$dir/codes")
@@ -656,7 +661,7 @@ object Similarity {
       graft.util.IndexManifest.KindIvfPq,
       params = Map("centroids" -> cents.size.toString,
         "m" -> m.toString, "ksub" -> ksub.toString),
-      counts = Map("n_vectors" -> spark.read.parquet(s"$dir/codes").count()))
+      counts = Map("n_vectors" -> obs.get("n_vectors").asInstanceOf[Long]))
   }
 
   /** The frozen index metadata of a [[stageIvfPq]] dir. */

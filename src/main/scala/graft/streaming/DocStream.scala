@@ -143,9 +143,22 @@ object DocStream {
       langs: Seq[String] = Seq("en"), salt: String = "42",
       weights: Seq[(String, Double)] =
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
-      lineGate: Option[Int] = None): DataFrame = {
+      lineGate: Option[Int] = None): DataFrame =
+    curateBatchAgainstIndex(batch, idCol, textName,
+      graft.text.Substrings.openIndex(batch.sparkSession, indexDir),
+      minQuality, langs, salt, weights, lineGate)
+
+  /** [[curateBatchAgainstIndex]] through an OPEN census handle — the
+    * per-micro-batch shape: the stream opens the index once
+    * ([[curateStreamAgainstIndex]]) and every batch cuts through the
+    * handle, paying zero per-batch manifest or stats reads. */
+  def curateBatchAgainstIndex(batch: DataFrame, idCol: String,
+      textName: String, idx: graft.text.Substrings.CensusIndex,
+      minQuality: Int, langs: Seq[String], salt: String,
+      weights: Seq[(String, Double)],
+      lineGate: Option[Int]): DataFrame = {
     val cleaned = graft.text.Substrings.cleanedAgainstIndex(batch, idCol,
-      col(textName), indexDir, selfDups = false)
+      col(textName), idx, maxChars = 0, selfDups = false)
     val cut = batch
       .join(cleaned.select(col(idCol), col("text_clean")), Seq(idCol))
       .drop(textName).withColumnRenamed("text_clean", textName)
@@ -189,6 +202,12 @@ object DocStream {
         org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val deduped = dedupExactStream(docs, col(textName), timeCol, watermark)
+    // open the frozen index ONCE, before the first micro-batch: the
+    // probe contract (k/buckets/mode/hash) is immutable for the index's
+    // lifetime, so per-batch manifest reads + stats lookups would be
+    // pure trigger-cadence overhead at ingest rates of thousands of
+    // micro-batches
+    val idx = graft.text.Substrings.openIndex(docs.sparkSession, indexDir)
     deduped.writeStream
       .foreachBatch { (b: DataFrame, _: Long) =>
         // a micro-batch frame RE-EXECUTES its plan — including the
@@ -198,11 +217,11 @@ object DocStream {
         val bb = b.persist()
         try {
           val curated = curateBatchAgainstIndex(bb, idCol, textName,
-            indexDir, minQuality, langs, salt, weights, lineGate)
+            idx, minQuality, langs, salt, weights, lineGate)
           curated.write.mode("append").parquet(outPath)
           if (appendAfterCut)
             graft.text.Substrings.appendToIndex(bb, idCol, col(textName),
-              indexDir)
+              idx, maxChars = 0)
         } finally { bb.unpersist(false); () }
       }
       .option("checkpointLocation", checkpointDir)

@@ -188,7 +188,10 @@ object Retrieval {
     val spark = corpus.sparkSession
     val tf = spark.read.parquet(s"$dir/postings")
     val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
-    dl.write.mode("overwrite").parquet(s"$dir/dl")
+    // n_docs rides an Observation on the dl write — no stats re-read
+    val obs = org.apache.spark.sql.Observation()
+    dl.observe(obs, count(lit(1)).as("n_docs"))
+      .write.mode("overwrite").parquet(s"$dir/dl")
     tf.groupBy("term").agg(count(lit(1)).as("df"))
       .withColumn("bkt", pmod(xxhash64(col("term")), lit(buckets.toLong)))
       .repartition(col("bkt"))
@@ -197,10 +200,9 @@ object Retrieval {
         (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"),
         lit(buckets.toLong).as("buckets"))
       .write.mode("overwrite").parquet(s"$dir/stats")
-    val nDocs = spark.read.parquet(s"$dir/stats").head().getAs[Long]("__n")
     graft.util.IndexManifest.write(spark, dir, graft.util.IndexManifest.KindBm25,
       params = Map("buckets" -> buckets.toString, "id_col" -> idCol),
-      counts = Map("n_docs" -> nDocs))
+      counts = Map("n_docs" -> obs.get("n_docs").asInstanceOf[Long]))
   }
 
   /** Query a [[stageBm25]] index. The query vocabulary's bucket set
@@ -213,7 +215,7 @@ object Retrieval {
       queries: DataFrame, queryIdCol: String, queryText: Column,
       k: Int = 5, salts: Int = TopKSalts): DataFrame = {
     require(k > 0, "k must be positive")
-    graft.util.IndexManifest.validate(spark, dir,
+    val mf = graft.util.IndexManifest.validate(spark, dir,
       graft.util.IndexManifest.KindBm25)
     val qterms = queries.select(col(queryIdCol),
         explode(TextFunctions.whitespaceTokens(lower(queryText))).as("term"))
@@ -221,7 +223,10 @@ object Retrieval {
     val postings = spark.read.parquet(s"$dir/postings")
     val idCol = postings.columns.filterNot(Set("term", "tf", "bkt")).head
     val st = spark.read.parquet(s"$dir/stats")
-    val buckets = st.head().getAs[Long]("buckets")
+    // the bucketing contract lives in the manifest — no driver-side
+    // stats action per query batch (stats stays in the plan for the
+    // distributed (__n, avgdl) row bm25Score broadcasts)
+    val buckets = mf.paramInt("buckets").toLong
     val qb = qterms
       .select(pmod(xxhash64(col("term")), lit(buckets)).as("bkt"))
       .distinct().collect().map(_.getLong(0))

@@ -175,6 +175,39 @@ object Substrings {
     cleanedFrom(spanJoined(df, idCol, text,
       anchorSpans(df, idCol, text, k, guarantee, maxChars), maxChars))
 
+  /** A staged census RESOLVED: the probe/append contract (discipline,
+    * gram width, bucketing, hash, guarantee) read out of the manifest
+    * ONCE. Every probe/append entry point takes either a directory (it
+    * opens the index per call — fine for one-shot batch jobs) or this
+    * handle via [[openIndex]] — the shape a continuous-ingest service
+    * uses: the stream opens the index before the first micro-batch and
+    * every batch probes through the handle, paying zero per-batch
+    * manifest reads or stats lookups
+    * ([[graft.streaming.DocStream.curateStreamAgainstIndex]]). */
+  final case class CensusIndex private[text] (dir: String, mode: String,
+      k: Int, buckets: Long, hash: String, guarantee: Int) {
+    private[text] def requireMode(expect: String): CensusIndex = {
+      require(mode == expect,
+        s"$dir is a '$mode' census; this operation requires '$expect' — " +
+          "exact and anchored disciplines never mix")
+      this
+    }
+  }
+
+  /** Open a staged census: one manifest read, no Spark job — `k`,
+    * `buckets`, `mode`, `hash`, `guarantee` are all manifest params
+    * (the stats frame duplicates the geometry for distributed readers
+    * but the contract lives in the manifest). */
+  def openIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): CensusIndex = {
+    val mf = graft.util.IndexManifest.validate(spark, dir,
+      graft.util.IndexManifest.KindGramCensus)
+    val mode = censusMode(mf)
+    CensusIndex(dir, mode, mf.paramInt("k"), mf.paramInt("buckets").toLong,
+      censusHash(mf),
+      if (mode == "anchored") mf.paramInt("guarantee") else 0)
+  }
+
   /** The cut step against a FROZEN staged census — incremental
     * curation: the batch's duplicated spans come from [[probeIndex]]
     * (the discipline the index itself declares), so a batch is cleaned
@@ -196,36 +229,54 @@ object Substrings {
     * gate). */
   def cleanedAgainstIndex(df: DataFrame, idCol: String, text: Column,
       dir: String, maxChars: Int = 0, selfDups: Boolean = true): DataFrame =
+    cleanedAgainstIndex(df, idCol, text,
+      openIndex(df.sparkSession, dir), maxChars, selfDups)
+
+  /** [[cleanedAgainstIndex]] through an open handle (per-micro-batch
+    * callers). */
+  def cleanedAgainstIndex(df: DataFrame, idCol: String, text: Column,
+      idx: CensusIndex, maxChars: Int, selfDups: Boolean): DataFrame =
     cleanedFrom(spanJoined(df, idCol, text,
-      probeIndex(df, idCol, text, dir, maxChars, selfDups), maxChars))
+      probeIndex(df, idCol, text, idx, maxChars, selfDups), maxChars))
 
   /** Probe a staged census with the discipline the INDEX declares —
     * the one mode-dispatch point ([[newDupSpans]] for exact,
     * [[newAnchorSpans]] for anchored). `selfDups = false` restricts
     * spans to reference collisions only (see [[cleanedAgainstIndex]]). */
   def probeIndex(batch: DataFrame, idCol: String, text: Column,
-      dir: String, maxChars: Int = 0, selfDups: Boolean = true): DataFrame = {
-    val mf = graft.util.IndexManifest.validate(batch.sparkSession, dir,
-      graft.util.IndexManifest.KindGramCensus)
-    censusMode(mf) match {
-      case "anchored" => newAnchorSpans(batch, idCol, text, dir, maxChars, selfDups)
-      case _ => newDupSpans(batch, idCol, text, dir, maxChars, selfDups)
+      dir: String, maxChars: Int = 0, selfDups: Boolean = true): DataFrame =
+    probeIndex(batch, idCol, text,
+      openIndex(batch.sparkSession, dir), maxChars, selfDups)
+
+  /** [[probeIndex]] through an open handle (per-micro-batch callers). */
+  def probeIndex(batch: DataFrame, idCol: String, text: Column,
+      idx: CensusIndex, maxChars: Int, selfDups: Boolean): DataFrame =
+    idx.mode match {
+      case "anchored" => newAnchorSpans(batch, idCol, text, idx, maxChars, selfDups)
+      case _ => newDupSpans(batch, idCol, text, idx, maxChars, selfDups)
     }
-  }
 
   /** Append a batch with the discipline the INDEX declares — the
     * ingest twin of [[probeIndex]]'s one mode-dispatch point
     * ([[appendGramCensus]] for exact, [[appendAnchorCensus]] for
     * anchored). */
   def appendToIndex(batch: DataFrame, idCol: String, text: Column,
-      dir: String, maxChars: Int = 0): Unit = {
-    val mf = graft.util.IndexManifest.validate(batch.sparkSession, dir,
-      graft.util.IndexManifest.KindGramCensus)
-    censusMode(mf) match {
-      case "anchored" => appendAnchorCensus(batch, idCol, text, dir, maxChars)
-      case _ => appendGramCensus(batch, idCol, text, dir, maxChars)
+      dir: String, maxChars: Int = 0): Unit =
+    appendToIndex(batch, idCol, text,
+      openIndex(batch.sparkSession, dir), maxChars)
+
+  /** [[appendToIndex]] through an open handle (per-micro-batch
+    * callers). */
+  def appendToIndex(batch: DataFrame, idCol: String, text: Column,
+      idx: CensusIndex, maxChars: Int): Unit =
+    idx.mode match {
+      case "anchored" =>
+        appendCensusRows(winnowRows(batch, idCol, text, idx.k,
+          idx.guarantee, maxChars), idx.dir, idx.buckets)
+      case _ =>
+        appendCensusRows(gramRows(batch, idCol, text, idx.k, maxChars,
+          idx.hash), idx.dir, idx.buckets)
     }
-  }
 
   /** The census discipline an index declares. Absent `mode` (an index
     * staged before the anchored variant existed) reads as exact —
@@ -237,17 +288,6 @@ object Substrings {
     * index) reads as md5 — the only mode that existed then. */
   def censusHash(mf: graft.util.IndexManifest): String =
     mf.params.getOrElse("hash", HashMd5)
-
-  private def validateCensus(spark: org.apache.spark.sql.SparkSession,
-      dir: String, expectMode: String): graft.util.IndexManifest = {
-    val mf = graft.util.IndexManifest.validate(spark, dir,
-      graft.util.IndexManifest.KindGramCensus)
-    val m = censusMode(mf)
-    require(m == expectMode,
-      s"$dir is a '$m' census; this operation requires '$expectMode' — " +
-        "exact and anchored disciplines never mix")
-    mf
-  }
 
   private def cleanedFrom(agged: DataFrame): DataFrame = {
     val idCol = agged.columns.head
@@ -454,13 +494,10 @@ object Substrings {
     * n_grams/n_docs counters describe the last full stage. */
   def appendGramCensus(batch: DataFrame, idCol: String, text: Column,
       dir: String, maxChars: Int = 0): Unit = {
-    val spark = batch.sparkSession
-    val mf = validateCensus(spark, dir, "exact")
-    val st = spark.read.parquet(s"$dir/stats").head()
-    val k = st.getAs[Int]("k")
-    val buckets = st.getAs[Long]("buckets")
+    val idx = openIndex(batch.sparkSession, dir).requireMode("exact")
     appendCensusRows(
-      gramRows(batch, idCol, text, k, maxChars, censusHash(mf)), dir, buckets)
+      gramRows(batch, idCol, text, idx.k, maxChars, idx.hash),
+      idx.dir, idx.buckets)
   }
 
   /** [[appendGramCensus]] for an ANCHORED index: the batch contributes
@@ -468,14 +505,10 @@ object Substrings {
     * contract. Same append-≡-restage property (readers sum `n`). */
   def appendAnchorCensus(batch: DataFrame, idCol: String, text: Column,
       dir: String, maxChars: Int = 0): Unit = {
-    val spark = batch.sparkSession
-    val mf = validateCensus(spark, dir, "anchored")
-    val st = spark.read.parquet(s"$dir/stats").head()
-    val k = st.getAs[Int]("k")
-    val buckets = st.getAs[Long]("buckets")
+    val idx = openIndex(batch.sparkSession, dir).requireMode("anchored")
     appendCensusRows(
-      winnowRows(batch, idCol, text, k, mf.paramInt("guarantee"), maxChars),
-      dir, buckets)
+      winnowRows(batch, idCol, text, idx.k, idx.guarantee, maxChars),
+      idx.dir, idx.buckets)
   }
 
   private def appendCensusRows(rows: DataFrame, dir: String,
@@ -494,14 +527,16 @@ object Substrings {
     * nothing reference-corpus-sized shuffles: probe cost scales with
     * the BATCH. Output matches [[dupSpans]]' span frame. */
   def newDupSpans(batch: DataFrame, idCol: String, text: Column,
-      dir: String, maxChars: Int = 0, selfDups: Boolean = true): DataFrame = {
-    val spark = batch.sparkSession
-    val mf = validateCensus(spark, dir, "exact")
-    val st = spark.read.parquet(s"$dir/stats").head()
-    val k = st.getAs[Int]("k")
-    val buckets = st.getAs[Long]("buckets")
-    probeSpans(gramRows(batch, idCol, text, k, maxChars, censusHash(mf)),
-      idCol, k, dir, buckets, selfDups)
+      dir: String, maxChars: Int = 0, selfDups: Boolean = true): DataFrame =
+    newDupSpans(batch, idCol, text,
+      openIndex(batch.sparkSession, dir), maxChars, selfDups)
+
+  /** [[newDupSpans]] through an open handle (per-micro-batch callers). */
+  def newDupSpans(batch: DataFrame, idCol: String, text: Column,
+      idx: CensusIndex, maxChars: Int, selfDups: Boolean): DataFrame = {
+    idx.requireMode("exact")
+    probeSpans(gramRows(batch, idCol, text, idx.k, maxChars, idx.hash),
+      idCol, idx.k, idx.dir, idx.buckets, selfDups)
   }
 
   /** [[newDupSpans]] against an ANCHORED index ([[stageAnchorCensus]]):
@@ -513,15 +548,18 @@ object Substrings {
     * batch-proportional at ~2/(G+1) of the exact probe's rows — the
     * incremental shape a 100 TB curation service actually runs. */
   def newAnchorSpans(batch: DataFrame, idCol: String, text: Column,
-      dir: String, maxChars: Int = 0, selfDups: Boolean = true): DataFrame = {
-    val spark = batch.sparkSession
-    val mf = validateCensus(spark, dir, "anchored")
-    val st = spark.read.parquet(s"$dir/stats").head()
-    val k = st.getAs[Int]("k")
-    val buckets = st.getAs[Long]("buckets")
+      dir: String, maxChars: Int = 0, selfDups: Boolean = true): DataFrame =
+    newAnchorSpans(batch, idCol, text,
+      openIndex(batch.sparkSession, dir), maxChars, selfDups)
+
+  /** [[newAnchorSpans]] through an open handle (per-micro-batch
+    * callers). */
+  def newAnchorSpans(batch: DataFrame, idCol: String, text: Column,
+      idx: CensusIndex, maxChars: Int, selfDups: Boolean): DataFrame = {
+    idx.requireMode("anchored")
     probeSpans(
-      winnowRows(batch, idCol, text, k, mf.paramInt("guarantee"), maxChars),
-      idCol, k, dir, buckets, selfDups)
+      winnowRows(batch, idCol, text, idx.k, idx.guarantee, maxChars),
+      idCol, idx.k, idx.dir, idx.buckets, selfDups)
   }
 
   /** The shared probe: rows (idCol, p, h) of the batch vs a staged

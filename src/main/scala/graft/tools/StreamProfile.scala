@@ -5,6 +5,8 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkList
 
 import java.util.concurrent.ConcurrentHashMap
 
+private final case class JobSpan(id: Int, start: Long, end: Long, site: String)
+
 /** Where does a fixture's wall-clock actually go? Runs one declared
   * query and splits its wall time into JOB-BUSY (the union of Spark job
   * intervals — executor work plus per-job scheduling) and GAP (no job
@@ -22,15 +24,19 @@ object StreamProfile {
       .getOrElse(Seq("q_st2_catchup"))
     val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val spark = GraftSession.create("local[32]")
-    val starts = new ConcurrentHashMap[Int, Long]()
+    val starts = new ConcurrentHashMap[Int, (Long, String)]()
     val intervals = java.util.Collections.synchronizedList(
-      new java.util.ArrayList[(Long, Long)]())
+      new java.util.ArrayList[JobSpan]())
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(js: SparkListenerJobStart): Unit =
-        starts.put(js.jobId, System.nanoTime()): Unit
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val site = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+        starts.put(js.jobId, (System.nanoTime(), site)): Unit
+      }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
         val s = starts.remove(je.jobId)
-        if (s != 0L) intervals.add((s, System.nanoTime())): Unit
+        if (s != null)
+          intervals.add(JobSpan(je.jobId, s._1, System.nanoTime(), s._2)): Unit
       }
     })
     for (name <- names) {
@@ -42,20 +48,30 @@ object StreamProfile {
       Thread.sleep(300)
       val ivs = {
         import scala.jdk.CollectionConverters._
-        intervals.asScala.toSeq.sortBy(_._1)
+        intervals.asScala.toSeq.sortBy(_.start)
       }
       val busy = { // union of job intervals clipped to the query window
         var cover = 0L; var hi = Long.MinValue
-        for ((s, e) <- ivs) {
-          if (s > hi) { cover += e - s; hi = e }
-          else if (e > hi) { cover += e - hi; hi = e }
+        for (j <- ivs) {
+          if (j.start > hi) { cover += j.end - j.start; hi = j.end }
+          else if (j.end > hi) { cover += j.end - hi; hi = j.end }
         }
         cover / 1e9
       }
-      val jobSum = ivs.map { case (s, e) => e - s }.sum / 1e9
+      val jobSum = ivs.map(j => j.end - j.start).sum / 1e9
       println(f"$name%-22s rows=$n%-7d wall=$wall%6.2f s  " +
         f"jobs=${ivs.size}%3d  busy=$busy%6.2f s  gap=${wall - busy}%6.2f s  " +
         f"jobsum=$jobSum%6.2f s")
+      for (j <- ivs.sortBy(j => j.start - j.end).take(8))
+        println(f"    job ${j.id}%4d  ${(j.end - j.start) / 1e9}%6.2f s  " +
+          f"@+${(j.start - t0) / 1e9}%6.2f  ${j.site}")
+      // largest no-job windows: (after job X site) →gap→ (before job Y site)
+      val gaps = ivs.sliding(2).collect {
+        case Seq(a, b) if b.start > a.end => (b.start - a.end, a, b)
+      }.toSeq.sortBy(-_._1).take(6)
+      for ((g, a, b) <- gaps)
+        println(f"    gap ${g / 1e9}%6.2f s  @+${(a.end - t0) / 1e9}%6.2f  " +
+          f"after[${a.site}] before[${b.site}]")
     }
     spark.stop()
   }

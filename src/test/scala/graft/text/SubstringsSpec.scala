@@ -232,6 +232,38 @@ class SubstringsSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("openIndex: handle carries the manifest contract; handle probe == dir probe") {
+    val base = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter($"text".isNotNull).limit(120)
+    val ref = base.filter($"doc_id" % 3 =!= 1)
+    val batch = base.filter($"doc_id" % 3 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("gramidx_h").toString
+    Substrings.stageGramCensus(ref, "doc_id", col("text"), k = 30, dir = dir,
+      buckets = 16, hash = Substrings.HashXxh64)
+    val idx = Substrings.openIndex(spark, dir)
+    // the handle is the resolved manifest: geometry + discipline + hash
+    assert(idx.k == 30 && idx.buckets == 16L &&
+      idx.mode == "exact" && idx.hash == Substrings.HashXxh64)
+    // probing through the handle == probing through the directory (the
+    // dir entry just opens the handle), and the cut surface agrees too
+    val viaDir = Substrings.newDupSpans(batch, "doc_id", col("text"), dir)
+    val viaIdx = Substrings.newDupSpans(batch, "doc_id", col("text"), idx,
+      maxChars = 0, selfDups = true)
+    assert(viaDir.exceptAll(viaIdx).isEmpty && viaIdx.exceptAll(viaDir).isEmpty)
+    // a handle refuses the wrong discipline exactly like the dir entry
+    intercept[IllegalArgumentException] {
+      Substrings.newAnchorSpans(batch, "doc_id", col("text"), idx,
+        maxChars = 0, selfDups = true)
+    }
+    // an anchored handle resolves its guarantee
+    val dirA = java.nio.file.Files.createTempDirectory("anchidx_h").toString
+    Substrings.stageAnchorCensus(ref, "doc_id", col("text"), k = 30,
+      guarantee = 50, dir = dirA, buckets = 16)
+    val idxA = Substrings.openIndex(spark, dirA)
+    assert(idxA.mode == "anchored" && idxA.guarantee == 50 &&
+      idxA.hash == Substrings.HashMd5)
+  }
+
   test("gramRows xxh64 native expression == declarative xxhash64 twin") {
     // includes non-ASCII rows so both the byte-slice fast path and the
     // codepoint-substring slow path are exercised
