@@ -531,7 +531,12 @@ object Main {
     * manifest (util/IndexManifest: kind, version, build params,
     * counts), validating it parses and is a supported version; works
     * on BM25 / gram-census / IVF-PQ layouts alike, and `describe`
-    * needs only `"index"` in the config.
+    * needs only `"index"` in the config. `"action": "compact"` (also
+    * index-dir-only, kind-dispatched on the manifest) consolidates the
+    * one-file-per-append layout back to one file per partition and
+    * refreshes the manifest count appends leave stale — probe results
+    * unchanged by construction; refused for kinds with no append
+    * surface (BM25).
     * Config: `{"source": <catalog root>, "namespace": "db.coll",
     * "index": <index dir>, "action": "build"|"append"|"query"|"describe"}` with
     * `"id"`/`"embedding"` column names (defaults `vec_id`/`embedding`);
@@ -563,6 +568,23 @@ object Main {
       // kind-agnostic: any staged index carries the shared manifest
       val mf = graft.util.IndexManifest.read(spark, idx)
       println(s"$idx: ${graft.util.IndexManifest.describe(mf)}")
+      return 0
+    }
+    if (action == "compact") {
+      // kind-dispatched on the MANIFEST (like describe, needs only the
+      // index dir): consolidate append-accumulated files back to one
+      // per partition, refresh the manifest count the appends left
+      // stale. Probe/query results are unchanged by construction.
+      val mf = graft.util.IndexManifest.read(spark, idx)
+      mf.kind match {
+        case graft.util.IndexManifest.KindGramCensus =>
+          text.Substrings.compactCensus(spark, idx)
+        case graft.util.IndexManifest.KindIvfPq =>
+          ml.Similarity.compactIvfPq(spark, idx)
+        case other => throw new IllegalArgumentException(
+          s"index kind '$other' has no append surface to compact")
+      }
+      println(s"compacted $idx")
       return 0
     }
     val dir = req("source"); val ns = req("namespace")
@@ -638,7 +660,7 @@ object Main {
             .orderBy(id, "span_start"))
         case other =>
           throw new IllegalArgumentException(
-            s"unknown index action '$other' (build|append|query|describe)")
+            s"unknown index action '$other' (build|append|query|compact|describe)")
       }
       return 0
     }
@@ -661,7 +683,7 @@ object Main {
         outOrShow(result)
       case other =>
         throw new IllegalArgumentException(
-          s"unknown index action '$other' (build|append|query|describe)")
+          s"unknown index action '$other' (build|append|query|compact|describe)")
     }
     0
   }

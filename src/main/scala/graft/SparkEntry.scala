@@ -1540,6 +1540,11 @@ object SparkEntry {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       drain.awaitTermination()
+      // compact after the streamed appends: one file per bucket again,
+      // refreshed manifest count — probe-invisible by construction, so
+      // the oracle (which recomputes spans from the raw corpus) pins
+      // the whole stage → streamed-append → compact → probe lifecycle
+      text.Substrings.compactCensus(s, idx)
       text.Substrings.newDupSpans(base.filter(col("doc_id") % 3 === 1),
           "doc_id", col("text"), censusIdx, maxChars = 0, selfDups = true)
         .orderBy("doc_id", "span_start")

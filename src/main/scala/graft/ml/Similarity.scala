@@ -697,6 +697,33 @@ object Similarity {
       .write.mode("append").partitionBy("list").parquet(s"$dir/codes")
   }
 
+  /** COMPACT a staged IVF-PQ index: rewrite each IVF list's codes as
+    * ONE file. [[appendIvfPq]] adds one file per touched list per
+    * append (batch-proportional, existing codes untouched — the right
+    * ingest shape), but after many appends a probe's pruned scan lists
+    * append-many files per probed partition. Codes rows are immutable
+    * per-vector facts, so compaction is a pure file consolidation —
+    * QUERY-INVISIBLE, the manifest stays valid throughout; its
+    * `n_vectors` count refreshes to the true row count (appends leave
+    * it at the last full stage by design). Crash-safe layout swap via
+    * [[graft.util.DirSwap]]; single writer per index. */
+  def compactIvfPq(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val mf = graft.util.IndexManifest.validate(spark, dir,
+      graft.util.IndexManifest.KindIvfPq)
+    val obs = org.apache.spark.sql.Observation()
+    graft.util.DirSwap.replace(spark, dir, "codes") { tmp =>
+      spark.read.parquet(s"$dir/codes")
+        .observe(obs, count(lit(1)).as("n_vectors"))
+        .select(col("id"), col("code"), col("list")) // layout column order
+        .repartition(col("list")) // one file per list
+        .write.mode("overwrite").partitionBy("list").parquet(tmp)
+    }
+    graft.util.IndexManifest.write(spark, dir,
+      graft.util.IndexManifest.KindIvfPq, params = mf.params,
+      counts = Map("n_vectors" -> obs.get("n_vectors").asInstanceOf[Long]))
+  }
+
   /** Query a [[stageIvfPq]] index. The probe set (≤ queries × nprobe
     * list ids — tiny) is collected so the codes scan prunes
     * STATICALLY: the parquet reader lists only the probed partitions

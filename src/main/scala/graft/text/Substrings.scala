@@ -518,6 +518,47 @@ object Substrings {
       .repartition(col("bkt")) // one file per touched bucket per append
       .write.mode("append").partitionBy("bkt").parquet(s"$dir/census")
 
+  /** COMPACT a staged census: re-sum the per-hash counts and rewrite
+    * each bucket as ONE file. The append discipline adds one file per
+    * touched bucket per append — operationally right (batch-
+    * proportional writes, existing files untouched), but after 10⁴
+    * appends every probe lists 10⁴ files per scanned bucket and the
+    * per-hash rows it must sum grow with append count, not vocabulary.
+    * Compaction is the maintenance verb that restores stage-fresh
+    * probe cost; it is PROBE-INVISIBLE by construction (readers sum
+    * `n` per hash, and sum is associative), so the manifest stays
+    * valid throughout — only its `n_grams` count (and the stats
+    * frame) refresh to the distinct-hash count, which appends leave
+    * stale by design. Mode-agnostic: exact and anchored censuses share
+    * the (h, n, bkt) layout. The layout swap is crash-safe
+    * ([[graft.util.DirSwap]] — re-run to recover); single writer per
+    * index, as with stage/append. */
+  def compactCensus(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val mf = graft.util.IndexManifest.validate(spark, dir,
+      graft.util.IndexManifest.KindGramCensus)
+    val idx = openIndex(spark, dir)
+    val obs = org.apache.spark.sql.Observation()
+    graft.util.DirSwap.replace(spark, dir, "census") { tmp =>
+      spark.read.parquet(s"$dir/census")
+        .groupBy(col("bkt"), col("h")).agg(sum(col("n")).as("n"))
+        .observe(obs, count(lit(1)).as("n_grams"))
+        .select(col("h"), col("n"), col("bkt")) // layout column order
+        .repartition(col("bkt")) // one file per bucket
+        .write.mode("overwrite").partitionBy("bkt").parquet(tmp)
+    }
+    val nGrams = obs.get("n_grams").asInstanceOf[Long]
+    val nDocs = mf.counts.getOrElse("n_docs", 0L)
+    import spark.implicits._
+    Seq((idx.k, idx.buckets, nGrams, nDocs))
+      .toDF("k", "buckets", "n_grams", "n_docs")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/stats")
+    graft.util.IndexManifest.write(spark, dir,
+      graft.util.IndexManifest.KindGramCensus,
+      params = mf.params, counts = Map("n_docs" -> nDocs, "n_grams" -> nGrams))
+  }
+
   /** Duplicated spans of an incoming BATCH against a frozen
     * [[stageGramCensus]] reference: a batch char is duplicated iff its
     * gram occurs in the reference index OR more than once within the

@@ -157,6 +157,24 @@ class MainSpec extends SparkSpec {
       s"""{"source":"$root","namespace":"db.ref1","index":"$idx",
          |"kind":"census","action":"build","k":40,"guarantee":80}""".stripMargin)
     intercept[IllegalArgumentException] { Main.run(Seq("-index", badBuild), sess) }
+    // compact (index-dir-only, kind off the manifest): probe unchanged
+    val compact = writeCfg(tmp("graft-cli-censcfg7"),
+      s"""{"index":"$idx","action":"compact"}""")
+    assert(Main.run(Seq("-index", compact), sess) == 0)
+    val cli2 = spark.read.parquet(out) // stale out: re-probe and compare
+    val api2 = graft.text.Substrings.newDupSpans(
+      cat.read("db.batch"), "doc_id", col("text"), idx)
+    assert(api2.exceptAll(cli2).isEmpty && cli2.exceptAll(api2).isEmpty)
+    // a kind with no append surface refuses compaction loudly
+    val bm = tmp("graft-cli-bm25") + "/ix"
+    graft.text.Retrieval.stageBm25(cat.read("db.ref1"), "doc_id",
+      col("text"), bm, buckets = 8)
+    val badCompact = writeCfg(tmp("graft-cli-censcfg8"),
+      s"""{"index":"$bm","action":"compact"}""")
+    val e3 = intercept[IllegalArgumentException] {
+      Main.run(Seq("-index", badCompact), sess)
+    }
+    assert(e3.getMessage.contains("no append surface"))
   }
 
   test("-sql runs ad-hoc statements over catalog views with graft functions") {

@@ -151,6 +151,41 @@ class PqSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("compactIvfPq: one file per list, query-identical, count refreshed") {
+    val corpus = emb.filter(col("vec_id") < 100)
+    val queries = corpus.filter(col("vec_id") < 3)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id", "adist")
+        .as[(Long, Int, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("pqcpt").toString
+    Similarity.stageIvfPq(corpus.filter(col("vec_id") < 40), "vec_id",
+      "embedding", numCentroids = 8, m = 4, ksub = 8, dir = dir)
+    Similarity.appendIvfPq(
+      corpus.filter(col("vec_id") >= 40 && col("vec_id") < 70),
+      "vec_id", "embedding", dir = dir)
+    Similarity.appendIvfPq(corpus.filter(col("vec_id") >= 70), "vec_id",
+      "embedding", dir = dir)
+    def filesPerList(): Map[String, Int] = {
+      val root = new java.io.File(s"$dir/codes")
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("list="))
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    }
+    val before = norm(Similarity.stagedIvfPqTopK(spark, dir, queries,
+      "vec_id", "embedding", k = 3, nprobe = 2))
+    assert(filesPerList().values.max > 1, "appends should stack files")
+    Similarity.compactIvfPq(spark, dir)
+    assert(filesPerList().values.forall(_ == 1),
+      s"compaction must leave one file per list: ${filesPerList()}")
+    val after = norm(Similarity.stagedIvfPqTopK(spark, dir, queries,
+      "vec_id", "embedding", k = 3, nprobe = 2))
+    assert(after == before && after.nonEmpty)
+    // the manifest count appends leave stale is refreshed to the truth
+    val mf = graft.util.IndexManifest.read(spark, dir)
+    assert(mf.counts("n_vectors") == corpus.count())
+    assert(mf.kind == graft.util.IndexManifest.KindIvfPq)
+  }
+
   test("pqTopK with ksub = corpus size degenerates to exact L2 top-k") {
     // every corpus vector is its own codeword → reconstruction is
     // exact → adist is the true quantized squared L2

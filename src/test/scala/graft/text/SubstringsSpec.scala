@@ -232,6 +232,65 @@ class SubstringsSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("compactCensus: one file per bucket, probe-identical, n_grams refreshed, mode kept") {
+    val base = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter($"text".isNotNull).limit(200)
+    val ref = base.filter($"doc_id" % 3 =!= 1)
+    val batch = base.filter($"doc_id" % 3 === 1)
+    def filesPerBucket(dir: String): Map[String, Int] = {
+      val root = new java.io.File(s"$dir/census")
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("bkt="))
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    }
+    // exact census: stage a third, append two slices, compact
+    val dir = java.nio.file.Files.createTempDirectory("gramidx_c").toString
+    Substrings.stageGramCensus(ref.filter($"doc_id" % 2 === 0), "doc_id",
+      col("text"), k = 30, dir = dir, buckets = 8,
+      hash = Substrings.HashXxh64)
+    Substrings.appendGramCensus(
+      ref.filter($"doc_id" % 2 === 1 && $"doc_id" % 4 === 1),
+      "doc_id", col("text"), dir)
+    Substrings.appendGramCensus(
+      ref.filter($"doc_id" % 2 === 1 && $"doc_id" % 4 === 3),
+      "doc_id", col("text"), dir)
+    val before = Substrings.newDupSpans(batch, "doc_id", col("text"), dir)
+      .collect().toSet
+    assert(filesPerBucket(dir).values.max > 1, "appends should stack files")
+    Substrings.compactCensus(spark, dir)
+    assert(filesPerBucket(dir).values.forall(_ == 1),
+      s"compaction must leave one file per bucket: ${filesPerBucket(dir)}")
+    val after = Substrings.newDupSpans(batch, "doc_id", col("text"), dir)
+      .collect().toSet
+    assert(after == before && after.nonEmpty)
+    // the manifest contract is untouched; n_grams refreshes to the
+    // distinct-hash count of the COMPACTED census
+    val mf = graft.util.IndexManifest.validate(spark, dir,
+      graft.util.IndexManifest.KindGramCensus)
+    assert(mf.params("hash") == Substrings.HashXxh64 &&
+      mf.params("k") == "30" && mf.params("buckets") == "8")
+    val distinctH = spark.read.parquet(s"$dir/census").select("h")
+      .distinct().count()
+    assert(mf.counts("n_grams") == distinctH)
+    // census rows actually merged: one row per (bkt, h)
+    assert(spark.read.parquet(s"$dir/census").count() == distinctH)
+    // anchored census: compaction is mode-agnostic and keeps guarantee
+    val dirA = java.nio.file.Files.createTempDirectory("anchidx_c").toString
+    Substrings.stageAnchorCensus(ref.filter($"doc_id" % 2 === 0), "doc_id",
+      col("text"), k = 30, guarantee = 50, dir = dirA, buckets = 8)
+    Substrings.appendAnchorCensus(ref.filter($"doc_id" % 2 === 1), "doc_id",
+      col("text"), dirA)
+    val beforeA = Substrings.newAnchorSpans(batch, "doc_id", col("text"), dirA)
+      .collect().toSet
+    Substrings.compactCensus(spark, dirA)
+    val afterA = Substrings.newAnchorSpans(batch, "doc_id", col("text"), dirA)
+      .collect().toSet
+    assert(afterA == beforeA)
+    val mfA = graft.util.IndexManifest.read(spark, dirA)
+    assert(Substrings.censusMode(mfA) == "anchored" &&
+      mfA.params("guarantee") == "50")
+  }
+
   test("openIndex: handle carries the manifest contract; handle probe == dir probe") {
     val base = spark.read.parquet(s"$sf0001/documents.parquet")
       .filter($"text".isNotNull).limit(120)
