@@ -215,7 +215,10 @@ object Main {
     * ~2/(G+1) the shuffle bytes — the 100 TB default; a shared run of
     * ≥ `substrGuarantee` chars, default `substrCut + 24`, is still
     * caught, and `q_substr_eval` is the coverage dial for tuning the
-    * pair). `"substrIndex": "<dir>"` (mutually exclusive with
+    * pair). `"substrHash": "md5"|"xxh64"` (exact mode only) keys the
+    * ephemeral cut census — xxh64 = 4× smaller keys, the production
+    * choice; spans are equality-of-key facts either way.
+    * `"substrIndex": "<dir>"` (mutually exclusive with
     * `substrCut`) cuts against a FROZEN staged census instead —
     * incremental curation; the index carries its own gram width and
     * exact/anchored mode. Writes parquet (id, n_tokens, quality_score,
@@ -267,6 +270,15 @@ object Main {
     require(!n.has("substrGuarantee") || substrMode == "anchored",
       "substrGuarantee only parameterizes the anchored census — " +
         "set substrMode to 'anchored' or drop substrGuarantee")
+    val substrHash = if (n.has("substrHash")) n.get("substrHash").asText()
+      else graft.text.Substrings.HashMd5
+    require(Set(graft.text.Substrings.HashMd5,
+      graft.text.Substrings.HashXxh64)(substrHash),
+      s"substrHash must be md5|xxh64, got $substrHash")
+    require(!n.has("substrHash") || (substrCut.nonEmpty && substrMode == "exact"),
+      "substrHash keys the exact substrCut census — it needs substrCut " +
+        "and mode 'exact' (the anchored winnow rank is md5-pinned; " +
+        "substrIndex takes the hash from its own manifest)")
     val budgets = if (n.has("budgets"))
       Some(n.get("budgets").fields().asScala.toSeq
         .map(e => e.getKey -> e.getValue.asLong()))
@@ -306,7 +318,8 @@ object Main {
           case "anchored" => graft.text.Substrings.cleanedCorpusAnchored(
             deduped, idCol, col(textName), k, substrGuarantee)
           case _ => graft.text.Substrings.cleanedCorpus(
-            deduped, idCol, col(textName), k)
+            deduped, idCol, col(textName), k, maxChars = 0,
+            hash = substrHash)
         })
       case (None, Some(ix)) =>
         // incremental curation: cut spans duplicating a FROZEN staged

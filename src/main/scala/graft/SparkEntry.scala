@@ -1556,9 +1556,13 @@ object SparkEntry {
     // shared regions document hashes and fixed-stride chunks both miss.
     // Census is one map-side-combined groupBy(h) + a shuffle join back;
     // span-merge windows are per-document ----
+    // xxh64 keys the ephemeral census (the production hash, ~2× faster
+    // census — tools/CensusSweep); oracle-neutral: spans are equality-
+    // of-key facts, the oracle's md5 is its own key on its own side
     "q_substr_spans" -> ((s, dir) =>
       text.Substrings.dupSpans(substrCorpus(load(s, dir, "documents")),
-          "doc_id", col("text"), k = 40)
+          "doc_id", col("text"), k = 40, maxChars = 0,
+          hash = text.Substrings.HashXxh64)
         .orderBy("doc_id", "span_start")),
 
     // ---- the per-document report + the cut step: span counts, integer
@@ -1567,7 +1571,8 @@ object SparkEntry {
     // cleaned text independently) ----
     "q_substr_stats" -> ((s, dir) =>
       text.Substrings.dupStats(substrCorpus(load(s, dir, "documents")),
-          "doc_id", col("text"), k = 40)
+          "doc_id", col("text"), k = 40, maxChars = 0,
+          hash = text.Substrings.HashXxh64)
         .orderBy("doc_id")),
 
     // ---- the tuning harness for the 100 TB path: winnowing anchors
@@ -1577,7 +1582,8 @@ object SparkEntry {
     // nprobe and q_dedup_eval for (bands, rows) ----
     "q_substr_eval" -> ((s, dir) =>
       text.Substrings.coverageEval(substrCorpus(load(s, dir, "documents")),
-        "doc_id", col("text"), k = 40, guarantee = 64)),
+        "doc_id", col("text"), k = 40, guarantee = 64, maxChars = 0,
+        hash = text.Substrings.HashXxh64)),
 
     // ---- incremental substring dedup: stage the reference corpus'
     // gram census ONCE (bucket-partitioned parquet), then probe an

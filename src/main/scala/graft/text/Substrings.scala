@@ -100,10 +100,19 @@ object Substrings {
 
   /** Maximal duplicated spans per document (see object doc, exact
     * path): (idCol, span_start, span_end, span_len), 1-based inclusive
-    * char bounds, spans disjoint and non-adjacent per document. */
+    * char bounds, spans disjoint and non-adjacent per document.
+    *
+    * `hash` picks the EPHEMERAL census key ([[HashMd5]] default /
+    * [[HashXxh64]]): only hash EQUALITY reaches the output (a gram is
+    * duplicated iff its key repeats), so the spans are hash-identical
+    * absent collisions — xxh64 runs the census at ~half the cost and
+    * a quarter of the shuffle bytes (tools/CensusSweep), the
+    * production choice. The ANCHORED path has no such knob: winnow
+    * SELECTION depends on hash ORDER, which is part of the oracle
+    * contract. */
   def dupSpans(df: DataFrame, idCol: String, text: Column, k: Int,
-      maxChars: Int = 0): DataFrame = {
-    val g = gramRows(df, idCol, text, k, maxChars)
+      maxChars: Int = 0, hash: String = HashMd5): DataFrame = {
+    val g = gramRows(df, idCol, text, k, maxChars, hash)
     mergeSpans(dupPositions(g, k), idCol)
   }
 
@@ -145,8 +154,8 @@ object Substrings {
     * Documents with no duplicated span report dup_chars 0 and the md5
     * of their original text. */
   def dupStats(df: DataFrame, idCol: String, text: Column, k: Int,
-      maxChars: Int = 0): DataFrame =
-    spanAgged(df, idCol, text, k, maxChars)
+      maxChars: Int = 0, hash: String = HashMd5): DataFrame =
+    spanAgged(df, idCol, text, k, maxChars, hash)
       .select(col(idCol),
         length(col("__t")).cast("long").as("n_chars"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
@@ -161,8 +170,8 @@ object Substrings {
     * pass through unchanged. The batch curation pipeline
     * ([[graft.Main]] `-curate` `substrCut`) joins this back by id. */
   def cleanedCorpus(df: DataFrame, idCol: String, text: Column, k: Int,
-      maxChars: Int = 0): DataFrame =
-    cleanedFrom(spanAgged(df, idCol, text, k, maxChars))
+      maxChars: Int = 0, hash: String = HashMd5): DataFrame =
+    cleanedFrom(spanAgged(df, idCol, text, k, maxChars, hash))
 
   /** The cut step over the ANCHORED span surface ([[anchorSpans]]) —
     * same output contract as [[cleanedCorpus]], ~2/(G+1) of its census
@@ -301,8 +310,9 @@ object Substrings {
     * (idCol, __t, __sp, n_spans, dup_chars); __sp NULL for span-free
     * docs. */
   private def spanAgged(df: DataFrame, idCol: String, text: Column, k: Int,
-      maxChars: Int): DataFrame =
-    spanJoined(df, idCol, text, dupSpans(df, idCol, text, k, maxChars), maxChars)
+      maxChars: Int, hash: String = HashMd5): DataFrame =
+    spanJoined(df, idCol, text,
+      dupSpans(df, idCol, text, k, maxChars, hash), maxChars)
 
   private def spanJoined(df: DataFrame, idCol: String, text: Column,
       spanFrame: DataFrame, maxChars: Int): DataFrame = {
@@ -392,8 +402,11 @@ object Substrings {
     * overlap_chars, covered_permille). Both span sets are disjoint
     * within a document, so summed pairwise overlaps = |intersection|. */
   def coverageEval(df: DataFrame, idCol: String, text: Column, k: Int,
-      guarantee: Int, maxChars: Int = 0): DataFrame = {
-    val ex = dupSpans(df, idCol, text, k, maxChars)
+      guarantee: Int, maxChars: Int = 0, hash: String = HashMd5): DataFrame = {
+    // `hash` keys the EXACT side's ephemeral census only (spans are
+    // equality-of-key facts — see dupSpans); the anchored side's winnow
+    // rank stays md5, its selection order is the oracle contract
+    val ex = dupSpans(df, idCol, text, k, maxChars, hash)
     val an = anchorSpans(df, idCol, text, k, guarantee, maxChars)
     val exAgg = ex.agg(count(lit(1)).as("exact_spans"),
       sum(col("span_len")).as("exact_chars"))
@@ -537,7 +550,6 @@ object Substrings {
       dir: String): Unit = {
     val mf = graft.util.IndexManifest.validate(spark, dir,
       graft.util.IndexManifest.KindGramCensus)
-    val idx = openIndex(spark, dir)
     val obs = org.apache.spark.sql.Observation()
     graft.util.DirSwap.replace(spark, dir, "census") { tmp =>
       spark.read.parquet(s"$dir/census")
@@ -550,7 +562,7 @@ object Substrings {
     val nGrams = obs.get("n_grams").asInstanceOf[Long]
     val nDocs = mf.counts.getOrElse("n_docs", 0L)
     import spark.implicits._
-    Seq((idx.k, idx.buckets, nGrams, nDocs))
+    Seq((mf.paramInt("k"), mf.paramInt("buckets").toLong, nGrams, nDocs))
       .toDF("k", "buckets", "n_grams", "n_docs")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/stats")

@@ -427,6 +427,22 @@ class MainSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       run(s""","substrIndex":"$refDir","substrMode":"anchored"""", "modeidx")
     }
+    // substrHash keys the exact cut census: same cut either way, and
+    // it is refused wherever it would be ignored (no cut; anchored
+    // mode — the winnow rank is md5-pinned; index — manifest decides)
+    val withCutX = run(""","substrCut":40,"substrHash":"xxh64"""", "cutx")
+    assert(withCutX(1L) == withCut(1L) && withCutX(2L) == withCut(2L) &&
+      withCutX(3L) == withCut(3L))
+    intercept[IllegalArgumentException] {
+      run(""","substrHash":"xxh64"""", "hashnocut")
+    }
+    intercept[IllegalArgumentException] {
+      run(""","substrCut":40,"substrMode":"anchored","substrHash":"xxh64"""",
+        "hashanch")
+    }
+    intercept[IllegalArgumentException] {
+      run(s""","substrIndex":"$refDir","substrHash":"xxh64"""", "hashidx")
+    }
   }
 
   test("-curate dedups on RAW text before the line gate (stream-surface parity)") {

@@ -368,6 +368,16 @@ class SubstringsSpec extends SparkSpec {
       col("text"), dirInc)
     val c = Substrings.newDupSpans(batch, "doc_id", col("text"), dirInc)
     assert(c.exceptAll(a).isEmpty && a.exceptAll(c).isEmpty)
+    // the EPHEMERAL census (dupSpans / dupStats / coverageEval) keys by
+    // the same knob: spans and the cut report are hash-identical
+    val sm = Substrings.dupSpans(base, "doc_id", col("text"), 40)
+    val sx = Substrings.dupSpans(base, "doc_id", col("text"), 40,
+      maxChars = 0, hash = Substrings.HashXxh64)
+    assert(sm.exceptAll(sx).isEmpty && sx.exceptAll(sm).isEmpty)
+    val tm = Substrings.dupStats(base, "doc_id", col("text"), 40)
+    val tx = Substrings.dupStats(base, "doc_id", col("text"), 40,
+      maxChars = 0, hash = Substrings.HashXxh64)
+    assert(tm.exceptAll(tx).isEmpty && tx.exceptAll(tm).isEmpty)
   }
 
   test("null and sub-k documents are handled") {
