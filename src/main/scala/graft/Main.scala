@@ -557,6 +557,14 @@ object Main {
     * takes `"queries"` (a namespace, default the corpus namespace
     * itself), `"k"` (5), `"nprobe"` (4) and optional `"out"`.
     *
+    * `"kind": "bm25"` switches the verbs to the staged BM25 inverted
+    * index (text/Retrieval.scala): build takes `"id"`/`"text"`
+    * (defaults `doc_id`/`text`) and `"buckets"` (64); append folds a
+    * namespace of NEW documents in at batch cost (buckets comes from
+    * the manifest — passing it is refused); query scores a `"queries"`
+    * namespace (same id/text columns, emitted as
+    * `query_id`/doc-id/rank/score) against the index.
+    *
     * `"kind": "census"` switches the same build/append/query verbs to
     * the staged substring-dedup gram census
     * (text/Substrings.scala) — the reference side of `-curate`'s
@@ -594,8 +602,10 @@ object Main {
           text.Substrings.compactCensus(spark, idx)
         case graft.util.IndexManifest.KindIvfPq =>
           ml.Similarity.compactIvfPq(spark, idx)
+        case graft.util.IndexManifest.KindBm25 =>
+          text.Retrieval.compactBm25(spark, idx)
         case other => throw new IllegalArgumentException(
-          s"index kind '$other' has no append surface to compact")
+          s"no compaction for index kind '$other'")
       }
       println(s"compacted $idx")
       return 0
@@ -604,14 +614,48 @@ object Main {
     val cat = catalogAt(spark, dir,
       MigratorConfig(command = "data", source = dir, target = dir))
     val kind = if (n.has("kind")) n.get("kind").asText() else "ivfpq"
-    require(Set("ivfpq", "census")(kind),
-      s"index kind must be ivfpq|census, got $kind")
+    require(Set("ivfpq", "census", "bm25")(kind),
+      s"index kind must be ivfpq|census|bm25, got $kind")
     def outOrShow(result: org.apache.spark.sql.DataFrame): Unit =
       if (n.has("out")) {
         val out = n.get("out").asText()
         result.write.mode("overwrite").parquet(out)
         println(s"wrote $out")
       } else result.show(truncate = false)
+    if (kind == "bm25") {
+      // staged BM25 inverted index (text/Retrieval.scala) — the lexical
+      // retrieval surface: build/append tokenize a namespace into the
+      // bucketed postings/df/dl layout; query scores a query namespace
+      // (columns id + text) against it
+      import org.apache.spark.sql.functions.col
+      val id = if (n.has("id")) n.get("id").asText() else "doc_id"
+      val textCol = if (n.has("text")) n.get("text").asText() else "text"
+      action match {
+        case "build" =>
+          text.Retrieval.stageBm25(cat.read(ns), id, col(textCol), idx,
+            buckets = int("buckets", 64))
+          println(s"built bm25 index for $ns at $idx")
+        case "append" =>
+          require(!n.has("buckets"),
+            "bm25 config has 'buckets' but the index's staged value is " +
+              "the contract — drop it (only 'build' takes it)")
+          text.Retrieval.appendBm25(cat.read(ns), id, col(textCol), idx)
+          println(s"appended $ns into $idx")
+        case "query" =>
+          val qns = if (n.has("queries")) n.get("queries").asText() else ns
+          // queries usually share the corpus' column names — rename so
+          // the output's (query_id, doc-id) pair never collides
+          val qs = cat.read(qns)
+            .select(col(id).as("query_id"), col(textCol).as("qtext"))
+          outOrShow(text.Retrieval.stagedBm25TopK(spark, idx, qs,
+              "query_id", col("qtext"), k = int("k", 5))
+            .orderBy("query_id", "rank"))
+        case other =>
+          throw new IllegalArgumentException(
+            s"unknown index action '$other' (build|append|query|compact|describe)")
+      }
+      return 0
+    }
     if (kind == "census") {
       // staged substring-dedup census (text/Substrings.scala) — the
       // reference side of `-curate`'s `substrIndex` incremental cut

@@ -166,7 +166,10 @@ object Retrieval {
     *  - `df/` — per-term document frequency, same bucketing;
     *  - `dl/` — per-doc length (doc-count-sized, narrow);
     *  - `stats/` — one row: corpus size, exact-sum avgdl, and the
-    *    bucket count (so queries derive the same bucketing). */
+    *    bucket count. Stage-time metadata: queries take the bucketing
+    *    from the MANIFEST and derive (n, avgdl) from `dl/` in-plan, so
+    *    [[appendBm25]] batches are visible without a stats rewrite;
+    *    [[compactBm25]] refreshes it. */
   def stageBm25(corpus: DataFrame, idCol: String, text: Column,
       dir: String, buckets: Int = 64): Unit = {
     require(buckets > 0, "buckets must be positive")
@@ -222,23 +225,119 @@ object Retrieval {
       .distinct()
     val postings = spark.read.parquet(s"$dir/postings")
     val idCol = postings.columns.filterNot(Set("term", "tf", "bkt")).head
-    val st = spark.read.parquet(s"$dir/stats")
     // the bucketing contract lives in the manifest — no driver-side
-    // stats action per query batch (stats stays in the plan for the
-    // distributed (__n, avgdl) row bm25Score broadcasts)
+    // stats action per query batch
     val buckets = mf.paramInt("buckets").toLong
     val qb = qterms
       .select(pmod(xxhash64(col("term")), lit(buckets)).as("bkt"))
       .distinct().collect().map(_.getLong(0))
     val tf = postings.filter(col("bkt").isin(qb: _*)).drop("bkt")
+    // SUM df per term after the prune: a fresh stage has one row per
+    // term (the agg is a no-op on a query-vocabulary-sized frame), an
+    // APPENDED index has one row per term per contributing batch —
+    // summing makes append ≡ restage exact (the census discipline)
     val dfreq = spark.read.parquet(s"$dir/df")
       .filter(col("bkt").isin(qb: _*))
       .join(broadcast(qterms.select("term").distinct()), Seq("term"),
         "left_semi")
       .drop("bkt")
+      .groupBy("term").agg(sum(col("df")).as("df"))
     val dl = spark.read.parquet(s"$dir/dl")
-    bm25Score(tf, idCol, qterms, queryIdCol, dfreq, dl,
-      st.select("__n", "avgdl"), k, salts)
+    // (__n, avgdl) derived IN-PLAN from dl — the same exact-long-sum
+    // expression the direct path uses — instead of the staged stats
+    // frame, which appends leave stale by design (stats stays as
+    // stage-time metadata for describe/compact). dl is doc-count-sized
+    // and narrow; the agg is a second column-scan of a frame the score
+    // join reads anyway.
+    val stats = dl.agg(count(lit(1)).as("__n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    bm25Score(tf, idCol, qterms, queryIdCol, dfreq, dl, stats, k, salts)
+  }
+
+  /** Fold a batch of NEW documents into a [[stageBm25]] index WITHOUT
+    * re-tokenizing the corpus — the BM25 analog of
+    * [[graft.text.Substrings.appendGramCensus]] /
+    * [[graft.ml.Similarity.appendIvfPq]]: the batch's postings, per-term
+    * document-frequency rows, and doc lengths APPEND (existing files
+    * untouched, one file per touched bucket); queries sum `df` per term
+    * and derive `(n, avgdl)` from the dl frame, so append-then-query ≡
+    * restage-then-query exactly (RetrievalSpec pins it). The batch must
+    * be NEW document ids (the shared append contract): a repeated id
+    * would split its (id, term) tf across rows and skew its scores —
+    * re-ingesting a mutated corpus is an explicit restage. The stats
+    * frame and manifest counts describe the last full stage;
+    * [[compactBm25]] refreshes them. */
+  def appendBm25(batch: DataFrame, idCol: String, text: Column,
+      dir: String): Unit = {
+    val spark = batch.sparkSession
+    val mf = graft.util.IndexManifest.validate(spark, dir,
+      graft.util.IndexManifest.KindBm25)
+    require(mf.params.get("id_col").contains(idCol),
+      s"$dir was staged with id_col=${mf.params.getOrElse("id_col", "?")}; " +
+        s"append got $idCol — the postings schema is the index contract")
+    val buckets = mf.paramInt("buckets").toLong
+    val bkt = pmod(xxhash64(col("term")), lit(buckets))
+    // ONE batch tokenize feeds postings, df, and dl
+    val tf = batch.filter(text.isNotNull)
+      .select(col(idCol), explode(TextFunctions.whitespaceTokens(lower(text)))
+        .as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .persist()
+    try {
+      tf.withColumn("bkt", bkt).repartition(col("bkt"))
+        .write.mode("append").partitionBy("bkt").parquet(s"$dir/postings")
+      tf.groupBy("term").agg(count(lit(1)).as("df"))
+        .withColumn("bkt", bkt).repartition(col("bkt"))
+        .write.mode("append").partitionBy("bkt").parquet(s"$dir/df")
+      tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+        .write.mode("append").parquet(s"$dir/dl")
+    } finally { tf.unpersist(false); () }
+  }
+
+  /** COMPACT a [[stageBm25]] index after appends: consolidate postings
+    * and dl files, RE-SUM the per-term df rows appends accumulate, and
+    * refresh the stats frame + manifest count to the truth. Same
+    * discipline as [[graft.text.Substrings.compactCensus]]: compaction
+    * is QUERY-INVISIBLE (queries already sum df and derive stats from
+    * dl), the manifest stays valid throughout, and each sublayout swap
+    * is crash-safe ([[graft.util.DirSwap]] — re-run to recover; a crash
+    * between sublayout swaps leaves a valid mixed-compaction index). */
+  def compactBm25(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val mf = graft.util.IndexManifest.validate(spark, dir,
+      graft.util.IndexManifest.KindBm25)
+    val idCol = mf.params.getOrElse("id_col", "doc_id")
+    graft.util.DirSwap.replace(spark, dir, "postings") { tmp =>
+      spark.read.parquet(s"$dir/postings")
+        .select(col(idCol), col("term"), col("tf"), col("bkt"))
+        .repartition(col("bkt")) // one file per bucket
+        .write.mode("overwrite").partitionBy("bkt").parquet(tmp)
+    }
+    graft.util.DirSwap.replace(spark, dir, "df") { tmp =>
+      spark.read.parquet(s"$dir/df")
+        .groupBy(col("bkt"), col("term")).agg(sum(col("df")).as("df"))
+        .select(col("term"), col("df"), col("bkt"))
+        .repartition(col("bkt"))
+        .write.mode("overwrite").partitionBy("bkt").parquet(tmp)
+    }
+    val obs = org.apache.spark.sql.Observation()
+    graft.util.DirSwap.replace(spark, dir, "dl") { tmp =>
+      spark.read.parquet(s"$dir/dl")
+        .observe(obs, count(lit(1)).as("n_docs"), sum(col("dl")).as("dl_sum"))
+        .repartition(col(idCol)) // shuffle-partition-count files
+        .write.mode("overwrite").parquet(tmp)
+    }
+    val nDocs = obs.get("n_docs").asInstanceOf[Long]
+    val dlSum = obs.get("dl_sum").asInstanceOf[Long]
+    import spark.implicits._
+    // same IEEE value as the staged expression: exact long sum, one division
+    Seq((nDocs, dlSum.toDouble / nDocs, mf.paramInt("buckets").toLong))
+      .toDF("__n", "avgdl", "buckets")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/stats")
+    graft.util.IndexManifest.write(spark, dir,
+      graft.util.IndexManifest.KindBm25,
+      params = mf.params, counts = Map("n_docs" -> nDocs))
   }
 
   /** Hybrid retrieval: BM25 ∪ dense ANN, fused by reciprocal-rank

@@ -165,16 +165,52 @@ class MainSpec extends SparkSpec {
     val api2 = graft.text.Substrings.newDupSpans(
       cat.read("db.batch"), "doc_id", col("text"), idx)
     assert(api2.exceptAll(cli2).isEmpty && cli2.exceptAll(api2).isEmpty)
-    // a kind with no append surface refuses compaction loudly
+    // compact dispatches on the manifest kind for bm25 layouts too
     val bm = tmp("graft-cli-bm25") + "/ix"
     graft.text.Retrieval.stageBm25(cat.read("db.ref1"), "doc_id",
       col("text"), bm, buckets = 8)
-    val badCompact = writeCfg(tmp("graft-cli-censcfg8"),
+    val bmCompact = writeCfg(tmp("graft-cli-censcfg8"),
       s"""{"index":"$bm","action":"compact"}""")
-    val e3 = intercept[IllegalArgumentException] {
-      Main.run(Seq("-index", badCompact), sess)
+    assert(Main.run(Seq("-index", bmCompact), sess) == 0)
+  }
+
+  test("-index kind=bm25 builds, appends, queries, and compacts an inverted index") {
+    val root = tmp("graft-cli-bmsrc")
+    val cat = new ParquetCatalog(spark, root, "db")
+    val d = Tables.load(spark, sf0001, "documents")
+      .filter($"text".isNotNull).select($"doc_id", $"text")
+    cat.write("db.half1", d.filter($"doc_id" % 2 === 0))
+    cat.write("db.half2", d.filter($"doc_id" % 2 === 1))
+    cat.write("db.corpus", d)
+    cat.write("db.q", d.filter($"doc_id" < 3))
+    val idx = tmp("graft-cli-bmix") + "/ix"
+    assert(Main.run(Seq("-index", writeCfg(tmp("graft-cli-bmcfg1"),
+      s"""{"source":"$root","namespace":"db.half1","index":"$idx",
+         |"kind":"bm25","action":"build","buckets":8}""".stripMargin)), sess) == 0)
+    assert(Main.run(Seq("-index", writeCfg(tmp("graft-cli-bmcfg2"),
+      s"""{"source":"$root","namespace":"db.half2","index":"$idx",
+         |"kind":"bm25","action":"append"}""".stripMargin)), sess) == 0)
+    val out = tmp("graft-cli-bmout") + "/hits"
+    assert(Main.run(Seq("-index", writeCfg(tmp("graft-cli-bmcfg3"),
+      s"""{"source":"$root","namespace":"db.corpus","index":"$idx",
+         |"kind":"bm25","action":"query","queries":"db.q","k":4,
+         |"out":"$out"}""".stripMargin)), sess) == 0)
+    // CLI stage-half+append-half == API restage over the full corpus
+    val full = tmp("graft-cli-bmfull") + "/ix"
+    graft.text.Retrieval.stageBm25(cat.read("db.corpus"), "doc_id",
+      col("text"), full, buckets = 8)
+    val api = graft.text.Retrieval.stagedBm25TopK(spark, full,
+      cat.read("db.q").select($"doc_id".as("query_id"), $"text".as("qtext")),
+      "query_id", col("qtext"), k = 4)
+    val cli = spark.read.parquet(out)
+    assert(cli.count() > 0)
+    assert(cli.exceptAll(api).isEmpty && api.exceptAll(cli).isEmpty)
+    // append refuses the staged-contract knob
+    intercept[IllegalArgumentException] {
+      Main.run(Seq("-index", writeCfg(tmp("graft-cli-bmcfg4"),
+        s"""{"source":"$root","namespace":"db.half2","index":"$idx",
+           |"kind":"bm25","action":"append","buckets":16}""".stripMargin)), sess)
     }
-    assert(e3.getMessage.contains("no append surface"))
   }
 
   test("-sql runs ad-hoc statements over catalog views with graft functions") {

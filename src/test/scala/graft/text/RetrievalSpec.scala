@@ -146,6 +146,60 @@ class RetrievalSpec extends SparkSpec {
       s"a bucketed scan reads every partition:\n$plan")
   }
 
+  test("appendBm25: stage half + append half == stage all; compact is query-invisible") {
+    val corpus = Tables.load(spark, sf0001, "documents").limit(200)
+      .select("doc_id", "text").localCheckpoint(true)
+    val qs = Seq((1L, "key table scan"), (2L, "fast merge batch"))
+      .toDF("query_id", "qtext")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Int, Long, Long, Long)].collect()
+        .sortBy(r => (r._1, r._2)).toSeq
+    val full = java.nio.file.Files.createTempDirectory("bm25full").toString
+    Retrieval.stageBm25(corpus, "doc_id", col("text"), full, buckets = 16)
+    val want = norm(Retrieval.stagedBm25TopK(spark, full, qs, "query_id",
+      col("qtext"), k = 5))
+    // incremental: stage even ids, append odds in TWO batches — df rows
+    // accumulate per term and (n, avgdl) shift with every batch, so
+    // equality pins the reader-side df sum AND the dl-derived stats
+    val inc = java.nio.file.Files.createTempDirectory("bm25inc").toString
+    Retrieval.stageBm25(corpus.filter($"doc_id" % 2 === 0), "doc_id",
+      col("text"), inc, buckets = 16)
+    Retrieval.appendBm25(corpus.filter($"doc_id" % 4 === 1), "doc_id",
+      col("text"), inc)
+    Retrieval.appendBm25(corpus.filter($"doc_id" % 4 === 3), "doc_id",
+      col("text"), inc)
+    val got = norm(Retrieval.stagedBm25TopK(spark, inc, qs, "query_id",
+      col("qtext"), k = 5))
+    assert(got == want && got.nonEmpty)
+    // compaction: one file per bucket again, scores unchanged, counts true
+    def filesPer(sub: String): Map[String, Int] = {
+      val root = new java.io.File(s"$inc/$sub")
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("bkt="))
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    }
+    assert(filesPer("postings").values.max > 1, "appends should stack files")
+    Retrieval.compactBm25(spark, inc)
+    assert(filesPer("postings").values.forall(_ == 1), filesPer("postings").toString)
+    assert(filesPer("df").values.forall(_ == 1), filesPer("df").toString)
+    assert(norm(Retrieval.stagedBm25TopK(spark, inc, qs, "query_id",
+      col("qtext"), k = 5)) == want)
+    val mf = graft.util.IndexManifest.read(spark, inc)
+    assert(mf.counts("n_docs") ==
+      corpus.filter($"text".isNotNull).count())
+    // the refreshed stats frame matches a fresh stage's bit-for-bit
+    val stFull = spark.read.parquet(s"$full/stats")
+      .as[(Long, Double, Long)].collect().head
+    val stInc = spark.read.parquet(s"$inc/stats")
+      .as[(Long, Double, Long)].collect().head
+    assert(stInc == stFull)
+    // an append with the wrong id column is refused by the manifest
+    intercept[IllegalArgumentException] {
+      Retrieval.appendBm25(corpus.withColumnRenamed("doc_id", "k2"), "k2",
+        col("text"), inc)
+    }
+  }
+
   test("hybridTopK: IVF dense side (centroids supplied) fuses like the brute side") {
     val corpus = Seq(
       (1L, "red apple pie"), (2L, "green apple tart"), (3L, "blue berry jam"))
