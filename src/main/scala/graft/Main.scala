@@ -723,6 +723,14 @@ object Main {
     }
     val id = if (n.has("id")) n.get("id").asText() else "vec_id"
     val emb = if (n.has("embedding")) n.get("embedding").asText() else "embedding"
+    // build geometry is the index's frozen contract — on append/query a
+    // centroids/m/ksub knob would be silently ignored, so it is refused
+    // (the census/bm25 discipline)
+    def refusePqBuildKnobs(): Unit =
+      Seq("centroids", "m", "ksub").foreach(f =>
+        require(!n.has(f),
+          s"ivfpq config has '$f' but the index's staged value is the " +
+            "contract — drop it (only 'build' takes it)"))
     action match {
       case "build" =>
         ml.Similarity.stageIvfPq(cat.read(ns), id, emb,
@@ -730,9 +738,11 @@ object Main {
           ksub = int("ksub", 16), dir = idx)
         println(s"built index for $ns at $idx")
       case "append" =>
+        refusePqBuildKnobs()
         ml.Similarity.appendIvfPq(cat.read(ns), id, emb, dir = idx)
         println(s"appended $ns into $idx")
       case "query" =>
+        refusePqBuildKnobs()
         val qns = if (n.has("queries")) n.get("queries").asText() else ns
         val result = ml.Similarity.stagedIvfPqTopK(spark, idx,
             cat.read(qns), id, emb, k = int("k", 5), nprobe = int("nprobe", 4))

@@ -1302,6 +1302,31 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- the APPENDABLE inverted index, end-to-end: stage the even
+    // half, fold the odd half in via appendBm25 (batch-proportional —
+    // the staged half is never re-tokenized), query the merged index.
+    // The oracle is the SAME full-corpus BM25 SQL as q_bm25: df summed
+    // per term and (n, avgdl) derived from dl make append ≡ restage
+    // exact, so the scores must equal a from-scratch stage over
+    // everything. The retrieval-service ingest discipline, the sparse
+    // twin of q_ann_index_incr ----
+    "q_bm25_incr" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq((1L, "key table scan"), (2L, "fast merge batch window"),
+        (3L, "customer order part")).toDF("query_id", "qtext")
+      val idx = scratchDir("bm25incr")
+      val docs = load(s, dir, "documents")
+      // 16 buckets: the subject is append ≡ restage, not pruning width
+      // (that is q_bm25_staged's) — 64 dirs × {postings, df} × {stage,
+      // append} is pure tiny-file overhead at fixture scale
+      text.Retrieval.stageBm25(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", col("text"), dir = idx, buckets = 16)
+      text.Retrieval.appendBm25(docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", col("text"), idx)
+      text.Retrieval.stagedBm25TopK(s, idx, qs, "query_id", col("qtext"), k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- hybrid retrieval: BM25 ∪ dense ANN fused by reciprocal-rank
     // fusion in integer micro-units — the two-tower retrieval stack as
     // one composition (queries share the corpus id space: query k's
@@ -5295,6 +5320,9 @@ object SparkEntry {
         |FROM rows GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_bm25" -> bm25Oracle,
     "q_bm25_staged" -> bm25Oracle,
+    // append ≡ restage: the incremental index must score exactly like
+    // a from-scratch stage over the full corpus
+    "q_bm25_incr" -> bm25Oracle,
     "q_cms_topk" ->
       """WITH counts AS (
         |  SELECT CAST(user_id AS BIGINT) AS key, count(*) AS n

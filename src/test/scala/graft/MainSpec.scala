@@ -100,6 +100,12 @@ class MainSpec extends SparkSpec {
       s"""{"source":"$root","namespace":"db.head","index":"$idx",
          |"action":"rebuild"}""".stripMargin)
     intercept[IllegalArgumentException] { Main.run(Seq("-index", bad), sess) }
+    // a staged-geometry knob on append is refused, never silently
+    // ignored (the loud-knob discipline all three kinds share)
+    val badAppend = writeCfg(tmp("graft-cli-idxcfg4b"),
+      s"""{"source":"$root","namespace":"db.tail","index":"$idx",
+         |"action":"append","centroids":16}""".stripMargin)
+    intercept[IllegalArgumentException] { Main.run(Seq("-index", badAppend), sess) }
     // describe works kind-agnostically off the shared manifest and
     // needs only the index dir
     val desc = writeCfg(tmp("graft-cli-idxcfg5"),
