@@ -120,6 +120,12 @@ def main():
     warmup_failed = 0
     out_dir = pathlib.Path(args.out).parent
     out_dir.mkdir(parents=True, exist_ok=True)
+    # chunk membership shifts whenever the query inventory grows, so a
+    # stale iso_chunk_N.json from a previous run can hold DIFFERENT
+    # queries than this run's chunk N — clear them all up front or
+    # post-hoc chunk attribution reads the wrong run's files
+    for stale in out_dir.glob("iso_chunk_*.json"):
+        stale.unlink()
     for i, chunk in enumerate(chunks):
         chunk_out = out_dir / f"iso_chunk_{i}.json"
         j, rc = run_java(classpath, {
@@ -135,9 +141,12 @@ def main():
         merged_spread.update(j.get("spread", {}))
         merged_err.update(j.get("errors", {}))
         warmup_failed += j.get("warmup_failed", 0)
+        # queries listed per probe so a degraded-window chunk can be
+        # attributed from the merged artifact alone (no chunk-file digs)
         probes.append({"chunk": i,
                        "probe_cpu_sec": j.get("probe_cpu_sec"),
-                       "probe_shuffle_sec": j.get("probe_shuffle_sec")})
+                       "probe_shuffle_sec": j.get("probe_shuffle_sec"),
+                       "queries": chunk})
         done = sum(len(c) for c in chunks[:i + 1])
         print(f"chunk {i + 1}/{len(chunks)}: {len(chunk)} queries, "
               f"rc={rc}, {done}/{len(inv['queries'])} total", flush=True)
