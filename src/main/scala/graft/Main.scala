@@ -287,7 +287,11 @@ object Main {
     val cat = catalogAt(spark, dir,
       MigratorConfig(command = "data", source = dir, target = dir))
     val raw = cat.read(ns).filter(col(textName).isNotNull)
-    val nInput = raw.count()
+    // the input count for the summary line rides an Observation on the
+    // pipeline's own scan — a separate raw.count() would be one FULL
+    // extra corpus pass per curate run, purely for a log line
+    val obs = org.apache.spark.sql.Observation()
+    val rawObs = raw.observe(obs, count(lit(1)).as("n_input"))
     // corpus-wide exact dedup FIRST, keyed on the RAW text, min-id
     // winner — an algebraic min(struct) aggregate (map-side combined),
     // NOT a window over md5(text): a production namespace with millions
@@ -299,11 +303,18 @@ object Main {
     // but gate to identical kept text — which the stream (deduping raw)
     // keeps.
     val rcols = raw.columns
-    val deduped = raw
+    val dedupedBase = rawObs
       .groupBy(md5(col(textName)).as("__h"))
       .agg(min(struct((col(idCol) +: rcols.filterNot(_ == idCol).map(col))
         .toIndexedSeq: _*)).as("__w"))
       .select("__w.*")
+    // a substring cut consumes the dedup output 2–3 times (span
+    // derivation, join-back — and the probe's census checkpoint):
+    // persist so the scan + dedup exchange runs ONCE (and the
+    // Observation above fires exactly once, at materialization). The
+    // no-cut path consumes it once — nothing to cache.
+    val cutActive = substrCut.nonEmpty || substrIndex.nonEmpty
+    val deduped = if (cutActive) dedupedBase.persist() else dedupedBase
     // optional substring-level cut (Lee et al. ExactSubstr, k-char
     // grams): remove corpus-wide duplicated spans from the SURVIVING
     // docs before gating/scoring, so boilerplate runs don't inflate
@@ -374,11 +385,18 @@ object Main {
             col("pred_lang"), col("bucket"), col("split"))
       }
       manifest.write.mode("overwrite").parquet(out)
-    } finally { split.unpersist(false); () }
-    val written = spark.read.parquet(out)
-    val perSplit = written.groupBy("split").count().collect()
-      .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(", ")
-    println(s"curated $ns: $nInput doc(s) in, ${written.count()} selected ($perSplit); wrote $out")
+    } finally {
+      split.unpersist(false)
+      if (cutActive) { deduped.unpersist(false); () }
+    }
+    val nInput = obs.get("n_input").asInstanceOf[Long]
+    // ONE read of the (output-sized) manifest: the per-split counts sum
+    // to the selected total
+    val perSplitCounts = spark.read.parquet(out).groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val perSplit = perSplitCounts.map { case (s, c) => s"$s=$c" }.mkString(", ")
+    println(s"curated $ns: $nInput doc(s) in, " +
+      s"${perSplitCounts.map(_._2).sum} selected ($perSplit); wrote $out")
     0
   }
 
