@@ -2284,12 +2284,19 @@ object SparkEntry {
       val docs = s.readStream.schema(corpus.schema).parquet(s"$out/feed")
       val curated = streaming.DocStream.curateStream(docs, "doc_id",
         col("text"), "event_ts", "1 hour")
-      val q = curated.writeStream.format("parquet")
-        .option("path", s"$out/curated")
-        .option("checkpointLocation", s"$out/ckpt")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      // state stores sized to key volume, not core count (see
+      // q_st_curate_index): the dedup gate's state partitioning is
+      // fixed at query start; restored after the drain
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        curated.writeStream.format("parquet")
+          .option("path", s"$out/curated")
+          .option("checkpointLocation", s"$out/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.read.parquet(s"$out/curated")
         .select("doc_id", "n_tokens", "quality_score", "pred_lang",
           "split", "scrubbed")
@@ -2331,9 +2338,21 @@ object SparkEntry {
         .write.mode("append").parquet(s"$out/feed")
       val src = s.readStream.schema(feed.schema)
         .option("maxFilesPerTrigger", 1).parquet(s"$out/feed")
-      val q = streaming.DocStream.curateStreamAgainstIndex(src, "doc_id",
-        "text", "event_ts", "1 hour", idx, s"$out/curated", s"$out/ckpt")
-      q.awaitTermination()
+      // state-store partitioning sized to the KEY VOLUME, not the core
+      // count — the production streaming discipline: shuffle.partitions
+      // at query start fixes the dedup gate's state-store count for the
+      // checkpoint's lifetime (OffsetSeqMetadata), and 32 stores ×
+      // (delta + CRC) fsyncs per micro-batch is pure lifecycle cost
+      // when the horizon holds a few thousand keys. Restored after the
+      // drain (the capture happens inside the async first trigger, so
+      // the narrow setting must outlive the stream).
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        streaming.DocStream.curateStreamAgainstIndex(src, "doc_id",
+          "text", "event_ts", "1 hour", idx, s"$out/curated", s"$out/ckpt")
+          .awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.read.parquet(s"$out/curated")
         .select(col("doc_id"), col("n_tokens"), col("quality_score"),
           col("pred_lang"), col("split"), md5(col("text")).as("clean_md5"))
