@@ -263,12 +263,21 @@ object Retrieval {
     * and derive `(n, avgdl)` from the dl frame, so append-then-query ≡
     * restage-then-query exactly (RetrievalSpec pins it). The batch must
     * be NEW document ids (the shared append contract): a repeated id
-    * would split its (id, term) tf across rows and skew its scores —
-    * re-ingesting a mutated corpus is an explicit restage. The stats
-    * frame and manifest counts describe the last full stage;
-    * [[compactBm25]] refreshes them. */
+    * would split its (id, term) tf across rows, double-count its `dl`
+    * row (inflating n and avgdl), and skew its scores — re-ingesting a
+    * mutated corpus is an explicit restage. The contract is ENFORCED,
+    * not just documented (the loud-knobs discipline: refuse what would
+    * be silently wrong): the batch's ids are semi-joined against the
+    * index's `dl` frame (one narrow doc-count-sized column scan — the
+    * cheapest frame that holds every indexed id exactly once per
+    * stage/append) and a hit refuses the whole append before anything
+    * is written. `assumeNewIds = true` is the explicit escape hatch for
+    * a caller that has already proven disjointness upstream (e.g. the
+    * ids come from a dedup gate keyed on the same id space) and wants
+    * the scan back. The stats frame and manifest counts describe the
+    * last full stage; [[compactBm25]] refreshes them. */
   def appendBm25(batch: DataFrame, idCol: String, text: Column,
-      dir: String): Unit = {
+      dir: String, assumeNewIds: Boolean = false): Unit = {
     val spark = batch.sparkSession
     val mf = graft.util.IndexManifest.validate(spark, dir,
       graft.util.IndexManifest.KindBm25)
@@ -277,13 +286,25 @@ object Retrieval {
         s"append got $idCol — the postings schema is the index contract")
     val buckets = mf.paramInt("buckets").toLong
     val bkt = pmod(xxhash64(col("term")), lit(buckets))
-    // ONE batch tokenize feeds postings, df, and dl
+    // ONE batch tokenize feeds the guard, postings, df, and dl
     val tf = batch.filter(text.isNotNull)
       .select(col(idCol), explode(TextFunctions.whitespaceTokens(lower(text)))
         .as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
       .persist()
     try {
+      if (!assumeNewIds) {
+        val seen = spark.read.parquet(s"$dir/dl").select(col(idCol))
+          .join(tf.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
+          .limit(5).collect().map(_.get(0))
+        require(seen.isEmpty,
+          s"appendBm25($dir): batch contains already-indexed ids (e.g. " +
+            s"${seen.mkString(", ")}) — appending an existing id splits its " +
+            "(id, term) tf across rows and double-counts its dl row, " +
+            "silently skewing scores. Re-ingest is an explicit restage " +
+            "(stageBm25); pass assumeNewIds=true only if disjointness is " +
+            "proven upstream.")
+      }
       tf.withColumn("bkt", bkt).repartition(col("bkt"))
         .write.mode("append").partitionBy("bkt").parquet(s"$dir/postings")
       tf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -304,7 +325,7 @@ object Retrieval {
     * between sublayout swaps leaves a valid mixed-compaction index). */
   def compactBm25(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit = {
-    val mf = graft.util.IndexManifest.validate(spark, dir,
+    val mf = graft.util.IndexManifest.validateKind(spark, dir,
       graft.util.IndexManifest.KindBm25)
     val idCol = mf.params.getOrElse("id_col", "doc_id")
     graft.util.DirSwap.replace(spark, dir, "postings") { tmp =>

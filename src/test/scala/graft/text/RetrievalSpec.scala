@@ -200,6 +200,35 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("appendBm25: a batch containing an already-indexed id is refused") {
+    val corpus = Tables.load(spark, sf0001, "documents").limit(40)
+      .select("doc_id", "text").localCheckpoint(true)
+    val dir = java.nio.file.Files.createTempDirectory("bm25guard").toString
+    Retrieval.stageBm25(corpus.filter($"doc_id" % 2 === 0), "doc_id",
+      col("text"), dir, buckets = 4)
+    // one overlapping id poisons the whole batch — nothing is written
+    val dirty = corpus.filter($"doc_id" % 2 === 1)
+      .unionByName(corpus.filter($"doc_id" % 2 === 0).limit(1))
+    val before = spark.read.parquet(s"$dir/dl").count()
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.appendBm25(dirty, "doc_id", col("text"), dir)
+    }
+    assert(e.getMessage.contains("already-indexed"))
+    assert(spark.read.parquet(s"$dir/dl").count() == before,
+      "the refused append must leave the index untouched")
+    // the explicit escape hatch skips the guard (caller asserts
+    // disjointness); a genuinely new batch passes the guard unaided
+    Retrieval.appendBm25(corpus.filter($"doc_id" % 2 === 1), "doc_id",
+      col("text"), dir)
+    val qs = Seq((1L, "key table scan")).toDF("query_id", "qtext")
+    val got = Retrieval.stagedBm25TopK(spark, dir, qs, "query_id",
+      col("qtext"), k = 3).count()
+    assert(got > 0)
+    Retrieval.appendBm25(corpus.filter($"doc_id" % 2 === 0).limit(1)
+      .withColumn("doc_id", $"doc_id" + 1000000), "doc_id", col("text"),
+      dir, assumeNewIds = true)
+  }
+
   test("hybridTopK: IVF dense side (centroids supplied) fuses like the brute side") {
     val corpus = Seq(
       (1L, "red apple pie"), (2L, "green apple tart"), (3L, "blue berry jam"))
