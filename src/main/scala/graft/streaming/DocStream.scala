@@ -189,6 +189,23 @@ object DocStream {
     * uncut — the documented horizon of on-arrival semantics; the batch
     * sweep remains the completeness backstop.)
     *
+    * `compactEvery = N` (appendAfterCut only — refused otherwise: a
+    * read-only probe never grows the index, so the knob would be
+    * silently meaningless) runs [[graft.text.Substrings.compactCensus]]
+    * inside `foreachBatch` after every Nth batch's append. The append
+    * discipline adds one file per touched bucket per micro-batch —
+    * after 10⁴ batches every probe would pay a 10⁴-file listing per
+    * scanned bucket and sum per-hash rows that grow with batch count,
+    * not vocabulary. Periodic compaction bounds both at ~N files per
+    * bucket; it is PROBE-INVISIBLE by construction (census readers sum
+    * `n`, and sum is associative — DocStreamSpec pins output equality
+    * across compaction cadences) and crash-safe ([[graft.util.DirSwap]]
+    * — an interrupted swap rolls back on the next compaction). The
+    * single-writer discipline holds: foreachBatch bodies run serially,
+    * so the compactor never races an append. The cadence keys on the
+    * CHECKPOINTED batch id, so a restart neither double-compacts nor
+    * drifts.
+    *
     * Returns the started query; callers own `awaitTermination`. */
   def curateStreamAgainstIndex(docs: DataFrame, idCol: String,
       textName: String, timeCol: String, watermark: String,
@@ -198,9 +215,14 @@ object DocStream {
       weights: Seq[(String, Double)] =
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
       lineGate: Option[Int] = None, appendAfterCut: Boolean = false,
+      compactEvery: Int = 0,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(compactEvery >= 0, "compactEvery must be >= 0")
+    require(compactEvery == 0 || appendAfterCut,
+      "compactEvery without appendAfterCut: a read-only probe stream " +
+        "never grows the index — drop the knob or turn on appendAfterCut")
     val deduped = dedupExactStream(docs, col(textName), timeCol, watermark)
     // open the frozen index ONCE, before the first micro-batch: the
     // probe contract (k/buckets/mode/hash) is immutable for the index's
@@ -209,7 +231,7 @@ object DocStream {
     // micro-batches
     val idx = graft.text.Substrings.openIndex(docs.sparkSession, indexDir)
     deduped.writeStream
-      .foreachBatch { (b: DataFrame, _: Long) =>
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
         // a micro-batch frame RE-EXECUTES its plan — including the
         // stateful dedup exchange — on every action, and the cut needs
         // it three times (gram scan, span join-back, sink write) plus
@@ -219,9 +241,12 @@ object DocStream {
           val curated = curateBatchAgainstIndex(bb, idCol, textName,
             idx, minQuality, langs, salt, weights, lineGate)
           curated.write.mode("append").parquet(outPath)
-          if (appendAfterCut)
+          if (appendAfterCut) {
             graft.text.Substrings.appendToIndex(bb, idCol, col(textName),
               idx, maxChars = 0)
+            if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+              graft.text.Substrings.compactCensus(bb.sparkSession, idx.dir)
+          }
         } finally { bb.unpersist(false); () }
       }
       .option("checkpointLocation", checkpointDir)

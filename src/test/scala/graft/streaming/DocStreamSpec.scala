@@ -230,6 +230,74 @@ class DocStreamSpec extends SparkSpec {
     assert(got(21L) == pb.trim)
   }
 
+  test("appendAfterCut + compactEvery: file growth bounded, output and probes unchanged") {
+    def stageRef(tag: String): String = {
+      val idxDir = Files.createTempDirectory(s"graft-ds-cmp$tag").toString
+      Seq((300L, "unrelated reference corpus text that matches nothing later"))
+        .toDF("doc_id", "text").createOrReplaceTempView(s"__ref3$tag")
+      graft.text.Substrings.stageGramCensus(spark.table(s"__ref3$tag"),
+        "doc_id", col("text"), k = 12, dir = idxDir, buckets = 4)
+      idxDir
+    }
+    val run = "a run of text repeated across micro batches of the feed"
+    val dir = feedDir()
+    val prefixes = Seq(
+      "a nice clean english document with many common words here ",
+      "pack my box with five dozen liquor jugs quickly today ",
+      "the quick brown fox jumps over the lazy dog every day ",
+      "we all agree that good fences make good neighbors said he ",
+      "never send to know for whom the bell tolls it tolls for me ",
+      "this is the best of many documents and the last of the feed ")
+    prefixes.zipWithIndex.foreach { case (p, i) =>
+      Seq((30L + i, p + run, s"2024-01-01 10:0$i:00"))
+        .toDF("doc_id", "text", "t").withColumn("t", to_timestamp(col("t")))
+        .coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(150)
+    }
+    def drain(idxDir: String, every: Int, tag: String): Set[Seq[Any]] = {
+      val out = feedDir() + "/out"
+      val schema = spark.read.parquet(dir).schema
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+      DocStream.curateStreamAgainstIndex(src, "doc_id", "text", "t",
+          "1 hour", idxDir, out, feedDir() + s"/ckpt$tag",
+          appendAfterCut = true, compactEvery = every)
+        .awaitTermination()
+      spark.read.parquet(out).select("doc_id", "text", "split")
+        .collect().map(_.toSeq).toSet
+    }
+    val plain = stageRef("a"); val cadenced = stageRef("b")
+    val want = drain(plain, 0, "a")
+    val got = drain(cadenced, 2, "b") // compacts after batches 2, 4, 6
+    // mid-stream compaction is probe-invisible: identical curated output
+    assert(got == want && want.nonEmpty)
+    // first arrival keeps the run; every later batch collides and is cut
+    assert(want.count(r => r(1).asInstanceOf[String].contains(run)) == 1)
+    // file growth bounded: 6 uncompacted appends stack files; the
+    // cadence (last compaction lands on the final batch) leaves 1/bucket
+    def maxFiles(idxDir: String): Int = {
+      val root = new java.io.File(s"$idxDir/census")
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("bkt="))
+        .map(_.listFiles().count(_.getName.endsWith(".parquet"))).max
+    }
+    assert(maxFiles(plain) > 1)
+    assert(maxFiles(cadenced) == 1)
+    // probes against the two indexes agree (compaction ≡ no compaction)
+    val probeDoc = Seq((99L, "zz " + run + " zz")).toDF("doc_id", "text")
+    def probe(idxDir: String) = graft.text.Substrings.newDupSpans(probeDoc,
+        "doc_id", col("text"), idxDir, maxChars = 0, selfDups = false)
+      .collect().map(_.toSeq).toSet
+    assert(probe(plain) == probe(cadenced) && probe(plain).nonEmpty)
+    // the knob without the append discipline is refused at call time
+    val e = intercept[IllegalArgumentException] {
+      DocStream.curateStreamAgainstIndex(
+        spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir),
+        "doc_id", "text", "t", "1 hour", plain, feedDir() + "/x",
+        feedDir() + "/ckptx", compactEvery = 2)
+    }
+    assert(e.getMessage.contains("compactEvery"))
+  }
+
   test("curation chain with the line gate: scoring runs on line-filtered text, stream == batch") {
     val dir = feedDir()
     // doc 1: a good sentence line + a no-punct junk line the gate strips;
