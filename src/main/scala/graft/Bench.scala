@@ -44,7 +44,8 @@ object Bench {
     * rather than plan cost — batch-proportional at scale, constant here. */
   val streamingQueries: Set[String] =
     Set("q_st2_catchup", "q_st1_overlap", "q_st3_tail", "q_st_index",
-      "q_st_substr", "q_st_curate", "q_st_curate_index")
+      "q_st_substr", "q_st_curate", "q_st_curate_index",
+      "q_st_curate_append")
 
   def main(args: Array[String]): Unit = {
     // tooling hook (tools/bench_iso.py): print the query inventory —

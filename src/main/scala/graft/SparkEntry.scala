@@ -2359,6 +2359,90 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- streaming curation with APPEND-AFTER-CUT: each micro-batch is
+    // cut against the index, then its RAW grams are appended, so a LATER
+    // batch repeating this batch's text collides and gets cut —
+    // cross-batch substring dedup, first-arrival-wins. The output is
+    // batch-ORDER-dependent, so the three feed files carry explicit
+    // mod-times (the file source processes them oldest-first) and the
+    // oracle recomputes the per-batch census states from scratch.
+    // Batches 2 and 3 carry PLANTED near-copies (unique filler + the
+    // first 120 chars of an earlier batch's doc): the copied region
+    // collides with the appended grams and is cut, the filler survives.
+    // compactEvery=2 compacts the census mid-stream (after batch 2,
+    // before batch 3's probe) — the oracle thereby pins streaming
+    // compaction as probe-invisible, not just spec-pinned. ----
+    "q_st_curate_append" -> ((s, dir) => {
+      val out = scratchDir("stcap")
+      val keepW = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      val base = load(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+        .withColumn("__rn", row_number().over(keepW))
+        .filter(col("__rn") === 1).drop("__rn")
+      val idx = s"$out/refidx"
+      text.Substrings.stageGramCensus(base.filter(col("doc_id") % 6 === 0),
+        "doc_id", col("text"), k = 40, dir = idx, buckets = 16,
+        hash = text.Substrings.HashXxh64)
+      val fd = base.filter(col("doc_id") % 3 === 1)
+      val b0 = fd.filter(col("doc_id") % 2 === 1)
+      val b1org = fd.filter(col("doc_id") % 2 === 0)
+      // a planted near-copy: first 120 chars of the source doc + a
+      // filler unique per doc (id interleaved) — the copy region collides
+      // with the source's appended grams, the filler passes the gates
+      def plant(src: DataFrame, m: Int, offset: Long, mid: String,
+          tail: String): DataFrame =
+        src.filter(col("doc_id") % 5 === m)
+          .select((col("doc_id") + offset).as("doc_id"),
+            concat(substring(col("text"), 1, 120), lit(mid),
+              col("doc_id").cast("string"), lit(tail)).as("text"))
+      val b1 = b1org.unionByName(plant(b0, 1, 1000000L,
+        " planted first copy about doc ",
+        " where the quick brown fox jumps over the lazy dog"))
+      val b2 = plant(b1org, 2, 2000000L,
+          " second planted copy about doc ",
+          " pack the box with five dozen liquor jugs")
+        .unionByName(plant(b0, 3, 3000000L,
+          " third planted copy about doc ",
+          " we all live in a yellow submarine today"))
+      // event times all inside one minute: the dedup gate's watermark
+      // never expires state mid-feed at any scale factor, and the gate
+      // itself is q_st_curate's subject (feed is pre-deduped + plants
+      // are unique, so it drops nothing here)
+      def stamp(df: DataFrame): DataFrame = df.withColumn("event_ts",
+        timestamp_seconds(lit(1700000000L) + pmod(col("doc_id"), lit(60))))
+      // one file per batch with EXPLICIT, strictly increasing mod-times
+      // (and matching path order): append-after-cut output depends on
+      // arrival order, so the order is pinned, not left to write timing
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(b0, b1, b2).zipWithIndex.foreach { case (b, i) =>
+        val tmp = s"$out/tmp$i"
+        stamp(b).coalesce(1).write.parquet(tmp)
+        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+          .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+        val dst = new org.apache.hadoop.fs.Path(s"$out/feed/b$i.parquet")
+        fs.mkdirs(dst.getParent)
+        require(fs.rename(part, dst), s"failed to place $dst")
+        fs.setTimes(dst, 1700000000000L + i * 60000L, -1)
+      }
+      val feedSchema = s.read.parquet(s"$out/feed").schema
+      val src = s.readStream.schema(feedSchema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$out/feed")
+      // state stores sized to key volume (see q_st_curate_index)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        streaming.DocStream.curateStreamAgainstIndex(src, "doc_id",
+            "text", "event_ts", "1 hour", idx, s"$out/curated",
+            s"$out/ckpt", appendAfterCut = true, compactEvery = 2)
+          .awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.read.parquet(s"$out/curated")
+        .select(col("doc_id"), col("n_tokens"), col("quality_score"),
+          col("pred_lang"), col("split"), md5(col("text")).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
     // ---- O5: progress + ETA monitor — a REAL tracked copy fan-out
     // (scheduler-fed listener, Wait loop data_copier.go:142-176) pinned
     // by its invariants (tasks observed, all completed, none failed,
@@ -6175,6 +6259,110 @@ object SparkEntry {
         |cut AS (
         |  SELECT f.doc_id, coalesce(cl.text_clean, f.text) AS text
         |  FROM fd f LEFT JOIN clean cl USING (doc_id)),
+        |st AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |    CAST(length(text) AS BIGINT) AS n_len,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|is)\b')) AS BIGINT) AS en_n,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(le|la|et|les|des)\b')) AS BIGINT) AS fr_n,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(el|los|las|y|que)\b')) AS BIGINT) AS es_n,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist)\b')) AS BIGINT) AS de_n
+        |  FROM cut),
+        |q AS (
+        |  SELECT doc_id, text, n_tokens,
+        |    CAST(n_tokens >= 10 AS INT) + CAST(n_tokens <= 1000 AS INT)
+        |      + CAST(CAST(n_len AS DOUBLE)/NULLIF(n_tokens, 0) >= 3
+        |              AND CAST(n_len AS DOUBLE)/NULLIF(n_tokens, 0) <= 12 AS INT)
+        |      + CAST(CAST(n_alpha AS DOUBLE)/NULLIF(n_len, 0) > 0.7 AS INT) AS quality_score,
+        |    CASE WHEN en_n >= fr_n AND en_n >= es_n AND en_n >= de_n THEN 'en'
+        |         WHEN fr_n >= es_n AND fr_n >= de_n THEN 'fr'
+        |         WHEN es_n >= de_n THEN 'es' ELSE 'de' END AS pred_lang
+        |  FROM st)
+        |SELECT doc_id, n_tokens, quality_score, pred_lang,
+        |  CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val' ELSE 'test' END AS split,
+        |  md5(text) AS clean_md5
+        |FROM (SELECT *,
+        |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8)) AS BIGINT)
+        |          % 10000 AS b
+        |      FROM q WHERE quality_score >= 3 AND pred_lang = 'en')
+        |ORDER BY doc_id""".stripMargin,
+    // append-after-cut is batch-ORDER-dependent: batch i's census is the
+    // reference grams plus the RAW grams of batches < i (the stream
+    // appends each cut batch's raw text), recomputed here from scratch —
+    // a gram collides iff it is in the reference or its FIRST carrying
+    // batch is strictly earlier than the probing one
+    "q_st_curate_append" ->
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+        |  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+        |refg AS (
+        |  SELECT DISTINCT md5(substring(text, u1.p, 40)) AS h
+        |  FROM u, LATERAL (SELECT unnest(generate_series(
+        |    1, length(text) - 39)) AS p) u1
+        |  WHERE doc_id % 6 = 0 AND length(text) >= 40),
+        |fd AS (SELECT doc_id, text FROM u WHERE doc_id % 3 = 1),
+        |b0 AS (SELECT doc_id, text FROM fd WHERE doc_id % 2 = 1),
+        |allb AS (
+        |  SELECT 0 AS b, doc_id, text FROM b0
+        |  UNION ALL SELECT 1, doc_id, text FROM fd WHERE doc_id % 2 = 0
+        |  UNION ALL SELECT 1, doc_id + 1000000,
+        |    substring(text, 1, 120) || ' planted first copy about doc ' ||
+        |    CAST(doc_id AS VARCHAR) ||
+        |    ' where the quick brown fox jumps over the lazy dog'
+        |  FROM b0 WHERE doc_id % 5 = 1
+        |  UNION ALL SELECT 2, doc_id + 2000000,
+        |    substring(text, 1, 120) || ' second planted copy about doc ' ||
+        |    CAST(doc_id AS VARCHAR) ||
+        |    ' pack the box with five dozen liquor jugs'
+        |  FROM fd WHERE doc_id % 2 = 0 AND doc_id % 5 = 2
+        |  UNION ALL SELECT 2, doc_id + 3000000,
+        |    substring(text, 1, 120) || ' third planted copy about doc ' ||
+        |    CAST(doc_id AS VARCHAR) ||
+        |    ' we all live in a yellow submarine today'
+        |  FROM b0 WHERE doc_id % 5 = 3),
+        |bg AS (
+        |  SELECT b, doc_id, u2.p AS p, md5(substring(text, u2.p, 40)) AS h
+        |  FROM allb, LATERAL (SELECT unnest(generate_series(
+        |    1, length(text) - 39)) AS p) u2
+        |  WHERE length(text) >= 40),
+        |firstb AS (SELECT h, min(b) AS fb FROM bg GROUP BY h),
+        |dup AS (
+        |  SELECT g.doc_id, g.p, g.p + 39 AS e
+        |  FROM bg g JOIN firstb f ON g.h = f.h
+        |  WHERE f.fb < g.b OR g.h IN (SELECT h FROM refg)),
+        |mrk AS (
+        |  SELECT doc_id, p, e,
+        |    CASE WHEN p > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY p
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM dup),
+        |spans AS (
+        |  SELECT doc_id, min(p) AS span_start, max(e) AS span_end
+        |  FROM (SELECT doc_id, p, e,
+        |          sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS gid
+        |        FROM mrk)
+        |  GROUP BY doc_id, gid),
+        |headseg AS (
+        |  SELECT s.doc_id, s.span_start AS ord,
+        |    substring(c.text,
+        |      CAST(coalesce(lag(s.span_end) OVER (PARTITION BY s.doc_id
+        |        ORDER BY s.span_start), 0) + 1 AS INT),
+        |      CAST(s.span_start - coalesce(lag(s.span_end) OVER (
+        |        PARTITION BY s.doc_id ORDER BY s.span_start), 0) - 1 AS INT)) AS seg
+        |  FROM spans s JOIN allb c USING (doc_id)),
+        |tailseg AS (
+        |  SELECT s.doc_id, 2000000000 AS ord,
+        |    substring(c.text, CAST(max(s.span_end) AS INT) + 1) AS seg
+        |  FROM spans s JOIN allb c USING (doc_id)
+        |  GROUP BY s.doc_id, c.text),
+        |clean AS (
+        |  SELECT doc_id, string_agg(seg, '' ORDER BY ord) AS text_clean
+        |  FROM (SELECT * FROM headseg UNION ALL SELECT * FROM tailseg)
+        |  GROUP BY doc_id),
+        |cut AS (
+        |  SELECT f.doc_id, coalesce(cl.text_clean, f.text) AS text
+        |  FROM allb f LEFT JOIN clean cl USING (doc_id)),
         |st AS (
         |  SELECT doc_id, text,
         |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,

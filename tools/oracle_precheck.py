@@ -75,6 +75,13 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)
+    # builder-side triage aid: GRAFT_ONLY=q_a,q_b restricts the compare
+    # (pairs with SPARK_GRAFT_VERIFY_ONLY on the Verify side); the
+    # rows-only sweep is restricted too so absent dumps don't FAIL
+    only = os.environ.get("GRAFT_ONLY")
+    want = {x.strip() for x in only.split(",") if x.strip()} if only else None
+    if want is not None:
+        oracles = {k: v for k, v in oracles.items() if k in want}
     failures = 0
     for name in sorted(oracles):
         spark_glob = os.path.join(out_dir, name, "*.parquet")
@@ -115,6 +122,8 @@ def main():
     # (a zero-row dump is a broken query, and must fail the gate)
     for d in sorted(os.listdir(out_dir)):
         full = os.path.join(out_dir, d)
+        if want is not None and d not in want:
+            continue
         if os.path.isdir(full) and d not in oracles:
             g = os.path.join(full, "*.parquet")
             n = 0
