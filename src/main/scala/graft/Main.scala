@@ -215,9 +215,12 @@ object Main {
     * ~2/(G+1) the shuffle bytes — the 100 TB default; a shared run of
     * ≥ `substrGuarantee` chars, default `substrCut + 24`, is still
     * caught, and `q_substr_eval` is the coverage dial for tuning the
-    * pair). `"substrHash": "md5"|"xxh64"` (exact mode only) keys the
-    * ephemeral cut census — xxh64 = 4× smaller keys, the production
-    * choice; spans are equality-of-key facts either way.
+    * pair). `"substrHash": "md5"|"xxh64"` keys the ephemeral cut
+    * census — xxh64 = 4× smaller keys, the production choice. In exact
+    * mode spans are equality-of-key facts either way; in anchored mode
+    * the hash also RANKS the winnow selection, so the anchor set (and
+    * the cut) differs while the ≥ `substrGuarantee` window guarantee
+    * holds under both.
     * `"substrIndex": "<dir>"` (mutually exclusive with
     * `substrCut`) cuts against a FROZEN staged census instead —
     * incremental curation; the index carries its own gram width and
@@ -275,10 +278,10 @@ object Main {
     require(Set(graft.text.Substrings.HashMd5,
       graft.text.Substrings.HashXxh64)(substrHash),
       s"substrHash must be md5|xxh64, got $substrHash")
-    require(!n.has("substrHash") || (substrCut.nonEmpty && substrMode == "exact"),
-      "substrHash keys the exact substrCut census — it needs substrCut " +
-        "and mode 'exact' (the anchored winnow rank is md5-pinned; " +
-        "substrIndex takes the hash from its own manifest)")
+    require(!n.has("substrHash") || substrCut.nonEmpty,
+      "substrHash keys the substrCut census — without substrCut it " +
+        "would be silently ignored (substrIndex takes the hash from " +
+        "its own manifest)")
     val budgets = if (n.has("budgets"))
       Some(n.get("budgets").fields().asScala.toSeq
         .map(e => e.getKey -> e.getValue.asLong()))
@@ -327,7 +330,8 @@ object Main {
       case (Some(k), _) =>
         Some(substrMode match {
           case "anchored" => graft.text.Substrings.cleanedCorpusAnchored(
-            deduped, idCol, col(textName), k, substrGuarantee)
+            deduped, idCol, col(textName), k, substrGuarantee,
+            maxChars = 0, hash = substrHash)
           case _ => graft.text.Substrings.cleanedCorpus(
             deduped, idCol, col(textName), k, maxChars = 0,
             hash = substrHash)
@@ -657,7 +661,11 @@ object Main {
           require(!n.has("buckets"),
             "bm25 config has 'buckets' but the index's staged value is " +
               "the contract — drop it (only 'build' takes it)")
-          text.Retrieval.appendBm25(cat.read(ns), id, col(textCol), idx)
+          // new-ids guard on by default; assumeNewIds=true is the
+          // explicit escape hatch (see Retrieval.appendBm25)
+          text.Retrieval.appendBm25(cat.read(ns), id, col(textCol), idx,
+            assumeNewIds = n.has("assumeNewIds") &&
+              n.get("assumeNewIds").asBoolean())
           println(s"appended $ns into $idx")
         case "query" =>
           val qns = if (n.has("queries")) n.get("queries").asText() else ns
@@ -700,19 +708,18 @@ object Main {
           require(!n.has("guarantee") || mode == "anchored",
             "census config has 'guarantee' but mode is not 'anchored' — " +
               "guarantee only parameterizes the anchored census")
-          require(!n.has("hash") || mode == "exact",
-            "census config has 'hash' but mode is not 'exact' — the " +
-              "anchored census rank is md5-pinned (the winnow selection " +
-              "is part of the oracle contract)")
+          // hash is a build-time param for BOTH modes: exact spans are
+          // hash-invariant; anchored selection changes with the rank
+          // hash but keeps the window guarantee (Substrings.winnowRows)
+          val hash = if (n.has("hash")) n.get("hash").asText()
+            else text.Substrings.HashMd5
           if (mode == "anchored")
             text.Substrings.stageAnchorCensus(cat.read(ns), id, col(textCol),
               k, guarantee = int("guarantee", k + 24), dir = idx,
-              buckets = int("buckets", 64))
+              buckets = int("buckets", 64), hash = hash)
           else
             text.Substrings.stageGramCensus(cat.read(ns), id, col(textCol),
-              k, dir = idx, buckets = int("buckets", 64),
-              hash = if (n.has("hash")) n.get("hash").asText()
-                else text.Substrings.HashMd5)
+              k, dir = idx, buckets = int("buckets", 64), hash = hash)
           println(s"built $mode census for $ns at $idx")
         case "append" =>
           refuseBuildKnobs()

@@ -281,3 +281,86 @@ case class WinnowAnchors(child: Expression, k: Int, guarantee: Int)
   override protected def withNewChildInternal(newChild: Expression): WinnowAnchors =
     copy(child = newChild)
 }
+
+/** [[WinnowAnchors]] ranking and keying by xxhash64 (seed 42) instead of
+  * md5 — the PRODUCTION rank hash for the anchored census
+  * ([[graft.text.Substrings.stageAnchorCensus]] `hash = "xxh64"`):
+  * 8-byte census keys, one 64-bit hash per gram instead of a full md5
+  * digest. Selection DIFFERS from the md5 variant (winnowing picks the
+  * rank-min of each window, and rank order depends on the hash), but
+  * the window guarantee is hash-independent: any two documents sharing
+  * a substring of ≥ `guarantee` chars still select at least one common
+  * gram inside the shared region, because a full window fits inside it
+  * and rank comparison there depends only on shared content.
+  * SubstringsSpec pins the guarantee as a property under BOTH hashes;
+  * md5 stays the oracle-recomputable fixture default. Rank order is
+  * UNSIGNED 64-bit (ties keep the leftmost position, as with md5).
+  * Returns `array<struct<pos int, h bigint>>`. */
+case class WinnowAnchors64(child: Expression, k: Int, guarantee: Int)
+  extends UnaryExpression {
+  require(k >= 1, "k must be >= 1")
+  require(guarantee >= k, "guarantee must be >= k")
+  private val G = guarantee - k + 1
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"winnow_anchors64 expects string, got ${t.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("pos", IntegerType, nullable = false),
+      StructField("h", LongType, nullable = false))),
+    containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = compute(input)
+
+  def compute(input: Any): ArrayData = {
+    val hs = SubstringExprs.gramHashes64(input.asInstanceOf[UTF8String], k)
+    val L = hs.length
+    if (L == 0) return new GenericArrayData(Array.empty[Any])
+    val sel = new java.util.ArrayList[Int]()
+    if (L <= G) {
+      var best = 0
+      var p = 1
+      while (p < L) { // strict <: ties keep the leftmost
+        if (java.lang.Long.compareUnsigned(hs(p), hs(best)) < 0) best = p
+        p += 1
+      }
+      sel.add(best)
+    } else {
+      val dq = new java.util.ArrayDeque[Int]()
+      var p = 0
+      while (p < L) {
+        while (!dq.isEmpty &&
+            java.lang.Long.compareUnsigned(hs(dq.peekLast), hs(p)) > 0)
+          dq.pollLast()
+        dq.addLast(p)
+        val winStart = p - G + 1
+        if (winStart >= 0) {
+          while (dq.peekFirst < winStart) dq.pollFirst()
+          val m = dq.peekFirst
+          if (sel.isEmpty || sel.get(sel.size - 1) != m) sel.add(m)
+        }
+        p += 1
+      }
+    }
+    val out = new Array[Any](sel.size)
+    var i = 0
+    while (i < sel.size) {
+      val p = sel.get(i)
+      out(i) = new GenericInternalRow(Array[Any](p + 1, hs(p)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("winnowAnchors64", this, classOf[WinnowAnchors64].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override def prettyName: String = "winnow_anchors64"
+  override protected def withNewChildInternal(newChild: Expression): WinnowAnchors64 =
+    copy(child = newChild)
+}

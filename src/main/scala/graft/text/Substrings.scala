@@ -46,9 +46,12 @@ import org.apache.spark.sql.graftbridge.ExprBridge
   * keeps every value recomputable by any engine (the DuckDB oracle
   * pins each stage bit-for-bit — the fixture default), xxh64 stores
   * 8-byte keys — 4× less census shuffle and storage, the production
-  * mode for the exact path at 100 TB. Probes and appends derive the
-  * hash from the index's manifest like `k`/`buckets`, and
-  * SubstringsSpec pins that both modes emit identical span frames.
+  * mode at 100 TB. Probes and appends derive the hash from the index's
+  * manifest like `k`/`buckets`. On the EXACT path the two hashes emit
+  * identical span frames (spans are hash-equality facts; SubstringsSpec
+  * pins it); on the ANCHORED path the hash also RANKS the winnowing, so
+  * xxh64 selects a different anchor set — the window guarantee holds
+  * under both (pinned as a property), and md5 stays the oracle default.
   *
   * Reference: lee2021dedup ExactSubstr; also suffix_array.py in the
   * google-research/deduplicate-text-datasets release (public paper +
@@ -107,9 +110,10 @@ object Substrings {
     * duplicated iff its key repeats), so the spans are hash-identical
     * absent collisions — xxh64 runs the census at ~half the cost and
     * a quarter of the shuffle bytes (tools/CensusSweep), the
-    * production choice. The ANCHORED path has no such knob: winnow
-    * SELECTION depends on hash ORDER, which is part of the oracle
-    * contract. */
+    * production choice. The ANCHORED path's hash knob lives on
+    * [[anchorSpans]]/[[stageAnchorCensus]] and CHANGES the selection
+    * (winnowing ranks by hash) while preserving the window guarantee —
+    * a different contract, deliberately not this parameter. */
   def dupSpans(df: DataFrame, idCol: String, text: Column, k: Int,
       maxChars: Int = 0, hash: String = HashMd5): DataFrame = {
     val g = gramRows(df, idCol, text, k, maxChars, hash)
@@ -180,9 +184,10 @@ object Substrings {
     * [[coverageEval]] is the dial that tunes (k, guarantee) against the
     * exact surface. */
   def cleanedCorpusAnchored(df: DataFrame, idCol: String, text: Column,
-      k: Int, guarantee: Int, maxChars: Int = 0): DataFrame =
+      k: Int, guarantee: Int, maxChars: Int = 0,
+      hash: String = HashMd5): DataFrame =
     cleanedFrom(spanJoined(df, idCol, text,
-      anchorSpans(df, idCol, text, k, guarantee, maxChars), maxChars))
+      anchorSpans(df, idCol, text, k, guarantee, maxChars, hash), maxChars))
 
   /** A staged census RESOLVED: the probe/append contract (discipline,
     * gram width, bucketing, hash, guarantee) read out of the manifest
@@ -281,7 +286,7 @@ object Substrings {
     idx.mode match {
       case "anchored" =>
         appendCensusRows(winnowRows(batch, idCol, text, idx.k,
-          idx.guarantee, maxChars), idx.dir, idx.buckets)
+          idx.guarantee, maxChars, idx.hash), idx.dir, idx.buckets)
       case _ =>
         appendCensusRows(gramRows(batch, idCol, text, idx.k, maxChars,
           idx.hash), idx.dir, idx.buckets)
@@ -342,14 +347,26 @@ object Substrings {
   }
 
   /** Winnowing-selected fingerprints: (idCol, p, h), the ~2/(G+1)
-    * density subset ([[graft.functions.WinnowAnchors]]). */
+    * density subset ([[graft.functions.WinnowAnchors]]).
+    *
+    * `hash` picks the RANK hash (and census key): md5 (the
+    * oracle-recomputable default — winnow SELECTION depends on hash
+    * ORDER, so md5 is what the DuckDB twins pin) or xxh64
+    * ([[graft.functions.WinnowAnchors64]] — 8-byte keys, no digest per
+    * gram; the production mode). The two modes select DIFFERENT anchor
+    * sets, but the window guarantee (any shared run of ≥ `guarantee`
+    * chars collides) holds under any hash — SubstringsSpec pins it as a
+    * property of both. */
   def winnowRows(df: DataFrame, idCol: String, text: Column, k: Int,
-      guarantee: Int, maxChars: Int = 0): DataFrame = {
+      guarantee: Int, maxChars: Int = 0, hash: String = HashMd5): DataFrame = {
+    requireHash(hash)
     val t = capped(text, maxChars)
+    val anchors =
+      if (hash == HashXxh64)
+        graft.functions.WinnowAnchors64(ExprBridge.expression(t), k, guarantee)
+      else graft.functions.WinnowAnchors(ExprBridge.expression(t), k, guarantee)
     df.filter(text.isNotNull)
-      .select(col(idCol),
-        explode(ExprBridge.column(graft.functions.WinnowAnchors(
-          ExprBridge.expression(t), k, guarantee))).as("__a"))
+      .select(col(idCol), explode(ExprBridge.column(anchors)).as("__a"))
       .select(col(idCol), col("__a").getField("pos").as("p"),
         col("__a").getField("h").as("h"))
   }
@@ -389,10 +406,12 @@ object Substrings {
     * hash occurs ≥ 2 times among SELECTED grams corpus-wide, merged per
     * document. Subset of [[dupSpans]]' coverage by construction; any
     * shared run of ≥ `guarantee` chars contributes at least one anchor
-    * on each side. */
+    * on each side — under EITHER rank hash (`hash`, see [[winnowRows]]:
+    * xxh64 selects a different-but-equally-guaranteed anchor set at a
+    * quarter of the census key bytes; md5 is the oracle default). */
   def anchorSpans(df: DataFrame, idCol: String, text: Column, k: Int,
-      guarantee: Int, maxChars: Int = 0): DataFrame = {
-    val w = winnowRows(df, idCol, text, k, guarantee, maxChars)
+      guarantee: Int, maxChars: Int = 0, hash: String = HashMd5): DataFrame = {
+    val w = winnowRows(df, idCol, text, k, guarantee, maxChars, hash)
     mergeSpans(dupPositions(w, k), idCol)
   }
 
@@ -456,12 +475,15 @@ object Substrings {
     * ([[newDupSpans]]) and anchored probes ([[newAnchorSpans]]) both
     * validate the mode before scanning. */
   def stageAnchorCensus(corpus: DataFrame, idCol: String, text: Column, k: Int,
-      guarantee: Int, dir: String, buckets: Int = 64, maxChars: Int = 0): Unit = {
+      guarantee: Int, dir: String, buckets: Int = 64, maxChars: Int = 0,
+      hash: String = HashMd5): Unit = {
     require(guarantee >= k, "guarantee must be >= k")
+    requireHash(hash)
     stageCensusFrom(corpus, text,
-      winnowRows(corpus, idCol, text, k, guarantee, maxChars),
+      winnowRows(corpus, idCol, text, k, guarantee, maxChars, hash),
       k, dir, buckets,
-      Map("mode" -> "anchored", "guarantee" -> guarantee.toString))
+      Map("mode" -> "anchored", "guarantee" -> guarantee.toString,
+        "hash" -> hash))
   }
 
   private def stageCensusFrom(corpus: DataFrame, text: Column, rows: DataFrame,
@@ -520,7 +542,7 @@ object Substrings {
       dir: String, maxChars: Int = 0): Unit = {
     val idx = openIndex(batch.sparkSession, dir).requireMode("anchored")
     appendCensusRows(
-      winnowRows(batch, idCol, text, idx.k, idx.guarantee, maxChars),
+      winnowRows(batch, idCol, text, idx.k, idx.guarantee, maxChars, idx.hash),
       idx.dir, idx.buckets)
   }
 
@@ -548,7 +570,7 @@ object Substrings {
     * index, as with stage/append. */
   def compactCensus(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit = {
-    val mf = graft.util.IndexManifest.validate(spark, dir,
+    val mf = graft.util.IndexManifest.validateKind(spark, dir,
       graft.util.IndexManifest.KindGramCensus)
     val obs = org.apache.spark.sql.Observation()
     graft.util.DirSwap.replace(spark, dir, "census") { tmp =>
@@ -611,7 +633,7 @@ object Substrings {
       idx: CensusIndex, maxChars: Int, selfDups: Boolean): DataFrame = {
     idx.requireMode("anchored")
     probeSpans(
-      winnowRows(batch, idCol, text, idx.k, idx.guarantee, maxChars),
+      winnowRows(batch, idCol, text, idx.k, idx.guarantee, maxChars, idx.hash),
       idCol, idx.k, idx.dir, idx.buckets, selfDups)
   }
 

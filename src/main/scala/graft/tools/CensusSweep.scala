@@ -9,9 +9,13 @@ import org.apache.spark.sql.functions._
   * probe the same batch through both, and print corpus chars, at-rest
   * census bytes, bytes/char, and probe wall-clock — the measured
   * evidence behind SCALE.md's "4× smaller census keys" claim for the
-  * exact-path production hash (`stageGramCensus(hash = "xxh64")`).
-  * Spans are pinned identical across modes by SubstringsSpec; this tool
-  * measures the PRICE side of the trade.
+  * production hash (`stageGramCensus(hash = "xxh64")`), measured over
+  * BOTH disciplines: the exact census (one row per corpus char; spans
+  * pinned identical across hashes by SubstringsSpec) and the anchored
+  * census (winnow-selected rows at ~2/(G+1) density; the hash also
+  * RANKS the selection, so row counts differ slightly between modes —
+  * the window guarantee is the invariant, pinned as a ScalaCheck
+  * property). This tool measures the PRICE side of the trade.
   * Builder-side tooling — not part of the driver contract.
   *
   * Usage: runMain graft.tools.CensusSweep [sfDir]
@@ -37,16 +41,25 @@ object CensusSweep {
     }
 
     println(f"reference: ${ref.count()} docs, $chars%,d chars ($dir)")
-    for (hash <- Seq(Substrings.HashMd5, Substrings.HashXxh64)) {
-      val idx = java.nio.file.Files.createTempDirectory(s"census_$hash").toString
-      val tStage = time(Substrings.stageGramCensus(ref, "doc_id", col("text"),
-        k = 40, dir = idx, buckets = 64, hash = hash))
+    for (mode <- Seq("exact", "anchored");
+         hash <- Seq(Substrings.HashMd5, Substrings.HashXxh64)) {
+      val idx = java.nio.file.Files
+        .createTempDirectory(s"census_${mode}_$hash").toString
+      val tStage = time(
+        if (mode == "anchored")
+          Substrings.stageAnchorCensus(ref, "doc_id", col("text"),
+            k = 40, guarantee = 64, dir = idx, buckets = 64, hash = hash)
+        else
+          Substrings.stageGramCensus(ref, "doc_id", col("text"),
+            k = 40, dir = idx, buckets = 64, hash = hash))
       val bytes = du(s"$idx/census")
-      val tProbe = time(
-        Substrings.newDupSpans(batch, "doc_id", col("text"), idx).count())
+      val tProbe = time((if (mode == "anchored")
+          Substrings.newAnchorSpans(batch, "doc_id", col("text"), idx)
+        else
+          Substrings.newDupSpans(batch, "doc_id", col("text"), idx)).count())
       val nGrams = spark.read.parquet(s"$idx/census")
         .agg(sum(col("n"))).head().getLong(0)
-      println(f"$hash%-6s census: $bytes%,d bytes at rest " +
+      println(f"$mode%-8s $hash%-6s census: $bytes%,d bytes at rest " +
         f"(${bytes.toDouble / chars}%.2f B/char, $nGrams%,d gram rows), " +
         f"stage ${tStage}%.1f s, probe ${tProbe}%.1f s")
     }

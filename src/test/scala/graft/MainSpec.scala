@@ -469,9 +469,9 @@ class MainSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       run(s""","substrIndex":"$refDir","substrMode":"anchored"""", "modeidx")
     }
-    // substrHash keys the exact cut census: same cut either way, and
-    // it is refused wherever it would be ignored (no cut; anchored
-    // mode — the winnow rank is md5-pinned; index — manifest decides)
+    // substrHash keys the cut census: on the EXACT surface the cut is
+    // hash-invariant (spans are equality-of-key facts); it is refused
+    // wherever it would be ignored (no cut; index — manifest decides)
     val withCutX = run(""","substrCut":40,"substrHash":"xxh64"""", "cutx")
     assert(withCutX(1L) == withCut(1L) && withCutX(2L) == withCut(2L) &&
       withCutX(3L) == withCut(3L))
@@ -479,12 +479,17 @@ class MainSpec extends SparkSpec {
       run(""","substrHash":"xxh64"""", "hashnocut")
     }
     intercept[IllegalArgumentException] {
-      run(""","substrCut":40,"substrMode":"anchored","substrHash":"xxh64"""",
-        "hashanch")
-    }
-    intercept[IllegalArgumentException] {
       run(s""","substrIndex":"$refDir","substrHash":"xxh64"""", "hashidx")
     }
+    // anchored + xxh64 rank hash is ACCEPTED (round 12): selection
+    // differs from md5 but the window guarantee holds — the planted
+    // 120-char shared prefix (≥ guarantee = 64) is still cut on both
+    // reference-duplicating docs
+    val anchX = run(
+      ""","substrCut":40,"substrMode":"anchored","substrHash":"xxh64"""",
+      "hashanch")
+    assert(anchX(1L) < without(1L) && anchX(2L) < without(2L),
+      "anchored xxh64 cut removed nothing from the duplicating docs")
   }
 
   test("-curate dedups on RAW text before the line gate (stream-surface parity)") {

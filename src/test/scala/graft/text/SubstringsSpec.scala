@@ -209,6 +209,85 @@ class SubstringsSpec extends SparkSpec {
     }
   }
 
+  test("winnow window guarantee holds under BOTH rank hashes (ScalaCheck property)") {
+    // the rank hash (md5 | xxh64) changes WHICH anchors winnowing
+    // selects, but never the guarantee: any two docs sharing a run of
+    // >= guarantee chars select at least one common gram. Property-
+    // checked on the expression directly (driver-side, no Spark jobs),
+    // junk alphabet includes multibyte chars so the non-ASCII gram path
+    // is exercised too.
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val k = 20; val guarantee = 64
+    val alpha = "abcdefghijklmnopqrstuvwxyz éñ中".toSeq
+    def str(n: Gen[Int]): Gen[String] =
+      n.flatMap(m => Gen.listOfN(m, Gen.oneOf(alpha)).map(_.mkString))
+    val junk = str(Gen.choose(0, 150))
+    val shared = str(Gen.const(guarantee))
+    def anchors(text: String, xx: Boolean): Set[Any] = {
+      val lit = Literal(UTF8String.fromString(text), StringType)
+      val arr = (if (xx) graft.functions.WinnowAnchors64(lit, k, guarantee)
+        else graft.functions.WinnowAnchors(lit, k, guarantee))
+        .eval(null).asInstanceOf[ArrayData]
+      (0 until arr.numElements()).map { i =>
+        val row = arr.getStruct(i, 2)
+        if (xx) row.getLong(1) else row.getUTF8String(1).toString
+      }.toSet
+    }
+    val prop = Prop.forAll(junk, junk, junk, junk, shared) { (a, b, c, d, s) =>
+      Seq(false, true).forall { xx =>
+        (anchors(a + s + b, xx) & anchors(c + s + d, xx)).nonEmpty
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(150), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("anchored census with the xxh64 rank hash: manifest param, probe == direct, append == restage") {
+    val base = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter($"text".isNotNull)
+    val ref = base.filter($"doc_id" % 3 =!= 1)
+    val batch = base.filter($"doc_id" % 3 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("anchidx64").toString
+    Substrings.stageAnchorCensus(ref, "doc_id", col("text"),
+      k = 40, guarantee = 64, dir = dir, hash = Substrings.HashXxh64)
+    val mf = graft.util.IndexManifest.read(spark, dir)
+    assert(mf.params("hash") == Substrings.HashXxh64 &&
+      mf.params("mode") == "anchored")
+    val idx = Substrings.openIndex(spark, dir)
+    assert(idx.hash == Substrings.HashXxh64 && idx.guarantee == 64)
+    // probe derives the rank hash from the manifest: == the direct
+    // anchor rule computed over xxh64 winnow rows on both sides
+    val staged = Substrings.newAnchorSpans(batch, "doc_id", col("text"), dir)
+    val bw = Substrings.winnowRows(batch, "doc_id", col("text"), 40, 64,
+      hash = Substrings.HashXxh64)
+    val refH = Substrings.winnowRows(ref, "doc_id", col("text"), 40, 64,
+        hash = Substrings.HashXxh64)
+      .select("h").distinct()
+    val dupH = bw.groupBy("h").count().filter($"count" > 1).select("h")
+      .unionByName(bw.select("h").join(refH, Seq("h"), "left_semi"))
+      .distinct()
+    val direct = Substrings.mergeSpans(
+      bw.join(dupH, "h").select(col("doc_id"), col("p"))
+        .withColumn("e", col("p") + 39), "doc_id")
+    assert(staged.exceptAll(direct).isEmpty && direct.exceptAll(staged).isEmpty)
+    assert(staged.count() > 0)
+    // append derives the same rank hash: stage half + append half ==
+    // stage all, probed
+    val dirInc = java.nio.file.Files.createTempDirectory("anchidx64i").toString
+    Substrings.stageAnchorCensus(ref.filter($"doc_id" % 2 === 0), "doc_id",
+      col("text"), k = 40, guarantee = 64, dir = dirInc,
+      hash = Substrings.HashXxh64)
+    Substrings.appendAnchorCensus(ref.filter($"doc_id" % 2 === 1), "doc_id",
+      col("text"), dirInc)
+    val viaInc = Substrings.newAnchorSpans(batch, "doc_id", col("text"), dirInc)
+    assert(viaInc.exceptAll(staged).isEmpty && staged.exceptAll(viaInc).isEmpty)
+  }
+
   test("appendGramCensus: stage half + append half == stage all") {
     val base = spark.read.parquet(s"$sf0001/documents.parquet")
       .filter($"text".isNotNull).limit(200)
