@@ -709,7 +709,7 @@ object Similarity {
     * [[graft.util.DirSwap]]; single writer per index. */
   def compactIvfPq(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit = {
-    val mf = graft.util.IndexManifest.validate(spark, dir,
+    val mf = graft.util.IndexManifest.validateKind(spark, dir,
       graft.util.IndexManifest.KindIvfPq)
     val obs = org.apache.spark.sql.Observation()
     graft.util.DirSwap.replace(spark, dir, "codes") { tmp =>

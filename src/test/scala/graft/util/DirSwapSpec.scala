@@ -72,4 +72,31 @@ class DirSwapSpec extends SparkSpec {
     }
     assert(markerOf(p, "census") == "old")
   }
+
+  test("a stranded mid-swap state surfaces recovery guidance at the PROBE, not a raw FileNotFound") {
+    // the manifest stays valid through compaction by design, so a crash
+    // between DirSwap's two renames (live gone, .__old__ present) would
+    // otherwise fail probes with an opaque missing-path error —
+    // IndexManifest.validate names the recovery verb instead
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = Files.createTempDirectory("dirswap_probe").toString
+    val docs = Seq((1L, "a tiny corpus with one repeated run of text here"),
+        (2L, "another tiny document sharing one repeated run of text here"))
+      .toDF("doc_id", "text")
+    graft.text.Substrings.stageGramCensus(docs, "doc_id", col("text"),
+      k = 12, dir = dir, buckets = 2)
+    // arrange the exact crash state: live renamed aside, nothing published
+    Files.move(Paths.get(dir, "census"), Paths.get(dir, "census.__old__"))
+    val e = intercept[IllegalArgumentException] {
+      graft.text.Substrings.openIndex(spark, dir)
+    }
+    assert(e.getMessage.contains("interrupted compaction") &&
+      e.getMessage.contains("compact"))
+    // the named verb recovers: compaction rolls back and redoes the swap
+    graft.text.Substrings.compactCensus(spark, dir)
+    val spans = graft.text.Substrings.newDupSpans(docs, "doc_id",
+      col("text"), dir, maxChars = 0, selfDups = true)
+    assert(spans.count() > 0)
+  }
 }
