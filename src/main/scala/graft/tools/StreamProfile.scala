@@ -16,13 +16,30 @@ private final case class JobSpan(id: Int, start: Long, end: Long, site: String)
   * needs fewer/faster lifecycle cycles, a busy-dominated one needs a
   * cheaper plan. Builder-side tooling — not part of the driver contract.
   *
-  * Usage: runMain graft.tools.StreamProfile <query>[,<query>...] [sfDir]
+  * With a `floorsOut` path the tool becomes the WARM-FLOOR measurer
+  * behind the streaming bench gate: each query runs `repeats` times in
+  * this one JVM (so JIT/codegen reach steady state — a fresh JVM needs
+  * 3–4 executions), and the MIN wall (with its busy/gap split) is the
+  * query's warm floor, written as JSON for tools/stream_gate.py to gate
+  * `streaming_total` against (`sum(mins) <= 1.25 × sum(floors)`). The
+  * floor is a property of the FIXTURE (state round-trips, trigger
+  * lifecycle, sink commits at steady state), so it re-measures only
+  * when a fixture changes — the gate artifact records it explicitly.
+  *
+  * Usage: runMain graft.tools.StreamProfile
+  *          <query>[,<query>...]|streaming [sfDir] [floorsOut.json] [repeats]
+  * (`streaming` expands to every Bench.streamingQueries entry.)
   */
 object StreamProfile {
   def main(args: Array[String]): Unit = {
-    val names = args.headOption.map(_.split(",").toSeq)
-      .getOrElse(Seq("q_st2_catchup"))
+    val names = args.headOption match {
+      case Some("streaming") => graft.Bench.streamingQueries.toSeq.sorted
+      case Some(s) => s.split(",").toSeq
+      case None => Seq("q_st2_catchup")
+    }
     val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val floorsOut = args.lift(2)
+    val repeats = args.lift(3).map(_.toInt).getOrElse(4)
     val spark = GraftSession.create("local[32]")
     val starts = new ConcurrentHashMap[Int, (Long, String)]()
     val intervals = java.util.Collections.synchronizedList(
@@ -39,7 +56,8 @@ object StreamProfile {
           intervals.add(JobSpan(je.jobId, s._1, System.nanoTime(), s._2)): Unit
       }
     })
-    for (name <- names) {
+    // one profiled execution; returns (wall, busy, gap)
+    def profile(name: String, verbose: Boolean): (Double, Double, Double) = {
       intervals.clear()
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, dir).count()
@@ -62,16 +80,38 @@ object StreamProfile {
       println(f"$name%-22s rows=$n%-7d wall=$wall%6.2f s  " +
         f"jobs=${ivs.size}%3d  busy=$busy%6.2f s  gap=${wall - busy}%6.2f s  " +
         f"jobsum=$jobSum%6.2f s")
-      for (j <- ivs.sortBy(j => j.start - j.end).take(8))
-        println(f"    job ${j.id}%4d  ${(j.end - j.start) / 1e9}%6.2f s  " +
-          f"@+${(j.start - t0) / 1e9}%6.2f  ${j.site}")
-      // largest no-job windows: (after job X site) →gap→ (before job Y site)
-      val gaps = ivs.sliding(2).collect {
-        case Seq(a, b) if b.start > a.end => (b.start - a.end, a, b)
-      }.toSeq.sortBy(-_._1).take(6)
-      for ((g, a, b) <- gaps)
-        println(f"    gap ${g / 1e9}%6.2f s  @+${(a.end - t0) / 1e9}%6.2f  " +
-          f"after[${a.site}] before[${b.site}]")
+      if (verbose) {
+        for (j <- ivs.sortBy(j => j.start - j.end).take(8))
+          println(f"    job ${j.id}%4d  ${(j.end - j.start) / 1e9}%6.2f s  " +
+            f"@+${(j.start - t0) / 1e9}%6.2f  ${j.site}")
+        // largest no-job windows: (after job X) →gap→ (before job Y)
+        val gaps = ivs.sliding(2).collect {
+          case Seq(a, b) if b.start > a.end => (b.start - a.end, a, b)
+        }.toSeq.sortBy(-_._1).take(6)
+        for ((g, a, b) <- gaps)
+          println(f"    gap ${g / 1e9}%6.2f s  @+${(a.end - t0) / 1e9}%6.2f  " +
+            f"after[${a.site}] before[${b.site}]")
+      }
+      (wall, busy, wall - busy)
+    }
+
+    floorsOut match {
+      case None => for (name <- names) profile(name, verbose = true)
+      case Some(out) =>
+        val floors = names.map { name =>
+          val runs = (0 until repeats).map(_ => profile(name, verbose = false))
+          val (w, b, g) = runs.minBy(_._1)
+          println(f"$name%-22s floor=$w%6.2f s (busy=$b%5.2f gap=$g%5.2f) " +
+            s"over $repeats warm runs")
+          name -> ((w, b, g, runs.map(_._1)))
+        }
+        val body = floors.map { case (n, (w, b, g, runs)) =>
+          s""""$n":{"floor_sec":$w,"busy_sec":$b,"gap_sec":$g,""" +
+            s""""runs":[${runs.mkString(",")}]}"""
+        }.mkString(",")
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
+          s"""{"queries":{$body},"repeats":$repeats,"sf":"$dir"}""" + "\n")
+        println(s"wrote $out")
     }
     spark.stop()
   }

@@ -14,7 +14,15 @@ round artifact to be produced in isolation instead. This driver:
  3. runs each chunk as `java -cp ... graft.Bench` with
     SPARK_GRAFT_BENCH_ONLY=<chunk> in a FRESH JVM (same JVM flags as
     build.sbt's fork options);
- 4. merges the per-chunk JSONs into one bench line — per-query min /
+ 4. SELF-HEALS degraded chunks: after the first pass, any chunk whose
+    cpu probe falls outside ±25 % of the run's median probe (a noisy
+    box window — round 11 shipped exactly one such chunk and had to
+    adjudicate it across two files and a doc paragraph) is re-run, up
+    to --max-reruns times, and the attempt closest to the median probe
+    (preferring in-band) is the one merged. The band, every attempt's
+    probe, and which attempt won are recorded in the artifact, so
+    `rNN_iso.json` is the single artifact of record;
+ 5. merges the per-chunk JSONs into one bench line — per-query min /
     median / spread preserved, plan-cost `value` and `streaming_total`
     recomputed over the union, and every chunk's machine probes
     recorded under `probes` so tools/bench_compare.py can normalize.
@@ -87,11 +95,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--chunk", type=int, default=12)
-    ap.add_argument("--out", default=str(REPO / "bench_out" / "r10_iso.json"))
+    ap.add_argument("--out", default=str(REPO / "bench_out" / "r12_iso.json"))
     ap.add_argument("--classpath", default=None)
     ap.add_argument("--repeats", default="3")
     ap.add_argument("--only", default=None,
                     help="comma-separated query subset (debugging aid)")
+    ap.add_argument("--band-pct", type=float, default=25.0,
+                    help="probe band around the run median, percent")
+    ap.add_argument("--max-reruns", type=int, default=2,
+                    help="re-run attempts per probe-degraded chunk")
     args = ap.parse_args()
 
     cp_file = REPO / "target" / "bench_classpath"
@@ -115,19 +127,19 @@ def main():
     # streaming queries: one per JVM (see module doc)
     chunks += [[q] for q in stream_qs]
 
-    merged_q, merged_med, merged_spread, merged_err = {}, {}, {}, {}
-    probes = []
-    warmup_failed = 0
     out_dir = pathlib.Path(args.out).parent
     out_dir.mkdir(parents=True, exist_ok=True)
-    # chunk membership shifts whenever the query inventory grows, so a
-    # stale iso_chunk_N.json from a previous run can hold DIFFERENT
-    # queries than this run's chunk N — clear them all up front or
-    # post-hoc chunk attribution reads the wrong run's files
-    for stale in out_dir.glob("iso_chunk_*.json"):
+    # chunk files are namespaced by the --out stem so two bench
+    # invocations sharing a directory never delete each other's chunk
+    # artifacts mid-run; stale files of THIS run's family are cleared
+    # (chunk membership shifts whenever the query inventory grows, so a
+    # leftover chunk_N can hold different queries than this run's)
+    stem = pathlib.Path(args.out).stem
+    for stale in out_dir.glob(f"{stem}_chunk_*.json"):
         stale.unlink()
-    for i, chunk in enumerate(chunks):
-        chunk_out = out_dir / f"iso_chunk_{i}.json"
+
+    def run_chunk(i, chunk, attempt):
+        chunk_out = out_dir / f"{stem}_chunk_{i}_a{attempt}.json"
         j, rc = run_java(classpath, {
             "SPARK_GRAFT_BENCH_ONLY": ",".join(chunk),
             "SPARK_GRAFT_SF_DIR": args.sf,
@@ -136,20 +148,62 @@ def main():
             "SPARK_GRAFT_BENCH_TARGET_WARM": "1",
             "SPARK_GRAFT_BENCH_OUT": str(chunk_out),
         }, chunk_out)
-        merged_q.update(j["queries"])
-        merged_med.update(j.get("median", {}))
-        merged_spread.update(j.get("spread", {}))
-        merged_err.update(j.get("errors", {}))
-        warmup_failed += j.get("warmup_failed", 0)
+        return j, rc
+
+    results = []  # per chunk: list of attempt JSONs
+    for i, chunk in enumerate(chunks):
+        j, rc = run_chunk(i, chunk, 0)
+        results.append([j])
+        done = sum(len(c) for c in chunks[:i + 1])
+        print(f"chunk {i + 1}/{len(chunks)}: {len(chunk)} queries, "
+              f"rc={rc}, probe={j.get('probe_cpu_sec')}, "
+              f"{done}/{len(queries)} total", flush=True)
+
+    # self-heal: median probe over first attempts defines the band; any
+    # out-of-band chunk re-runs until an in-band attempt lands (or
+    # attempts are exhausted — then the probe-closest-to-median wins)
+    firsts = [r[0].get("probe_cpu_sec") for r in results]
+    med = statistics.median([p for p in firsts if p and p > 0] or [0.0])
+    lo, hi = med * (1 - args.band_pct / 100), med * (1 + args.band_pct / 100)
+
+    def in_band(j):
+        p = j.get("probe_cpu_sec")
+        return p is not None and lo <= p <= hi
+
+    for i, chunk in enumerate(chunks):
+        attempt = 1
+        while not in_band(results[i][-1]) and attempt <= args.max_reruns:
+            p = results[i][-1].get("probe_cpu_sec")
+            print(f"chunk {i}: probe {p} outside [{lo:.3f}, {hi:.3f}] — "
+                  f"re-running (attempt {attempt}/{args.max_reruns})",
+                  flush=True)
+            j, _ = run_chunk(i, chunk, attempt)
+            results[i].append(j)
+            attempt += 1
+
+    merged_q, merged_med, merged_spread, merged_err = {}, {}, {}, {}
+    probes = []
+    warmup_failed = 0
+    for i, chunk in enumerate(chunks):
+        attempts = results[i]
+        in_b = [j for j in attempts if in_band(j)]
+        pick = min(in_b or attempts,
+                   key=lambda j: abs((j.get("probe_cpu_sec") or 1e9) - med))
+        merged_q.update(pick["queries"])
+        merged_med.update(pick.get("median", {}))
+        merged_spread.update(pick.get("spread", {}))
+        merged_err.update(pick.get("errors", {}))
+        warmup_failed += pick.get("warmup_failed", 0)
         # queries listed per probe so a degraded-window chunk can be
         # attributed from the merged artifact alone (no chunk-file digs)
         probes.append({"chunk": i,
-                       "probe_cpu_sec": j.get("probe_cpu_sec"),
-                       "probe_shuffle_sec": j.get("probe_shuffle_sec"),
+                       "probe_cpu_sec": pick.get("probe_cpu_sec"),
+                       "probe_shuffle_sec": pick.get("probe_shuffle_sec"),
+                       "attempts": len(attempts),
+                       "attempt_probes": [j.get("probe_cpu_sec")
+                                          for j in attempts],
+                       "in_band": in_band(pick),
                        "queries": chunk})
-        done = sum(len(c) for c in chunks[:i + 1])
-        print(f"chunk {i + 1}/{len(chunks)}: {len(chunk)} queries, "
-              f"rc={rc}, {done}/{len(inv['queries'])} total", flush=True)
 
     ok = {k: v for k, v in merged_q.items() if v is not None}
     total = sum(v for k, v in ok.items() if k not in streaming)
@@ -165,6 +219,10 @@ def main():
         "warmup_failed": warmup_failed,
         "probe_cpu_sec": statistics.median(cpu) if cpu else -1.0,
         "probe_shuffle_sec": statistics.median(shuf) if shuf else -1.0,
+        "probe_band": {"median": med, "lo": lo, "hi": hi,
+                       "pct": args.band_pct, "max_reruns": args.max_reruns,
+                       "out_of_band_chunks":
+                           [p["chunk"] for p in probes if not p["in_band"]]},
         "probes": probes,
         "errors": merged_err,
         "n_failed": sum(1 for v in merged_q.values() if v is None),
