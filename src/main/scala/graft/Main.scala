@@ -764,7 +764,11 @@ object Main {
         println(s"built index for $ns at $idx")
       case "append" =>
         refusePqBuildKnobs()
-        ml.Similarity.appendIvfPq(cat.read(ns), id, emb, dir = idx)
+        // new-ids guard on by default; assumeNewIds=true is the
+        // explicit escape hatch (see Similarity.appendIvfPq)
+        ml.Similarity.appendIvfPq(cat.read(ns), id, emb, dir = idx,
+          assumeNewIds = n.has("assumeNewIds") &&
+            n.get("assumeNewIds").asBoolean())
         println(s"appended $ns into $idx")
       case "query" =>
         refusePqBuildKnobs()

@@ -686,10 +686,36 @@ object Similarity {
     * APPEND into the partitioned frame — batch-proportional cost, the
     * existing codes are never touched. (Re-deriving the metadata from
     * a grown corpus would silently re-key every existing code;
-    * periodic re-training is an explicit full [[stageIvfPq]].) */
+    * periodic re-training is an explicit full [[stageIvfPq]].)
+    *
+    * The new-ids contract is ENFORCED like [[graft.text.Retrieval
+    * .appendBm25]]'s: an already-indexed id would get a SECOND codes
+    * row, so it could occupy two top-k slots (and a re-encoded vector
+    * would silently disagree with its original row — which one a probe
+    * sees depends on which IVF lists it scans). The batch's ids are
+    * semi-joined against the codes frame's id column (one narrow
+    * columnar scan — partition pruning can't help here, because a
+    * MUTATED re-ingested vector may assign to a different list than
+    * the original row lives in) and a hit refuses the whole append
+    * before anything is written; `assumeNewIds = true` is the explicit
+    * escape hatch for callers that prove disjointness upstream. */
   def appendIvfPq(batch: DataFrame, idCol: String, embCol: String,
-      dir: String): Unit = {
+      dir: String, assumeNewIds: Boolean = false): Unit = {
     val (cents, pb) = readIvfPqMeta(batch.sparkSession, dir)
+    if (!assumeNewIds) {
+      val seen = batch.sparkSession.read.parquet(s"$dir/codes")
+        .select(col("id"))
+        .join(batch.select(col(idCol).as("id")).distinct(), Seq("id"),
+          "left_semi")
+        .limit(5).collect().map(_.get(0))
+      require(seen.isEmpty,
+        s"appendIvfPq($dir): batch contains already-indexed ids (e.g. " +
+          s"${seen.mkString(", ")}) — appending an existing id duplicates " +
+          "its codes row, so it can fill two top-k slots and a re-encoded " +
+          "vector silently disagrees with its original row. Re-ingest is " +
+          "an explicit restage (stageIvfPq); pass assumeNewIds=true only " +
+          "if disjointness is proven upstream.")
+    }
     batch.select(col(idCol).as("id"), quantize(col(embCol)).as("__ce"))
       .select(col("id"), pb.codes(col("__ce")).as("code"),
         ivfAssign(col("__ce"), cents).as("list"))

@@ -151,6 +151,31 @@ class PqSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("appendIvfPq: a batch containing an already-indexed id is refused") {
+    val corpus = emb.filter(col("vec_id") < 60)
+    val dir = java.nio.file.Files.createTempDirectory("pqguard").toString
+    Similarity.stageIvfPq(corpus.filter(col("vec_id") < 30), "vec_id",
+      "embedding", numCentroids = 4, m = 4, ksub = 8, dir = dir)
+    // one overlapping id poisons the whole batch — nothing is written
+    val dirty = corpus.filter(col("vec_id") >= 30)
+      .unionByName(corpus.filter(col("vec_id") === 5))
+    val before = spark.read.parquet(s"$dir/codes").count()
+    val e = intercept[IllegalArgumentException] {
+      Similarity.appendIvfPq(dirty, "vec_id", "embedding", dir = dir)
+    }
+    assert(e.getMessage.contains("already-indexed"))
+    assert(spark.read.parquet(s"$dir/codes").count() == before,
+      "the refused append must leave the index untouched")
+    // a genuinely new batch passes the guard unaided; the explicit
+    // escape hatch skips the scan (caller asserts disjointness)
+    Similarity.appendIvfPq(corpus.filter(col("vec_id") >= 30), "vec_id",
+      "embedding", dir = dir)
+    Similarity.appendIvfPq(
+      emb.filter(col("vec_id") >= 60 && col("vec_id") < 63),
+      "vec_id", "embedding", dir = dir, assumeNewIds = true)
+    assert(spark.read.parquet(s"$dir/codes").count() == corpus.count() + 3)
+  }
+
   test("compactIvfPq: one file per list, query-identical, count refreshed") {
     val corpus = emb.filter(col("vec_id") < 100)
     val queries = corpus.filter(col("vec_id") < 3)
