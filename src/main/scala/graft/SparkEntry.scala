@@ -1327,6 +1327,47 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- streaming BM25 ingest: bootstrap the inverted index on the
+    // even half, drain the odd half through a real Structured Streaming
+    // source (2 files, 1 per micro-batch) whose foreachBatch is
+    // appendBm25 — the retrieval-service live-ingest shape, completing
+    // the streamed-ingest triptych (census: q_st_substr, IVF-PQ:
+    // q_st_index). The new-ids guard runs LIVE inside each micro-batch
+    // (dl semi-join — both batches are genuinely new, so it passes and
+    // its cost is part of the honest ingest price), and the drain ends
+    // with compactBm25 so the full lifecycle (stage → streamed appends
+    // → compact → query) sits under the oracle. Same full-corpus SQL
+    // as q_bm25: micro-batching + compaction must not change a score ----
+    "q_st_bm25" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq((1L, "key table scan"), (2L, "fast merge batch window"),
+        (3L, "customer order part")).toDF("query_id", "qtext")
+      val idx = scratchDir("bm25_st")
+      val feed = scratchDir("bm25_feed")
+      val docs = load(s, dir, "documents").select(col("doc_id"), col("text"))
+      // 16 buckets: the subject is streamed append ≡ restage (see
+      // q_bm25_incr's bucket note)
+      text.Retrieval.stageBm25(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", col("text"), dir = idx, buckets = 16)
+      docs.filter(col("doc_id") % 4 === 1)
+        .repartition(1).write.mode("append").parquet(s"$feed/in")
+      docs.filter(col("doc_id") % 4 === 3)
+        .repartition(1).write.mode("append").parquet(s"$feed/in")
+      val drain = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$feed/in")
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          text.Retrieval.appendBm25(b, "doc_id", col("text"), idx)
+        }
+        .option("checkpointLocation", s"$feed/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      drain.awaitTermination()
+      text.Retrieval.compactBm25(s, idx)
+      text.Retrieval.stagedBm25TopK(s, idx, qs, "query_id", col("qtext"), k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- hybrid retrieval: BM25 ∪ dense ANN fused by reciprocal-rank
     // fusion in integer micro-units — the two-tower retrieval stack as
     // one composition (queries share the corpus id space: query k's
@@ -5426,6 +5467,7 @@ object SparkEntry {
     // append ≡ restage: the incremental index must score exactly like
     // a from-scratch stage over the full corpus
     "q_bm25_incr" -> bm25Oracle,
+    "q_st_bm25" -> bm25Oracle,
     "q_cms_topk" ->
       """WITH counts AS (
         |  SELECT CAST(user_id AS BIGINT) AS key, count(*) AS n
