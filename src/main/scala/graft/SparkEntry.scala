@@ -2322,22 +2322,22 @@ object SparkEntry {
         .withColumn("event_ts",
           timestamp_seconds(lit(1700000000L) + col("doc_id")))
       corpus.write.parquet(s"$out/feed")
-      val docs = s.readStream.schema(corpus.schema).parquet(s"$out/feed")
-      val curated = streaming.DocStream.curateStream(docs, "doc_id",
-        col("text"), "event_ts", "1 hour")
       // state stores sized to key volume, not core count (see
-      // q_st_curate_index): the dedup gate's state partitioning is
-      // fixed at query start; restored after the drain
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        curated.writeStream.format("parquet")
-          .option("path", s"$out/curated")
-          .option("checkpointLocation", s"$out/ckpt")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-          .awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      // q_st_curate_index), via a CLONED session: the narrowed
+      // shuffle.partitions never touches session-global conf, so
+      // nothing leaks into other queries' plans and there is no
+      // restore race if queries ever run concurrently
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val docs = ss.readStream.schema(corpus.schema).parquet(s"$out/feed")
+      streaming.DocStream.curateStream(docs, "doc_id",
+          col("text"), "event_ts", "1 hour")
+        .writeStream.format("parquet")
+        .option("path", s"$out/curated")
+        .option("checkpointLocation", s"$out/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
       s.read.parquet(s"$out/curated")
         .select("doc_id", "n_tokens", "quality_score", "pred_lang",
           "split", "scrubbed")
@@ -2377,23 +2377,21 @@ object SparkEntry {
       feed.withColumn("__f", col("doc_id") % 2)
         .repartitionByRange(2, col("__f")).drop("__f")
         .write.mode("append").parquet(s"$out/feed")
-      val src = s.readStream.schema(feed.schema)
-        .option("maxFilesPerTrigger", 1).parquet(s"$out/feed")
       // state-store partitioning sized to the KEY VOLUME, not the core
       // count — the production streaming discipline: shuffle.partitions
       // at query start fixes the dedup gate's state-store count for the
       // checkpoint's lifetime (OffsetSeqMetadata), and 32 stores ×
       // (delta + CRC) fsyncs per micro-batch is pure lifecycle cost
-      // when the horizon holds a few thousand keys. Restored after the
-      // drain (the capture happens inside the async first trigger, so
-      // the narrow setting must outlive the stream).
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        streaming.DocStream.curateStreamAgainstIndex(src, "doc_id",
+      // when the horizon holds a few thousand keys. Scoped via a CLONED
+      // session so nothing session-global mutates (no restore race, no
+      // leak into other queries' plans).
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val src = ss.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$out/feed")
+      streaming.DocStream.curateStreamAgainstIndex(src, "doc_id",
           "text", "event_ts", "1 hour", idx, s"$out/curated", s"$out/ckpt")
-          .awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        .awaitTermination()
       s.read.parquet(s"$out/curated")
         .select(col("doc_id"), col("n_tokens"), col("quality_score"),
           col("pred_lang"), col("split"), md5(col("text")).as("clean_md5"))
@@ -2467,17 +2465,16 @@ object SparkEntry {
         fs.setTimes(dst, 1700000000000L + i * 60000L, -1)
       }
       val feedSchema = s.read.parquet(s"$out/feed").schema
-      val src = s.readStream.schema(feedSchema)
+      // state stores sized to key volume (see q_st_curate_index),
+      // scoped via a cloned session — no session-global mutation
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val src = ss.readStream.schema(feedSchema)
         .option("maxFilesPerTrigger", 1).parquet(s"$out/feed")
-      // state stores sized to key volume (see q_st_curate_index)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        streaming.DocStream.curateStreamAgainstIndex(src, "doc_id",
-            "text", "event_ts", "1 hour", idx, s"$out/curated",
-            s"$out/ckpt", appendAfterCut = true, compactEvery = 2)
-          .awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      streaming.DocStream.curateStreamAgainstIndex(src, "doc_id",
+          "text", "event_ts", "1 hour", idx, s"$out/curated",
+          s"$out/ckpt", appendAfterCut = true, compactEvery = 2)
+        .awaitTermination()
       s.read.parquet(s"$out/curated")
         .select(col("doc_id"), col("n_tokens"), col("quality_score"),
           col("pred_lang"), col("split"), md5(col("text")).as("clean_md5"))
