@@ -225,7 +225,26 @@ object Main {
     * `substrCut`) cuts against a FROZEN staged census instead —
     * incremental curation; the index carries its own gram width and
     * exact/anchored mode. Writes parquet (id, n_tokens, quality_score,
-    * pred_lang, bucket, split) to `out` and prints the stage counts. */
+    * pred_lang, bucket, split) to `out` and prints the stage counts.
+    *
+    * `"stream": {...}` switches to the ON-ARRIVAL surface
+    * ([[graft.streaming.DocStream]]): the namespace is tailed as a
+    * Structured Streaming file source, each micro-batch is deduped
+    * (watermark-bounded state), optionally cut against `substrIndex`,
+    * gated, scrubbed, and split, and the curated rows APPEND to `out`.
+    * Stream keys: `checkpoint` (required — the file-source offsets AND
+    * the dedup gate's state live here, so RE-RUNNING the same config
+    * drains only files that arrived since the last run and still drops
+    * duplicates of earlier runs' docs: the operational incremental-
+    * curation loop), `timeCol` (required — event-time column for the
+    * dedup watermark), `watermark` (default "1 hour"),
+    * `maxFilesPerTrigger`, and with `substrIndex`: `appendAfterCut`
+    * (cross-batch substring dedup — each cut batch's raw grams append
+    * into the index) + `compactEvery` (census compaction cadence).
+    * The run DRAINS the backlog (Trigger.AvailableNow) and exits — a
+    * resident service uses the library API with a ProcessingTime
+    * trigger. Batch-only knobs (`substrCut` — a corpus-wide census;
+    * `budgets` — corpus-wide selection; `minEntropy`) are refused. */
   private def curate(spark: SparkSession, json: String): Int = {
     import org.apache.spark.sql.functions._
     import graft.text.{Lines, Mixing, Sampling, TextFunctions}
@@ -289,6 +308,66 @@ object Main {
 
     val cat = catalogAt(spark, dir,
       MigratorConfig(command = "data", source = dir, target = dir))
+
+    if (n.has("stream")) {
+      val st = n.get("stream")
+      require(st != null && st.isObject, "curate 'stream' must be a JSON object")
+      // batch-only knobs refused loudly: each needs a corpus-wide pass
+      // the on-arrival surface deliberately doesn't have
+      Seq("substrCut" -> substrCut.nonEmpty, "budgets" -> budgets.nonEmpty,
+          "minEntropy" -> minEntropy.nonEmpty).foreach { case (k, set) =>
+        require(!set, s"'$k' is a batch-only curate knob (it needs a " +
+          "corpus-wide census/selection pass) — drop it or run without 'stream'")
+      }
+      def sreq(f: String): String = {
+        require(st.has(f) && st.get(f).asText().nonEmpty,
+          s"curate stream config needs $f")
+        st.get(f).asText()
+      }
+      val ckpt = sreq("checkpoint")
+      val timeCol = sreq("timeCol")
+      val watermark =
+        if (st.has("watermark")) st.get("watermark").asText() else "1 hour"
+      val appendAfterCut =
+        st.has("appendAfterCut") && st.get("appendAfterCut").asBoolean()
+      val compactEvery =
+        if (st.has("compactEvery")) st.get("compactEvery").asInt() else 0
+      require(substrIndex.nonEmpty || (!appendAfterCut && compactEvery == 0),
+        "appendAfterCut/compactEvery compose with the substrIndex cut — " +
+          "without an index there is nothing to append into")
+      // the feed is the namespace's parquet directory, tailed as a file
+      // stream with the batch read's schema
+      val table = if (ns.contains('.')) ns.substring(ns.indexOf('.') + 1) else ns
+      val feedPath = s"$dir/$table.parquet"
+      val schema = cat.read(ns).schema
+      require(schema.fieldNames.contains(timeCol),
+        s"stream timeCol '$timeCol' is not a column of $ns " +
+          s"(present: ${schema.fieldNames.mkString(", ")})")
+      val reader = spark.readStream.schema(schema)
+      val src = (if (st.has("maxFilesPerTrigger"))
+          reader.option("maxFilesPerTrigger", st.get("maxFilesPerTrigger").asInt())
+        else reader).parquet(feedPath)
+      val query = substrIndex match {
+        case Some(ix) =>
+          graft.streaming.DocStream.curateStreamAgainstIndex(src, idCol,
+            textName, timeCol, watermark, ix, out, ckpt, minQuality, langs,
+            salt, weights, lineGate, appendAfterCut, compactEvery)
+        case None =>
+          graft.streaming.DocStream.curateStream(src, idCol, col(textName),
+              timeCol, watermark, minQuality, langs, salt, weights, lineGate)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+      }
+      query.awaitTermination()
+      val total = spark.read.parquet(out).count()
+      println(s"stream-curated $ns: drained into $out " +
+        s"($total curated row(s) total); checkpoint $ckpt")
+      return 0
+    }
+
     val raw = cat.read(ns).filter(col(textName).isNotNull)
     // the input count for the summary line rides an Observation on the
     // pipeline's own scan — a separate raw.count() would be one FULL

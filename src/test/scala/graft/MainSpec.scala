@@ -492,6 +492,91 @@ class MainSpec extends SparkSpec {
       "anchored xxh64 cut removed nothing from the duplicating docs")
   }
 
+  test("-curate stream: drains on arrival, second run is incremental, state survives runs") {
+    val srcDir = tmp("graft-cli-stcur")
+    val out = tmp("graft-cli-stcur-out") + "/curated"
+    val ckpt = tmp("graft-cli-stcur-ckpt") + "/ckpt"
+    val good1 = "the quick brown fox jumps over the lazy dog today"
+    val good2 = "pack my box with five dozen liquor jugs mail me at a.b@x.io now"
+    Seq((1L, good1, "2024-01-01 10:00:00"),
+        (2L, "a b c 1 2 3 4 5 6 7", "2024-01-01 10:00:10")) // low alpha → gated out
+      .toDF("doc_id", "text", "t").withColumn("t", to_timestamp(col("t")))
+      .coalesce(1).write.mode("append").parquet(s"$srcDir/docs.parquet")
+    val cfg = writeCfg(tmp("graft-cli-stcurcfg"),
+      s"""{"source":"$srcDir","namespace":"local.docs","out":"$out",
+         |"minQuality":3,"langs":["en"],
+         |"stream":{"checkpoint":"$ckpt","timeCol":"t"}}""".stripMargin)
+    assert(Main.run(Seq("-curate", cfg), sess) == 0)
+    val run1 = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+    assert(run1 == Set(1L))
+    // files landing AFTER the first drain: a dup of doc 1 (must be
+    // dropped by state RESTORED FROM THE CHECKPOINT) + a new good doc
+    Seq((3L, good1, "2024-01-01 10:00:20"), // exact dup of run 1's doc 1
+        (4L, good2, "2024-01-01 10:00:30"))
+      .toDF("doc_id", "text", "t").withColumn("t", to_timestamp(col("t")))
+      .coalesce(1).write.mode("append").parquet(s"$srcDir/docs.parquet")
+    assert(Main.run(Seq("-curate", cfg), sess) == 0)
+    val run2 = spark.read.parquet(out)
+      .select("doc_id", "scrubbed").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // incremental: run 2 added ONLY doc 4 (3 deduped across CLI runs —
+    // the gate's state lives in the checkpoint, not the JVM)
+    assert(run2.keySet == Set(1L, 4L))
+    assert(run2(4L).contains("<EMAIL>"))
+    // batch-only knobs are refused in stream mode
+    val bad = writeCfg(tmp("graft-cli-stcurcfg2"),
+      s"""{"source":"$srcDir","namespace":"local.docs","out":"$out",
+         |"substrCut":40,
+         |"stream":{"checkpoint":"$ckpt","timeCol":"t"}}""".stripMargin)
+    intercept[IllegalArgumentException] { Main.run(Seq("-curate", bad), sess) }
+    val bad2 = writeCfg(tmp("graft-cli-stcurcfg3"),
+      s"""{"source":"$srcDir","namespace":"local.docs","out":"$out",
+         |"stream":{"checkpoint":"$ckpt","timeCol":"t","appendAfterCut":true}}""".stripMargin)
+    intercept[IllegalArgumentException] { Main.run(Seq("-curate", bad2), sess) }
+    val bad3 = writeCfg(tmp("graft-cli-stcurcfg4"),
+      s"""{"source":"$srcDir","namespace":"local.docs","out":"$out",
+         |"stream":{"checkpoint":"$ckpt","timeCol":"nope"}}""".stripMargin)
+    intercept[IllegalArgumentException] { Main.run(Seq("-curate", bad3), sess) }
+  }
+
+  test("-curate stream with substrIndex: on-arrival index cut + append-after-cut") {
+    val boiler = "the shared duplicated boilerplate run appears here verbatim"
+    val idxDir = tmp("graft-cli-stcuridx") + "/census"
+    graft.text.Substrings.stageGramCensus(
+      Seq((100L, s"reference document one containing $boiler inside it"))
+        .toDF("doc_id", "text"),
+      "doc_id", col("text"), k = 12, dir = idxDir, buckets = 4)
+    val srcDir = tmp("graft-cli-stcuridx-src")
+    val p = "the quick brown fox jumps over the lazy dog today "
+    val run = "a run of text repeated across micro batches here today"
+    // file 1 carries the reference boilerplate (cut via the index) and
+    // plants `run`; file 2 repeats `run` (cut only via append-after-cut)
+    Seq((10L, p + boiler + " " + run, "2024-01-01 10:00:00"))
+      .toDF("doc_id", "text", "t").withColumn("t", to_timestamp(col("t")))
+      .coalesce(1).write.mode("append").parquet(s"$srcDir/docs.parquet")
+    Thread.sleep(300)
+    Seq((11L, "pack my box with five dozen liquor jugs quickly today " + run,
+        "2024-01-01 10:00:10"))
+      .toDF("doc_id", "text", "t").withColumn("t", to_timestamp(col("t")))
+      .coalesce(1).write.mode("append").parquet(s"$srcDir/docs.parquet")
+    val out = tmp("graft-cli-stcuridx-out") + "/curated"
+    val cfg = writeCfg(tmp("graft-cli-stcuridxcfg"),
+      s"""{"source":"$srcDir","namespace":"local.docs","out":"$out",
+         |"minQuality":3,"langs":["en"],"substrIndex":"$idxDir",
+         |"stream":{"checkpoint":"${tmp("graft-cli-stcuridx-ck")}/ckpt",
+         |"timeCol":"t","maxFilesPerTrigger":1,
+         |"appendAfterCut":true,"compactEvery":1}}""".stripMargin)
+    assert(Main.run(Seq("-curate", cfg), sess) == 0)
+    val got = spark.read.parquet(out).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.keySet == Set(10L, 11L))
+    // the reference boilerplate is cut from doc 10; its planted run
+    // survives (first arrival) and is appended, so doc 11's repeat of
+    // the run is cut on arrival
+    assert(!got(10L).contains(boiler) && got(10L).contains(run))
+    assert(!got(11L).contains(run))
+  }
+
   test("-curate dedups on RAW text before the line gate (stream-surface parity)") {
     // docs 1 and 2 differ in raw text but gate to the identical kept
     // line; doc 3 is a raw duplicate of doc 1. Dedup-before-gate (the
