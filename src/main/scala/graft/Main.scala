@@ -705,6 +705,8 @@ object Main {
           ml.Similarity.compactIvfPq(spark, idx)
         case graft.util.IndexManifest.KindBm25 =>
           text.Retrieval.compactBm25(spark, idx)
+        case graft.util.IndexManifest.KindMinhashBands =>
+          text.Dedup.compactBandIndex(spark, idx)
         case other => throw new IllegalArgumentException(
           s"no compaction for index kind '$other'")
       }
@@ -715,8 +717,8 @@ object Main {
     val cat = catalogAt(spark, dir,
       MigratorConfig(command = "data", source = dir, target = dir))
     val kind = if (n.has("kind")) n.get("kind").asText() else "ivfpq"
-    require(Set("ivfpq", "census", "bm25")(kind),
-      s"index kind must be ivfpq|census|bm25, got $kind")
+    require(Set("ivfpq", "census", "bm25", "lsh")(kind),
+      s"index kind must be ivfpq|census|bm25|lsh, got $kind")
     def outOrShow(result: org.apache.spark.sql.DataFrame): Unit =
       if (n.has("out")) {
         val out = n.get("out").asText()
@@ -755,6 +757,45 @@ object Main {
           outOrShow(text.Retrieval.stagedBm25TopK(spark, idx, qs,
               "query_id", col("qtext"), k = int("k", 5))
             .orderBy("query_id", "rank"))
+        case other =>
+          throw new IllegalArgumentException(
+            s"unknown index action '$other' (build|append|query|compact|describe)")
+      }
+      return 0
+    }
+    if (kind == "lsh") {
+      // staged MinHash band index (text/Dedup.scala) — the reference
+      // side of incremental near-dup admission: build signs a namespace
+      // under a frozen recipe, query returns (batch_id, ref_id)
+      // candidate pairs for a probe namespace
+      import org.apache.spark.sql.functions.col
+      val id = if (n.has("id")) n.get("id").asText() else "doc_id"
+      val textCol = if (n.has("text")) n.get("text").asText() else "text"
+      def refuseLshBuildKnobs(): Unit =
+        Seq("numHashes", "rowsPerBand", "shingleWords", "buckets").foreach(f =>
+          require(!n.has(f),
+            s"lsh config has '$f' but the index's staged value is the " +
+              "contract — drop it (only 'build' takes it)"))
+      action match {
+        case "build" =>
+          text.Dedup.stageBandIndex(cat.read(ns), id, col(textCol), idx,
+            numHashes = int("numHashes", 16),
+            rowsPerBand = int("rowsPerBand", 2),
+            shingleWords = int("shingleWords", 3),
+            buckets = int("buckets", 16))
+          println(s"built lsh band index for $ns at $idx")
+        case "append" =>
+          refuseLshBuildKnobs()
+          text.Dedup.appendBandIndex(cat.read(ns), id, col(textCol), idx,
+            assumeNewIds = n.has("assumeNewIds") &&
+              n.get("assumeNewIds").asBoolean())
+          println(s"appended $ns into $idx")
+        case "query" =>
+          refuseLshBuildKnobs()
+          val qns = if (n.has("queries")) n.get("queries").asText() else ns
+          outOrShow(text.Dedup.lshNewCandidatesStaged(cat.read(qns), id,
+              col(textCol), idx, maxBucket = int("maxBucket", 1000))
+            .orderBy("batch_id", "ref_id"))
         case other =>
           throw new IllegalArgumentException(
             s"unknown index action '$other' (build|append|query|compact|describe)")

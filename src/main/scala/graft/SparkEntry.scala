@@ -1100,6 +1100,28 @@ object SparkEntry {
         .orderBy("batch_id", "ref_id")
     }),
 
+    // ---- the STAGED band index: the reference band table materialized
+    // under a frozen signature recipe (the fourth staged kind — BM25
+    // postings, gram census, IVF-PQ codes, minhash bands), half staged
+    // + half appended (new-ids guard live), probed at batch-
+    // proportional cost with the bands scan pruned to the batch's
+    // bucket partitions. SAME oracle as q_dedup_new_lsh: staging,
+    // appending, and pruning must not change a candidate pair ----
+    "q_dedup_new_lsh_staged" -> ((s, dir) => {
+      val d = load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val reference = d.filter(col("doc_id") % 2 === 0)
+      val batch = reference.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 500000L).as("doc_id"),
+          concat(col("text"), lit(" near duplicate tail")).as("text"))
+      val idx = scratchDir("lshidx")
+      text.Dedup.stageBandIndex(reference.filter(col("doc_id") % 4 === 0),
+        "doc_id", col("text"), dir = idx)
+      text.Dedup.appendBandIndex(reference.filter(col("doc_id") % 4 === 2),
+        "doc_id", col("text"), idx)
+      text.Dedup.lshNewCandidatesStaged(batch, "doc_id", col("text"), idx)
+        .orderBy("batch_id", "ref_id")
+    }),
+
     // ---- the same admission check through the Bloom-prefiltered
     // reference scan — SAME exact answer (the oracle is identical),
     // constant-size broadcast instead of the batch-hash set ----
@@ -5625,6 +5647,7 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM reference r WHERE md5(r.text) = md5(c.text))
         |ORDER BY c.doc_id""".stripMargin,
     "q_dedup_new_lsh" -> lshNewCandidatesSql,
+    "q_dedup_new_lsh_staged" -> lshNewCandidatesSql,
     // the Bloom path must produce the IDENTICAL exact answer — the
     // oracle is the same exact-semantics SQL (a Bloom is a physical
     // prefilter, not a semantic change)

@@ -400,6 +400,153 @@ object Dedup {
     } finally { rb.unpersist(false); () }
   }
 
+  /** The (ref_id, band, bsig) rows one side contributes to the LSH band
+    * surface — the shared derivation of [[lshNewCandidates]]' two sides
+    * and the STAGED band index's layout/probe/append. */
+  private def bandRows(df: DataFrame, idCol: String, text: Column,
+      numHashes: Int, rowsPerBand: Int, shingleWords: Int): DataFrame =
+    bandSignatures(minhashNarrow(df, idCol, text, numHashes, shingleWords),
+        idCol, numHashes, rowsPerBand)
+      .select(col(idCol).as("ref_id"), col("band"), col("bsig"))
+
+  /** Materialize the LSH reference band table as a staged index — the
+    * fourth staged kind (BM25 postings, gram census, IVF-PQ codes,
+    * now minhash bands), making [[lshNewCandidates]]' "at 100 TB this
+    * frame is the persisted index itself" literal: a near-dup admission
+    * service pays the reference signature pass ONCE and probes every
+    * incoming batch at batch-proportional cost. Layout under `dir`:
+    *  - `bands/` — (ref_id, band, bsig) PARTITIONED BY
+    *    `bkt = pmod(xxhash64(band, bsig), buckets)`, so a batch probe
+    *    scans only its own band-bucket partitions;
+    *  - `_graft_index.json` — the frozen signature recipe (num_hashes,
+    *    rows_per_band, shingle_words, buckets, id_col): probes and
+    *    appends derive it from the manifest, never from caller args —
+    *    a batch signed under a different recipe would silently miss
+    *    every collision. */
+  def stageBandIndex(reference: DataFrame, idCol: String, text: Column,
+      dir: String, numHashes: Int = 16, rowsPerBand: Int = 2,
+      shingleWords: Int = 3, buckets: Int = 16): Unit = {
+    require(numHashes % rowsPerBand == 0,
+      "numHashes must be a multiple of rowsPerBand")
+    require(buckets > 0, "buckets must be positive")
+    val spark = reference.sparkSession
+    // invalidate-first/manifest-last (see IndexManifest.invalidate)
+    graft.util.IndexManifest.invalidate(spark, dir)
+    val obs = org.apache.spark.sql.Observation()
+    bandRows(reference, idCol, text, numHashes, rowsPerBand, shingleWords)
+      .observe(obs, count(lit(1)).as("n_rows"))
+      .withColumn("bkt",
+        pmod(xxhash64(col("band"), col("bsig")), lit(buckets.toLong)))
+      .repartition(col("bkt")) // one file per bucket, not tasks×buckets
+      .write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/bands")
+    // every signed doc emits exactly numHashes/rowsPerBand band rows,
+    // so n_docs derives from the row Observation — no second pass
+    val bands = numHashes / rowsPerBand
+    graft.util.IndexManifest.write(spark, dir,
+      graft.util.IndexManifest.KindMinhashBands,
+      params = Map("num_hashes" -> numHashes.toString,
+        "rows_per_band" -> rowsPerBand.toString,
+        "shingle_words" -> shingleWords.toString,
+        "buckets" -> buckets.toString, "id_col" -> idCol),
+      counts = Map("n_docs" ->
+        obs.get("n_rows").asInstanceOf[Long] / bands))
+  }
+
+  /** Fold a batch of NEW documents into a [[stageBandIndex]] index —
+    * batch-proportional (one file per touched bucket, existing files
+    * untouched), signature recipe taken from the manifest. The new-ids
+    * contract is ENFORCED (the [[graft.text.Retrieval.appendBm25]]
+    * discipline): a re-appended id would duplicate its band rows, which
+    * the probe's `distinct()` hides from the PAIR output but which
+    * double-counts the id in the `maxBucket` bucket census — a
+    * borderline bucket silently tips over the cap and its candidates
+    * vanish. `assumeNewIds = true` skips the guard scan when
+    * disjointness is proven upstream. */
+  def appendBandIndex(batch: DataFrame, idCol: String, text: Column,
+      dir: String, assumeNewIds: Boolean = false): Unit = {
+    val spark = batch.sparkSession
+    val mf = graft.util.IndexManifest.validate(spark, dir,
+      graft.util.IndexManifest.KindMinhashBands)
+    require(mf.params.get("id_col").contains(idCol),
+      s"$dir was staged with id_col=${mf.params.getOrElse("id_col", "?")}; " +
+        s"append got $idCol — the band schema is the index contract")
+    if (!assumeNewIds) {
+      val seen = spark.read.parquet(s"$dir/bands").select(col("ref_id"))
+        .join(batch.select(col(idCol).as("ref_id")).distinct(),
+          Seq("ref_id"), "left_semi")
+        .limit(5).collect().map(_.get(0))
+      require(seen.isEmpty,
+        s"appendBandIndex($dir): batch contains already-indexed ids (e.g. " +
+          s"${seen.mkString(", ")}) — a re-appended id double-counts in " +
+          "the maxBucket census and silently drops a borderline bucket's " +
+          "candidates. Re-ingest is an explicit restage (stageBandIndex); " +
+          "pass assumeNewIds=true only if disjointness is proven upstream.")
+    }
+    bandRows(batch, idCol, text, mf.paramInt("num_hashes"),
+        mf.paramInt("rows_per_band"), mf.paramInt("shingle_words"))
+      .withColumn("bkt", pmod(xxhash64(col("band"), col("bsig")),
+        lit(mf.paramInt("buckets").toLong)))
+      .repartition(col("bkt")) // one file per touched bucket per append
+      .write.mode("append").partitionBy("bkt").parquet(s"$dir/bands")
+  }
+
+  /** [[lshNewCandidates]] against a FROZEN [[stageBandIndex]] index:
+    * the batch signs itself under the manifest's recipe, its band
+    * buckets are collected (≤ `buckets` values) so the bands scan
+    * prunes STATICALLY to the probed partitions, and the `maxBucket`
+    * census is computed over the pruned scan — exact, because a
+    * (band, bsig) group lives entirely inside one bucket partition.
+    * Row-identical to the direct two-sided run (DedupSpec pins it);
+    * probe cost scales with the batch, never the reference. */
+  def lshNewCandidatesStaged(batch: DataFrame, idCol: String, text: Column,
+      dir: String, maxBucket: Int = 1000): DataFrame = {
+    val spark = batch.sparkSession
+    val mf = graft.util.IndexManifest.validate(spark, dir,
+      graft.util.IndexManifest.KindMinhashBands)
+    val buckets = mf.paramInt("buckets").toLong
+    // the batch band frame feeds the bucket collect AND the probe join:
+    // eager-materialize once (the probeSpans discipline)
+    val bb = bandRows(batch, idCol, text, mf.paramInt("num_hashes"),
+        mf.paramInt("rows_per_band"), mf.paramInt("shingle_words"))
+      .withColumnRenamed("ref_id", "batch_id")
+      .localCheckpoint()
+    val qb = bb.select(pmod(xxhash64(col("band"), col("bsig")), lit(buckets))
+        .as("bkt"))
+      .distinct().collect().map(_.getLong(0))
+    val ref = spark.read.parquet(s"$dir/bands")
+      .filter(col("bkt").isin(qb: _*))
+    val ok = ref.groupBy("band", "bsig").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket)
+      .select("band", "bsig")
+    bb.join(ref.join(ok, Seq("band", "bsig"), "left_semi"),
+        Seq("band", "bsig"))
+      .select("batch_id", "ref_id")
+      .distinct()
+  }
+
+  /** COMPACT a [[stageBandIndex]] index after appends: one file per
+    * bucket again, manifest count refreshed. Band rows are immutable
+    * per-(doc, band) facts, so compaction is a pure file consolidation —
+    * probe-invisible; crash-safe swap via [[graft.util.DirSwap]]. */
+  def compactBandIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val mf = graft.util.IndexManifest.validateKind(spark, dir,
+      graft.util.IndexManifest.KindMinhashBands)
+    val obs = org.apache.spark.sql.Observation()
+    graft.util.DirSwap.replace(spark, dir, "bands") { tmp =>
+      spark.read.parquet(s"$dir/bands")
+        .observe(obs, count(lit(1)).as("n_rows"))
+        .select(col("ref_id"), col("band"), col("bsig"), col("bkt"))
+        .repartition(col("bkt")) // one file per bucket
+        .write.mode("overwrite").partitionBy("bkt").parquet(tmp)
+    }
+    val bands = mf.paramInt("num_hashes") / mf.paramInt("rows_per_band")
+    graft.util.IndexManifest.write(spark, dir,
+      graft.util.IndexManifest.KindMinhashBands, params = mf.params,
+      counts = Map("n_docs" ->
+        obs.get("n_rows").asInstanceOf[Long] / bands))
+  }
+
   /** Benchmark decontamination: corpus documents sharing at least one
     * word n-gram (default 13 — the de-facto eval-decontamination window)
     * with any benchmark document. The step that keeps eval sets out of

@@ -51,6 +51,7 @@ object IndexManifest {
   val KindBm25 = "bm25"
   val KindGramCensus = "gram_census"
   val KindIvfPq = "ivf_pq"
+  val KindMinhashBands = "minhash_bands"
 
   /** Drop the manifest of `dir` if one exists. Stagers call this FIRST,
     * before touching the layout: a restage that dies mid-rewrite then

@@ -180,6 +180,55 @@ class MainSpec extends SparkSpec {
     assert(Main.run(Seq("-index", bmCompact), sess) == 0)
   }
 
+  test("-index kind=lsh builds, appends, queries, and compacts a band index") {
+    val root = tmp("graft-cli-lshsrc")
+    val cat = new ParquetCatalog(spark, root, "db")
+    val d = Tables.load(spark, sf0001, "documents")
+      .filter($"text".isNotNull).select($"doc_id", $"text")
+    val reference = d.filter($"doc_id" % 2 === 0)
+    cat.write("db.ref1", reference.filter($"doc_id" % 4 === 0))
+    cat.write("db.ref2", reference.filter($"doc_id" % 4 === 2))
+    // probe batch: tail-mutated copies of reference docs
+    cat.write("db.batch", reference.filter($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 500000L).as("doc_id"),
+        concat($"text", lit(" near duplicate tail")).as("text")))
+    val idx = tmp("graft-cli-lshix") + "/ix"
+    assert(Main.run(Seq("-index", writeCfg(tmp("graft-cli-lshcfg1"),
+      s"""{"source":"$root","namespace":"db.ref1","index":"$idx",
+         |"kind":"lsh","action":"build","buckets":8}""".stripMargin)), sess) == 0)
+    assert(Main.run(Seq("-index", writeCfg(tmp("graft-cli-lshcfg2"),
+      s"""{"source":"$root","namespace":"db.ref2","index":"$idx",
+         |"kind":"lsh","action":"append"}""".stripMargin)), sess) == 0)
+    val out = tmp("graft-cli-lshout") + "/pairs"
+    assert(Main.run(Seq("-index", writeCfg(tmp("graft-cli-lshcfg3"),
+      s"""{"source":"$root","namespace":"db.batch","index":"$idx",
+         |"kind":"lsh","action":"query","out":"$out"}""".stripMargin)), sess) == 0)
+    // the CLI probe == the direct two-sided run over the whole reference
+    val api = graft.text.Dedup.lshNewCandidates(cat.read("db.batch"),
+      reference, "doc_id", col("text"))
+    val cli = spark.read.parquet(out)
+    assert(cli.count() > 0)
+    assert(cli.exceptAll(api).isEmpty && api.exceptAll(cli).isEmpty)
+    // a re-append of already-indexed ids is refused; a recipe knob on
+    // append is refused (the manifest is the contract)
+    intercept[IllegalArgumentException] {
+      Main.run(Seq("-index", writeCfg(tmp("graft-cli-lshcfg4"),
+        s"""{"source":"$root","namespace":"db.ref1","index":"$idx",
+           |"kind":"lsh","action":"append"}""".stripMargin)), sess)
+    }
+    intercept[IllegalArgumentException] {
+      Main.run(Seq("-index", writeCfg(tmp("graft-cli-lshcfg5"),
+        s"""{"source":"$root","namespace":"db.batch","index":"$idx",
+           |"kind":"lsh","action":"query","numHashes":8}""".stripMargin)), sess)
+    }
+    // compact dispatches on the manifest kind; probe unchanged
+    assert(Main.run(Seq("-index", writeCfg(tmp("graft-cli-lshcfg6"),
+      s"""{"index":"$idx","action":"compact"}""")), sess) == 0)
+    val api2 = graft.text.Dedup.lshNewCandidatesStaged(cat.read("db.batch"),
+      "doc_id", col("text"), idx)
+    assert(api2.exceptAll(cli).isEmpty && cli.exceptAll(api2).isEmpty)
+  }
+
   test("-index kind=bm25 builds, appends, queries, and compacts an inverted index") {
     val root = tmp("graft-cli-bmsrc")
     val cat = new ParquetCatalog(spark, root, "db")

@@ -254,6 +254,63 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(_._1 == 600001L))
   }
 
+  test("staged band index: probe == direct; append == restage; guard + compact + pruning") {
+    val d = docs.select(col("doc_id"), col("text"))
+    val reference = d.filter(col("doc_id") % 2 === 0)
+    val batch = reference.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 500000L).as("doc_id"),
+        concat(col("text"), lit(" near duplicate tail")).as("text"))
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity).toSeq
+    val want = norm(Dedup.lshNewCandidates(batch, reference, "doc_id", col("text")))
+    // stage half + append half == the direct two-sided run
+    val dir = java.nio.file.Files.createTempDirectory("lshidx").toString
+    Dedup.stageBandIndex(reference.filter(col("doc_id") % 4 === 0),
+      "doc_id", col("text"), dir)
+    Dedup.appendBandIndex(reference.filter(col("doc_id") % 4 === 2),
+      "doc_id", col("text"), dir)
+    val staged = Dedup.lshNewCandidatesStaged(batch, "doc_id", col("text"), dir)
+    assert(norm(staged) == want && want.nonEmpty)
+    // the pruned bands scan carries partition filters on bkt
+    val plan = staged.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case p => p
+    }
+    val scans = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      .filter(_.metadata.get("Location").exists(_.contains("bands")))
+    assert(scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty),
+      s"bands scan reads every partition:\n$plan")
+    // an overlapping-id batch is refused before anything is written
+    val before = spark.read.parquet(s"$dir/bands").count()
+    val e = intercept[IllegalArgumentException] {
+      Dedup.appendBandIndex(reference.limit(1), "doc_id", col("text"), dir)
+    }
+    assert(e.getMessage.contains("already-indexed"))
+    assert(spark.read.parquet(s"$dir/bands").count() == before)
+    // compaction: one file per bucket, probe-identical, count refreshed
+    def maxFiles(): Int = {
+      val root = new java.io.File(s"$dir/bands")
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("bkt="))
+        .map(_.listFiles().count(_.getName.endsWith(".parquet"))).max
+    }
+    assert(maxFiles() > 1, "append should stack files in a touched bucket")
+    Dedup.compactBandIndex(spark, dir)
+    assert(maxFiles() == 1)
+    assert(norm(Dedup.lshNewCandidatesStaged(batch, "doc_id", col("text"), dir))
+      == want)
+    val mf = graft.util.IndexManifest.read(spark, dir)
+    // every signed reference doc counts once (short docs sign nothing)
+    val signed = Dedup.minhashNarrow(reference, "doc_id", col("text"), 16).count()
+    assert(mf.counts("n_docs") == signed)
+    // a wrong-kind directory is refused by the manifest
+    intercept[IllegalArgumentException] {
+      Dedup.lshNewCandidatesStaged(batch, "doc_id", col("text"),
+        java.nio.file.Files.createTempDirectory("nonidx").toString)
+    }
+  }
+
   test("contaminated flags docs embedding a benchmark n-gram, not clean docs") {
     val words = (1 to 40).map(i => s"w$i").mkString(" ")
     val benchText = (1 to 15).map(i => s"bench$i").mkString(" ")
