@@ -1,0 +1,112 @@
+package graft.tools
+
+import graft.{GraftSession, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Staged-index probe scaling: the measured evidence behind the
+  * "probe cost scales with the batch, never the reference" claims.
+  * For reference multiples 1×/3×/10× of the sf0.1 documents table and
+  * ONE FIXED probe batch, each staged kind is staged (timed — the
+  * one-time cost a service amortizes) and then probed twice (timed,
+  * min — the per-batch cost it pays forever). The defensible contract,
+  * and what the numbers must show:
+  *
+  *  - STAGE seconds grow with the reference (it builds the layout —
+  *    census shuffle, postings aggregate, band signatures);
+  *  - PROBE seconds grow at most at SCAN speed (the probe reads the
+  *    batch's pruned partitions of a linearly-growing layout but never
+  *    SHUFFLES anything reference-sized: the batch side broadcasts
+  *    into scan-side semi-joins), and the stage/probe ratio WIDENS
+  *    with the multiple — the amortization argument for staging at
+  *    100 TB, where re-deriving the reference per admission batch is
+  *    the cost that kills.
+  *
+  * Copies are token-salted (the ScaleSweep discipline) so the
+  * reference multiples are genuinely distinct documents; the probe
+  * batch is tail-mutated copies of MULT-0 docs, so its collision
+  * surface is constant across multiples. Builder-side tooling — not
+  * part of the driver contract.
+  *
+  * Usage: runMain graft.tools.ProbeSweep [sfDir]
+  *        (SPARK_GRAFT_SWEEP_ONLY=census,lsh,bm25 filters kinds)
+  */
+object ProbeSweep {
+  private def corpus(spark: SparkSession, dir: String, mult: Int): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+      .filter(col("text").isNotNull).select(col("doc_id"), col("text"))
+    (0 until mult).map { k =>
+      val t = if (k == 0) col("text")
+        else regexp_replace(col("text"), "(\\S+)", s"c${k}_$$1")
+      d.select((col("doc_id") + k * 10000000L).as("doc_id"), t.as("text"))
+    }.reduce(_ unionByName _)
+  }
+
+  private def time(f: => Long): (Double, Long) = {
+    val t0 = System.nanoTime()
+    val n = f
+    ((System.nanoTime() - t0) / 1e9, n)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.create(
+      s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.text.{Dedup, Retrieval, Substrings}
+
+    // the FIXED probe batch: tail-mutated copies of 1-in-5 mult-0 docs
+    // (same collision surface at every multiple) — materialized once
+    val batch = corpus(spark, dir, 1).filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 900000000L).as("doc_id"),
+        concat(col("text"), lit(" probe batch tail")).as("text"))
+      .localCheckpoint(true)
+    val spark2 = spark
+    import spark2.implicits._
+    val queries = Seq((1L, "key table scan"), (2L, "fast merge batch window"))
+      .toDF("query_id", "qtext").localCheckpoint(true)
+
+    // (kind, stage into dir, probe returning a row count)
+    val kinds: Seq[(String, (DataFrame, String) => Unit, String => Long)] = Seq(
+      ("census", (ref, ix) => Substrings.stageGramCensus(ref, "doc_id",
+          col("text"), k = 40, dir = ix, buckets = 64,
+          hash = Substrings.HashXxh64),
+        ix => Substrings.newDupSpans(batch, "doc_id", col("text"), ix,
+          maxChars = 0, selfDups = false).count()),
+      ("anchored", (ref, ix) => Substrings.stageAnchorCensus(ref, "doc_id",
+          col("text"), k = 40, guarantee = 64, dir = ix, buckets = 64,
+          hash = Substrings.HashXxh64),
+        ix => Substrings.newAnchorSpans(batch, "doc_id", col("text"), ix,
+          maxChars = 0, selfDups = false).count()),
+      ("lsh", (ref, ix) => Dedup.stageBandIndex(ref, "doc_id", col("text"),
+          ix, buckets = 64),
+        ix => Dedup.lshNewCandidatesStaged(batch, "doc_id", col("text"), ix)
+          .count()),
+      ("bm25", (ref, ix) => Retrieval.stageBm25(ref, "doc_id", col("text"),
+          ix, buckets = 64),
+        ix => Retrieval.stagedBm25TopK(spark, ix, queries, "query_id",
+          col("qtext"), k = 5).count()))
+    val only = sys.env.get("SPARK_GRAFT_SWEEP_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val sel = kinds.filter(k => only.forall(_.contains(k._1)))
+
+    // warm-up: stage+probe once at 1× so codegen/JIT is out of the
+    // timed region
+    for ((name, stage, probe) <- sel) {
+      val ix = java.nio.file.Files.createTempDirectory(s"pswarm_$name").toString
+      stage(corpus(spark, dir, 1), ix); probe(ix): Unit
+    }
+    for (mult <- Seq(1, 3, 10); (name, stage, probe) <- sel) {
+      spark.catalog.clearCache()
+      val ref = corpus(spark, dir, mult)
+      val ix = java.nio.file.Files.createTempDirectory(s"ps_${name}_$mult").toString
+      val (stageSec, _) = time { stage(ref, ix); 0L }
+      val (p1, n) = time(probe(ix))
+      val (p2, _) = time(probe(ix))
+      println(f"""{"kind":"$name","mult":$mult,"stage_sec":$stageSec%.3f,""" +
+        f""""probe_sec":${math.min(p1, p2)}%.3f,"probe_rows":$n}""")
+    }
+    spark.stop()
+  }
+}
