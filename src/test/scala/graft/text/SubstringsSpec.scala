@@ -247,6 +247,86 @@ class SubstringsSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("gram expressions: count and values hold on random unicode incl. supplementary codepoints (property)") {
+    // both gram expressions must count CODEPOINTS (not UTF-16 chars or
+    // bytes): emit exactly max(0, cp - k + 1) grams, each hashing the
+    // codepoint substring — pinned against a plain-Scala recompute over
+    // an alphabet that forces 2-, 3-, and 4-byte UTF-8 (ω, 中) and a
+    // surrogate PAIR (𝄞, U+1D11E)
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val k = 5
+    val alphabet = Seq("a", "b", " ", "ω", "中", new String(Character.toChars(0x1D11E)))
+    val strGen = Gen.choose(0, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(alphabet)).map(_.mkString))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val prop = Prop.forAll(strGen) { s =>
+      val cps = s.codePointCount(0, s.length)
+      val expect = math.max(0, cps - k + 1)
+      val lit = Literal(UTF8String.fromString(s), StringType)
+      val md = graft.functions.GramMd5s(lit, k).eval(null)
+        .asInstanceOf[ArrayData]
+      val xx = graft.functions.GramXxh64s(lit, k).eval(null)
+        .asInstanceOf[ArrayData]
+      val wantHex = (0 until expect).map { p =>
+        val lo = s.offsetByCodePoints(0, p)
+        md5hex(s.substring(lo, s.offsetByCodePoints(lo, k)))
+      }
+      md.numElements() == expect && xx.numElements() == expect &&
+        (0 until expect).forall(i => md.getUTF8String(i).toString == wantHex(i))
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("winnow coverage: EVERY full window of G positions holds an anchor, both hashes (property)") {
+    // the dual of the collision guarantee: winnowing must leave no
+    // window of G = guarantee - k + 1 consecutive gram positions
+    // unselected — that bound is what caps how long a duplicated run
+    // can hide. Checked on the expressions driver-side for both rank
+    // hashes over random strings (small alphabet → heavy hash ties,
+    // the hardest case for deque/tie logic).
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val k = 4; val guarantee = 12; val G = guarantee - k + 1
+    val strGen = Gen.choose(0, 120).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("ab ".toSeq)).map(_.mkString))
+    def positions(s: String, xx: Boolean): Seq[Int] = {
+      val lit = Literal(UTF8String.fromString(s), StringType)
+      val arr = (if (xx) graft.functions.WinnowAnchors64(lit, k, guarantee)
+        else graft.functions.WinnowAnchors(lit, k, guarantee))
+        .eval(null).asInstanceOf[ArrayData]
+      (0 until arr.numElements()).map(i => arr.getStruct(i, 2).getInt(0))
+    }
+    val prop = Prop.forAll(strGen) { s =>
+      val L = s.length - k + 1 // test alphabet is ASCII: chars == codepoints
+      Seq(false, true).forall { xx =>
+        val pos = positions(s, xx)
+        if (L <= 0) pos.isEmpty
+        else if (L <= G) pos.size == 1 && pos.head >= 1 && pos.head <= L
+        else {
+          val set = pos.toSet
+          pos == pos.sorted && pos.distinct == pos &&
+            pos.forall(p => p >= 1 && p <= L) &&
+            // every full window [w, w+G-1] (1-based) holds an anchor
+            (1 to (L - G + 1)).forall(w => (w until w + G).exists(set))
+        }
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("anchored census with the xxh64 rank hash: manifest param, probe == direct, append == restage") {
     val base = spark.read.parquet(s"$sf0001/documents.parquet")
       .filter($"text".isNotNull)
