@@ -227,6 +227,14 @@ object Main {
     * exact/anchored mode. Writes parquet (id, n_tokens, quality_score,
     * pred_lang, bucket, split) to `out` and prints the stage counts.
     *
+    * `"audit": "<dir>"` (batch only) additionally writes corpus-loss
+    * accounting: one (id, fate) row for EVERY document of the
+    * namespace — `kept`, or the first pipeline stage that dropped it
+    * (`dropped_null_text` / `dropped_duplicate` / `dropped_quality` /
+    * `dropped_language` / `dropped_entropy` / `dropped_budget`) — the
+    * operational answer to "where did my corpus go" after a curate
+    * run shrinks 10⁹ docs to 10⁸.
+    *
     * `"stream": {...}` switches to the ON-ARRIVAL surface
     * ([[graft.streaming.DocStream]]): the namespace is tailed as a
     * Structured Streaming file source, each micro-batch is deduped
@@ -305,6 +313,7 @@ object Main {
       Some(n.get("budgets").fields().asScala.toSeq
         .map(e => e.getKey -> e.getValue.asLong()))
       else None
+    val audit = if (n.has("audit")) Some(n.get("audit").asText()) else None
 
     val cat = catalogAt(spark, dir,
       MigratorConfig(command = "data", source = dir, target = dir))
@@ -315,7 +324,8 @@ object Main {
       // batch-only knobs refused loudly: each needs a corpus-wide pass
       // the on-arrival surface deliberately doesn't have
       Seq("substrCut" -> substrCut.nonEmpty, "budgets" -> budgets.nonEmpty,
-          "minEntropy" -> minEntropy.nonEmpty).foreach { case (k, set) =>
+          "minEntropy" -> minEntropy.nonEmpty,
+          "audit" -> audit.nonEmpty).foreach { case (k, set) =>
         require(!set, s"'$k' is a batch-only curate knob (it needs a " +
           "corpus-wide census/selection pass) — drop it or run without 'stream'")
       }
@@ -436,16 +446,23 @@ object Main {
           col("__text_kept"))
       case None => (cut, col(textName))
     }
-    val stats = TextFunctions.languageId(
+    val statsBase = TextFunctions.languageId(
       TextFunctions.qualityStats(gated, scoredText), scoredText)
+    // the entropy value is materialized as a column (rather than a
+    // filter-side expression) when EITHER the gate or the audit needs
+    // it — same one-pass native census, and the audit can then name
+    // the gate a doc failed
+    val stats = if (minEntropy.nonEmpty || audit.nonEmpty)
+      statsBase.withColumn("__ent",
+        TextFunctions.charEntropyCol(scoredText).getField("entropy_nats"))
+      else statsBase
     val keptBase = stats.filter(col("quality_score") >= minQuality &&
       col("pred_lang").isin(langs: _*))
     // optional compressibility gate: Shannon char entropy of the SCORED
     // text (one-pass native census — a narrow predicate, no extra
     // pass). NULL entropy (empty kept text) fails the gate by design.
     val kept = minEntropy match {
-      case Some(me) => keptBase.filter(TextFunctions
-        .charEntropyCol(scoredText).getField("entropy_nats") >= me)
+      case Some(me) => keptBase.filter(col("__ent") >= me)
       case None => keptBase
     }
     // the split frame feeds the budget selection AND the join-back:
@@ -468,6 +485,40 @@ object Main {
             col("pred_lang"), col("bucket"), col("split"))
       }
       manifest.write.mode("overwrite").parquet(out)
+      // corpus-loss accounting (opt-in): one (id, fate) row for EVERY
+      // document of the namespace — the operational answer to "where
+      // did my corpus go". Precedence mirrors the pipeline's stage
+      // order (null text → dedup → quality → language → entropy →
+      // budget); all joins are id-keyed over doc-count-sized narrow
+      // frames, and the scored frame is the pipeline's own `stats`
+      // lineage (re-executed once — the audit's honest price, paid
+      // only when the knob is on).
+      audit.foreach { adir =>
+        val scoredCols = Seq(col(idCol), col("quality_score").as("__q"),
+          col("pred_lang").as("__l")) ++
+          minEntropy.map(_ => col("__ent")).toSeq
+        val scored = stats.select(scoredCols: _*)
+        val selected = spark.read.parquet(out).select(col(idCol))
+          .withColumn("__sel", lit(true))
+        val entDrop = minEntropy match {
+          case Some(me) => col("__ent").isNull || col("__ent") < me
+          case None => lit(false)
+        }
+        val fate = when(col("__nul"), "dropped_null_text")
+          .when(col("__q").isNull, "dropped_duplicate")
+          .when(col("__q") < minQuality, "dropped_quality")
+          .when(!col("__l").isin(langs: _*), "dropped_language")
+          .when(entDrop, "dropped_entropy")
+          .when(col("__sel").isNull, "dropped_budget")
+          .otherwise("kept")
+        // unfiltered re-read: null-text rows must be accounted too
+        cat.read(ns).select(col(idCol), col(textName).isNull.as("__nul"))
+          .join(scored, Seq(idCol), "left")
+          .join(selected, Seq(idCol), "left")
+          .select(col(idCol), fate.as("fate"))
+          .write.mode("overwrite").parquet(adir)
+        println(s"audited $ns: wrote per-document fates to $adir")
+      }
     } finally {
       split.unpersist(false)
       if (cutActive) { deduped.unpersist(false); () }

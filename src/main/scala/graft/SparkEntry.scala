@@ -1511,6 +1511,40 @@ object SparkEntry {
       s.read.parquet(s"$src/manifest").orderBy("doc_id")
     }),
 
+    // ---- corpus-loss accounting through the real CLI: -curate with
+    // "audit" writes one (id, fate) row for EVERY namespace document —
+    // kept, or the FIRST pipeline stage that dropped it (stage-order
+    // precedence: null text → dedup → quality → language). The corpus
+    // plants byte-identical copies (dedup losers) on top of the natural
+    // quality/language drops; DuckDB recomputes every fate from
+    // scratch. The operational "where did my corpus go" surface ----
+    "q_curate_audit" -> ((s, dir) => {
+      import s.implicits._
+      val src = scratchDir("caudit")
+      val d = load(s, dir, "documents").select(col("doc_id"), col("text"))
+      // plants guaranteeing every fate appears: a low-alpha doc
+      // (quality), a French doc (language), a null text — the sf corpus
+      // itself passes all gates, so without these the audit would only
+      // ever exercise kept/dropped_duplicate
+      val plants = Seq(
+        (900001L, "a b c 1 2 3 4 5 6 7 8 9"),
+        (900002L, "le la et les des le la et les des le la et les des"),
+        (900003L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text")
+      d.unionByName(d.filter(col("doc_id") % 7 === 0 && col("text").isNotNull)
+          .select((col("doc_id") + 200000L).as("doc_id"), col("text")))
+        .unionByName(plants)
+        .write.mode("overwrite").parquet(s"$src/feed.parquet")
+      val cfg = java.nio.file.Files.write(
+        java.nio.file.Paths.get(src, "curate.json"),
+        (s"""{"source":"$src","namespace":"local.feed",""" +
+          s""""out":"$src/manifest","audit":"$src/audit"}""")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      require(Main.run(Seq("-curate", cfg.toString), () => s) == 0,
+        "curate audit run failed")
+      s.read.parquet(s"$src/audit").orderBy("doc_id")
+    }),
+
     // ---- deterministic epoch shuffle: a pseudorandom TOTAL ORDER over
     // the corpus without a global sort — shard = range partition of the
     // md5 rank key's prefix, per-shard row_number windows + broadcast
@@ -5971,6 +6005,52 @@ object SparkEntry {
     // min-id dedup, the newDupSpans probe rule (in-reference OR
     // repeated-in-batch), span merge + text rebuild, gates on the CUT
     // text, hash split — the manifest the CLI writes, row for row
+    // fates recomputed from scratch with the pipeline's stage-order
+    // precedence; q.doc_id is NULL exactly for dedup losers (the stats
+    // CTE runs over min-id winners only) and for null-text rows, which
+    // the earlier CASE arm claims first
+    "q_curate_audit" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000, text FROM documents
+        |  WHERE doc_id % 7 = 0 AND text IS NOT NULL
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (CAST(900001 AS BIGINT), 'a b c 1 2 3 4 5 6 7 8 9'),
+        |    (900002, 'le la et les des le la et les des le la et les des'),
+        |    (900003, CAST(NULL AS VARCHAR))) p(doc_id, text)),
+        |win AS (
+        |  SELECT doc_id, text FROM corpus WHERE text IS NOT NULL
+        |  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+        |st AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |    CAST(length(text) AS BIGINT) AS n_len,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|is)\b')) AS BIGINT) AS en_n,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(le|la|et|les|des)\b')) AS BIGINT) AS fr_n,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(el|los|las|y|que)\b')) AS BIGINT) AS es_n,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist)\b')) AS BIGINT) AS de_n
+        |  FROM win),
+        |q AS (
+        |  SELECT doc_id,
+        |    CAST(n_tokens >= 10 AS INT) + CAST(n_tokens <= 1000 AS INT)
+        |      + CAST(CAST(n_len AS DOUBLE)/NULLIF(n_tokens, 0) >= 3
+        |              AND CAST(n_len AS DOUBLE)/NULLIF(n_tokens, 0) <= 12 AS INT)
+        |      + CAST(CAST(n_alpha AS DOUBLE)/NULLIF(n_len, 0) > 0.7 AS INT) AS quality_score,
+        |    CASE WHEN en_n >= fr_n AND en_n >= es_n AND en_n >= de_n THEN 'en'
+        |         WHEN fr_n >= es_n AND fr_n >= de_n THEN 'fr'
+        |         WHEN es_n >= de_n THEN 'es' ELSE 'de' END AS pred_lang
+        |  FROM st)
+        |SELECT c.doc_id AS doc_id,
+        |  CASE WHEN c.text IS NULL THEN 'dropped_null_text'
+        |       WHEN q.doc_id IS NULL THEN 'dropped_duplicate'
+        |       WHEN q.quality_score < 3 THEN 'dropped_quality'
+        |       WHEN q.pred_lang <> 'en' THEN 'dropped_language'
+        |       ELSE 'kept' END AS fate
+        |FROM corpus c LEFT JOIN q ON c.doc_id = q.doc_id
+        |ORDER BY doc_id""".stripMargin,
     "q_pipeline_incr" ->
       """WITH base AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
         |refg AS (

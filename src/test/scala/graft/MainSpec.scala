@@ -626,6 +626,51 @@ class MainSpec extends SparkSpec {
     assert(!got(11L).contains(run))
   }
 
+  test("-curate audit: entropy and budget drops are named; fates partition the namespace") {
+    val good1 = "the quick brown fox jumps over the lazy dog and the cat sits today"
+    val good2 = "pack my box with five dozen liquor jugs and mail the parcel today"
+    val good3 = "we all agree that good fences make good neighbors said the farmer"
+    val srcDir = tmp("graft-cli-auditsrc")
+    Seq(
+      (1L, good1), (2L, good2), (3L, good3),
+      (4L, good1), // byte-identical dup of 1
+      (5L, "aaaa aaaa aaaa aaaa aaaa aaaa aaaa aaaa aaaa aaaa aaaa aaaa"), // low entropy
+      (6L, "a b c 1 2 3 4 5 6 7 8 9"), // low quality
+      (7L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$srcDir/docs.parquet")
+    val out = tmp("graft-cli-auditout") + "/manifest"
+    val adir = tmp("graft-cli-auditout2") + "/audit"
+    // en budget of 30 tokens: the three good docs carry ~13 each, so
+    // the hashed admission keeps a strict subset — at least one
+    // dropped_budget row must appear
+    val cfg = writeCfg(tmp("graft-cli-auditcfg"),
+      s"""{"source":"$srcDir","namespace":"local.docs","out":"$out",
+         |"minQuality":3,"langs":["en"],"minEntropy":2.0,
+         |"budgets":{"en":30},"audit":"$adir"}""".stripMargin)
+    assert(Main.run(Seq("-curate", cfg), sess) == 0)
+    val fates = spark.read.parquet(adir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fates.size == 7, "one fate row per namespace document")
+    assert(fates(4L) == "dropped_duplicate")
+    assert(fates(5L) == "dropped_entropy")
+    assert(fates(6L) == "dropped_quality")
+    assert(fates(7L) == "dropped_null_text")
+    val goodFates = Seq(1L, 2L, 3L).map(fates)
+    assert(goodFates.forall(f => f == "kept" || f == "dropped_budget"),
+      goodFates.toString)
+    assert(goodFates.contains("dropped_budget"), "budget must bind")
+    // fates reconcile exactly with the manifest: kept == selected ids
+    val selected = spark.read.parquet(out).select("doc_id").as[Long]
+      .collect().toSet
+    assert(fates.filter(_._2 == "kept").keySet == selected)
+    // audit is batch-only: refused with a stream config
+    val bad = writeCfg(tmp("graft-cli-auditcfg2"),
+      s"""{"source":"$srcDir","namespace":"local.docs","out":"$out",
+         |"audit":"$adir","stream":{"checkpoint":"x","timeCol":"t"}}""".stripMargin)
+    intercept[IllegalArgumentException] { Main.run(Seq("-curate", bad), sess) }
+  }
+
   test("-curate dedups on RAW text before the line gate (stream-surface parity)") {
     // docs 1 and 2 differ in raw text but gate to the identical kept
     // line; doc 3 is a raw duplicate of doc 1. Dedup-before-gate (the
