@@ -346,9 +346,17 @@ object Main {
         "appendAfterCut/compactEvery compose with the substrIndex cut — " +
           "without an index there is nothing to append into")
       // the feed is the namespace's parquet directory, tailed as a file
-      // stream with the batch read's schema
-      val table = if (ns.contains('.')) ns.substring(ns.indexOf('.') + 1) else ns
-      val feedPath = s"$dir/$table.parquet"
+      // stream with the batch read's schema — resolved THROUGH the
+      // catalog (flat vs per-db layouts place the table differently),
+      // and verified to exist: a wrong path would otherwise drain zero
+      // files and exit 0, a silent no-op where the CLI promises a
+      // loud refusal
+      val feedPath = cat.tablePath(ns)
+      val feedP = new org.apache.hadoop.fs.Path(feedPath)
+      val feedFs = feedP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(feedFs.exists(feedP),
+        s"curate stream feed $feedPath does not exist — is '$ns' a " +
+          s"table of $dir?")
       val schema = cat.read(ns).schema
       require(schema.fieldNames.contains(timeCol),
         s"stream timeCol '$timeCol' is not a column of $ns " +
@@ -372,7 +380,16 @@ object Main {
             .start()
       }
       query.awaitTermination()
-      val total = spark.read.parquet(out).count()
+      // the out directory only exists once a micro-batch wrote (the
+      // foreachBatch path creates nothing on an empty drain) — a
+      // successful zero-batch first run must report 0, not crash on
+      // schema inference
+      val outP = new org.apache.hadoop.fs.Path(out)
+      val total =
+        if (outP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .exists(outP))
+          spark.read.parquet(out).count()
+        else 0L
       println(s"stream-curated $ns: drained into $out " +
         s"($total curated row(s) total); checkpoint $ckpt")
       return 0
@@ -494,8 +511,12 @@ object Main {
       // lineage (re-executed once — the audit's honest price, paid
       // only when the knob is on).
       audit.foreach { adir =>
-        val scoredCols = Seq(col(idCol), col("quality_score").as("__q"),
-          col("pred_lang").as("__l")) ++
+        // explicit presence marker: a dedup WINNER can still carry a
+        // NULL quality_score (empty/whitespace scored text) — absence
+        // from the scored frame is what means "dedup loser", not a
+        // NULL score
+        val scoredCols = Seq(col(idCol), lit(true).as("__scored"),
+          col("quality_score").as("__q"), col("pred_lang").as("__l")) ++
           minEntropy.map(_ => col("__ent")).toSeq
         val scored = stats.select(scoredCols: _*)
         val selected = spark.read.parquet(out).select(col(idCol))
@@ -504,9 +525,12 @@ object Main {
           case Some(me) => col("__ent").isNull || col("__ent") < me
           case None => lit(false)
         }
+        // NULL quality fails the >= gate in the pipeline, so the audit
+        // mirrors it as a quality drop — not a dedup loss
         val fate = when(col("__nul"), "dropped_null_text")
-          .when(col("__q").isNull, "dropped_duplicate")
-          .when(col("__q") < minQuality, "dropped_quality")
+          .when(col("__scored").isNull, "dropped_duplicate")
+          .when(col("__q").isNull || col("__q") < minQuality,
+            "dropped_quality")
           .when(!col("__l").isin(langs: _*), "dropped_language")
           .when(entDrop, "dropped_entropy")
           .when(col("__sel").isNull, "dropped_budget")

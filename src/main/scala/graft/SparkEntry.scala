@@ -1526,10 +1526,15 @@ object SparkEntry {
       // (quality), a French doc (language), a null text — the sf corpus
       // itself passes all gates, so without these the audit would only
       // ever exercise kept/dropped_duplicate
+      // 900004 pins the NULL-quality corner: a dedup WINNER (unique
+      // text) whose whitespace-only scored text yields quality_score
+      // NULL — the pipeline's >= gate drops it, so the audit must say
+      // dropped_quality, not dropped_duplicate
       val plants = Seq(
         (900001L, "a b c 1 2 3 4 5 6 7 8 9"),
         (900002L, "le la et les des le la et les des le la et les des"),
-        (900003L, null.asInstanceOf[String]))
+        (900003L, null.asInstanceOf[String]),
+        (900004L, "   "))
         .toDF("doc_id", "text")
       d.unionByName(d.filter(col("doc_id") % 7 === 0 && col("text").isNotNull)
           .select((col("doc_id") + 200000L).as("doc_id"), col("text")))
@@ -6019,7 +6024,8 @@ object SparkEntry {
         |  SELECT * FROM (VALUES
         |    (CAST(900001 AS BIGINT), 'a b c 1 2 3 4 5 6 7 8 9'),
         |    (900002, 'le la et les des le la et les des le la et les des'),
-        |    (900003, CAST(NULL AS VARCHAR))) p(doc_id, text)),
+        |    (900003, CAST(NULL AS VARCHAR)),
+        |    (900004, '   ')) p(doc_id, text)),
         |win AS (
         |  SELECT doc_id, text FROM corpus WHERE text IS NOT NULL
         |  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
@@ -6046,7 +6052,8 @@ object SparkEntry {
         |SELECT c.doc_id AS doc_id,
         |  CASE WHEN c.text IS NULL THEN 'dropped_null_text'
         |       WHEN q.doc_id IS NULL THEN 'dropped_duplicate'
-        |       WHEN q.quality_score < 3 THEN 'dropped_quality'
+        |       WHEN q.quality_score IS NULL
+        |         OR q.quality_score < 3 THEN 'dropped_quality'
         |       WHEN q.pred_lang <> 'en' THEN 'dropped_language'
         |       ELSE 'kept' END AS fate
         |FROM corpus c LEFT JOIN q ON c.doc_id = q.doc_id

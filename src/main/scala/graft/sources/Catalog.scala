@@ -56,6 +56,12 @@ trait Catalog {
 
   /** Reference DoesDataExist guard (config_copier.go:114-130, D6). */
   def dataExists(ns: String): Boolean
+
+  /** Filesystem path of one namespace's table — for callers that must
+    * address the table's directory directly (e.g. tailing it as a file
+    * stream), so layout knowledge (flat vs per-db subdirectory) stays
+    * inside the catalog. */
+  def tablePath(ns: String): String
 }
 
 /** Filesystem/parquet Catalog: one directory per "database", one
@@ -129,6 +135,8 @@ final class ParquetCatalog(
       .filterNot(ns => table(ns).startsWith("system.") && table(ns) != "system.js")
       .sorted
   }
+
+  override def tablePath(ns: String): String = path(ns).toString
 
   override def read(ns: String): DataFrame = {
     recover(ns)
@@ -466,4 +474,5 @@ final class MultiDbParquetCatalog(
   override def keyOf(ns: String): String = forNs(ns).keyOf(ns)
   override def drop(ns: String): Unit = forNs(ns).drop(ns)
   override def dataExists(ns: String): Boolean = forNs(ns).dataExists(ns)
+  override def tablePath(ns: String): String = forNs(ns).tablePath(ns)
 }

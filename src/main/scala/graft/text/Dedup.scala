@@ -418,6 +418,14 @@ object Dedup {
     *  - `bands/` — (ref_id, band, bsig) PARTITIONED BY
     *    `bkt = pmod(xxhash64(band, bsig), buckets)`, so a batch probe
     *    scans only its own band-bucket partitions;
+    *  - `ids/` — ONE row per signed doc, PARTITIONED BY
+    *    `idb = pmod(xxhash64(ref_id), buckets)` — the new-ids guard's
+    *    frame (the BM25 `dl` discipline, plus pruning): an id probe of
+    *    `bands/` can't prune (band-sig partitioning is orthogonal to
+    *    ids) and pays 8 rows per reference doc; the ids frame is
+    *    doc-count-sized AND statically prunable to the batch's id
+    *    buckets, so the guard scales with the batch, never the
+    *    reference;
     *  - `_graft_index.json` — the frozen signature recipe (num_hashes,
     *    rows_per_band, shingle_words, buckets, id_col): probes and
     *    appends derive it from the manifest, never from caller args —
@@ -432,24 +440,42 @@ object Dedup {
     val spark = reference.sparkSession
     // invalidate-first/manifest-last (see IndexManifest.invalidate)
     graft.util.IndexManifest.invalidate(spark, dir)
-    val obs = org.apache.spark.sql.Observation()
     bandRows(reference, idCol, text, numHashes, rowsPerBand, shingleWords)
-      .observe(obs, count(lit(1)).as("n_rows"))
       .withColumn("bkt",
         pmod(xxhash64(col("band"), col("bsig")), lit(buckets.toLong)))
       .repartition(col("bkt")) // one file per bucket, not tasks×buckets
       .write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/bands")
-    // every signed doc emits exactly numHashes/rowsPerBand band rows,
-    // so n_docs derives from the row Observation — no second pass
-    val bands = numHashes / rowsPerBand
+    // ids derive from the WRITTEN band rows (a ref_id-only column scan
+    // of what was just staged): exactly the signed docs — short docs
+    // that sign nothing stay out of the guard frame, mirroring bands
+    val obs = org.apache.spark.sql.Observation()
+    spark.read.parquet(s"$dir/bands").select(col("ref_id")).distinct()
+      .observe(obs, count(lit(1)).as("n_docs"))
+      .withColumn("idb", pmod(xxhash64(col("ref_id")), lit(buckets.toLong)))
+      .repartition(col("idb"))
+      .write.mode("overwrite").partitionBy("idb").parquet(s"$dir/ids")
     graft.util.IndexManifest.write(spark, dir,
       graft.util.IndexManifest.KindMinhashBands,
       params = Map("num_hashes" -> numHashes.toString,
         "rows_per_band" -> rowsPerBand.toString,
         "shingle_words" -> shingleWords.toString,
         "buckets" -> buckets.toString, "id_col" -> idCol),
-      counts = Map("n_docs" ->
-        obs.get("n_rows").asInstanceOf[Long] / bands))
+      counts = Map("n_docs" -> obs.get("n_docs").asInstanceOf[Long]))
+  }
+
+  /** The guard frame of [[appendBandIndex]]: already-indexed ids among
+    * `batchIds` (a distinct, materialized (ref_id) frame), read from the
+    * `ids/` layout with STATIC pruning to the batch's id buckets —
+    * exposed for the plan-audit pin. */
+  private[graft] def bandIndexSeenIds(batchIds: DataFrame, dir: String,
+      buckets: Long): DataFrame = {
+    val spark = batchIds.sparkSession
+    val qb = batchIds
+      .select(pmod(xxhash64(col("ref_id")), lit(buckets)).as("idb"))
+      .distinct().collect().map(_.getLong(0))
+    spark.read.parquet(s"$dir/ids")
+      .filter(col("idb").isin(qb: _*))
+      .join(batchIds, Seq("ref_id"), "left_semi")
   }
 
   /** Fold a batch of NEW documents into a [[stageBandIndex]] index —
@@ -461,7 +487,10 @@ object Dedup {
     * double-counts the id in the `maxBucket` bucket census — a
     * borderline bucket silently tips over the cap and its candidates
     * vanish. `assumeNewIds = true` skips the guard scan when
-    * disjointness is proven upstream. */
+    * disjointness is proven upstream. The guard probes the staged
+    * `ids/` frame (doc-count-sized, statically pruned to the batch's
+    * id buckets — see [[stageBandIndex]]), never the 8-rows-per-doc
+    * `bands/` table. */
   def appendBandIndex(batch: DataFrame, idCol: String, text: Column,
       dir: String, assumeNewIds: Boolean = false): Unit = {
     val spark = batch.sparkSession
@@ -470,10 +499,13 @@ object Dedup {
     require(mf.params.get("id_col").contains(idCol),
       s"$dir was staged with id_col=${mf.params.getOrElse("id_col", "?")}; " +
         s"append got $idCol — the band schema is the index contract")
+    val buckets = mf.paramInt("buckets").toLong
     if (!assumeNewIds) {
-      val seen = spark.read.parquet(s"$dir/bands").select(col("ref_id"))
-        .join(batch.select(col(idCol).as("ref_id")).distinct(),
-          Seq("ref_id"), "left_semi")
+      // batch-id frame materialized ONCE (it feeds the bucket collect
+      // and the semi-join probe)
+      val bids = batch.select(col(idCol).as("ref_id")).distinct()
+        .localCheckpoint(true)
+      val seen = bandIndexSeenIds(bids, dir, buckets)
         .limit(5).collect().map(_.get(0))
       require(seen.isEmpty,
         s"appendBandIndex($dir): batch contains already-indexed ids (e.g. " +
@@ -482,12 +514,22 @@ object Dedup {
           "candidates. Re-ingest is an explicit restage (stageBandIndex); " +
           "pass assumeNewIds=true only if disjointness is proven upstream.")
     }
-    bandRows(batch, idCol, text, mf.paramInt("num_hashes"),
+    // ONE signature pass feeds both sublayouts
+    val rows = bandRows(batch, idCol, text, mf.paramInt("num_hashes"),
         mf.paramInt("rows_per_band"), mf.paramInt("shingle_words"))
-      .withColumn("bkt", pmod(xxhash64(col("band"), col("bsig")),
-        lit(mf.paramInt("buckets").toLong)))
-      .repartition(col("bkt")) // one file per touched bucket per append
-      .write.mode("append").partitionBy("bkt").parquet(s"$dir/bands")
+      .persist()
+    try {
+      rows
+        .withColumn("bkt", pmod(xxhash64(col("band"), col("bsig")),
+          lit(buckets)))
+        .repartition(col("bkt")) // one file per touched bucket per append
+        .write.mode("append").partitionBy("bkt").parquet(s"$dir/bands")
+      // the ids frame tracks bands exactly: signed batch docs only
+      rows.select(col("ref_id")).distinct()
+        .withColumn("idb", pmod(xxhash64(col("ref_id")), lit(buckets)))
+        .repartition(col("idb"))
+        .write.mode("append").partitionBy("idb").parquet(s"$dir/ids")
+    } finally { rows.unpersist(false); () }
   }
 
   /** [[lshNewCandidates]] against a FROZEN [[stageBandIndex]] index:
@@ -532,19 +574,23 @@ object Dedup {
       dir: String): Unit = {
     val mf = graft.util.IndexManifest.validateKind(spark, dir,
       graft.util.IndexManifest.KindMinhashBands)
-    val obs = org.apache.spark.sql.Observation()
     graft.util.DirSwap.replace(spark, dir, "bands") { tmp =>
       spark.read.parquet(s"$dir/bands")
-        .observe(obs, count(lit(1)).as("n_rows"))
         .select(col("ref_id"), col("band"), col("bsig"), col("bkt"))
         .repartition(col("bkt")) // one file per bucket
         .write.mode("overwrite").partitionBy("bkt").parquet(tmp)
     }
-    val bands = mf.paramInt("num_hashes") / mf.paramInt("rows_per_band")
+    val obs = org.apache.spark.sql.Observation()
+    graft.util.DirSwap.replace(spark, dir, "ids") { tmp =>
+      spark.read.parquet(s"$dir/ids")
+        .observe(obs, count(lit(1)).as("n_docs"))
+        .select(col("ref_id"), col("idb"))
+        .repartition(col("idb")) // one file per bucket
+        .write.mode("overwrite").partitionBy("idb").parquet(tmp)
+    }
     graft.util.IndexManifest.write(spark, dir,
       graft.util.IndexManifest.KindMinhashBands, params = mf.params,
-      counts = Map("n_docs" ->
-        obs.get("n_rows").asInstanceOf[Long] / bands))
+      counts = Map("n_docs" -> obs.get("n_docs").asInstanceOf[Long]))
   }
 
   /** Benchmark decontamination: corpus documents sharing at least one

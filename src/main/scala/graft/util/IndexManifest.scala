@@ -133,10 +133,6 @@ object IndexManifest {
     mf
   }
 
-  /** Read + check kind and any expected params — every append/probe
-    * entry point calls this before touching the layout, so a mismatched
-    * directory fails with WHAT is wrong, not a downstream schema
-    * error. */
   /** [[validate]] minus the stranded-swap scan — the COMPACTION entry
     * point: compaction is the recovery verb for an interrupted swap
     * ([[DirSwap.replace]] rolls the old layout back before rewriting),
@@ -150,6 +146,10 @@ object IndexManifest {
     mf
   }
 
+  /** Read + check kind and any expected params — every append/probe
+    * entry point calls this before touching the layout, so a mismatched
+    * directory fails with WHAT is wrong, not a downstream schema
+    * error. */
   def validate(spark: SparkSession, dir: String, kind: String,
       expect: Map[String, String] = Map.empty): IndexManifest = {
     val mf = validateKind(spark, dir, kind)

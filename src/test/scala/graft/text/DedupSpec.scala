@@ -282,6 +282,23 @@ class DedupSpec extends SparkSpec {
       .filter(_.metadata.get("Location").exists(_.contains("bands")))
     assert(scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty),
       s"bands scan reads every partition:\n$plan")
+    // the new-ids guard probes the doc-count-sized ids frame with
+    // STATIC pruning to the batch's id buckets — never the
+    // 8-rows-per-doc bands table (batch-proportional guard cost)
+    val gids = batch.select(col("doc_id").as("ref_id")).distinct()
+      .localCheckpoint(true)
+    val guard = Dedup.bandIndexSeenIds(gids, dir, 16L)
+    val gplan = guard.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case p => p
+    }
+    val gscans = gplan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      .filter(_.metadata.get("Location").exists(_.contains("ids")))
+    assert(gscans.nonEmpty && gscans.forall(_.partitionFilters.nonEmpty),
+      s"ids guard scan reads every partition:\n$gplan")
+    assert(guard.count() == 0, "disjoint batch must clear the guard")
     // an overlapping-id batch is refused before anything is written
     val before = spark.read.parquet(s"$dir/bands").count()
     val e = intercept[IllegalArgumentException] {
