@@ -1550,6 +1550,51 @@ object SparkEntry {
       s.read.parquet(s"$src/audit").orderBy("doc_id")
     }),
 
+    // ---- the -curate STREAMING CLI branch through the real CLI: two
+    // arrival waves drained by two runs of the SAME config over one
+    // checkpoint. Wave 2 carries byte-identical copies of wave-1 docs
+    // under new ids — a fresh-state run 2 would KEEP them (they are
+    // unique within wave 2), so their absence from the manifest pins
+    // the cross-run dedup state surviving via the checkpoint, and the
+    // second drain processing ONLY the new file pins the incremental
+    // file-source contract. DuckDB recomputes the final manifest from
+    // the arrival order (wave-1 winner on every cross-run collision).
+    // Feed waves are internally pre-deduped so first-arrival-wins is
+    // deterministic for the oracle ----
+    "q_curate_stream" -> ((s, dir) => {
+      val src = scratchDir("cstream")
+      val keepW = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      val base = load(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+        .withColumn("__rn", row_number().over(keepW))
+        .filter(col("__rn") === 1).drop("__rn")
+      val w1 = base.filter(col("doc_id") % 3 === 1)
+      val w2 = base.filter(col("doc_id") % 3 === 2)
+        .unionByName(w1.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 700000L).as("doc_id"), col("text")))
+      // event times inside one minute: the watermark never expires
+      // dedup state mid-fixture (the gate is q_st_curate's subject)
+      def stamp(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("event_ts",
+          timestamp_seconds(lit(1700000000L) + pmod(col("doc_id"), lit(60))))
+      val cfg = java.nio.file.Files.write(
+        java.nio.file.Paths.get(src, "curate.json"),
+        (s"""{"source":"$src","namespace":"local.feed",""" +
+          s""""out":"$src/manifest","stream":{""" +
+          s""""checkpoint":"$src/ckpt","timeCol":"event_ts"}}""")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      stamp(w1).coalesce(1).write.mode("append").parquet(s"$src/feed.parquet")
+      require(Main.run(Seq("-curate", cfg.toString), () => s) == 0,
+        "curate stream run 1 failed")
+      stamp(w2).coalesce(1).write.mode("append").parquet(s"$src/feed.parquet")
+      require(Main.run(Seq("-curate", cfg.toString), () => s) == 0,
+        "curate stream run 2 failed")
+      s.read.parquet(s"$src/manifest")
+        .select("doc_id", "n_tokens", "quality_score", "pred_lang",
+          "split", "scrubbed")
+        .orderBy("doc_id")
+    }),
+
     // ---- deterministic epoch shuffle: a pseudorandom TOTAL ORDER over
     // the corpus without a global sort — shard = range partition of the
     // md5 rank key's prefix, per-shard row_number windows + broadcast
@@ -6057,6 +6102,55 @@ object SparkEntry {
         |       WHEN q.pred_lang <> 'en' THEN 'dropped_language'
         |       ELSE 'kept' END AS fate
         |FROM corpus c LEFT JOIN q ON c.doc_id = q.doc_id
+        |ORDER BY doc_id""".stripMargin,
+    // the -curate streaming CLI branch: arrival-ordered exact dedup
+    // (wave-1 winner on cross-run collisions — the checkpointed state),
+    // then the same gate/split/scrub tail as q_st_curate
+    "q_curate_stream" ->
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+        |  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+        |w1 AS (SELECT doc_id, text FROM u WHERE doc_id % 3 = 1),
+        |arr AS (
+        |  SELECT doc_id, text, 1 AS wave FROM w1
+        |  UNION ALL
+        |  SELECT doc_id, text, 2 FROM u WHERE doc_id % 3 = 2
+        |  UNION ALL
+        |  SELECT doc_id + 700000, text, 2 FROM w1 WHERE doc_id % 5 = 0),
+        |ded AS (
+        |  SELECT doc_id, text FROM arr
+        |  QUALIFY row_number() OVER (PARTITION BY md5(text)
+        |    ORDER BY wave, doc_id) = 1),
+        |s AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |    CAST(length(text) AS BIGINT) AS n_len,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|is)\b')) AS BIGINT) AS en_n,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(le|la|et|les|des)\b')) AS BIGINT) AS fr_n,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(el|los|las|y|que)\b')) AS BIGINT) AS es_n,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist)\b')) AS BIGINT) AS de_n
+        |  FROM ded),
+        |q AS (
+        |  SELECT doc_id, text, n_tokens,
+        |    CAST(n_tokens >= 10 AS INT) + CAST(n_tokens <= 1000 AS INT)
+        |      + CAST(CAST(n_len AS DOUBLE)/NULLIF(n_tokens, 0) >= 3
+        |              AND CAST(n_len AS DOUBLE)/NULLIF(n_tokens, 0) <= 12 AS INT)
+        |      + CAST(CAST(n_alpha AS DOUBLE)/NULLIF(n_len, 0) > 0.7 AS INT) AS quality_score,
+        |    CASE WHEN en_n >= fr_n AND en_n >= es_n AND en_n >= de_n THEN 'en'
+        |         WHEN fr_n >= es_n AND fr_n >= de_n THEN 'fr'
+        |         WHEN es_n >= de_n THEN 'es' ELSE 'de' END AS pred_lang
+        |  FROM s)
+        |SELECT doc_id, n_tokens, quality_score, pred_lang,
+        |  CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val' ELSE 'test' END AS split,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS scrubbed
+        |FROM (SELECT *,
+        |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8)) AS BIGINT)
+        |          % 10000 AS b
+        |      FROM q WHERE quality_score >= 3 AND pred_lang = 'en')
         |ORDER BY doc_id""".stripMargin,
     "q_pipeline_incr" ->
       """WITH base AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
