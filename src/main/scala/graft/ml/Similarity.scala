@@ -634,34 +634,34 @@ object Similarity {
     * `dir/meta` holds the centroids + codebook (kilobytes). */
   def stageIvfPq(corpus: DataFrame, idCol: String, embCol: String,
       numCentroids: Int, m: Int, ksub: Int, dir: String): Unit = {
-    // invalidate-first/manifest-last (see IndexManifest.invalidate)
-    graft.util.IndexManifest.invalidate(corpus.sparkSession, dir)
+    val spark = corpus.sparkSession
     val cents = ivfCentroids(corpus, idCol, embCol, numCentroids)
     val pb = PqBook(pqCodebook(corpus, idCol, embCol, m, ksub))
-    val spark = corpus.sparkSession
     import spark.implicits._
-    // n_vectors rides an Observation on the codes write itself — the
-    // alternative (re-counting the written codes) is a second full pass
-    // over the corpus-sized codes layout per stage
-    val obs = org.apache.spark.sql.Observation()
-    corpus.select(col(idCol).as("id"), quantize(col(embCol)).as("__ce"))
-      .select(col("id"), pb.codes(col("__ce")).as("code"),
-        ivfAssign(col("__ce"), cents).as("list"))
-      .observe(obs, count(lit(1)).as("n_vectors"))
-      // one file per IVF list instead of tasks×lists tiny files
-      .repartition(col("list"))
-      .write.mode("overwrite").partitionBy("list").parquet(s"$dir/codes")
-    val metaRows: Seq[(String, Int, Int, Seq[Long])] =
-      cents.zipWithIndex.map { case (v, i) => ("cent", 0, i, v) } ++
-        (for (j <- 0 until pb.m; (cw, ci) <- pb.book(j).zipWithIndex)
-          yield ("code", j, ci, cw: Seq[Long]))
-    metaRows.toDF("kind", "j", "idx", "vec")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
-    graft.util.IndexManifest.write(spark, dir,
-      graft.util.IndexManifest.KindIvfPq,
-      params = Map("centroids" -> cents.size.toString,
-        "m" -> m.toString, "ksub" -> ksub.toString),
-      counts = Map("n_vectors" -> obs.get("n_vectors").asInstanceOf[Long]))
+    // invalidate-first/manifest-last bracket (StagedIndex.stage)
+    graft.util.StagedIndex.stage(spark, dir,
+        graft.util.IndexManifest.KindIvfPq,
+        params = Map("centroids" -> cents.size.toString,
+          "m" -> m.toString, "ksub" -> ksub.toString)) {
+      // n_vectors rides an Observation on the codes write itself — the
+      // alternative (re-counting the written codes) is a second full pass
+      // over the corpus-sized codes layout per stage
+      val obs = org.apache.spark.sql.Observation()
+      corpus.select(col(idCol).as("id"), quantize(col(embCol)).as("__ce"))
+        .select(col("id"), pb.codes(col("__ce")).as("code"),
+          ivfAssign(col("__ce"), cents).as("list"))
+        .observe(obs, count(lit(1)).as("n_vectors"))
+        // one file per IVF list instead of tasks×lists tiny files
+        .repartition(col("list"))
+        .write.mode("overwrite").partitionBy("list").parquet(s"$dir/codes")
+      val metaRows: Seq[(String, Int, Int, Seq[Long])] =
+        cents.zipWithIndex.map { case (v, i) => ("cent", 0, i, v) } ++
+          (for (j <- 0 until pb.m; (cw, ci) <- pb.book(j).zipWithIndex)
+            yield ("code", j, ci, cw: Seq[Long]))
+      metaRows.toDF("kind", "j", "idx", "vec")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+      Map("n_vectors" -> obs.get("n_vectors").asInstanceOf[Long])
+    }
   }
 
   /** The frozen index metadata of a [[stageIvfPq]] dir. */
@@ -703,18 +703,16 @@ object Similarity {
       dir: String, assumeNewIds: Boolean = false): Unit = {
     val (cents, pb) = readIvfPqMeta(batch.sparkSession, dir)
     if (!assumeNewIds) {
-      val seen = batch.sparkSession.read.parquet(s"$dir/codes")
-        .select(col("id"))
-        .join(batch.select(col(idCol).as("id")).distinct(), Seq("id"),
-          "left_semi")
-        .limit(5).collect().map(_.get(0))
-      require(seen.isEmpty,
-        s"appendIvfPq($dir): batch contains already-indexed ids (e.g. " +
-          s"${seen.mkString(", ")}) — appending an existing id duplicates " +
-          "its codes row, so it can fill two top-k slots and a re-encoded " +
-          "vector silently disagrees with its original row. Re-ingest is " +
-          "an explicit restage (stageIvfPq); pass assumeNewIds=true only " +
-          "if disjointness is proven upstream.")
+      graft.util.StagedIndex.requireNewIds(
+        batch.sparkSession.read.parquet(s"$dir/codes")
+          .select(col("id"))
+          .join(batch.select(col(idCol).as("id")).distinct(), Seq("id"),
+            "left_semi"),
+        "appendIvfPq", dir,
+        "appending an existing id duplicates its codes row, so it can " +
+          "fill two top-k slots and a re-encoded vector silently " +
+          "disagrees with its original row.",
+        "stageIvfPq")
     }
     batch.select(col(idCol).as("id"), quantize(col(embCol)).as("__ce"))
       .select(col("id"), pb.codes(col("__ce")).as("code"),
@@ -735,19 +733,16 @@ object Similarity {
     * [[graft.util.DirSwap]]; single writer per index. */
   def compactIvfPq(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit = {
-    val mf = graft.util.IndexManifest.validateKind(spark, dir,
-      graft.util.IndexManifest.KindIvfPq)
+    import graft.util.StagedIndex.Layout
     val obs = org.apache.spark.sql.Observation()
-    graft.util.DirSwap.replace(spark, dir, "codes") { tmp =>
-      spark.read.parquet(s"$dir/codes")
-        .observe(obs, count(lit(1)).as("n_vectors"))
-        .select(col("id"), col("code"), col("list")) // layout column order
-        .repartition(col("list")) // one file per list
-        .write.mode("overwrite").partitionBy("list").parquet(tmp)
-    }
-    graft.util.IndexManifest.write(spark, dir,
-      graft.util.IndexManifest.KindIvfPq, params = mf.params,
-      counts = Map("n_vectors" -> obs.get("n_vectors").asInstanceOf[Long]))
+    graft.util.StagedIndex.compact(spark, dir,
+        graft.util.IndexManifest.KindIvfPq) { _ =>
+      // codes rows are immutable per-vector facts: pure consolidation
+      Seq(Layout("codes", Some("list"),
+        _.observe(obs, count(lit(1)).as("n_vectors"))
+          .select(col("id"), col("code"), col("list")))) // layout column order
+    } { _ => Map("n_vectors" -> obs.get("n_vectors").asInstanceOf[Long]) }
+    ()
   }
 
   /** Query a [[stageIvfPq]] index. The probe set (≤ queries × nprobe

@@ -438,29 +438,29 @@ object Dedup {
       "numHashes must be a multiple of rowsPerBand")
     require(buckets > 0, "buckets must be positive")
     val spark = reference.sparkSession
-    // invalidate-first/manifest-last (see IndexManifest.invalidate)
-    graft.util.IndexManifest.invalidate(spark, dir)
-    bandRows(reference, idCol, text, numHashes, rowsPerBand, shingleWords)
-      .withColumn("bkt",
-        pmod(xxhash64(col("band"), col("bsig")), lit(buckets.toLong)))
-      .repartition(col("bkt")) // one file per bucket, not tasks×buckets
-      .write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/bands")
-    // ids derive from the WRITTEN band rows (a ref_id-only column scan
-    // of what was just staged): exactly the signed docs — short docs
-    // that sign nothing stay out of the guard frame, mirroring bands
-    val obs = org.apache.spark.sql.Observation()
-    spark.read.parquet(s"$dir/bands").select(col("ref_id")).distinct()
-      .observe(obs, count(lit(1)).as("n_docs"))
-      .withColumn("idb", pmod(xxhash64(col("ref_id")), lit(buckets.toLong)))
-      .repartition(col("idb"))
-      .write.mode("overwrite").partitionBy("idb").parquet(s"$dir/ids")
-    graft.util.IndexManifest.write(spark, dir,
-      graft.util.IndexManifest.KindMinhashBands,
-      params = Map("num_hashes" -> numHashes.toString,
-        "rows_per_band" -> rowsPerBand.toString,
-        "shingle_words" -> shingleWords.toString,
-        "buckets" -> buckets.toString, "id_col" -> idCol),
-      counts = Map("n_docs" -> obs.get("n_docs").asInstanceOf[Long]))
+    // invalidate-first/manifest-last bracket (StagedIndex.stage)
+    graft.util.StagedIndex.stage(spark, dir,
+        graft.util.IndexManifest.KindMinhashBands,
+        params = Map("num_hashes" -> numHashes.toString,
+          "rows_per_band" -> rowsPerBand.toString,
+          "shingle_words" -> shingleWords.toString,
+          "buckets" -> buckets.toString, "id_col" -> idCol)) {
+      bandRows(reference, idCol, text, numHashes, rowsPerBand, shingleWords)
+        .withColumn("bkt",
+          pmod(xxhash64(col("band"), col("bsig")), lit(buckets.toLong)))
+        .repartition(col("bkt")) // one file per bucket, not tasks×buckets
+        .write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/bands")
+      // ids derive from the WRITTEN band rows (a ref_id-only column scan
+      // of what was just staged): exactly the signed docs — short docs
+      // that sign nothing stay out of the guard frame, mirroring bands
+      val obs = org.apache.spark.sql.Observation()
+      spark.read.parquet(s"$dir/bands").select(col("ref_id")).distinct()
+        .observe(obs, count(lit(1)).as("n_docs"))
+        .withColumn("idb", pmod(xxhash64(col("ref_id")), lit(buckets.toLong)))
+        .repartition(col("idb"))
+        .write.mode("overwrite").partitionBy("idb").parquet(s"$dir/ids")
+      Map("n_docs" -> obs.get("n_docs").asInstanceOf[Long])
+    }
   }
 
   /** The guard frame of [[appendBandIndex]]: already-indexed ids among
@@ -505,14 +505,12 @@ object Dedup {
       // and the semi-join probe)
       val bids = batch.select(col(idCol).as("ref_id")).distinct()
         .localCheckpoint(true)
-      val seen = bandIndexSeenIds(bids, dir, buckets)
-        .limit(5).collect().map(_.get(0))
-      require(seen.isEmpty,
-        s"appendBandIndex($dir): batch contains already-indexed ids (e.g. " +
-          s"${seen.mkString(", ")}) — a re-appended id double-counts in " +
-          "the maxBucket census and silently drops a borderline bucket's " +
-          "candidates. Re-ingest is an explicit restage (stageBandIndex); " +
-          "pass assumeNewIds=true only if disjointness is proven upstream.")
+      graft.util.StagedIndex.requireNewIds(
+        bandIndexSeenIds(bids, dir, buckets),
+        "appendBandIndex", dir,
+        "a re-appended id double-counts in the maxBucket census and " +
+          "silently drops a borderline bucket's candidates.",
+        "stageBandIndex")
     }
     // ONE signature pass feeds both sublayouts
     val rows = bandRows(batch, idCol, text, mf.paramInt("num_hashes"),
@@ -572,25 +570,19 @@ object Dedup {
     * probe-invisible; crash-safe swap via [[graft.util.DirSwap]]. */
   def compactBandIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit = {
-    val mf = graft.util.IndexManifest.validateKind(spark, dir,
-      graft.util.IndexManifest.KindMinhashBands)
-    graft.util.DirSwap.replace(spark, dir, "bands") { tmp =>
-      spark.read.parquet(s"$dir/bands")
-        .select(col("ref_id"), col("band"), col("bsig"), col("bkt"))
-        .repartition(col("bkt")) // one file per bucket
-        .write.mode("overwrite").partitionBy("bkt").parquet(tmp)
-    }
+    import graft.util.StagedIndex.Layout
     val obs = org.apache.spark.sql.Observation()
-    graft.util.DirSwap.replace(spark, dir, "ids") { tmp =>
-      spark.read.parquet(s"$dir/ids")
-        .observe(obs, count(lit(1)).as("n_docs"))
-        .select(col("ref_id"), col("idb"))
-        .repartition(col("idb")) // one file per bucket
-        .write.mode("overwrite").partitionBy("idb").parquet(tmp)
-    }
-    graft.util.IndexManifest.write(spark, dir,
-      graft.util.IndexManifest.KindMinhashBands, params = mf.params,
-      counts = Map("n_docs" -> obs.get("n_docs").asInstanceOf[Long]))
+    graft.util.StagedIndex.compact(spark, dir,
+        graft.util.IndexManifest.KindMinhashBands) { _ =>
+      // band and id rows are immutable per-doc facts: pure consolidation
+      Seq(
+        Layout("bands", Some("bkt"),
+          _.select(col("ref_id"), col("band"), col("bsig"), col("bkt"))),
+        Layout("ids", Some("idb"),
+          _.observe(obs, count(lit(1)).as("n_docs"))
+            .select(col("ref_id"), col("idb"))))
+    } { _ => Map("n_docs" -> obs.get("n_docs").asInstanceOf[Long]) }
+    ()
   }
 
   /** Benchmark decontamination: corpus documents sharing at least one

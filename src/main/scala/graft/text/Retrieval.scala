@@ -173,39 +173,41 @@ object Retrieval {
   def stageBm25(corpus: DataFrame, idCol: String, text: Column,
       dir: String, buckets: Int = 64): Unit = {
     require(buckets > 0, "buckets must be positive")
-    // invalidate-first/manifest-last: a restage that dies mid-rewrite
-    // leaves no manifest (loud probe failure), never a stale one
-    graft.util.IndexManifest.invalidate(corpus.sparkSession, dir)
-    val toks = corpus.filter(text.isNotNull)
-      .select(col(idCol), explode(TextFunctions.whitespaceTokens(lower(text)))
-        .as("term"))
-    toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-      .withColumn("bkt", pmod(xxhash64(col("term")), lit(buckets.toLong)))
-      // co-locate each bucket before the write — the aggregate exchange
-      // hashes on (id, term), so without this every task holds every
-      // bucket and the layout sprays tasks×buckets tiny files
-      .repartition(col("bkt"))
-      .write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/postings")
-    // derive dl/df/stats from the WRITTEN postings — the corpus is
-    // tokenized exactly once
     val spark = corpus.sparkSession
-    val tf = spark.read.parquet(s"$dir/postings")
-    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
-    // n_docs rides an Observation on the dl write — no stats re-read
-    val obs = org.apache.spark.sql.Observation()
-    dl.observe(obs, count(lit(1)).as("n_docs"))
-      .write.mode("overwrite").parquet(s"$dir/dl")
-    tf.groupBy("term").agg(count(lit(1)).as("df"))
-      .withColumn("bkt", pmod(xxhash64(col("term")), lit(buckets.toLong)))
-      .repartition(col("bkt"))
-      .write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/df")
-    dl.agg(count(lit(1)).as("__n"),
-        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"),
-        lit(buckets.toLong).as("buckets"))
-      .write.mode("overwrite").parquet(s"$dir/stats")
-    graft.util.IndexManifest.write(spark, dir, graft.util.IndexManifest.KindBm25,
-      params = Map("buckets" -> buckets.toString, "id_col" -> idCol),
-      counts = Map("n_docs" -> obs.get("n_docs").asInstanceOf[Long]))
+    // invalidate-first/manifest-last bracket (StagedIndex.stage): a
+    // restage that dies mid-rewrite leaves no manifest (loud probe
+    // failure), never a stale one
+    graft.util.StagedIndex.stage(spark, dir,
+        graft.util.IndexManifest.KindBm25,
+        params = Map("buckets" -> buckets.toString, "id_col" -> idCol)) {
+      val toks = corpus.filter(text.isNotNull)
+        .select(col(idCol), explode(TextFunctions.whitespaceTokens(lower(text)))
+          .as("term"))
+      toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+        .withColumn("bkt", pmod(xxhash64(col("term")), lit(buckets.toLong)))
+        // co-locate each bucket before the write — the aggregate exchange
+        // hashes on (id, term), so without this every task holds every
+        // bucket and the layout sprays tasks×buckets tiny files
+        .repartition(col("bkt"))
+        .write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/postings")
+      // derive dl/df/stats from the WRITTEN postings — the corpus is
+      // tokenized exactly once
+      val tf = spark.read.parquet(s"$dir/postings")
+      val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+      // n_docs rides an Observation on the dl write — no stats re-read
+      val obs = org.apache.spark.sql.Observation()
+      dl.observe(obs, count(lit(1)).as("n_docs"))
+        .write.mode("overwrite").parquet(s"$dir/dl")
+      tf.groupBy("term").agg(count(lit(1)).as("df"))
+        .withColumn("bkt", pmod(xxhash64(col("term")), lit(buckets.toLong)))
+        .repartition(col("bkt"))
+        .write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/df")
+      dl.agg(count(lit(1)).as("__n"),
+          (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"),
+          lit(buckets.toLong).as("buckets"))
+        .write.mode("overwrite").parquet(s"$dir/stats")
+      Map("n_docs" -> obs.get("n_docs").asInstanceOf[Long])
+    }
   }
 
   /** Query a [[stageBm25]] index. The query vocabulary's bucket set
@@ -294,16 +296,13 @@ object Retrieval {
       .persist()
     try {
       if (!assumeNewIds) {
-        val seen = spark.read.parquet(s"$dir/dl").select(col(idCol))
-          .join(tf.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
-          .limit(5).collect().map(_.get(0))
-        require(seen.isEmpty,
-          s"appendBm25($dir): batch contains already-indexed ids (e.g. " +
-            s"${seen.mkString(", ")}) — appending an existing id splits its " +
-            "(id, term) tf across rows and double-counts its dl row, " +
-            "silently skewing scores. Re-ingest is an explicit restage " +
-            "(stageBm25); pass assumeNewIds=true only if disjointness is " +
-            "proven upstream.")
+        graft.util.StagedIndex.requireNewIds(
+          spark.read.parquet(s"$dir/dl").select(col(idCol))
+            .join(tf.select(col(idCol)).distinct(), Seq(idCol), "left_semi"),
+          "appendBm25", dir,
+          "appending an existing id splits its (id, term) tf across rows " +
+            "and double-counts its dl row, silently skewing scores.",
+          "stageBm25")
       }
       tf.withColumn("bkt", bkt).repartition(col("bkt"))
         .write.mode("append").partitionBy("bkt").parquet(s"$dir/postings")
@@ -325,29 +324,23 @@ object Retrieval {
     * between sublayout swaps leaves a valid mixed-compaction index). */
   def compactBm25(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit = {
-    val mf = graft.util.IndexManifest.validateKind(spark, dir,
-      graft.util.IndexManifest.KindBm25)
-    val idCol = mf.params.getOrElse("id_col", "doc_id")
-    graft.util.DirSwap.replace(spark, dir, "postings") { tmp =>
-      spark.read.parquet(s"$dir/postings")
-        .select(col(idCol), col("term"), col("tf"), col("bkt"))
-        .repartition(col("bkt")) // one file per bucket
-        .write.mode("overwrite").partitionBy("bkt").parquet(tmp)
-    }
-    graft.util.DirSwap.replace(spark, dir, "df") { tmp =>
-      spark.read.parquet(s"$dir/df")
-        .groupBy(col("bkt"), col("term")).agg(sum(col("df")).as("df"))
-        .select(col("term"), col("df"), col("bkt"))
-        .repartition(col("bkt"))
-        .write.mode("overwrite").partitionBy("bkt").parquet(tmp)
-    }
+    import graft.util.StagedIndex.Layout
     val obs = org.apache.spark.sql.Observation()
-    graft.util.DirSwap.replace(spark, dir, "dl") { tmp =>
-      spark.read.parquet(s"$dir/dl")
-        .observe(obs, count(lit(1)).as("n_docs"), sum(col("dl")).as("dl_sum"))
-        .repartition(col(idCol)) // shuffle-partition-count files
-        .write.mode("overwrite").parquet(tmp)
-    }
+    val mf = graft.util.StagedIndex.compact(spark, dir,
+        graft.util.IndexManifest.KindBm25) { mf =>
+      val idCol = mf.params.getOrElse("id_col", "doc_id")
+      Seq(
+        Layout("postings", Some("bkt"),
+          _.select(col(idCol), col("term"), col("tf"), col("bkt"))),
+        // re-sum the per-term df rows appends accumulate
+        Layout("df", Some("bkt"),
+          _.groupBy(col("bkt"), col("term")).agg(sum(col("df")).as("df"))
+            .select(col("term"), col("df"), col("bkt"))),
+        Layout("dl", None,
+          _.observe(obs, count(lit(1)).as("n_docs"),
+              sum(col("dl")).as("dl_sum"))
+            .repartition(col(idCol)))) // shuffle-partition-count files
+    } { _ => Map("n_docs" -> obs.get("n_docs").asInstanceOf[Long]) }
     val nDocs = obs.get("n_docs").asInstanceOf[Long]
     val dlSum = obs.get("dl_sum").asInstanceOf[Long]
     import spark.implicits._
@@ -356,9 +349,6 @@ object Retrieval {
       .toDF("__n", "avgdl", "buckets")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/stats")
-    graft.util.IndexManifest.write(spark, dir,
-      graft.util.IndexManifest.KindBm25,
-      params = mf.params, counts = Map("n_docs" -> nDocs))
   }
 
   /** Hybrid retrieval: BM25 ∪ dense ANN, fused by reciprocal-rank

@@ -490,33 +490,33 @@ object Substrings {
       k: Int, dir: String, buckets: Int, extraParams: Map[String, String]): Unit = {
     require(buckets > 0, "buckets must be positive")
     val spark = corpus.sparkSession
-    // invalidate-first/manifest-last (see IndexManifest.invalidate)
-    graft.util.IndexManifest.invalidate(spark, dir)
-    // n_grams rides an Observation on the census write itself — the
-    // alternative (re-scanning the written census to count it) pays a
-    // second full census pass per stage, which at one row per corpus
-    // char is a second pass over the corpus' gram surface
-    val obs = org.apache.spark.sql.Observation()
-    rows.groupBy(col("h")).agg(count(lit(1)).as("n"))
-      .observe(obs, count(lit(1)).as("n_grams"))
-      .withColumn("bkt", pmod(xxhash64(col("h")), lit(buckets.toLong)))
-      // co-locate each bucket before the write: without this every task
-      // holds rows of every bucket (the census exchange hashes on `h`)
-      // and the layout sprays tasks×buckets tiny files
-      .repartition(col("bkt"))
-      .write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/census")
-    val nGrams = obs.get("n_grams").asInstanceOf[Long]
-    val docs = corpus.filter(text.isNotNull).count()
-    import spark.implicits._
-    Seq((k, buckets.toLong, nGrams, docs))
-      .toDF("k", "buckets", "n_grams", "n_docs")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/stats")
-    graft.util.IndexManifest.write(spark, dir,
-      graft.util.IndexManifest.KindGramCensus,
-      params = Map("k" -> k.toString, "buckets" -> buckets.toString)
-        ++ extraParams,
-      counts = Map("n_docs" -> docs, "n_grams" -> nGrams))
+    // invalidate-first/manifest-last bracket (StagedIndex.stage)
+    graft.util.StagedIndex.stage(spark, dir,
+        graft.util.IndexManifest.KindGramCensus,
+        params = Map("k" -> k.toString, "buckets" -> buckets.toString)
+          ++ extraParams) {
+      // n_grams rides an Observation on the census write itself — the
+      // alternative (re-scanning the written census to count it) pays a
+      // second full census pass per stage, which at one row per corpus
+      // char is a second pass over the corpus' gram surface
+      val obs = org.apache.spark.sql.Observation()
+      rows.groupBy(col("h")).agg(count(lit(1)).as("n"))
+        .observe(obs, count(lit(1)).as("n_grams"))
+        .withColumn("bkt", pmod(xxhash64(col("h")), lit(buckets.toLong)))
+        // co-locate each bucket before the write: without this every task
+        // holds rows of every bucket (the census exchange hashes on `h`)
+        // and the layout sprays tasks×buckets tiny files
+        .repartition(col("bkt"))
+        .write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/census")
+      val nGrams = obs.get("n_grams").asInstanceOf[Long]
+      val docs = corpus.filter(text.isNotNull).count()
+      import spark.implicits._
+      Seq((k, buckets.toLong, nGrams, docs))
+        .toDF("k", "buckets", "n_grams", "n_docs")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/stats")
+      Map("n_docs" -> docs, "n_grams" -> nGrams)
+    }
   }
 
   /** Fold a new batch into a [[stageGramCensus]] index WITHOUT
@@ -570,16 +570,18 @@ object Substrings {
     * index, as with stage/append. */
   def compactCensus(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit = {
-    val mf = graft.util.IndexManifest.validateKind(spark, dir,
-      graft.util.IndexManifest.KindGramCensus)
+    import graft.util.StagedIndex.Layout
     val obs = org.apache.spark.sql.Observation()
-    graft.util.DirSwap.replace(spark, dir, "census") { tmp =>
-      spark.read.parquet(s"$dir/census")
-        .groupBy(col("bkt"), col("h")).agg(sum(col("n")).as("n"))
-        .observe(obs, count(lit(1)).as("n_grams"))
-        .select(col("h"), col("n"), col("bkt")) // layout column order
-        .repartition(col("bkt")) // one file per bucket
-        .write.mode("overwrite").partitionBy("bkt").parquet(tmp)
+    val mf = graft.util.StagedIndex.compact(spark, dir,
+        graft.util.IndexManifest.KindGramCensus) { _ =>
+      // re-sum the per-hash counts appends accumulate
+      Seq(Layout("census", Some("bkt"),
+        _.groupBy(col("bkt"), col("h")).agg(sum(col("n")).as("n"))
+          .observe(obs, count(lit(1)).as("n_grams"))
+          .select(col("h"), col("n"), col("bkt")))) // layout column order
+    } { mf =>
+      Map("n_docs" -> mf.counts.getOrElse("n_docs", 0L),
+        "n_grams" -> obs.get("n_grams").asInstanceOf[Long])
     }
     val nGrams = obs.get("n_grams").asInstanceOf[Long]
     val nDocs = mf.counts.getOrElse("n_docs", 0L)
@@ -588,9 +590,6 @@ object Substrings {
       .toDF("k", "buckets", "n_grams", "n_docs")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/stats")
-    graft.util.IndexManifest.write(spark, dir,
-      graft.util.IndexManifest.KindGramCensus,
-      params = mf.params, counts = Map("n_docs" -> nDocs, "n_grams" -> nGrams))
   }
 
   /** Duplicated spans of an incoming BATCH against a frozen

@@ -1,0 +1,96 @@
+package graft.util
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** The shared lifecycle of every staged index kind — gram census
+  * ([[graft.text.Substrings]]), BM25 ([[graft.text.Retrieval]]),
+  * IVF-PQ ([[graft.ml.Similarity]]), minhash bands
+  * ([[graft.text.Dedup]]). Each kind owns its layouts and derivations;
+  * what they must NOT each own is the lifecycle's safety protocol,
+  * because four hand-rolled copies is four chances for the semantics
+  * to drift:
+  *
+  *  - '''stage''' is invalidate-FIRST / manifest-LAST ([[stage]]): a
+  *    restage that dies mid-rewrite leaves NO manifest, so probes fail
+  *    loudly instead of validating a half-written layout;
+  *  - '''append''' enforces the new-ids contract BEFORE anything is
+  *    written ([[requireNewIds]]): a repeated id corrupts every kind's
+  *    aggregate invariants (split tf rows, duplicated codes, a
+  *    double-counted bucket census), so the refusal is uniform and the
+  *    kind supplies only its consequence sentence;
+  *  - '''compact''' is validateKind + one crash-safe [[DirSwap]] per
+  *    sublayout + a manifest count refresh ([[compact]]): compaction
+  *    is the RECOVERY verb for an interrupted swap, so it validates
+  *    kind-only and must stay reachable in exactly the stranded state
+  *    [[IndexManifest.validate]] refuses.
+  */
+object StagedIndex {
+
+  /** One sublayout of a staged index under the index root: its
+    * directory name, the parquet partition column (None =
+    * unpartitioned), and the compaction rule rewriting the read frame
+    * into its consolidated form — identity-shaped for pure file
+    * consolidation (immutable per-row facts: codes, bands), an
+    * aggregation for kinds whose appends accumulate rows readers sum
+    * (census `n`, BM25 `df`). The rule may attach an `observe` to ride
+    * the count refresh on the rewrite itself. */
+  final case class Layout(name: String, partitionCol: Option[String],
+      consolidate: DataFrame => DataFrame = identity)
+
+  /** Stage bracket. `body` writes the sublayouts and returns the
+    * manifest counts; the manifest is dropped before the first byte
+    * and written after the last, so every crash window reads as "not
+    * a graft index — restage to recover". */
+  def stage(spark: SparkSession, dir: String, kind: String,
+      params: Map[String, String])(body: => Map[String, Long]): Unit = {
+    IndexManifest.invalidate(spark, dir)
+    val counts = body
+    IndexManifest.write(spark, dir, kind, params, counts)
+  }
+
+  /** The enforced new-ids contract shared by every id-carrying staged
+    * kind: `seenIds` is the kind's probe of already-indexed batch ids
+    * (its cheapest id-holding frame — BM25's `dl`, IVF-PQ's codes ids,
+    * the band index's pruned `ids/`), and ANY hit refuses the whole
+    * append before anything is written. `consequence` names what a
+    * re-appended id would silently corrupt; `restage` names the
+    * explicit re-ingest verb. */
+  def requireNewIds(seenIds: DataFrame, verb: String, dir: String,
+      consequence: String, restage: String): Unit = {
+    val seen = seenIds.limit(5).collect().map(_.get(0))
+    require(seen.isEmpty,
+      s"$verb($dir): batch contains already-indexed ids (e.g. " +
+        s"${seen.mkString(", ")}) — $consequence Re-ingest is an " +
+        s"explicit restage ($restage); pass assumeNewIds=true only if " +
+        "disjointness is proven upstream.")
+  }
+
+  /** Compact bracket: validate kind-only (see class doc), swap each
+    * sublayout crash-safely ([[DirSwap.replace]]) through its
+    * consolidation with ONE file per partition restored, then refresh
+    * the manifest counts. `layouts` and `counts` both take the
+    * pre-compaction manifest (layout shapes may depend on frozen
+    * params like the id column; counts evaluate AFTER the rewrites,
+    * so Observation-riding counts are bound). Returns the manifest
+    * for kinds that refresh ancillary stats frames from its params. */
+  def compact(spark: SparkSession, dir: String, kind: String)
+      (layouts: IndexManifest => Seq[Layout])
+      (counts: IndexManifest => Map[String, Long]): IndexManifest = {
+    val mf = IndexManifest.validateKind(spark, dir, kind)
+    layouts(mf).foreach { l =>
+      DirSwap.replace(spark, dir, l.name) { tmp =>
+        val consolidated = l.consolidate(
+          spark.read.parquet(s"$dir/${l.name}"))
+        l.partitionCol match {
+          case Some(pc) => consolidated
+            .repartition(col(pc)) // one file per partition
+            .write.mode("overwrite").partitionBy(pc).parquet(tmp)
+          case None => consolidated.write.mode("overwrite").parquet(tmp)
+        }
+      }
+    }
+    IndexManifest.write(spark, dir, kind, mf.params, counts(mf))
+    mf
+  }
+}
