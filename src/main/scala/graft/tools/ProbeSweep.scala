@@ -29,7 +29,10 @@ import org.apache.spark.sql.functions._
   * part of the driver contract.
   *
   * Usage: runMain graft.tools.ProbeSweep [sfDir]
-  *        (SPARK_GRAFT_SWEEP_ONLY=census,lsh,bm25 filters kinds)
+  *        (SPARK_GRAFT_SWEEP_ONLY=census,lsh,bm25 filters kinds;
+  *        SPARK_GRAFT_SWEEP_MULTS=1,3,10,30 overrides the multiples —
+  *        the 30× point is where super-linear terms the 10× point
+  *        hides would surface: file listing, guard scans)
   */
 object ProbeSweep {
   private def corpus(spark: SparkSession, dir: String, mult: Int): DataFrame = {
@@ -97,7 +100,10 @@ object ProbeSweep {
       val ix = java.nio.file.Files.createTempDirectory(s"pswarm_$name").toString
       stage(corpus(spark, dir, 1), ix); probe(ix): Unit
     }
-    for (mult <- Seq(1, 3, 10); (name, stage, probe) <- sel) {
+    val mults = sys.env.get("SPARK_GRAFT_SWEEP_MULTS")
+      .map(_.split(",").map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(1, 3, 10, 30))
+    for (mult <- mults; (name, stage, probe) <- sel) {
       spark.catalog.clearCache()
       val ref = corpus(spark, dir, mult)
       val ix = java.nio.file.Files.createTempDirectory(s"ps_${name}_$mult").toString
