@@ -782,6 +782,8 @@ object Main {
           text.Retrieval.compactBm25(spark, idx)
         case graft.util.IndexManifest.KindMinhashBands =>
           text.Dedup.compactBandIndex(spark, idx)
+        case graft.util.IndexManifest.KindFingerprints =>
+          text.Dedup.compactFingerprints(spark, idx)
         case other => throw new IllegalArgumentException(
           s"no compaction for index kind '$other'")
       }
@@ -792,8 +794,8 @@ object Main {
     val cat = catalogAt(spark, dir,
       MigratorConfig(command = "data", source = dir, target = dir))
     val kind = if (n.has("kind")) n.get("kind").asText() else "ivfpq"
-    require(Set("ivfpq", "census", "bm25", "lsh")(kind),
-      s"index kind must be ivfpq|census|bm25|lsh, got $kind")
+    require(Set("ivfpq", "census", "bm25", "lsh", "fp")(kind),
+      s"index kind must be ivfpq|census|bm25|lsh|fp, got $kind")
     def outOrShow(result: org.apache.spark.sql.DataFrame): Unit =
       if (n.has("out")) {
         val out = n.get("out").asText()
@@ -832,6 +834,39 @@ object Main {
           outOrShow(text.Retrieval.stagedBm25TopK(spark, idx, qs,
               "query_id", col("qtext"), k = int("k", 5))
             .orderBy("query_id", "rank"))
+        case other =>
+          throw new IllegalArgumentException(
+            s"unknown index action '$other' (build|append|query|compact|describe)")
+      }
+      return 0
+    }
+    if (kind == "fp") {
+      // staged exact-dedup fingerprint set (text/Dedup.scala) — the
+      // reference side of incremental EXACT admission: build hashes a
+      // namespace once, query returns a probe namespace's genuinely-new
+      // docs, append folds in an admitted batch's fingerprints
+      import org.apache.spark.sql.functions.col
+      val id = if (n.has("id")) n.get("id").asText() else "doc_id"
+      val textCol = if (n.has("text")) n.get("text").asText() else "text"
+      action match {
+        case "build" =>
+          text.Dedup.stageFingerprints(cat.read(ns), col(textCol), idx,
+            buckets = int("buckets", 64))
+          println(s"built fingerprint index for $ns at $idx")
+        case "append" =>
+          require(!n.has("buckets"),
+            "fp config has 'buckets' but the index's staged value is the " +
+              "contract — drop it (only 'build' takes it)")
+          text.Dedup.appendFingerprints(cat.read(ns), col(textCol), idx)
+          println(s"appended $ns into $idx")
+        case "query" =>
+          require(!n.has("buckets"),
+            "fp config has 'buckets' but the index's staged value is the " +
+              "contract — drop it (only 'build' takes it)")
+          val qns = if (n.has("queries")) n.get("queries").asText() else ns
+          outOrShow(text.Dedup.exactNewStaged(cat.read(qns), id,
+              col(textCol), idx)
+            .orderBy(id))
         case other =>
           throw new IllegalArgumentException(
             s"unknown index action '$other' (build|append|query|compact|describe)")

@@ -1122,6 +1122,44 @@ object SparkEntry {
         .orderBy("batch_id", "ref_id")
     }),
 
+    // ---- the STAGED fingerprint set: the reference content hashes
+    // materialized as the FIFTH staged kind (the StagedIndex trait's
+    // cheap-fifth-kind proof), half staged + half appended, driven
+    // through the real -index CLI (build/append/query), probed at
+    // batch-proportional cost with the fp scan pruned to the batch's
+    // hash buckets. SAME oracle as q_dedup_new: staging, appending,
+    // and pruning must not change an admission decision ----
+    "q_dedup_new_staged" -> ((s, dir) => {
+      val d = load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val reference = d.filter(col("doc_id") % 2 === 0)
+      val batch = d.filter(col("doc_id") % 2 === 1)
+        .unionByName(d.filter(col("doc_id") % 6 === 0)
+          .select((col("doc_id") + 800000L).as("doc_id"), col("text")))
+        .unionByName(d.filter(col("doc_id") % 2 === 1 && col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 900000L).as("doc_id"), col("text")))
+      val src = scratchDir("fpidx")
+      val idx = s"$src/fpidx"
+      reference.filter(col("doc_id") % 4 === 0)
+        .write.parquet(s"$src/ref1.parquet")
+      reference.filter(col("doc_id") % 4 === 2)
+        .write.parquet(s"$src/ref2.parquet")
+      batch.write.parquet(s"$src/probe.parquet")
+      def cli(name: String, json: String): Unit = {
+        val p = java.nio.file.Files.write(
+          java.nio.file.Paths.get(src, s"$name.json"),
+          json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        require(Main.run(Seq("-index", p.toString), () => s) == 0,
+          s"-index $name failed")
+      }
+      cli("build", s"""{"index":"$idx","action":"build","source":"$src",""" +
+        s""""namespace":"local.ref1","kind":"fp","buckets":16}""")
+      cli("append", s"""{"index":"$idx","action":"append","source":"$src",""" +
+        s""""namespace":"local.ref2","kind":"fp"}""")
+      cli("query", s"""{"index":"$idx","action":"query","source":"$src",""" +
+        s""""namespace":"local.probe","kind":"fp","out":"$src/admitted"}""")
+      s.read.parquet(s"$src/admitted").select("doc_id").orderBy("doc_id")
+    }),
+
     // ---- the same admission check through the Bloom-prefiltered
     // reference scan — SAME exact answer (the oracle is identical),
     // constant-size broadcast instead of the batch-hash set ----
@@ -3683,6 +3721,28 @@ object SparkEntry {
     * q_dedup_minhash and q_ngram_jaccard (must mirror Dedup.scala). */
   /** Oracle: the two-sided (reference index + batch probe) minhash
     * chain of q_dedup_new_lsh (mirrors Dedup.lshNewCandidates). */
+  /** The exact incremental-admission answer, shared by the direct run
+    * (q_dedup_new), the Bloom-prefiltered run (q_dedup_new_bloom), and
+    * the staged fingerprint probe (q_dedup_new_staged): all three are
+    * physical strategies for the same semantics. */
+  private val exactNewSql: String =
+    """WITH reference AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+      |batch AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+      |  UNION ALL
+      |  SELECT doc_id + 800000, text FROM documents WHERE doc_id % 6 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 900000, text FROM documents
+      |  WHERE doc_id % 2 = 1 AND doc_id % 7 = 0),
+      |collapsed AS (
+      |  SELECT doc_id, text FROM (
+      |    SELECT doc_id, text,
+      |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |    FROM batch) WHERE rn = 1)
+      |SELECT c.doc_id FROM collapsed c
+      |WHERE NOT EXISTS (SELECT 1 FROM reference r WHERE md5(r.text) = md5(c.text))
+      |ORDER BY c.doc_id""".stripMargin
+
   private val lshNewCandidatesSql: String = {
     val coeffTable = text.Dedup.minhashCoeffs(16).zipWithIndex
       .map { case ((a, b), k) => s"($k,$a,$b)" }.mkString(",")
@@ -5713,45 +5773,15 @@ object SparkEntry {
         |FROM qq JOIN fr ON fr.stratum = qq.stratum AND fr.quality = qq.quality
         |WHERE qq.b < fr.frac
         |ORDER BY qq.doc_id""".stripMargin,
-    "q_dedup_new" ->
-      """WITH reference AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
-        |batch AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
-        |  UNION ALL
-        |  SELECT doc_id + 800000, text FROM documents WHERE doc_id % 6 = 0
-        |  UNION ALL
-        |  SELECT doc_id + 900000, text FROM documents
-        |  WHERE doc_id % 2 = 1 AND doc_id % 7 = 0),
-        |collapsed AS (
-        |  SELECT doc_id, text FROM (
-        |    SELECT doc_id, text,
-        |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-        |    FROM batch) WHERE rn = 1)
-        |SELECT c.doc_id FROM collapsed c
-        |WHERE NOT EXISTS (SELECT 1 FROM reference r WHERE md5(r.text) = md5(c.text))
-        |ORDER BY c.doc_id""".stripMargin,
+    "q_dedup_new" -> exactNewSql,
     "q_dedup_new_lsh" -> lshNewCandidatesSql,
     "q_dedup_new_lsh_staged" -> lshNewCandidatesSql,
-    // the Bloom path must produce the IDENTICAL exact answer — the
-    // oracle is the same exact-semantics SQL (a Bloom is a physical
-    // prefilter, not a semantic change)
-    "q_dedup_new_bloom" ->
-      """WITH reference AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
-        |batch AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
-        |  UNION ALL
-        |  SELECT doc_id + 800000, text FROM documents WHERE doc_id % 6 = 0
-        |  UNION ALL
-        |  SELECT doc_id + 900000, text FROM documents
-        |  WHERE doc_id % 2 = 1 AND doc_id % 7 = 0),
-        |collapsed AS (
-        |  SELECT doc_id, text FROM (
-        |    SELECT doc_id, text,
-        |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-        |    FROM batch) WHERE rn = 1)
-        |SELECT c.doc_id FROM collapsed c
-        |WHERE NOT EXISTS (SELECT 1 FROM reference r WHERE md5(r.text) = md5(c.text))
-        |ORDER BY c.doc_id""".stripMargin,
+    // the Bloom path and the staged fingerprint probe must produce the
+    // IDENTICAL exact answer — the oracle is the same exact-semantics
+    // SQL (a Bloom / a staged layout is a physical prefilter, not a
+    // semantic change)
+    "q_dedup_new_bloom" -> exactNewSql,
+    "q_dedup_new_staged" -> exactNewSql,
     "q_surprisal" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok

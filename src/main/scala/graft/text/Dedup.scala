@@ -585,6 +585,110 @@ object Dedup {
     ()
   }
 
+  /** Materialize a reference corpus' exact-dedup fingerprint set as a
+    * staged index — the FIFTH staged kind (BM25 postings, gram census,
+    * IVF-PQ codes, minhash bands, now content fingerprints), and the
+    * production shape of [[exactNew]]: an admission service pays the
+    * reference hash pass ONCE and probes every incoming batch at
+    * batch-proportional cost instead of re-hashing a 100 TB reference
+    * per batch. Layout under `dir`:
+    *  - `fp/` — one row per distinct reference content hash `(ch)`
+    *    PARTITIONED BY `fpb = pmod(xxhash64(ch), buckets)`, so a batch
+    *    probe scans only its own hash-bucket partitions;
+    *  - `_graft_index.json` — kind + bucket count.
+    * Id-FREE like the gram census (a fingerprint says "this text
+    * exists", not whose), so appends need no new-ids guard: a
+    * duplicate hash row is probe-invisible (the probe is a semi-join)
+    * and [[compactFingerprints]] consolidates duplicates away. */
+  def stageFingerprints(reference: DataFrame, text: Column, dir: String,
+      buckets: Int = 64): Unit = {
+    require(buckets > 0, "buckets must be positive")
+    val spark = reference.sparkSession
+    graft.util.StagedIndex.stage(spark, dir,
+        graft.util.IndexManifest.KindFingerprints,
+        params = Map("buckets" -> buckets.toString)) {
+      val obs = org.apache.spark.sql.Observation()
+      reference.filter(text.isNotNull).select(md5(text).as("ch")).distinct()
+        .observe(obs, count(lit(1)).as("n_fingerprints"))
+        .withColumn("fpb", pmod(xxhash64(col("ch")), lit(buckets.toLong)))
+        .repartition(col("fpb")) // one file per bucket, not tasks×buckets
+        .write.mode("overwrite").partitionBy("fpb").parquet(s"$dir/fp")
+      Map("n_fingerprints" -> obs.get("n_fingerprints").asInstanceOf[Long])
+    }
+  }
+
+  /** Fold a batch's fingerprints into a [[stageFingerprints]] index —
+    * batch-proportional (one file per touched bucket). Typical caller:
+    * append [[exactNewStaged]]'s ADMITTED docs after each admission
+    * round, so the next batch dedups against reference + everything
+    * admitted so far. Re-appending an already-present hash is
+    * harmless (see [[stageFingerprints]] — the id-free exception to
+    * the new-ids guard family). */
+  def appendFingerprints(batch: DataFrame, text: Column,
+      dir: String): Unit = {
+    val spark = batch.sparkSession
+    val mf = graft.util.IndexManifest.validate(spark, dir,
+      graft.util.IndexManifest.KindFingerprints)
+    batch.filter(text.isNotNull).select(md5(text).as("ch")).distinct()
+      .withColumn("fpb",
+        pmod(xxhash64(col("ch")), lit(mf.paramInt("buckets").toLong)))
+      .repartition(col("fpb")) // one file per touched bucket per append
+      .write.mode("append").partitionBy("fpb").parquet(s"$dir/fp")
+  }
+
+  /** [[exactNew]] against a FROZEN [[stageFingerprints]] index: the
+    * batch collapses to its min-id winners, its hash buckets are
+    * collected (≤ `buckets` values) so the fp scan prunes STATICALLY
+    * to the probed partitions, and the pruned fingerprints semi-join
+    * the broadcast batch hashes — row-identical to the direct
+    * two-sided run (DedupSpec pins it); probe cost scales with the
+    * batch + touched partitions, never the reference. */
+  def exactNewStaged(batch: DataFrame, idCol: String, text: Column,
+      dir: String): DataFrame = {
+    val spark = batch.sparkSession
+    val mf = graft.util.IndexManifest.validate(spark, dir,
+      graft.util.IndexManifest.KindFingerprints)
+    val buckets = mf.paramInt("buckets").toLong
+    // the collapsed batch feeds the bucket collect AND both joins:
+    // eager-materialize once (the probeSpans discipline)
+    val bh = batch.select(col(idCol), text.as("__text"), md5(text).as("__ch"))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("__ch")
+          .orderBy(col(idCol))))
+      .filter(col("__rn") === 1)
+      .localCheckpoint(true)
+    val qb = bh.filter(col("__ch").isNotNull)
+      .select(pmod(xxhash64(col("__ch")), lit(buckets)).as("fpb"))
+      .distinct().collect().map(_.getLong(0))
+    val seen = spark.read.parquet(s"$dir/fp")
+      .filter(col("fpb").isin(qb: _*))
+      .select(col("ch").as("__ch"))
+      .join(broadcast(bh.select("__ch")), Seq("__ch"), "left_semi")
+      .distinct()
+    bh.join(broadcast(seen), Seq("__ch"), "left_anti")
+      .select(col(idCol), col("__text").as("text"))
+  }
+
+  /** COMPACT a [[stageFingerprints]] index after appends: duplicate
+    * hash rows (re-appended or cross-append repeats) collapse to one,
+    * one file per bucket again, manifest count refreshed to the
+    * DISTINCT fingerprint count. Probe-invisible (the probe is a
+    * semi-join); crash-safe swap via [[graft.util.DirSwap]]. */
+  def compactFingerprints(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    import graft.util.StagedIndex.Layout
+    val obs = org.apache.spark.sql.Observation()
+    graft.util.StagedIndex.compact(spark, dir,
+        graft.util.IndexManifest.KindFingerprints) { _ =>
+      Seq(Layout("fp", Some("fpb"),
+        _.select(col("ch"), col("fpb")).distinct()
+          .observe(obs, count(lit(1)).as("n_fingerprints"))))
+    } { _ =>
+      Map("n_fingerprints" -> obs.get("n_fingerprints").asInstanceOf[Long])
+    }
+    ()
+  }
+
   /** Benchmark decontamination: corpus documents sharing at least one
     * word n-gram (default 13 — the de-facto eval-decontamination window)
     * with any benchmark document. The step that keeps eval sets out of

@@ -52,6 +52,7 @@ object IndexManifest {
   val KindGramCensus = "gram_census"
   val KindIvfPq = "ivf_pq"
   val KindMinhashBands = "minhash_bands"
+  val KindFingerprints = "fingerprints"
 
   /** Drop the manifest of `dir` if one exists. Stagers call this FIRST,
     * before touching the layout: a restage that dies mid-rewrite then

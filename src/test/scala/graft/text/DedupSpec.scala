@@ -328,6 +328,60 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("staged fingerprints: probe == direct; append folds in; compact dedups; pruning") {
+    val d = docs.select(col("doc_id"), col("text"))
+    val reference = d.filter(col("doc_id") % 2 === 0)
+    val batch = d.filter(col("doc_id") % 2 === 1)
+      .unionByName(d.filter(col("doc_id") % 6 === 0)
+        .select((col("doc_id") + 800000L).as("doc_id"), col("text")))
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val want = ids(Dedup.exactNew(batch, reference, "doc_id", col("text")))
+    // stage half + append half == the direct two-sided run
+    val dir = java.nio.file.Files.createTempDirectory("fpidx").toString
+    Dedup.stageFingerprints(reference.filter(col("doc_id") % 4 === 0),
+      col("text"), dir, buckets = 8)
+    Dedup.appendFingerprints(reference.filter(col("doc_id") % 4 === 2),
+      col("text"), dir)
+    val staged = Dedup.exactNewStaged(batch, "doc_id", col("text"), dir)
+    assert(ids(staged) == want && want.nonEmpty)
+    // the pruned fp scan carries partition filters on fpb
+    val plan = staged.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case p => p
+    }
+    val scans = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      .filter(_.metadata.get("Location").exists(_.contains("fp")))
+    assert(scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty),
+      s"fp scan reads every partition:\n$plan")
+    // id-free append is idempotent at the PROBE (duplicate hash rows
+    // are semi-join-invisible), and compaction removes them physically
+    Dedup.appendFingerprints(reference.filter(col("doc_id") % 4 === 2),
+      col("text"), dir)
+    assert(ids(Dedup.exactNewStaged(batch, "doc_id", col("text"), dir)) == want)
+    val distinctFp = spark.read.parquet(s"$dir/fp").select("ch")
+      .distinct().count()
+    assert(spark.read.parquet(s"$dir/fp").count() > distinctFp,
+      "the duplicate append should stack duplicate hash rows")
+    Dedup.compactFingerprints(spark, dir)
+    assert(spark.read.parquet(s"$dir/fp").count() == distinctFp)
+    assert(ids(Dedup.exactNewStaged(batch, "doc_id", col("text"), dir)) == want)
+    val mf = graft.util.IndexManifest.read(spark, dir)
+    assert(mf.counts("n_fingerprints") == distinctFp)
+    // admitting a batch then appending its fingerprints rejects a replay
+    Dedup.appendFingerprints(
+      Dedup.exactNewStaged(batch, "doc_id", col("text"), dir),
+      col("text"), dir)
+    assert(ids(Dedup.exactNewStaged(batch, "doc_id", col("text"), dir)).isEmpty)
+    // a wrong-kind directory is refused by the manifest
+    intercept[IllegalArgumentException] {
+      Dedup.exactNewStaged(batch, "doc_id", col("text"),
+        java.nio.file.Files.createTempDirectory("nonfp").toString)
+    }
+  }
+
   test("contaminated flags docs embedding a benchmark n-gram, not clean docs") {
     val words = (1 to 40).map(i => s"w$i").mkString(" ")
     val benchText = (1 to 15).map(i => s"bench$i").mkString(" ")
