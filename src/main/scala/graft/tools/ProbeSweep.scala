@@ -89,7 +89,11 @@ object ProbeSweep {
       ("bm25", (ref, ix) => Retrieval.stageBm25(ref, "doc_id", col("text"),
           ix, buckets = 64),
         ix => Retrieval.stagedBm25TopK(spark, ix, queries, "query_id",
-          col("qtext"), k = 5).count()))
+          col("qtext"), k = 5).count()),
+      ("fp", (ref, ix) => Dedup.stageFingerprints(ref, col("text"), ix,
+          buckets = 64),
+        ix => Dedup.exactNewStaged(batch, "doc_id", col("text"), ix)
+          .count()))
     val only = sys.env.get("SPARK_GRAFT_SWEEP_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val sel = kinds.filter(k => only.forall(_.contains(k._1)))

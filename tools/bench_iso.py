@@ -181,6 +181,19 @@ def main():
             results[i].append(j)
             attempt += 1
 
+    # final calm-box sweep: a chunk that exhausted its inline reruns
+    # without landing in-band gets ONE more attempt after the whole
+    # pass — the box is often quiet by then (round 12 shipped a
+    # quarter-degraded artifact this sweep would likely have healed)
+    for i, chunk in enumerate(chunks):
+        if not any(in_band(j) for j in results[i]):
+            p = results[i][-1].get("probe_cpu_sec")
+            print(f"chunk {i}: probe {p} still outside [{lo:.3f}, {hi:.3f}] "
+                  f"after {len(results[i])} attempts — final calm-box retry",
+                  flush=True)
+            j, _ = run_chunk(i, chunk, len(results[i]))
+            results[i].append(j)
+
     merged_q, merged_med, merged_spread, merged_err = {}, {}, {}, {}
     probes = []
     warmup_failed = 0
