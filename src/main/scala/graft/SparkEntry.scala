@@ -1428,6 +1428,43 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- streaming EXACT-admission gate against the staged
+    // fingerprint index: run 1 drains wave 1; run 2 drains wave 2 with
+    // a FRESH checkpoint and a fresh feed dir — wave-2 copies of
+    // wave-1-admitted docs are still rejected, proving the admission
+    // state lives IN THE INDEX (fingerprints appended per micro-batch),
+    // not in the checkpoint. Wave 2 also carries reference copies
+    // (rejected vs the staged set) and an in-batch duplicate pair
+    // (min-id winner admitted). compactFingerprints closes the
+    // lifecycle. DuckDB recomputes admission from the arrival order ----
+    "q_st_fp" -> ((s, dir) => {
+      val out = scratchDir("stfp")
+      val d = load(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+      val idx = s"$out/fpidx"
+      text.Dedup.stageFingerprints(d.filter(col("doc_id") % 2 === 0),
+        col("text"), idx, buckets = 16)
+      val w1 = d.filter(col("doc_id") % 4 === 1)
+      val w2 = d.filter(col("doc_id") % 4 === 3)
+        .unionByName(w1.filter(col("doc_id") % 5 === 1)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .unionByName(d.filter(col("doc_id") % 6 === 0)
+          .select((col("doc_id") + 800000L).as("doc_id"), col("text")))
+        .unionByName(d.filter(col("doc_id") % 4 === 3 && col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 900000L).as("doc_id"), col("text")))
+      def drain(wave: org.apache.spark.sql.DataFrame, i: Int): Unit = {
+        wave.repartition(1).write.parquet(s"$out/feed$i")
+        streaming.DocStream.admitStream(
+            s.readStream.schema(wave.schema).parquet(s"$out/feed$i"),
+            "doc_id", "text", idx, s"$out/admitted", s"$out/ckpt$i")
+          .awaitTermination()
+      }
+      drain(w1, 1)
+      drain(w2, 2) // fresh checkpoint: the index IS the state
+      text.Dedup.compactFingerprints(s, idx)
+      s.read.parquet(s"$out/admitted").select("doc_id").orderBy("doc_id")
+    }),
+
     // ---- hybrid retrieval: BM25 ∪ dense ANN fused by reciprocal-rank
     // fusion in integer micro-units — the two-tower retrieval stack as
     // one composition (queries share the corpus id space: query k's
@@ -5782,6 +5819,33 @@ object SparkEntry {
     // semantic change)
     "q_dedup_new_bloom" -> exactNewSql,
     "q_dedup_new_staged" -> exactNewSql,
+    // the streaming admission gate: arrival-ordered first-admission
+    // (wave, then min id within a micro-batch) minus the staged
+    // reference set — the q_curate_stream arrival discipline applied
+    // to index-resident admission state
+    "q_st_fp" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        |reference AS (SELECT text FROM d WHERE doc_id % 2 = 0),
+        |w1 AS (SELECT doc_id, text FROM d WHERE doc_id % 4 = 1),
+        |arr AS (
+        |  SELECT doc_id, text, 1 AS wave FROM w1
+        |  UNION ALL
+        |  SELECT doc_id, text, 2 FROM d WHERE doc_id % 4 = 3
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, 2 FROM w1 WHERE doc_id % 5 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 800000, text, 2 FROM d WHERE doc_id % 6 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 900000, text, 2 FROM d
+        |  WHERE doc_id % 4 = 3 AND doc_id % 7 = 0),
+        |win AS (
+        |  SELECT doc_id, text FROM arr
+        |  QUALIFY row_number() OVER (PARTITION BY md5(text)
+        |    ORDER BY wave, doc_id) = 1)
+        |SELECT w.doc_id FROM win w
+        |WHERE NOT EXISTS (SELECT 1 FROM reference r
+        |                  WHERE md5(r.text) = md5(w.text))
+        |ORDER BY w.doc_id""".stripMargin,
     "q_surprisal" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok

@@ -253,4 +253,51 @@ object DocStream {
       .trigger(trigger)
       .start()
   }
+
+  /** Streaming EXACT-admission gate against a staged fingerprint index
+    * ([[graft.text.Dedup.stageFingerprints]]) — the crawl-ingest
+    * admission service as one verb: each micro-batch probes the index
+    * ([[graft.text.Dedup.exactNewStaged]] — batch-internal repeats
+    * collapse to the min-id winner, already-seen texts are rejected at
+    * bucket-pruned batch-proportional cost), the ADMITTED docs append
+    * to `outPath`, and their fingerprints append into the index — so
+    * later micro-batches, and later RUNS, reject repeats of everything
+    * admitted so far.
+    *
+    * The dedup state lives IN THE INDEX, not in a Spark state store:
+    * no watermark, an unbounded horizon, restart with a FRESH
+    * checkpoint still rejects everything ever admitted, and any other
+    * probe of the same index (a batch `exactNewStaged`, another
+    * stream) sees the same admission state. The checkpoint only tracks
+    * source offsets.
+    *
+    * Delivery contract: `outPath` is at-least-once — a crash between
+    * the out append and the fingerprint append can re-admit that
+    * batch's docs on replay (duplicate out rows; the out write comes
+    * FIRST because the reverse order would silently LOSE the batch on
+    * replay: fingerprints present ⇒ probe admits nothing ⇒ out never
+    * written). Admission STATE stays exact either way — re-appending
+    * a fingerprint is probe-invisible
+    * ([[graft.text.Dedup.appendFingerprints]]). Same ingest contract
+    * as the streamed BM25/census/IVF-PQ appends. */
+  def admitStream(docs: DataFrame, idCol: String, textName: String,
+      indexDir: String, outPath: String, checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        // the admitted frame feeds the sink AND the fingerprint
+        // append: pay the probe (window + pruned index scan) once
+        val admitted = graft.text.Dedup.exactNewStaged(b, idCol,
+          col(textName), indexDir).persist()
+        try {
+          admitted.write.mode("append").parquet(outPath)
+          graft.text.Dedup.appendFingerprints(admitted, col("text"),
+            indexDir)
+        } finally { admitted.unpersist(false); () }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
 }
