@@ -53,9 +53,13 @@ object ProbeSweep {
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val spark = GraftSession.create(
-      s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
-      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // shuffle partitions independently of cores: the stage side of the
+    // exact census goes super-linear when its one-row-per-char shuffle
+    // outgrows the fixed partition count (spill) — the production fix
+    // is sizing partitions to census volume, measurable here
+    val spark = GraftSession.create(s"local[$cpus]",
+      sys.env.getOrElse("SPARK_GRAFT_SWEEP_PARTITIONS", cpus).toInt)
     spark.sparkContext.setLogLevel("WARN")
     import graft.text.{Dedup, Retrieval, Substrings}
 
