@@ -279,7 +279,13 @@ object DocStream {
     * written). Admission STATE stays exact either way — re-appending
     * a fingerprint is probe-invisible
     * ([[graft.text.Dedup.appendFingerprints]]). Same ingest contract
-    * as the streamed BM25/census/IVF-PQ appends. */
+    * as the streamed BM25/census/IVF-PQ appends.
+    *
+    * Null-text rows are DROPPED, not admitted: admission is
+    * content-keyed and a contentless row has no fingerprint — passing
+    * it through (exactNew's batch semantics, where one probe = one
+    * decision) would here re-admit a null row on EVERY micro-batch
+    * forever, since nothing ever records it as seen. */
   def admitStream(docs: DataFrame, idCol: String, textName: String,
       indexDir: String, outPath: String, checkpointDir: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
@@ -289,7 +295,8 @@ object DocStream {
       .foreachBatch { (b: DataFrame, _: Long) =>
         // the admitted frame feeds the sink AND the fingerprint
         // append: pay the probe (window + pruned index scan) once
-        val admitted = graft.text.Dedup.exactNewStaged(b, idCol,
+        val admitted = graft.text.Dedup.exactNewStaged(
+          b.filter(col(textName).isNotNull), idCol,
           col(textName), indexDir).persist()
         try {
           admitted.write.mode("append").parquet(outPath)

@@ -287,13 +287,23 @@ object Dedup {
     * output ≤ |batch| matched hashes), and the batch anti-joins that
     * tiny matched set. At scale `reference` would be a persisted
     * content-hash index — same plan, pre-digested. */
-  def exactNew(batch: DataFrame, reference: DataFrame, idCol: String,
-      text: Column): DataFrame = {
-    val bh = batch.select(col(idCol), text.as("__text"), md5(text).as("__ch"))
+  /** The batch collapsed to its min-id winner per content hash —
+    * (idCol, __text, __ch), one row per distinct md5(text) — the
+    * shared winner-selection invariant of ALL THREE exact-admission
+    * strategies ([[exactNew]], [[exactNewBloom]], [[exactNewStaged]]):
+    * three hand-rolled copies of this block could drift independently
+    * on the one semantics the shared oracle pins. */
+  private def collapseByContent(batch: DataFrame, idCol: String,
+      text: Column): DataFrame =
+    batch.select(col(idCol), text.as("__text"), md5(text).as("__ch"))
       .withColumn("__rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("__ch")
           .orderBy(col(idCol))))
       .filter(col("__rn") === 1)
+
+  def exactNew(batch: DataFrame, reference: DataFrame, idCol: String,
+      text: Column): DataFrame = {
+    val bh = collapseByContent(batch, idCol, text)
     val seen = reference.select(md5(text).as("__ch"))
       .join(broadcast(bh.select("__ch")), Seq("__ch"), "left_semi")
       .distinct()
@@ -326,12 +336,7 @@ object Dedup {
     require(numHashes > 0, "numHashes must be positive")
     val spark = batch.sparkSession
     import spark.implicits._
-    val bh = batch.select(col(idCol), text.as("__text"), md5(text).as("__ch"))
-      .withColumn("__rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("__ch")
-          .orderBy(col(idCol))))
-      .filter(col("__rn") === 1)
-      .persist()
+    val bh = collapseByContent(batch, idCol, text).persist()
     try {
       // --- build: k positions per key, OR-fold into mBits/64 words ---
       val words = mBits / 64
@@ -463,6 +468,24 @@ object Dedup {
     }
   }
 
+  /** Refuse a band index missing its `ids/` sublayout (staged by a
+    * pre-ids layout): checked on EVERY append — including
+    * `assumeNewIds` appends, whose `mode("append")` write would
+    * otherwise CREATE a partial ids frame holding only that batch,
+    * silently bypassing the guard for every originally staged id
+    * forever after — and on compaction, which would otherwise die on
+    * a raw missing-path read mid-swap. */
+  private def requireBandIds(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val ids = new org.apache.hadoop.fs.Path(dir, "ids")
+    val fs = ids.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(ids),
+      s"$dir has no ids/ sublayout — it was staged by a pre-ids " +
+        "band-index layout. Appending would create a PARTIAL ids frame " +
+        "that silently disarms the new-ids guard for every originally " +
+        "staged id; restage (stageBandIndex) to adopt the current layout.")
+  }
+
   /** The guard frame of [[appendBandIndex]]: already-indexed ids among
     * `batchIds` (a distinct, materialized (ref_id) frame), read from the
     * `ids/` layout with STATIC pruning to the batch's id buckets —
@@ -499,6 +522,7 @@ object Dedup {
     require(mf.params.get("id_col").contains(idCol),
       s"$dir was staged with id_col=${mf.params.getOrElse("id_col", "?")}; " +
         s"append got $idCol — the band schema is the index contract")
+    requireBandIds(spark, dir)
     val buckets = mf.paramInt("buckets").toLong
     if (!assumeNewIds) {
       // batch-id frame materialized ONCE (it feeds the bucket collect
@@ -517,16 +541,22 @@ object Dedup {
         mf.paramInt("rows_per_band"), mf.paramInt("shingle_words"))
       .persist()
     try {
+      // ids BEFORE bands — fail-closed across a mid-append crash: a
+      // stray ids row whose band rows never landed only makes a RETRY
+      // of the same batch refuse loudly (recoverable: restage, or
+      // assumeNewIds with upstream proof); the reverse order would
+      // let the retry's guard pass and double-append the band rows —
+      // exactly the silent bucket-census corruption the guard exists
+      // to refuse. The ids frame tracks bands: signed batch docs only.
+      rows.select(col("ref_id")).distinct()
+        .withColumn("idb", pmod(xxhash64(col("ref_id")), lit(buckets)))
+        .repartition(col("idb"))
+        .write.mode("append").partitionBy("idb").parquet(s"$dir/ids")
       rows
         .withColumn("bkt", pmod(xxhash64(col("band"), col("bsig")),
           lit(buckets)))
         .repartition(col("bkt")) // one file per touched bucket per append
         .write.mode("append").partitionBy("bkt").parquet(s"$dir/bands")
-      // the ids frame tracks bands exactly: signed batch docs only
-      rows.select(col("ref_id")).distinct()
-        .withColumn("idb", pmod(xxhash64(col("ref_id")), lit(buckets)))
-        .repartition(col("idb"))
-        .write.mode("append").partitionBy("idb").parquet(s"$dir/ids")
     } finally { rows.unpersist(false); () }
   }
 
@@ -571,6 +601,7 @@ object Dedup {
   def compactBandIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit = {
     import graft.util.StagedIndex.Layout
+    requireBandIds(spark, dir)
     val obs = org.apache.spark.sql.Observation()
     graft.util.StagedIndex.compact(spark, dir,
         graft.util.IndexManifest.KindMinhashBands) { _ =>
@@ -651,12 +682,7 @@ object Dedup {
     val buckets = mf.paramInt("buckets").toLong
     // the collapsed batch feeds the bucket collect AND both joins:
     // eager-materialize once (the probeSpans discipline)
-    val bh = batch.select(col(idCol), text.as("__text"), md5(text).as("__ch"))
-      .withColumn("__rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("__ch")
-          .orderBy(col(idCol))))
-      .filter(col("__rn") === 1)
-      .localCheckpoint(true)
+    val bh = collapseByContent(batch, idCol, text).localCheckpoint(true)
     val qb = bh.filter(col("__ch").isNotNull)
       .select(pmod(xxhash64(col("__ch")), lit(buckets)).as("fpb"))
       .distinct().collect().map(_.getLong(0))

@@ -47,6 +47,30 @@ class DocStreamSpec extends SparkSpec {
     spark.table(name).select("doc_id").as[Long].collect().toSet
   }
 
+  test("admitStream: index-resident state spans runs; null texts dropped, not re-admitted") {
+    val root = feedDir()
+    val idx = s"$root/fpidx"
+    graft.text.Dedup.stageFingerprints(
+      Seq((100L, "reference only doc")).toDF("doc_id", "text"),
+      col("text"), idx, buckets = 4)
+    def drain(rows: Seq[(Long, String)], i: Int): Unit = {
+      val df = rows.toDF("doc_id", "text").coalesce(1)
+      df.write.parquet(s"$root/feed$i")
+      DocStream.admitStream(
+          spark.readStream.schema(df.schema).parquet(s"$root/feed$i"),
+          "doc_id", "text", idx, s"$root/adm", s"$root/ckpt$i")
+        .awaitTermination()
+    }
+    drain(Seq((1L, "first wave doc"), (2L, null), (3L, "reference only doc")), 1)
+    // run 2: FRESH checkpoint — rejection of 1's copy proves the state
+    // lives in the index; the null row must be dropped, not re-admitted
+    drain(Seq((10L, "first wave doc"), (11L, null), (12L, "second wave doc")), 2)
+    val admitted = spark.read.parquet(s"$root/adm")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(admitted == Set(
+      (1L, Some("first wave doc")), (12L, Some("second wave doc"))))
+  }
+
   test("exact gate keeps first arrival, drops the cross-batch content dup") {
     val dir = feedDir(); writeFeed(dir)
     val kept = runGate(dir, "ds_exact",

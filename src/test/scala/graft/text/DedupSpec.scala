@@ -326,6 +326,30 @@ class DedupSpec extends SparkSpec {
       Dedup.lshNewCandidatesStaged(batch, "doc_id", col("text"),
         java.nio.file.Files.createTempDirectory("nonidx").toString)
     }
+    // a pre-ids layout (valid manifest, no ids/) is refused LOUDLY on
+    // append — even with assumeNewIds, whose write would otherwise
+    // CREATE a partial ids frame that silently disarms the guard —
+    // and on compaction, which would otherwise die on a raw read
+    def rmIds(): Unit = {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(s"$dir/ids"))
+    }
+    rmIds()
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.appendBandIndex(batch, "doc_id", col("text"), dir,
+        assumeNewIds = true)
+    }
+    assert(e2.getMessage.contains("pre-ids"))
+    val e3 = intercept[IllegalArgumentException] {
+      Dedup.compactBandIndex(spark, dir)
+    }
+    assert(e3.getMessage.contains("pre-ids"))
+    // probes need no ids frame: the pre-ids index still answers
+    assert(norm(Dedup.lshNewCandidatesStaged(batch, "doc_id", col("text"),
+      dir)) == want)
   }
 
   test("staged fingerprints: probe == direct; append folds in; compact dedups; pruning") {
