@@ -605,13 +605,17 @@ object Dedup {
     val obs = org.apache.spark.sql.Observation()
     graft.util.StagedIndex.compact(spark, dir,
         graft.util.IndexManifest.KindMinhashBands) { _ =>
-      // band and id rows are immutable per-doc facts: pure consolidation
+      // band rows are immutable per-doc facts: pure consolidation.
+      // ids DEDUP on the way through (distinct before the count): a
+      // stranded ids-first append recovered via assumeNewIds leaves a
+      // duplicate ids row — guard-harmless (semi-join), but a pure
+      // row count would inflate n_docs
       Seq(
         Layout("bands", Some("bkt"),
           _.select(col("ref_id"), col("band"), col("bsig"), col("bkt"))),
         Layout("ids", Some("idb"),
-          _.observe(obs, count(lit(1)).as("n_docs"))
-            .select(col("ref_id"), col("idb"))))
+          _.select(col("ref_id"), col("idb")).distinct()
+            .observe(obs, count(lit(1)).as("n_docs"))))
     } { _ => Map("n_docs" -> obs.get("n_docs").asInstanceOf[Long]) }
     ()
   }
