@@ -489,16 +489,22 @@ object Dedup {
   /** The guard frame of [[appendBandIndex]]: already-indexed ids among
     * `batchIds` (a distinct, materialized (ref_id) frame), read from the
     * `ids/` layout with STATIC pruning to the batch's id buckets —
-    * exposed for the plan-audit pin. */
+    * exposed for the plan-audit pin. Same adaptive join strategy as
+    * [[exactNewStaged]]: the batch-id set broadcasts into the pruned
+    * scan's semi-join below `broadcastCap`, shuffles co-partitioned on
+    * the id above it — a bulk backfill degrades instead of OOMing. */
   private[graft] def bandIndexSeenIds(batchIds: DataFrame, dir: String,
-      buckets: Long): DataFrame = {
+      buckets: Long, broadcastCap: Long = AdmitBroadcastCap): DataFrame = {
     val spark = batchIds.sparkSession
+    val small = broadcastCap > 0 && broadcastCap < Int.MaxValue &&
+      batchIds.limit(broadcastCap.toInt + 1).count() <= broadcastCap
     val qb = batchIds
       .select(pmod(xxhash64(col("ref_id")), lit(buckets)).as("idb"))
       .distinct().collect().map(_.getLong(0))
     spark.read.parquet(s"$dir/ids")
       .filter(col("idb").isin(qb: _*))
-      .join(batchIds, Seq("ref_id"), "left_semi")
+      .join(if (small) broadcast(batchIds) else batchIds,
+        Seq("ref_id"), "left_semi")
   }
 
   /** Fold a batch of NEW documents into a [[stageBandIndex]] index —
@@ -671,32 +677,65 @@ object Dedup {
       .write.mode("append").partitionBy("fpb").parquet(s"$dir/fp")
   }
 
+  /** Row cap under which the frozen-index admission probes BROADCAST
+    * the collapsed batch (≈ tens of MB of md5 hashes — comfortably
+    * inside driver/executor broadcast budgets); above it the probe
+    * joins shuffle on the hash key instead, so a bulk backfill batch
+    * DEGRADES to batch-proportional shuffles rather than OOMing the
+    * driver. The [[resolveClusters]] adaptive discipline applied to
+    * admission. */
+  val AdmitBroadcastCap: Long = 1000000L
+
   /** [[exactNew]] against a FROZEN [[stageFingerprints]] index: the
     * batch collapses to its min-id winners, its hash buckets are
     * collected (≤ `buckets` values) so the fp scan prunes STATICALLY
     * to the probed partitions, and the pruned fingerprints semi-join
-    * the broadcast batch hashes — row-identical to the direct
-    * two-sided run (DedupSpec pins it); probe cost scales with the
-    * batch + touched partitions, never the reference. */
+    * the batch hashes — row-identical to the direct two-sided run
+    * (DedupSpec pins it); probe cost scales with the batch + touched
+    * partitions, never the reference.
+    *
+    * Adaptive join strategy (the [[resolveClusters]] discipline): one
+    * cheap `limit(cap+1).count()` over the already-materialized
+    * collapsed batch decides the plan — at streaming-micro-batch /
+    * admission-batch sizes (≤ `broadcastCap` distinct hashes) the
+    * batch-hash set BROADCASTS into the pruned scan's semi-join and
+    * the matched set broadcasts back into the anti-join (zero
+    * exchanges beyond the window); a BULK BACKFILL batch above the cap
+    * switches both joins to shuffles co-partitioned on the hash key,
+    * so admission degrades smoothly instead of OOMing the driver on a
+    * reference-scale batch. Both paths are pinned row-identical by
+    * DedupSpec. Result is eagerly materialized and the collapsed-batch
+    * intermediate is released before returning (long-running
+    * [[graft.streaming.DocStream.admitStream]] callers invoke this
+    * every micro-batch — a leaked block per batch would accumulate
+    * forever). */
   def exactNewStaged(batch: DataFrame, idCol: String, text: Column,
-      dir: String): DataFrame = {
+      dir: String, broadcastCap: Long = AdmitBroadcastCap): DataFrame = {
     val spark = batch.sparkSession
     val mf = graft.util.IndexManifest.validate(spark, dir,
       graft.util.IndexManifest.KindFingerprints)
     val buckets = mf.paramInt("buckets").toLong
-    // the collapsed batch feeds the bucket collect AND both joins:
-    // eager-materialize once (the probeSpans discipline)
-    val bh = collapseByContent(batch, idCol, text).localCheckpoint(true)
-    val qb = bh.filter(col("__ch").isNotNull)
-      .select(pmod(xxhash64(col("__ch")), lit(buckets)).as("fpb"))
-      .distinct().collect().map(_.getLong(0))
-    val seen = spark.read.parquet(s"$dir/fp")
-      .filter(col("fpb").isin(qb: _*))
-      .select(col("ch").as("__ch"))
-      .join(broadcast(bh.select("__ch")), Seq("__ch"), "left_semi")
-      .distinct()
-    bh.join(broadcast(seen), Seq("__ch"), "left_anti")
-      .select(col(idCol), col("__text").as("text"))
+    // the collapsed batch feeds the size probe, the bucket collect AND
+    // both joins: persist + release (NOT localCheckpoint — its blocks
+    // would outlive the call, see scaladoc)
+    val bh = collapseByContent(batch, idCol, text).persist()
+    try {
+      val small = broadcastCap > 0 && broadcastCap < Int.MaxValue &&
+        bh.limit(broadcastCap.toInt + 1).count() <= broadcastCap
+      val hint: DataFrame => DataFrame =
+        if (small) broadcast else identity
+      val qb = bh.filter(col("__ch").isNotNull)
+        .select(pmod(xxhash64(col("__ch")), lit(buckets)).as("fpb"))
+        .distinct().collect().map(_.getLong(0))
+      val seen = spark.read.parquet(s"$dir/fp")
+        .filter(col("fpb").isin(qb: _*))
+        .select(col("ch").as("__ch"))
+        .join(hint(bh.select("__ch")), Seq("__ch"), "left_semi")
+        .distinct()
+      bh.join(hint(seen), Seq("__ch"), "left_anti")
+        .select(col(idCol), col("__text").as("text"))
+        .localCheckpoint(true)
+    } finally { bh.unpersist(false); () }
   }
 
   /** COMPACT a [[stageFingerprints]] index after appends: duplicate

@@ -406,6 +406,48 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("admission probes: shuffle path (cap=0) equals the broadcast path") {
+    // the adaptive discipline of exactNewStaged / bandIndexSeenIds: a
+    // bulk backfill above the broadcast cap must take shuffle joins and
+    // return the SAME rows. cap=0 forces every row down the bulk path.
+    val d = docs.select(col("doc_id"), col("text"))
+    val reference = d.filter(col("doc_id") % 2 === 0)
+    val batch = d.filter(col("doc_id") % 2 === 1)
+      .unionByName(d.filter(col("doc_id") % 6 === 0)
+        .select((col("doc_id") + 800000L).as("doc_id"), col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("fpadapt").toString
+    Dedup.stageFingerprints(reference, col("text"), dir, buckets = 8)
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val viaBroadcast = Dedup.exactNewStaged(batch, "doc_id", col("text"), dir)
+    val viaShuffle = Dedup.exactNewStaged(batch, "doc_id", col("text"), dir,
+      broadcastCap = 0L)
+    assert(ids(viaShuffle) == ids(viaBroadcast) && ids(viaShuffle).nonEmpty)
+    // band-id guard: both strategies see the same already-indexed ids,
+    // and the bulk path's plan carries NO forced-broadcast hint (its
+    // joins are free to shuffle co-partitioned on the id)
+    val bdir = java.nio.file.Files.createTempDirectory("bandadapt").toString
+    Dedup.stageBandIndex(reference, "doc_id", col("text"), bdir)
+    val probeIds = reference.limit(20)
+      .select(col("doc_id").as("ref_id")).distinct()
+      .unionByName(Seq(999999999L).toDF("ref_id"))
+      .localCheckpoint(true)
+    def guard(cap: Long) = Dedup.bandIndexSeenIds(probeIds, bdir, 16L,
+      broadcastCap = cap)
+    def hinted(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collectFirst {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+            if j.hint.leftHint.exists(_.strategy.isDefined) ||
+              j.hint.rightHint.exists(_.strategy.isDefined) => j
+      }.isDefined
+    assert(hinted(guard(Dedup.AdmitBroadcastCap)) && !hinted(guard(0L)))
+    def seenIds(cap: Long): Seq[Long] =
+      guard(cap).collect().map(_.getLong(0)).sorted.toSeq
+    val viaB = seenIds(Dedup.AdmitBroadcastCap)
+    assert(seenIds(0L) == viaB && viaB.nonEmpty &&
+      !viaB.contains(999999999L))
+  }
+
   test("contaminated flags docs embedding a benchmark n-gram, not clean docs") {
     val words = (1 to 40).map(i => s"w$i").mkString(" ")
     val benchText = (1 to 15).map(i => s"bench$i").mkString(" ")
