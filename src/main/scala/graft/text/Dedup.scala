@@ -450,22 +450,103 @@ object Dedup {
           "rows_per_band" -> rowsPerBand.toString,
           "shingle_words" -> shingleWords.toString,
           "buckets" -> buckets.toString, "id_col" -> idCol)) {
-      bandRows(reference, idCol, text, numHashes, rowsPerBand, shingleWords)
-        .withColumn("bkt",
-          pmod(xxhash64(col("band"), col("bsig")), lit(buckets.toLong)))
-        .repartition(col("bkt")) // one file per bucket, not tasks×buckets
-        .write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/bands")
-      // ids derive from the WRITTEN band rows (a ref_id-only column scan
-      // of what was just staged): exactly the signed docs — short docs
-      // that sign nothing stay out of the guard frame, mirroring bands
-      val obs = org.apache.spark.sql.Observation()
-      spark.read.parquet(s"$dir/bands").select(col("ref_id")).distinct()
-        .observe(obs, count(lit(1)).as("n_docs"))
-        .withColumn("idb", pmod(xxhash64(col("ref_id")), lit(buckets.toLong)))
-        .repartition(col("idb"))
-        .write.mode("overwrite").partitionBy("idb").parquet(s"$dir/ids")
-      Map("n_docs" -> obs.get("n_docs").asInstanceOf[Long])
+      // fresh layout: drop previous sublayouts first (the manifest is
+      // already invalidated, so a crash here reads as "not a graft
+      // index — restage to recover")
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir, "bands"), true): Unit
+      fs.delete(new org.apache.hadoop.fs.Path(dir, "ids"), true): Unit
+      val nDocs = writeBandSublayouts(
+        bandAndIdRows(reference, idCol, text, numHashes, rowsPerBand,
+          shingleWords, buckets.toLong), dir, buckets.toLong)
+      Map("n_docs" -> nDocs)
     }
+  }
+
+  /** Both band-index sublayouts' rows from ONE signature pass: per
+    * signed doc, its `bands` (band, bsig, bkt, idb=null) rows PLUS one
+    * id-sentinel (band/bsig/bkt null, idb set) row, generated by a
+    * single explode over the per-doc band-signature array with a
+    * sentinel element appended — the document is tokenized and
+    * min-hashed exactly once, with no cache and no distinct (one
+    * sentinel per doc by construction). `bkt` uses the same
+    * (band:int, bsig:string) hash as [[bandRows]]-derived probes. */
+  private def bandAndIdRows(df: DataFrame, idCol: String, text: Column,
+      numHashes: Int, rowsPerBand: Int, shingleWords: Int,
+      buckets: Long): DataFrame = {
+    val bands = numHashes / rowsPerBand
+    val mhs = transform(col("mh"), v => v.cast("string"))
+    minhashNarrow(df, idCol, text, numHashes, shingleWords)
+      .select(col(idCol).as("ref_id"),
+        posexplode(concat(
+          transform(sequence(lit(0), lit(bands - 1)),
+            b => md5(array_join(
+              slice(mhs, b * rowsPerBand + 1, lit(rowsPerBand)), "|"))),
+          array(lit(null).cast("string")))))
+      .select(col("ref_id"),
+        when(col("col").isNotNull, col("pos")).as("band"),
+        col("col").as("bsig"),
+        when(col("col").isNotNull,
+          pmod(xxhash64(col("pos"), col("col")), lit(buckets))).as("bkt"),
+        when(col("col").isNull,
+          pmod(xxhash64(col("ref_id")), lit(buckets))).as("idb"))
+  }
+
+  /** Spark's directory name for a NULL partition value — how the one
+    * staged write below keeps the two sublayouts' rows apart. */
+  private val HiveNullPart = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Write a batch's TWO band-index sublayouts in ONE job:
+    * [[bandAndIdRows]] hashed once on (idb, bkt) — one file per
+    * partition dir — lands in a per-append staging dir
+    * (`_append.tmp`, partitioned by both columns), whose files are
+    * then MOVED into `ids/` and `bands/`, ids FIRST. The move order
+    * preserves the fail-closed crash contract: a crash between the
+    * moves means a RETRY of the same batch refuses loudly on the
+    * new-ids guard (recoverable — restage, or assumeNewIds with
+    * upstream proof); the reverse order would let the retry's guard
+    * pass and double-append band rows, the silent bucket-census
+    * corruption the guard exists to refuse. Id-side data files carry
+    * null band/bsig columns (bytes of parquet metadata — readers
+    * select ref_id only, and compaction rewrites the slim schema).
+    * Returns the batch's signed-doc count (its id-sentinel rows). */
+  private def writeBandSublayouts(rows: DataFrame, dir: String,
+      buckets: Long): Long = {
+    import org.apache.hadoop.fs.Path
+    val spark = rows.sparkSession
+    val obs = org.apache.spark.sql.Observation()
+    val tmp = new Path(dir, "_append.tmp")
+    val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    rows
+      .repartition(col("idb"), col("bkt")) // one file per partition dir
+      .observe(obs, count(when(col("idb").isNotNull, 1)).as("n_docs"))
+      .write.mode("overwrite").partitionBy("idb", "bkt")
+      .parquet(tmp.toString)
+    def movePartFiles(src: Path, dst: Path): Unit = if (fs.exists(src)) {
+      fs.mkdirs(dst): Unit
+      fs.listStatus(src).map(_.getPath)
+        .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
+        .foreach(p => require(fs.rename(p, new Path(dst, p.getName)),
+          s"failed to move $p into $dst"))
+    }
+    // both sublayout roots exist even for an all-short (or empty)
+    // batch/corpus — an absent ids/ must keep MEANING "pre-ids layout"
+    fs.mkdirs(new Path(dir, "ids")): Unit
+    fs.mkdirs(new Path(dir, "bands")): Unit
+    // ids FIRST — see scaladoc
+    fs.listStatus(tmp).map(_.getPath)
+      .filter(p => p.getName.startsWith("idb=") &&
+        p.getName != s"idb=$HiveNullPart")
+      .foreach(p => movePartFiles(new Path(p, s"bkt=$HiveNullPart"),
+        new Path(dir, s"ids/${p.getName}")))
+    val bandsRoot = new Path(tmp, s"idb=$HiveNullPart")
+    if (fs.exists(bandsRoot))
+      fs.listStatus(bandsRoot).map(_.getPath)
+        .filter(_.getName.startsWith("bkt="))
+        .foreach(p => movePartFiles(p, new Path(dir, s"bands/${p.getName}")))
+    fs.delete(tmp, true): Unit
+    obs.get("n_docs").asInstanceOf[Long]
   }
 
   /** Refuse a band index missing its `ids/` sublayout (staged by a
@@ -542,28 +623,14 @@ object Dedup {
           "silently drops a borderline bucket's candidates.",
         "stageBandIndex")
     }
-    // ONE signature pass feeds both sublayouts
-    val rows = bandRows(batch, idCol, text, mf.paramInt("num_hashes"),
-        mf.paramInt("rows_per_band"), mf.paramInt("shingle_words"))
-      .persist()
-    try {
-      // ids BEFORE bands — fail-closed across a mid-append crash: a
-      // stray ids row whose band rows never landed only makes a RETRY
-      // of the same batch refuse loudly (recoverable: restage, or
-      // assumeNewIds with upstream proof); the reverse order would
-      // let the retry's guard pass and double-append the band rows —
-      // exactly the silent bucket-census corruption the guard exists
-      // to refuse. The ids frame tracks bands: signed batch docs only.
-      rows.select(col("ref_id")).distinct()
-        .withColumn("idb", pmod(xxhash64(col("ref_id")), lit(buckets)))
-        .repartition(col("idb"))
-        .write.mode("append").partitionBy("idb").parquet(s"$dir/ids")
-      rows
-        .withColumn("bkt", pmod(xxhash64(col("band"), col("bsig")),
-          lit(buckets)))
-        .repartition(col("bkt")) // one file per touched bucket per append
-        .write.mode("append").partitionBy("bkt").parquet(s"$dir/bands")
-    } finally { rows.unpersist(false); () }
+    // ONE signature pass + ONE job feeds both sublayouts, ids moved
+    // into place before bands (the fail-closed ordering —
+    // writeBandSublayouts). The ids frame tracks bands: signed batch
+    // docs only.
+    writeBandSublayouts(
+      bandAndIdRows(batch, idCol, text, mf.paramInt("num_hashes"),
+        mf.paramInt("rows_per_band"), mf.paramInt("shingle_words"),
+        buckets), dir, buckets): Unit
   }
 
   /** [[lshNewCandidates]] against a FROZEN [[stageBandIndex]] index:
@@ -722,20 +789,31 @@ object Dedup {
     try {
       val small = broadcastCap > 0 && broadcastCap < Int.MaxValue &&
         bh.limit(broadcastCap.toInt + 1).count() <= broadcastCap
-      val hint: DataFrame => DataFrame =
-        if (small) broadcast else identity
-      val qb = bh.filter(col("__ch").isNotNull)
-        .select(pmod(xxhash64(col("__ch")), lit(buckets)).as("fpb"))
-        .distinct().collect().map(_.getLong(0))
-      val seen = spark.read.parquet(s"$dir/fp")
-        .filter(col("fpb").isin(qb: _*))
-        .select(col("ch").as("__ch"))
-        .join(hint(bh.select("__ch")), Seq("__ch"), "left_semi")
-        .distinct()
-      bh.join(hint(seen), Seq("__ch"), "left_anti")
+      val seen = fingerprintSeen(bh, dir, buckets, forceBroadcast = small)
+      bh.join(if (small) broadcast(seen) else seen, Seq("__ch"), "left_anti")
         .select(col(idCol), col("__text").as("text"))
         .localCheckpoint(true)
     } finally { bh.unpersist(false); () }
+  }
+
+  /** The matched-hash frame of [[exactNewStaged]]: the fp scan pruned
+    * STATICALLY to the (materialized) collapsed batch's hash buckets,
+    * semi-joined with the batch hashes (`__ch`). Exposed for the
+    * plan-audit pin — the returned frame is lazy, so a spec can assert
+    * the scan carries partition filters. */
+  private[graft] def fingerprintSeen(bh: DataFrame, dir: String,
+      buckets: Long, forceBroadcast: Boolean): DataFrame = {
+    val spark = bh.sparkSession
+    val qb = bh.filter(col("__ch").isNotNull)
+      .select(pmod(xxhash64(col("__ch")), lit(buckets)).as("fpb"))
+      .distinct().collect().map(_.getLong(0))
+    val hashes = bh.select("__ch")
+    spark.read.parquet(s"$dir/fp")
+      .filter(col("fpb").isin(qb: _*))
+      .select(col("ch").as("__ch"))
+      .join(if (forceBroadcast) broadcast(hashes) else hashes,
+        Seq("__ch"), "left_semi")
+      .distinct()
   }
 
   /** COMPACT a [[stageFingerprints]] index after appends: duplicate

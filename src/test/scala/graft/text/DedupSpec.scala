@@ -369,8 +369,13 @@ class DedupSpec extends SparkSpec {
       col("text"), dir)
     val staged = Dedup.exactNewStaged(batch, "doc_id", col("text"), dir)
     assert(ids(staged) == want && want.nonEmpty)
-    // the pruned fp scan carries partition filters on fpb
-    val plan = staged.queryExecution.executedPlan match {
+    // the pruned fp scan carries partition filters on fpb (inspected
+    // through the LAZY probe frame — exactNewStaged's result is
+    // eagerly materialized, so its own plan is an RDD scan)
+    val bh = batch.select(col("doc_id"), col("text").as("__text"),
+      md5(col("text")).as("__ch")).localCheckpoint(true)
+    val seen = Dedup.fingerprintSeen(bh, dir, 8L, forceBroadcast = true)
+    val plan = seen.queryExecution.executedPlan match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
         a.initialPlan
       case p => p
@@ -404,6 +409,53 @@ class DedupSpec extends SparkSpec {
       Dedup.exactNewStaged(batch, "doc_id", col("text"),
         java.nio.file.Files.createTempDirectory("nonfp").toString)
     }
+  }
+
+  test("band append crash window: stranded ids fail closed, recovery converges") {
+    // the single-pass append moves ids into place BEFORE bands; a crash
+    // between the moves leaves ids rows whose band rows never landed.
+    // Pin the contract: a retry refuses loudly (fail closed), explicit
+    // assumeNewIds recovery + compaction converge to the restage state.
+    val d = docs.select(col("doc_id"), col("text"))
+    val ref = d.filter(col("doc_id") % 4 === 0)
+    val batch = d.filter(col("doc_id") % 4 === 2)
+    val probe = ref.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 700000L).as("doc_id"),
+        concat(col("text"), lit(" crash window tail")).as("text"))
+    val dir = java.nio.file.Files.createTempDirectory("bandcrash").toString
+    Dedup.stageBandIndex(ref, "doc_id", col("text"), dir)
+    def bandFiles(): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$dir/bands"))
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSet
+    }
+    val before = bandFiles()
+    Dedup.appendBandIndex(batch, "doc_id", col("text"), dir)
+    // the append leaves no staging residue behind
+    assert(!new java.io.File(s"$dir/_append.tmp").exists())
+    val appended = bandFiles() diff before
+    assert(appended.nonEmpty)
+    // simulate the crash window: ids landed, this append's bands did not
+    appended.foreach(f => assert(new java.io.File(f).delete()))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.appendBandIndex(batch, "doc_id", col("text"), dir)
+    }
+    assert(e.getMessage.contains("already-indexed"))
+    // explicit recovery: re-append under upstream proof, then compact
+    // (dedups the duplicate ids rows) — probe-identical to a restage
+    Dedup.appendBandIndex(batch, "doc_id", col("text"), dir,
+      assumeNewIds = true)
+    Dedup.compactBandIndex(spark, dir)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity).toSeq
+    val want = norm(Dedup.lshNewCandidates(probe, ref.unionByName(batch),
+      "doc_id", col("text")))
+    assert(norm(Dedup.lshNewCandidatesStaged(probe, "doc_id", col("text"),
+      dir)) == want && want.nonEmpty)
+    // compaction restored one ids row per signed doc
+    val mf = graft.util.IndexManifest.read(spark, dir)
+    assert(spark.read.parquet(s"$dir/ids").count() == mf.counts("n_docs"))
   }
 
   test("admission probes: shuffle path (cap=0) equals the broadcast path") {
