@@ -1436,22 +1436,28 @@ object SparkEntry {
     // not in the checkpoint. Wave 2 also carries reference copies
     // (rejected vs the staged set) and an in-batch duplicate pair
     // (min-id winner admitted). compactFingerprints closes the
-    // lifecycle. DuckDB recomputes admission from the arrival order ----
+    // lifecycle. The out rows carry the FULL feed schema (admitStream
+    // semi-joins admitted ids back onto the micro-batch), pinned here
+    // by the lang metadata column surviving to the result. DuckDB
+    // recomputes admission from the arrival order ----
     "q_st_fp" -> ((s, dir) => {
       val out = scratchDir("stfp")
       val d = load(s, dir, "documents").filter(col("text").isNotNull)
-        .select(col("doc_id"), col("text"))
+        .select(col("doc_id"), col("text"), col("lang"))
       val idx = s"$out/fpidx"
       text.Dedup.stageFingerprints(d.filter(col("doc_id") % 2 === 0),
         col("text"), idx, buckets = 16)
       val w1 = d.filter(col("doc_id") % 4 === 1)
       val w2 = d.filter(col("doc_id") % 4 === 3)
         .unionByName(w1.filter(col("doc_id") % 5 === 1)
-          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+            col("lang")))
         .unionByName(d.filter(col("doc_id") % 6 === 0)
-          .select((col("doc_id") + 800000L).as("doc_id"), col("text")))
+          .select((col("doc_id") + 800000L).as("doc_id"), col("text"),
+            col("lang")))
         .unionByName(d.filter(col("doc_id") % 4 === 3 && col("doc_id") % 7 === 0)
-          .select((col("doc_id") + 900000L).as("doc_id"), col("text")))
+          .select((col("doc_id") + 900000L).as("doc_id"), col("text"),
+            col("lang")))
       def drain(wave: org.apache.spark.sql.DataFrame, i: Int): Unit = {
         wave.repartition(1).write.parquet(s"$out/feed$i")
         streaming.DocStream.admitStream(
@@ -1462,7 +1468,8 @@ object SparkEntry {
       drain(w1, 1)
       drain(w2, 2) // fresh checkpoint: the index IS the state
       text.Dedup.compactFingerprints(s, idx)
-      s.read.parquet(s"$out/admitted").select("doc_id").orderBy("doc_id")
+      s.read.parquet(s"$out/admitted").select("doc_id", "lang")
+        .orderBy("doc_id")
     }),
 
     // ---- hybrid retrieval: BM25 ∪ dense ANN fused by reciprocal-rank
@@ -5824,25 +5831,26 @@ object SparkEntry {
     // reference set — the q_curate_stream arrival discipline applied
     // to index-resident admission state
     "q_st_fp" ->
-      """WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+      """WITH d AS (SELECT doc_id, text, lang FROM documents
+        |           WHERE text IS NOT NULL),
         |reference AS (SELECT text FROM d WHERE doc_id % 2 = 0),
-        |w1 AS (SELECT doc_id, text FROM d WHERE doc_id % 4 = 1),
+        |w1 AS (SELECT doc_id, text, lang FROM d WHERE doc_id % 4 = 1),
         |arr AS (
-        |  SELECT doc_id, text, 1 AS wave FROM w1
+        |  SELECT doc_id, text, lang, 1 AS wave FROM w1
         |  UNION ALL
-        |  SELECT doc_id, text, 2 FROM d WHERE doc_id % 4 = 3
+        |  SELECT doc_id, text, lang, 2 FROM d WHERE doc_id % 4 = 3
         |  UNION ALL
-        |  SELECT doc_id + 1000000, text, 2 FROM w1 WHERE doc_id % 5 = 1
+        |  SELECT doc_id + 1000000, text, lang, 2 FROM w1 WHERE doc_id % 5 = 1
         |  UNION ALL
-        |  SELECT doc_id + 800000, text, 2 FROM d WHERE doc_id % 6 = 0
+        |  SELECT doc_id + 800000, text, lang, 2 FROM d WHERE doc_id % 6 = 0
         |  UNION ALL
-        |  SELECT doc_id + 900000, text, 2 FROM d
+        |  SELECT doc_id + 900000, text, lang, 2 FROM d
         |  WHERE doc_id % 4 = 3 AND doc_id % 7 = 0),
         |win AS (
-        |  SELECT doc_id, text FROM arr
+        |  SELECT doc_id, text, lang FROM arr
         |  QUALIFY row_number() OVER (PARTITION BY md5(text)
         |    ORDER BY wave, doc_id) = 1)
-        |SELECT w.doc_id FROM win w
+        |SELECT w.doc_id, w.lang FROM win w
         |WHERE NOT EXISTS (SELECT 1 FROM reference r
         |                  WHERE md5(r.text) = md5(w.text))
         |ORDER BY w.doc_id""".stripMargin,

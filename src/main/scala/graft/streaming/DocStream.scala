@@ -285,7 +285,14 @@ object DocStream {
     * content-keyed and a contentless row has no fingerprint — passing
     * it through (exactNew's batch semantics, where one probe = one
     * decision) would here re-admit a null row on EVERY micro-batch
-    * forever, since nothing ever records it as seen. */
+    * forever, since nothing ever records it as seen.
+    *
+    * `outPath` carries the FULL input schema: the admitted ids
+    * semi-join the original micro-batch, so metadata columns
+    * (timestamps, source, language) survive curation — a corpus is
+    * more than (id, text). One row per admitted id, the min-id winner
+    * of its content hash (ids are assumed unique per batch — the
+    * admission contract shared with every id-carrying append). */
   def admitStream(docs: DataFrame, idCol: String, textName: String,
       indexDir: String, outPath: String, checkpointDir: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
@@ -293,16 +300,19 @@ object DocStream {
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (b: DataFrame, _: Long) =>
-        // the admitted frame feeds the sink AND the fingerprint
-        // append: pay the probe (window + pruned index scan) once
-        val admitted = graft.text.Dedup.exactNewStaged(
-          b.filter(col(textName).isNotNull), idCol,
-          col(textName), indexDir).persist()
+        // the micro-batch feeds the probe AND the passthrough join —
+        // pay its (stateless, but re-executed per action) plan once
+        val bb = b.filter(col(textName).isNotNull).persist()
         try {
-          admitted.write.mode("append").parquet(outPath)
+          // the admitted frame (materialized by exactNewStaged) feeds
+          // the passthrough join AND the fingerprint append
+          val admitted = graft.text.Dedup.exactNewStaged(bb, idCol,
+            col(textName), indexDir)
+          bb.join(admitted.select(idCol), Seq(idCol), "left_semi")
+            .write.mode("append").parquet(outPath)
           graft.text.Dedup.appendFingerprints(admitted, col("text"),
             indexDir)
-        } finally { admitted.unpersist(false); () }
+        } finally { bb.unpersist(false); () }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

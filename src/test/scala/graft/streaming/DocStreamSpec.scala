@@ -53,22 +53,30 @@ class DocStreamSpec extends SparkSpec {
     graft.text.Dedup.stageFingerprints(
       Seq((100L, "reference only doc")).toDF("doc_id", "text"),
       col("text"), idx, buckets = 4)
-    def drain(rows: Seq[(Long, String)], i: Int): Unit = {
-      val df = rows.toDF("doc_id", "text").coalesce(1)
+    def drain(rows: Seq[(Long, String, String)], i: Int): Unit = {
+      val df = rows.toDF("doc_id", "text", "src").coalesce(1)
       df.write.parquet(s"$root/feed$i")
       DocStream.admitStream(
           spark.readStream.schema(df.schema).parquet(s"$root/feed$i"),
           "doc_id", "text", idx, s"$root/adm", s"$root/ckpt$i")
         .awaitTermination()
     }
-    drain(Seq((1L, "first wave doc"), (2L, null), (3L, "reference only doc")), 1)
+    drain(Seq((1L, "first wave doc", "crawl-a"), (2L, null, "crawl-a"),
+      (3L, "reference only doc", "crawl-a")), 1)
     // run 2: FRESH checkpoint — rejection of 1's copy proves the state
     // lives in the index; the null row must be dropped, not re-admitted
-    drain(Seq((10L, "first wave doc"), (11L, null), (12L, "second wave doc")), 2)
-    val admitted = spark.read.parquet(s"$root/adm")
-      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    drain(Seq((10L, "first wave doc", "crawl-b"), (11L, null, "crawl-b"),
+      (12L, "second wave doc", "crawl-b")), 2)
+    // the out rows carry the FULL input schema (metadata survives), not
+    // the probe's (id, text) projection
+    val out = spark.read.parquet(s"$root/adm")
+    assert(out.columns.sorted.toSeq == Seq("doc_id", "src", "text"))
+    val admitted = out.select("doc_id", "text", "src")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getString(2)))
+      .toSet
     assert(admitted == Set(
-      (1L, Some("first wave doc")), (12L, Some("second wave doc"))))
+      (1L, Some("first wave doc"), "crawl-a"),
+      (12L, Some("second wave doc"), "crawl-b")))
   }
 
   test("exact gate keeps first arrival, drops the cross-batch content dup") {
