@@ -790,6 +790,38 @@ object Main {
       println(s"compacted $idx")
       return 0
     }
+    if (action == "ingest") {
+      // kind-dispatched INSIDE the shared entry point
+      // (streaming/DocStream.ingestStream — the StagedIndex trait's
+      // streaming twin): drain a parquet feed directory into the index
+      // as a real Structured Streaming query, one append per
+      // micro-batch, checkpointed offsets, optional periodic
+      // compaction. Config: {"index", "action": "ingest",
+      // "feed": <parquet dir>, "checkpoint": <dir>} + the kind's
+      // column names ("id" — defaults vec_id for ivf_pq, doc_id
+      // otherwise; "text"/"embedding" name the value column), optional
+      // "assumeNewIds", "compactEvery", "maxFilesPerTrigger" (1).
+      val feed = req("feed"); val ckpt = req("checkpoint")
+      val mf = graft.util.IndexManifest.read(spark, idx)
+      val isVec = mf.kind == graft.util.IndexManifest.KindIvfPq
+      val id = if (n.has("id")) n.get("id").asText()
+        else if (isVec) "vec_id" else "doc_id"
+      val value =
+        if (isVec) { if (n.has("embedding")) n.get("embedding").asText()
+          else "embedding" }
+        else if (n.has("text")) n.get("text").asText() else "text"
+      streaming.DocStream.ingestStream(
+          spark.readStream.schema(spark.read.parquet(feed).schema)
+            .option("maxFilesPerTrigger", int("maxFilesPerTrigger", 1))
+            .parquet(feed),
+          id, value, idx, ckpt,
+          assumeNewIds = n.has("assumeNewIds") &&
+            n.get("assumeNewIds").asBoolean(),
+          compactEvery = int("compactEvery", 0))
+        .awaitTermination()
+      println(s"ingested $feed into $idx")
+      return 0
+    }
     val dir = req("source"); val ns = req("namespace")
     val cat = catalogAt(spark, dir,
       MigratorConfig(command = "data", source = dir, target = dir))
@@ -836,7 +868,7 @@ object Main {
             .orderBy("query_id", "rank"))
         case other =>
           throw new IllegalArgumentException(
-            s"unknown index action '$other' (build|append|query|compact|describe)")
+            s"unknown index action '$other' (build|append|query|ingest|compact|describe)")
       }
       return 0
     }
@@ -869,7 +901,7 @@ object Main {
             .orderBy(id))
         case other =>
           throw new IllegalArgumentException(
-            s"unknown index action '$other' (build|append|query|compact|describe)")
+            s"unknown index action '$other' (build|append|query|ingest|compact|describe)")
       }
       return 0
     }
@@ -908,7 +940,7 @@ object Main {
             .orderBy("batch_id", "ref_id"))
         case other =>
           throw new IllegalArgumentException(
-            s"unknown index action '$other' (build|append|query|compact|describe)")
+            s"unknown index action '$other' (build|append|query|ingest|compact|describe)")
       }
       return 0
     }
@@ -972,7 +1004,7 @@ object Main {
             .orderBy(id, "span_start"))
         case other =>
           throw new IllegalArgumentException(
-            s"unknown index action '$other' (build|append|query|compact|describe)")
+            s"unknown index action '$other' (build|append|query|ingest|compact|describe)")
       }
       return 0
     }
@@ -1009,7 +1041,7 @@ object Main {
         outOrShow(result)
       case other =>
         throw new IllegalArgumentException(
-          s"unknown index action '$other' (build|append|query|compact|describe)")
+          s"unknown index action '$other' (build|append|query|ingest|compact|describe)")
     }
     0
   }

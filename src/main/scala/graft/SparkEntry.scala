@@ -402,10 +402,11 @@ object SparkEntry {
 
     // ---- streaming index ingest: bootstrap the index on the first
     // half, then drain the second half through a real Structured
-    // Streaming source (2 files, 1 per micro-batch) whose foreachBatch
-    // is appendIvfPq — the live-ingest shape of a retrieval service.
-    // Same oracle as the direct full scan: micro-batching must not
-    // change a row ----
+    // Streaming source (2 files, 1 per micro-batch) via the SHARED
+    // ingest entry point (DocStream.ingestStream — kind-dispatched on
+    // the manifest, per-batch appendIvfPq) — the live-ingest shape of
+    // a retrieval service. Same oracle as the direct full scan:
+    // micro-batching must not change a row ----
     "q_st_index" -> ((s, dir) => {
       val e = load(s, dir, "embeddings").filter(col("vec_id") < 1000)
       val idx = scratchDir("ivfpq_st")
@@ -416,16 +417,11 @@ object SparkEntry {
         .repartition(1).write.mode("append").parquet(s"$feed/in")
       e.filter(col("vec_id") >= 750)
         .repartition(1).write.mode("append").parquet(s"$feed/in")
-      val drain = s.readStream.schema(e.schema)
-        .option("maxFilesPerTrigger", 1).parquet(s"$feed/in")
-        .writeStream
-        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-          ml.Similarity.appendIvfPq(b, "vec_id", "embedding", dir = idx)
-        }
-        .option("checkpointLocation", s"$feed/ckpt")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      drain.awaitTermination()
+      streaming.DocStream.ingestStream(
+          s.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", 1).parquet(s"$feed/in"),
+          "vec_id", "embedding", idx, s"$feed/ckpt")
+        .awaitTermination()
       ml.Similarity.stagedIvfPqTopK(s, idx, e.filter(col("vec_id") < 50),
           "vec_id", "embedding", k = 3, nprobe = 2)
         .orderBy("query_id", "rank")
@@ -1389,9 +1385,10 @@ object SparkEntry {
 
     // ---- streaming BM25 ingest: bootstrap the inverted index on the
     // even half, drain the odd half through a real Structured Streaming
-    // source (2 files, 1 per micro-batch) whose foreachBatch is
-    // appendBm25 — the retrieval-service live-ingest shape, completing
-    // the streamed-ingest triptych (census: q_st_substr, IVF-PQ:
+    // source (2 files, 1 per micro-batch) via the SHARED ingest entry
+    // point (DocStream.ingestStream, per-batch appendBm25) — the
+    // retrieval-service live-ingest shape, completing the
+    // streamed-ingest triptych (census: q_st_substr, IVF-PQ:
     // q_st_index). The new-ids guard runs LIVE inside each micro-batch
     // (dl semi-join — both batches are genuinely new, so it passes and
     // its cost is part of the honest ingest price), and the drain ends
@@ -1413,16 +1410,11 @@ object SparkEntry {
         .repartition(1).write.mode("append").parquet(s"$feed/in")
       docs.filter(col("doc_id") % 4 === 3)
         .repartition(1).write.mode("append").parquet(s"$feed/in")
-      val drain = s.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", 1).parquet(s"$feed/in")
-        .writeStream
-        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-          text.Retrieval.appendBm25(b, "doc_id", col("text"), idx)
-        }
-        .option("checkpointLocation", s"$feed/ckpt")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      drain.awaitTermination()
+      streaming.DocStream.ingestStream(
+          s.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1).parquet(s"$feed/in"),
+          "doc_id", "text", idx, s"$feed/ckpt")
+        .awaitTermination()
       text.Retrieval.compactBm25(s, idx)
       text.Retrieval.stagedBm25TopK(s, idx, qs, "query_id", col("qtext"), k = 5)
         .orderBy("query_id", "rank")
@@ -1752,7 +1744,8 @@ object SparkEntry {
     // third of the corpus, drain another third through a real
     // Structured Streaming source (2 files, DELIBERATELY 1 per
     // micro-batch — two appends is exactly the multi-batch ingest under
-    // test) whose foreachBatch is appendGramCensus, then probe the
+    // test) via the SHARED ingest entry point (DocStream.ingestStream,
+    // per-batch appendGramCensus), then probe the
     // held-out third against the final index — the live-ingest shape of
     // a curation service. Micro-batching must not change a span: the
     // index converges to the same census a full restage gives. The
@@ -1779,21 +1772,15 @@ object SparkEntry {
         .repartition(1).write.mode("append").parquet(s"$feed/in")
       base.filter(col("doc_id") % 3 === 2 && col("doc_id") % 2 === 1)
         .repartition(1).write.mode("append").parquet(s"$feed/in")
-      // open the index ONCE; each micro-batch appends through the
-      // handle (the continuous-ingest discipline — no per-batch
-      // manifest/stats reads)
+      // the SHARED ingest entry point opens the index handle ONCE and
+      // appends each micro-batch through it (the continuous-ingest
+      // discipline — no per-batch manifest/stats reads)
+      streaming.DocStream.ingestStream(
+          s.readStream.schema(base.schema)
+            .option("maxFilesPerTrigger", 1).parquet(s"$feed/in"),
+          "doc_id", "text", idx, s"$feed/ckpt")
+        .awaitTermination()
       val censusIdx = text.Substrings.openIndex(s, idx)
-      val drain = s.readStream.schema(base.schema)
-        .option("maxFilesPerTrigger", 1).parquet(s"$feed/in")
-        .writeStream
-        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-          text.Substrings.appendToIndex(b, "doc_id", col("text"),
-            censusIdx, maxChars = 0)
-        }
-        .option("checkpointLocation", s"$feed/ckpt")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      drain.awaitTermination()
       // compact after the streamed appends: one file per bucket again,
       // refreshed manifest count — probe-invisible by construction, so
       // the oracle (which recomputes spans from the raw corpus) pins

@@ -254,6 +254,79 @@ object DocStream {
       .start()
   }
 
+  /** Streamed index INGEST — the [[graft.util.StagedIndex]] trait's
+    * streaming twin: "drain a live feed into a staged index" as ONE
+    * entry point for every kind, instead of one hand-rolled
+    * foreachBatch skeleton per kind. The manifest is read ONCE before
+    * the first micro-batch and dispatches the per-batch append verb
+    * (census kinds open the index handle once — zero per-batch
+    * manifest/stats reads, the continuous-ingest discipline); each
+    * micro-batch then pays exactly the kind's batch-proportional
+    * append. The checkpoint tracks source offsets only — the index IS
+    * the state, so any concurrent probe (a batch job, another stream)
+    * sees everything ingested so far.
+    *
+    * `valueCol` names the text column (bm25 / census / minhash bands /
+    * fingerprints) or the embedding column (ivf_pq). `assumeNewIds`
+    * passes through to the id-carrying kinds' new-ids guard.
+    * `compactEvery = N` runs the kind's compactor after every Nth
+    * batch (keyed on the CHECKPOINTED batch id — a restart neither
+    * double-compacts nor drifts), bounding the one-file-per-append
+    * growth on a long-running drain; compaction is probe-invisible by
+    * each kind's construction.
+    *
+    * Delivery contract on replay of an interrupted micro-batch: the
+    * id-FREE kinds (census, fingerprints) re-append harmlessly
+    * (duplicate rows are probe-invisible; compaction collapses them);
+    * the id-CARRYING kinds' new-ids guard refuses the replay LOUDLY
+    * (fail closed — restage, or assumeNewIds with upstream proof),
+    * the [[graft.text.Dedup.appendBandIndex]] crash discipline. */
+  def ingestStream(docs: DataFrame, idCol: String, valueCol: String,
+      indexDir: String, checkpointDir: String,
+      assumeNewIds: Boolean = false, compactEvery: Int = 0,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(compactEvery >= 0, "compactEvery must be >= 0")
+    val spark = docs.sparkSession
+    import graft.util.IndexManifest._
+    val mf = graft.util.IndexManifest.read(spark, indexDir)
+    val (append, compactor): (DataFrame => Unit, () => Unit) = mf.kind match {
+      case KindGramCensus =>
+        val idx = graft.text.Substrings.openIndex(spark, indexDir)
+        (b => graft.text.Substrings.appendToIndex(b, idCol, col(valueCol),
+          idx, maxChars = 0),
+          () => graft.text.Substrings.compactCensus(spark, indexDir))
+      case KindBm25 =>
+        (b => graft.text.Retrieval.appendBm25(b, idCol, col(valueCol),
+          indexDir, assumeNewIds),
+          () => graft.text.Retrieval.compactBm25(spark, indexDir))
+      case KindIvfPq =>
+        (b => graft.ml.Similarity.appendIvfPq(b, idCol, valueCol,
+          indexDir, assumeNewIds),
+          () => graft.ml.Similarity.compactIvfPq(spark, indexDir))
+      case KindMinhashBands =>
+        (b => graft.text.Dedup.appendBandIndex(b, idCol, col(valueCol),
+          indexDir, assumeNewIds),
+          () => graft.text.Dedup.compactBandIndex(spark, indexDir))
+      case KindFingerprints =>
+        (b => graft.text.Dedup.appendFingerprints(b, col(valueCol),
+          indexDir),
+          () => graft.text.Dedup.compactFingerprints(spark, indexDir))
+      case other => throw new IllegalArgumentException(
+        s"no streamed ingest for index kind '$other'")
+    }
+    docs.writeStream
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        append(b)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          compactor()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+
   /** Streaming EXACT-admission gate against a staged fingerprint index
     * ([[graft.text.Dedup.stageFingerprints]]) — the crawl-ingest
     * admission service as one verb: each micro-batch probes the index

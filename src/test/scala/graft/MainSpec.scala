@@ -121,6 +121,39 @@ class MainSpec extends SparkSpec {
     assert(e2.getMessage.contains("not a graft index"))
   }
 
+  test("-index action=ingest drains a parquet feed into a staged index") {
+    val root = tmp("graft-cli-ingsrc")
+    val cat = new ParquetCatalog(spark, root, "db")
+    val d = Tables.load(spark, sf0001, "documents")
+      .filter($"text".isNotNull).select($"doc_id", $"text")
+    cat.write("db.ref", d.filter($"doc_id" % 2 === 0))
+    val idx = tmp("graft-cli-ing") + "/fpix"
+    val build = writeCfg(tmp("graft-cli-ingcfg1"),
+      s"""{"source":"$root","namespace":"db.ref","index":"$idx",
+         |"kind":"fp","action":"build","buckets":8}""".stripMargin)
+    assert(Main.run(Seq("-index", build), sess) == 0)
+    // two feed files = two micro-batches through the shared
+    // DocStream.ingestStream entry point, kind-dispatched on the
+    // manifest — the CLI shape of q_st_substr/q_st_bm25/q_st_index
+    val feed = tmp("graft-cli-ingfeed") + "/in"
+    d.filter($"doc_id" % 4 === 1).repartition(1)
+      .write.mode("append").parquet(feed)
+    d.filter($"doc_id" % 4 === 3).repartition(1)
+      .write.mode("append").parquet(feed)
+    val ing = writeCfg(tmp("graft-cli-ingcfg2"),
+      s"""{"index":"$idx","action":"ingest","feed":"$feed",
+         |"checkpoint":"${tmp("graft-cli-ingckpt")}/ck"}""".stripMargin)
+    assert(Main.run(Seq("-index", ing), sess) == 0)
+    // everything drained is index-resident: re-probing the odd half
+    // admits nothing; a genuinely new doc still passes
+    assert(graft.text.Dedup.exactNewStaged(d.filter($"doc_id" % 2 === 1),
+      "doc_id", col("text"), idx).count() == 0)
+    val fresh = Seq((999999L, "a genuinely new document body"))
+      .toDF("doc_id", "text")
+    assert(graft.text.Dedup.exactNewStaged(fresh, "doc_id", col("text"),
+      idx).count() == 1)
+  }
+
   test("-index kind=census builds, appends, probes, and describes a gram census") {
     val root = tmp("graft-cli-censrc")
     val cat = new ParquetCatalog(spark, root, "db")
