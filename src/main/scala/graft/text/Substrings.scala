@@ -486,6 +486,24 @@ object Substrings {
         "hash" -> hash))
   }
 
+  /** Census-exchange partition count, scaled to the corpus' GRAM
+    * surface instead of the session default: the stage's
+    * one-row-per-char shuffle outgrows a fixed partition count as the
+    * corpus grows (the per-reducer aggregation hash table is the
+    * binding constraint — at 30× the sf0.1 reference, 32 local
+    * partitions put ~1.4 M keys in every task's table and the stage
+    * went super-linear; 128 linearized it). Sized at ~500 k rows per
+    * reducer for 8-byte xxh64 keys, half that for 32-char md5 keys,
+    * floored at the session's parallelism and capped at 200 k
+    * partitions (a 100 TB corpus at 0.55 B/char anchored density stays
+    * well under the cap). */
+  private def censusPartitions(spark: org.apache.spark.sql.SparkSession,
+      estRows: Double, hash: String): Int = {
+    val perPartition = if (hash == HashXxh64) 500000.0 else 250000.0
+    math.max(spark.sparkContext.defaultParallelism.toLong,
+      math.min((estRows / perPartition).toLong, 200000L)).toInt
+  }
+
   private def stageCensusFrom(corpus: DataFrame, text: Column, rows: DataFrame,
       k: Int, dir: String, buckets: Int, extraParams: Map[String, String]): Unit = {
     require(buckets > 0, "buckets must be positive")
@@ -495,12 +513,33 @@ object Substrings {
         graft.util.IndexManifest.KindGramCensus,
         params = Map("k" -> k.toString, "buckets" -> buckets.toString)
           ++ extraParams) {
+      // ONE corpus-stats pass up front feeds BOTH the manifest's
+      // n_docs (previously a separate post-write count scan) and the
+      // census exchange's partition count ([[censusPartitions]] —
+      // exact mode emits ~1 row per char, anchored ~2/(window+1))
+      val st = corpus.filter(text.isNotNull)
+        .agg(count(lit(1)), coalesce(sum(length(text)), lit(0L)))
+        .collect()(0)
+      val (docs, chars) = (st.getLong(0), st.getLong(1))
+      val density = extraParams.get("guarantee") match {
+        case Some(g) => 2.0 / (g.toInt - k + 2) // anchored winnow window
+        case None => 1.0
+      }
+      val parts = censusPartitions(spark, chars * density,
+        extraParams.getOrElse("hash", HashMd5))
       // n_grams rides an Observation on the census write itself — the
       // alternative (re-scanning the written census to count it) pays a
       // second full census pass per stage, which at one row per corpus
       // char is a second pass over the corpus' gram surface
       val obs = org.apache.spark.sql.Observation()
-      rows.groupBy(col("h")).agg(count(lit(1)).as("n"))
+      rows.select(col("h"))
+        // the explicit size-scaled exchange IS the census shuffle: the
+        // following groupBy's distribution requirement is satisfied by
+        // it, so no second exchange is planned (and the pre-exchange
+        // partial aggregate it replaces bought nothing — gram hashes
+        // are mostly unique within a partition)
+        .repartition(parts, col("h"))
+        .groupBy(col("h")).agg(count(lit(1)).as("n"))
         .observe(obs, count(lit(1)).as("n_grams"))
         .withColumn("bkt", pmod(xxhash64(col("h")), lit(buckets.toLong)))
         // co-locate each bucket before the write: without this every task
@@ -509,7 +548,6 @@ object Substrings {
         .repartition(col("bkt"))
         .write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/census")
       val nGrams = obs.get("n_grams").asInstanceOf[Long]
-      val docs = corpus.filter(text.isNotNull).count()
       import spark.implicits._
       Seq((k, buckets.toLong, nGrams, docs))
         .toDF("k", "buckets", "n_grams", "n_docs")
@@ -572,24 +610,37 @@ object Substrings {
       dir: String): Unit = {
     import graft.util.StagedIndex.Layout
     val obs = org.apache.spark.sql.Observation()
-    val mf = graft.util.StagedIndex.compact(spark, dir,
-        graft.util.IndexManifest.KindGramCensus) { _ =>
-      // re-sum the per-hash counts appends accumulate
-      Seq(Layout("census", Some("bkt"),
-        _.groupBy(col("bkt"), col("h")).agg(sum(col("n")).as("n"))
-          .observe(obs, count(lit(1)).as("n_grams"))
-          .select(col("h"), col("n"), col("bkt")))) // layout column order
+    graft.util.StagedIndex.compact(spark, dir,
+        graft.util.IndexManifest.KindGramCensus) { mf =>
+      Seq(
+        // re-sum the per-hash counts appends accumulate
+        Layout("census", Some("bkt"),
+          _.groupBy(col("bkt"), col("h")).agg(sum(col("n")).as("n"))
+            .observe(obs, count(lit(1)).as("n_grams"))
+            .select(col("h"), col("n"), col("bkt"))), // layout column order
+        // stats refreshes INSIDE the compact bracket, as its own
+        // crash-safe DirSwap sublayout BEFORE the manifest count
+        // refresh: a plain overwrite after the bracket (the previous
+        // shape) left two windows — a crash between the manifest write
+        // and the stats rewrite pinned n_grams disagreeing between the
+        // two forever, and a crash mid-overwrite left a valid manifest
+        // next to a deleted/partial stats dir that probes crash on.
+        // Layouts swap in declaration order, so the census rewrite has
+        // completed (and bound `obs`) by the time this one's rebuild
+        // runs; the read frame is ignored — stats is one derived row.
+        Layout("stats", None, { _ =>
+          import spark.implicits._
+          Seq((mf.paramInt("k"), mf.paramInt("buckets").toLong,
+              obs.get("n_grams").asInstanceOf[Long],
+              mf.counts.getOrElse("n_docs", 0L)))
+            .toDF("k", "buckets", "n_grams", "n_docs")
+            .coalesce(1)
+        }))
     } { mf =>
       Map("n_docs" -> mf.counts.getOrElse("n_docs", 0L),
         "n_grams" -> obs.get("n_grams").asInstanceOf[Long])
     }
-    val nGrams = obs.get("n_grams").asInstanceOf[Long]
-    val nDocs = mf.counts.getOrElse("n_docs", 0L)
-    import spark.implicits._
-    Seq((mf.paramInt("k"), mf.paramInt("buckets").toLong, nGrams, nDocs))
-      .toDF("k", "buckets", "n_grams", "n_docs")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/stats")
+    ()
   }
 
   /** Duplicated spans of an incoming BATCH against a frozen
