@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Builder-side measurement harnesses (ProbeSweep, ScaleSweep,
+// StreamProfile, ...) live OUTSIDE the engine source tree — they are
+// runMain-able diagnostics, not shipped operators, so they compile on
+// the same classpath from src/tools without inflating src/main.
+Compile / unmanagedSourceDirectories += baseDirectory.value / "src" / "tools" / "scala"
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
