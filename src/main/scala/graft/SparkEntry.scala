@@ -1156,6 +1156,29 @@ object SparkEntry {
       s.read.parquet(s"$src/admitted").select("doc_id").orderBy("doc_id")
     }),
 
+    // ---- the staged fingerprint probe on its BULK path: broadcastCap
+    // = 0 forces the shuffle-semi-join strategy a backfill batch above
+    // the adaptive cap takes (the small path broadcasts) — SAME oracle
+    // as the direct/Bloom/staged runs: the join strategy must not
+    // change an admission decision ----
+    "q_dedup_new_staged_bulk" -> ((s, dir) => {
+      val d = load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val reference = d.filter(col("doc_id") % 2 === 0)
+      val batch = d.filter(col("doc_id") % 2 === 1)
+        .unionByName(d.filter(col("doc_id") % 6 === 0)
+          .select((col("doc_id") + 800000L).as("doc_id"), col("text")))
+        .unionByName(d.filter(col("doc_id") % 2 === 1 && col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 900000L).as("doc_id"), col("text")))
+      val idx = scratchDir("fpbulk")
+      text.Dedup.stageFingerprints(reference.filter(col("doc_id") % 4 === 0),
+        col("text"), idx, buckets = 16)
+      text.Dedup.appendFingerprints(
+        reference.filter(col("doc_id") % 4 === 2), col("text"), idx)
+      text.Dedup.exactNewStaged(batch, "doc_id", col("text"), idx,
+          broadcastCap = 0)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // ---- the same admission check through the Bloom-prefiltered
     // reference scan — SAME exact answer (the oracle is identical),
     // constant-size broadcast instead of the batch-hash set ----
@@ -1460,6 +1483,46 @@ object SparkEntry {
       drain(w1, 1)
       drain(w2, 2) // fresh checkpoint: the index IS the state
       text.Dedup.compactFingerprints(s, idx)
+      s.read.parquet(s"$out/admitted").select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
+    // ---- streaming NEAR-DUP admission gate against the staged band
+    // index — admitStream's LSH twin: wave 1 admits against the staged
+    // reference bands and appends its winners' signatures; wave 2
+    // (fresh checkpoint + fresh feed) carries near-copies of wave-1
+    // admitted docs, which must be rejected — proving the near-dup
+    // state lives IN THE INDEX — plus near-copies of reference docs
+    // (rejected vs the staged set). compactBandIndex closes the
+    // lifecycle; out carries the full feed schema (lang survives).
+    // DuckDB recomputes both waves' LSH admission from arrival order ----
+    "q_st_lsh" -> ((s, dir) => {
+      val out = scratchDir("stlsh")
+      val d = load(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text"), col("lang"))
+      val idx = s"$out/bandidx"
+      text.Dedup.stageBandIndex(d.filter(col("doc_id") % 2 === 0),
+        "doc_id", col("text"), dir = idx)
+      val w1 = d.filter(col("doc_id") % 4 === 1)
+      val w2 = d.filter(col("doc_id") % 4 === 3)
+        .unionByName(w1.filter(col("doc_id") % 5 === 1)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("text"), lit(" near duplicate tail")).as("text"),
+            col("lang")))
+        .unionByName(d.filter(col("doc_id") % 6 === 0)
+          .select((col("doc_id") + 800000L).as("doc_id"),
+            concat(col("text"), lit(" near duplicate tail")).as("text"),
+            col("lang")))
+      def drain(wave: org.apache.spark.sql.DataFrame, i: Int): Unit = {
+        wave.repartition(1).write.parquet(s"$out/feed$i")
+        streaming.DocStream.admitNearStream(
+            s.readStream.schema(wave.schema).parquet(s"$out/feed$i"),
+            "doc_id", "text", idx, s"$out/admitted", s"$out/ckpt$i")
+          .awaitTermination()
+      }
+      drain(w1, 1)
+      drain(w2, 2) // fresh checkpoint: the index IS the state
+      text.Dedup.compactBandIndex(s, idx)
       s.read.parquet(s"$out/admitted").select("doc_id", "lang")
         .orderBy("doc_id")
     }),
@@ -3811,6 +3874,78 @@ object SparkEntry {
        |ORDER BY batch_id, ref_id""".stripMargin
   }
 
+  /** Oracle: the streaming near-dup admission gate (q_st_lsh) — both
+    * waves' LSH admission recomputed from arrival order: wave 1 probes
+    * the reference band surface; wave 2 probes reference + wave-1
+    * ADMITTED signatures (the engine appends each wave's winners into
+    * the index, so the oracle's wave-2 surface — and its maxBucket
+    * census — must include them). Same minhash chain as
+    * [[lshNewCandidatesSql]]. */
+  private val admitNearSql: String = {
+    val coeffTable = text.Dedup.minhashCoeffs(16).zipWithIndex
+      .map { case ((a, b), k) => s"($k,$a,$b)" }.mkString(",")
+    s"""WITH d AS (SELECT doc_id, text, lang FROM documents
+       |           WHERE text IS NOT NULL),
+       |ref AS (SELECT doc_id, text FROM d WHERE doc_id % 2 = 0),
+       |w1 AS (SELECT doc_id, text, lang FROM d WHERE doc_id % 4 = 1),
+       |w2 AS (
+       |  SELECT doc_id, text, lang FROM d WHERE doc_id % 4 = 3
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text || ' near duplicate tail', lang
+       |  FROM w1 WHERE doc_id % 5 = 1
+       |  UNION ALL
+       |  SELECT doc_id + 800000, text || ' near duplicate tail', lang
+       |  FROM d WHERE doc_id % 6 = 0),
+       |alld AS (
+       |  SELECT 'r' AS side, doc_id, text FROM ref
+       |  UNION ALL
+       |  SELECT '1', doc_id, text FROM w1
+       |  UNION ALL
+       |  SELECT '2', doc_id, text FROM w2),
+       |words AS (SELECT side, doc_id,
+       |  list_slice(str_split(lower(text), ' '), 1, 4096) AS w FROM alld),
+       |sh AS (
+       |  SELECT DISTINCT side, doc_id, w[u.i] || ' ' || w[u.i+1] || ' ' || w[u.i+2] AS s
+       |  FROM words, LATERAL (SELECT unnest(generate_series(1, greatest(len(w)-2, 1))) AS i) u
+       |  WHERE w[u.i] || ' ' || w[u.i+1] || ' ' || w[u.i+2] IS NOT NULL),
+       |hs AS (
+       |  SELECT side, doc_id, CAST(('0x' || substr(md5(s),1,7)) AS BIGINT) AS h FROM sh),
+       |mh AS (
+       |  SELECT side, doc_id, k.k, min((k.a * h + k.b) % ${text.Dedup.MinHashP}) AS minh
+       |  FROM hs, (VALUES $coeffTable) k(k,a,b) GROUP BY 1, 2, 3),
+       |sig AS (
+       |  SELECT side, doc_id, CAST(floor(k/2) AS INT) AS band,
+       |         md5(string_agg(CAST(minh AS VARCHAR), '|' ORDER BY k)) AS bsig
+       |  FROM mh GROUP BY 1, 2, 3),
+       |ok1 AS (SELECT band, bsig FROM sig WHERE side = 'r'
+       |        GROUP BY 1, 2 HAVING count(*) <= 1000),
+       |rej1 AS (
+       |  SELECT DISTINCT b.doc_id FROM sig b
+       |  JOIN sig r ON r.side = 'r' AND b.side = '1'
+       |    AND b.band = r.band AND b.bsig = r.bsig
+       |  JOIN ok1 ON ok1.band = r.band AND ok1.bsig = r.bsig),
+       |adm1 AS (SELECT doc_id, lang FROM w1
+       |         WHERE doc_id NOT IN (SELECT doc_id FROM rej1)),
+       |isig AS (
+       |  SELECT band, bsig FROM sig WHERE side = 'r'
+       |  UNION ALL
+       |  SELECT band, bsig FROM sig
+       |  WHERE side = '1' AND doc_id IN (SELECT doc_id FROM adm1)),
+       |ok2 AS (SELECT band, bsig FROM isig
+       |        GROUP BY 1, 2 HAVING count(*) <= 1000),
+       |rej2 AS (
+       |  SELECT DISTINCT b.doc_id FROM sig b
+       |  JOIN isig r ON b.side = '2'
+       |    AND b.band = r.band AND b.bsig = r.bsig
+       |  JOIN ok2 ON ok2.band = r.band AND ok2.bsig = r.bsig),
+       |adm2 AS (SELECT doc_id, lang FROM w2
+       |         WHERE doc_id NOT IN (SELECT doc_id FROM rej2))
+       |SELECT doc_id, lang FROM adm1
+       |UNION ALL
+       |SELECT doc_id, lang FROM adm2
+       |ORDER BY doc_id""".stripMargin
+  }
+
   private val minhashCtes: String = {
     // the permutation table, embedded literally from the SAME constants
     // the engine uses (Dedup.minhashCoeffs)
@@ -5813,6 +5948,13 @@ object SparkEntry {
     // semantic change)
     "q_dedup_new_bloom" -> exactNewSql,
     "q_dedup_new_staged" -> exactNewSql,
+    // the bulk (shuffle-semi-join) strategy of the staged probe: a
+    // physical plan switch, not a semantic one — identical oracle
+    "q_dedup_new_staged_bulk" -> exactNewSql,
+    // the streaming NEAR-DUP admission gate: both waves' LSH admission
+    // recomputed from arrival order, wave 2 against reference + wave-1
+    // winners (the index the engine grew per micro-batch)
+    "q_st_lsh" -> admitNearSql,
     // the streaming admission gate: arrival-ordered first-admission
     // (wave, then min id within a micro-batch) minus the staged
     // reference set — the q_curate_stream arrival discipline applied

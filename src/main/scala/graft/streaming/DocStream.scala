@@ -390,4 +390,70 @@ object DocStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
+
+  /** Streaming NEAR-DUP admission gate against a staged minhash band
+    * index ([[graft.text.Dedup.stageBandIndex]]) — [[admitStream]]'s
+    * LSH twin, completing the streaming admission pair (exact via the
+    * fingerprint set, near via the band index): each micro-batch signs
+    * itself under the index's frozen recipe and probes the bands scan
+    * ([[graft.text.Dedup.lshNewCandidatesStaged]] — statically pruned
+    * to the batch's band buckets, batch-proportional), docs with ANY
+    * index candidate are REJECTED, the admitted docs append to
+    * `outPath` with the FULL input schema, and their band signatures
+    * append into the index — so later micro-batches, and later RUNS,
+    * reject near-copies of everything admitted so far.
+    *
+    * Admission is CANDIDATE-keyed (one shared LSH band ⇒ reject), the
+    * high-recall gate of the banded-minhash design; a pipeline wanting
+    * Jaccard-verified rejection runs the batch
+    * [[graft.text.Dedup.jaccardVerify]] sweep over the REJECT stream's
+    * candidates instead — the gate must stay one pruned probe per
+    * batch. Near-dups WITHIN one micro-batch are admitted together
+    * (the probe is index-keyed; in-batch near-dedup is the upstream
+    * [[dedupMinhashStream]] / batch `lshCandidates` operator) — they
+    * become ONE index append, so a near-copy in any LATER batch is
+    * rejected by either member. Docs too short to sign a band
+    * (< shingle_words words) carry no near-dup identity: always
+    * admitted, never indexed (the exact gate is their keeper).
+    *
+    * State lives IN THE INDEX (the [[admitStream]] contract): no
+    * watermark, unbounded horizon, fresh-checkpoint restarts keep the
+    * admission state, concurrent probes see it immediately. `outPath`
+    * is at-least-once — out appends BEFORE the band append (the
+    * reverse order silently LOSES a replayed batch), and the band
+    * append keeps [[graft.text.Dedup.appendBandIndex]]'s fail-closed
+    * crash discipline: a replay after a mid-append crash refuses
+    * loudly on the new-ids guard instead of double-counting bands.
+    * Null-text rows are dropped (no content ⇒ no admission identity —
+    * see [[admitStream]]'s null contract). */
+  def admitNearStream(docs: DataFrame, idCol: String, textName: String,
+      indexDir: String, outPath: String, checkpointDir: String,
+      maxBucket: Int = 1000,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        // the micro-batch feeds the probe AND the admitted anti-join —
+        // pay its plan once
+        val bb = b.filter(col(textName).isNotNull).persist()
+        try {
+          val rejected = graft.text.Dedup.lshNewCandidatesStaged(bb,
+              idCol, col(textName), indexDir, maxBucket)
+            .select(col("batch_id").as(idCol)).distinct()
+          // admitted feeds the out write AND the band append: eager
+          // localCheckpoint, released in the finally (a leaked block
+          // per micro-batch accumulates forever on a live feed)
+          val admitted = bb.join(rejected, Seq(idCol), "left_anti")
+            .localCheckpoint(true)
+          try {
+            admitted.write.mode("append").parquet(outPath)
+            graft.text.Dedup.appendBandIndex(admitted, idCol,
+              col(textName), indexDir)
+          } finally { admitted.unpersist(false); () }
+        } finally { bb.unpersist(false); () }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
 }

@@ -79,6 +79,44 @@ class DocStreamSpec extends SparkSpec {
       (12L, Some("second wave doc"), "crawl-b")))
   }
 
+  test("admitNearStream: band-index state spans runs; in-batch near pair admitted together") {
+    val root = feedDir()
+    val idx = s"$root/bandidx"
+    val refText = "the quick brown fox jumps over the lazy dog near the river bank today"
+    graft.text.Dedup.stageBandIndex(
+      Seq((100L, refText)).toDF("doc_id", "text"),
+      "doc_id", col("text"), dir = idx, buckets = 4)
+    def drain(rows: Seq[(Long, String, String)], i: Int): Unit = {
+      val df = rows.toDF("doc_id", "text", "src").coalesce(1)
+      df.write.parquet(s"$root/feed$i")
+      DocStream.admitNearStream(
+          spark.readStream.schema(df.schema).parquet(s"$root/feed$i"),
+          "doc_id", "text", idx, s"$root/adm", s"$root/ckpt$i")
+        .awaitTermination()
+    }
+    val t2 = "completely different document about spark streaming and parquet file layouts"
+    val t13 = "another brand new corpus document describing minhash band signatures in detail"
+    drain(Seq(
+      (1L, refText, "crawl-a"), // all bands match the staged ref → rejected
+      (2L, t2, "crawl-a"),
+      (3L, "tiny doc", "crawl-a")), 1) // < 3 words: signs nothing, admitted
+    // run 2: FRESH checkpoint — rejection of 2's copy proves the state
+    // lives in the index; the in-batch near pair (13, 14) is admitted
+    // TOGETHER (the probe is index-keyed)
+    drain(Seq(
+      (10L, t2, "crawl-b"),
+      (13L, t13, "crawl-b"), (14L, t13, "crawl-b"),
+      (15L, "tiny doc", "crawl-b")), 2) // short again: admitted again
+    // run 3: a copy of the wave-2 pair is rejected by its indexed members
+    drain(Seq((20L, t13, "crawl-c")), 3)
+    val out = spark.read.parquet(s"$root/adm")
+    assert(out.columns.sorted.toSeq == Seq("doc_id", "src", "text"))
+    val admitted = out.select("doc_id", "src")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(admitted == Set((2L, "crawl-a"), (3L, "crawl-a"),
+      (13L, "crawl-b"), (14L, "crawl-b"), (15L, "crawl-b")))
+  }
+
   test("exact gate keeps first arrival, drops the cross-batch content dup") {
     val dir = feedDir(); writeFeed(dir)
     val kept = runGate(dir, "ds_exact",

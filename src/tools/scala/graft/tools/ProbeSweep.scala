@@ -64,9 +64,11 @@ object ProbeSweep {
     import graft.text.{Dedup, Retrieval, Substrings}
 
     // the FIXED probe batch: tail-mutated copies of 1-in-5 mult-0 docs
-    // (same collision surface at every multiple) — materialized once
+    // (same collision surface at every multiple) — materialized once.
+    // Offset clears the corpus id space through mult ≥ 100 (copies sit
+    // at k·10M; 9e8 used to collide with the k=90 copy's ids)
     val batch = corpus(spark, dir, 1).filter(col("doc_id") % 5 === 0)
-      .select((col("doc_id") + 900000000L).as("doc_id"),
+      .select((col("doc_id") + 2000000000L).as("doc_id"),
         concat(col("text"), lit(" probe batch tail")).as("text"))
       .localCheckpoint(true)
     val spark2 = spark
