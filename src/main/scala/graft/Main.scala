@@ -750,7 +750,14 @@ object Main {
     * for the exact mode `"hash": "md5"|"xxh64"` (md5 default — oracle-
     * recomputable; xxh64 stores 8-byte census keys, 4× smaller, the
     * production choice at scale); query probes a namespace and writes
-    * its duplicated spans. */
+    * its duplicated spans.
+    *
+    * `"action": "ingest"` drains a parquet feed directory into ANY
+    * staged kind as a checkpointed stream (one append per micro-batch);
+    * `"action": "admit"` drains a feed through the index-resident
+    * ADMISSION gate instead — fp = exact, lsh = near-dup — writing
+    * admitted docs (full feed schema) to `"out"` and folding their
+    * fingerprints/band signatures into the index. */
   private def index(spark: SparkSession, json: String): Int = {
     val n = new ObjectMapper().readTree(json)
     require(n != null && n.isObject, "index config must be a JSON object")
@@ -822,6 +829,38 @@ object Main {
       println(s"ingested $feed into $idx")
       return 0
     }
+    if (action == "admit") {
+      // streaming ADMISSION gate, kind-dispatched on the manifest:
+      // drain a parquet feed through the index-resident dedup gate —
+      // admitted docs (full feed schema) land in "out", their
+      // fingerprints/band signatures append into the index, rejects
+      // are dropped. fp = exact admission (DocStream.admitStream),
+      // lsh = near-dup admission (DocStream.admitNearStream, optional
+      // "maxBucket"). Config: {"index", "action": "admit",
+      // "feed": <parquet dir>, "checkpoint": <dir>, "out": <dir>}
+      // + optional "id"/"text" column names, "maxFilesPerTrigger" (1).
+      val feed = req("feed"); val ckpt = req("checkpoint")
+      val outP = req("out")
+      val mf = graft.util.IndexManifest.read(spark, idx)
+      val id = if (n.has("id")) n.get("id").asText() else "doc_id"
+      val textCol = if (n.has("text")) n.get("text").asText() else "text"
+      val src = spark.readStream.schema(spark.read.parquet(feed).schema)
+        .option("maxFilesPerTrigger", int("maxFilesPerTrigger", 1))
+        .parquet(feed)
+      val gate = mf.kind match {
+        case graft.util.IndexManifest.KindFingerprints =>
+          streaming.DocStream.admitStream(src, id, textCol, idx, outP, ckpt)
+        case graft.util.IndexManifest.KindMinhashBands =>
+          streaming.DocStream.admitNearStream(src, id, textCol, idx, outP,
+            ckpt, maxBucket = int("maxBucket", 1000))
+        case other => throw new IllegalArgumentException(
+          s"no admission gate for index kind '$other' (fp = exact, " +
+            "lsh = near-dup)")
+      }
+      gate.awaitTermination()
+      println(s"admitted $feed into $outP against $idx")
+      return 0
+    }
     val dir = req("source"); val ns = req("namespace")
     val cat = catalogAt(spark, dir,
       MigratorConfig(command = "data", source = dir, target = dir))
@@ -868,7 +907,7 @@ object Main {
             .orderBy("query_id", "rank"))
         case other =>
           throw new IllegalArgumentException(
-            s"unknown index action '$other' (build|append|query|ingest|compact|describe)")
+            s"unknown index action '$other' (build|append|query|ingest|admit|compact|describe)")
       }
       return 0
     }
@@ -901,7 +940,7 @@ object Main {
             .orderBy(id))
         case other =>
           throw new IllegalArgumentException(
-            s"unknown index action '$other' (build|append|query|ingest|compact|describe)")
+            s"unknown index action '$other' (build|append|query|ingest|admit|compact|describe)")
       }
       return 0
     }
@@ -940,7 +979,7 @@ object Main {
             .orderBy("batch_id", "ref_id"))
         case other =>
           throw new IllegalArgumentException(
-            s"unknown index action '$other' (build|append|query|ingest|compact|describe)")
+            s"unknown index action '$other' (build|append|query|ingest|admit|compact|describe)")
       }
       return 0
     }
@@ -1004,7 +1043,7 @@ object Main {
             .orderBy(id, "span_start"))
         case other =>
           throw new IllegalArgumentException(
-            s"unknown index action '$other' (build|append|query|ingest|compact|describe)")
+            s"unknown index action '$other' (build|append|query|ingest|admit|compact|describe)")
       }
       return 0
     }
@@ -1041,7 +1080,7 @@ object Main {
         outOrShow(result)
       case other =>
         throw new IllegalArgumentException(
-          s"unknown index action '$other' (build|append|query|ingest|compact|describe)")
+          s"unknown index action '$other' (build|append|query|ingest|admit|compact|describe)")
     }
     0
   }

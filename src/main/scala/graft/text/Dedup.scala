@@ -582,7 +582,15 @@ object Dedup {
     val qb = batchIds
       .select(pmod(xxhash64(col("ref_id")), lit(buckets)).as("idb"))
       .distinct().collect().map(_.getLong(0))
-    spark.read.parquet(s"$dir/ids")
+    // EXPLICIT layout schema (ref_id typed like the batch, idb = the
+    // partition key): a just-staged index whose corpus signed nothing
+    // has an EMPTY ids/ dir, and schema inference dies on it — the
+    // empty layout must read as "no ids seen", not crash the append
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      batchIds.schema("ref_id"),
+      org.apache.spark.sql.types.StructField("idb",
+        org.apache.spark.sql.types.LongType)))
+    spark.read.schema(schema).parquet(s"$dir/ids")
       .filter(col("idb").isin(qb: _*))
       .join(if (small) broadcast(batchIds) else batchIds,
         Seq("ref_id"), "left_semi")
@@ -656,7 +664,19 @@ object Dedup {
     val qb = bb.select(pmod(xxhash64(col("band"), col("bsig")), lit(buckets))
         .as("bkt"))
       .distinct().collect().map(_.getLong(0))
-    val ref = spark.read.parquet(s"$dir/bands")
+    // EXPLICIT layout schema (ref_id typed like the batch id): an index
+    // staged over a corpus where nothing signed a band has an EMPTY
+    // bands/ dir — it must probe as "no candidates", not die on schema
+    // inference (the bandIndexSeenIds discipline)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      bb.schema("batch_id").copy(name = "ref_id"),
+      org.apache.spark.sql.types.StructField("band",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("bsig",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("bkt",
+        org.apache.spark.sql.types.LongType)))
+    val ref = spark.read.schema(schema).parquet(s"$dir/bands")
       .filter(col("bkt").isin(qb: _*))
     val ok = ref.groupBy("band", "bsig").agg(count(lit(1)).as("__n"))
       .filter(col("__n") <= maxBucket)
@@ -808,7 +828,16 @@ object Dedup {
       .select(pmod(xxhash64(col("__ch")), lit(buckets)).as("fpb"))
       .distinct().collect().map(_.getLong(0))
     val hashes = bh.select("__ch")
-    spark.read.parquet(s"$dir/fp")
+    // EXPLICIT layout schema: an index staged over an all-null-text (or
+    // empty) corpus has an EMPTY fp/ dir — it must probe as "nothing
+    // seen", not die on schema inference (the bandIndexSeenIds
+    // discipline; ch = md5 string, fpb = the partition key)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ch",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("fpb",
+        org.apache.spark.sql.types.LongType)))
+    spark.read.schema(schema).parquet(s"$dir/fp")
       .filter(col("fpb").isin(qb: _*))
       .select(col("ch").as("__ch"))
       .join(if (forceBroadcast) broadcast(hashes) else hashes,

@@ -491,15 +491,20 @@ object Substrings {
     * one-row-per-char shuffle outgrows a fixed partition count as the
     * corpus grows (the per-reducer aggregation hash table is the
     * binding constraint — at 30× the sf0.1 reference, 32 local
-    * partitions put ~1.4 M keys in every task's table and the stage
-    * went super-linear; 128 linearized it). Sized at ~500 k rows per
-    * reducer for 8-byte xxh64 keys, half that for 32-char md5 keys,
-    * floored at the session's parallelism and capped at 200 k
-    * partitions (a 100 TB corpus at 0.55 B/char anchored density stays
-    * well under the cap). */
+    * partitions put ~112 M rows in every task's table and the stage
+    * went super-linear; 128 partitions ≈ 28 M rows/task linearized it
+    * at ~20 s). Sized at ~16 M rows per reducer for 8-byte xxh64 keys
+    * (≈ 0.8 GB of aggregation table, comfortably inside a 4 GB task
+    * share and safely below the measured 28 M-rows/task good point),
+    * half that for 32-char md5 keys; floored at the session's
+    * parallelism and capped at 200 k partitions. MEASURED both ways:
+    * a 500 k-rows/reducer first cut produced 2 400 partitions at 10×
+    * and tripled the stage wall (21 s vs 7–8 s) on pure task/shuffle-
+    * block overhead — over-splitting this exchange costs as much as
+    * under-splitting it. */
   private def censusPartitions(spark: org.apache.spark.sql.SparkSession,
       estRows: Double, hash: String): Int = {
-    val perPartition = if (hash == HashXxh64) 500000.0 else 250000.0
+    val perPartition = if (hash == HashXxh64) 16000000.0 else 8000000.0
     math.max(spark.sparkContext.defaultParallelism.toLong,
       math.min((estRows / perPartition).toLong, 200000L)).toInt
   }

@@ -154,6 +154,44 @@ class MainSpec extends SparkSpec {
       idx).count() == 1)
   }
 
+  test("-index action=admit drains a feed through the admission gate") {
+    val root = tmp("graft-cli-admsrc")
+    val cat = new ParquetCatalog(spark, root, "db")
+    val d = Tables.load(spark, sf0001, "documents")
+      .filter($"text".isNotNull).select($"doc_id", $"text")
+    cat.write("db.ref", d.filter($"doc_id" % 2 === 0))
+    val idx = tmp("graft-cli-adm") + "/bandix"
+    val build = writeCfg(tmp("graft-cli-admcfg1"),
+      s"""{"source":"$root","namespace":"db.ref","index":"$idx",
+         |"kind":"lsh","action":"build","buckets":8}""".stripMargin)
+    assert(Main.run(Seq("-index", build), sess) == 0)
+    // feed: exact copies of SIGNING reference docs under new ids
+    // (near-rejected by the staged bands; sub-shingle docs carry no
+    // near-dup identity, so they stay out of this fixture's copies)
+    // + genuinely new docs (admitted + indexed)
+    val feed = tmp("graft-cli-admfeed") + "/in"
+    val signs = size(split(lower($"text"), " ")) >= 3
+    d.filter($"doc_id" % 2 === 0 && $"doc_id" % 3 === 0 && signs)
+      .select(($"doc_id" + 700000L).as("doc_id"), $"text")
+      .unionByName(d.filter($"doc_id" % 4 === 1))
+      .repartition(1).write.parquet(feed)
+    val out = tmp("graft-cli-admout") + "/adm"
+    val adm = writeCfg(tmp("graft-cli-admcfg2"),
+      s"""{"index":"$idx","action":"admit","feed":"$feed","out":"$out",
+         |"checkpoint":"${tmp("graft-cli-admckpt")}/ck"}""".stripMargin)
+    assert(Main.run(Seq("-index", adm), sess) == 0)
+    val admitted = spark.read.parquet(out)
+    // no reference copy got through; admitted docs are now index-resident
+    assert(admitted.filter($"doc_id" >= 700000L).count() == 0)
+    assert(admitted.count() > 0)
+    // re-probing copies of the admitted SIGNING docs finds them all
+    val probe = admitted.filter(signs)
+      .select(($"doc_id" + 50000L).as("doc_id"), $"text")
+    assert(graft.text.Dedup.lshNewCandidatesStaged(probe, "doc_id",
+      col("text"), idx).select("batch_id").distinct().count() ==
+      admitted.filter(signs).count())
+  }
+
   test("-index kind=census builds, appends, probes, and describes a gram census") {
     val root = tmp("graft-cli-censrc")
     val cat = new ParquetCatalog(spark, root, "db")

@@ -411,6 +411,35 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("staging a corpus where nothing signs a band succeeds and stays appendable") {
+    // every doc below the shingle window (or empty): the single-pass
+    // writer emits ZERO rows for both sublayouts — staging must still
+    // produce a valid, probeable, appendable index (the read-back of
+    // the just-written bands parquet used to die on schema inference)
+    val dir = java.nio.file.Files.createTempDirectory("lshempty").toString
+    val unsigned = Seq((1L, "too short"), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    Dedup.stageBandIndex(unsigned, "doc_id", col("text"), dir)
+    val batch = docs.select(col("doc_id"), col("text")).limit(20)
+    assert(Dedup.lshNewCandidatesStaged(batch, "doc_id", col("text"), dir)
+      .count() == 0)
+    // a signing append onto the empty layout works and becomes probeable
+    Dedup.appendBandIndex(batch, "doc_id", col("text"), dir)
+    val copies = batch.select((col("doc_id") + 900000L).as("doc_id"), col("text"))
+    assert(Dedup.lshNewCandidatesStaged(copies, "doc_id", col("text"), dir)
+      .count() > 0)
+    // the fingerprint kind has the same degenerate corner: an all-null
+    // corpus stages an empty fp/ that must probe as "nothing seen"
+    val fpDir = java.nio.file.Files.createTempDirectory("fpempty").toString
+    Dedup.stageFingerprints(
+      Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text"),
+      col("text"), fpDir, buckets = 4)
+    val direct = Dedup.exactNew(batch, docs.filter(lit(false)),
+      "doc_id", col("text")).count()
+    assert(direct > 0 && Dedup.exactNewStaged(batch, "doc_id", col("text"),
+      fpDir).count() == direct)
+  }
+
   test("band append crash window: stranded ids fail closed, recovery converges") {
     // the single-pass append moves ids into place BEFORE bands; a crash
     // between the moves leaves ids rows whose band rows never landed.

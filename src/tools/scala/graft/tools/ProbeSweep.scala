@@ -113,15 +113,26 @@ object ProbeSweep {
     val mults = sys.env.get("SPARK_GRAFT_SWEEP_MULTS")
       .map(_.split(",").map(_.trim.toInt).toSeq)
       .getOrElse(Seq(1, 3, 10, 30))
+    // stage repeats (min-of-N, fresh dir each) — single stage runs on
+    // this box spread up to 3× on GC/spill timing; min is the plan cost
+    val stageReps = sys.env.getOrElse("SPARK_GRAFT_SWEEP_STAGE_REPS", "1").toInt
     for (mult <- mults; (name, stage, probe) <- sel) {
       spark.catalog.clearCache()
+      // release the previous iteration's leaked probe blocks
+      // (newDupSpans/lshNewCandidatesStaged return localCheckpoint'd
+      // frames the sweep drops on the floor) before timing anything
+      System.gc()
       val ref = corpus(spark, dir, mult)
-      val ix = java.nio.file.Files.createTempDirectory(s"ps_${name}_$mult").toString
-      val (stageSec, _) = time { stage(ref, ix); 0L }
+      val runs = (1 to stageReps).map { _ =>
+        val ix = java.nio.file.Files.createTempDirectory(s"ps_${name}_$mult").toString
+        (time { stage(ref, ix); 0L }._1, ix)
+      }
+      val (stageSec, ix) = runs.minBy(_._1)
       val (p1, n) = time(probe(ix))
       val (p2, _) = time(probe(ix))
       println(f"""{"kind":"$name","mult":$mult,"stage_sec":$stageSec%.3f,""" +
-        f""""probe_sec":${math.min(p1, p2)}%.3f,"probe_rows":$n}""")
+        f""""probe_sec":${math.min(p1, p2)}%.3f,"probe_rows":$n,""" +
+        f""""stage_reps":$stageReps}""")
     }
     spark.stop()
   }
