@@ -752,12 +752,21 @@ object Main {
     * production choice at scale); query probes a namespace and writes
     * its duplicated spans.
     *
+    * `"kind": "flat"` switches the verbs to the staged IVF-flat vector
+    * index (ml/Similarity.scala) — the exact-threshold SEMANTIC
+    * admission tier next to the PQ retrieval tier: build takes
+    * `"id"`/`"embedding"` (defaults `vec_id`/`embedding`) and
+    * `"centroids"` (64); query returns a namespace's genuinely-new
+    * vectors (no indexed neighbor of cosine ≥ `"minCos"`/1000, default
+    * 900, within `"nprobe"` probed lists, default 4).
+    *
     * `"action": "ingest"` drains a parquet feed directory into ANY
     * staged kind as a checkpointed stream (one append per micro-batch);
     * `"action": "admit"` drains a feed through the index-resident
-    * ADMISSION gate instead — fp = exact, lsh = near-dup — writing
-    * admitted docs (full feed schema) to `"out"` and folding their
-    * fingerprints/band signatures into the index. */
+    * ADMISSION gate instead — fp = exact, lsh = text near-dup,
+    * ivf_flat = semantic — writing admitted rows (full feed schema) to
+    * `"out"` and folding their fingerprints / band signatures /
+    * quantized vectors into the index. */
   private def index(spark: SparkSession, json: String): Int = {
     val n = new ObjectMapper().readTree(json)
     require(n != null && n.isObject, "index config must be a JSON object")
@@ -785,6 +794,8 @@ object Main {
           text.Substrings.compactCensus(spark, idx)
         case graft.util.IndexManifest.KindIvfPq =>
           ml.Similarity.compactIvfPq(spark, idx)
+        case graft.util.IndexManifest.KindIvfFlat =>
+          ml.Similarity.compactIvfFlat(spark, idx)
         case graft.util.IndexManifest.KindBm25 =>
           text.Retrieval.compactBm25(spark, idx)
         case graft.util.IndexManifest.KindMinhashBands =>
@@ -810,7 +821,8 @@ object Main {
       // "assumeNewIds", "compactEvery", "maxFilesPerTrigger" (1).
       val feed = req("feed"); val ckpt = req("checkpoint")
       val mf = graft.util.IndexManifest.read(spark, idx)
-      val isVec = mf.kind == graft.util.IndexManifest.KindIvfPq
+      val isVec = mf.kind == graft.util.IndexManifest.KindIvfPq ||
+        mf.kind == graft.util.IndexManifest.KindIvfFlat
       val id = if (n.has("id")) n.get("id").asText()
         else if (isVec) "vec_id" else "doc_id"
       val value =
@@ -853,9 +865,16 @@ object Main {
         case graft.util.IndexManifest.KindMinhashBands =>
           streaming.DocStream.admitNearStream(src, id, textCol, idx, outP,
             ckpt, maxBucket = int("maxBucket", 1000))
+        case graft.util.IndexManifest.KindIvfFlat =>
+          streaming.DocStream.admitVecStream(src,
+            if (n.has("id")) id else "vec_id",
+            if (n.has("embedding")) n.get("embedding").asText()
+            else "embedding",
+            idx, outP, ckpt, minCosPermille = int("minCos", 900),
+            nprobe = int("nprobe", 4))
         case other => throw new IllegalArgumentException(
           s"no admission gate for index kind '$other' (fp = exact, " +
-            "lsh = near-dup)")
+            "lsh = text near-dup, ivf_flat = semantic)")
       }
       gate.awaitTermination()
       println(s"admitted $feed into $outP against $idx")
@@ -865,8 +884,8 @@ object Main {
     val cat = catalogAt(spark, dir,
       MigratorConfig(command = "data", source = dir, target = dir))
     val kind = if (n.has("kind")) n.get("kind").asText() else "ivfpq"
-    require(Set("ivfpq", "census", "bm25", "lsh", "fp")(kind),
-      s"index kind must be ivfpq|census|bm25|lsh|fp, got $kind")
+    require(Set("ivfpq", "flat", "census", "bm25", "lsh", "fp")(kind),
+      s"index kind must be ivfpq|flat|census|bm25|lsh|fp, got $kind")
     def outOrShow(result: org.apache.spark.sql.DataFrame): Unit =
       if (n.has("out")) {
         val out = n.get("out").asText()
@@ -905,6 +924,42 @@ object Main {
           outOrShow(text.Retrieval.stagedBm25TopK(spark, idx, qs,
               "query_id", col("qtext"), k = int("k", 5))
             .orderBy("query_id", "rank"))
+        case other =>
+          throw new IllegalArgumentException(
+            s"unknown index action '$other' (build|append|query|ingest|admit|compact|describe)")
+      }
+      return 0
+    }
+    if (kind == "flat") {
+      // staged IVF-flat vector index (ml/Similarity.scala) — the
+      // reference side of incremental SEMANTIC admission: build
+      // quantizes a namespace's embeddings into list-partitioned raw
+      // vectors, query returns a probe namespace's genuinely-new
+      // vectors (no indexed neighbor of cosine >= minCos/1000 in the
+      // nprobe probed lists), append folds in an admitted batch
+      import org.apache.spark.sql.functions.col
+      val id = if (n.has("id")) n.get("id").asText() else "vec_id"
+      val emb = if (n.has("embedding")) n.get("embedding").asText()
+        else "embedding"
+      action match {
+        case "build" =>
+          ml.Similarity.stageIvfFlat(cat.read(ns), id, emb,
+            numCentroids = int("centroids", 64), dir = idx)
+          println(s"built ivf-flat index for $ns at $idx")
+        case "append" =>
+          require(!n.has("centroids"),
+            "flat config has 'centroids' but the index's staged value is " +
+              "the contract — drop it (only 'build' takes it)")
+          ml.Similarity.appendIvfFlat(cat.read(ns), id, emb, idx)
+          println(s"appended $ns into $idx")
+        case "query" =>
+          require(!n.has("centroids"),
+            "flat config has 'centroids' but the index's staged value is " +
+              "the contract — drop it (only 'build' takes it)")
+          val qns = if (n.has("queries")) n.get("queries").asText() else ns
+          outOrShow(ml.Similarity.vecNewStaged(cat.read(qns), id, emb, idx,
+              minCosPermille = int("minCos", 900), nprobe = int("nprobe", 4))
+            .orderBy(id))
         case other =>
           throw new IllegalArgumentException(
             s"unknown index action '$other' (build|append|query|ingest|admit|compact|describe)")

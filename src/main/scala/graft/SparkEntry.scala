@@ -1527,6 +1527,48 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- streaming SEMANTIC admission gate against the staged
+    // IVF-flat index (the SIXTH staged kind: raw quantized vectors
+    // partitioned by IVF list — the exact-threshold admission tier
+    // next to the PQ retrieval tier): wave 1 admits vectors with no
+    // staged neighbor of cosine >= 0.9 in their nprobe probed lists
+    // and appends its winners; wave 2 (fresh checkpoint) carries exact
+    // copies of wave-1 vectors (rejected iff their original was
+    // admitted — the state lives IN THE INDEX) and copies of staged
+    // vectors (rejected vs the staged set). compactIvfFlat closes the
+    // lifecycle; label survives to the result (full-schema out).
+    // DuckDB recomputes both waves' admission in integer arithmetic ----
+    "q_st_vec" -> ((s, dir) => {
+      val out = scratchDir("stvec")
+      val e = load(s, dir, "embeddings")
+        .filter(col("embedding").isNotNull && col("vec_id") < 1000)
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val idx = s"$out/flatidx"
+      ml.Similarity.stageIvfFlat(e.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", numCentroids = 8, dir = idx)
+      val w1 = e.filter(col("vec_id") % 4 === 1)
+      val w2 = e.filter(col("vec_id") % 4 === 3)
+        .unionByName(w1.filter(col("vec_id") % 5 === 1)
+          .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"),
+            col("label")))
+        .unionByName(e.filter(col("vec_id") % 6 === 0)
+          .select((col("vec_id") + 20000L).as("vec_id"), col("embedding"),
+            col("label")))
+      def drain(wave: org.apache.spark.sql.DataFrame, i: Int): Unit = {
+        wave.repartition(1).write.parquet(s"$out/feed$i")
+        streaming.DocStream.admitVecStream(
+            s.readStream.schema(wave.schema).parquet(s"$out/feed$i"),
+            "vec_id", "embedding", idx, s"$out/admitted", s"$out/ckpt$i",
+            minCosPermille = 900, nprobe = 2)
+          .awaitTermination()
+      }
+      drain(w1, 1)
+      drain(w2, 2) // fresh checkpoint: the index IS the state
+      ml.Similarity.compactIvfFlat(s, idx)
+      s.read.parquet(s"$out/admitted").select("vec_id", "label")
+        .orderBy("vec_id")
+    }),
+
     // ---- hybrid retrieval: BM25 ∪ dense ANN fused by reciprocal-rank
     // fusion in integer micro-units — the two-tower retrieval stack as
     // one composition (queries share the corpus id space: query k's
@@ -3946,6 +3988,93 @@ object SparkEntry {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Oracle: the streaming semantic admission gate (q_st_vec) — both
+    * waves' IVF-flat admission recomputed from arrival order in exact
+    * integer arithmetic (quantize → floor(x·1000); centroids = first 8
+    * staged vectors by id; assign = argmax dot, ties lower index;
+    * probe = top-2 by the same order; reject iff a surface vector in a
+    * probed list passes the cos ≥ 0.9 integer test: dot > 0 ∧
+    * 10⁶·dot² ≥ 81·10⁴·n2_q·n2_r in HUGEINT). Wave 2's surface — like
+    * [[admitNearSql]]'s — is staged ∪ wave-1 winners, lists assigned
+    * under the frozen centroids. */
+  private val admitVecSql: String =
+    """WITH e AS (SELECT vec_id, embedding, label FROM embeddings
+      |           WHERE embedding IS NOT NULL AND vec_id < 1000),
+      |ref AS (SELECT vec_id, embedding FROM e WHERE vec_id % 2 = 0),
+      |w1 AS (SELECT vec_id, embedding, label FROM e WHERE vec_id % 4 = 1),
+      |w2 AS (
+      |  SELECT vec_id, embedding, label FROM e WHERE vec_id % 4 = 3
+      |  UNION ALL
+      |  SELECT vec_id + 10000, embedding, label FROM w1 WHERE vec_id % 5 = 1
+      |  UNION ALL
+      |  SELECT vec_id + 20000, embedding, label FROM e WHERE vec_id % 6 = 0),
+      |allv AS (
+      |  SELECT 'r' AS side, vec_id, embedding FROM ref
+      |  UNION ALL SELECT '1', vec_id, embedding FROM w1
+      |  UNION ALL SELECT '2', vec_id, embedding FROM w2),
+      |qv AS (SELECT side, vec_id,
+      |         list_transform(embedding,
+      |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+      |       FROM allv),
+      |n2 AS (SELECT side, vec_id, q,
+      |         (SELECT CAST(sum(u * u) AS BIGINT)
+      |          FROM (SELECT unnest(q) AS u)) AS n2
+      |       FROM qv),
+      |cent AS (SELECT row_number() OVER (ORDER BY vec_id) AS cidx,
+      |           list_transform(embedding,
+      |             x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS cq
+      |         FROM (SELECT * FROM ref ORDER BY vec_id LIMIT 8) t),
+      |cd AS (SELECT v.side, v.vec_id, c.cidx,
+      |         (SELECT CAST(sum(x.u1 * x.u2) AS BIGINT)
+      |          FROM (SELECT unnest(v.q) AS u1, unnest(c.cq) AS u2) x) AS dot
+      |       FROM qv v, cent c),
+      |asgn AS (SELECT side, vec_id, cidx AS list FROM (
+      |          SELECT side, vec_id, cidx,
+      |            row_number() OVER (PARTITION BY side, vec_id
+      |                 ORDER BY dot DESC, cidx) AS rn
+      |          FROM cd) t WHERE rn = 1),
+      |probe AS (SELECT side, vec_id, cidx AS list FROM (
+      |          SELECT side, vec_id, cidx,
+      |            row_number() OVER (PARTITION BY side, vec_id
+      |                 ORDER BY dot DESC, cidx) AS rn
+      |          FROM cd) t WHERE rn <= 2),
+      |pairs1 AS (
+      |  SELECT b.vec_id AS qid, b.n2 AS bn2, r.n2 AS rn2,
+      |    (SELECT CAST(sum(x.u1 * x.u2) AS BIGINT)
+      |     FROM (SELECT unnest(b.q) AS u1, unnest(r.q) AS u2) x) AS dot
+      |  FROM probe p
+      |  JOIN asgn a ON a.side = 'r' AND a.list = p.list
+      |  JOIN n2 b ON b.side = '1' AND b.vec_id = p.vec_id
+      |  JOIN n2 r ON r.side = 'r' AND r.vec_id = a.vec_id
+      |  WHERE p.side = '1'),
+      |rej1 AS (SELECT DISTINCT qid AS vec_id FROM pairs1
+      |  WHERE dot > 0 AND 1000000 * CAST(dot AS HUGEINT) * dot
+      |          >= 810000 * CAST(bn2 AS HUGEINT) * rn2),
+      |adm1 AS (SELECT vec_id, label FROM w1
+      |         WHERE vec_id NOT IN (SELECT vec_id FROM rej1)),
+      |isurf AS (
+      |  SELECT a.vec_id, a.list, v.q, v.n2
+      |  FROM asgn a JOIN n2 v ON v.side = a.side AND v.vec_id = a.vec_id
+      |  WHERE a.side = 'r'
+      |     OR (a.side = '1' AND a.vec_id IN (SELECT vec_id FROM adm1))),
+      |pairs2 AS (
+      |  SELECT b.vec_id AS qid, b.n2 AS bn2, i.n2 AS rn2,
+      |    (SELECT CAST(sum(x.u1 * x.u2) AS BIGINT)
+      |     FROM (SELECT unnest(b.q) AS u1, unnest(i.q) AS u2) x) AS dot
+      |  FROM probe p
+      |  JOIN isurf i ON i.list = p.list
+      |  JOIN n2 b ON b.side = '2' AND b.vec_id = p.vec_id
+      |  WHERE p.side = '2'),
+      |rej2 AS (SELECT DISTINCT qid AS vec_id FROM pairs2
+      |  WHERE dot > 0 AND 1000000 * CAST(dot AS HUGEINT) * dot
+      |          >= 810000 * CAST(bn2 AS HUGEINT) * rn2),
+      |adm2 AS (SELECT vec_id, label FROM w2
+      |         WHERE vec_id NOT IN (SELECT vec_id FROM rej2))
+      |SELECT vec_id, label FROM adm1
+      |UNION ALL
+      |SELECT vec_id, label FROM adm2
+      |ORDER BY vec_id""".stripMargin
+
   private val minhashCtes: String = {
     // the permutation table, embedded literally from the SAME constants
     // the engine uses (Dedup.minhashCoeffs)
@@ -5955,6 +6084,10 @@ object SparkEntry {
     // recomputed from arrival order, wave 2 against reference + wave-1
     // winners (the index the engine grew per micro-batch)
     "q_st_lsh" -> admitNearSql,
+    // the streaming SEMANTIC admission gate: both waves' IVF-flat
+    // cosine admission recomputed in integer arithmetic, wave 2
+    // against staged + wave-1 winners
+    "q_st_vec" -> admitVecSql,
     // the streaming admission gate: arrival-ordered first-admission
     // (wave, then min id within a micro-batch) minus the staged
     // reference set — the q_curate_stream arrival discipline applied

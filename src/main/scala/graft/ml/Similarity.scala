@@ -803,4 +803,213 @@ object Similarity {
       }
       .select("id_a", "id_b", "dot_q", "n2_a", "n2_b")
   }
+
+  // --------------------------------------------------------------------
+  // IVF-FLAT: the SIXTH staged kind — raw quantized vectors partitioned
+  // by IVF list. The PQ codes layout is the top-k RETRIEVAL tier (4
+  // bytes/vector); this is the exact-threshold ADMISSION tier: semantic
+  // dedup (SemDeDup-style cosine >= t) needs exact distances, and PQ's
+  // reconstruction error at admission-grade codebooks swamps the copy /
+  // non-copy gap (measured: on the sf0.01 embeddings an exact copy's
+  // ADC self-distortion overlaps unrelated-pair distances). Layout
+  // under `dir`: `vecs/` = (id, q array<long> quantized, n2 long)
+  // PARTITIONED BY the IVF list; `meta/` = the frozen centroids
+  // (kilobytes). ~8·dims bytes/vector at rest — the price of exactness;
+  // a 100 TB corpus keeps BOTH tiers: PQ for top-k, flat for the
+  // admission gate's threshold joins, each pruned to probed lists.
+  // --------------------------------------------------------------------
+
+  /** Stage the IVF-flat layout. Centroids are the deterministic
+    * [[ivfCentroids]] of the staged corpus, frozen for the index's
+    * lifetime (appends re-read them from `meta/`). Null embeddings are
+    * excluded: a vector-less row has no admission identity (the
+    * [[graft.streaming.DocStream.admitStream]] null contract). */
+  def stageIvfFlat(corpus: DataFrame, idCol: String, embCol: String,
+      numCentroids: Int, dir: String): Unit = {
+    val spark = corpus.sparkSession
+    val nn = corpus.filter(col(embCol).isNotNull)
+    val cents = ivfCentroids(nn, idCol, embCol, numCentroids)
+    // unlike the id-free kinds (fingerprints, gram census), the
+    // centroids ARE the index geometry: an empty corpus has none, so
+    // later appends could never assign a list — refuse loudly instead
+    // of staging an index that can never hold a vector
+    require(cents.nonEmpty,
+      s"stageIvfFlat($dir): the corpus has no non-null embeddings — " +
+        "an IVF-flat index takes its centroid geometry from the staged " +
+        "corpus; stage over at least one vector")
+    import spark.implicits._
+    graft.util.StagedIndex.stage(spark, dir,
+        graft.util.IndexManifest.KindIvfFlat,
+        params = Map("centroids" -> cents.size.toString)) {
+      val obs = org.apache.spark.sql.Observation()
+      nn.select(col(idCol).as("id"), quantize(col(embCol)).as("q"))
+        .select(col("id"), col("q"), dotQ(col("q"), col("q")).as("n2"),
+          ivfAssign(col("q"), cents).as("list"))
+        .observe(obs, count(lit(1)).as("n_vectors"))
+        .repartition(col("list")) // one file per IVF list
+        .write.mode("overwrite").partitionBy("list").parquet(s"$dir/vecs")
+      cents.zipWithIndex.map { case (v, i) => (i, v: Seq[Long]) }
+        .toDF("idx", "vec")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+      Map("n_vectors" -> obs.get("n_vectors").asInstanceOf[Long])
+    }
+  }
+
+  /** The frozen centroids of a [[stageIvfFlat]] dir. */
+  private def readIvfFlatMeta(spark: org.apache.spark.sql.SparkSession,
+      dir: String): IndexedSeq[Seq[Long]] = {
+    graft.util.IndexManifest.validate(spark, dir,
+      graft.util.IndexManifest.KindIvfFlat): Unit
+    spark.read.parquet(s"$dir/meta").collect()
+      .sortBy(_.getInt(0)).map(_.getSeq[Long](1)).toIndexedSeq
+  }
+
+  /** The vecs layout read with its EXPLICIT frozen schema (id typed
+    * like the probing batch): an index staged over an all-null-embed
+    * (or empty) corpus has an empty `vecs/` dir that must read as "no
+    * vectors", not die on parquet schema inference. */
+  private def readIvfFlatVecs(spark: org.apache.spark.sql.SparkSession,
+      dir: String, idField: org.apache.spark.sql.types.StructField)
+      : DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(idField.copy(name = "id"),
+      StructField("q", ArrayType(LongType)), StructField("n2", LongType),
+      StructField("list", IntegerType)))
+    spark.read.schema(schema).parquet(s"$dir/vecs")
+  }
+
+  /** Append new vectors to a [[stageIvfFlat]] index — frozen centroids,
+    * batch-proportional (one file per touched list), the new-ids
+    * contract enforced exactly as [[appendIvfPq]] (a re-appended id
+    * would carry two vecs rows and double-reject its neighbors'
+    * admission probes — refuse before anything is written). */
+  def appendIvfFlat(batch: DataFrame, idCol: String, embCol: String,
+      dir: String, assumeNewIds: Boolean = false): Unit = {
+    val spark = batch.sparkSession
+    val cents = readIvfFlatMeta(spark, dir)
+    val nn = batch.filter(col(embCol).isNotNull)
+    if (!assumeNewIds) {
+      graft.util.StagedIndex.requireNewIds(
+        readIvfFlatVecs(spark, dir, nn.schema(idCol))
+          .select(col("id"))
+          .join(nn.select(col(idCol).as("id")).distinct(), Seq("id"),
+            "left_semi"),
+        "appendIvfFlat", dir,
+        "appending an existing id duplicates its vecs row, so admission " +
+          "probes see it twice and a re-embedded vector silently " +
+          "disagrees with its original row.",
+        "stageIvfFlat")
+    }
+    nn.select(col(idCol).as("id"), quantize(col(embCol)).as("q"))
+      .select(col("id"), col("q"), dotQ(col("q"), col("q")).as("n2"),
+        ivfAssign(col("q"), cents).as("list"))
+      .repartition(col("list")) // one file per touched list per append
+      .write.mode("append").partitionBy("list").parquet(s"$dir/vecs")
+  }
+
+  /** COMPACT a [[stageIvfFlat]] index: one file per list again,
+    * manifest count refreshed. Vecs rows are immutable per-vector
+    * facts — pure consolidation, probe-invisible, crash-safe swap. */
+  def compactIvfFlat(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    import graft.util.StagedIndex.Layout
+    val obs = org.apache.spark.sql.Observation()
+    graft.util.StagedIndex.compact(spark, dir,
+        graft.util.IndexManifest.KindIvfFlat) { _ =>
+      Seq(Layout("vecs", Some("list"),
+        _.observe(obs, count(lit(1)).as("n_vectors"))
+          .select(col("id"), col("q"), col("n2"), col("list"))))
+    } { _ => Map("n_vectors" -> obs.get("n_vectors").asInstanceOf[Long]) }
+    ()
+  }
+
+  /** Semantic admission against a FROZEN [[stageIvfFlat]] index: the
+    * rows of `batch` with NO indexed vector of cosine ≥
+    * `minCosPermille`/1000 in their `nprobe` probed IVF lists — the
+    * SemDeDup admission check as an incremental, index-resident
+    * operator (the [[graft.text.Dedup.exactNewStaged]] /
+    * `lshNewCandidatesStaged` discipline applied to embeddings).
+    *
+    * Plan shape: the batch quantizes and probes as ONE narrow
+    * projection (centroid matrix is a literal), the probed list ids
+    * (≤ batch × nprobe, collected — driver-sized) prune the vecs scan
+    * STATICALLY, and the cosine test is [[nearDupPairs]]' exact
+    * integer arithmetic in DECIMAL(38,0) — engine-exact, oracle-twin
+    * in HUGEINT. Probe cost scales with the batch's probed lists,
+    * never the reference; the batch side broadcasts below
+    * `broadcastCap` and shuffles on the list key above it (the
+    * adaptive admission discipline). Recall is `nprobe`-bounded
+    * exactly as IVF retrieval: an exact copy probes the same lists as
+    * its original, so copies are always caught; a borderline
+    * near-copy in an unprobed list is the documented trade. Null
+    * embeddings are dropped (no vector ⇒ no admission identity).
+    * Returns FULL batch rows, eagerly materialized. */
+  def vecNewStaged(batch: DataFrame, idCol: String, embCol: String,
+      dir: String, minCosPermille: Int = 900, nprobe: Int = 4,
+      broadcastCap: Long = graft.text.Dedup.AdmitBroadcastCap): DataFrame = {
+    require(minCosPermille > 0 && minCosPermille <= 1000,
+      "minCosPermille must be in (0, 1000]")
+    val spark = batch.sparkSession
+    val cents = readIvfFlatMeta(spark, dir)
+    val nn = batch.filter(col(embCol).isNotNull)
+    // the probe frame feeds the size probe, the list collect AND the
+    // join: persist + release (the exactNewStaged discipline)
+    val bq = nn.select(col(idCol), quantize(col(embCol)).as("__q"))
+      .withColumn("__n2", dotQ(col("__q"), col("__q")))
+      .select(col(idCol), col("__q"), col("__n2"),
+        explode(ivfProbes(col("__q"), cents, nprobe)).as("list"))
+      .persist()
+    try {
+      val small = broadcastCap > 0 && broadcastCap < Int.MaxValue &&
+        bq.limit(broadcastCap.toInt + 1).count() <= broadcastCap
+      val rejected = vecRejectedIds(bq, idCol, nn.schema(idCol), dir,
+        minCosPermille, forceBroadcast = small)
+      nn.join(if (small) broadcast(rejected) else rejected,
+          Seq(idCol), "left_anti")
+        .localCheckpoint(true)
+    } finally { bq.unpersist(false); () }
+  }
+
+  /** The rejected-id frame of [[vecNewStaged]]: the vecs scan pruned
+    * STATICALLY to the (materialized) probe frame's list ids, joined
+    * with the integer cosine test. Exposed for the plan-audit pin —
+    * the returned frame is lazy, so a spec can assert the scan carries
+    * partition filters. */
+  private[graft] def vecRejectedIds(bq: DataFrame, idCol: String,
+      idField: org.apache.spark.sql.types.StructField, dir: String,
+      minCosPermille: Int, forceBroadcast: Boolean): DataFrame = {
+    val spark = bq.sparkSession
+    val probed = bq.select("list").distinct().collect().map(_.getInt(0))
+    val ref = readIvfFlatVecs(spark, dir, idField)
+      .filter(col("list").isin(probed: _*))
+    val p2 = minCosPermille.toLong * minCosPermille
+    (if (forceBroadcast) broadcast(bq) else bq)
+      .join(ref, Seq("list"))
+      .withColumn("__dot", dotQ(col("__q"), col("q")))
+      .filter {
+        val d = col("__dot").cast("decimal(38,0)")
+        col("__dot") > 0 &&
+          lit(1000000L) * d * d >=
+            lit(p2) * col("__n2").cast("decimal(38,0)") *
+              col("n2").cast("decimal(38,0)")
+      }
+      .select(col(idCol)).distinct()
+  }
+
+  /** [[vecRejectedIds]] built from a raw batch — the spec-facing probe
+    * frame (materializes the probe projection exactly as
+    * [[vecNewStaged]] does, returns the LAZY rejected frame). */
+  private[graft] def vecRejectedFrame(batch: DataFrame, idCol: String,
+      embCol: String, dir: String, minCosPermille: Int = 900,
+      nprobe: Int = 4): DataFrame = {
+    val cents = readIvfFlatMeta(batch.sparkSession, dir)
+    val nn = batch.filter(col(embCol).isNotNull)
+    val bq = nn.select(col(idCol), quantize(col(embCol)).as("__q"))
+      .withColumn("__n2", dotQ(col("__q"), col("__q")))
+      .select(col(idCol), col("__q"), col("__n2"),
+        explode(ivfProbes(col("__q"), cents, nprobe)).as("list"))
+      .localCheckpoint(true)
+    vecRejectedIds(bq, idCol, nn.schema(idCol), dir, minCosPermille,
+      forceBroadcast = true)
+  }
 }

@@ -305,6 +305,10 @@ object DocStream {
         (b => graft.ml.Similarity.appendIvfPq(b, idCol, valueCol,
           indexDir, assumeNewIds),
           () => graft.ml.Similarity.compactIvfPq(spark, indexDir))
+      case KindIvfFlat =>
+        (b => graft.ml.Similarity.appendIvfFlat(b, idCol, valueCol,
+          indexDir, assumeNewIds),
+          () => graft.ml.Similarity.compactIvfFlat(spark, indexDir))
       case KindMinhashBands =>
         (b => graft.text.Dedup.appendBandIndex(b, idCol, col(valueCol),
           indexDir, assumeNewIds),
@@ -450,6 +454,54 @@ object DocStream {
             admitted.write.mode("append").parquet(outPath)
             graft.text.Dedup.appendBandIndex(admitted, idCol,
               col(textName), indexDir)
+          } finally { admitted.unpersist(false); () }
+        } finally { bb.unpersist(false); () }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
+  /** Streaming SEMANTIC admission gate against a staged IVF-flat index
+    * ([[graft.ml.Similarity.stageIvfFlat]]) — the third member of the
+    * admission family (exact via fingerprints, text-near via minhash
+    * bands, embedding-near via exact quantized cosine over IVF-pruned
+    * lists): each micro-batch probes its `nprobe` IVF lists
+    * ([[graft.ml.Similarity.vecNewStaged]] — statically pruned,
+    * batch-proportional, integer-exact cosine test), vectors with ANY
+    * indexed neighbor of cosine ≥ `minCosPermille`/1000 are REJECTED,
+    * admitted rows (FULL input schema) append to `outPath`, and their
+    * quantized vectors append into the index — the SemDeDup curation
+    * step as a live ingest service whose state lives IN THE INDEX
+    * (the [[admitStream]] contract: no watermark, unbounded horizon,
+    * fresh-checkpoint restarts keep the state).
+    *
+    * Replay is self-healing here: an exact copy probes the SAME lists
+    * as its indexed original (identical vector ⇒ identical probes) and
+    * cos = 1 rejects it, so a replayed batch whose vectors already
+    * landed admits nothing and appends nothing — `outPath` stays
+    * at-least-once (out appends BEFORE the vec append, the shared
+    * ordering), admission state stays exact. Near-dups within one
+    * micro-batch are admitted together (index-keyed probe — the batch
+    * [[graft.ml.Similarity.semanticDedup]] is the in-batch operator);
+    * null-embedding rows are dropped (no vector ⇒ no identity). */
+  def admitVecStream(docs: DataFrame, idCol: String, embName: String,
+      indexDir: String, outPath: String, checkpointDir: String,
+      minCosPermille: Int = 900, nprobe: Int = 4,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val bb = b.filter(col(embName).isNotNull).persist()
+        try {
+          // vecNewStaged returns FULL batch rows, eagerly materialized —
+          // they feed the out write AND the vec append
+          val admitted = graft.ml.Similarity.vecNewStaged(bb, idCol,
+            embName, indexDir, minCosPermille, nprobe)
+          try {
+            admitted.write.mode("append").parquet(outPath)
+            graft.ml.Similarity.appendIvfFlat(admitted, idCol, embName,
+              indexDir)
           } finally { admitted.unpersist(false); () }
         } finally { bb.unpersist(false); () }
       }

@@ -51,6 +51,7 @@ object IndexManifest {
   val KindBm25 = "bm25"
   val KindGramCensus = "gram_census"
   val KindIvfPq = "ivf_pq"
+  val KindIvfFlat = "ivf_flat"
   val KindMinhashBands = "minhash_bands"
   val KindFingerprints = "fingerprints"
 

@@ -192,6 +192,40 @@ class MainSpec extends SparkSpec {
       admitted.filter(signs).count())
   }
 
+  test("-index kind=flat builds, appends, and gates semantic admission") {
+    val root = tmp("graft-cli-flatsrc")
+    val cat = new ParquetCatalog(spark, root, "db")
+    val e = Tables.load(spark, sf0001, "embeddings")
+      .filter($"embedding".isNotNull).select($"vec_id", $"embedding")
+    cat.write("db.ref1", e.filter($"vec_id" % 4 === 0))
+    cat.write("db.ref2", e.filter($"vec_id" % 4 === 2))
+    // probe: exact copies of indexed vectors (rejected at cos = 1) +
+    // the odd half (admitted unless a natural near-dup of the evens)
+    cat.write("db.probe", e.filter($"vec_id" % 8 === 0)
+      .select(($"vec_id" + 700000L).as("vec_id"), $"embedding")
+      .unionByName(e.filter($"vec_id" % 2 === 1)))
+    val idx = tmp("graft-cli-flat") + "/flatix"
+    def cfg(name: String, json: String): String = writeCfg(tmp(name), json)
+    assert(Main.run(Seq("-index", cfg("graft-cli-flatcfg1",
+      s"""{"source":"$root","namespace":"db.ref1","index":"$idx",
+         |"kind":"flat","action":"build","centroids":8}""".stripMargin)),
+      sess) == 0)
+    assert(Main.run(Seq("-index", cfg("graft-cli-flatcfg2",
+      s"""{"source":"$root","namespace":"db.ref2","index":"$idx",
+         |"kind":"flat","action":"append"}""".stripMargin)), sess) == 0)
+    val out = tmp("graft-cli-flatout") + "/new"
+    assert(Main.run(Seq("-index", cfg("graft-cli-flatcfg3",
+      s"""{"index":"$idx","action":"query","source":"$root","kind":"flat",
+         |"namespace":"db.probe","out":"$out"}""".stripMargin)), sess) == 0)
+    val admitted = spark.read.parquet(out)
+    assert(admitted.filter($"vec_id" >= 700000L).count() == 0)
+    assert(admitted.count() > 0)
+    // the engine-side probe agrees with the CLI verb
+    assert(admitted.count() ==
+      graft.ml.Similarity.vecNewStaged(cat.read("db.probe"), "vec_id",
+        "embedding", idx).count())
+  }
+
   test("-index kind=census builds, appends, probes, and describes a gram census") {
     val root = tmp("graft-cli-censrc")
     val cat = new ParquetCatalog(spark, root, "db")

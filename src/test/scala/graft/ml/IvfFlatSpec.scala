@@ -1,0 +1,164 @@
+package graft.ml
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** The IVF-flat staged kind — the exact-threshold SEMANTIC admission
+  * tier: raw quantized vectors partitioned by IVF list, probed with the
+  * integer cosine test. Pins: staged probe == a driver-side reference
+  * on the same arithmetic, append == restage, new-ids guard, list
+  * pruning, broadcast == shuffle strategy, degenerate staging. */
+class IvfFlatSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb = Tables.load(spark, sf0001, "embeddings")
+    .filter(col("embedding").isNotNull)
+
+  private def quantized(df: org.apache.spark.sql.DataFrame)
+      : Map[Long, IndexedSeq[Long]] =
+    df.select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+      .as[(Long, Array[Long])].collect()
+      .map { case (id, q) => id -> q.toIndexedSeq }.toMap
+
+  /** Driver-side reference of [[Similarity.vecNewStaged]]'s admission
+    * decision: probes = top-`nprobe` centroids by (dot desc, idx asc),
+    * reject iff any reference vector ASSIGNED to a probed list passes
+    * dot > 0 ∧ 10⁶·dot² ≥ p²·n2_q·n2_r (BigInt — the engine's
+    * DECIMAL(38,0)). */
+  private def admittedRef(batch: Map[Long, IndexedSeq[Long]],
+      ref: Map[Long, IndexedSeq[Long]], cents: IndexedSeq[Seq[Long]],
+      nprobe: Int, p: Long): Set[Long] = {
+    def dot(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def probes(v: Seq[Long]): Seq[Int] =
+      cents.zipWithIndex.map { case (c, i) => (-dot(v, c), i + 1) }
+        .sorted.take(nprobe).map(_._2)
+    def assign(v: Seq[Long]): Int = probes(v).head
+    val refLists = ref.map { case (id, v) => id -> assign(v) }
+    batch.collect { case (qid, qv)
+        if !refLists.exists { case (rid, rl) =>
+          probes(qv).contains(rl) && {
+            val d = dot(qv, ref(rid))
+            val n2q = dot(qv, qv); val n2r = dot(ref(rid), ref(rid))
+            d > 0 && BigInt(1000000) * BigInt(d) * BigInt(d) >=
+              BigInt(p) * BigInt(p) * BigInt(n2q) * BigInt(n2r)
+          }
+        } => qid
+    }.toSet
+  }
+
+  test("staged IVF-flat admission == driver reference; append == restage; pruning") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val reference = emb.filter(col("vec_id") < 100)
+    // batch: exact copies of reference vectors (must reject) + fresh ones
+    val batch = reference.filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + 5000L).as("vec_id"), col("embedding"))
+      .unionByName(emb.filter(col("vec_id") >= 100 && col("vec_id") < 140)
+        .select(col("vec_id"), col("embedding")))
+    val dir = java.nio.file.Files.createTempDirectory("flatidx").toString
+    Similarity.stageIvfFlat(reference.filter(col("vec_id") < 60),
+      "vec_id", "embedding", numCentroids = 8, dir = dir)
+    Similarity.appendIvfFlat(reference.filter(col("vec_id") >= 60),
+      "vec_id", "embedding", dir = dir)
+    val admitted = Similarity.vecNewStaged(batch, "vec_id", "embedding",
+      dir, minCosPermille = 900, nprobe = 2)
+    val got = admitted.select("vec_id").as[Long].collect().toSet
+    // centroids are frozen from the STAGED half (first 8 by id)
+    val cents = Similarity.ivfCentroids(reference.filter(col("vec_id") < 60),
+      "vec_id", "embedding", 8)
+    val want = admittedRef(quantized(batch), quantized(reference), cents,
+      nprobe = 2, p = 900L)
+    assert(got == want)
+    // every exact copy is rejected (identical vector probes its
+    // original's list; cos = 1); at least one fresh vector is admitted
+    assert(got.forall(_ < 5000L) && got.nonEmpty)
+    // static pruning: the vecs scan carries a partition filter on `list`
+    // (pinned on the LAZY rejected frame — vecNewStaged's return is an
+    // eagerly checkpointed RDD whose plan no longer shows the scan)
+    val rejected = Similarity.vecRejectedFrame(batch, "vec_id",
+      "embedding", dir, minCosPermille = 900, nprobe = 2)
+    val plan = rejected.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    val vecScans = plan.collect { case s: FileSourceScanExec => s }
+      .filter(_.metadata.get("Location").exists(_.contains("vecs")))
+    assert(vecScans.nonEmpty && vecScans.forall(_.partitionFilters.nonEmpty),
+      s"vecs scan reads every partition:\n$plan")
+    // the shuffle strategy (cap = 0) is row-identical to the broadcast
+    val bulk = Similarity.vecNewStaged(batch, "vec_id", "embedding", dir,
+        minCosPermille = 900, nprobe = 2, broadcastCap = 0)
+      .select("vec_id").as[Long].collect().toSet
+    assert(bulk == got)
+  }
+
+  test("appendIvfFlat: an already-indexed id refuses before writing") {
+    val reference = emb.filter(col("vec_id") < 60)
+    val dir = java.nio.file.Files.createTempDirectory("flatguard").toString
+    Similarity.stageIvfFlat(reference.filter(col("vec_id") < 30),
+      "vec_id", "embedding", numCentroids = 4, dir = dir)
+    val dirty = reference.filter(col("vec_id") >= 30)
+      .unionByName(reference.filter(col("vec_id") === 5))
+    val before = spark.read.parquet(s"$dir/vecs").count()
+    val e = intercept[IllegalArgumentException] {
+      Similarity.appendIvfFlat(dirty, "vec_id", "embedding", dir = dir)
+    }
+    assert(e.getMessage.contains("existing id"))
+    assert(spark.read.parquet(s"$dir/vecs").count() == before)
+    Similarity.appendIvfFlat(reference.filter(col("vec_id") >= 30),
+      "vec_id", "embedding", dir = dir)
+    assert(spark.read.parquet(s"$dir/vecs").count() == reference.count())
+  }
+
+  test("compactIvfFlat: one file per list, admission-identical, count refreshed") {
+    val reference = emb.filter(col("vec_id") < 80)
+    val batch = emb.filter(col("vec_id") >= 80 && col("vec_id") < 110)
+    val dir = java.nio.file.Files.createTempDirectory("flatcompact").toString
+    Similarity.stageIvfFlat(reference.filter(col("vec_id") < 40),
+      "vec_id", "embedding", numCentroids = 4, dir = dir)
+    for (s <- 40 until 80 by 10)
+      Similarity.appendIvfFlat(
+        reference.filter(col("vec_id") >= s && col("vec_id") < s + 10),
+        "vec_id", "embedding", dir = dir)
+    def admittedNow() = Similarity.vecNewStaged(batch, "vec_id", "embedding",
+      dir, nprobe = 2).select("vec_id").as[Long].collect().toSet
+    val before = admittedNow()
+    Similarity.compactIvfFlat(spark, dir)
+    assert(admittedNow() == before)
+    val mf = graft.util.IndexManifest.read(spark, dir)
+    assert(mf.counts.get("n_vectors").contains(reference.count()))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val listDirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/vecs"))
+      .filter(_.getPath.getName.startsWith("list="))
+    assert(listDirs.nonEmpty && listDirs.forall(d =>
+      fs.listStatus(d.getPath).count(f =>
+        f.getPath.getName.endsWith(".parquet")) == 1))
+  }
+
+  test("an all-null-embedding corpus refuses to stage (no centroid geometry)") {
+    // unlike the id-free kinds, the centroids ARE the index geometry —
+    // an empty stage could never hold a vector, so it fails loudly
+    val dir = java.nio.file.Files.createTempDirectory("flatempty").toString
+    val unsigned = Seq((1L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.stageIvfFlat(unsigned, "vec_id", "embedding",
+        numCentroids = 4, dir = dir)
+    }
+    assert(e.getMessage.contains("no non-null embeddings"))
+    // a single-vector corpus is a valid geometry: stage, probe, append
+    val one = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id"), col("embedding"))
+    Similarity.stageIvfFlat(one, "vec_id", "embedding",
+      numCentroids = 4, dir = dir)
+    val batch = emb.filter(col("vec_id") >= 1 && col("vec_id") < 20)
+      .select(col("vec_id"), col("embedding"))
+    Similarity.appendIvfFlat(batch, "vec_id", "embedding", dir)
+    val copies = batch.select((col("vec_id") + 9000L).as("vec_id"),
+      col("embedding"))
+    assert(Similarity.vecNewStaged(copies, "vec_id", "embedding", dir)
+      .count() == 0)
+  }
+}

@@ -117,6 +117,41 @@ class DocStreamSpec extends SparkSpec {
       (13L, "crawl-b"), (14L, "crawl-b"), (15L, "crawl-b")))
   }
 
+  test("admitVecStream: semantic state spans runs; null embeddings dropped") {
+    val root = feedDir()
+    val idx = s"$root/flatidx"
+    // 4-dim toy geometry: orthogonal vectors are cos 0 (admitted),
+    // copies are cos 1 (rejected)
+    def v(x: Float*): Array[Float] = x.toArray
+    graft.ml.Similarity.stageIvfFlat(
+      Seq((100L, v(1f, 0f, 0f, 0f)), (101L, v(0f, 1f, 0f, 0f)))
+        .toDF("vec_id", "embedding"),
+      "vec_id", "embedding", numCentroids = 2, dir = idx)
+    def drain(rows: Seq[(Long, Array[Float], String)], i: Int): Unit = {
+      val df = rows.toDF("vec_id", "embedding", "src").coalesce(1)
+      df.write.parquet(s"$root/feed$i")
+      DocStream.admitVecStream(
+          spark.readStream.schema(df.schema).parquet(s"$root/feed$i"),
+          "vec_id", "embedding", idx, s"$root/adm", s"$root/ckpt$i")
+        .awaitTermination()
+    }
+    drain(Seq(
+      (1L, v(1f, 0f, 0f, 0f), "crawl-a"), // copy of staged 100 → rejected
+      (2L, v(0f, 0f, 1f, 0f), "crawl-a"), // orthogonal to everything → admitted
+      (3L, null.asInstanceOf[Array[Float]], "crawl-a")), 1) // dropped
+    // run 2: FRESH checkpoint — rejecting 2's copy proves the state
+    // lives in the index; a NEAR copy (cos ~ 0.995 > 0.9) also rejects
+    drain(Seq(
+      (10L, v(0f, 0f, 1f, 0f), "crawl-b"),
+      (11L, v(0f, 0.1f, 0.995f, 0f), "crawl-b"),
+      (12L, v(0f, 0f, 0f, 1f), "crawl-b")), 2) // new direction → admitted
+    val out = spark.read.parquet(s"$root/adm")
+    assert(out.columns.sorted.toSeq == Seq("embedding", "src", "vec_id"))
+    val admitted = out.select("vec_id", "src")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(admitted == Set((2L, "crawl-a"), (12L, "crawl-b")))
+  }
+
   test("exact gate keeps first arrival, drops the cross-batch content dup") {
     val dir = feedDir(); writeFeed(dir)
     val kept = runGate(dir, "ds_exact",
