@@ -45,6 +45,26 @@ object ProbeSweep {
     }.reduce(_ unionByName _)
   }
 
+  /** Embedding-corpus multiples for the IVF-flat kind: copy k rotates
+    * each vector's dims by k positions — a rotation is cosine-random
+    * vs the original, so multiples are genuinely distinct admission
+    * content (the token-salting analog for vectors). Rotations wrap at
+    * the dim count, so a ≥ dims multiple carries exact cross-multiple
+    * repeats — harmless for STAGE scaling (ids are distinct; the index
+    * does not dedup), and the probe batch avoids the collision by
+    * construction (see below). */
+  private def vecCorpus(spark: SparkSession, dir: String, mult: Int): DataFrame = {
+    val d = Tables.load(spark, dir, "embeddings")
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+    (0 until mult).map { k =>
+      val e = if (k == 0) col("embedding")
+        else concat(slice(col("embedding"), k + 1, 1 << 20),
+          slice(col("embedding"), 1, k))
+      d.select((col("vec_id") + k * 10000000L).as("vec_id"), e.as("embedding"))
+    }.reduce(_ unionByName _)
+  }
+
   private def time(f: => Long): (Double, Long) = {
     val t0 = System.nanoTime()
     val n = f
@@ -76,6 +96,20 @@ object ProbeSweep {
     val queries = Seq((1L, "key table scan"), (2L, "fast merge batch window"))
       .toDF("query_id", "qtext").localCheckpoint(true)
 
+    // the FIXED vector probe batch: half scaled copies of mult-0
+    // vectors (cosine-invariant scaling ⇒ cos = 1 ⇒ rejected at every
+    // multiple) + half NEGATED vectors (cos = −1 vs every rotation ⇒
+    // admitted at every multiple — no rotation offset stays
+    // admittable past dims multiples, negation does)
+    val vbatch = {
+      val d = vecCorpus(spark, dir, 1).filter(col("vec_id") % 5 === 0)
+      d.select((col("vec_id") + 2000000000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.0001f)).as("embedding"))
+        .unionByName(d.select((col("vec_id") + 2100000000L).as("vec_id"),
+          transform(col("embedding"), x => -x).as("embedding")))
+        .localCheckpoint(true)
+    }
+
     // (kind, stage into dir, probe returning a row count)
     val kinds: Seq[(String, (DataFrame, String) => Unit, String => Long)] = Seq(
       ("census", (ref, ix) => Substrings.stageGramCensus(ref, "doc_id",
@@ -100,15 +134,25 @@ object ProbeSweep {
           buckets = 64),
         ix => Dedup.exactNewStaged(batch, "doc_id", col("text"), ix)
           .count()))
+    // the vector kind rides the embeddings table, not documents — its
+    // (stage, probe) pair closes over vecCorpus via stageRef below
+    val vecKinds: Seq[(String, (DataFrame, String) => Unit, String => Long)] = Seq(
+      ("flat", (ref, ix) => graft.ml.Similarity.stageIvfFlat(ref, "vec_id",
+          "embedding", numCentroids = 64, dir = ix),
+        ix => graft.ml.Similarity.vecNewStaged(vbatch, "vec_id",
+          "embedding", ix, nprobe = 4).count()))
     val only = sys.env.get("SPARK_GRAFT_SWEEP_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val sel = kinds.filter(k => only.forall(_.contains(k._1)))
+    val sel = (kinds ++ vecKinds).filter(k => only.forall(_.contains(k._1)))
+    def refOf(name: String, mult: Int): DataFrame =
+      if (name == "flat") vecCorpus(spark, dir, mult)
+      else corpus(spark, dir, mult)
 
     // warm-up: stage+probe once at 1× so codegen/JIT is out of the
     // timed region
     for ((name, stage, probe) <- sel) {
       val ix = java.nio.file.Files.createTempDirectory(s"pswarm_$name").toString
-      stage(corpus(spark, dir, 1), ix); probe(ix): Unit
+      stage(refOf(name, 1), ix); probe(ix): Unit
     }
     val mults = sys.env.get("SPARK_GRAFT_SWEEP_MULTS")
       .map(_.split(",").map(_.trim.toInt).toSeq)
@@ -122,7 +166,7 @@ object ProbeSweep {
       // (newDupSpans/lshNewCandidatesStaged return localCheckpoint'd
       // frames the sweep drops on the floor) before timing anything
       System.gc()
-      val ref = corpus(spark, dir, mult)
+      val ref = refOf(name, mult)
       val runs = (1 to stageReps).map { _ =>
         val ix = java.nio.file.Files.createTempDirectory(s"ps_${name}_$mult").toString
         (time { stage(ref, ix); 0L }._1, ix)
