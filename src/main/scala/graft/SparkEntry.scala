@@ -4051,7 +4051,9 @@ object SparkEntry {
       |  WHERE dot > 0 AND 1000000 * CAST(dot AS HUGEINT) * dot
       |          >= 810000 * CAST(bn2 AS HUGEINT) * rn2),
       |adm1 AS (SELECT vec_id, label FROM w1
-      |         WHERE vec_id NOT IN (SELECT vec_id FROM rej1)),
+      |         WHERE vec_id NOT IN (SELECT vec_id FROM rej1)
+      |           AND vec_id IN (SELECT vec_id FROM n2
+      |                          WHERE side = '1' AND n2 > 0)),
       |isurf AS (
       |  SELECT a.vec_id, a.list, v.q, v.n2
       |  FROM asgn a JOIN n2 v ON v.side = a.side AND v.vec_id = a.vec_id
@@ -4069,7 +4071,9 @@ object SparkEntry {
       |  WHERE dot > 0 AND 1000000 * CAST(dot AS HUGEINT) * dot
       |          >= 810000 * CAST(bn2 AS HUGEINT) * rn2),
       |adm2 AS (SELECT vec_id, label FROM w2
-      |         WHERE vec_id NOT IN (SELECT vec_id FROM rej2))
+      |         WHERE vec_id NOT IN (SELECT vec_id FROM rej2)
+      |           AND vec_id IN (SELECT vec_id FROM n2
+      |                          WHERE side = '2' AND n2 > 0))
       |SELECT vec_id, label FROM adm1
       |UNION ALL
       |SELECT vec_id, label FROM adm2

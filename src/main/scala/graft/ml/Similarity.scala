@@ -821,13 +821,15 @@ object Similarity {
 
   /** Stage the IVF-flat layout. Centroids are the deterministic
     * [[ivfCentroids]] of the staged corpus, frozen for the index's
-    * lifetime (appends re-read them from `meta/`). Null embeddings are
-    * excluded: a vector-less row has no admission identity (the
-    * [[graft.streaming.DocStream.admitStream]] null contract). */
+    * lifetime (appends re-read them from `meta/`). Null and
+    * zero-quantized embeddings are excluded: a directionless row has
+    * no admission identity ([[vecNewStaged]]'s null contract), and an
+    * indexed zero vector could never reject anything (the cosine
+    * test's `dot > 0`) — dead weight in every probed list. */
   def stageIvfFlat(corpus: DataFrame, idCol: String, embCol: String,
       numCentroids: Int, dir: String): Unit = {
     val spark = corpus.sparkSession
-    val nn = corpus.filter(col(embCol).isNotNull)
+    val nn = vecAdmissible(corpus, embCol)
     val cents = ivfCentroids(nn, idCol, embCol, numCentroids)
     // unlike the id-free kinds (fingerprints, gram census), the
     // centroids ARE the index geometry: an empty corpus has none, so
@@ -864,10 +866,11 @@ object Similarity {
       .sortBy(_.getInt(0)).map(_.getSeq[Long](1)).toIndexedSeq
   }
 
-  /** The vecs layout read with its EXPLICIT frozen schema (id typed
-    * like the probing batch): an index staged over an all-null-embed
-    * (or empty) corpus has an empty `vecs/` dir that must read as "no
-    * vectors", not die on parquet schema inference. */
+  /** The vecs layout, empty-tolerant ([[graft.util.StagedIndex
+    * .readLayout]]): with data present the schema is INFERRED as
+    * always; an all-appends-refused (or freshly-compacted-to-nothing)
+    * empty `vecs/` dir reads as "no vectors" instead of dying on
+    * parquet schema inference. */
   private def readIvfFlatVecs(spark: org.apache.spark.sql.SparkSession,
       dir: String, idField: org.apache.spark.sql.types.StructField)
       : DataFrame = {
@@ -875,7 +878,7 @@ object Similarity {
     val schema = StructType(Seq(idField.copy(name = "id"),
       StructField("q", ArrayType(LongType)), StructField("n2", LongType),
       StructField("list", IntegerType)))
-    spark.read.schema(schema).parquet(s"$dir/vecs")
+    graft.util.StagedIndex.readLayout(spark, s"$dir/vecs", schema)
   }
 
   /** Append new vectors to a [[stageIvfFlat]] index — frozen centroids,
@@ -887,7 +890,7 @@ object Similarity {
       dir: String, assumeNewIds: Boolean = false): Unit = {
     val spark = batch.sparkSession
     val cents = readIvfFlatMeta(spark, dir)
-    val nn = batch.filter(col(embCol).isNotNull)
+    val nn = vecAdmissible(batch, embCol)
     if (!assumeNewIds) {
       graft.util.StagedIndex.requireNewIds(
         readIvfFlatVecs(spark, dir, nn.schema(idCol))
@@ -941,8 +944,13 @@ object Similarity {
     * adaptive admission discipline). Recall is `nprobe`-bounded
     * exactly as IVF retrieval: an exact copy probes the same lists as
     * its original, so copies are always caught; a borderline
-    * near-copy in an unprobed list is the documented trade. Null
-    * embeddings are dropped (no vector ⇒ no admission identity).
+    * near-copy in an unprobed list is the documented trade. Null AND
+    * zero-quantized embeddings are dropped (no direction ⇒ no cosine
+    * ⇒ no admission identity — and a zero vector can never be
+    * REJECTED by the cosine test's `dot > 0`, so passing it through
+    * would re-admit it on every replayed micro-batch forever and
+    * poison the append guard; the null-text discipline of
+    * [[graft.streaming.DocStream.admitStream]] applied to vectors).
     * Returns FULL batch rows, eagerly materialized. */
   def vecNewStaged(batch: DataFrame, idCol: String, embCol: String,
       dir: String, minCosPermille: Int = 900, nprobe: Int = 4,
@@ -951,14 +959,10 @@ object Similarity {
       "minCosPermille must be in (0, 1000]")
     val spark = batch.sparkSession
     val cents = readIvfFlatMeta(spark, dir)
-    val nn = batch.filter(col(embCol).isNotNull)
+    val nn = vecAdmissible(batch, embCol)
     // the probe frame feeds the size probe, the list collect AND the
     // join: persist + release (the exactNewStaged discipline)
-    val bq = nn.select(col(idCol), quantize(col(embCol)).as("__q"))
-      .withColumn("__n2", dotQ(col("__q"), col("__q")))
-      .select(col(idCol), col("__q"), col("__n2"),
-        explode(ivfProbes(col("__q"), cents, nprobe)).as("list"))
-      .persist()
+    val bq = vecProbeFrame(nn, idCol, embCol, cents, nprobe).persist()
     try {
       val small = broadcastCap > 0 && broadcastCap < Int.MaxValue &&
         bq.limit(broadcastCap.toInt + 1).count() <= broadcastCap
@@ -996,20 +1000,34 @@ object Similarity {
       .select(col(idCol)).distinct()
   }
 
+  /** The rows of `batch` that carry an admission identity: non-null
+    * embeddings whose QUANTIZED norm is positive (a zero vector has no
+    * direction, so no cosine — see [[vecNewStaged]]'s null contract). */
+  private def vecAdmissible(batch: DataFrame, embCol: String): DataFrame =
+    batch.filter(col(embCol).isNotNull && quantizedNormSq(col(embCol)) > 0)
+
+  /** The SHARED probe projection of [[vecNewStaged]] and the spec
+    * helper below — one builder, so the plan-audit pin can never drift
+    * from the production probe: quantize, norm, one probe-list row per
+    * (vector, probed list). LAZY; callers choose materialization. */
+  private def vecProbeFrame(nn: DataFrame, idCol: String, embCol: String,
+      cents: IndexedSeq[Seq[Long]], nprobe: Int): DataFrame =
+    nn.select(col(idCol), quantize(col(embCol)).as("__q"))
+      .withColumn("__n2", dotQ(col("__q"), col("__q")))
+      .select(col(idCol), col("__q"), col("__n2"),
+        explode(ivfProbes(col("__q"), cents, nprobe)).as("list"))
+
   /** [[vecRejectedIds]] built from a raw batch — the spec-facing probe
-    * frame (materializes the probe projection exactly as
-    * [[vecNewStaged]] does, returns the LAZY rejected frame). */
+    * frame (same [[vecProbeFrame]] projection as [[vecNewStaged]],
+    * left LAZY end-to-end so nothing is pinned to executor storage;
+    * the list-collect re-runs the narrow projection, which a spec can
+    * afford). */
   private[graft] def vecRejectedFrame(batch: DataFrame, idCol: String,
       embCol: String, dir: String, minCosPermille: Int = 900,
       nprobe: Int = 4): DataFrame = {
     val cents = readIvfFlatMeta(batch.sparkSession, dir)
-    val nn = batch.filter(col(embCol).isNotNull)
-    val bq = nn.select(col(idCol), quantize(col(embCol)).as("__q"))
-      .withColumn("__n2", dotQ(col("__q"), col("__q")))
-      .select(col(idCol), col("__q"), col("__n2"),
-        explode(ivfProbes(col("__q"), cents, nprobe)).as("list"))
-      .localCheckpoint(true)
-    vecRejectedIds(bq, idCol, nn.schema(idCol), dir, minCosPermille,
-      forceBroadcast = true)
+    val nn = vecAdmissible(batch, embCol)
+    vecRejectedIds(vecProbeFrame(nn, idCol, embCol, cents, nprobe),
+      idCol, nn.schema(idCol), dir, minCosPermille, forceBroadcast = true)
   }
 }

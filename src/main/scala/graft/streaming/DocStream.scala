@@ -483,7 +483,12 @@ object DocStream {
     * ordering), admission state stays exact. Near-dups within one
     * micro-batch are admitted together (index-keyed probe — the batch
     * [[graft.ml.Similarity.semanticDedup]] is the in-batch operator);
-    * null-embedding rows are dropped (no vector ⇒ no identity). */
+    * null AND zero-quantized embeddings are dropped (no direction ⇒
+    * no identity — and a zero vector is un-rejectable by the cosine
+    * test's `dot > 0`, so passing it through would re-admit it on
+    * every replay and poison the append guard:
+    * [[graft.ml.Similarity.vecNewStaged]]'s admissibility contract,
+    * which is also what keeps replay self-healing). */
   def admitVecStream(docs: DataFrame, idCol: String, embName: String,
       indexDir: String, outPath: String, checkpointDir: String,
       minCosPermille: Int = 900, nprobe: Int = 4,

@@ -470,8 +470,14 @@ object Dedup {
     * single explode over the per-doc band-signature array with a
     * sentinel element appended — the document is tokenized and
     * min-hashed exactly once, with no cache and no distinct (one
-    * sentinel per doc by construction). `bkt` uses the same
-    * (band:int, bsig:string) hash as [[bandRows]]-derived probes. */
+    * sentinel per doc by construction — per input ROW: ids are the
+    * caller's identity contract, as in every id-carrying append, so a
+    * frame carrying the same id twice writes duplicate ids/bands rows
+    * and over-counts n_docs until [[compactBandIndex]]'s distincts
+    * collapse them; the pre-single-pass stage paid a full extra
+    * distinct shuffle to mask that contract violation). `bkt` uses the
+    * same (band:int, bsig:string) hash as [[bandRows]]-derived
+    * probes. */
   private def bandAndIdRows(df: DataFrame, idCol: String, text: Column,
       numHashes: Int, rowsPerBand: Int, shingleWords: Int,
       buckets: Long): DataFrame = {
@@ -504,8 +510,11 @@ object Dedup {
     * then MOVED into `ids/` and `bands/`, ids FIRST. The move order
     * preserves the fail-closed crash contract: a crash between the
     * moves means a RETRY of the same batch refuses loudly on the
-    * new-ids guard (recoverable — restage, or assumeNewIds with
-    * upstream proof); the reverse order would let the retry's guard
+    * new-ids guard (recoverable — restage, or assumeNewIds FOLLOWED BY
+    * [[compactBandIndex]]: a crash part-way through the bands move may
+    * have landed some buckets' files, and the re-append then carries a
+    * second copy of those rows until the compaction's distinct
+    * collapses them); the reverse order would let the retry's guard
     * pass and double-append band rows, the silent bucket-census
     * corruption the guard exists to refuse. Id-side data files carry
     * null band/bsig columns (bytes of parquet metadata — readers
@@ -582,15 +591,16 @@ object Dedup {
     val qb = batchIds
       .select(pmod(xxhash64(col("ref_id")), lit(buckets)).as("idb"))
       .distinct().collect().map(_.getLong(0))
-    // EXPLICIT layout schema (ref_id typed like the batch, idb = the
-    // partition key): a just-staged index whose corpus signed nothing
-    // has an EMPTY ids/ dir, and schema inference dies on it — the
-    // empty layout must read as "no ids seen", not crash the append
+    // empty-tolerant read (StagedIndex.readLayout): a just-staged index
+    // whose corpus signed nothing has an EMPTY ids/ dir that must read
+    // as "no ids seen", not die on schema inference; with data present
+    // the schema is INFERRED as always (the batch's id type matches
+    // through the join's implicit cast)
     val schema = org.apache.spark.sql.types.StructType(Seq(
       batchIds.schema("ref_id"),
       org.apache.spark.sql.types.StructField("idb",
         org.apache.spark.sql.types.LongType)))
-    spark.read.schema(schema).parquet(s"$dir/ids")
+    graft.util.StagedIndex.readLayout(spark, s"$dir/ids", schema)
       .filter(col("idb").isin(qb: _*))
       .join(if (small) broadcast(batchIds) else batchIds,
         Seq("ref_id"), "left_semi")
@@ -664,10 +674,10 @@ object Dedup {
     val qb = bb.select(pmod(xxhash64(col("band"), col("bsig")), lit(buckets))
         .as("bkt"))
       .distinct().collect().map(_.getLong(0))
-    // EXPLICIT layout schema (ref_id typed like the batch id): an index
-    // staged over a corpus where nothing signed a band has an EMPTY
-    // bands/ dir — it must probe as "no candidates", not die on schema
-    // inference (the bandIndexSeenIds discipline)
+    // empty-tolerant read (StagedIndex.readLayout): an index staged
+    // over a corpus where nothing signed a band has an EMPTY bands/
+    // dir — it must probe as "no candidates", not die on schema
+    // inference; with data present the schema is INFERRED as always
     val schema = org.apache.spark.sql.types.StructType(Seq(
       bb.schema("batch_id").copy(name = "ref_id"),
       org.apache.spark.sql.types.StructField("band",
@@ -676,7 +686,7 @@ object Dedup {
         org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("bkt",
         org.apache.spark.sql.types.LongType)))
-    val ref = spark.read.schema(schema).parquet(s"$dir/bands")
+    val ref = graft.util.StagedIndex.readLayout(spark, s"$dir/bands", schema)
       .filter(col("bkt").isin(qb: _*))
     val ok = ref.groupBy("band", "bsig").agg(count(lit(1)).as("__n"))
       .filter(col("__n") <= maxBucket)
@@ -698,14 +708,23 @@ object Dedup {
     val obs = org.apache.spark.sql.Observation()
     graft.util.StagedIndex.compact(spark, dir,
         graft.util.IndexManifest.KindMinhashBands) { _ =>
-      // band rows are immutable per-doc facts: pure consolidation.
-      // ids DEDUP on the way through (distinct before the count): a
-      // stranded ids-first append recovered via assumeNewIds leaves a
-      // duplicate ids row — guard-harmless (semi-join), but a pure
-      // row count would inflate n_docs
+      // BOTH sublayouts DEDUP on the way through: a legitimate row is
+      // unique by construction (one band row per (doc, band), one id
+      // row per signed doc), so distinct is a no-op on a healthy
+      // index — and it is what makes the documented crash RECOVERY
+      // converge. A crash part-way through writeBandSublayouts' bands
+      // move leaves some buckets' band files moved; the retry refuses
+      // on the ids guard, and the assumeNewIds re-append then lands a
+      // SECOND copy of the already-moved buckets' rows, double-counting
+      // them in the maxBucket census (a borderline bucket silently
+      // tips over the cap) until this compaction collapses the copies.
+      // Recovery contract: assumeNewIds + compactBandIndex, in that
+      // order — probes between the two may under-report borderline
+      // buckets (DedupSpec pins the convergence).
       Seq(
         Layout("bands", Some("bkt"),
-          _.select(col("ref_id"), col("band"), col("bsig"), col("bkt"))),
+          _.select(col("ref_id"), col("band"), col("bsig"), col("bkt"))
+            .distinct()),
         Layout("ids", Some("idb"),
           _.select(col("ref_id"), col("idb")).distinct()
             .observe(obs, count(lit(1)).as("n_docs"))))
@@ -828,16 +847,16 @@ object Dedup {
       .select(pmod(xxhash64(col("__ch")), lit(buckets)).as("fpb"))
       .distinct().collect().map(_.getLong(0))
     val hashes = bh.select("__ch")
-    // EXPLICIT layout schema: an index staged over an all-null-text (or
-    // empty) corpus has an EMPTY fp/ dir — it must probe as "nothing
-    // seen", not die on schema inference (the bandIndexSeenIds
-    // discipline; ch = md5 string, fpb = the partition key)
+    // empty-tolerant read (StagedIndex.readLayout): an index staged
+    // over an all-null-text (or empty) corpus has an EMPTY fp/ dir —
+    // it must probe as "nothing seen", not die on schema inference
+    // (ch = md5 string, fpb = the partition key)
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("ch",
         org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("fpb",
         org.apache.spark.sql.types.LongType)))
-    spark.read.schema(schema).parquet(s"$dir/fp")
+    graft.util.StagedIndex.readLayout(spark, s"$dir/fp", schema)
       .filter(col("fpb").isin(qb: _*))
       .select(col("ch").as("__ch"))
       .join(if (forceBroadcast) broadcast(hashes) else hashes,

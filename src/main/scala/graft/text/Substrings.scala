@@ -463,7 +463,7 @@ object Substrings {
     requireHash(hash)
     stageCensusFrom(corpus, text,
       gramRows(corpus, idCol, text, k, maxChars, hash),
-      k, dir, buckets, Map("mode" -> "exact", "hash" -> hash))
+      k, dir, buckets, maxChars, Map("mode" -> "exact", "hash" -> hash))
   }
 
   /** Stage the ANCHORED census — the 100 TB staged variant: one row per
@@ -481,7 +481,7 @@ object Substrings {
     requireHash(hash)
     stageCensusFrom(corpus, text,
       winnowRows(corpus, idCol, text, k, guarantee, maxChars, hash),
-      k, dir, buckets,
+      k, dir, buckets, maxChars,
       Map("mode" -> "anchored", "guarantee" -> guarantee.toString,
         "hash" -> hash))
   }
@@ -510,7 +510,8 @@ object Substrings {
   }
 
   private def stageCensusFrom(corpus: DataFrame, text: Column, rows: DataFrame,
-      k: Int, dir: String, buckets: Int, extraParams: Map[String, String]): Unit = {
+      k: Int, dir: String, buckets: Int, maxChars: Int,
+      extraParams: Map[String, String]): Unit = {
     require(buckets > 0, "buckets must be positive")
     val spark = corpus.sparkSession
     // invalidate-first/manifest-last bracket (StagedIndex.stage)
@@ -521,9 +522,17 @@ object Substrings {
       // ONE corpus-stats pass up front feeds BOTH the manifest's
       // n_docs (previously a separate post-write count scan) and the
       // census exchange's partition count ([[censusPartitions]] —
-      // exact mode emits ~1 row per char, anchored ~2/(window+1))
+      // exact mode emits ~1 row per char, anchored ~2/(window+1)).
+      // The char sum honors the per-doc maxChars cap: gramRows only
+      // censuses the capped prefix, and sizing the exchange from the
+      // UNCAPPED length would over-partition a truncated stage by the
+      // truncation ratio — the exact over-splitting penalty
+      // censusPartitions documents
+      val cappedLen =
+        if (maxChars > 0) least(length(text), lit(maxChars))
+        else length(text)
       val st = corpus.filter(text.isNotNull)
-        .agg(count(lit(1)), coalesce(sum(length(text)), lit(0L)))
+        .agg(count(lit(1)), coalesce(sum(cappedLen), lit(0L)))
         .collect()(0)
       val (docs, chars) = (st.getLong(0), st.getLong(1))
       val density = extraParams.get("guarantee") match {

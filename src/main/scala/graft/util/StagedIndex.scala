@@ -66,6 +66,26 @@ object StagedIndex {
         "disjointness is proven upstream.")
   }
 
+  /** Read a staged sublayout that may be legitimately EMPTY (an index
+    * staged over a corpus where nothing signed): with data present the
+    * read INFERS the parquet schema — so a probing batch whose id type
+    * differs from the staged type still matches through the join's
+    * implicit cast, as it always did — and only a layout with no data
+    * files falls back to `emptySchema` (schema inference has nothing
+    * to infer there and would throw; the layout must read as "no rows
+    * seen" instead). The listing is one driver-side RPC per probe. */
+  def readLayout(spark: SparkSession, path: String,
+      emptySchema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasData = fs.exists(p) && fs.listStatus(p).exists { s =>
+      val n = s.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+    if (hasData) spark.read.parquet(path)
+    else spark.read.schema(emptySchema).parquet(path)
+  }
+
   /** Compact bracket: validate kind-only (see class doc), swap each
     * sublayout crash-safely ([[DirSwap.replace]]) through its
     * consolidation with ONE file per partition restored, then refresh

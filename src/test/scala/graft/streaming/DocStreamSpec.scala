@@ -138,7 +138,11 @@ class DocStreamSpec extends SparkSpec {
     drain(Seq(
       (1L, v(1f, 0f, 0f, 0f), "crawl-a"), // copy of staged 100 → rejected
       (2L, v(0f, 0f, 1f, 0f), "crawl-a"), // orthogonal to everything → admitted
-      (3L, null.asInstanceOf[Array[Float]], "crawl-a")), 1) // dropped
+      (3L, null.asInstanceOf[Array[Float]], "crawl-a"), // dropped
+      // zero-quantized: no direction, dropped — NOT admitted (it is
+      // un-rejectable by the cosine test, so admitting it would make a
+      // replayed batch re-admit it and poison the append guard)
+      (4L, v(0f, 0f, 0f, 0f), "crawl-a")), 1)
     // run 2: FRESH checkpoint — rejecting 2's copy proves the state
     // lives in the index; a NEAR copy (cos ~ 0.995 > 0.9) also rejects
     drain(Seq(

@@ -487,6 +487,54 @@ class DedupSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/ids").count() == mf.counts("n_docs"))
   }
 
+  test("band append crash mid-bands-move: partially-landed buckets converge via compact") {
+    // the harder crash shape: SOME of the append's bands files moved
+    // before the crash. The assumeNewIds recovery re-appends everything,
+    // so the already-moved buckets carry their rows TWICE (double-counted
+    // in the maxBucket census) until compactBandIndex's distinct
+    // collapses the copies — the documented recovery is assumeNewIds
+    // FOLLOWED BY compact, and the result must equal a clean restage.
+    val d = docs.select(col("doc_id"), col("text"))
+    val ref = d.filter(col("doc_id") % 4 === 0)
+    val batch = d.filter(col("doc_id") % 4 === 2)
+    val probe = ref.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 700000L).as("doc_id"),
+        concat(col("text"), lit(" partial move tail")).as("text"))
+    val dir = java.nio.file.Files.createTempDirectory("bandpartial").toString
+    Dedup.stageBandIndex(ref, "doc_id", col("text"), dir)
+    def bandFiles(): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$dir/bands"))
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSet
+    }
+    val before = bandFiles()
+    Dedup.appendBandIndex(batch, "doc_id", col("text"), dir)
+    val appended = (bandFiles() diff before).toSeq.sorted
+    assert(appended.size >= 2, "need >= 2 buckets to simulate a partial move")
+    // crash window: HALF this append's bucket files landed, half did not
+    appended.drop(appended.size / 2)
+      .foreach(f => assert(new java.io.File(f).delete()))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.appendBandIndex(batch, "doc_id", col("text"), dir)
+    }
+    assert(e.getMessage.contains("already-indexed"))
+    Dedup.appendBandIndex(batch, "doc_id", col("text"), dir,
+      assumeNewIds = true)
+    Dedup.compactBandIndex(spark, dir)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity).toSeq
+    val want = norm(Dedup.lshNewCandidates(probe, ref.unionByName(batch),
+      "doc_id", col("text")))
+    assert(norm(Dedup.lshNewCandidatesStaged(probe, "doc_id", col("text"),
+      dir)) == want && want.nonEmpty)
+    // the duplicated buckets' rows collapsed: bands == a clean restage
+    val clean = java.nio.file.Files.createTempDirectory("bandclean").toString
+    Dedup.stageBandIndex(ref.unionByName(batch), "doc_id", col("text"), clean)
+    assert(spark.read.parquet(s"$dir/bands").count() ==
+      spark.read.parquet(s"$clean/bands").count())
+  }
+
   test("admission probes: shuffle path (cap=0) equals the broadcast path") {
     // the adaptive discipline of exactNewStaged / bandIndexSeenIds: a
     // bulk backfill above the broadcast cap must take shuffle joins and
