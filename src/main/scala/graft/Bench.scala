@@ -46,7 +46,7 @@ object Bench {
     Set("q_st2_catchup", "q_st1_overlap", "q_st3_tail", "q_st_index",
       "q_st_substr", "q_st_curate", "q_st_curate_index",
       "q_st_curate_append", "q_st_bm25", "q_curate_stream", "q_st_fp",
-      "q_st_lsh", "q_st_vec")
+      "q_st_lsh", "q_st_lsh_verified", "q_st_vec")
 
   def main(args: Array[String]): Unit = {
     // tooling hook (tools/bench_iso.py): print the query inventory —

@@ -778,9 +778,32 @@ object Main {
       if (n.has(f)) n.get(f).asInt() else dflt
     val idx = req("index"); val action = req("action")
     if (action == "describe") {
-      // kind-agnostic: any staged index carries the shared manifest
+      // kind-agnostic: any staged index carries the shared manifest;
+      // the IVF kinds additionally report per-list occupancy skew —
+      // the drift diagnostic that says when a recluster is due
       val mf = graft.util.IndexManifest.read(spark, idx)
       println(s"$idx: ${graft.util.IndexManifest.describe(mf)}")
+      if (mf.kind == graft.util.IndexManifest.KindIvfFlat ||
+          mf.kind == graft.util.IndexManifest.KindIvfPq) {
+        val s = ml.Similarity.listSkew(spark, idx)
+        println(f"  lists: ${s.nonEmptyLists}/${s.centroids} non-empty, " +
+          f"${s.nVectors} vectors, largest ${s.maxList}, " +
+          f"skew(max/mean) ${s.skew}%.2f")
+      }
+      return 0
+    }
+    if (action == "recluster") {
+      // IVF drift maintenance (ml/Similarity.reclusterIvfFlat):
+      // Lloyd-refine the centroids over the STORED vectors and
+      // reassign every row — frozen stage-time geometry otherwise
+      // degrades probe pruning as an append stream drifts. Optional
+      // "iters" (3). Stage-grade commit (see the scaladoc).
+      val mf = graft.util.IndexManifest.read(spark, idx)
+      require(mf.kind == graft.util.IndexManifest.KindIvfFlat,
+        s"recluster supports ivf_flat (got '${mf.kind}'); the PQ kind's " +
+          "codebooks are trained against its centroids — restage it")
+      ml.Similarity.reclusterIvfFlat(spark, idx, iters = int("iters", 3))
+      println(s"reclustered $idx")
       return 0
     }
     if (action == "compact") {
@@ -845,10 +868,16 @@ object Main {
       // streaming ADMISSION gate, kind-dispatched on the manifest:
       // drain a parquet feed through the index-resident dedup gate —
       // admitted docs (full feed schema) land in "out", their
-      // fingerprints/band signatures append into the index, rejects
-      // are dropped. fp = exact admission (DocStream.admitStream),
-      // lsh = near-dup admission (DocStream.admitNearStream, optional
-      // "maxBucket"). Config: {"index", "action": "admit",
+      // fingerprints/band signatures append into the index. fp = exact
+      // admission (DocStream.admitStream), lsh = near-dup admission
+      // (DocStream.admitNearStream, optional "maxBucket"; optional
+      // "verifyJaccard" threshold + "refTexts" parquet of the staged
+      // corpus switches to Jaccard-VERIFIED rejection, and "rejects"
+      // names a parquet dir for the (id, ref_id, jaccard) audit trail
+      // instead of discarding the evidence). "compactEvery": N runs
+      // the kind's compactor after every Nth micro-batch — a
+      // continuous drain otherwise accumulates one file per bucket
+      // per batch forever. Config: {"index", "action": "admit",
       // "feed": <parquet dir>, "checkpoint": <dir>, "out": <dir>}
       // + optional "id"/"text" column names, "maxFilesPerTrigger" (1).
       val feed = req("feed"); val ckpt = req("checkpoint")
@@ -859,19 +888,28 @@ object Main {
       val src = spark.readStream.schema(spark.read.parquet(feed).schema)
         .option("maxFilesPerTrigger", int("maxFilesPerTrigger", 1))
         .parquet(feed)
+      val every = int("compactEvery", 0)
       val gate = mf.kind match {
         case graft.util.IndexManifest.KindFingerprints =>
-          streaming.DocStream.admitStream(src, id, textCol, idx, outP, ckpt)
+          streaming.DocStream.admitStream(src, id, textCol, idx, outP,
+            ckpt, compactEvery = every)
         case graft.util.IndexManifest.KindMinhashBands =>
           streaming.DocStream.admitNearStream(src, id, textCol, idx, outP,
-            ckpt, maxBucket = int("maxBucket", 1000))
+            ckpt, maxBucket = int("maxBucket", 1000),
+            compactEvery = every,
+            verifyJaccard = if (n.has("verifyJaccard"))
+              Some(n.get("verifyJaccard").asDouble()) else None,
+            refTexts = if (n.has("refTexts"))
+              Some(spark.read.parquet(n.get("refTexts").asText())) else None,
+            rejectsPath = if (n.has("rejects"))
+              Some(n.get("rejects").asText()) else None)
         case graft.util.IndexManifest.KindIvfFlat =>
           streaming.DocStream.admitVecStream(src,
             if (n.has("id")) id else "vec_id",
             if (n.has("embedding")) n.get("embedding").asText()
             else "embedding",
             idx, outP, ckpt, minCosPermille = int("minCos", 900),
-            nprobe = int("nprobe", 4))
+            nprobe = int("nprobe", 4), compactEvery = every)
         case other => throw new IllegalArgumentException(
           s"no admission gate for index kind '$other' (fp = exact, " +
             "lsh = text near-dup, ivf_flat = semantic)")
@@ -926,7 +964,7 @@ object Main {
             .orderBy("query_id", "rank"))
         case other =>
           throw new IllegalArgumentException(
-            s"unknown index action '$other' (build|append|query|ingest|admit|compact|describe)")
+            s"unknown index action '$other' (build|append|query|ingest|admit|compact|recluster|describe)")
       }
       return 0
     }
@@ -962,7 +1000,7 @@ object Main {
             .orderBy(id))
         case other =>
           throw new IllegalArgumentException(
-            s"unknown index action '$other' (build|append|query|ingest|admit|compact|describe)")
+            s"unknown index action '$other' (build|append|query|ingest|admit|compact|recluster|describe)")
       }
       return 0
     }
@@ -995,7 +1033,7 @@ object Main {
             .orderBy(id))
         case other =>
           throw new IllegalArgumentException(
-            s"unknown index action '$other' (build|append|query|ingest|admit|compact|describe)")
+            s"unknown index action '$other' (build|append|query|ingest|admit|compact|recluster|describe)")
       }
       return 0
     }
@@ -1034,7 +1072,7 @@ object Main {
             .orderBy("batch_id", "ref_id"))
         case other =>
           throw new IllegalArgumentException(
-            s"unknown index action '$other' (build|append|query|ingest|admit|compact|describe)")
+            s"unknown index action '$other' (build|append|query|ingest|admit|compact|recluster|describe)")
       }
       return 0
     }
@@ -1098,7 +1136,7 @@ object Main {
             .orderBy(id, "span_start"))
         case other =>
           throw new IllegalArgumentException(
-            s"unknown index action '$other' (build|append|query|ingest|admit|compact|describe)")
+            s"unknown index action '$other' (build|append|query|ingest|admit|compact|recluster|describe)")
       }
       return 0
     }
@@ -1135,7 +1173,7 @@ object Main {
         outOrShow(result)
       case other =>
         throw new IllegalArgumentException(
-          s"unknown index action '$other' (build|append|query|ingest|admit|compact|describe)")
+          s"unknown index action '$other' (build|append|query|ingest|admit|compact|recluster|describe)")
     }
     0
   }

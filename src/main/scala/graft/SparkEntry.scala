@@ -875,6 +875,47 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- multimodal: REAL image decode (javax.imageio, JDK-only)
+    // over REAL synthetic PNGs — the engine must parse actual PNG
+    // headers to recover the dimensions the oracle recomputes
+    // arithmetically from the generator's id → (w, h) rule; a decode
+    // that didn't read the bytes could not match ----
+    "q_mm_decode_real" -> ((s, dir) => {
+      val ids = load(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 300)
+        .withColumn("w", lit(16L) + pmod(col("doc_id") * 7, lit(97L)))
+        .withColumn("h", lit(16L) + pmod(col("doc_id") * 11, lit(83L)))
+      val pngs = mm.BinaryOps.syntheticPngs(ids, "doc_id", col("w"), col("h"))
+      mm.BinaryOps.decodeWith(pngs, "doc_id", col("payload"))(
+          mm.BinaryOps.imageIoCodec _).toDF()
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          col("format"), col("decode_ok"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- multimodal: REAL image resize (ImageIO decode → bilinear
+    // Graphics2D scale → PNG re-encode) — the resized bytes are
+    // RE-DECODED and their pixel dimensions must equal the resizeSpec
+    // target box the oracle computes arithmetically: the pin that
+    // actual pixel work happened, not just box planning ----
+    "q_mm_resize_real" -> ((s, dir) => {
+      val ids = load(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 300)
+        .withColumn("w", lit(16L) + pmod(col("doc_id") * 7, lit(97L)))
+        .withColumn("h", lit(16L) + pmod(col("doc_id") * 11, lit(83L)))
+      val pngs = mm.BinaryOps.syntheticPngs(ids, "doc_id", col("w"), col("h"))
+      val rs = mm.BinaryOps.resizeImages(pngs, "doc_id", col("payload"),
+        maxDim = 64).toDF()
+      val redec = mm.BinaryOps.decodeWith(rs, "id", col("png"))(
+          mm.BinaryOps.imageIoCodec _).toDF()
+        .select(col("id").as("doc_id"), col("width").as("out_width"),
+          col("height").as("out_height"))
+      rs.select(col("id").as("doc_id"), col("width"), col("height"),
+          col("target_width"), col("target_height"))
+        .join(redec, Seq("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     // ---- multimodal: stub feature extraction → the ANN pipeline's
     // exact quantized-integer norm (the embedding column any real
     // extractor would feed into ml.Similarity unchanged) ----
@@ -1518,6 +1559,48 @@ object SparkEntry {
         streaming.DocStream.admitNearStream(
             s.readStream.schema(wave.schema).parquet(s"$out/feed$i"),
             "doc_id", "text", idx, s"$out/admitted", s"$out/ckpt$i")
+          .awaitTermination()
+      }
+      drain(w1, 1)
+      drain(w2, 2) // fresh checkpoint: the index IS the state
+      text.Dedup.compactBandIndex(s, idx)
+      s.read.parquet(s"$out/admitted").select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
+    // ---- streaming near-dup admission with JACCARD-VERIFIED
+    // rejection + rejects audit: the gate's production knobs. A band
+    // collision only rejects if the exact word-trigram Jaccard vs the
+    // MATCHED doc is >= 0.8 — the 10-word tail puts short docs' copies
+    // BELOW the threshold (collision-only near-misses, admitted here,
+    // rejected by candidate-keyed q_st_lsh) and long docs' copies
+    // above it (still rejected). The matched side's text comes from
+    // refTexts (staged corpus) or the OUT path (wave-1 winners) — the
+    // index stores signatures only. DuckDB recomputes both waves'
+    // candidates AND their Jaccards from arrival order ----
+    "q_st_lsh_verified" -> ((s, dir) => {
+      val out = scratchDir("stlshv")
+      val d = load(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text"), col("lang"))
+      val idx = s"$out/bandidx"
+      val refs = d.filter(col("doc_id") % 2 === 0)
+      text.Dedup.stageBandIndex(refs, "doc_id", col("text"), dir = idx)
+      val tail = lit(VerifiedTail)
+      val w1 = d.filter(col("doc_id") % 4 === 1)
+      val w2 = d.filter(col("doc_id") % 4 === 3)
+        .unionByName(w1.filter(col("doc_id") % 5 === 1)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("text"), tail).as("text"), col("lang")))
+        .unionByName(d.filter(col("doc_id") % 6 === 0)
+          .select((col("doc_id") + 800000L).as("doc_id"),
+            concat(col("text"), tail).as("text"), col("lang")))
+      def drain(wave: org.apache.spark.sql.DataFrame, i: Int): Unit = {
+        wave.repartition(1).write.parquet(s"$out/feed$i")
+        streaming.DocStream.admitNearStream(
+            s.readStream.schema(wave.schema).parquet(s"$out/feed$i"),
+            "doc_id", "text", idx, s"$out/admitted", s"$out/ckpt$i",
+            verifyJaccard = Some(0.8), refTexts = Some(refs),
+            rejectsPath = Some(s"$out/rejects"))
           .awaitTermination()
       }
       drain(w1, 1)
@@ -3988,6 +4071,118 @@ object SparkEntry {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** The 10-word tail q_st_lsh_verified appends to its near-copies:
+    * 10 new trigram shingles, so a copy of an n-word doc verifies at
+    * jaccard (n−2)/(n+8) — below the 0.8 threshold for docs under ~42
+    * words (admitted: collision-only near-miss) and above it for
+    * longer docs (still rejected). Shared by the query fixture and
+    * the oracle SQL so the two can never drift. */
+  private val VerifiedTail =
+    " zebra quill vortex amber nimbus cedar onyx prism tundra willow"
+
+  /** Oracle: the JACCARD-VERIFIED streaming near-dup gate
+    * (q_st_lsh_verified) — [[admitNearSql]]'s chain (same minhash /
+    * band / maxBucket census, same two-wave surface) extended with the
+    * verify stage: a candidate pair only rejects when the exact
+    * word-trigram Jaccard of the two texts (distinct shingle sets,
+    * |A∩B| / (|A|+|B|−|A∩B|)) is ≥ 0.8 — recomputed per (batch doc,
+    * matched doc) pair, wave 2 against reference ∪ wave-1 winners. */
+  private val admitNearVerifiedSql: String = {
+    val coeffTable = text.Dedup.minhashCoeffs(16).zipWithIndex
+      .map { case ((a, b), k) => s"($k,$a,$b)" }.mkString(",")
+    s"""WITH d AS (SELECT doc_id, text, lang FROM documents
+       |           WHERE text IS NOT NULL),
+       |ref AS (SELECT doc_id, text FROM d WHERE doc_id % 2 = 0),
+       |w1 AS (SELECT doc_id, text, lang FROM d WHERE doc_id % 4 = 1),
+       |w2 AS (
+       |  SELECT doc_id, text, lang FROM d WHERE doc_id % 4 = 3
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text || '$VerifiedTail', lang
+       |  FROM w1 WHERE doc_id % 5 = 1
+       |  UNION ALL
+       |  SELECT doc_id + 800000, text || '$VerifiedTail', lang
+       |  FROM d WHERE doc_id % 6 = 0),
+       |alld AS (
+       |  SELECT 'r' AS side, doc_id, text FROM ref
+       |  UNION ALL
+       |  SELECT '1', doc_id, text FROM w1
+       |  UNION ALL
+       |  SELECT '2', doc_id, text FROM w2),
+       |words AS (SELECT side, doc_id,
+       |  list_slice(str_split(lower(text), ' '), 1, 4096) AS w FROM alld),
+       |sh AS (
+       |  SELECT DISTINCT side, doc_id, w[u.i] || ' ' || w[u.i+1] || ' ' || w[u.i+2] AS s
+       |  FROM words, LATERAL (SELECT unnest(generate_series(1, greatest(len(w)-2, 1))) AS i) u
+       |  WHERE w[u.i] || ' ' || w[u.i+1] || ' ' || w[u.i+2] IS NOT NULL),
+       |sz AS (SELECT side, doc_id, count(*) AS n FROM sh GROUP BY 1, 2),
+       |hs AS (
+       |  SELECT side, doc_id, CAST(('0x' || substr(md5(s),1,7)) AS BIGINT) AS h FROM sh),
+       |mh AS (
+       |  SELECT side, doc_id, k.k, min((k.a * h + k.b) % ${text.Dedup.MinHashP}) AS minh
+       |  FROM hs, (VALUES $coeffTable) k(k,a,b) GROUP BY 1, 2, 3),
+       |sig AS (
+       |  SELECT side, doc_id, CAST(floor(k/2) AS INT) AS band,
+       |         md5(string_agg(CAST(minh AS VARCHAR), '|' ORDER BY k)) AS bsig
+       |  FROM mh GROUP BY 1, 2, 3),
+       |ok1 AS (SELECT band, bsig FROM sig WHERE side = 'r'
+       |        GROUP BY 1, 2 HAVING count(*) <= 1000),
+       |cp1 AS (
+       |  SELECT DISTINCT b.doc_id AS bid, r.doc_id AS rid
+       |  FROM sig b
+       |  JOIN sig r ON r.side = 'r' AND b.side = '1'
+       |    AND b.band = r.band AND b.bsig = r.bsig
+       |  JOIN ok1 ON ok1.band = r.band AND ok1.bsig = r.bsig),
+       |ji1 AS (
+       |  SELECT c.bid, c.rid, count(*) AS n_inter
+       |  FROM cp1 c
+       |  JOIN sh a ON a.side = '1' AND a.doc_id = c.bid
+       |  JOIN sh r ON r.side = 'r' AND r.doc_id = c.rid AND r.s = a.s
+       |  GROUP BY 1, 2),
+       |rej1 AS (
+       |  SELECT DISTINCT c.bid AS doc_id
+       |  FROM cp1 c
+       |  JOIN sz a ON a.side = '1' AND a.doc_id = c.bid
+       |  JOIN sz r ON r.side = 'r' AND r.doc_id = c.rid
+       |  LEFT JOIN ji1 j ON j.bid = c.bid AND j.rid = c.rid
+       |  WHERE CAST(coalesce(j.n_inter, 0) AS DOUBLE)
+       |        / (a.n + r.n - coalesce(j.n_inter, 0)) >= 0.8),
+       |adm1 AS (SELECT doc_id, lang FROM w1
+       |         WHERE doc_id NOT IN (SELECT doc_id FROM rej1)),
+       |isig AS (
+       |  SELECT side, doc_id, band, bsig FROM sig WHERE side = 'r'
+       |  UNION ALL
+       |  SELECT side, doc_id, band, bsig FROM sig
+       |  WHERE side = '1' AND doc_id IN (SELECT doc_id FROM adm1)),
+       |ok2 AS (SELECT band, bsig FROM isig
+       |        GROUP BY 1, 2 HAVING count(*) <= 1000),
+       |cp2 AS (
+       |  SELECT DISTINCT b.doc_id AS bid, r.side AS rside, r.doc_id AS rid
+       |  FROM sig b
+       |  JOIN isig r ON b.side = '2'
+       |    AND b.band = r.band AND b.bsig = r.bsig
+       |  JOIN ok2 ON ok2.band = r.band AND ok2.bsig = r.bsig),
+       |ji2 AS (
+       |  SELECT c.bid, c.rside, c.rid, count(*) AS n_inter
+       |  FROM cp2 c
+       |  JOIN sh a ON a.side = '2' AND a.doc_id = c.bid
+       |  JOIN sh r ON r.side = c.rside AND r.doc_id = c.rid AND r.s = a.s
+       |  GROUP BY 1, 2, 3),
+       |rej2 AS (
+       |  SELECT DISTINCT c.bid AS doc_id
+       |  FROM cp2 c
+       |  JOIN sz a ON a.side = '2' AND a.doc_id = c.bid
+       |  JOIN sz r ON r.side = c.rside AND r.doc_id = c.rid
+       |  LEFT JOIN ji2 j ON j.bid = c.bid AND j.rside = c.rside AND j.rid = c.rid
+       |  WHERE CAST(coalesce(j.n_inter, 0) AS DOUBLE)
+       |        / (a.n + r.n - coalesce(j.n_inter, 0)) >= 0.8),
+       |adm2 AS (SELECT doc_id, lang FROM w2
+       |         WHERE doc_id NOT IN (SELECT doc_id FROM rej2))
+       |SELECT doc_id, lang FROM adm1
+       |UNION ALL
+       |SELECT doc_id, lang FROM adm2
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Oracle: the streaming semantic admission gate (q_st_vec) — both
     * waves' IVF-flat admission recomputed from arrival order in exact
     * integer arithmetic (quantize → floor(x·1000); centroids = first 8
@@ -3996,11 +4191,19 @@ object SparkEntry {
     * probed list passes the cos ≥ 0.9 integer test: dot > 0 ∧
     * 10⁶·dot² ≥ 81·10⁴·n2_q·n2_r in HUGEINT). Wave 2's surface — like
     * [[admitNearSql]]'s — is staged ∪ wave-1 winners, lists assigned
-    * under the frozen centroids. */
+    * under the frozen centroids. The ref CTE mirrors the engine's
+    * `vecAdmissible` (quantized norm > 0, not just non-null): the
+    * staged surface AND the centroid draw both exclude zero-quantized
+    * vectors, so a fixture vector with every component in [0, 0.001)
+    * must not diverge oracle from engine. */
   private val admitVecSql: String =
     """WITH e AS (SELECT vec_id, embedding, label FROM embeddings
       |           WHERE embedding IS NOT NULL AND vec_id < 1000),
-      |ref AS (SELECT vec_id, embedding FROM e WHERE vec_id % 2 = 0),
+      |ref AS (SELECT vec_id, embedding FROM e WHERE vec_id % 2 = 0
+      |        AND (SELECT sum(u * u) FROM (SELECT unnest(
+      |              list_transform(embedding, x ->
+      |                CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS u))
+      |            > 0),
       |w1 AS (SELECT vec_id, embedding, label FROM e WHERE vec_id % 4 = 1),
       |w2 AS (
       |  SELECT vec_id, embedding, label FROM e WHERE vec_id % 4 = 3
@@ -5782,6 +5985,35 @@ object SparkEntry {
         |       WHEN height > width THEN 512
         |       ELSE greatest(1, CAST(floor(least(width, height) * 512 / greatest(width, height)) AS BIGINT)) END AS target_height
         |FROM m ORDER BY doc_id""".stripMargin,
+    // the engine DECODES real PNG bytes (javax.imageio) generated from
+    // this id → (w, h) rule; the oracle recomputes the rule — equality
+    // proves the header parse read the actual image
+    "q_mm_decode_real" ->
+      """SELECT doc_id,
+        |  16 + (doc_id * 7) % 97 AS width,
+        |  16 + (doc_id * 11) % 83 AS height,
+        |  'png' AS format, true AS decode_ok
+        |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin,
+    // real pixel resize: out_* comes from RE-DECODING the engine's
+    // resized PNGs and must land exactly on the arithmetic target box
+    "q_mm_resize_real" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |    16 + (doc_id * 7) % 97 AS width,
+        |    16 + (doc_id * 11) % 83 AS height
+        |  FROM documents WHERE doc_id < 300),
+        |t AS (
+        |  SELECT doc_id, width, height,
+        |    CASE WHEN greatest(width, height) <= 64 THEN width
+        |         WHEN width >= height THEN 64
+        |         ELSE greatest(1, (least(width, height) * 64) // greatest(width, height)) END AS target_width,
+        |    CASE WHEN greatest(width, height) <= 64 THEN height
+        |         WHEN height > width THEN 64
+        |         ELSE greatest(1, (least(width, height) * 64) // greatest(width, height)) END AS target_height
+        |  FROM src)
+        |SELECT doc_id, width, height, target_width, target_height,
+        |  target_width AS out_width, target_height AS out_height
+        |FROM t ORDER BY doc_id""".stripMargin,
     "q_mm_features" ->
       """WITH v AS (
         |  SELECT doc_id, CAST(floor(
@@ -6088,6 +6320,7 @@ object SparkEntry {
     // recomputed from arrival order, wave 2 against reference + wave-1
     // winners (the index the engine grew per micro-batch)
     "q_st_lsh" -> admitNearSql,
+    "q_st_lsh_verified" -> admitNearVerifiedSql,
     // the streaming SEMANTIC admission gate: both waves' IVF-flat
     // cosine admission recomputed in integer arithmetic, wave 2
     // against staged + wave-1 winners

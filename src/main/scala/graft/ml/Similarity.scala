@@ -185,14 +185,21 @@ object Similarity {
     * assigned quantized vectors, so refinement is exactly reproducible;
     * a list that loses all members keeps its previous centroid. */
   def ivfRefine(corpus: DataFrame, embCol: String,
-      cents: IndexedSeq[Seq[Long]], iters: Int): IndexedSeq[Seq[Long]] = {
+      cents: IndexedSeq[Seq[Long]], iters: Int): IndexedSeq[Seq[Long]] =
+    ivfRefineQ(corpus.select(quantize(col(embCol)).as("__q")), cents, iters)
+
+  /** [[ivfRefine]] over an ALREADY-QUANTIZED vector frame (one array
+    * column `__q`) — the shape [[reclusterIvfFlat]] needs: a staged
+    * index stores quantized vectors, so re-quantizing would be a wasted
+    * pass (and quantize is idempotent only on exact multiples). */
+  private def ivfRefineQ(q: DataFrame, cents: IndexedSeq[Seq[Long]],
+      iters: Int): IndexedSeq[Seq[Long]] = {
     val dims = cents.head.size
     var cs = cents
     for (_ <- 0 until iters) {
       val aggs = count(lit(1)).as("n") +:
         (1 to dims).map(i => sum(element_at(col("__q"), i)).as(s"s$i"))
-      val sums = corpus
-        .select(quantize(col(embCol)).as("__q"))
+      val sums = q
         .select(ivfAssign(col("__q"), cs).as("__list"), col("__q"))
         .groupBy("__list")
         .agg(aggs.head, aggs.tail: _*)
@@ -912,7 +919,18 @@ object Similarity {
 
   /** COMPACT a [[stageIvfFlat]] index: one file per list again,
     * manifest count refreshed. Vecs rows are immutable per-vector
-    * facts — pure consolidation, probe-invisible, crash-safe swap. */
+    * facts that DEDUP on the way through (the [[graft.text.Dedup
+    * .compactBandIndex]] discipline): distinct is a no-op on a healthy
+    * index — one vecs row per id by the new-ids guard — and it is what
+    * makes the documented crash recovery converge. A crash between
+    * [[appendIvfFlat]]'s partition writes leaves some lists' files
+    * landed; the retry refuses on the guard, and an assumeNewIds
+    * re-append then carries a second copy of the landed rows (inflating
+    * n_vectors and double-rejecting those vectors' admission neighbors
+    * — harmlessly, since rejected ids are distinct'd) until this
+    * compaction collapses the copies. Recovery contract: assumeNewIds
+    * + compactIvfFlat, in that order. Probe-invisible, crash-safe
+    * swap. */
   def compactIvfFlat(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit = {
     import graft.util.StagedIndex.Layout
@@ -920,11 +938,134 @@ object Similarity {
     graft.util.StagedIndex.compact(spark, dir,
         graft.util.IndexManifest.KindIvfFlat) { _ =>
       Seq(Layout("vecs", Some("list"),
-        _.observe(obs, count(lit(1)).as("n_vectors"))
-          .select(col("id"), col("q"), col("n2"), col("list"))))
+        _.select(col("id"), col("q"), col("n2"), col("list")).distinct()
+          .observe(obs, count(lit(1)).as("n_vectors"))))
     } { _ => Map("n_vectors" -> obs.get("n_vectors").asInstanceOf[Long]) }
     ()
   }
+
+  /** RECLUSTER a [[stageIvfFlat]] index under corpus drift — the
+    * maintenance verb frozen centroids need: stage-time centroids
+    * never move, so a drifting append stream piles new vectors into a
+    * few lists and probe pruning degrades toward a full scan. This
+    * RE-SEEDS the centroids from the current corpus (a deterministic
+    * hash-ordered draw of `centroids` stored vectors — Lloyd alone
+    * cannot rebalance drift, because a far-away frozen centroid never
+    * migrates into a dense new region: it keeps its own points or,
+    * with none, keeps its old position), runs `iters` Lloyd rounds
+    * ([[ivfRefine]]'s integer means) over the STORED quantized
+    * vectors, reassigns every row under the refined centroids, and
+    * rewrites both sublayouts — the centroid COUNT (the manifest
+    * param) is preserved, so probes keep their nprobe/recall contract
+    * while the geometry re-balances.
+    *
+    * Admission SEMANTICS may legitimately shift at the nprobe margin
+    * (which lists a borderline vector probes changes with the
+    * geometry) — exactly as IVF retrieval recall shifts with
+    * centroids; copies still always reject (an exact copy probes the
+    * same lists as its original under ANY geometry, the
+    * [[vecNewStaged]] replay contract).
+    *
+    * Crash contract: vecs and meta must change TOGETHER (rows
+    * assigned under new centroids but probed under old ones — or vice
+    * versa — would silently under-reject forever), so this is a
+    * STAGE-grade commit, not a compact: both new sublayouts are fully
+    * written to temp dirs while the manifest is still valid (a crash
+    * there leaves the live index untouched), then the manifest is
+    * dropped, the two renames run back-to-back, and the manifest is
+    * rewritten — every crash window inside the commit reads as "not a
+    * graft index", the invalidate-first/manifest-last discipline
+    * ([[graft.util.StagedIndex.stage]]). */
+  def reclusterIvfFlat(spark: org.apache.spark.sql.SparkSession,
+      dir: String, iters: Int = 3): Unit = {
+    import org.apache.hadoop.fs.Path
+    val mf = graft.util.IndexManifest.validate(spark, dir,
+      graft.util.IndexManifest.KindIvfFlat)
+    val cents0 = readIvfFlatMeta(spark, dir)
+    val vecs = readIvfFlatVecs(spark, dir,
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType))
+    // deterministic re-seed: k vectors in (xxhash64(id), id) order — a
+    // pseudo-random but reproducible draw whose density follows the
+    // CURRENT corpus, so a drifted region gets seeds in proportion to
+    // its mass; a too-small index keeps old centroids as filler
+    val seeds = vecs
+      .select(col("q"), xxhash64(col("id")).as("__h"), col("id"))
+      .orderBy(col("__h"), col("id"))
+      .limit(cents0.size)
+      .select(col("q")).collect().map(_.getSeq[Long](0)).toIndexedSeq
+    val init = seeds ++ cents0.drop(seeds.size)
+    val cents = ivfRefineQ(vecs.select(col("q").as("__q")), init, iters)
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val vtmp = new Path(dir, "vecs.__recluster__")
+    val mtmp = new Path(dir, "meta.__recluster__")
+    fs.delete(vtmp, true): Unit
+    fs.delete(mtmp, true): Unit
+    // full rewrites land in temp dirs FIRST, under a still-valid
+    // manifest — the slow window is crash-free for the live index
+    val obs = org.apache.spark.sql.Observation()
+    vecs.select(col("id"), col("q"), col("n2"),
+        ivfAssign(col("q"), cents).as("list"))
+      .observe(obs, count(lit(1)).as("n_vectors"))
+      .repartition(col("list")) // one file per list
+      .write.mode("overwrite").partitionBy("list").parquet(vtmp.toString)
+    import spark.implicits._
+    cents.zipWithIndex.map { case (v, i) => (i, v: Seq[Long]) }
+      .toDF("idx", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(mtmp.toString)
+    // commit bracket: manifest dropped, two renames, manifest rewritten
+    graft.util.StagedIndex.stage(spark, dir,
+        graft.util.IndexManifest.KindIvfFlat, mf.params) {
+      def publish(name: String, tmp: Path): Unit = {
+        fs.delete(new Path(dir, name), true): Unit
+        require(fs.rename(tmp, new Path(dir, name)),
+          s"recluster failed to publish $tmp into $dir/$name")
+      }
+      publish("vecs", vtmp)
+      publish("meta", mtmp)
+      Map("n_vectors" -> obs.get("n_vectors").asInstanceOf[Long])
+    }
+  }
+
+  /** Per-list occupancy of an IVF-partitioned staged layout — the
+    * drift diagnostic that tells an operator when [[reclusterIvfFlat]]
+    * is due: `skew` = max list size / mean list size (1.0 = perfectly
+    * balanced; numCentroids = everything in one list — probes
+    * degenerate to full scans). Works on both IVF kinds (`vecs/` for
+    * flat, `codes/` for PQ). One aggregate over the layout's `list`
+    * partition column — partition-pruned parquet footers, no data
+    * columns read. */
+  def listSkew(spark: org.apache.spark.sql.SparkSession,
+      dir: String): ListSkew = {
+    val mf = graft.util.IndexManifest.read(spark, dir)
+    val layout = mf.kind match {
+      case graft.util.IndexManifest.KindIvfFlat => "vecs"
+      case graft.util.IndexManifest.KindIvfPq => "codes"
+      case other => throw new IllegalArgumentException(
+        s"listSkew: '$other' is not an IVF-partitioned kind")
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("list",
+        org.apache.spark.sql.types.IntegerType)))
+    val sizes = graft.util.StagedIndex
+      .readLayout(spark, s"$dir/$layout", schema)
+      .groupBy("list").agg(count(lit(1)).as("n"))
+      .select(col("n")).collect().map(_.getLong(0))
+    val total = sizes.sum
+    val nonEmpty = sizes.length
+    val declared = mf.paramInt("centroids")
+    val maxN = if (sizes.isEmpty) 0L else sizes.max
+    val mean = if (nonEmpty == 0) 0.0 else total.toDouble / declared
+    ListSkew(declared, nonEmpty, total, maxN,
+      if (mean == 0.0) 0.0 else maxN / mean)
+  }
+
+  /** [[listSkew]]'s result: declared centroid count, lists actually
+    * holding vectors, total vectors, the largest list, and max/mean
+    * occupancy (mean over DECLARED lists — an empty list is skew). */
+  final case class ListSkew(centroids: Int, nonEmptyLists: Int,
+      nVectors: Long, maxList: Long, skew: Double)
 
   /** Semantic admission against a FROZEN [[stageIvfFlat]] index: the
     * rows of `batch` with NO indexed vector of cosine ≥
@@ -983,19 +1124,26 @@ object Similarity {
       idField: org.apache.spark.sql.types.StructField, dir: String,
       minCosPermille: Int, forceBroadcast: Boolean): DataFrame = {
     val spark = bq.sparkSession
-    val probed = bq.select("list").distinct().collect().map(_.getInt(0))
+    val probed = bq.select("__list").distinct().collect().map(_.getInt(0))
+    // reference-side internals renamed to __-prefixed names before the
+    // join (the fingerprint probe's __ch discipline): a caller id
+    // column named 'id', 'q' or 'n2' must not collide ambiguously —
+    // the caller namespace owns only idCol, which vecProbeFrame pins
+    // outside the reserved set
     val ref = readIvfFlatVecs(spark, dir, idField)
       .filter(col("list").isin(probed: _*))
+      .select(col("q").as("__ref_q"), col("n2").as("__ref_n2"),
+        col("list").as("__list"))
     val p2 = minCosPermille.toLong * minCosPermille
     (if (forceBroadcast) broadcast(bq) else bq)
-      .join(ref, Seq("list"))
-      .withColumn("__dot", dotQ(col("__q"), col("q")))
+      .join(ref, Seq("__list"))
+      .withColumn("__dot", dotQ(col("__q"), col("__ref_q")))
       .filter {
         val d = col("__dot").cast("decimal(38,0)")
         col("__dot") > 0 &&
           lit(1000000L) * d * d >=
             lit(p2) * col("__n2").cast("decimal(38,0)") *
-              col("n2").cast("decimal(38,0)")
+              col("__ref_n2").cast("decimal(38,0)")
       }
       .select(col(idCol)).distinct()
   }
@@ -1006,16 +1154,26 @@ object Similarity {
   private def vecAdmissible(batch: DataFrame, embCol: String): DataFrame =
     batch.filter(col(embCol).isNotNull && quantizedNormSq(col(embCol)) > 0)
 
+  /** The probe-frame names reserved for the admission join's internals
+    * — a caller id column reusing one would be ambiguous or silently
+    * wrong in [[vecRejectedIds]]' join, so the probe refuses loudly. */
+  private val VecProbeReserved =
+    Set("__q", "__n2", "__list", "__dot", "__ref_q", "__ref_n2")
+
   /** The SHARED probe projection of [[vecNewStaged]] and the spec
     * helper below — one builder, so the plan-audit pin can never drift
     * from the production probe: quantize, norm, one probe-list row per
     * (vector, probed list). LAZY; callers choose materialization. */
   private def vecProbeFrame(nn: DataFrame, idCol: String, embCol: String,
-      cents: IndexedSeq[Seq[Long]], nprobe: Int): DataFrame =
+      cents: IndexedSeq[Seq[Long]], nprobe: Int): DataFrame = {
+    require(!VecProbeReserved.contains(idCol),
+      s"idCol '$idCol' collides with a reserved probe-internal name " +
+        s"(${VecProbeReserved.mkString(", ")}) — rename the id column")
     nn.select(col(idCol), quantize(col(embCol)).as("__q"))
       .withColumn("__n2", dotQ(col("__q"), col("__q")))
       .select(col(idCol), col("__q"), col("__n2"),
-        explode(ivfProbes(col("__q"), cents, nprobe)).as("list"))
+        explode(ivfProbes(col("__q"), cents, nprobe)).as("__list"))
+  }
 
   /** [[vecRejectedIds]] built from a raw batch — the spec-facing probe
     * frame (same [[vecProbeFrame]] projection as [[vecNewStaged]],

@@ -174,16 +174,19 @@ object BinaryOps {
           .otherwise(when(h > w, lit(maxDim.toLong)).otherwise(scaledShort)))
   }
 
-  /** Decode / feature-extract stage.
+  /** Decode / feature-extract stage (declarative STUB variant).
     *
-    * STUB CODEC: this container ships no image/audio libraries, so the
-    * decode is a clearly-marked deterministic fake — width/height/format
-    * derived from the payload hash and magic bytes. The SPARK-SIDE
-    * PLUMBING is the real deliverable and is what production swaps a
-    * codec into: same output schema (id, width, height, format,
-    * decode_ok), same narrow per-row shape; a real deployment replaces
-    * the three fake expressions with a codec UDF (or `mapInPandas` +
-    * PIL on the Python surface) and NOTHING downstream changes. */
+    * The decode here is a clearly-marked deterministic fake —
+    * width/height/format derived from the payload hash and magic
+    * bytes, useful for metadata-only plans over NON-media payloads.
+    * REAL images go through the same seam with [[imageIoCodec]]
+    * (JDK `javax.imageio` — actual pixel dimensions) and
+    * [[resizeImages]] (actual pixel work); audio/video codecs, which
+    * the JDK does not ship, plug a library into [[decodeWith]]'s
+    * factory (or `mapInPandas` + PIL/ffmpeg on the Python surface)
+    * with the same output schema (id, width, height, format,
+    * decode_ok) and the same narrow per-row shape — NOTHING
+    * downstream changes. */
   def decodeStub(df: DataFrame, idCol: String, bin: Column): DataFrame = {
     val h = md5(bin)
     df.select(
@@ -233,9 +236,11 @@ object BinaryOps {
       }
   }
 
-  /** The deterministic stand-in codec (no media libraries in this
-    * container): md5-derived dimensions + magic-bytes format, exactly
-    * [[decodeStub]]'s arithmetic — BinaryOpsSpec pins the two equal. */
+  /** The deterministic stand-in codec (for payloads that are NOT real
+    * media — this fixture's text-as-binary columns): md5-derived
+    * dimensions + magic-bytes format, exactly [[decodeStub]]'s
+    * arithmetic — BinaryOpsSpec pins the two equal. Real images take
+    * [[imageIoCodec]] through the same seam. */
   def stubCodec(): Array[Byte] => Decoded = {
     val md = java.security.MessageDigest.getInstance("MD5")
     bytes => {
@@ -251,5 +256,139 @@ object BinaryOps {
         java.lang.Long.parseLong(h.substring(4, 8), 16) % 4096 + 1,
         fmt, bytes.nonEmpty)
     }
+  }
+
+  /** REAL image codec over `javax.imageio` (ships in the JDK — PNG,
+    * JPEG, GIF, BMP readers; no external dependency): actual pixel
+    * dimensions and the reader's format name, through exactly the
+    * [[decodeWith]] seam the stub uses — nothing downstream changes.
+    * Reads the HEADER only (`ImageReader.getWidth/getHeight` parse
+    * metadata without decoding pixels — the right cost for a
+    * dimensions pass over 100 TB of images; full pixel decode is
+    * [[resizeImages]]'s job). Unreadable payloads come back
+    * `decode_ok = false` ("unknown" format) rather than throwing —
+    * the corrupt-payload contract of the seam. */
+  def imageIoCodec(): Array[Byte] => Decoded = bytes => {
+    if (bytes.isEmpty) Decoded(0L, 0L, 0L, "unknown", decode_ok = false)
+    else {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) Decoded(0L, 0L, 0L, "unknown", decode_ok = false)
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            Decoded(0L, r.getWidth(0).toLong, r.getHeight(0).toLong,
+              r.getFormatName.toLowerCase(java.util.Locale.ROOT),
+              decode_ok = true)
+          } finally r.dispose()
+        }
+      } finally iis.close()
+    }
+  }
+
+  /** One resized image — [[resizeImages]]'s row shape: source pixel
+    * dimensions, the [[resizeSpec]] target box, and the re-encoded
+    * PNG payload. */
+  final case class Resized(id: Long, width: Long, height: Long,
+      target_width: Long, target_height: Long, png: Array[Byte],
+      decode_ok: Boolean)
+
+  /** REAL image resize over `javax.imageio` + `Graphics2D` (JDK-only):
+    * full pixel decode, the SAME integer box arithmetic as
+    * [[resizeSpec]] (longest side capped at `maxDim`, aspect
+    * preserved, never upscaled), bilinear scale, PNG re-encode. The
+    * imperative twin of the declarative plan: `resizeSpec` plans the
+    * box from metadata; this executes it on pixels. Same
+    * `mapPartitions` batch shape as [[decodeWith]] — narrow, no
+    * shuffle, per-row failures captured as `decode_ok = false` (one
+    * corrupt image in 100 TB must not kill the stage). */
+  def resizeImages(df: DataFrame, idCol: String, bin: Column,
+      maxDim: Int): Dataset[Resized] = {
+    require(maxDim >= 1, "maxDim must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), bin.cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(
+                if (bytes == null) Array.emptyByteArray else bytes))
+            if (img == null)
+              Resized(id, 0L, 0L, 0L, 0L, Array.emptyByteArray,
+                decode_ok = false)
+            else {
+              val w = img.getWidth.toLong
+              val h = img.getHeight.toLong
+              val longSide = math.max(w, h)
+              val (tw, th) =
+                if (longSide <= maxDim) (w, h)
+                else {
+                  val short = math.min(w, h)
+                  val scaledShort =
+                    math.max(1L, short * maxDim / longSide) // floor div
+                  if (w >= h) (maxDim.toLong, scaledShort)
+                  else (scaledShort, maxDim.toLong)
+                }
+              val out = new java.awt.image.BufferedImage(tw.toInt, th.toInt,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = out.createGraphics()
+              try {
+                g.setRenderingHint(
+                  java.awt.RenderingHints.KEY_INTERPOLATION,
+                  java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                g.drawImage(img, 0, 0, tw.toInt, th.toInt, null): Unit
+              } finally g.dispose()
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", bos): Unit
+              Resized(id, w, h, tw, th, bos.toByteArray, decode_ok = true)
+            }
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              Resized(id, 0L, 0L, 0L, 0L, Array.emptyByteArray,
+                decode_ok = false)
+          }
+        }
+      }
+  }
+
+  /** Deterministic synthetic PNGs — REAL encoded images whose pixel
+    * pattern is a pure function of (id, x, y): the fixture generator
+    * for the real-codec operators (an oracle can recompute the
+    * DIMENSIONS arithmetically while the engine must actually decode
+    * the bytes to recover them). `widthCol`/`heightCol` are evaluated
+    * per row; output is (idCol, payload). Narrow mapPartitions, same
+    * batch shape as the codecs. */
+  def syntheticPngs(df: DataFrame, idCol: String, widthCol: Column,
+      heightCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), widthCol.cast("int"),
+        heightCol.cast("int"))
+      .as[(Long, Int, Int)]
+      .mapPartitions { it =>
+        it.map { case (id, w, h) =>
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.setRGB(x, y,
+                (((x * 31 + y * 17 + id) % 0x1000000) & 0xffffff).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos): Unit
+          (id, bos.toByteArray)
+        }
+      }
+      .toDF(idCol, "payload")
   }
 }

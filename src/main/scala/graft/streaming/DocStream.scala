@@ -369,31 +369,53 @@ object DocStream {
     * (timestamps, source, language) survive curation — a corpus is
     * more than (id, text). One row per admitted id, the min-id winner
     * of its content hash (ids are assumed unique per batch — the
-    * admission contract shared with every id-carrying append). */
+    * admission contract shared with every id-carrying append).
+    *
+    * `compactEvery = N` runs [[graft.text.Dedup.compactFingerprints]]
+    * after every Nth batch's append (keyed on the CHECKPOINTED batch
+    * id — a restart neither double-compacts nor drifts): a continuous
+    * crawl drain otherwise accumulates one file per touched bucket per
+    * micro-batch FOREVER, degrading every later probe's pruned scan
+    * into a many-small-files read. Compaction is probe-invisible by
+    * construction and single-writer-safe (foreachBatch bodies run
+    * serially) — the [[curateStreamAgainstIndex]] cadence discipline
+    * applied to the gate. */
   def admitStream(docs: DataFrame, idCol: String, textName: String,
       indexDir: String, outPath: String, checkpointDir: String,
+      compactEvery: Int = 0,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(compactEvery >= 0, "compactEvery must be >= 0")
     docs.writeStream
-      .foreachBatch { (b: DataFrame, _: Long) =>
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
         // the micro-batch feeds the probe AND the passthrough join —
         // pay its (stateless, but re-executed per action) plan once
         val bb = b.filter(col(textName).isNotNull).persist()
         try {
           // the admitted frame (materialized by exactNewStaged) feeds
-          // the passthrough join AND the fingerprint append
+          // the passthrough join AND the fingerprint append; its
+          // checkpoint blocks are RELEASED once both consumed —
+          // Dataset.unpersist can't free them (localCheckpoint blocks
+          // live outside the SQL cache manager), so a live feed would
+          // otherwise accumulate one block per micro-batch until GC
           val admitted = graft.text.Dedup.exactNewStaged(bb, idCol,
             col(textName), indexDir)
-          bb.join(admitted.select(idCol), Seq(idCol), "left_semi")
-            .write.mode("append").parquet(outPath)
-          graft.text.Dedup.appendFingerprints(admitted, col("text"),
-            indexDir)
+          try {
+            bb.join(admitted.select(idCol), Seq(idCol), "left_semi")
+              .write.mode("append").parquet(outPath)
+            graft.text.Dedup.appendFingerprints(admitted, col("text"),
+              indexDir)
+            if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+              graft.text.Dedup.compactFingerprints(bb.sparkSession,
+                indexDir)
+          } finally graft.util.LocalCkpt.release(admitted)
         } finally { bb.unpersist(false); () }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
+  }
 
   /** Streaming NEAR-DUP admission gate against a staged minhash band
     * index ([[graft.text.Dedup.stageBandIndex]]) — [[admitStream]]'s
@@ -407,13 +429,36 @@ object DocStream {
     * append into the index — so later micro-batches, and later RUNS,
     * reject near-copies of everything admitted so far.
     *
-    * Admission is CANDIDATE-keyed (one shared LSH band ⇒ reject), the
-    * high-recall gate of the banded-minhash design; a pipeline wanting
-    * Jaccard-verified rejection runs the batch
-    * [[graft.text.Dedup.jaccardVerify]] sweep over the REJECT stream's
-    * candidates instead — the gate must stay one pruned probe per
-    * batch. Near-dups WITHIN one micro-batch are admitted together
-    * (the probe is index-keyed; in-batch near-dedup is the upstream
+    * Admission is CANDIDATE-keyed by default (one shared LSH band ⇒
+    * reject), the high-recall gate of the banded-minhash design — but
+    * LSH bands collide by CHANCE at a measurable drip (the 100×
+    * sweep recorded 2 chance collisions in ~1400 probe rows), and a
+    * candidate-keyed gate silently drops those innocent documents
+    * forever. Two production knobs close that:
+    *
+    *  - '''verifyJaccard = Some(t)''': a candidate pair only REJECTS
+    *    if its exact word-n-gram Jaccard (shingle width from the
+    *    index's frozen recipe, [[graft.text.Dedup.jaccardVerify]]) is
+    *    ≥ `t` — a chance band collision between unrelated texts
+    *    verifies near 0 and the doc is admitted. The index stores
+    *    signatures, not text, so verify mode needs the matched side's
+    *    text: `refTexts` (REQUIRED with verify) is the STAGED corpus'
+    *    (id, text) frame, and previously-ADMITTED docs' texts are
+    *    re-read from `outPath` each batch (they are the only other
+    *    rejectable surface). Verify cost is candidate-proportional
+    *    (jaccardVerify prunes to candidate docs before any shingle is
+    *    materialized) plus one admitted-corpus scan per micro-batch —
+    *    the price of the audit; `refTexts` and the admitted out must
+    *    cover their ids (a pair whose text is missing drops UNVERIFIED
+    *    → the doc admits, fail-open by design: a gate must not reject
+    *    on evidence it cannot read).
+    *  - '''rejectsPath = Some(dir)''': every rejection writes its
+    *    evidence — (id, ref_id, jaccard; jaccard null when verify is
+    *    off) — instead of discarding it: the `-curate` fate-audit
+    *    discipline applied to the gate. At-least-once like `outPath`.
+    *
+    * Near-dups WITHIN one micro-batch are admitted together (the probe
+    * is index-keyed; in-batch near-dedup is the upstream
     * [[dedupMinhashStream]] / batch `lshCandidates` operator) — they
     * become ONE index append, so a near-copy in any LATER batch is
     * rejected by either member. Docs too short to sign a band
@@ -429,37 +474,115 @@ object DocStream {
     * crash discipline: a replay after a mid-append crash refuses
     * loudly on the new-ids guard instead of double-counting bands.
     * Null-text rows are dropped (no content ⇒ no admission identity —
-    * see [[admitStream]]'s null contract). */
+    * see [[admitStream]]'s null contract). `compactEvery = N` runs
+    * [[graft.text.Dedup.compactBandIndex]] after every Nth batch
+    * (checkpointed-batch-id-keyed, probe-invisible — the
+    * [[admitStream]] cadence contract). */
   def admitNearStream(docs: DataFrame, idCol: String, textName: String,
       indexDir: String, outPath: String, checkpointDir: String,
-      maxBucket: Int = 1000,
+      maxBucket: Int = 1000, compactEvery: Int = 0,
+      verifyJaccard: Option[Double] = None,
+      refTexts: Option[DataFrame] = None,
+      rejectsPath: Option[String] = None,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(compactEvery >= 0, "compactEvery must be >= 0")
+    require(verifyJaccard.forall(t => t > 0.0 && t <= 1.0),
+      "verifyJaccard must be in (0, 1]")
+    require(verifyJaccard.isEmpty || refTexts.nonEmpty,
+      "verifyJaccard needs refTexts: the band index stores signatures, " +
+        "not text — pass the staged corpus' (id, text) frame so " +
+        "candidate pairs can be Jaccard-verified")
+    val spark = docs.sparkSession
+    // frozen recipe read ONCE: the verify stage must shingle at the
+    // index's width or its Jaccard would disagree with the bands
+    val shingleWords = graft.util.IndexManifest.validate(spark, indexDir,
+      graft.util.IndexManifest.KindMinhashBands).paramInt("shingle_words")
     docs.writeStream
-      .foreachBatch { (b: DataFrame, _: Long) =>
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
         // the micro-batch feeds the probe AND the admitted anti-join —
         // pay its plan once
         val bb = b.filter(col(textName).isNotNull).persist()
         try {
-          val rejected = graft.text.Dedup.lshNewCandidatesStaged(bb,
-              idCol, col(textName), indexDir, maxBucket)
-            .select(col("batch_id").as(idCol)).distinct()
-          // admitted feeds the out write AND the band append: eager
-          // localCheckpoint, released in the finally (a leaked block
-          // per micro-batch accumulates forever on a live feed)
-          val admitted = bb.join(rejected, Seq(idCol), "left_anti")
-            .localCheckpoint(true)
+          // candidate (batch_id, ref_id) pairs — lazy, but its plan
+          // captures an internal checkpointed band frame whose block
+          // must be released once the batch is fully processed
+          val cand = graft.text.Dedup.lshNewCandidatesStaged(bb,
+            idCol, col(textName), indexDir, maxBucket)
           try {
-            admitted.write.mode("append").parquet(outPath)
-            graft.text.Dedup.appendBandIndex(admitted, idCol,
-              col(textName), indexDir)
-          } finally { admitted.unpersist(false); () }
+            // the rejecting evidence: every candidate pair (verify
+            // off), or only Jaccard-confirmed pairs (verify on) —
+            // (batch_id, ref_id, jaccard), plus a releaser for the
+            // verify stage's checkpointed intermediate
+            val (evidence, releaseEvidence): (DataFrame, () => Unit) =
+              verifyJaccard match {
+                case Some(t) =>
+                  val texts = bb.select(col(idCol), col(textName))
+                    .unionByName(refTexts.get.select(col(idCol),
+                      col(textName)))
+                    .unionByName(admittedTexts(bb, outPath, idCol,
+                      textName))
+                  // jaccardVerify references its pairs several times —
+                  // materialize once (its stated contract)
+                  val pairs = cand.select(col("batch_id").as("id_a"),
+                    col("ref_id").as("id_b")).localCheckpoint(true)
+                  val verified = graft.text.Dedup.jaccardVerify(texts,
+                    pairs, idCol, col(textName), shingleWords)
+                  (verified.filter(col("jaccard") >= t)
+                    .select(col("id_a").as("batch_id"),
+                      col("id_b").as("ref_id"), col("jaccard")),
+                    () => { graft.util.LocalCkpt.release(verified)
+                      graft.util.LocalCkpt.release(pairs) })
+                case None =>
+                  (cand.select(col("batch_id"), col("ref_id"),
+                    lit(null).cast("double").as("jaccard")), () => ())
+              }
+            try {
+              rejectsPath.foreach(p => evidence
+                .select(col("batch_id").as(idCol), col("ref_id"),
+                  col("jaccard"))
+                .write.mode("append").parquet(p))
+              val rejected = evidence.select(col("batch_id").as(idCol))
+                .distinct()
+              // admitted feeds the out write AND the band append:
+              // eager localCheckpoint, blocks RELEASED in the finally
+              // (Dataset.unpersist cannot free checkpoint blocks — a
+              // leaked block per micro-batch accumulates forever on a
+              // live feed)
+              val admitted = bb.join(rejected, Seq(idCol), "left_anti")
+                .localCheckpoint(true)
+              try {
+                admitted.write.mode("append").parquet(outPath)
+                graft.text.Dedup.appendBandIndex(admitted, idCol,
+                  col(textName), indexDir)
+                if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+                  graft.text.Dedup.compactBandIndex(bb.sparkSession,
+                    indexDir)
+              } finally graft.util.LocalCkpt.release(admitted)
+            } finally releaseEvidence()
+          } finally graft.util.LocalCkpt.release(cand)
         } finally { bb.unpersist(false); () }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
+  }
+
+  /** The (id, text) frame of everything ADMITTED so far — `outPath`
+    * read back for [[admitNearStream]]'s verify stage; empty (with the
+    * BATCH's id/text types, so the union resolves) before the first
+    * admit lands. One admitted-corpus scan per micro-batch, the
+    * documented verify price. */
+  private def admittedTexts(batch: DataFrame, outPath: String,
+      idCol: String, textName: String): DataFrame = {
+    val spark = batch.sparkSession
+    val p = new org.apache.hadoop.fs.Path(outPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(outPath).select(col(idCol),
+      col(textName))
+    else batch.select(col(idCol), col(textName)).limit(0)
+  }
 
   /** Streaming SEMANTIC admission gate against a staged IVF-flat index
     * ([[graft.ml.Similarity.stageIvfFlat]]) — the third member of the
@@ -488,29 +611,39 @@ object DocStream {
     * test's `dot > 0`, so passing it through would re-admit it on
     * every replay and poison the append guard:
     * [[graft.ml.Similarity.vecNewStaged]]'s admissibility contract,
-    * which is also what keeps replay self-healing). */
+    * which is also what keeps replay self-healing). `compactEvery = N`
+    * runs [[graft.ml.Similarity.compactIvfFlat]] after every Nth batch
+    * (checkpointed-batch-id-keyed, probe-invisible — the
+    * [[admitStream]] cadence contract). */
   def admitVecStream(docs: DataFrame, idCol: String, embName: String,
       indexDir: String, outPath: String, checkpointDir: String,
-      minCosPermille: Int = 900, nprobe: Int = 4,
+      minCosPermille: Int = 900, nprobe: Int = 4, compactEvery: Int = 0,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(compactEvery >= 0, "compactEvery must be >= 0")
     docs.writeStream
-      .foreachBatch { (b: DataFrame, _: Long) =>
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
         val bb = b.filter(col(embName).isNotNull).persist()
         try {
           // vecNewStaged returns FULL batch rows, eagerly materialized —
-          // they feed the out write AND the vec append
+          // they feed the out write AND the vec append; the checkpoint
+          // blocks are RELEASED once both consumed (Dataset.unpersist
+          // cannot free them — see util/LocalCkpt)
           val admitted = graft.ml.Similarity.vecNewStaged(bb, idCol,
             embName, indexDir, minCosPermille, nprobe)
           try {
             admitted.write.mode("append").parquet(outPath)
             graft.ml.Similarity.appendIvfFlat(admitted, idCol, embName,
               indexDir)
-          } finally { admitted.unpersist(false); () }
+            if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+              graft.ml.Similarity.compactIvfFlat(bb.sparkSession,
+                indexDir)
+          } finally graft.util.LocalCkpt.release(admitted)
         } finally { bb.unpersist(false); () }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
+  }
 }

@@ -73,16 +73,23 @@ object StagedIndex {
     * implicit cast, as it always did — and only a layout with no data
     * files falls back to `emptySchema` (schema inference has nothing
     * to infer there and would throw; the layout must read as "no rows
-    * seen" instead). The listing is one driver-side RPC per probe. */
+    * seen" instead). The check recurses into partition directories
+    * until it finds a real FILE: a crash between a partition-dir mkdir
+    * and the first file move leaves dirs with zero data files, which
+    * must read as empty, not route to schema inference and throw. The
+    * listing is driver-side RPCs, bounded by the crash-window dir
+    * count (steady state: one listing). */
   def readLayout(spark: SparkSession, path: String,
       emptySchema: org.apache.spark.sql.types.StructType): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasData = fs.exists(p) && fs.listStatus(p).exists { s =>
-      val n = s.getPath.getName
-      !n.startsWith("_") && !n.startsWith(".")
-    }
-    if (hasData) spark.read.parquet(path)
+    def hasDataFile(d: org.apache.hadoop.fs.Path): Boolean =
+      fs.listStatus(d).exists { s =>
+        val n = s.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".") &&
+          (if (s.isDirectory) hasDataFile(s.getPath) else true)
+      }
+    if (fs.exists(p) && hasDataFile(p)) spark.read.parquet(path)
     else spark.read.schema(emptySchema).parquet(path)
   }
 

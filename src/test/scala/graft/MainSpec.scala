@@ -190,6 +190,33 @@ class MainSpec extends SparkSpec {
     assert(graft.text.Dedup.lshNewCandidatesStaged(probe, "doc_id",
       col("text"), idx).select("batch_id").distinct().count() ==
       admitted.filter(signs).count())
+    // verify-mode knobs ride through the CLI: an exact ref copy rejects
+    // at jaccard 1.0 into the rejects audit, a fresh doc admits, and
+    // the compaction cadence leaves one file per touched band bucket
+    val feed2 = tmp("graft-cli-admfeed2") + "/in"
+    d.filter($"doc_id" % 2 === 0 && $"doc_id" % 3 === 0 && signs)
+      .orderBy("doc_id").limit(1)
+      .select(($"doc_id" + 900000L).as("doc_id"), $"text")
+      .unionByName(Seq((990001L,
+        "a genuinely new crawl document about nothing indexed at all"))
+        .toDF("doc_id", "text"))
+      .repartition(1).write.parquet(feed2)
+    val rej = tmp("graft-cli-admrej") + "/rej"
+    val refTbl = tmp("graft-cli-admref") + "/ref"
+    cat.read("db.ref").write.parquet(refTbl)
+    val adm2 = writeCfg(tmp("graft-cli-admcfg3"),
+      s"""{"index":"$idx","action":"admit","feed":"$feed2","out":"$out",
+         |"checkpoint":"${tmp("graft-cli-admckpt2")}/ck",
+         |"verifyJaccard":0.8,"refTexts":"$refTbl","rejects":"$rej",
+         |"compactEvery":1}""".stripMargin)
+    assert(Main.run(Seq("-index", adm2), sess) == 0)
+    assert(spark.read.parquet(out).filter($"doc_id" === 990001L).count() == 1)
+    assert(spark.read.parquet(out).filter($"doc_id" >= 900000L &&
+      $"doc_id" < 990000L).count() == 0)
+    val rejRows = spark.read.parquet(rej)
+    assert(rejRows.filter($"doc_id" >= 900000L && $"jaccard" === 1.0)
+      .count() >= 1)
+    assert(rejRows.filter($"jaccard" < 0.8).count() == 0)
   }
 
   test("-index kind=flat builds, appends, and gates semantic admission") {
@@ -224,6 +251,23 @@ class MainSpec extends SparkSpec {
     assert(admitted.count() ==
       graft.ml.Similarity.vecNewStaged(cat.read("db.probe"), "vec_id",
         "embedding", idx).count())
+    // describe reports the IVF drift diagnostic (list occupancy skew)
+    val descOut = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(descOut)) {
+      assert(Main.run(Seq("-index", cfg("graft-cli-flatcfg4",
+        s"""{"index":"$idx","action":"describe"}""")), sess) == 0)
+    }
+    assert(descOut.toString.contains("skew(max/mean)"))
+    // recluster (drift maintenance) keeps the index probe-able and
+    // exact copies of indexed vectors stay rejected under the new
+    // geometry (the replay contract)
+    assert(Main.run(Seq("-index", cfg("graft-cli-flatcfg5",
+      s"""{"index":"$idx","action":"recluster","iters":2}""")), sess) == 0)
+    val out2 = tmp("graft-cli-flatout2") + "/new2"
+    assert(Main.run(Seq("-index", cfg("graft-cli-flatcfg6",
+      s"""{"index":"$idx","action":"query","source":"$root","kind":"flat",
+         |"namespace":"db.probe","out":"$out2"}""".stripMargin)), sess) == 0)
+    assert(spark.read.parquet(out2).filter($"vec_id" >= 700000L).count() == 0)
   }
 
   test("-index kind=census builds, appends, probes, and describes a gram census") {

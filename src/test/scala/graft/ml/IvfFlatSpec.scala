@@ -137,6 +137,68 @@ class IvfFlatSpec extends SparkSpec {
         f.getPath.getName.endsWith(".parquet")) == 1))
   }
 
+  test("reclusterIvfFlat: drift re-balances lists; copies still reject; geometry consistent") {
+    import graft.util.IndexManifest
+    // staged geometry: 4 unit axes in 6 dims → centroids = the axes
+    def axis(i: Int): Array[Float] = Array.tabulate(6)(j => if (j == i) 1f else 0f)
+    val staged = (0 until 4).map(i => (i.toLong, axis(i)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("flatrecl").toString
+    Similarity.stageIvfFlat(staged, "vec_id", "embedding",
+      numCentroids = 4, dir = dir)
+    // drift: 40 vectors on an arc in the e5–e6 plane — orthogonal to
+    // every frozen centroid, so ALL tie at dot 0 and pile into list 1
+    val arc = (0 until 40).map { i =>
+      val phi = i * (math.Pi / 2) / 39
+      (100L + i, Array.tabulate(6)(j =>
+        if (j == 4) math.cos(phi).toFloat
+        else if (j == 5) math.sin(phi).toFloat else 0f))
+    }.toDF("vec_id", "embedding")
+    Similarity.appendIvfFlat(arc, "vec_id", "embedding", dir = dir)
+    val before = Similarity.listSkew(spark, dir)
+    assert(before.maxList >= 40, s"drift did not pile up: $before")
+    Similarity.reclusterIvfFlat(spark, dir, iters = 3)
+    val after = Similarity.listSkew(spark, dir)
+    // no rows lost, centroid count preserved, manifest valid again
+    assert(after.nVectors == before.nVectors && after.centroids == 4)
+    val mf = IndexManifest.validate(spark, dir, IndexManifest.KindIvfFlat)
+    assert(mf.paramInt("centroids") == 4 &&
+      mf.counts.get("n_vectors").contains(44L))
+    // the drifted mass split across re-seeded centroids: skew dropped
+    assert(after.maxList < before.maxList && after.skew < before.skew,
+      s"recluster did not rebalance: $before -> $after")
+    // every stored row is assigned under the PUBLISHED centroids
+    // (vecs and meta moved together — the stage-grade commit)
+    val cents = spark.read.parquet(s"$dir/meta").collect()
+      .sortBy(_.getInt(0)).map(_.getSeq[Long](1)).toIndexedSeq
+    def dot(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val rows = spark.read.parquet(s"$dir/vecs").select("q", "list")
+      .collect().map(r => (r.getSeq[Long](0), r.getInt(1)))
+    assert(rows.length == 44 && rows.forall { case (q, l) =>
+      val dots = cents.map(c => dot(q, c))
+      dots.indexOf(dots.max) + 1 == l
+    })
+    // exact copies of EVERY indexed vector still reject: a copy probes
+    // its original's list under ANY geometry (probe and storage share
+    // the published centroids — the replay contract survives recluster)
+    val copies = staged.unionByName(arc)
+      .select((col("vec_id") + 9000L).as("vec_id"), col("embedding"))
+    assert(Similarity.vecNewStaged(copies, "vec_id", "embedding", dir,
+      nprobe = 2).count() == 0)
+    // appends keep working against the new geometry
+    Similarity.appendIvfFlat(
+      Seq((500L, Array.tabulate(6)(j => if (j == 3) -1f else 0f)))
+        .toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir = dir)
+    assert(Similarity.listSkew(spark, dir).nVectors == 45L)
+    // recluster refuses non-flat kinds via the manifest
+    intercept[IllegalArgumentException] {
+      Similarity.reclusterIvfFlat(spark,
+        java.nio.file.Files.createTempDirectory("notanidx").toString)
+    }
+  }
+
   test("an all-null-embedding corpus refuses to stage (no centroid geometry)") {
     // unlike the id-free kinds, the centroids ARE the index geometry —
     // an empty stage could never hold a vector, so it fails loudly

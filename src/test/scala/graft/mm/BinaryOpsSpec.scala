@@ -190,4 +190,62 @@ class BinaryOpsSpec extends SparkSpec {
     assert(r.toSeq == Seq((512L, 256L), (300L, 200L), (512L, 512L),
       (12L, 512L), (512L, 1L)))
   }
+
+  test("imageIoCodec decodes REAL PNG dimensions; corrupt bytes fail captured") {
+    val imgs = BinaryOps.syntheticPngs(
+      Seq((1L, 40, 25), (2L, 17, 63)).toDF("doc_id", "w", "h"),
+      "doc_id", col("w"), col("h"))
+    // the payloads are genuine PNGs (magic bytes) of the asked-for size
+    assert(imgs.filter(upper(hex(substring(col("payload"), 1, 4)))
+      =!= "89504E47").count() == 0)
+    val corpus = imgs.unionByName(
+      Seq((3L, "not an image at all".getBytes("UTF-8")))
+        .toDF("doc_id", "payload"))
+    val got = BinaryOps.decodeWith(corpus, "doc_id", col("payload"))(
+        BinaryOps.imageIoCodec _)
+      .collect().map(d => (d.id, d.width, d.height, d.format, d.decode_ok))
+      .toSet
+    assert(got == Set(
+      (1L, 40L, 25L, "png", true),
+      (2L, 17L, 63L, "png", true),
+      (3L, 0L, 0L, "unknown", false)))
+    // determinism: the same id renders the same bytes
+    val h1 = imgs.select(md5(col("payload"))).collect().map(_.getString(0)).sorted
+    val h2 = BinaryOps.syntheticPngs(
+        Seq((1L, 40, 25), (2L, 17, 63)).toDF("doc_id", "w", "h"),
+        "doc_id", col("w"), col("h"))
+      .select(md5(col("payload"))).collect().map(_.getString(0)).sorted
+    assert(h1.toSeq == h2.toSeq)
+  }
+
+  test("resizeImages: real pixel work lands exactly on the resizeSpec box") {
+    // downscale wide, downscale tall, no-upscale, corrupt
+    val imgs = BinaryOps.syntheticPngs(
+      Seq((1L, 100, 40), (2L, 30, 90), (3L, 20, 10)).toDF("doc_id", "w", "h"),
+      "doc_id", col("w"), col("h"))
+      .unionByName(Seq((4L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload"))
+    val rs = BinaryOps.resizeImages(imgs, "doc_id", col("payload"), maxDim = 64)
+    val boxes = rs.collect()
+      .map(r => (r.id, r.width, r.height, r.target_width, r.target_height,
+        r.decode_ok)).toSet
+    assert(boxes == Set(
+      (1L, 100L, 40L, 64L, 25L, true), // floor(40*64/100) = 25
+      (2L, 30L, 90L, 21L, 64L, true),  // floor(30*64/90) = 21
+      (3L, 20L, 10L, 20L, 10L, true),  // already inside the box
+      (4L, 0L, 0L, 0L, 0L, false)))
+    // the box arithmetic IS resizeSpec's (one rule, two executors)
+    val spec = BinaryOps.resizeSpec(
+        Seq((1L, 100L, 40L), (2L, 30L, 90L), (3L, 20L, 10L))
+          .toDF("doc_id", "width", "height"), 64)
+      .select("doc_id", "target_width", "target_height")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spec == boxes.filter(_._6).map(b => (b._1, b._4, b._5)))
+    // RE-DECODING the resized bytes recovers the target box: the pixels
+    // were actually rescaled, not just planned
+    val redec = BinaryOps.decodeWith(
+        rs.toDF().filter(col("decode_ok")), "id", col("png"))(
+        BinaryOps.imageIoCodec _)
+      .collect().map(d => (d.id, d.width, d.height)).toSet
+    assert(redec == Set((1L, 64L, 25L), (2L, 21L, 64L), (3L, 20L, 10L)))
+  }
 }

@@ -156,6 +156,217 @@ class DocStreamSpec extends SparkSpec {
     assert(admitted == Set((2L, "crawl-a"), (12L, "crawl-b")))
   }
 
+  // one file per micro-batch (maxFilesPerTrigger=1, mod-time order)
+  private def writeBatches[T <: Product : org.apache.spark.sql.Encoder](
+      dir: String, batches: Seq[Seq[T]], cols: Seq[String]): Unit =
+    batches.foreach { rows =>
+      rows.toDF(cols: _*).coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(150)
+    }
+
+  private def maxFilesPerPartDir(layout: String, prefix: String): Int = {
+    val root = new java.io.File(layout)
+    val parts = root.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith(prefix))
+    if (parts.isEmpty) 0
+    else parts.map(_.listFiles().count(_.getName.endsWith(".parquet"))).max
+  }
+
+  test("admitStream compactEvery: mid-drain compaction is admission-invisible, files bounded") {
+    val root = feedDir()
+    val feed = s"$root/feed"
+    // 4 micro-batches: fresh docs + repeats of the staged reference and
+    // of earlier batches' admitted docs
+    writeBatches(feed, Seq(
+      Seq((1L, "unique doc number one body"), (2L, "reference only doc")),
+      Seq((10L, "unique doc number two body"), (11L, "unique doc number one body")),
+      Seq((20L, "unique doc number three body")),
+      Seq((30L, "unique doc number two body"), (31L, "unique doc number four body"))),
+      Seq("doc_id", "text"))
+    def drain(tag: String, every: Int): Set[Long] = {
+      val idx = s"$root/fpidx$tag"
+      // 2 buckets: stage + 4 admitting appends = 5 write jobs over 2
+      // buckets, so some bucket holds > 1 file by pigeonhole
+      graft.text.Dedup.stageFingerprints(
+        Seq((100L, "reference only doc")).toDF("doc_id", "text"),
+        col("text"), idx, buckets = 2)
+      DocStream.admitStream(
+          spark.readStream.schema(spark.read.parquet(feed).schema)
+            .option("maxFilesPerTrigger", 1).parquet(feed),
+          "doc_id", "text", idx, s"$root/adm$tag", s"$root/ckpt$tag",
+          compactEvery = every)
+        .awaitTermination()
+      spark.read.parquet(s"$root/adm$tag").select("doc_id")
+        .as[Long].collect().toSet
+    }
+    val plain = drain("a", 0)
+    val cadenced = drain("b", 2) // compacts after batches 2 and 4
+    assert(plain == Set(1L, 10L, 20L, 31L))
+    assert(cadenced == plain)
+    // growth bounded: the cadence's last compaction lands on the final
+    // batch → exactly one file per touched bucket; uncompacted stacks
+    assert(maxFilesPerPartDir(s"$root/fpidxa/fp", "fpb=") > 1)
+    assert(maxFilesPerPartDir(s"$root/fpidxb/fp", "fpb=") == 1)
+  }
+
+  test("admitNearStream compactEvery: mid-drain band compaction, files bounded") {
+    val root = feedDir()
+    val feed = s"$root/feed"
+    val refText = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val t1 = "completely different document about spark streaming and parquet file layouts"
+    val t2 = "another brand new corpus document describing minhash band signatures in detail"
+    val t3 = "a third novel document on shuffle partitioning and broadcast join planning"
+    writeBatches(feed, Seq(
+      Seq((1L, t1), (2L, refText)),
+      Seq((10L, t2), (11L, t1)),
+      Seq((20L, t3)),
+      Seq((30L, t2))),
+      Seq("doc_id", "text"))
+    def drain(tag: String, every: Int): Set[Long] = {
+      val idx = s"$root/bandidx$tag"
+      graft.text.Dedup.stageBandIndex(
+        Seq((100L, refText)).toDF("doc_id", "text"),
+        "doc_id", col("text"), dir = idx, buckets = 4)
+      DocStream.admitNearStream(
+          spark.readStream.schema(spark.read.parquet(feed).schema)
+            .option("maxFilesPerTrigger", 1).parquet(feed),
+          "doc_id", "text", idx, s"$root/adm$tag", s"$root/ckpt$tag",
+          compactEvery = every)
+        .awaitTermination()
+      spark.read.parquet(s"$root/adm$tag").select("doc_id")
+        .as[Long].collect().toSet
+    }
+    val plain = drain("a", 0)
+    val cadenced = drain("b", 2)
+    assert(plain == Set(1L, 10L, 20L))
+    assert(cadenced == plain)
+    assert(maxFilesPerPartDir(s"$root/bandidxa/bands", "bkt=") > 1)
+    assert(maxFilesPerPartDir(s"$root/bandidxb/bands", "bkt=") == 1)
+    assert(maxFilesPerPartDir(s"$root/bandidxb/ids", "idb=") == 1)
+  }
+
+  test("admitVecStream compactEvery: mid-drain vec compaction, files bounded") {
+    val root = feedDir()
+    val feed = s"$root/feed"
+    def v(x: Float*): Array[Float] = x.toArray
+    writeBatches(feed, Seq(
+      Seq((1L, v(0f, 0f, 1f, 0f))), // new direction → admitted
+      Seq((10L, v(1f, 0f, 0f, 0f)), (11L, v(0f, 0f, 0f, 1f))), // copy of staged; new
+      Seq((20L, v(0f, 0f, 1f, 0f))), // copy of batch-1 admit → rejected
+      Seq((30L, v(0.5f, 0.5f, 0.5f, 0.5f)))),
+      Seq("vec_id", "embedding"))
+    def drain(tag: String, every: Int): Set[Long] = {
+      val idx = s"$root/flatidx$tag"
+      graft.ml.Similarity.stageIvfFlat(
+        Seq((100L, v(1f, 0f, 0f, 0f)), (101L, v(0f, 1f, 0f, 0f)))
+          .toDF("vec_id", "embedding"),
+        "vec_id", "embedding", numCentroids = 2, dir = idx)
+      DocStream.admitVecStream(
+          spark.readStream.schema(spark.read.parquet(feed).schema)
+            .option("maxFilesPerTrigger", 1).parquet(feed),
+          "vec_id", "embedding", idx, s"$root/adm$tag", s"$root/ckpt$tag",
+          compactEvery = every)
+        .awaitTermination()
+      spark.read.parquet(s"$root/adm$tag").select("vec_id")
+        .as[Long].collect().toSet
+    }
+    val plain = drain("a", 0)
+    val cadenced = drain("b", 2)
+    assert(plain == Set(1L, 11L, 30L))
+    assert(cadenced == plain)
+    assert(maxFilesPerPartDir(s"$root/flatidxa/vecs", "list=") > 1)
+    assert(maxFilesPerPartDir(s"$root/flatidxb/vecs", "list=") == 1)
+  }
+
+  test("admitNearStream verify mode: sub-threshold collision admitted, rejects audited, outPath texts verify") {
+    val root = feedDir()
+    val idx = s"$root/bandidx"
+    // short ref: 14 words → 12 shingles; a 4-word tail adds 4 new
+    // shingles → jaccard 12/16 = 0.75 < 0.8 (admitted under verify);
+    // long ref: 62 words → 60 shingles; same tail → 60/64 ≈ 0.94 ≥ 0.8
+    val shortRef = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val longRef = (1 to 5).map(i =>
+      s"paragraph $i of the reference describes partition pruning and shuffle behavior under load")
+      .mkString(" ") + " and a final closing sentence ends the reference document here"
+    val refs = Seq((100L, shortRef), (101L, longRef)).toDF("doc_id", "text")
+    graft.text.Dedup.stageBandIndex(refs, "doc_id", col("text"),
+      dir = idx, buckets = 4)
+    val tail = " totally fresh trailing words"
+    val shortNear = shortRef + tail
+    val longNear = longRef + tail
+    def drain(rows: Seq[(Long, String)], i: Int,
+        verify: Option[Double]): Unit = {
+      val df = rows.toDF("doc_id", "text").coalesce(1)
+      df.write.parquet(s"$root/feed$i")
+      DocStream.admitNearStream(
+          spark.readStream.schema(df.schema).parquet(s"$root/feed$i"),
+          "doc_id", "text", idx, s"$root/adm", s"$root/ckpt$i",
+          verifyJaccard = verify, refTexts = Some(refs),
+          rejectsPath = Some(s"$root/rej"))
+        .awaitTermination()
+    }
+    drain(Seq((1L, shortNear), (2L, longNear),
+      (3L, "an unrelated document about something else entirely today")),
+      1, Some(0.8))
+    val adm1 = spark.read.parquet(s"$root/adm").select("doc_id")
+      .as[Long].collect().toSet
+    // doc 1 collides on a band but verifies at 0.75 < 0.8 → ADMITTED
+    // (the candidate-keyed gate would have dropped it); doc 2 verifies
+    // at ~0.94 → rejected; doc 3 has no candidates → admitted
+    assert(adm1 == Set(1L, 3L))
+    val rej1 = spark.read.parquet(s"$root/rej")
+      .select("doc_id", "ref_id", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rej1.map(_._1) == Set(2L))
+    assert(rej1.forall { case (_, rid, j) => rid == 101L && j >= 0.8 && j < 1.0 })
+    // wave 2, fresh checkpoint: an EXACT copy of wave-1-admitted doc 1
+    // must reject at jaccard 1.0 — its text comes from the OUT path
+    // (the index stores signatures only), proving the verify stage
+    // re-reads admitted texts
+    drain(Seq((10L, shortNear)), 2, Some(0.8))
+    val adm2 = spark.read.parquet(s"$root/adm").select("doc_id")
+      .as[Long].collect().toSet
+    assert(adm2 == Set(1L, 3L))
+    val rej2 = spark.read.parquet(s"$root/rej")
+      .select("doc_id", "ref_id", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rej2.contains((10L, 1L, 1.0)))
+    // sanity contrast: WITHOUT verify the same wave-1 feed rejects the
+    // sub-threshold collision too (candidate-keyed), and the rejects
+    // audit carries a null jaccard
+    val idx2 = s"$root/bandidx2"
+    graft.text.Dedup.stageBandIndex(refs, "doc_id", col("text"),
+      dir = idx2, buckets = 4)
+    val df = Seq((1L, shortNear),
+      (5L, "another unrelated text about gardens and weather patterns"))
+      .toDF("doc_id", "text").coalesce(1)
+    df.write.parquet(s"$root/feedx")
+    DocStream.admitNearStream(
+        spark.readStream.schema(df.schema).parquet(s"$root/feedx"),
+        "doc_id", "text", idx2, s"$root/admx", s"$root/ckptx",
+        rejectsPath = Some(s"$root/rejx"))
+      .awaitTermination()
+    assert(spark.read.parquet(s"$root/admx").select("doc_id")
+      .as[Long].collect().toSet == Set(5L))
+    val rx = spark.read.parquet(s"$root/rejx")
+      .select("doc_id", "ref_id", "jaccard").collect()
+    assert(rx.map(_.getLong(0)).toSet == Set(1L))
+    assert(rx.forall(_.isNullAt(2)))
+    // the knobs are validated up front
+    intercept[IllegalArgumentException] {
+      DocStream.admitNearStream(
+        spark.readStream.schema(df.schema).parquet(s"$root/feedx"),
+        "doc_id", "text", idx2, s"$root/admy", s"$root/ckpty",
+        verifyJaccard = Some(0.8))
+    }
+    intercept[IllegalArgumentException] {
+      DocStream.admitNearStream(
+        spark.readStream.schema(df.schema).parquet(s"$root/feedx"),
+        "doc_id", "text", idx2, s"$root/admy", s"$root/ckpty",
+        verifyJaccard = Some(1.5), refTexts = Some(refs))
+    }
+  }
+
   test("exact gate keeps first arrival, drops the cross-batch content dup") {
     val dir = feedDir(); writeFeed(dir)
     val kept = runGate(dir, "ds_exact",

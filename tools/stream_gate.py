@@ -16,6 +16,9 @@ scale jitter by hundreds of ms, and the sum is what SCALE.md tracks).
 
 PASS iff  sum(bench mins over streaming queries) <= 1.25 * sum(floors).
 Queries present in only one file are listed loudly and excluded.
+Any INDIVIDUAL query above 1.35x its floor is flagged with a WARN line
+(not a gate fail — per-query floors jitter; the flag makes a drifting
+fixture visible the round it starts instead of hiding in the sum).
 
 Usage: python3 tools/stream_gate.py bench_out/rNN_iso.json \
          bench_out/rNN_stream_floors.json
@@ -24,6 +27,7 @@ import json
 import sys
 
 RATIO = 1.25
+WARN_RATIO = 1.35  # per-query drift flag (warning only, not a gate)
 
 
 def main():
@@ -41,12 +45,21 @@ def main():
     bsum = sum(bq[k] for k in common)
     fsum = sum(floors[k]["floor_sec"] for k in common)
     print(f"{len(common)} streaming queries:")
+    warned = []
     for k in common:
         f = floors[k]
         r = bq[k] / f["floor_sec"] if f["floor_sec"] > 0 else float("inf")
+        flag = ""
+        if r > WARN_RATIO:
+            warned.append(k)
+            flag = f"  WARN > {WARN_RATIO}x floor"
         print(f"  {k:<22} bench={bq[k]:6.2f}s floor={f['floor_sec']:6.2f}s "
               f"(busy={f['busy_sec']:5.2f} gap={f['gap_sec']:5.2f}) "
-              f"ratio={r:5.2f}")
+              f"ratio={r:5.2f}{flag}")
+    if warned:
+        print(f"WARN: {len(warned)} quer{'y' if len(warned) == 1 else 'ies'} "
+              f"above {WARN_RATIO}x individual floor (drift flag, not a "
+              f"gate fail): {', '.join(warned)}")
     ratio = bsum / fsum if fsum > 0 else float("inf")
     verdict = "PASS" if ratio <= RATIO else "FAIL"
     print(f"streaming_total {bsum:.1f}s vs floor sum {fsum:.1f}s -> "
