@@ -32,7 +32,12 @@ import org.apache.spark.sql.functions._
   *        (SPARK_GRAFT_SWEEP_ONLY=census,lsh,bm25 filters kinds;
   *        SPARK_GRAFT_SWEEP_MULTS=1,3,10,30 overrides the multiples —
   *        the 30× point is where super-linear terms the 10× point
-  *        hides would surface: file listing, guard scans)
+  *        hides would surface: file listing, guard scans;
+  *        SPARK_GRAFT_SWEEP_BUCKETS=1024 overrides the staged bucket
+  *        count (default 64) — the knob that keeps probes pruned once
+  *        a batch's keys would otherwise touch every bucket: at 300×
+  *        a 12k-hash batch saturates 64 buckets and the "pruned" scan
+  *        is the whole layout; more buckets restore the fraction)
   */
 object ProbeSweep {
   private def corpus(spark: SparkSession, dir: String, mult: Int): DataFrame = {
@@ -85,10 +90,10 @@ object ProbeSweep {
 
     // the FIXED probe batch: tail-mutated copies of 1-in-5 mult-0 docs
     // (same collision surface at every multiple) — materialized once.
-    // Offset clears the corpus id space through mult ≥ 100 (copies sit
-    // at k·10M; 9e8 used to collide with the k=90 copy's ids)
+    // Offset clears the corpus id space through mult ≥ 300 (copies sit
+    // at k·10M; 2e9 used to collide with the k=200 copy's ids)
     val batch = corpus(spark, dir, 1).filter(col("doc_id") % 5 === 0)
-      .select((col("doc_id") + 2000000000L).as("doc_id"),
+      .select((col("doc_id") + 4000000000L).as("doc_id"),
         concat(col("text"), lit(" probe batch tail")).as("text"))
       .localCheckpoint(true)
     val spark2 = spark
@@ -103,35 +108,36 @@ object ProbeSweep {
     // admittable past dims multiples, negation does)
     val vbatch = {
       val d = vecCorpus(spark, dir, 1).filter(col("vec_id") % 5 === 0)
-      d.select((col("vec_id") + 2000000000L).as("vec_id"),
+      d.select((col("vec_id") + 4000000000L).as("vec_id"),
           transform(col("embedding"), x => x * lit(1.0001f)).as("embedding"))
-        .unionByName(d.select((col("vec_id") + 2100000000L).as("vec_id"),
+        .unionByName(d.select((col("vec_id") + 4100000000L).as("vec_id"),
           transform(col("embedding"), x => -x).as("embedding")))
         .localCheckpoint(true)
     }
 
     // (kind, stage into dir, probe returning a row count)
+    val buckets = sys.env.getOrElse("SPARK_GRAFT_SWEEP_BUCKETS", "64").toInt
     val kinds: Seq[(String, (DataFrame, String) => Unit, String => Long)] = Seq(
       ("census", (ref, ix) => Substrings.stageGramCensus(ref, "doc_id",
-          col("text"), k = 40, dir = ix, buckets = 64,
+          col("text"), k = 40, dir = ix, buckets = buckets,
           hash = Substrings.HashXxh64),
         ix => Substrings.newDupSpans(batch, "doc_id", col("text"), ix,
           maxChars = 0, selfDups = false).count()),
       ("anchored", (ref, ix) => Substrings.stageAnchorCensus(ref, "doc_id",
-          col("text"), k = 40, guarantee = 64, dir = ix, buckets = 64,
+          col("text"), k = 40, guarantee = 64, dir = ix, buckets = buckets,
           hash = Substrings.HashXxh64),
         ix => Substrings.newAnchorSpans(batch, "doc_id", col("text"), ix,
           maxChars = 0, selfDups = false).count()),
       ("lsh", (ref, ix) => Dedup.stageBandIndex(ref, "doc_id", col("text"),
-          ix, buckets = 64),
+          ix, buckets = buckets),
         ix => Dedup.lshNewCandidatesStaged(batch, "doc_id", col("text"), ix)
           .count()),
       ("bm25", (ref, ix) => Retrieval.stageBm25(ref, "doc_id", col("text"),
-          ix, buckets = 64),
+          ix, buckets = buckets),
         ix => Retrieval.stagedBm25TopK(spark, ix, queries, "query_id",
           col("qtext"), k = 5).count()),
       ("fp", (ref, ix) => Dedup.stageFingerprints(ref, col("text"), ix,
-          buckets = 64),
+          buckets = buckets),
         ix => Dedup.exactNewStaged(batch, "doc_id", col("text"), ix)
           .count()))
     // the vector kind rides the embeddings table, not documents — its
@@ -176,7 +182,7 @@ object ProbeSweep {
       val (p2, _) = time(probe(ix))
       println(f"""{"kind":"$name","mult":$mult,"stage_sec":$stageSec%.3f,""" +
         f""""probe_sec":${math.min(p1, p2)}%.3f,"probe_rows":$n,""" +
-        f""""stage_reps":$stageReps}""")
+        f""""stage_reps":$stageReps,"buckets":$buckets}""")
     }
     spark.stop()
   }
