@@ -199,6 +199,45 @@ class IvfFlatSpec extends SparkSpec {
     }
   }
 
+  test("reclusterIvfFlat crash windows: stale tmp dirs ignored, dead commit reads fail-closed") {
+    import graft.util.IndexManifest
+    val reference = emb.filter(col("vec_id") < 40)
+    val dir = java.nio.file.Files.createTempDirectory("flatreclcrash").toString
+    Similarity.stageIvfFlat(reference, "vec_id", "embedding",
+      numCentroids = 4, dir = dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a previous recluster that died during its TMP WRITES (manifest
+    // still valid, live layouts untouched) leaves stale temp dirs —
+    // the next recluster clears and proceeds
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir, "vecs.__recluster__")): Unit
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir, "meta.__recluster__")): Unit
+    Similarity.reclusterIvfFlat(spark, dir, iters = 1)
+    assert(Similarity.listSkew(spark, dir).nVectors == reference.count())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "vecs.__recluster__")))
+    // a recluster that died INSIDE the commit bracket (manifest
+    // dropped, renames maybe partial) must read fail-closed: probes
+    // and appends refuse loudly as "not a graft index", never
+    // silently probe a half-published geometry
+    IndexManifest.invalidate(spark, dir)
+    val batch = emb.filter(col("vec_id") >= 40 && col("vec_id") < 50)
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.vecNewStaged(batch, "vec_id", "embedding", dir)
+    }
+    assert(e1.getMessage.contains("not a graft index"))
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.appendIvfFlat(batch, "vec_id", "embedding", dir)
+    }
+    assert(e2.getMessage.contains("not a graft index"))
+    // recovery is an explicit restage
+    Similarity.stageIvfFlat(reference, "vec_id", "embedding",
+      numCentroids = 4, dir = dir)
+    assert(Similarity.vecNewStaged(
+      reference.select((col("vec_id") + 9000L).as("vec_id"),
+        col("embedding")),
+      "vec_id", "embedding", dir).count() == 0)
+  }
+
   test("an all-null-embedding corpus refuses to stage (no centroid geometry)") {
     // unlike the id-free kinds, the centroids ARE the index geometry —
     // an empty stage could never hold a vector, so it fails loudly
