@@ -877,7 +877,11 @@ object Main {
       // instead of discarding the evidence). "compactEvery": N runs
       // the kind's compactor after every Nth micro-batch — a
       // continuous drain otherwise accumulates one file per bucket
-      // per batch forever. Config: {"index", "action": "admit",
+      // per batch forever. For ivf_flat, "reclusterSkew": s (with
+      // compactEvery) auto-reclusters at compaction points whenever
+      // list-occupancy skew reads >= s — drift maintenance for a
+      // long-running semantic gate ("reclusterIters" tunes the Lloyd
+      // rounds). Config: {"index", "action": "admit",
       // "feed": <parquet dir>, "checkpoint": <dir>, "out": <dir>}
       // + optional "id"/"text" column names, "maxFilesPerTrigger" (1).
       val feed = req("feed"); val ckpt = req("checkpoint")
@@ -909,7 +913,10 @@ object Main {
             if (n.has("embedding")) n.get("embedding").asText()
             else "embedding",
             idx, outP, ckpt, minCosPermille = int("minCos", 900),
-            nprobe = int("nprobe", 4), compactEvery = every)
+            nprobe = int("nprobe", 4), compactEvery = every,
+            reclusterSkew = if (n.has("reclusterSkew"))
+              n.get("reclusterSkew").asDouble() else 0.0,
+            reclusterIters = int("reclusterIters", 3))
         case other => throw new IllegalArgumentException(
           s"no admission gate for index kind '$other' (fp = exact, " +
             "lsh = text near-dup, ivf_flat = semantic)")

@@ -614,14 +614,38 @@ object DocStream {
     * which is also what keeps replay self-healing). `compactEvery = N`
     * runs [[graft.ml.Similarity.compactIvfFlat]] after every Nth batch
     * (checkpointed-batch-id-keyed, probe-invisible — the
-    * [[admitStream]] cadence contract). */
+    * [[admitStream]] cadence contract).
+    *
+    * `reclusterSkew = s` (requires `compactEvery`) turns on DRIFT
+    * AUTO-MAINTENANCE: at each compaction point, if the post-compact
+    * [[graft.ml.Similarity.listSkew]] reads ≥ `s`, the index is
+    * [[graft.ml.Similarity.reclusterIvfFlat]]'d — a drifting crawl
+    * would otherwise pile new vectors into a few lists until probe
+    * pruning degrades toward full scans, and "run describe and decide"
+    * is not an answer for a gate sold as a continuous service. The
+    * single-writer discipline covers it (foreachBatch bodies run
+    * serially; each batch re-reads the centroids, so the NEXT probe
+    * uses the new geometry), but recluster's stage-grade commit makes
+    * the index read "not a graft index" to CONCURRENT EXTERNAL probes
+    * for the (short) rename window — a deployment sharing the index
+    * with other live probers should recluster offline instead.
+    * Admission semantics may shift at the nprobe margin (the
+    * documented recluster trade); with nprobe ≥ the centroid count
+    * they provably cannot (every list is probed under any geometry),
+    * and exact copies always still reject. */
   def admitVecStream(docs: DataFrame, idCol: String, embName: String,
       indexDir: String, outPath: String, checkpointDir: String,
       minCosPermille: Int = 900, nprobe: Int = 4, compactEvery: Int = 0,
+      reclusterSkew: Double = 0.0, reclusterIters: Int = 3,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(compactEvery >= 0, "compactEvery must be >= 0")
+    require(reclusterSkew >= 0.0, "reclusterSkew must be >= 0")
+    require(reclusterSkew == 0.0 || compactEvery > 0,
+      "reclusterSkew rides the compaction cadence — set compactEvery " +
+        "(a per-batch skew scan would pay a layout aggregate on every " +
+        "micro-batch)")
     docs.writeStream
       .foreachBatch { (b: DataFrame, batchId: Long) =>
         val bb = b.filter(col(embName).isNotNull).persist()
@@ -636,9 +660,15 @@ object DocStream {
             admitted.write.mode("append").parquet(outPath)
             graft.ml.Similarity.appendIvfFlat(admitted, idCol, embName,
               indexDir)
-            if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+            if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
               graft.ml.Similarity.compactIvfFlat(bb.sparkSession,
                 indexDir)
+              if (reclusterSkew > 0.0 &&
+                  graft.ml.Similarity.listSkew(bb.sparkSession,
+                    indexDir).skew >= reclusterSkew)
+                graft.ml.Similarity.reclusterIvfFlat(bb.sparkSession,
+                  indexDir, reclusterIters)
+            }
           } finally graft.util.LocalCkpt.release(admitted)
         } finally { bb.unpersist(false); () }
       }

@@ -278,6 +278,68 @@ class DocStreamSpec extends SparkSpec {
     assert(maxFilesPerPartDir(s"$root/flatidxb/vecs", "list=") == 1)
   }
 
+  test("admitVecStream reclusterSkew: drift auto-maintenance fires at the cadence, admission invariant") {
+    val root = feedDir()
+    val feed = s"$root/feed"
+    // 8-dim geometry: staged axes e1/e2 are the 2 centroids; the feed
+    // is two drifted clusters around ±e3 (members pairwise cos 0.5 or
+    // 0 — all admitted; all orthogonal to both centroids — all tie
+    // into list 1, the pile-up recluster exists to fix)
+    def ax(i: Int): Array[Float] = Array.tabulate(8)(j => if (j == i) 1f else 0f)
+    def cl(sign: Float, u: Int): Array[Float] =
+      Array.tabulate(8)(j =>
+        if (j == 2) sign * 0.707f else if (j == u) 0.707f else 0f)
+    writeBatches(feed, Seq(
+      Seq((1L, cl(1f, 3)), (2L, cl(1f, 4))),
+      Seq((10L, cl(-1f, 3)), (11L, cl(-1f, 4))),
+      Seq((20L, cl(1f, 5)), (21L, cl(1f, 6))),
+      Seq((30L, cl(-1f, 5)), (31L, cl(-1f, 6)))),
+      Seq("vec_id", "embedding"))
+    def drain(tag: String, skew: Double): Set[Long] = {
+      val idx = s"$root/flatidx$tag"
+      graft.ml.Similarity.stageIvfFlat(
+        Seq((100L, ax(0)), (101L, ax(1))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", numCentroids = 2, dir = idx)
+      DocStream.admitVecStream(
+          spark.readStream.schema(spark.read.parquet(feed).schema)
+            .option("maxFilesPerTrigger", 1).parquet(feed),
+          "vec_id", "embedding", idx, s"$root/adm$tag", s"$root/ckpt$tag",
+          // nprobe = numCentroids: every list probed under ANY
+          // geometry, so admission is provably recluster-invariant —
+          // the fixture pins exactly that
+          nprobe = 2, compactEvery = 2, reclusterSkew = skew)
+        .awaitTermination()
+      spark.read.parquet(s"$root/adm$tag").select("vec_id")
+        .as[Long].collect().toSet
+    }
+    val plain = drain("a", 0.0)      // cadenced compaction, no recluster
+    val cadenced = drain("b", 1.2)   // recluster fires at batches 2 and 4
+    val all = Set(1L, 2L, 10L, 11L, 20L, 21L, 30L, 31L)
+    assert(plain == all && cadenced == plain)
+    def meta(tag: String): Set[Seq[Long]] =
+      spark.read.parquet(s"$root/flatidx$tag/meta").collect()
+        .map(_.getSeq[Long](1)).toSet
+    // control: without the knob the centroids stay the staged axes;
+    // with it, the post-drain geometry moved (recluster FIRED — the
+    // drifted mass drew the re-seeded centroids away from e1/e2)
+    val axes = Set(ax(0), ax(1)).map(_.map(x => math.floor(x * 1000).toLong).toSeq)
+    assert(meta("a") == axes)
+    assert(meta("b") != axes)
+    // the replay contract survives auto-recluster: exact copies of
+    // everything admitted are rejected by the reclustered index
+    val copies = spark.read.parquet(s"$root/adma")
+      .select((col("vec_id") + 5000L).as("vec_id"), col("embedding"))
+    assert(graft.ml.Similarity.vecNewStaged(copies, "vec_id", "embedding",
+      s"$root/flatidxb", nprobe = 2).count() == 0)
+    // the knob without a compaction cadence is refused up front
+    intercept[IllegalArgumentException] {
+      DocStream.admitVecStream(
+        spark.readStream.schema(spark.read.parquet(feed).schema).parquet(feed),
+        "vec_id", "embedding", s"$root/flatidxa", s"$root/admx",
+        s"$root/ckptx", reclusterSkew = 1.5)
+    }
+  }
+
   test("admitNearStream verify mode: sub-threshold collision admitted, rejects audited, outPath texts verify") {
     val root = feedDir()
     val idx = s"$root/bandidx"
