@@ -797,7 +797,8 @@ object Main {
       // Lloyd-refine the centroids over the STORED vectors and
       // reassign every row — frozen stage-time geometry otherwise
       // degrades probe pruning as an append stream drifts. Optional
-      // "iters" (3). Stage-grade commit (see the scaladoc).
+      // "iters" (3). Reader-atomic generation commit (see the
+      // scaladoc): concurrent probes keep working through the flip.
       val mf = graft.util.IndexManifest.read(spark, idx)
       require(mf.kind == graft.util.IndexManifest.KindIvfFlat,
         s"recluster supports ivf_flat (got '${mf.kind}'); the PQ kind's " +

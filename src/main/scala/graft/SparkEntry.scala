@@ -1575,16 +1575,20 @@ object SparkEntry {
     // BELOW the threshold (collision-only near-misses, admitted here,
     // rejected by candidate-keyed q_st_lsh) and long docs' copies
     // above it (still rejected). The matched side's text comes from
-    // refTexts (staged corpus) or the OUT path (wave-1 winners) — the
-    // index stores signatures only. DuckDB recomputes both waves'
-    // candidates AND their Jaccards from arrival order ----
+    // THE INDEX ITSELF (storeTexts staging: texts ride the id-bucketed
+    // ids/ rows, and the gate's own appends carry the admitted texts),
+    // so each micro-batch's verify fetch reads only the candidate ids'
+    // bucket partitions — candidate-proportional, never a corpus
+    // re-scan. DuckDB recomputes both waves' candidates AND their
+    // Jaccards from arrival order ----
     "q_st_lsh_verified" -> ((s, dir) => {
       val out = scratchDir("stlshv")
       val d = load(s, dir, "documents").filter(col("text").isNotNull)
         .select(col("doc_id"), col("text"), col("lang"))
       val idx = s"$out/bandidx"
       val refs = d.filter(col("doc_id") % 2 === 0)
-      text.Dedup.stageBandIndex(refs, "doc_id", col("text"), dir = idx)
+      text.Dedup.stageBandIndex(refs, "doc_id", col("text"), dir = idx,
+        storeTexts = true)
       val tail = lit(VerifiedTail)
       val w1 = d.filter(col("doc_id") % 4 === 1)
       val w2 = d.filter(col("doc_id") % 4 === 3)
@@ -1599,7 +1603,7 @@ object SparkEntry {
         streaming.DocStream.admitNearStream(
             s.readStream.schema(wave.schema).parquet(s"$out/feed$i"),
             "doc_id", "text", idx, s"$out/admitted", s"$out/ckpt$i",
-            verifyJaccard = Some(0.8), refTexts = Some(refs),
+            verifyJaccard = Some(0.8),
             rejectsPath = Some(s"$out/rejects"))
           .awaitTermination()
       }

@@ -864,28 +864,55 @@ object Similarity {
     }
   }
 
-  /** The frozen centroids of a [[stageIvfFlat]] dir. */
-  private def readIvfFlatMeta(spark: org.apache.spark.sql.SparkSession,
-      dir: String): IndexedSeq[Seq[Long]] = {
-    graft.util.IndexManifest.validate(spark, dir,
-      graft.util.IndexManifest.KindIvfFlat): Unit
-    spark.read.parquet(s"$dir/meta").collect()
-      .sortBy(_.getInt(0)).map(_.getSeq[Long](1)).toIndexedSeq
+  /** The live sublayout DIR NAMES of an IVF-flat index under its
+    * manifest: plain (`vecs`, `meta`) as staged, or the current
+    * GENERATION pair (`vecs.gN`, `meta.gN`) once [[reclusterIvfFlat]]
+    * has run — the generation number is a manifest param, so ONE
+    * manifest read resolves a geometry-consistent (vecs, meta) pair
+    * and a recluster flips both with a single atomic manifest rewrite
+    * (readers see the whole old index or the whole new one, never a
+    * mixed geometry and never a missing layout). */
+  private def ivfFlatNames(mf: graft.util.IndexManifest): (String, String) =
+    mf.params.get("gen") match {
+      case Some(g) => (s"vecs.g$g", s"meta.g$g")
+      case None => ("vecs", "meta")
+    }
+
+  /** One geometry-consistent snapshot of a [[stageIvfFlat]] index:
+    * the manifest, the RESOLVED sublayout paths, and the centroids —
+    * every probe/append resolves through this exactly once, so a
+    * concurrent [[reclusterIvfFlat]] flip can never hand it old
+    * centroids with new vectors (or vice versa). */
+  private final case class IvfFlatHandle(mf: graft.util.IndexManifest,
+      vecsPath: String, metaPath: String, cents: IndexedSeq[Seq[Long]])
+
+  private def openIvfFlat(spark: org.apache.spark.sql.SparkSession,
+      dir: String): IvfFlatHandle = {
+    val mf = graft.util.IndexManifest.validate(spark, dir,
+      graft.util.IndexManifest.KindIvfFlat)
+    val (v, m) = ivfFlatNames(mf)
+    IvfFlatHandle(mf, s"$dir/$v", s"$dir/$m",
+      spark.read.parquet(s"$dir/$m").collect()
+        .sortBy(_.getInt(0)).map(_.getSeq[Long](1)).toIndexedSeq)
   }
 
-  /** The vecs layout, empty-tolerant ([[graft.util.StagedIndex
-    * .readLayout]]): with data present the schema is INFERRED as
-    * always; an all-appends-refused (or freshly-compacted-to-nothing)
-    * empty `vecs/` dir reads as "no vectors" instead of dying on
-    * parquet schema inference. */
+  /** The frozen centroids of a [[stageIvfFlat]] dir. */
+  private def readIvfFlatMeta(spark: org.apache.spark.sql.SparkSession,
+      dir: String): IndexedSeq[Seq[Long]] = openIvfFlat(spark, dir).cents
+
+  /** The vecs layout at its RESOLVED path ([[IvfFlatHandle]]),
+    * empty-tolerant ([[graft.util.StagedIndex.readLayout]]): with data
+    * present the schema is INFERRED as always; an all-appends-refused
+    * (or freshly-compacted-to-nothing) empty vecs dir reads as "no
+    * vectors" instead of dying on parquet schema inference. */
   private def readIvfFlatVecs(spark: org.apache.spark.sql.SparkSession,
-      dir: String, idField: org.apache.spark.sql.types.StructField)
+      vecsPath: String, idField: org.apache.spark.sql.types.StructField)
       : DataFrame = {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(idField.copy(name = "id"),
       StructField("q", ArrayType(LongType)), StructField("n2", LongType),
       StructField("list", IntegerType)))
-    graft.util.StagedIndex.readLayout(spark, s"$dir/vecs", schema)
+    graft.util.StagedIndex.readLayout(spark, vecsPath, schema)
   }
 
   /** Append new vectors to a [[stageIvfFlat]] index — frozen centroids,
@@ -896,11 +923,15 @@ object Similarity {
   def appendIvfFlat(batch: DataFrame, idCol: String, embCol: String,
       dir: String, assumeNewIds: Boolean = false): Unit = {
     val spark = batch.sparkSession
-    val cents = readIvfFlatMeta(spark, dir)
+    // ONE manifest resolution for guard + assign + write: geometry and
+    // destination stay consistent even if a recluster flips between
+    // this append and the next (single-writer discipline still applies
+    // to WRITERS — see reclusterIvfFlat)
+    val h = openIvfFlat(spark, dir)
     val nn = vecAdmissible(batch, embCol)
     if (!assumeNewIds) {
       graft.util.StagedIndex.requireNewIds(
-        readIvfFlatVecs(spark, dir, nn.schema(idCol))
+        readIvfFlatVecs(spark, h.vecsPath, nn.schema(idCol))
           .select(col("id"))
           .join(nn.select(col(idCol).as("id")).distinct(), Seq("id"),
             "left_semi"),
@@ -912,9 +943,9 @@ object Similarity {
     }
     nn.select(col(idCol).as("id"), quantize(col(embCol)).as("q"))
       .select(col("id"), col("q"), dotQ(col("q"), col("q")).as("n2"),
-        ivfAssign(col("q"), cents).as("list"))
+        ivfAssign(col("q"), h.cents).as("list"))
       .repartition(col("list")) // one file per touched list per append
-      .write.mode("append").partitionBy("list").parquet(s"$dir/vecs")
+      .write.mode("append").partitionBy("list").parquet(h.vecsPath)
   }
 
   /** COMPACT a [[stageIvfFlat]] index: one file per list again,
@@ -936,8 +967,10 @@ object Similarity {
     import graft.util.StagedIndex.Layout
     val obs = org.apache.spark.sql.Observation()
     graft.util.StagedIndex.compact(spark, dir,
-        graft.util.IndexManifest.KindIvfFlat) { _ =>
-      Seq(Layout("vecs", Some("list"),
+        graft.util.IndexManifest.KindIvfFlat) { mf =>
+      // compact the LIVE generation's vecs dir (plain `vecs` as
+      // staged, `vecs.gN` after a recluster)
+      Seq(Layout(ivfFlatNames(mf)._1, Some("list"),
         _.select(col("id"), col("q"), col("n2"), col("list")).distinct()
           .observe(obs, count(lit(1)).as("n_vectors"))))
     } { _ => Map("n_vectors" -> obs.get("n_vectors").asInstanceOf[Long]) }
@@ -966,23 +999,49 @@ object Similarity {
     * same lists as its original under ANY geometry, the
     * [[vecNewStaged]] replay contract).
     *
-    * Crash contract: vecs and meta must change TOGETHER (rows
-    * assigned under new centroids but probed under old ones — or vice
-    * versa — would silently under-reject forever), so this is a
-    * STAGE-grade commit, not a compact: both new sublayouts are fully
-    * written to temp dirs while the manifest is still valid (a crash
-    * there leaves the live index untouched), then the manifest is
-    * dropped, the two renames run back-to-back, and the manifest is
-    * rewritten — every crash window inside the commit reads as "not a
-    * graft index", the invalidate-first/manifest-last discipline
-    * ([[graft.util.StagedIndex.stage]]). */
+    * READER-ATOMIC commit via GENERATION directories: vecs and meta
+    * must change TOGETHER (rows assigned under new centroids but
+    * probed under old ones — or vice versa — would silently
+    * under-reject forever), and concurrent external probes must never
+    * observe a half-published index. Both new sublayouts are fully
+    * written as the NEXT generation pair (`vecs.gN+1`, `meta.gN+1`)
+    * while the live manifest still points at generation N; the commit
+    * is then ONE atomic manifest rewrite flipping the `gen` param —
+    * a reader resolves the whole old index or the whole new one
+    * ([[IvfFlatHandle]] resolves once per operation), and there is no
+    * crash window that invalidates the index: a crash before the flip
+    * leaves generation N live (the stale gN+1 dirs are cleared by the
+    * next recluster), a crash after it leaves gN+1 live. The PREVIOUS
+    * generation is kept on disk as a read-grace copy for probes that
+    * resolved just before the flip and deleted at the START of the
+    * next recluster — one recluster interval of grace, disk cost one
+    * extra copy of the vectors between reclusters. WRITERS stay
+    * single-writer (the standing append discipline): an append that
+    * resolves generation N while a concurrent recluster flips to N+1
+    * would land rows in the dead generation. */
   def reclusterIvfFlat(spark: org.apache.spark.sql.SparkSession,
       dir: String, iters: Int = 3): Unit = {
     import org.apache.hadoop.fs.Path
     val mf = graft.util.IndexManifest.validate(spark, dir,
       graft.util.IndexManifest.KindIvfFlat)
-    val cents0 = readIvfFlatMeta(spark, dir)
-    val vecs = readIvfFlatVecs(spark, dir,
+    val (vLive, mLive) = ivfFlatNames(mf)
+    val nextGen = mf.params.get("gen").map(_.toInt + 1).getOrElse(1)
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // clear everything that is not the LIVE pair: the grace copy the
+    // previous recluster left (its readers have had a full recluster
+    // interval to finish), stale next-gen dirs from a crashed flip,
+    // and pre-generation `*.__recluster__` tmps from older layouts
+    val live = Set(vLive, mLive)
+    fs.listStatus(new Path(dir)).map(_.getPath).foreach { p =>
+      val n = p.getName
+      if ((n.matches("(vecs|meta)(\\.g\\d+)?") && !live(n)) ||
+          n.endsWith(".__recluster__"))
+        fs.delete(p, true): Unit
+    }
+    val cents0 = spark.read.parquet(s"$dir/$mLive").collect()
+      .sortBy(_.getInt(0)).map(_.getSeq[Long](1)).toIndexedSeq
+    val vecs = readIvfFlatVecs(spark, s"$dir/$vLive",
       org.apache.spark.sql.types.StructField("id",
         org.apache.spark.sql.types.LongType))
     // deterministic re-seed: k vectors in (xxhash64(id), id) order — a
@@ -996,36 +1055,24 @@ object Similarity {
       .select(col("q")).collect().map(_.getSeq[Long](0)).toIndexedSeq
     val init = seeds ++ cents0.drop(seeds.size)
     val cents = ivfRefineQ(vecs.select(col("q").as("__q")), init, iters)
-    val fs = new Path(dir).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    val vtmp = new Path(dir, "vecs.__recluster__")
-    val mtmp = new Path(dir, "meta.__recluster__")
-    fs.delete(vtmp, true): Unit
-    fs.delete(mtmp, true): Unit
-    // full rewrites land in temp dirs FIRST, under a still-valid
-    // manifest — the slow window is crash-free for the live index
+    // the next generation lands fully under a still-valid, still-live
+    // manifest — the whole slow window is crash-free AND probe-free
     val obs = org.apache.spark.sql.Observation()
     vecs.select(col("id"), col("q"), col("n2"),
         ivfAssign(col("q"), cents).as("list"))
       .observe(obs, count(lit(1)).as("n_vectors"))
       .repartition(col("list")) // one file per list
-      .write.mode("overwrite").partitionBy("list").parquet(vtmp.toString)
+      .write.mode("overwrite").partitionBy("list")
+      .parquet(s"$dir/vecs.g$nextGen")
     import spark.implicits._
     cents.zipWithIndex.map { case (v, i) => (i, v: Seq[Long]) }
       .toDF("idx", "vec")
-      .coalesce(1).write.mode("overwrite").parquet(mtmp.toString)
-    // commit bracket: manifest dropped, two renames, manifest rewritten
-    graft.util.StagedIndex.stage(spark, dir,
-        graft.util.IndexManifest.KindIvfFlat, mf.params) {
-      def publish(name: String, tmp: Path): Unit = {
-        fs.delete(new Path(dir, name), true): Unit
-        require(fs.rename(tmp, new Path(dir, name)),
-          s"recluster failed to publish $tmp into $dir/$name")
-      }
-      publish("vecs", vtmp)
-      publish("meta", mtmp)
-      Map("n_vectors" -> obs.get("n_vectors").asInstanceOf[Long])
-    }
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta.g$nextGen")
+    // the COMMIT: one atomic manifest rewrite flips the generation
+    graft.util.IndexManifest.write(spark, dir,
+      graft.util.IndexManifest.KindIvfFlat,
+      mf.params + ("gen" -> nextGen.toString),
+      Map("n_vectors" -> obs.get("n_vectors").asInstanceOf[Long]))
   }
 
   /** Per-list occupancy of an IVF-partitioned staged layout — the
@@ -1040,7 +1087,7 @@ object Similarity {
       dir: String): ListSkew = {
     val mf = graft.util.IndexManifest.read(spark, dir)
     val layout = mf.kind match {
-      case graft.util.IndexManifest.KindIvfFlat => "vecs"
+      case graft.util.IndexManifest.KindIvfFlat => ivfFlatNames(mf)._1
       case graft.util.IndexManifest.KindIvfPq => "codes"
       case other => throw new IllegalArgumentException(
         s"listSkew: '$other' is not an IVF-partitioned kind")
@@ -1099,29 +1146,69 @@ object Similarity {
     require(minCosPermille > 0 && minCosPermille <= 1000,
       "minCosPermille must be in (0, 1000]")
     val spark = batch.sparkSession
-    val cents = readIvfFlatMeta(spark, dir)
+    // one geometry-consistent snapshot: centroids AND the vecs path
+    // resolve from a single manifest read (a concurrent recluster flip
+    // can never mix generations inside one probe)
+    val h = openIvfFlat(spark, dir)
     val nn = vecAdmissible(batch, embCol)
     // the probe frame feeds the size probe, the list collect AND the
     // join: persist + release (the exactNewStaged discipline)
-    val bq = vecProbeFrame(nn, idCol, embCol, cents, nprobe).persist()
+    val bq = vecProbeFrame(nn, idCol, embCol, h.cents, nprobe).persist()
     try {
       val small = broadcastCap > 0 && broadcastCap < Int.MaxValue &&
         bq.limit(broadcastCap.toInt + 1).count() <= broadcastCap
-      val rejected = vecRejectedIds(bq, idCol, nn.schema(idCol), dir,
-        minCosPermille, forceBroadcast = small)
+      val rejected = vecRejectedIds(bq, idCol, nn.schema(idCol),
+        h.vecsPath, minCosPermille, forceBroadcast = small)
       nn.join(if (small) broadcast(rejected) else rejected,
           Seq(idCol), "left_anti")
         .localCheckpoint(true)
     } finally { bq.unpersist(false); () }
   }
 
-  /** The rejected-id frame of [[vecNewStaged]]: the vecs scan pruned
-    * STATICALLY to the (materialized) probe frame's list ids, joined
-    * with the integer cosine test. Exposed for the plan-audit pin —
-    * the returned frame is lazy, so a spec can assert the scan carries
-    * partition filters. */
-  private[graft] def vecRejectedIds(bq: DataFrame, idCol: String,
-      idField: org.apache.spark.sql.types.StructField, dir: String,
+  /** [[vecNewStaged]] WITH the rejection evidence: returns (admitted
+    * full batch rows, rejecting pairs — (idCol, ref_id, cos_permille),
+    * see [[vecRejectedPairs]]) — the audit shape
+    * [[graft.streaming.DocStream.admitVecStream]]'s `rejectsPath`
+    * needs without paying the probe twice: one probe frame feeds both,
+    * the pairs materialize once and the rejected-id set derives from
+    * that materialization (narrow re-read, no second vecs scan). BOTH
+    * returned frames are eagerly localCheckpoint'd — the caller must
+    * release each ([[graft.util.LocalCkpt.release]]) once consumed. */
+  def vecNewStagedAudit(batch: DataFrame, idCol: String, embCol: String,
+      dir: String, minCosPermille: Int = 900, nprobe: Int = 4,
+      broadcastCap: Long = graft.text.Dedup.AdmitBroadcastCap)
+      : (DataFrame, DataFrame) = {
+    require(minCosPermille > 0 && minCosPermille <= 1000,
+      "minCosPermille must be in (0, 1000]")
+    val spark = batch.sparkSession
+    val h = openIvfFlat(spark, dir)
+    val nn = vecAdmissible(batch, embCol)
+    val bq = vecProbeFrame(nn, idCol, embCol, h.cents, nprobe).persist()
+    try {
+      val small = broadcastCap > 0 && broadcastCap < Int.MaxValue &&
+        bq.limit(broadcastCap.toInt + 1).count() <= broadcastCap
+      val pairs = vecRejectedPairs(bq, idCol, nn.schema(idCol),
+        h.vecsPath, minCosPermille, forceBroadcast = small)
+        .localCheckpoint(true)
+      val rejected = pairs.select(col(idCol)).distinct()
+      (nn.join(if (small) broadcast(rejected) else rejected,
+          Seq(idCol), "left_anti")
+        .localCheckpoint(true), pairs)
+    } finally { bq.unpersist(false); () }
+  }
+
+  /** The rejecting-PAIR evidence frame of [[vecNewStaged]]: the vecs
+    * scan pruned STATICALLY to the (materialized) probe frame's list
+    * ids, joined with the integer cosine test — one row per (batch id,
+    * matched indexed id) pair that rejects, carrying `ref_id` and
+    * `cos_permille` (the measured cosine in permille, ROUNDED from the
+    * exact integer arithmetic for the audit — the REJECTION itself is
+    * decided by the exact DECIMAL(38,0) test, never by this display
+    * value). Lazy; the audit path materializes it, the plain path's
+    * id projection lets Catalyst prune the evidence columns out of the
+    * scan. */
+  private[graft] def vecRejectedPairs(bq: DataFrame, idCol: String,
+      idField: org.apache.spark.sql.types.StructField, vecsPath: String,
       minCosPermille: Int, forceBroadcast: Boolean): DataFrame = {
     val spark = bq.sparkSession
     val probed = bq.select("__list").distinct().collect().map(_.getInt(0))
@@ -1130,10 +1217,10 @@ object Similarity {
     // column named 'id', 'q' or 'n2' must not collide ambiguously —
     // the caller namespace owns only idCol, which vecProbeFrame pins
     // outside the reserved set
-    val ref = readIvfFlatVecs(spark, dir, idField)
+    val ref = readIvfFlatVecs(spark, vecsPath, idField)
       .filter(col("list").isin(probed: _*))
-      .select(col("q").as("__ref_q"), col("n2").as("__ref_n2"),
-        col("list").as("__list"))
+      .select(col("id").as("__ref_id"), col("q").as("__ref_q"),
+        col("n2").as("__ref_n2"), col("list").as("__list"))
     val p2 = minCosPermille.toLong * minCosPermille
     (if (forceBroadcast) broadcast(bq) else bq)
       .join(ref, Seq("__list"))
@@ -1145,8 +1232,21 @@ object Similarity {
             lit(p2) * col("__n2").cast("decimal(38,0)") *
               col("__ref_n2").cast("decimal(38,0)")
       }
-      .select(col(idCol)).distinct()
+      .select(col(idCol), col("__ref_id").as("ref_id"),
+        round(lit(1000.0) * col("__dot").cast("double") /
+          sqrt(col("__n2").cast("double") * col("__ref_n2").cast("double")))
+          .cast("int").as("cos_permille"))
   }
+
+  /** The rejected-id frame of [[vecNewStaged]]: [[vecRejectedPairs]]'
+    * distinct batch ids. Exposed for the plan-audit pin — the returned
+    * frame is lazy, so a spec can assert the scan carries partition
+    * filters (and that the unused evidence columns prune away). */
+  private[graft] def vecRejectedIds(bq: DataFrame, idCol: String,
+      idField: org.apache.spark.sql.types.StructField, vecsPath: String,
+      minCosPermille: Int, forceBroadcast: Boolean): DataFrame =
+    vecRejectedPairs(bq, idCol, idField, vecsPath, minCosPermille,
+      forceBroadcast).select(col(idCol)).distinct()
 
   /** The rows of `batch` that carry an admission identity: non-null
     * embeddings whose QUANTIZED norm is positive (a zero vector has no
@@ -1183,9 +1283,10 @@ object Similarity {
   private[graft] def vecRejectedFrame(batch: DataFrame, idCol: String,
       embCol: String, dir: String, minCosPermille: Int = 900,
       nprobe: Int = 4): DataFrame = {
-    val cents = readIvfFlatMeta(batch.sparkSession, dir)
+    val h = openIvfFlat(batch.sparkSession, dir)
     val nn = vecAdmissible(batch, embCol)
-    vecRejectedIds(vecProbeFrame(nn, idCol, embCol, cents, nprobe),
-      idCol, nn.schema(idCol), dir, minCosPermille, forceBroadcast = true)
+    vecRejectedIds(vecProbeFrame(nn, idCol, embCol, h.cents, nprobe),
+      idCol, nn.schema(idCol), h.vecsPath, minCosPermille,
+      forceBroadcast = true)
   }
 }

@@ -379,10 +379,19 @@ object DocStream {
     * into a many-small-files read. Compaction is probe-invisible by
     * construction and single-writer-safe (foreachBatch bodies run
     * serially) — the [[curateStreamAgainstIndex]] cadence discipline
-    * applied to the gate. */
+    * applied to the gate.
+    *
+    * `rejectsPath = Some(dir)` writes every rejection's evidence
+    * instead of discarding it — the `-curate` fate-audit discipline,
+    * matching [[admitNearStream]]'s knob across the admission family:
+    * (id, ch) rows, where `ch` is the doc's content fingerprint (md5 —
+    * the fingerprint index is id-FREE, so the matched "reference" IS
+    * the fingerprint; an in-batch loser carries the same `ch` as its
+    * admitted winner, which links the two in the audit). At-least-once
+    * like `outPath`. */
   def admitStream(docs: DataFrame, idCol: String, textName: String,
       indexDir: String, outPath: String, checkpointDir: String,
-      compactEvery: Int = 0,
+      compactEvery: Int = 0, rejectsPath: Option[String] = None,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery = {
@@ -402,6 +411,10 @@ object DocStream {
           val admitted = graft.text.Dedup.exactNewStaged(bb, idCol,
             col(textName), indexDir)
           try {
+            rejectsPath.foreach(p => bb
+              .join(admitted.select(idCol), Seq(idCol), "left_anti")
+              .select(col(idCol), contentKey(col(textName)).as("ch"))
+              .write.mode("append").parquet(p))
             bb.join(admitted.select(idCol), Seq(idCol), "left_semi")
               .write.mode("append").parquet(outPath)
             graft.text.Dedup.appendFingerprints(admitted, col("text"),
@@ -440,18 +453,36 @@ object DocStream {
     *    if its exact word-n-gram Jaccard (shingle width from the
     *    index's frozen recipe, [[graft.text.Dedup.jaccardVerify]]) is
     *    ≥ `t` — a chance band collision between unrelated texts
-    *    verifies near 0 and the doc is admitted. The index stores
-    *    signatures, not text, so verify mode needs the matched side's
-    *    text: `refTexts` (REQUIRED with verify) is the STAGED corpus'
-    *    (id, text) frame, and previously-ADMITTED docs' texts are
-    *    re-read from `outPath` each batch (they are the only other
-    *    rejectable surface). Verify cost is candidate-proportional
-    *    (jaccardVerify prunes to candidate docs before any shingle is
-    *    materialized) plus one admitted-corpus scan per micro-batch —
-    *    the price of the audit; `refTexts` and the admitted out must
-    *    cover their ids (a pair whose text is missing drops UNVERIFIED
-    *    → the doc admits, fail-open by design: a gate must not reject
-    *    on evidence it cannot read).
+    *    verifies near 0 and the doc is admitted. The matched side's
+    *    text comes from ONE of two authorities:
+    *     - '''the index itself''' (staged with
+    *       [[graft.text.Dedup.stageBandIndex]] `storeTexts = true` —
+    *       the production shape): every signed doc's text lives on its
+    *       id-bucketed `ids/` row, appends (including this gate's own)
+    *       carry their texts, and the per-batch fetch reads ONLY the
+    *       bucket partitions holding a candidate id
+    *       ([[graft.text.Dedup.bandIndexTexts]]) — verify cost is
+    *       candidate-proportional end-to-end, nothing corpus-sized is
+    *       scanned per micro-batch. `refTexts` must NOT be passed (two
+    *       text authorities for one id would be ambiguous).
+    *     - '''caller-supplied frames''' (legacy, index staged without
+    *       texts): `refTexts` (REQUIRED then) is the staged corpus'
+    *       (id, text) frame, and previously-ADMITTED docs' texts are
+    *       re-read from `outPath` each batch — one admitted-corpus
+    *       scan per micro-batch, a per-batch cost that GROWS with
+    *       everything ever admitted; acceptable for bounded drains,
+    *       wrong for a continuous service — restage with storeTexts.
+    *    Either way the candidate texts are deduplicated by id with
+    *    deterministic precedence (batch > index/out > refTexts) before
+    *    shingling, so at-least-once replay duplicates in `outPath` and
+    *    a batch row colliding with a known id can never yield
+    *    duplicate or ambiguous verification rows. Cross-surface id
+    *    UNIQUENESS remains the gate's contract (ids are the admission
+    *    identity; the index append guard enforces it for every
+    *    admitted doc) — the precedence exists to keep a violation
+    *    fail-safe, not to bless it. A pair whose text is missing drops
+    *    UNVERIFIED → the doc admits, fail-open by design: a gate must
+    *    not reject on evidence it cannot read.
     *  - '''rejectsPath = Some(dir)''': every rejection writes its
     *    evidence — (id, ref_id, jaccard; jaccard null when verify is
     *    off) — instead of discarding it: the `-curate` fate-audit
@@ -490,15 +521,23 @@ object DocStream {
     require(compactEvery >= 0, "compactEvery must be >= 0")
     require(verifyJaccard.forall(t => t > 0.0 && t <= 1.0),
       "verifyJaccard must be in (0, 1]")
-    require(verifyJaccard.isEmpty || refTexts.nonEmpty,
-      "verifyJaccard needs refTexts: the band index stores signatures, " +
-        "not text — pass the staged corpus' (id, text) frame so " +
-        "candidate pairs can be Jaccard-verified")
     val spark = docs.sparkSession
     // frozen recipe read ONCE: the verify stage must shingle at the
-    // index's width or its Jaccard would disagree with the bands
-    val shingleWords = graft.util.IndexManifest.validate(spark, indexDir,
-      graft.util.IndexManifest.KindMinhashBands).paramInt("shingle_words")
+    // index's width or its Jaccard would disagree with the bands, and
+    // the text authority (store_texts) is part of the same recipe
+    val mf = graft.util.IndexManifest.validate(spark, indexDir,
+      graft.util.IndexManifest.KindMinhashBands)
+    val shingleWords = mf.paramInt("shingle_words")
+    val indexTexts = mf.params.get("store_texts").contains("1")
+    require(verifyJaccard.isEmpty || refTexts.nonEmpty || indexTexts,
+      "verifyJaccard needs a text authority: this index stores " +
+        "signatures only — restage it with storeTexts=true (the " +
+        "batch-proportional shape) or pass the staged corpus' " +
+        "(id, text) frame as refTexts")
+    require(refTexts.isEmpty || !indexTexts,
+      "this index stores its own texts (storeTexts=true) — drop " +
+        "refTexts: two text authorities for one id would make the " +
+        "Jaccard evidence ambiguous")
     docs.writeStream
       .foreachBatch { (b: DataFrame, batchId: Long) =>
         // the micro-batch feeds the probe AND the admitted anti-join —
@@ -518,15 +557,12 @@ object DocStream {
             val (evidence, releaseEvidence): (DataFrame, () => Unit) =
               verifyJaccard match {
                 case Some(t) =>
-                  val texts = bb.select(col(idCol), col(textName))
-                    .unionByName(refTexts.get.select(col(idCol),
-                      col(textName)))
-                    .unionByName(admittedTexts(bb, outPath, idCol,
-                      textName))
                   // jaccardVerify references its pairs several times —
                   // materialize once (its stated contract)
                   val pairs = cand.select(col("batch_id").as("id_a"),
                     col("ref_id").as("id_b")).localCheckpoint(true)
+                  val texts = verifyTexts(bb, pairs, idCol, textName,
+                    indexDir, indexTexts, refTexts, outPath)
                   val verified = graft.text.Dedup.jaccardVerify(texts,
                     pairs, idCol, col(textName), shingleWords)
                   (verified.filter(col("jaccard") >= t)
@@ -569,11 +605,60 @@ object DocStream {
       .start()
   }
 
+  /** The candidate-pruned, precedence-deduplicated (id, text) frame
+    * [[admitNearStream]]'s verify stage hands to `jaccardVerify`: each
+    * text SURFACE is semi-join-pruned to the candidate-pair ids FIRST
+    * (so every downstream step — the precedence dedup, the shingling —
+    * is candidate-proportional), then one text per id survives with
+    * deterministic precedence batch > index/out > refTexts (`min_by`
+    * on the surface rank — at-least-once replay duplicates and
+    * cross-surface id reuse collapse to one well-defined row instead
+    * of fanning the pair rows out).
+    *
+    * Surfaces by text authority: a STORE-TEXTS index contributes the
+    * bucket-pruned [[graft.text.Dedup.bandIndexTexts]] fetch of the
+    * candidates' matched side (covering both the staged corpus and
+    * everything this gate admitted — its appends carry texts), so
+    * nothing corpus-sized is read; a legacy index contributes
+    * `refTexts` plus the `outPath` re-scan ([[admittedTexts]] — the
+    * documented corpus-proportional price). */
+  private def verifyTexts(bb: DataFrame, pairs: DataFrame, idCol: String,
+      textName: String, indexDir: String, indexTexts: Boolean,
+      refTexts: Option[DataFrame], outPath: String): DataFrame = {
+    val candIds = pairs.select(col("id_a").as(idCol))
+      .unionByName(pairs.select(col("id_b").as(idCol))).distinct()
+    val surfaces: Seq[DataFrame] =
+      if (indexTexts) {
+        // the matched side can only be an INDEXED doc — prune the
+        // bucket collect to the pairs' ref side, not both sides.
+        // refIds derives NARROWLY from the already-materialized pairs
+        // checkpoint, so both consumers (the driver-side bucket
+        // collect inside bandIndexTexts, the lazy semi-join) recompute
+        // it from that block for pennies — no extra checkpoint to leak
+        val refIds = pairs.select(col("id_b").as("ref_id")).distinct()
+        Seq(bb.select(col(idCol), col(textName)),
+          graft.text.Dedup.bandIndexTexts(refIds, indexDir)
+            .select(col("ref_id").as(idCol), col("text").as(textName)))
+      } else
+        Seq(bb.select(col(idCol), col(textName)),
+          admittedTexts(bb, outPath, idCol, textName),
+          refTexts.get.select(col(idCol), col(textName)))
+    surfaces.zipWithIndex
+      .map { case (s, i) =>
+        s.join(candIds, Seq(idCol), "left_semi")
+          .withColumn("__pri", lit(i)) }
+      .reduce(_ unionByName _)
+      .groupBy(col(idCol))
+      .agg(min_by(col(textName), col("__pri")).as(textName))
+  }
+
   /** The (id, text) frame of everything ADMITTED so far — `outPath`
-    * read back for [[admitNearStream]]'s verify stage; empty (with the
-    * BATCH's id/text types, so the union resolves) before the first
-    * admit lands. One admitted-corpus scan per micro-batch, the
-    * documented verify price. */
+    * read back for [[admitNearStream]]'s LEGACY verify surface (index
+    * staged without texts); empty (with the BATCH's id/text types, so
+    * the union resolves) before the first admit lands. One
+    * admitted-corpus scan per micro-batch — the cost that makes the
+    * legacy surface wrong for a continuous drain (restage with
+    * storeTexts for the bucket-pruned shape). */
   private def admittedTexts(batch: DataFrame, outPath: String,
       idCol: String, textName: String): DataFrame = {
     val spark = batch.sparkSession
@@ -614,7 +699,11 @@ object DocStream {
     * which is also what keeps replay self-healing). `compactEvery = N`
     * runs [[graft.ml.Similarity.compactIvfFlat]] after every Nth batch
     * (checkpointed-batch-id-keyed, probe-invisible — the
-    * [[admitStream]] cadence contract).
+    * [[admitStream]] cadence contract). `rejectsPath = Some(dir)`
+    * writes every rejecting (id, ref_id, cos_permille) pair —
+    * [[graft.ml.Similarity.vecRejectedPairs]]' evidence, same single
+    * probe — instead of discarding it: the fate-audit knob shared by
+    * the whole admission family. At-least-once like `outPath`.
     *
     * `reclusterSkew = s` (requires `compactEvery`) turns on DRIFT
     * AUTO-MAINTENANCE: at each compaction point, if the post-compact
@@ -623,12 +712,14 @@ object DocStream {
     * would otherwise pile new vectors into a few lists until probe
     * pruning degrades toward full scans, and "run describe and decide"
     * is not an answer for a gate sold as a continuous service. The
-    * single-writer discipline covers it (foreachBatch bodies run
-    * serially; each batch re-reads the centroids, so the NEXT probe
-    * uses the new geometry), but recluster's stage-grade commit makes
-    * the index read "not a graft index" to CONCURRENT EXTERNAL probes
-    * for the (short) rename window — a deployment sharing the index
-    * with other live probers should recluster offline instead.
+    * single-writer discipline covers the gate's own ordering
+    * (foreachBatch bodies run serially; each batch re-reads the
+    * centroids, so the NEXT probe uses the new geometry), and the
+    * commit is READER-ATOMIC (generation directories + one atomic
+    * manifest flip — [[graft.ml.Similarity.reclusterIvfFlat]]):
+    * concurrent external PROBES of a shared index keep working
+    * through a recluster; only concurrent external WRITERS remain
+    * unsupported (the standing single-writer append contract).
     * Admission semantics may shift at the nprobe margin (the
     * documented recluster trade); with nprobe ≥ the centroid count
     * they provably cannot (every list is probed under any geometry),
@@ -637,6 +728,7 @@ object DocStream {
       indexDir: String, outPath: String, checkpointDir: String,
       minCosPermille: Int = 900, nprobe: Int = 4, compactEvery: Int = 0,
       reclusterSkew: Double = 0.0, reclusterIters: Int = 3,
+      rejectsPath: Option[String] = None,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery = {
@@ -653,9 +745,29 @@ object DocStream {
           // vecNewStaged returns FULL batch rows, eagerly materialized —
           // they feed the out write AND the vec append; the checkpoint
           // blocks are RELEASED once both consumed (Dataset.unpersist
-          // cannot free them — see util/LocalCkpt)
-          val admitted = graft.ml.Similarity.vecNewStaged(bb, idCol,
-            embName, indexDir, minCosPermille, nprobe)
+          // cannot free them — see util/LocalCkpt). With rejectsPath
+          // the audit variant runs instead — same one probe, plus the
+          // (id, ref_id, cos_permille) evidence written before the out
+          // append (the admitNearStream rejects ordering); at-least-
+          // once like outPath.
+          val (admitted, releaseAdmit): (DataFrame, () => Unit) =
+            rejectsPath match {
+              case Some(p) =>
+                val (adm, rej) = graft.ml.Similarity.vecNewStagedAudit(
+                  bb, idCol, embName, indexDir, minCosPermille, nprobe)
+                try rej.write.mode("append").parquet(p)
+                catch { case e: Throwable =>
+                  graft.util.LocalCkpt.release(rej)
+                  graft.util.LocalCkpt.release(adm)
+                  throw e
+                }
+                (adm, () => { graft.util.LocalCkpt.release(rej)
+                  graft.util.LocalCkpt.release(adm) })
+              case None =>
+                val adm = graft.ml.Similarity.vecNewStaged(bb, idCol,
+                  embName, indexDir, minCosPermille, nprobe)
+                (adm, () => graft.util.LocalCkpt.release(adm))
+            }
           try {
             admitted.write.mode("append").parquet(outPath)
             graft.ml.Similarity.appendIvfFlat(admitted, idCol, embName,
@@ -669,7 +781,7 @@ object DocStream {
                 graft.ml.Similarity.reclusterIvfFlat(bb.sparkSession,
                   indexDir, reclusterIters)
             }
-          } finally graft.util.LocalCkpt.release(admitted)
+          } finally releaseAdmit()
         } finally { bb.unpersist(false); () }
       }
       .option("checkpointLocation", checkpointDir)

@@ -432,13 +432,28 @@ object Dedup {
     *    buckets, so the guard scales with the batch, never the
     *    reference;
     *  - `_graft_index.json` — the frozen signature recipe (num_hashes,
-    *    rows_per_band, shingle_words, buckets, id_col): probes and
-    *    appends derive it from the manifest, never from caller args —
-    *    a batch signed under a different recipe would silently miss
-    *    every collision. */
+    *    rows_per_band, shingle_words, buckets, id_col, store_texts):
+    *    probes and appends derive it from the manifest, never from
+    *    caller args — a batch signed under a different recipe would
+    *    silently miss every collision.
+    *
+    * `storeTexts = true` additionally carries each SIGNED doc's text on
+    * its `ids/` row (same partitioning, same single-pass write — the
+    * text rides the id-sentinel row, so no extra job and no extra
+    * shuffle beyond one text copy per doc). That makes the index
+    * self-contained for Jaccard VERIFICATION: a candidate pair's
+    * matched-side text is fetched from `ids/` with static pruning to
+    * the candidates' id buckets ([[bandIndexTexts]]) instead of
+    * re-scanning a corpus-sized (id, text) table per probe — the
+    * batch-proportional verify shape
+    * [[graft.streaming.DocStream.admitNearStream]] needs at 100 TB.
+    * Readers that only want the new-ids guard still read the `ref_id`
+    * column alone (parquet column pruning never touches the text
+    * bytes), so the guard's cost is unchanged. */
   def stageBandIndex(reference: DataFrame, idCol: String, text: Column,
       dir: String, numHashes: Int = 16, rowsPerBand: Int = 2,
-      shingleWords: Int = 3, buckets: Int = 16): Unit = {
+      shingleWords: Int = 3, buckets: Int = 16,
+      storeTexts: Boolean = false): Unit = {
     require(numHashes % rowsPerBand == 0,
       "numHashes must be a multiple of rowsPerBand")
     require(buckets > 0, "buckets must be positive")
@@ -449,7 +464,8 @@ object Dedup {
         params = Map("num_hashes" -> numHashes.toString,
           "rows_per_band" -> rowsPerBand.toString,
           "shingle_words" -> shingleWords.toString,
-          "buckets" -> buckets.toString, "id_col" -> idCol)) {
+          "buckets" -> buckets.toString, "id_col" -> idCol,
+          "store_texts" -> (if (storeTexts) "1" else "0"))) {
       // fresh layout: drop previous sublayouts first (the manifest is
       // already invalidated, so a crash here reads as "not a graft
       // index — restage to recover")
@@ -459,7 +475,7 @@ object Dedup {
       fs.delete(new org.apache.hadoop.fs.Path(dir, "ids"), true): Unit
       val nDocs = writeBandSublayouts(
         bandAndIdRows(reference, idCol, text, numHashes, rowsPerBand,
-          shingleWords, buckets.toLong), dir, buckets.toLong)
+          shingleWords, buckets.toLong, storeTexts), dir, buckets.toLong)
       Map("n_docs" -> nDocs)
     }
   }
@@ -477,26 +493,42 @@ object Dedup {
     * collapse them; the pre-single-pass stage paid a full extra
     * distinct shuffle to mask that contract violation). `bkt` uses the
     * same (band:int, bsig:string) hash as [[bandRows]]-derived
-    * probes. */
+    * probes.
+    *
+    * With `storeText` the id-sentinel row additionally carries the
+    * doc's text (a `text` column, null on band rows — bytes of parquet
+    * nulls in `bands/` files; the per-doc text crosses the write
+    * shuffle exactly once, on the sentinel): the store-texts layout of
+    * [[stageBandIndex]], still one signature pass and one job. */
   private def bandAndIdRows(df: DataFrame, idCol: String, text: Column,
       numHashes: Int, rowsPerBand: Int, shingleWords: Int,
-      buckets: Long): DataFrame = {
+      buckets: Long, storeText: Boolean = false): DataFrame = {
     val bands = numHashes / rowsPerBand
     val mhs = transform(col("mh"), v => v.cast("string"))
-    minhashNarrow(df, idCol, text, numHashes, shingleWords)
-      .select(col(idCol).as("ref_id"),
+    val signed =
+      if (!storeText) minhashNarrow(df, idCol, text, numHashes, shingleWords)
+      else df.filter(text.isNotNull &&
+          size(slice(split(lower(text), " "), 1, MaxShingleWords)) >= shingleWords)
+        .select(col(idCol), minhashCol(text, numHashes, shingleWords).as("mh"),
+          text.as("__t"))
+    val exploded = signed
+      .select(col(idCol).as("ref_id") +:
+        (if (storeText) Seq(col("__t")) else Nil) :+
         posexplode(concat(
           transform(sequence(lit(0), lit(bands - 1)),
             b => md5(array_join(
               slice(mhs, b * rowsPerBand + 1, lit(rowsPerBand)), "|"))),
-          array(lit(null).cast("string")))))
-      .select(col("ref_id"),
-        when(col("col").isNotNull, col("pos")).as("band"),
-        col("col").as("bsig"),
-        when(col("col").isNotNull,
-          pmod(xxhash64(col("pos"), col("col")), lit(buckets))).as("bkt"),
-        when(col("col").isNull,
-          pmod(xxhash64(col("ref_id")), lit(buckets))).as("idb"))
+          array(lit(null).cast("string")))): _*)
+    val core = Seq(col("ref_id"),
+      when(col("col").isNotNull, col("pos")).as("band"),
+      col("col").as("bsig"),
+      when(col("col").isNotNull,
+        pmod(xxhash64(col("pos"), col("col")), lit(buckets))).as("bkt"),
+      when(col("col").isNull,
+        pmod(xxhash64(col("ref_id")), lit(buckets))).as("idb"))
+    if (storeText)
+      exploded.select(core :+ when(col("col").isNull, col("__t")).as("text"): _*)
+    else exploded.select(core: _*)
   }
 
   /** Spark's directory name for a NULL partition value — how the one
@@ -604,6 +636,11 @@ object Dedup {
       .filter(col("idb").isin(qb: _*))
       .join(if (small) broadcast(batchIds) else batchIds,
         Seq("ref_id"), "left_semi")
+      // id column ONLY: the guard's consumer collects whole rows, and
+      // without this projection a store-texts index would read its
+      // text payload (and the pre-compact null band/bsig columns) on
+      // every append's guard scan
+      .select(col("ref_id"))
   }
 
   /** Fold a batch of NEW documents into a [[stageBandIndex]] index —
@@ -644,11 +681,59 @@ object Dedup {
     // ONE signature pass + ONE job feeds both sublayouts, ids moved
     // into place before bands (the fail-closed ordering —
     // writeBandSublayouts). The ids frame tracks bands: signed batch
-    // docs only.
+    // docs only. store_texts comes from the MANIFEST (the recipe
+    // discipline): every append of a store-texts index carries its
+    // texts, so the verify fetch's coverage can never silently drift.
     writeBandSublayouts(
       bandAndIdRows(batch, idCol, text, mf.paramInt("num_hashes"),
         mf.paramInt("rows_per_band"), mf.paramInt("shingle_words"),
-        buckets), dir, buckets): Unit
+        buckets, mf.params.get("store_texts").contains("1")),
+      dir, buckets): Unit
+  }
+
+  /** The (ref_id, text) rows of a STORE-TEXTS band index
+    * ([[stageBandIndex]] `storeTexts = true`) for the given candidate
+    * ids — the Jaccard-verify text fetch that replaces a per-probe
+    * corpus re-scan: the `ids/` sublayout (which carries the texts) is
+    * read with STATIC pruning to the candidates' id buckets (collected
+    * from `refIds` — ≤ `buckets` values) plus a semi-join back on the
+    * id, so the scan touches only the bucket partitions holding a
+    * candidate — candidate-proportional, never corpus-proportional
+    * (the [[bandIndexSeenIds]] pruning applied to text payloads; size
+    * `buckets` so one bucket ≈ a few GB at the target corpus, the
+    * family's standing knob). `refIds` is a one-column (ref_id) frame
+    * evaluated THREE times (size probe, bucket collect, semi-join) —
+    * pass it materialized or derived narrowly from a materialized
+    * frame. Same adaptive broadcast as the guard. Refuses an index staged without texts — silently returning
+    * nothing would make every verification fail open. */
+  def bandIndexTexts(refIds: DataFrame, dir: String,
+      broadcastCap: Long = AdmitBroadcastCap): DataFrame = {
+    val spark = refIds.sparkSession
+    val mf = graft.util.IndexManifest.validate(spark, dir,
+      graft.util.IndexManifest.KindMinhashBands)
+    require(mf.params.get("store_texts").contains("1"),
+      s"$dir was staged without storeTexts — its ids/ rows carry no " +
+        "text, so candidate pairs cannot be Jaccard-verified from the " +
+        "index; restage with storeTexts=true (or pass the corpus texts " +
+        "explicitly where the caller supports it).")
+    requireBandIds(spark, dir)
+    val buckets = mf.paramInt("buckets").toLong
+    val small = broadcastCap > 0 && broadcastCap < Int.MaxValue &&
+      refIds.limit(broadcastCap.toInt + 1).count() <= broadcastCap
+    val qb = refIds
+      .select(pmod(xxhash64(col("ref_id")), lit(buckets)).as("idb"))
+      .distinct().collect().map(_.getLong(0))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      refIds.schema("ref_id"),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("idb",
+        org.apache.spark.sql.types.LongType)))
+    graft.util.StagedIndex.readLayout(spark, s"$dir/ids", schema)
+      .filter(col("idb").isin(qb: _*))
+      .join(if (small) broadcast(refIds) else refIds,
+        Seq("ref_id"), "left_semi")
+      .select(col("ref_id"), col("text"))
   }
 
   /** [[lshNewCandidates]] against a FROZEN [[stageBandIndex]] index:
@@ -707,7 +792,7 @@ object Dedup {
     requireBandIds(spark, dir)
     val obs = org.apache.spark.sql.Observation()
     graft.util.StagedIndex.compact(spark, dir,
-        graft.util.IndexManifest.KindMinhashBands) { _ =>
+        graft.util.IndexManifest.KindMinhashBands) { mf =>
       // BOTH sublayouts DEDUP on the way through: a legitimate row is
       // unique by construction (one band row per (doc, band), one id
       // row per signed doc), so distinct is a no-op on a healthy
@@ -721,12 +806,23 @@ object Dedup {
       // Recovery contract: assumeNewIds + compactBandIndex, in that
       // order — probes between the two may under-report borderline
       // buckets (DedupSpec pins the convergence).
+      //
+      // A store-texts index keeps its text payload through compaction
+      // (collapsing crash-recovery duplicates to one row per id — the
+      // duplicate texts are identical by the per-id contract, so
+      // first() just picks the one row); a plain index rewrites the
+      // slim (ref_id, idb) schema as before.
+      val storeTexts = mf.params.get("store_texts").contains("1")
       Seq(
         Layout("bands", Some("bkt"),
           _.select(col("ref_id"), col("band"), col("bsig"), col("bkt"))
             .distinct()),
         Layout("ids", Some("idb"),
-          _.select(col("ref_id"), col("idb")).distinct()
+          in => (if (storeTexts)
+              in.groupBy(col("ref_id"), col("idb"))
+                .agg(first(col("text"), ignoreNulls = true).as("text"))
+                .select(col("ref_id"), col("text"), col("idb"))
+            else in.select(col("ref_id"), col("idb")).distinct())
             .observe(obs, count(lit(1)).as("n_docs"))))
     } { _ => Map("n_docs" -> obs.get("n_docs").asInstanceOf[Long]) }
     ()

@@ -65,17 +65,19 @@ object IndexManifest {
     if (fs.exists(path)) { fs.delete(path, false); () }
   }
 
-  /** Write the manifest of an index rooted at `dir` — the stager's LAST
-    * step. Written to a temp name and renamed into place, so a reader
-    * never sees a HALF-WRITTEN file. Not fully atomic on
-    * HDFS-semantics filesystems: rename won't overwrite there, so an
-    * existing manifest is deleted first and a concurrent reader can
-    * observe a brief no-manifest window during a re-write — acceptable
-    * under the single-writer staging discipline (stagers call
-    * [[invalidate]] first anyway, so the no-manifest window already
-    * spans the whole restage). A failed rename cleans up its temp file
-    * and leaves no manifest — the same loud "not a graft index" state
-    * an interrupted restage leaves. */
+    /** Write the manifest of an index rooted at `dir` — the stager's
+    * LAST step. Written to a temp name and renamed into place, so a
+    * reader never sees a HALF-WRITTEN file. The rename is tried FIRST
+    * (POSIX rename overwrites atomically — a concurrent reader sees
+    * the old manifest or the new one, never none: the property
+    * [[graft.ml.Similarity.reclusterIvfFlat]]'s reader-atomic
+    * generation flip rides on); only on filesystems whose rename
+    * refuses to overwrite (HDFS semantics) does the existing manifest
+    * get deleted first, re-opening a brief no-manifest window —
+    * acceptable under the single-writer staging discipline. A write
+    * that still fails cleans up its temp file and leaves no manifest —
+    * the same loud "not a graft index" state an interrupted restage
+    * leaves. */
   def write(spark: SparkSession, dir: String, kind: String,
       params: Map[String, String], counts: Map[String, Long]): Unit = {
     val m = new ObjectMapper()
@@ -93,10 +95,13 @@ object IndexManifest {
     val out = fs.create(tmp, true)
     try out.write(m.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
     finally out.close()
-    if (fs.exists(path)) { fs.delete(path, false); () } // HDFS rename won't overwrite
-    if (!fs.rename(tmp, path)) {
-      fs.delete(tmp, false) // don't strand a stale .tmp next to no manifest
-      throw new IllegalStateException(s"could not move $tmp into place")
+    if (!fs.rename(tmp, path)) { // POSIX: atomic overwrite
+      // HDFS-semantics fallback: rename refuses to overwrite
+      if (fs.exists(path)) { fs.delete(path, false); () }
+      if (!fs.rename(tmp, path)) {
+        fs.delete(tmp, false) // don't strand a stale .tmp next to no manifest
+        throw new IllegalStateException(s"could not move $tmp into place")
+      }
     }
   }
 

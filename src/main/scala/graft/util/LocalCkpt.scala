@@ -19,7 +19,16 @@ import org.apache.spark.sql.DataFrame
   * CONTRACT: call only once the frame (and everything derived from
   * it) is fully consumed. A local checkpoint TRUNCATES lineage, so a
   * released frame cannot be recomputed — any later action on it fails
-  * with a missing-block error rather than silently recomputing. */
+  * with a missing-block error rather than silently recomputing.
+  *
+  * SCOPE OF THE RELEASE: [[release]] frees EVERY checkpointed leaf in
+  * the frame's lineage, including RDD-backed inputs the caller did not
+  * create — it cannot tell an internal intermediate from a still-
+  * needed shared input. Pass only frames whose ENTIRE checkpointed
+  * lineage is owned by the releasing scope (the per-micro-batch shape
+  * of every gate call site); a frame derived from a shared
+  * checkpointed input must be released leaf-by-leaf by whoever owns
+  * each leaf, not through this walk. */
 object LocalCkpt {
 
   /** Unpersist every `LogicalRDD` leaf RDD in `df`'s analyzed plan

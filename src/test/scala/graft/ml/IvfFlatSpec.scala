@@ -168,17 +168,26 @@ class IvfFlatSpec extends SparkSpec {
     assert(after.maxList < before.maxList && after.skew < before.skew,
       s"recluster did not rebalance: $before -> $after")
     // every stored row is assigned under the PUBLISHED centroids
-    // (vecs and meta moved together — the stage-grade commit)
-    val cents = spark.read.parquet(s"$dir/meta").collect()
+    // (vecs and meta flipped together — the generation commit); the
+    // live pair resolves through the manifest's gen param
+    assert(mf.params.get("gen").contains("1"))
+    val cents = spark.read.parquet(s"$dir/meta.g1").collect()
       .sortBy(_.getInt(0)).map(_.getSeq[Long](1)).toIndexedSeq
     def dot(a: Seq[Long], b: Seq[Long]): Long =
       a.zip(b).map { case (x, y) => x * y }.sum
-    val rows = spark.read.parquet(s"$dir/vecs").select("q", "list")
+    val rows = spark.read.parquet(s"$dir/vecs.g1").select("q", "list")
       .collect().map(r => (r.getSeq[Long](0), r.getInt(1)))
     assert(rows.length == 44 && rows.forall { case (q, l) =>
       val dots = cents.map(c => dot(q, c))
       dots.indexOf(dots.max) + 1 == l
     })
+    // the pre-recluster pair survives as the read-grace copy: a probe
+    // that resolved the old manifest just before the flip still reads
+    // a complete consistent index
+    val fsg = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fsg.exists(new org.apache.hadoop.fs.Path(dir, "vecs")) &&
+      fsg.exists(new org.apache.hadoop.fs.Path(dir, "meta")))
     // exact copies of EVERY indexed vector still reject: a copy probes
     // its original's list under ANY geometry (probe and storage share
     // the published centroids — the replay contract survives recluster)
@@ -199,7 +208,7 @@ class IvfFlatSpec extends SparkSpec {
     }
   }
 
-  test("reclusterIvfFlat crash windows: stale tmp dirs ignored, dead commit reads fail-closed") {
+  test("reclusterIvfFlat crash windows: no dead window — every crash leaves a live generation") {
     import graft.util.IndexManifest
     val reference = emb.filter(col("vec_id") < 40)
     val dir = java.nio.file.Files.createTempDirectory("flatreclcrash").toString
@@ -207,35 +216,99 @@ class IvfFlatSpec extends SparkSpec {
       numCentroids = 4, dir = dir)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // a previous recluster that died during its TMP WRITES (manifest
-    // still valid, live layouts untouched) leaves stale temp dirs —
-    // the next recluster clears and proceeds
-    fs.mkdirs(new org.apache.hadoop.fs.Path(dir, "vecs.__recluster__")): Unit
-    fs.mkdirs(new org.apache.hadoop.fs.Path(dir, "meta.__recluster__")): Unit
+    def p(n: String) = new org.apache.hadoop.fs.Path(dir, n)
+    // a recluster that died BEFORE its manifest flip (during the
+    // next-generation writes) leaves the live index fully intact —
+    // probes and appends keep working on generation 0, and nothing
+    // reads the half-written next generation
+    fs.mkdirs(p("vecs.g1")): Unit // the half-written next gen
+    fs.mkdirs(p("meta.g1")): Unit
+    // pre-generation recluster tmps from an older layout are equally
+    // dead weight
+    fs.mkdirs(p("vecs.__recluster__")): Unit
+    fs.mkdirs(p("meta.__recluster__")): Unit
+    assert(IndexManifest.validate(spark, dir, IndexManifest.KindIvfFlat)
+      .params.get("gen").isEmpty)
+    val copies = reference.select((col("vec_id") + 9000L).as("vec_id"),
+      col("embedding"))
+    assert(Similarity.vecNewStaged(copies, "vec_id", "embedding", dir)
+      .count() == 0)
+    // the NEXT recluster clears every stale non-live dir and publishes
+    // generation 1 with one atomic manifest rewrite
     Similarity.reclusterIvfFlat(spark, dir, iters = 1)
     assert(Similarity.listSkew(spark, dir).nVectors == reference.count())
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "vecs.__recluster__")))
-    // a recluster that died INSIDE the commit bracket (manifest
-    // dropped, renames maybe partial) must read fail-closed: probes
-    // and appends refuse loudly as "not a graft index", never
-    // silently probe a half-published geometry
+    assert(!fs.exists(p("vecs.__recluster__")) &&
+      !fs.exists(p("meta.__recluster__")))
+    assert(IndexManifest.read(spark, dir).params.get("gen").contains("1"))
+    // generation 0 survives as the read-grace copy...
+    assert(fs.exists(p("vecs")) && fs.exists(p("meta")))
+    // ...and is reaped by the recluster AFTER it (g1 becomes grace)
+    Similarity.reclusterIvfFlat(spark, dir, iters = 1)
+    assert(IndexManifest.read(spark, dir).params.get("gen").contains("2"))
+    assert(!fs.exists(p("vecs")) && !fs.exists(p("meta")))
+    assert(fs.exists(p("vecs.g1")) && fs.exists(p("vecs.g2")))
+    assert(Similarity.vecNewStaged(copies, "vec_id", "embedding", dir)
+      .count() == 0)
+    // an interrupted RESTAGE (stage is invalidate-first) still reads
+    // fail-closed — the generation design removes recluster's dead
+    // window, not stage's
     IndexManifest.invalidate(spark, dir)
-    val batch = emb.filter(col("vec_id") >= 40 && col("vec_id") < 50)
     val e1 = intercept[IllegalArgumentException] {
-      Similarity.vecNewStaged(batch, "vec_id", "embedding", dir)
+      Similarity.vecNewStaged(copies, "vec_id", "embedding", dir)
     }
     assert(e1.getMessage.contains("not a graft index"))
-    val e2 = intercept[IllegalArgumentException] {
-      Similarity.appendIvfFlat(batch, "vec_id", "embedding", dir)
-    }
-    assert(e2.getMessage.contains("not a graft index"))
-    // recovery is an explicit restage
+    // recovery is an explicit restage; stale generation dirs from the
+    // pre-restage life are cleared by the next recluster
     Similarity.stageIvfFlat(reference, "vec_id", "embedding",
       numCentroids = 4, dir = dir)
-    assert(Similarity.vecNewStaged(
-      reference.select((col("vec_id") + 9000L).as("vec_id"),
-        col("embedding")),
-      "vec_id", "embedding", dir).count() == 0)
+    assert(Similarity.vecNewStaged(copies, "vec_id", "embedding", dir)
+      .count() == 0)
+    Similarity.reclusterIvfFlat(spark, dir, iters = 1)
+    assert(!fs.exists(p("vecs.g2")), "stale pre-restage generation kept")
+    assert(Similarity.vecNewStaged(copies, "vec_id", "embedding", dir)
+      .count() == 0)
+  }
+
+  test("reclusterIvfFlat is reader-atomic: concurrent probes never observe a half-published index") {
+    val reference = emb.filter(col("vec_id") < 60)
+    val dir = java.nio.file.Files.createTempDirectory("flatreclconc").toString
+    Similarity.stageIvfFlat(reference, "vec_id", "embedding",
+      numCentroids = 4, dir = dir)
+    // exact copies reject under ANY geometry (a copy probes the same
+    // lists as its original) — the probe invariant that must hold
+    // through the flip
+    val copies = reference
+      .select((col("vec_id") + 9000L).as("vec_id"), col("embedding"))
+      .localCheckpoint(true)
+    @volatile var failure: Option[Throwable] = None
+    val probes = new java.util.concurrent.atomic.AtomicInteger(0)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val t = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          val adm = Similarity.vecNewStaged(copies, "vec_id",
+            "embedding", dir)
+          val n = adm.count()
+          graft.util.LocalCkpt.release(adm)
+          if (n != 0) throw new IllegalStateException(
+            s"copies admitted mid-recluster: $n")
+          probes.incrementAndGet(): Unit
+        } catch {
+          case e: Throwable => failure = Some(e); stop.set(true)
+        }
+      }
+    })
+    t.start()
+    try {
+      // let the prober get going, then flip the generation under it
+      while (probes.get() < 2 && failure.isEmpty) Thread.sleep(50)
+      Similarity.reclusterIvfFlat(spark, dir, iters = 1)
+      // and keep probing on the new generation a little
+      val after = probes.get()
+      while (probes.get() < after + 2 && failure.isEmpty) Thread.sleep(50)
+    } finally { stop.set(true); t.join() }
+    assert(failure.isEmpty, s"concurrent probe threw: $failure")
+    graft.util.LocalCkpt.release(copies)
   }
 
   test("an all-null-embedding corpus refuses to stage (no centroid geometry)") {

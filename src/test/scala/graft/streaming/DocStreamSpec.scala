@@ -58,15 +58,19 @@ class DocStreamSpec extends SparkSpec {
       df.write.parquet(s"$root/feed$i")
       DocStream.admitStream(
           spark.readStream.schema(df.schema).parquet(s"$root/feed$i"),
-          "doc_id", "text", idx, s"$root/adm", s"$root/ckpt$i")
+          "doc_id", "text", idx, s"$root/adm", s"$root/ckpt$i",
+          rejectsPath = Some(s"$root/rej"))
         .awaitTermination()
     }
     drain(Seq((1L, "first wave doc", "crawl-a"), (2L, null, "crawl-a"),
       (3L, "reference only doc", "crawl-a")), 1)
     // run 2: FRESH checkpoint — rejection of 1's copy proves the state
-    // lives in the index; the null row must be dropped, not re-admitted
+    // lives in the index; the null row must be dropped, not re-admitted;
+    // the in-batch pair (12, 13) keeps its min-id winner and audits the
+    // loser under the SAME fingerprint
     drain(Seq((10L, "first wave doc", "crawl-b"), (11L, null, "crawl-b"),
-      (12L, "second wave doc", "crawl-b")), 2)
+      (12L, "second wave doc", "crawl-b"),
+      (13L, "second wave doc", "crawl-b")), 2)
     // the out rows carry the FULL input schema (metadata survives), not
     // the probe's (id, text) projection
     val out = spark.read.parquet(s"$root/adm")
@@ -77,6 +81,19 @@ class DocStreamSpec extends SparkSpec {
     assert(admitted == Set(
       (1L, Some("first wave doc"), "crawl-a"),
       (12L, Some("second wave doc"), "crawl-b")))
+    // the rejects audit: (id, ch) — ch is the matched content
+    // fingerprint (the index is id-free, so the fingerprint IS the
+    // reference); the in-batch loser 13 carries its winner 12's hash,
+    // dropped null rows appear nowhere
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val rej = spark.read.parquet(s"$root/rej").select("doc_id", "ch")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rej == Set(
+      (3L, md5hex("reference only doc")),
+      (10L, md5hex("first wave doc")),
+      (13L, md5hex("second wave doc"))))
   }
 
   test("admitNearStream: band-index state spans runs; in-batch near pair admitted together") {
@@ -132,7 +149,8 @@ class DocStreamSpec extends SparkSpec {
       df.write.parquet(s"$root/feed$i")
       DocStream.admitVecStream(
           spark.readStream.schema(df.schema).parquet(s"$root/feed$i"),
-          "vec_id", "embedding", idx, s"$root/adm", s"$root/ckpt$i")
+          "vec_id", "embedding", idx, s"$root/adm", s"$root/ckpt$i",
+          rejectsPath = Some(s"$root/rej"))
         .awaitTermination()
     }
     drain(Seq(
@@ -154,6 +172,19 @@ class DocStreamSpec extends SparkSpec {
     val admitted = out.select("vec_id", "src")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(admitted == Set((2L, "crawl-a"), (12L, "crawl-b")))
+    // the rejects audit names the matched INDEXED vector and the
+    // measured cosine: the staged copy points at 100, the cross-run
+    // copy and near-copy point at wave-1-admitted 2 (state in the
+    // index); dropped rows (null/zero) have no admission identity and
+    // appear nowhere
+    val rej = spark.read.parquet(s"$root/rej")
+      .select("vec_id", "ref_id", "cos_permille").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(rej.map(_._1) == Set(1L, 10L, 11L))
+    assert(rej.contains((1L, 100L, 1000)))
+    assert(rej.contains((10L, 2L, 1000)))
+    assert(rej.exists { case (id, rid, c) =>
+      id == 11L && rid == 2L && c >= 990 && c < 1000 })
   }
 
   // one file per micro-batch (maxFilesPerTrigger=1, mod-time order)
@@ -316,9 +347,15 @@ class DocStreamSpec extends SparkSpec {
     val cadenced = drain("b", 1.2)   // recluster fires at batches 2 and 4
     val all = Set(1L, 2L, 10L, 11L, 20L, 21L, 30L, 31L)
     assert(plain == all && cadenced == plain)
-    def meta(tag: String): Set[Seq[Long]] =
-      spark.read.parquet(s"$root/flatidx$tag/meta").collect()
+    // resolve the LIVE meta through the manifest's generation param —
+    // auto-recluster flips generations, the plain dir is reaped after
+    // the grace interval
+    def meta(tag: String): Set[Seq[Long]] = {
+      val mf = graft.util.IndexManifest.read(spark, s"$root/flatidx$tag")
+      val m = mf.params.get("gen").map(g => s"meta.g$g").getOrElse("meta")
+      spark.read.parquet(s"$root/flatidx$tag/$m").collect()
         .map(_.getSeq[Long](1)).toSet
+    }
     // control: without the knob the centroids stay the staged axes;
     // with it, the post-drain geometry moved (recluster FIRED — the
     // drifted mass drew the re-seeded centroids away from e1/e2)
@@ -426,6 +463,60 @@ class DocStreamSpec extends SparkSpec {
         spark.readStream.schema(df.schema).parquet(s"$root/feedx"),
         "doc_id", "text", idx2, s"$root/admy", s"$root/ckpty",
         verifyJaccard = Some(1.5), refTexts = Some(refs))
+    }
+  }
+
+  test("admitNearStream verify mode against a STORE-TEXTS index: no refTexts, no corpus re-scan surface") {
+    val root = feedDir()
+    val idx = s"$root/bandidx"
+    // same Jaccard geometry as the legacy verify test: short ref's
+    // 4-word tail lands at 0.75 < 0.8 (admitted), long ref's at ~0.94
+    // (rejected)
+    val shortRef = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val longRef = (1 to 5).map(i =>
+      s"paragraph $i of the reference describes partition pruning and shuffle behavior under load")
+      .mkString(" ") + " and a final closing sentence ends the reference document here"
+    val refs = Seq((100L, shortRef), (101L, longRef)).toDF("doc_id", "text")
+    graft.text.Dedup.stageBandIndex(refs, "doc_id", col("text"),
+      dir = idx, buckets = 4, storeTexts = true)
+    val tail = " totally fresh trailing words"
+    def drain(rows: Seq[(Long, String)], i: Int): Unit = {
+      val df = rows.toDF("doc_id", "text").coalesce(1)
+      df.write.parquet(s"$root/feed$i")
+      DocStream.admitNearStream(
+          spark.readStream.schema(df.schema).parquet(s"$root/feed$i"),
+          "doc_id", "text", idx, s"$root/adm", s"$root/ckpt$i",
+          verifyJaccard = Some(0.8), rejectsPath = Some(s"$root/rej"))
+        .awaitTermination()
+    }
+    drain(Seq((1L, shortRef + tail), (2L, longRef + tail),
+      (3L, "an unrelated document about something else entirely today")), 1)
+    assert(spark.read.parquet(s"$root/adm").select("doc_id")
+      .as[Long].collect().toSet == Set(1L, 3L))
+    val rej1 = spark.read.parquet(s"$root/rej")
+      .select("doc_id", "ref_id", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rej1.map(_._1) == Set(2L))
+    assert(rej1.forall { case (_, rid, j) => rid == 101L && j >= 0.8 && j < 1.0 })
+    // wave 2, fresh checkpoint: an exact copy of wave-1-admitted doc 1
+    // rejects at jaccard 1.0 with its text fetched FROM THE INDEX —
+    // the gate's own append carried doc 1's text, so no outPath
+    // re-scan surface exists (the store-texts contract)
+    drain(Seq((10L, shortRef + tail)), 2)
+    assert(spark.read.parquet(s"$root/adm").select("doc_id")
+      .as[Long].collect().toSet == Set(1L, 3L))
+    assert(spark.read.parquet(s"$root/rej")
+      .select("doc_id", "ref_id", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      .contains((10L, 1L, 1.0)))
+    // a store-texts index REFUSES refTexts (two text authorities for
+    // one id would be ambiguous evidence)
+    val df = Seq((20L, "x y z")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      DocStream.admitNearStream(
+        spark.readStream.schema(df.schema).parquet(s"$root/feed1"),
+        "doc_id", "text", idx, s"$root/admz", s"$root/ckptz",
+        verifyJaccard = Some(0.8), refTexts = Some(refs))
     }
   }
 

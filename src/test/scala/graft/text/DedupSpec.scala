@@ -352,6 +352,83 @@ class DedupSpec extends SparkSpec {
       dir)) == want)
   }
 
+  test("store-texts band index: bucket-pruned text fetch; appends carry texts; compact preserves") {
+    val d = docs.select(col("doc_id"), col("text"))
+    val reference = d.filter(col("doc_id") % 2 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("lshtexts").toString
+    Dedup.stageBandIndex(reference.filter(col("doc_id") % 4 === 0),
+      "doc_id", col("text"), dir, storeTexts = true)
+    Dedup.appendBandIndex(reference.filter(col("doc_id") % 4 === 2),
+      "doc_id", col("text"), dir)
+    // texts are probe-invisible: the staged probe still equals the
+    // direct two-sided run
+    val batch = reference.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 500000L).as("doc_id"),
+        concat(col("text"), lit(" near duplicate tail")).as("text"))
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity).toSeq
+    assert(norm(Dedup.lshNewCandidatesStaged(batch, "doc_id", col("text"), dir))
+      == norm(Dedup.lshNewCandidates(batch, reference, "doc_id", col("text"))))
+    // the fetch returns exactly the SIGNED requested docs' texts (an
+    // unsigned short doc has no near-dup identity, hence no text row;
+    // an unknown id returns nothing)
+    val signed = Dedup.minhashNarrow(reference, "doc_id", col("text"), 16)
+      .select("doc_id").as[Long].collect().toSet
+    val someSigned = signed.toSeq.sorted.take(5)
+    val want = reference.filter(col("doc_id").isin(someSigned: _*))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val ids = (someSigned :+ 999999999L)
+      .toDF("ref_id").localCheckpoint(true)
+    val got = Dedup.bandIndexTexts(ids, dir)
+    assert(got.collect().map(r => (r.getLong(0), r.getString(1))).toSet == want)
+    // the ids scan is statically pruned to the requested id buckets
+    val plan = got.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case p => p
+    }
+    val scans = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      .filter(_.metadata.get("Location").exists(_.contains("ids")))
+    assert(scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty),
+      s"text fetch reads every id bucket:\n$plan")
+    // the new-ids guard never reads the text payload: its scan prunes
+    // to the ref_id/idb columns alone
+    val guard = Dedup.bandIndexSeenIds(ids, dir, 16L)
+    val gplan = guard.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case p => p
+    }
+    val gscans = gplan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      .filter(_.metadata.get("Location").exists(_.contains("ids")))
+    assert(gscans.nonEmpty &&
+      gscans.forall(!_.schema.fieldNames.contains("text")),
+      s"guard scan reads text bytes:\n$gplan")
+    // crash-recovery duplicate ids rows (assumeNewIds re-append)
+    // collapse on compact with the text preserved — one row per id
+    val dup = reference.filter(col("doc_id") === someSigned.head)
+    Dedup.appendBandIndex(dup, "doc_id", col("text"), dir, assumeNewIds = true)
+    Dedup.compactBandIndex(spark, dir)
+    val one = Dedup.bandIndexTexts(
+      Seq(someSigned.head).toDF("ref_id").localCheckpoint(true), dir)
+    assert(one.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      == want.toSeq.filter(_._1 == someSigned.head))
+    assert(graft.util.IndexManifest.read(spark, dir).counts("n_docs")
+      == signed.size)
+    // fetch still exact after compact
+    assert(Dedup.bandIndexTexts(ids, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == want)
+    // a plain (no-texts) index refuses the fetch loudly
+    val plain = java.nio.file.Files.createTempDirectory("lshplain").toString
+    Dedup.stageBandIndex(reference, "doc_id", col("text"), plain)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.bandIndexTexts(ids, plain)
+    }
+    assert(e.getMessage.contains("storeTexts"))
+  }
+
   test("staged fingerprints: probe == direct; append folds in; compact dedups; pruning") {
     val d = docs.select(col("doc_id"), col("text"))
     val reference = d.filter(col("doc_id") % 2 === 0)
