@@ -1142,6 +1142,15 @@ object Main {
           outOrShow(text.Substrings
             .probeIndex(cat.read(qns), id, col(textCol), idx)
             .orderBy(id, "span_start"))
+        case "rebucket" =>
+          // corpus-scaled bucket maintenance (Substrings.rebucketCensus):
+          // an append-grown census outgrows its stage-time bucket count
+          // and key-dense probes go scan-bound; optional "perBucket"
+          // (1024 grams) sizes the new count. Stage-grade commit —
+          // re-open any handles after.
+          val nb = text.Substrings.rebucketCensus(spark, idx,
+            perBucket = int("perBucket", 1024).toLong)
+          println(s"rebucketed $idx to $nb buckets")
         case other =>
           throw new IllegalArgumentException(
             s"unknown index action '$other' (build|append|query|ingest|admit|compact|recluster|describe)")

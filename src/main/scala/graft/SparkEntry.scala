@@ -916,6 +916,38 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- multimodal: REAL audio/video container metadata (JDK-only
+    // byte walks — graft.mm.AvOps): the engine chunk-walks real RIFF
+    // WAV bytes and box-walks real ISO-BMFF MP4 bytes (generated from
+    // id → metadata rules, samples/mdat skipped by length) to recover
+    // duration / sample rate / channels / display dims; the oracle
+    // recomputes the rules arithmetically — equality proves the walks
+    // read the actual containers. The imageIoCodec header-only
+    // discipline extended to the other two media families ----
+    "q_mm_meta" -> ((s, dir) => {
+      val ids = load(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 400)
+        .withColumn("kind",
+          when(col("doc_id") % 2 === 0, "wav").otherwise("mp4"))
+        .withColumn("a", when(col("kind") === "wav",
+            lit(8000L) + pmod(col("doc_id") * 13, lit(32L)) * 250L)
+          .otherwise(lit(160L) + pmod(col("doc_id") * 7, lit(481L))))
+        .withColumn("b", when(col("kind") === "wav",
+            lit(1L) + (pmod(col("doc_id"), lit(4L)) / 2).cast("long"))
+          .otherwise(lit(90L) + pmod(col("doc_id") * 11, lit(271L))))
+        .withColumn("c", when(col("kind") === "wav",
+            lit(400L) + pmod(col("doc_id") * 17, lit(1200L)))
+          .otherwise(lit(1000L) + pmod(col("doc_id") * 19, lit(60000L))))
+      val av = mm.AvOps.syntheticAv(ids, "doc_id", col("kind"),
+        col("a"), col("b"), col("c"))
+      mm.AvOps.metaWith(av, "doc_id", col("payload"))(
+          mm.AvOps.avMetaCodec _).toDF()
+        .select(col("id").as("doc_id"), col("container"),
+          col("duration_ms"), col("sample_rate"), col("channels"),
+          col("width"), col("height"), col("decode_ok"))
+        .orderBy("doc_id")
+    }),
+
     // ---- multimodal: stub feature extraction → the ANN pipeline's
     // exact quantized-integer norm (the embedding column any real
     // extractor would feed into ml.Similarity unchanged) ----
@@ -6018,6 +6050,27 @@ object SparkEntry {
         |SELECT doc_id, width, height, target_width, target_height,
         |  target_width AS out_width, target_height AS out_height
         |FROM t ORDER BY doc_id""".stripMargin,
+    // the engine chunk-walks real WAV bytes / box-walks real MP4 bytes
+    // generated from these id → metadata rules; the oracle recomputes
+    // the rules — equality proves the container parses read the bytes
+    // (wav duration = samples*1000/rate, floor — both sides integer)
+    "q_mm_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'mp4' END AS container,
+        |  CASE WHEN doc_id % 2 = 0
+        |    THEN ((400 + (doc_id * 17) % 1200) * 1000)
+        |           // (8000 + ((doc_id * 13) % 32) * 250)
+        |    ELSE 1000 + (doc_id * 19) % 60000 END AS duration_ms,
+        |  CASE WHEN doc_id % 2 = 0
+        |    THEN 8000 + ((doc_id * 13) % 32) * 250 ELSE 0 END AS sample_rate,
+        |  CASE WHEN doc_id % 2 = 0
+        |    THEN 1 + (doc_id % 4) // 2 ELSE 0 END AS channels,
+        |  CASE WHEN doc_id % 2 = 0
+        |    THEN 0 ELSE 160 + (doc_id * 7) % 481 END AS width,
+        |  CASE WHEN doc_id % 2 = 0
+        |    THEN 0 ELSE 90 + (doc_id * 11) % 271 END AS height,
+        |  true AS decode_ok
+        |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin,
     "q_mm_features" ->
       """WITH v AS (
         |  SELECT doc_id, CAST(floor(

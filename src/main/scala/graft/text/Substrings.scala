@@ -456,7 +456,12 @@ object Substrings {
     *    its own hashes' buckets;
     *  - `stats/` — one row: (k, buckets, n_grams, n_docs) — probes and
     *    appends derive the SAME gram width and bucketing from the
-    *    index, never from caller arguments. */
+    *    index, never from caller arguments.
+    *
+    * `buckets = 0` AUTO-SIZES the bucket count from the corpus' gram
+    * estimate ([[censusBuckets]] — the corpus-scaled bucketing that
+    * keeps key-dense probes corpus-independent); an explicit count
+    * pins the layout (tests, oracle twins). */
   def stageGramCensus(corpus: DataFrame, idCol: String, text: Column, k: Int,
       dir: String, buckets: Int = 64, maxChars: Int = 0,
       hash: String = HashMd5): Unit = {
@@ -509,36 +514,60 @@ object Substrings {
       math.min((estRows / perPartition).toLong, 200000L)).toInt
   }
 
+  /** The [[censusPartitions]] sizing discipline applied to the BUCKET
+    * count: corpus-scaled buckets are what keep a probe's pruned scan
+    * a corpus-independent read. A probe with `B` distinct batch hashes
+    * touches ≤ min(B, buckets) buckets, so it reads ≈
+    * `n_grams × (1 − exp(−B/buckets))` census rows — with a FIXED
+    * bucket count that fraction hits 1 as soon as the batch is
+    * key-dense (the 300× anchored probe touched all 64 default
+    * buckets and went scan-bound), while with `buckets ≈
+    * n_grams / perBucket` the read is bounded by `B × perBucket` rows
+    * REGARDLESS of corpus size. `perBucket` (default 1024 grams ≈ a
+    * ~16 KB bucket file) trades pruning resolution against
+    * files-per-layout; the cap (default 131072) bounds directory
+    * count — past it the probe read grows with the corpus again,
+    * honestly (a key-dense probe against an ever-growing census needs
+    * point lookups, not scans, beyond that). Floored at 16. */
+  def censusBuckets(estGrams: Double, perBucket: Long = 1024L,
+      cap: Int = 131072): Int = {
+    require(perBucket > 0 && cap > 0, "perBucket and cap must be positive")
+    math.max(16L, math.min((estGrams / perBucket).toLong, cap.toLong)).toInt
+  }
+
   private def stageCensusFrom(corpus: DataFrame, text: Column, rows: DataFrame,
-      k: Int, dir: String, buckets: Int, maxChars: Int,
+      k: Int, dir: String, buckets0: Int, maxChars: Int,
       extraParams: Map[String, String]): Unit = {
-    require(buckets > 0, "buckets must be positive")
+    require(buckets0 >= 0, "buckets must be positive (0 = auto-size)")
     val spark = corpus.sparkSession
+    // ONE corpus-stats pass up front feeds the manifest's n_docs
+    // (previously a separate post-write count scan), the census
+    // exchange's partition count ([[censusPartitions]] — exact mode
+    // emits ~1 row per char, anchored ~2/(window+1)), and the
+    // auto-sized bucket count ([[censusBuckets]] over the same gram
+    // estimate). The char sum honors the per-doc maxChars cap:
+    // gramRows only censuses the capped prefix, and sizing the
+    // exchange from the UNCAPPED length would over-partition a
+    // truncated stage by the truncation ratio — the exact
+    // over-splitting penalty censusPartitions documents
+    val cappedLen =
+      if (maxChars > 0) least(length(text), lit(maxChars))
+      else length(text)
+    val st = corpus.filter(text.isNotNull)
+      .agg(count(lit(1)), coalesce(sum(cappedLen), lit(0L)))
+      .collect()(0)
+    val (docs, chars) = (st.getLong(0), st.getLong(1))
+    val density = extraParams.get("guarantee") match {
+      case Some(g) => 2.0 / (g.toInt - k + 2) // anchored winnow window
+      case None => 1.0
+    }
+    val buckets =
+      if (buckets0 > 0) buckets0 else censusBuckets(chars * density)
     // invalidate-first/manifest-last bracket (StagedIndex.stage)
     graft.util.StagedIndex.stage(spark, dir,
         graft.util.IndexManifest.KindGramCensus,
         params = Map("k" -> k.toString, "buckets" -> buckets.toString)
           ++ extraParams) {
-      // ONE corpus-stats pass up front feeds BOTH the manifest's
-      // n_docs (previously a separate post-write count scan) and the
-      // census exchange's partition count ([[censusPartitions]] —
-      // exact mode emits ~1 row per char, anchored ~2/(window+1)).
-      // The char sum honors the per-doc maxChars cap: gramRows only
-      // censuses the capped prefix, and sizing the exchange from the
-      // UNCAPPED length would over-partition a truncated stage by the
-      // truncation ratio — the exact over-splitting penalty
-      // censusPartitions documents
-      val cappedLen =
-        if (maxChars > 0) least(length(text), lit(maxChars))
-        else length(text)
-      val st = corpus.filter(text.isNotNull)
-        .agg(count(lit(1)), coalesce(sum(cappedLen), lit(0L)))
-        .collect()(0)
-      val (docs, chars) = (st.getLong(0), st.getLong(1))
-      val density = extraParams.get("guarantee") match {
-        case Some(g) => 2.0 / (g.toInt - k + 2) // anchored winnow window
-        case None => 1.0
-      }
       val parts = censusPartitions(spark, chars * density,
         extraParams.getOrElse("hash", HashMd5))
       // n_grams rides an Observation on the census write itself — the
@@ -655,6 +684,75 @@ object Substrings {
         "n_grams" -> obs.get("n_grams").asInstanceOf[Long])
     }
     ()
+  }
+
+  /** RE-BUCKET a staged census to a corpus-scaled bucket count — the
+    * maintenance verb for an index whose corpus has OUTGROWN its
+    * stage-time bucketing: appends grow the census linearly but the
+    * bucket count is frozen, so a key-dense probe eventually touches
+    * every bucket and its "pruned" scan is the whole layout (the 300×
+    * anchored probe went scan-bound exactly this way). The new count
+    * comes from [[censusBuckets]] over the layout's ROW count (parquet
+    * footer metadata, no data read — an upper bound on the vocabulary,
+    * erring toward finer pruning); a no-op when the count is already
+    * right.
+    *
+    * The bucket count is part of the probe CONTRACT (like `k` and
+    * `guarantee`): rows probed under a count other than the one they
+    * were bucketed with are silently MISSED, so this is a STAGE-grade
+    * commit, not a compact — the re-aggregated layout lands fully in a
+    * temp dir under a still-valid manifest (crash there: live index
+    * untouched), then the manifest is dropped, census and stats swap,
+    * and the manifest is rewritten with the new count: every crash
+    * window inside the commit reads loudly as "not a graft index"
+    * (recovery = restage from the corpus), never as a silently
+    * mis-pruning index. Explicit-verb-only by design — the streaming
+    * compaction cadence never calls it, because an OPEN
+    * [[CensusIndex]] handle pins the old bucket count and must be
+    * re-opened after a rebucket (the single-writer discipline). */
+  def rebucketCensus(spark: org.apache.spark.sql.SparkSession,
+      dir: String, perBucket: Long = 1024L, cap: Int = 131072): Int = {
+    import org.apache.hadoop.fs.Path
+    val mf = graft.util.IndexManifest.validate(spark, dir,
+      graft.util.IndexManifest.KindGramCensus)
+    val old = spark.read.parquet(s"$dir/census")
+    val newBuckets = censusBuckets(old.count().toDouble, perBucket, cap)
+    if (newBuckets == mf.paramInt("buckets")) return newBuckets
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val ctmp = new Path(dir, "census.__rebucket__")
+    val stmp = new Path(dir, "stats.__rebucket__")
+    fs.delete(ctmp, true): Unit
+    fs.delete(stmp, true): Unit
+    // full rewrites land in temp dirs FIRST, under a still-valid
+    // manifest — the slow window is crash-free for the live index
+    val obs = org.apache.spark.sql.Observation()
+    old.groupBy(col("h")).agg(sum(col("n")).as("n"))
+      .observe(obs, count(lit(1)).as("n_grams"))
+      .withColumn("bkt", pmod(xxhash64(col("h")), lit(newBuckets.toLong)))
+      .repartition(col("bkt")) // one file per bucket
+      .write.mode("overwrite").partitionBy("bkt").parquet(ctmp.toString)
+    val nGrams = obs.get("n_grams").asInstanceOf[Long]
+    val nDocs = mf.counts.getOrElse("n_docs", 0L)
+    import spark.implicits._
+    Seq((mf.paramInt("k"), newBuckets.toLong, nGrams, nDocs))
+      .toDF("k", "buckets", "n_grams", "n_docs")
+      .coalesce(1).write.mode("overwrite").parquet(stmp.toString)
+    // commit bracket: manifest dropped, two swaps, manifest rewritten
+    // with the new bucket count
+    graft.util.StagedIndex.stage(spark, dir,
+        graft.util.IndexManifest.KindGramCensus,
+        mf.params + ("buckets" -> newBuckets.toString)) {
+      def publish(name: String, tmp: Path): Unit = {
+        fs.delete(new Path(dir, name), true): Unit
+        require(fs.rename(tmp, new Path(dir, name)),
+          s"rebucket failed to publish $tmp into $dir/$name")
+      }
+      publish("census", ctmp)
+      publish("stats", stmp)
+      Map("n_docs" -> nDocs, "n_grams" -> nGrams)
+    }
+    newBuckets
   }
 
   /** Duplicated spans of an incoming BATCH against a frozen

@@ -327,6 +327,17 @@ class MainSpec extends SparkSpec {
     val bmCompact = writeCfg(tmp("graft-cli-censcfg8"),
       s"""{"index":"$bm","action":"compact"}""")
     assert(Main.run(Seq("-index", bmCompact), sess) == 0)
+    // rebucket (corpus-scaled bucket maintenance): probe unchanged,
+    // manifest carries the new count
+    val rebucket = writeCfg(tmp("graft-cli-censcfg9"),
+      s"""{"source":"$root","namespace":"db.batch","index":"$idx",
+         |"kind":"census","action":"rebucket","perBucket":100}""".stripMargin)
+    assert(Main.run(Seq("-index", rebucket), sess) == 0)
+    assert(graft.util.IndexManifest.read(spark, idx).paramInt("buckets")
+      > 64)
+    val api3 = graft.text.Substrings.newDupSpans(
+      cat.read("db.batch"), "doc_id", col("text"), idx)
+    assert(api3.exceptAll(cli2).isEmpty && cli2.exceptAll(api3).isEmpty)
   }
 
   test("-index kind=lsh builds, appends, queries, and compacts a band index") {

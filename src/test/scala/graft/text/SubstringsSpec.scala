@@ -163,6 +163,48 @@ class SubstringsSpec extends SparkSpec {
     assert(staged.count() > 0)
   }
 
+  test("census bucket scaling: buckets=0 auto-sizes at stage; rebucket is probe-invisible and contract-refreshing") {
+    val base = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter($"text".isNotNull)
+    val ref = base.filter($"doc_id" % 3 =!= 1)
+    val batch = base.filter($"doc_id" % 3 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("gramauto").toString
+    // auto-sizing: a tiny corpus floors at censusBuckets' minimum
+    Substrings.stageAnchorCensus(ref, "doc_id", col("text"), k = 40,
+      guarantee = 64, dir = dir, buckets = 0)
+    val mf0 = graft.util.IndexManifest.read(spark, dir)
+    assert(mf0.paramInt("buckets") == Substrings.censusBuckets(1.0))
+    assert(mf0.paramInt("buckets") == 16) // the floor, at this corpus size
+    val want = Substrings.newAnchorSpans(batch, "doc_id", col("text"), dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(identity).toSeq
+    assert(want.nonEmpty)
+    // rebucket to a finer count (perBucket=1 forces growth to the cap
+    // parameter): probe results identical, manifest + stats carry the
+    // new contract, n_grams preserved
+    val before = graft.util.IndexManifest.read(spark, dir)
+      .counts("n_grams")
+    val nb = Substrings.rebucketCensus(spark, dir, perBucket = 1L, cap = 128)
+    assert(nb == 128)
+    val mf1 = graft.util.IndexManifest.read(spark, dir)
+    assert(mf1.paramInt("buckets") == 128 && mf1.counts("n_grams") == before)
+    val st = spark.read.parquet(s"$dir/stats").collect()(0)
+    assert(st.getLong(1) == 128L && st.getLong(2) == before)
+    assert(Substrings.newAnchorSpans(batch, "doc_id", col("text"), dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(identity).toSeq == want)
+    // appends keep working under the refreshed bucketing, and a
+    // rebucket to the already-right count is a no-op
+    Substrings.appendAnchorCensus(
+      batch.select(($"doc_id" + 700000L).as("doc_id"), $"text"),
+      "doc_id", col("text"), dir)
+    assert(Substrings.rebucketCensus(spark, dir, perBucket = 1L,
+      cap = 128) == 128)
+    // the guarantee rule still answers identically after append+rebucket
+    assert(Substrings.newAnchorSpans(batch, "doc_id", col("text"), dir)
+      .count() >= want.size)
+  }
+
   test("anchored staged census: probe == direct anchor rule; append == restage; modes never mix") {
     val base = spark.read.parquet(s"$sf0001/documents.parquet")
       .filter($"text".isNotNull)
