@@ -924,7 +924,7 @@ object SparkEntry {
     // recomputes the rules arithmetically — equality proves the walks
     // read the actual containers. The imageIoCodec header-only
     // discipline extended to the other two media families ----
-    "q_mm_meta" -> ((s, dir) => {
+    "q_mm_av_meta" -> ((s, dir) => {
       val ids = load(s, dir, "documents").select(col("doc_id"))
         .filter(col("doc_id") < 400)
         .withColumn("kind",
@@ -6054,7 +6054,7 @@ object SparkEntry {
     // generated from these id → metadata rules; the oracle recomputes
     // the rules — equality proves the container parses read the bytes
     // (wav duration = samples*1000/rate, floor — both sides integer)
-    "q_mm_meta" ->
+    "q_mm_av_meta" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'mp4' END AS container,
         |  CASE WHEN doc_id % 2 = 0
