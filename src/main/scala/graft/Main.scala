@@ -894,10 +894,14 @@ object Main {
         .option("maxFilesPerTrigger", int("maxFilesPerTrigger", 1))
         .parquet(feed)
       val every = int("compactEvery", 0)
+      // every gate audits its rejections when "rejects" names a sink
+      // dir — the fate-audit knob shared across the admission family
+      val rejects = if (n.has("rejects"))
+        Some(n.get("rejects").asText()) else None
       val gate = mf.kind match {
         case graft.util.IndexManifest.KindFingerprints =>
           streaming.DocStream.admitStream(src, id, textCol, idx, outP,
-            ckpt, compactEvery = every)
+            ckpt, compactEvery = every, rejectsPath = rejects)
         case graft.util.IndexManifest.KindMinhashBands =>
           streaming.DocStream.admitNearStream(src, id, textCol, idx, outP,
             ckpt, maxBucket = int("maxBucket", 1000),
@@ -906,8 +910,7 @@ object Main {
               Some(n.get("verifyJaccard").asDouble()) else None,
             refTexts = if (n.has("refTexts"))
               Some(spark.read.parquet(n.get("refTexts").asText())) else None,
-            rejectsPath = if (n.has("rejects"))
-              Some(n.get("rejects").asText()) else None)
+            rejectsPath = rejects)
         case graft.util.IndexManifest.KindIvfFlat =>
           streaming.DocStream.admitVecStream(src,
             if (n.has("id")) id else "vec_id",
@@ -917,7 +920,8 @@ object Main {
             nprobe = int("nprobe", 4), compactEvery = every,
             reclusterSkew = if (n.has("reclusterSkew"))
               n.get("reclusterSkew").asDouble() else 0.0,
-            reclusterIters = int("reclusterIters", 3))
+            reclusterIters = int("reclusterIters", 3),
+            rejectsPath = rejects)
         case other => throw new IllegalArgumentException(
           s"no admission gate for index kind '$other' (fp = exact, " +
             "lsh = text near-dup, ivf_flat = semantic)")
@@ -1054,17 +1058,24 @@ object Main {
       val id = if (n.has("id")) n.get("id").asText() else "doc_id"
       val textCol = if (n.has("text")) n.get("text").asText() else "text"
       def refuseLshBuildKnobs(): Unit =
-        Seq("numHashes", "rowsPerBand", "shingleWords", "buckets").foreach(f =>
+        Seq("numHashes", "rowsPerBand", "shingleWords", "buckets",
+            "storeTexts").foreach(f =>
           require(!n.has(f),
             s"lsh config has '$f' but the index's staged value is the " +
               "contract — drop it (only 'build' takes it)"))
       action match {
         case "build" =>
+          // "storeTexts": true makes the index self-contained for
+          // Jaccard-VERIFIED admission (texts ride the id-bucketed
+          // ids/ rows; the admit verb's verifyJaccard then needs no
+          // refTexts and re-scans nothing corpus-sized per batch)
           text.Dedup.stageBandIndex(cat.read(ns), id, col(textCol), idx,
             numHashes = int("numHashes", 16),
             rowsPerBand = int("rowsPerBand", 2),
             shingleWords = int("shingleWords", 3),
-            buckets = int("buckets", 16))
+            buckets = int("buckets", 16),
+            storeTexts = n.has("storeTexts") &&
+              n.get("storeTexts").asBoolean())
           println(s"built lsh band index for $ns at $idx")
         case "append" =>
           refuseLshBuildKnobs()
