@@ -54,6 +54,8 @@ object AvOps {
   private def be32(b: Array[Byte], o: Int): Long =
     ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
       ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+  private def be64(b: Array[Byte], o: Int): Long =
+    (be32(b, o) << 32) | be32(b, o + 4)
   private def le32(b: Array[Byte], o: Int): Long =
     ((b(o + 3) & 0xffL) << 24) | ((b(o + 2) & 0xffL) << 16) |
       ((b(o + 1) & 0xffL) << 8) | (b(o) & 0xffL)
@@ -76,21 +78,29 @@ object AvOps {
   def wavMeta(bytes: Array[Byte]): AvMeta = {
     if (bytes.length < 12 || tag(bytes, 0) != "RIFF" ||
         tag(bytes, 8) != "WAVE") return NoMeta
-    var off = 12
+    var off = 12L
     var rate = 0L; var channels = 0L; var bits = 0L; var dataBytes = -1L
     while (off + 8 <= bytes.length) {
-      val ct = tag(bytes, off)
-      val sz = le32(bytes, off + 4)
-      if (ct == "fmt " && off + 24 <= bytes.length) {
-        channels = le16(bytes, off + 10)
-        rate = le32(bytes, off + 12)
-        bits = le16(bytes, off + 22)
+      val o = off.toInt
+      val ct = tag(bytes, o)
+      val sz = le32(bytes, o + 4) // unsigned 32-bit — NEVER truncate to Int
+      if (ct == "fmt " && o + 24 <= bytes.length) {
+        channels = le16(bytes, o + 10)
+        rate = le32(bytes, o + 12)
+        bits = le16(bytes, o + 22)
       } else if (ct == "data") dataBytes = sz
-      // chunks are word-aligned: odd sizes carry a pad byte
-      off += 8 + sz.toInt + (sz.toInt & 1)
+      // chunks are word-aligned: odd sizes carry a pad byte. The
+      // advance stays in Long: a corrupt size >= 0x80000000 truncated
+      // to Int goes negative and can zero the step — an executor-thread
+      // hang no NonFatal catch reaches. A size past the buffer is
+      // equally corrupt; both bail to NoMeta (fail-soft contract).
+      if (sz > bytes.length - off - 8) return NoMeta
+      off += 8L + sz + (sz & 1L)
     }
     val byteRate = rate * channels * (bits / 8)
-    if (rate <= 0 || channels <= 0 || bits <= 0 || dataBytes < 0) NoMeta
+    // bits in 1..7 passes bits>0 but floors bits/8 to 0 → byteRate 0;
+    // guard the divisor itself so direct callers never throw.
+    if (rate <= 0 || channels <= 0 || byteRate <= 0 || dataBytes < 0) NoMeta
     else AvMeta(0L, "wav", dataBytes * 1000L / byteRate, rate, channels,
       0L, 0L, decode_ok = true)
   }
@@ -100,16 +110,32 @@ object AvOps {
     * duration → duration_ms, floor) and the first `trak`'s `tkhd`
     * (display width/height, stored 16.16 fixed-point). Version-1
     * (64-bit) mvhd/tkhd variants are handled; `mdat` is SKIPPED by its
-    * box length — the media payload is never read. */
+    * box length — the media payload is never read. The two legal
+    * non-literal size encodings are honored: size == 0 means "box
+    * extends to the end of the enclosing span" (last-box shorthand)
+    * and size == 1 means "read the 64-bit largesize that follows the
+    * type" (standard for > 4 GB mdat) — both common in real-world
+    * files, both corrupt-guarded (a largesize past the buffer bails to
+    * NoMeta, never loops or overflows). */
   def mp4Meta(bytes: Array[Byte]): AvMeta = {
     if (bytes.length < 12 || tag(bytes, 4) != "ftyp") return NoMeta
     var durationMs = -1L; var width = 0L; var height = 0L
     def walk(from: Int, until: Int, f: (String, Int, Int) => Unit): Unit = {
       var off = from
       while (off + 8 <= until) {
-        val sz = be32(bytes, off)
-        if (sz < 8 || off + sz > until) return
-        f(tag(bytes, off + 4), off + 8, off + sz.toInt)
+        val sz32 = be32(bytes, off)
+        var hdr = 8L
+        val sz: Long =
+          if (sz32 == 0L) (until - off).toLong // box runs to span end
+          else if (sz32 == 1L) { // 64-bit largesize after the type
+            if (off + 16 > until) return
+            hdr = 16L
+            be64(bytes, off + 8)
+          } else sz32
+        // sz > until - off (not off + sz > until): the subtraction
+        // form cannot overflow on an adversarial 64-bit largesize
+        if (sz < hdr || sz > until - off) return
+        f(tag(bytes, off + 4), off + hdr.toInt, off + sz.toInt)
         off += sz.toInt
       }
     }
@@ -242,7 +268,7 @@ object AvOps {
   /** Deterministic mixed-media fixture frame: WAV payloads where
     * `kindCol` = "wav" (rule columns: rate, channels, samples), MP4
     * where "mp4" (rule columns: width, height, duration ms) — the
-    * generator for the real-metadata oracle (`q_mm_meta`). Output:
+    * generator for the real-metadata oracle (`q_mm_av_meta`). Output:
     * (idCol, payload). */
   def syntheticAv(df: DataFrame, idCol: String, kindCol: Column,
       a: Column, b: Column, c: Column): DataFrame = {

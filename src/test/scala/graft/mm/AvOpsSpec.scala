@@ -55,6 +55,77 @@ class AvOpsSpec extends SparkSpec {
     assert(!AvOps.mp4Meta(Array.fill(64)(0x41.toByte)).decode_ok)
   }
 
+  test("wavMeta: adversarial chunk sizes fail soft PROMPTLY — no non-progress hang") {
+    // A size field >= 0x80000000 truncated to Int goes negative; the
+    // old Int advance could step by ZERO (0xFFFFFFF8 → -8, even;
+    // 0xFFFFFFF7 → -9 +1 pad) — an executor-thread infinite loop no
+    // NonFatal catch reaches. The Long walk must bail to NoMeta.
+    def wavWithChunk(szBytes: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("RIFF".getBytes("US-ASCII"))
+      out.write(Array[Byte](0x24, 0, 0, 0))
+      out.write("WAVE".getBytes("US-ASCII"))
+      out.write("JUNK".getBytes("US-ASCII"))
+      out.write(szBytes)
+      out.write(Array.fill(32)(0x55.toByte)) // some trailing bytes
+      out.toByteArray
+    }
+    // 0xFFFFFFF8: Int -8 → old step exactly 0
+    assert(!AvOps.wavMeta(wavWithChunk(Array(0xF8, 0xFF, 0xFF, 0xFF)
+      .map(_.toByte))).decode_ok)
+    // 0xFFFFFFF7: Int -9, odd → +1 pad → old step exactly 0
+    assert(!AvOps.wavMeta(wavWithChunk(Array(0xF7, 0xFF, 0xFF, 0xFF)
+      .map(_.toByte))).decode_ok)
+    // size merely past the buffer (no wraparound): equally corrupt
+    assert(!AvOps.wavMeta(wavWithChunk(Array(0x00, 0x10, 0x00, 0x00)
+      .map(_.toByte))).decode_ok)
+  }
+
+  test("wavMeta: sub-byte sample widths (4-bit ADPCM) fail soft, never divide by zero") {
+    val base = AvOps.syntheticWav(3L, 8000, 1, 100)
+    val patched = base.clone()
+    patched(34) = 4; patched(35) = 0 // bits-per-sample ← 4
+    val m = AvOps.wavMeta(patched) // direct call: must NOT throw
+    assert(!m.decode_ok)
+  }
+
+  test("mp4Meta: size==0 (box to EOF) and size==1 (64-bit largesize) parse; corrupt largesize fails soft") {
+    val bytes = AvOps.syntheticMp4(9L, 640, 360, 12345, mdatBytes = 256)
+    val ftypLen = 16
+    val mdatStart = bytes.length - (8 + 256)
+    // moov LAST with size == 0: legal last-box shorthand
+    val moovLast = bytes.take(ftypLen) ++
+      bytes.slice(mdatStart, bytes.length) ++
+      bytes.slice(ftypLen, mdatStart)
+    val moovOff = ftypLen + (8 + 256)
+    val zeroSized = moovLast.clone()
+    zeroSized(moovOff) = 0; zeroSized(moovOff + 1) = 0
+    zeroSized(moovOff + 2) = 0; zeroSized(moovOff + 3) = 0
+    val m0 = AvOps.mp4Meta(zeroSized)
+    assert(m0.decode_ok && m0.duration_ms == 12345L && m0.width == 640L)
+    // mdat with size == 1 + 64-bit largesize: the >4GB encoding; the
+    // walk must skip by largesize and still find moov behind it
+    def be64bytes(v: Long): Array[Byte] =
+      (0 until 8).map(i => ((v >> (56 - 8 * i)) & 0xff).toByte).toArray
+    val payload = Array.fill(64)(0x22.toByte)
+    val large = bytes.take(ftypLen) ++
+      Array[Byte](0, 0, 0, 1) ++ "mdat".getBytes("US-ASCII") ++
+      be64bytes(16L + 64L) ++ payload ++
+      bytes.slice(ftypLen, mdatStart)
+    val m1 = AvOps.mp4Meta(large)
+    assert(m1.decode_ok && m1.duration_ms == 12345L && m1.height == 360L)
+    // adversarial largesize: sign-bit set (negative as Long) and
+    // huge-positive both bail to NoMeta — no loop, no overflow
+    val negLarge = bytes.take(ftypLen) ++
+      Array[Byte](0, 0, 0, 1) ++ "mdat".getBytes("US-ASCII") ++
+      be64bytes(0xFFFFFFFFFFFFFFF8L) ++ payload
+    assert(!AvOps.mp4Meta(negLarge).decode_ok)
+    val hugeLarge = bytes.take(ftypLen) ++
+      Array[Byte](0, 0, 0, 1) ++ "mdat".getBytes("US-ASCII") ++
+      be64bytes(Long.MaxValue) ++ payload
+    assert(!AvOps.mp4Meta(hugeLarge).decode_ok)
+  }
+
   test("metaWith: per-partition codec over a mixed feed; corrupt rows fail soft, not loud") {
     val rows = Seq(
       (1L, AvOps.syntheticWav(1L, 44100, 1, 4410)),
