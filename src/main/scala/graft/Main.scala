@@ -793,18 +793,38 @@ object Main {
       return 0
     }
     if (action == "recluster") {
-      // IVF drift maintenance (ml/Similarity.reclusterIvfFlat):
-      // Lloyd-refine the centroids over the STORED vectors and
-      // reassign every row — frozen stage-time geometry otherwise
-      // degrades probe pruning as an append stream drifts. Optional
-      // "iters" (3). Reader-atomic generation commit (see the
-      // scaladoc): concurrent probes keep working through the flip.
+      // IVF drift maintenance (ml/Similarity.reclusterIvfFlat /
+      // reclusterIvfPq): re-seed + Lloyd-refine the coarse centroids
+      // over the STORED vectors (flat) or the codes' exact
+      // reconstructions (pq — the codebook is frozen and carried
+      // verbatim; a codebook refresh is an explicit restage from raw
+      // vectors, see the scaladoc) and reassign every row — frozen
+      // stage-time geometry otherwise degrades probe pruning as an
+      // append stream drifts. Optional "iters" (3). Reader-atomic
+      // generation commit: concurrent probes keep working through the
+      // flip.
       val mf = graft.util.IndexManifest.read(spark, idx)
-      require(mf.kind == graft.util.IndexManifest.KindIvfFlat,
-        s"recluster supports ivf_flat (got '${mf.kind}'); the PQ kind's " +
-          "codebooks are trained against its centroids — restage it")
-      ml.Similarity.reclusterIvfFlat(spark, idx, iters = int("iters", 3))
+      mf.kind match {
+        case graft.util.IndexManifest.KindIvfFlat =>
+          ml.Similarity.reclusterIvfFlat(spark, idx, iters = int("iters", 3))
+        case graft.util.IndexManifest.KindIvfPq =>
+          ml.Similarity.reclusterIvfPq(spark, idx, iters = int("iters", 3))
+        case other => throw new IllegalArgumentException(
+          s"recluster supports the IVF kinds (got '$other')")
+      }
       println(s"reclustered $idx")
+      return 0
+    }
+    if (action == "reap") {
+      // generation-grace disk reclaim (ml/Similarity.reapIvfGrace):
+      // a recluster keeps the previous generation as a read-grace
+      // copy until the NEXT recluster — 2x vector storage on a
+      // rarely-reclustered index. The operator declares in-flight
+      // readers drained and reaps it early; the live pair and the
+      // manifest are never touched.
+      val reaped = ml.Similarity.reapIvfGrace(spark, idx)
+      println(if (reaped.isEmpty) s"nothing to reap in $idx"
+        else s"reaped ${reaped.mkString(", ")} from $idx")
       return 0
     }
     if (action == "compact") {
@@ -1089,9 +1109,25 @@ object Main {
           outOrShow(text.Dedup.lshNewCandidatesStaged(cat.read(qns), id,
               col(textCol), idx, maxBucket = int("maxBucket", 1000))
             .orderBy("batch_id", "ref_id"))
+        case "storetexts" =>
+          // legacy -> store-texts migration (Dedup.migrateBandIndexTexts):
+          // rebuild the index self-contained for Jaccard-verified
+          // admission under its frozen recipe. The frame must be the
+          // index's exact doc set: the staged namespace UNION the
+          // gate's admitted out dir ("admitted") — both directions
+          // guarded.
+          refuseLshBuildKnobs()
+          val base = cat.read(ns).select(col(id), col(textCol))
+          val frame = (if (n.has("admitted"))
+              base.unionByName(spark.read.parquet(n.get("admitted").asText())
+                .select(col(id), col(textCol)))
+            else base).localCheckpoint(true) // evaluated 3x by the verb
+          try text.Dedup.migrateBandIndexTexts(frame, id, col(textCol), idx)
+          finally graft.util.LocalCkpt.release(frame)
+          println(s"migrated $idx to the store-texts layout")
         case other =>
           throw new IllegalArgumentException(
-            s"unknown index action '$other' (build|append|query|ingest|admit|compact|recluster|describe)")
+            s"unknown index action '$other' (build|append|query|ingest|admit|compact|recluster|describe|storetexts)")
       }
       return 0
     }

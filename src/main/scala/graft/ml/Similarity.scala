@@ -671,18 +671,39 @@ object Similarity {
     }
   }
 
-  /** The frozen index metadata of a [[stageIvfPq]] dir. */
-  private def readIvfPqMeta(spark: org.apache.spark.sql.SparkSession,
-      dir: String): (IndexedSeq[Seq[Long]], PqBook) = {
-    graft.util.IndexManifest.validate(spark, dir,
+  /** The live sublayout DIR NAMES of an IVF-PQ index under its
+    * manifest — the [[ivfFlatNames]] discipline applied to the PQ
+    * kind: plain (`codes`, `meta`) as staged, or the current
+    * GENERATION pair (`codes.gN`, `meta.gN`) once [[reclusterIvfPq]]
+    * has run. One manifest read resolves a geometry-consistent pair;
+    * the recluster flips both with a single atomic manifest rewrite. */
+  private def ivfPqNames(mf: graft.util.IndexManifest): (String, String) =
+    mf.params.get("gen") match {
+      case Some(g) => (s"codes.g$g", s"meta.g$g")
+      case None => ("codes", "meta")
+    }
+
+  /** One geometry-consistent snapshot of a [[stageIvfPq]] index — the
+    * [[IvfFlatHandle]] discipline: manifest, RESOLVED sublayout paths,
+    * centroids and codebook, all from one manifest read, so a
+    * concurrent [[reclusterIvfPq]] flip can never hand a probe old
+    * centroids with new list assignments (or vice versa). */
+  private final case class IvfPqHandle(mf: graft.util.IndexManifest,
+      codesPath: String, metaPath: String, cents: IndexedSeq[Seq[Long]],
+      pb: PqBook)
+
+  private def openIvfPq(spark: org.apache.spark.sql.SparkSession,
+      dir: String): IvfPqHandle = {
+    val mf = graft.util.IndexManifest.validate(spark, dir,
       graft.util.IndexManifest.KindIvfPq)
-    val meta = spark.read.parquet(s"$dir/meta").collect()
+    val (c, m) = ivfPqNames(mf)
+    val meta = spark.read.parquet(s"$dir/$m").collect()
     val cents: IndexedSeq[Seq[Long]] = meta.filter(_.getString(0) == "cent")
       .sortBy(_.getInt(2)).map(_.getSeq[Long](3)).toIndexedSeq
     val byJ = meta.filter(_.getString(0) == "code").groupBy(_.getInt(1))
     val book = (0 until byJ.size).map(j =>
       byJ(j).sortBy(_.getInt(2)).map(_.getSeq[Long](3).toIndexedSeq).toIndexedSeq)
-    (cents, PqBook(book))
+    IvfPqHandle(mf, s"$dir/$c", s"$dir/$m", cents, PqBook(book))
   }
 
   /** Append a batch of new vectors to a [[stageIvfPq]] index WITHOUT
@@ -708,10 +729,13 @@ object Similarity {
     * escape hatch for callers that prove disjointness upstream. */
   def appendIvfPq(batch: DataFrame, idCol: String, embCol: String,
       dir: String, assumeNewIds: Boolean = false): Unit = {
-    val (cents, pb) = readIvfPqMeta(batch.sparkSession, dir)
+    // ONE manifest resolution for guard + encode + write (the
+    // appendIvfFlat discipline): geometry and destination stay
+    // consistent across a concurrent recluster flip
+    val h = openIvfPq(batch.sparkSession, dir)
     if (!assumeNewIds) {
       graft.util.StagedIndex.requireNewIds(
-        batch.sparkSession.read.parquet(s"$dir/codes")
+        batch.sparkSession.read.parquet(h.codesPath)
           .select(col("id"))
           .join(batch.select(col(idCol).as("id")).distinct(), Seq("id"),
             "left_semi"),
@@ -722,10 +746,10 @@ object Similarity {
         "stageIvfPq")
     }
     batch.select(col(idCol).as("id"), quantize(col(embCol)).as("__ce"))
-      .select(col("id"), pb.codes(col("__ce")).as("code"),
-        ivfAssign(col("__ce"), cents).as("list"))
+      .select(col("id"), h.pb.codes(col("__ce")).as("code"),
+        ivfAssign(col("__ce"), h.cents).as("list"))
       .repartition(col("list")) // one file per touched list per append
-      .write.mode("append").partitionBy("list").parquet(s"$dir/codes")
+      .write.mode("append").partitionBy("list").parquet(h.codesPath)
   }
 
   /** COMPACT a staged IVF-PQ index: rewrite each IVF list's codes as
@@ -743,9 +767,11 @@ object Similarity {
     import graft.util.StagedIndex.Layout
     val obs = org.apache.spark.sql.Observation()
     graft.util.StagedIndex.compact(spark, dir,
-        graft.util.IndexManifest.KindIvfPq) { _ =>
+        graft.util.IndexManifest.KindIvfPq) { mf =>
       // codes rows are immutable per-vector facts: pure consolidation
-      Seq(Layout("codes", Some("list"),
+      // of the LIVE generation's codes dir (plain `codes` as staged,
+      // `codes.gN` after a recluster)
+      Seq(Layout(ivfPqNames(mf)._1, Some("list"),
         _.observe(obs, count(lit(1)).as("n_vectors"))
           .select(col("id"), col("code"), col("list")))) // layout column order
     } { _ => Map("n_vectors" -> obs.get("n_vectors").asInstanceOf[Long]) }
@@ -762,19 +788,19 @@ object Similarity {
       queries: DataFrame, idCol: String, embCol: String, k: Int,
       nprobe: Int, salts: Int = graft.text.Retrieval.TopKSalts): DataFrame = {
     require(k > 0, "k must be positive")
-    val (cents, pb) = readIvfPqMeta(spark, dir)
+    val h = openIvfPq(spark, dir)
     val q = queries.select(col(idCol).as("query_id"),
         quantize(col(embCol)).as("__qe"))
-      .withColumn("__n2q", pb.n2q(col("__qe")))
-      .select(col("query_id"), pb.luts(col("__qe"), col("__n2q")).as("__lut"),
-        explode(ivfProbes(col("__qe"), cents, nprobe)).as("list"))
+      .withColumn("__n2q", h.pb.n2q(col("__qe")))
+      .select(col("query_id"), h.pb.luts(col("__qe"), col("__n2q")).as("__lut"),
+        explode(ivfProbes(col("__qe"), h.cents, nprobe)).as("list"))
     val probed = q.select("list").distinct().collect().map(_.getInt(0))
-    val c = spark.read.parquet(s"$dir/codes")
+    val c = spark.read.parquet(h.codesPath)
       .filter(col("list").isin(probed: _*))
       .select(col("id").as("neighbor_id"), col("code"), col("list"))
     val scored = broadcast(q).join(c, Seq("list"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("adist", pb.adist(col("__lut"), col("code")))
+      .withColumn("adist", h.pb.adist(col("__lut"), col("code")))
     graft.text.Retrieval.saltedTopK(scored, col("query_id"),
         col("neighbor_id"), Seq(col("adist").asc, col("neighbor_id")), k, salts)
       .select("query_id", "rank", "neighbor_id", "adist")
@@ -1075,6 +1101,138 @@ object Similarity {
       Map("n_vectors" -> obs.get("n_vectors").asInstanceOf[Long]))
   }
 
+  /** RECLUSTER a [[stageIvfPq]] index under corpus drift — the
+    * [[reclusterIvfFlat]] maintenance verb for the PQ retrieval tier.
+    * A continuously-appended IVF-PQ index drifts exactly like flat:
+    * frozen coarse centroids pile a drifted stream into a few lists
+    * and `nprobe` pruning degrades toward a full ADC scan.
+    *
+    * What CAN move without raw vectors: the codes layout stores no
+    * vectors (m codeword ids per row — the PQ bytes contract), but
+    * each code determines its reconstruction exactly (subspace `j` →
+    * codeword `book(j)(code_j)`), and because this codebook encodes
+    * FULL vectors — not residuals against the coarse centroid, the
+    * FAISS `by_residual=false` layout — a row's code is INDEPENDENT of
+    * which list it lives in. So the coarse quantizer re-seeds and
+    * Lloyd-refines over the reconstructions and every row re-assigns
+    * under the new geometry with its code carried VERBATIM: `adist`
+    * for any (query, candidate) pair is bit-identical before and
+    * after, only WHICH candidates fall inside `nprobe` probed lists
+    * changes — exactly how IVF recall always moves with its geometry.
+    *
+    * What canNOT move: the ADC codebooks. Re-training them from
+    * reconstructions is re-quantizing already-quantized points — the
+    * new codebook can only lose information relative to the raw
+    * corpus (and every stored code would need lossy re-encoding).
+    * A codebook refresh is therefore an explicit [[stageIvfPq]] from
+    * the raw corpus, by design; this verb fixes the drift symptom
+    * that actually degrades probe cost at 100 TB (list skew) at
+    * reconstruction cost zero.
+    *
+    * Commit protocol is [[reclusterIvfFlat]]'s, verbatim: next
+    * generation pair (`codes.gN+1`, `meta.gN+1`) fully written under
+    * the still-live manifest, then ONE atomic manifest rewrite flips
+    * the `gen` param; previous generation kept one recluster interval
+    * as the read-grace copy ([[reapIvfGrace]] reclaims it early);
+    * probes resolve through one [[IvfPqHandle]] snapshot, so no mixed
+    * geometry is ever observable and no crash window invalidates the
+    * index. Writers stay single-writer. */
+  def reclusterIvfPq(spark: org.apache.spark.sql.SparkSession,
+      dir: String, iters: Int = 3): Unit = {
+    import org.apache.hadoop.fs.Path
+    val h = openIvfPq(spark, dir)
+    val (cLive, mLive) = ivfPqNames(h.mf)
+    val nextGen = h.mf.params.get("gen").map(_.toInt + 1).getOrElse(1)
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // clear everything that is not the LIVE pair (grace copy, stale
+    // next-gen dirs from a crashed flip) — the reclusterIvfFlat sweep
+    val live = Set(cLive, mLive)
+    fs.listStatus(new Path(dir)).map(_.getPath).foreach { p =>
+      val n = p.getName
+      if ((n.matches("(codes|meta)(\\.g\\d+)?") && !live(n)) ||
+          n.endsWith(".__recluster__"))
+        fs.delete(p, true): Unit
+    }
+    val codes = spark.read.parquet(h.codesPath)
+    // exact reconstruction from the stored code: subspace j's codeword
+    // (codes are 1-based — array_position — so element_at is direct)
+    val bookLit = typedLit(h.pb.book)
+    def recon(code: Column): Column =
+      flatten(zip_with(code, bookLit, (cd, sub) => element_at(sub, cd)))
+    // deterministic re-seed in (xxhash64(id), id) order — density
+    // follows the CURRENT corpus (the reclusterIvfFlat draw); a
+    // too-small index keeps old centroids as filler
+    val seeds = codes
+      .select(recon(col("code")).as("__q"), xxhash64(col("id")).as("__h"),
+        col("id"))
+      .orderBy(col("__h"), col("id"))
+      .limit(h.cents.size)
+      .select(col("__q")).collect().map(_.getSeq[Long](0)).toIndexedSeq
+    val init = seeds ++ h.cents.drop(seeds.size)
+    val cents = ivfRefineQ(
+      codes.select(recon(col("code")).as("__q")), init, iters)
+    // next generation lands fully under a still-valid, still-live
+    // manifest — the whole slow window is crash-free AND probe-free
+    val obs = org.apache.spark.sql.Observation()
+    codes.select(col("id"), col("code"),
+        ivfAssign(recon(col("code")), cents).as("list"))
+      .observe(obs, count(lit(1)).as("n_vectors"))
+      .repartition(col("list")) // one file per list
+      .write.mode("overwrite").partitionBy("list")
+      .parquet(s"$dir/codes.g$nextGen")
+    import spark.implicits._
+    val metaRows: Seq[(String, Int, Int, Seq[Long])] =
+      cents.zipWithIndex.map { case (v, i) => ("cent", 0, i, v: Seq[Long]) } ++
+        (for (j <- 0 until h.pb.m; (cw, ci) <- h.pb.book(j).zipWithIndex)
+          yield ("code", j, ci, cw: Seq[Long])) // codebook VERBATIM
+    metaRows.toDF("kind", "j", "idx", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta.g$nextGen")
+    // the COMMIT: one atomic manifest rewrite flips the generation
+    graft.util.IndexManifest.write(spark, dir,
+      graft.util.IndexManifest.KindIvfPq,
+      h.mf.params + ("gen" -> nextGen.toString),
+      Map("n_vectors" -> obs.get("n_vectors").asInstanceOf[Long]))
+  }
+
+  /** Reap an IVF index's read-grace generation EARLY — the disk-bound
+    * knob on the generation-commit protocol: [[reclusterIvfFlat]] /
+    * [[reclusterIvfPq]] keep the previous generation on disk until the
+    * NEXT recluster so probes that resolved just before the flip keep
+    * reading a complete index, which on a rarely-reclustered large
+    * index is 2× vector storage indefinitely. This deletes every
+    * non-live generation dir (the grace copy, plus stale next-gen dirs
+    * from a crashed flip) once the OPERATOR declares in-flight readers
+    * drained — the caller's contract: a probe that resolved its
+    * [[IvfFlatHandle]]/[[IvfPqHandle]] before this runs and is still
+    * scanning the grace files will fail with a missing-file read (loud
+    * and retryable — the handle re-resolves to the live generation on
+    * retry; nothing is silently wrong). The live pair and the manifest
+    * are never touched, so this needs no commit protocol of its own.
+    * Returns the deleted dir names (empty = nothing to reap). */
+  def reapIvfGrace(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val mf = graft.util.IndexManifest.read(spark, dir)
+    val (base, live) = mf.kind match {
+      case graft.util.IndexManifest.KindIvfFlat =>
+        val (v, m) = ivfFlatNames(mf); ("vecs", Set(v, m))
+      case graft.util.IndexManifest.KindIvfPq =>
+        val (c, m) = ivfPqNames(mf); ("codes", Set(c, m))
+      case other => throw new IllegalArgumentException(
+        s"reapIvfGrace: '$other' has no generation layout (IVF kinds only)")
+    }
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new Path(dir)).map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n.matches(s"($base|meta)(\\.g\\d+)?") && !live(n.toString)
+      }
+      .map { p => fs.delete(p, true): Unit; p.getName }
+      .toSeq.sorted
+  }
+
   /** Per-list occupancy of an IVF-partitioned staged layout — the
     * drift diagnostic that tells an operator when [[reclusterIvfFlat]]
     * is due: `skew` = max list size / mean list size (1.0 = perfectly
@@ -1088,7 +1246,7 @@ object Similarity {
     val mf = graft.util.IndexManifest.read(spark, dir)
     val layout = mf.kind match {
       case graft.util.IndexManifest.KindIvfFlat => ivfFlatNames(mf)._1
-      case graft.util.IndexManifest.KindIvfPq => "codes"
+      case graft.util.IndexManifest.KindIvfPq => ivfPqNames(mf)._1
       case other => throw new IllegalArgumentException(
         s"listSkew: '$other' is not an IVF-partitioned kind")
     }

@@ -828,6 +828,83 @@ object Dedup {
     ()
   }
 
+  /** MIGRATE a legacy (text-less) band index to the store-texts layout
+    * — the adoption verb for the batch-proportional verify shape: a
+    * deployment running Jaccard-verified admission against a legacy
+    * index pays a corpus re-scan per micro-batch (the `refTexts`
+    * surface); this rebuilds the index with `storeTexts = true` from
+    * the caller's document frame (the originally staged corpus UNION
+    * the gate's admitted `out` rows — every doc whose signatures the
+    * index holds, with its text), preserving the frozen signature
+    * recipe verbatim, so the migrated index is BYTE-IDENTICAL to a
+    * fresh `storeTexts` stage of the same frame: probes, guards and
+    * the bucket census are unchanged, and the verify fetch
+    * ([[bandIndexTexts]]) works from `ids/` with static pruning from
+    * the next batch on ([[graft.streaming.DocStream.admitNearStream]]
+    * then refuses a redundant `refTexts` under its two-authorities
+    * guard).
+    *
+    * The doc-set contract is ENFORCED in both directions before
+    * anything is touched (a migration that silently changed the doc
+    * set would also silently change admission decisions):
+    *  - every indexed id must appear in `docs` — a missing id means
+    *    the admitted outPath was not supplied and its state would be
+    *    DROPPED;
+    *  - every `docs` row that would sign under the recipe must
+    *    already be indexed — an extra signing doc means the caller
+    *    passed the wrong frame and the index would silently WIDEN.
+    * Both guards are one doc-count-sized scan of `ids/` (ref_id column
+    * only) joined against the frame — the acceptable one-off cost of
+    * a maintenance verb that then rewrites the whole layout anyway.
+    * `docs` is evaluated three times (two guards + the restage): pass
+    * it materialized. Runs under the stage bracket
+    * (invalidate-first/manifest-last): a crash mid-migration reads as
+    * "not a graft index — restage to recover", never as a half-built
+    * layout. Single-writer, like every stage. */
+  def migrateBandIndexTexts(docs: DataFrame, idCol: String, text: Column,
+      dir: String): Unit = {
+    val spark = docs.sparkSession
+    val mf = graft.util.IndexManifest.validate(spark, dir,
+      graft.util.IndexManifest.KindMinhashBands)
+    require(mf.params.get("id_col").contains(idCol),
+      s"$dir was staged with id_col=${mf.params.getOrElse("id_col", "?")}; " +
+        s"migrate got $idCol — the band schema is the index contract")
+    requireBandIds(spark, dir)
+    val shingleWords = mf.paramInt("shingle_words")
+    val indexedIds = graft.util.StagedIndex.readLayout(spark, s"$dir/ids",
+        org.apache.spark.sql.types.StructType(Seq(
+          docs.schema(idCol).copy(name = "ref_id"),
+          org.apache.spark.sql.types.StructField("idb",
+            org.apache.spark.sql.types.LongType))))
+      .select(col("ref_id"))
+    val frameIds = docs.select(col(idCol).as("ref_id")).distinct()
+    val dropped = indexedIds.join(frameIds, Seq("ref_id"), "left_anti")
+      .limit(5).collect().map(_.get(0))
+    require(dropped.isEmpty,
+      s"migrateBandIndexTexts($dir): indexed ids missing from the " +
+        s"supplied frame (e.g. ${dropped.mkString(", ")}) — their " +
+        "signatures would be silently dropped. Supply the originally " +
+        "staged corpus UNION every admitted batch (the gate's out path).")
+    // the signing filter, expression-identical to bandAndIdRows'
+    val widened = docs
+      .filter(text.isNotNull &&
+        size(slice(split(lower(text), " "), 1, MaxShingleWords)) >= shingleWords)
+      .select(col(idCol).as("ref_id")).distinct()
+      .join(indexedIds, Seq("ref_id"), "left_anti")
+      .limit(5).collect().map(_.get(0))
+    require(widened.isEmpty,
+      s"migrateBandIndexTexts($dir): the supplied frame holds signing " +
+        s"docs the index never saw (e.g. ${widened.mkString(", ")}) — " +
+        "migration preserves the doc set; fold new docs in with " +
+        "appendBandIndex after migrating.")
+    stageBandIndex(docs, idCol, text, dir,
+      numHashes = mf.paramInt("num_hashes"),
+      rowsPerBand = mf.paramInt("rows_per_band"),
+      shingleWords = shingleWords,
+      buckets = mf.paramInt("buckets"),
+      storeTexts = true)
+  }
+
   /** Materialize a reference corpus' exact-dedup fingerprint set as a
     * staged index — the FIFTH staged kind (BM25 postings, gram census,
     * IVF-PQ codes, minhash bands, now content fingerprints), and the

@@ -121,6 +121,56 @@ class MainSpec extends SparkSpec {
     assert(e2.getMessage.contains("not a graft index"))
   }
 
+  test("-index recluster + reap cover both IVF kinds; storetexts migrates an lsh index") {
+    val root = tmp("graft-cli-gensrc")
+    val cat = new ParquetCatalog(spark, root, "db")
+    val e = Tables.load(spark, sf0001, "embeddings")
+    cat.write("db.vecs", e.filter($"vec_id" < 200))
+    // PQ kind: recluster dispatches on the manifest, reap reclaims the
+    // grace generation the recluster left behind
+    val pq = tmp("graft-cli-genpq") + "/ix"
+    assert(Main.run(Seq("-index", writeCfg(tmp("graft-cli-gencfg1"),
+      s"""{"source":"$root","namespace":"db.vecs","index":"$pq",
+         |"action":"build","centroids":4,"m":4,"ksub":8}""".stripMargin)),
+      sess) == 0)
+    assert(Main.run(Seq("-index", writeCfg(tmp("graft-cli-gencfg2"),
+      s"""{"index":"$pq","action":"recluster","iters":1}""")), sess) == 0)
+    val fs = new org.apache.hadoop.fs.Path(pq)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(pq, "codes.g1")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(pq, "codes"))) // grace
+    assert(Main.run(Seq("-index", writeCfg(tmp("graft-cli-gencfg3"),
+      s"""{"index":"$pq","action":"reap"}""")), sess) == 0)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(pq, "codes")))
+    // reap on a generation-less kind is refused loudly
+    val docsTbl = Tables.load(spark, sf0001, "documents")
+      .filter($"text".isNotNull).select($"doc_id", $"text")
+    cat.write("db.docs", docsTbl.filter($"doc_id" % 2 === 0))
+    val lsh = tmp("graft-cli-genlsh") + "/ix"
+    assert(Main.run(Seq("-index", writeCfg(tmp("graft-cli-gencfg4"),
+      s"""{"source":"$root","namespace":"db.docs","index":"$lsh",
+         |"kind":"lsh","action":"build","buckets":8}""".stripMargin)),
+      sess) == 0)
+    intercept[IllegalArgumentException] {
+      Main.run(Seq("-index", writeCfg(tmp("graft-cli-gencfg5"),
+        s"""{"index":"$lsh","action":"reap"}""")), sess)
+    }
+    // storetexts migrates the legacy lsh index in place (doc set =
+    // the staged namespace; no admitted dir here)
+    assert(Main.run(Seq("-index", writeCfg(tmp("graft-cli-gencfg6"),
+      s"""{"source":"$root","namespace":"db.docs","index":"$lsh",
+         |"kind":"lsh","action":"storetexts"}""".stripMargin)), sess) == 0)
+    assert(graft.util.IndexManifest.read(spark, lsh)
+      .params.get("store_texts").contains("1"))
+    // a build knob on storetexts is refused like on append/query
+    intercept[IllegalArgumentException] {
+      Main.run(Seq("-index", writeCfg(tmp("graft-cli-gencfg7"),
+        s"""{"source":"$root","namespace":"db.docs","index":"$lsh",
+           |"kind":"lsh","action":"storetexts","buckets":4}""".stripMargin)),
+        sess)
+    }
+  }
+
   test("-index action=ingest drains a parquet feed into a staged index") {
     val root = tmp("graft-cli-ingsrc")
     val cat = new ParquetCatalog(spark, root, "db")

@@ -311,6 +311,32 @@ class IvfFlatSpec extends SparkSpec {
     graft.util.LocalCkpt.release(copies)
   }
 
+  test("reapIvfGrace reclaims the flat grace generation early; probes/appends keep working") {
+    val reference = emb.filter(col("vec_id") < 40)
+    val dir = java.nio.file.Files.createTempDirectory("flatreap").toString
+    Similarity.stageIvfFlat(reference, "vec_id", "embedding",
+      numCentroids = 4, dir = dir)
+    val copies = reference.select((col("vec_id") + 9000L).as("vec_id"),
+      col("embedding"))
+    Similarity.reclusterIvfFlat(spark, dir, iters = 1)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(n: String) = new org.apache.hadoop.fs.Path(dir, n)
+    assert(fs.exists(p("vecs")) && fs.exists(p("meta")))
+    // the operator declares readers drained: grace goes, live stays
+    assert(Similarity.reapIvfGrace(spark, dir) == Seq("meta", "vecs"))
+    assert(!fs.exists(p("vecs")) && !fs.exists(p("meta")))
+    assert(Similarity.vecNewStaged(copies, "vec_id", "embedding", dir)
+      .count() == 0)
+    assert(Similarity.reapIvfGrace(spark, dir).isEmpty)
+    // append + the next recluster keep working after a reap
+    Similarity.appendIvfFlat(
+      emb.filter(col("vec_id") >= 40 && col("vec_id") < 50),
+      "vec_id", "embedding", dir = dir)
+    Similarity.reclusterIvfFlat(spark, dir, iters = 1)
+    assert(Similarity.listSkew(spark, dir).nVectors == 50L)
+  }
+
   test("an all-null-embedding corpus refuses to stage (no centroid geometry)") {
     // unlike the id-free kinds, the centroids ARE the index geometry —
     // an empty stage could never hold a vector, so it fails loudly

@@ -240,4 +240,179 @@ class PqSpec extends SparkSpec {
     assert(out.filter(col("query_id") === col("neighbor_id")).count() == 0)
     assert(out.filter(col("neighbor_id") >= 40).count() == 0)
   }
+
+  private def fullProbeOf(dir: String,
+      queries: org.apache.spark.sql.DataFrame): Seq[(Long, Int, Long, Long)] =
+    Similarity.stagedIvfPqTopK(spark, dir, queries, "vec_id", "embedding",
+        k = 5, nprobe = 4)
+      .select("query_id", "rank", "neighbor_id", "adist")
+      .as[(Long, Int, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+
+  test("reclusterIvfPq: drift re-balances lists; codes verbatim; full-probe results invariant") {
+    import graft.util.IndexManifest
+    def vec(f: Int => Float): Array[Float] = Array.tabulate(8)(f)
+    def axis(i: Int) = vec(j => if (j == i) 1f else 0f)
+    // anchors in the e7/e8 plane give subspace 3 real codewords, so a
+    // drifted row's RECONSTRUCTION lands in the drifted region (with
+    // all-zero subspace-3 codewords the reconstructions would collapse
+    // to zero and no coarse geometry could separate them)
+    val anchors = Seq(
+      (4L, vec(j => if (j == 6) 1f else 0f)),
+      (5L, vec(j => if (j == 7) 1f else 0f)),
+      (6L, vec(j => if (j == 6) 0.7f else if (j == 7) 0.7f else 0f)),
+      (7L, vec(j => if (j == 6) 0.9f else if (j == 7) 0.45f else 0f)))
+    val staged = ((0 until 4).map(i => (i.toLong, axis(i))) ++ anchors)
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("pqrecl").toString
+    Similarity.stageIvfPq(staged, "vec_id", "embedding",
+      numCentroids = 4, m = 4, ksub = 8, dir = dir)
+    // drift: 40 vectors on the e7–e8 arc — orthogonal to every frozen
+    // centroid (the 4 axes), so all tie at dot 0 and pile into list 1
+    val arc = (0 until 40).map { i =>
+      val phi = i * (math.Pi / 2) / 39
+      (100L + i, vec(j =>
+        if (j == 6) math.cos(phi).toFloat
+        else if (j == 7) math.sin(phi).toFloat else 0f))
+    }.toDF("vec_id", "embedding")
+    Similarity.appendIvfPq(arc, "vec_id", "embedding", dir = dir)
+    val codesBefore = spark.read.parquet(s"$dir/codes").select("id", "code")
+      .as[(Long, Seq[Int])].collect().toMap
+    val queries = staged.filter(col("vec_id") < 2)
+    val before = Similarity.listSkew(spark, dir)
+    assert(before.maxList >= 40, s"drift did not pile up: $before")
+    val resultsBefore = fullProbeOf(dir, queries)
+    assert(resultsBefore.nonEmpty)
+    Similarity.reclusterIvfPq(spark, dir, iters = 3)
+    val after = Similarity.listSkew(spark, dir)
+    assert(after.nVectors == before.nVectors && after.centroids == 4)
+    assert(after.maxList < before.maxList && after.skew < before.skew,
+      s"recluster did not rebalance: $before -> $after")
+    val mf = IndexManifest.validate(spark, dir, IndexManifest.KindIvfPq)
+    assert(mf.params.get("gen").contains("1") &&
+      mf.counts.get("n_vectors").contains(48L))
+    // codes carried VERBATIM — recluster moves rows between lists,
+    // never re-encodes (the codebook is frozen, see the scaladoc)
+    val codesAfter = spark.read.parquet(s"$dir/codes.g1").select("id", "code")
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(codesAfter == codesBefore)
+    // ADC scores are geometry-independent: a full probe (nprobe = all
+    // lists) returns bit-identical results across the recluster
+    assert(fullProbeOf(dir, queries) == resultsBefore)
+    // every row is assigned under the PUBLISHED centroids to its
+    // reconstruction's argmax list (vecs-free geometry consistency)
+    val meta = spark.read.parquet(s"$dir/meta.g1").collect()
+    val cents = meta.filter(_.getString(0) == "cent")
+      .sortBy(_.getInt(2)).map(_.getSeq[Long](3)).toIndexedSeq
+    val byJ = meta.filter(_.getString(0) == "code").groupBy(_.getInt(1))
+    val book = (0 until byJ.size).map(j =>
+      byJ(j).sortBy(_.getInt(2)).map(_.getSeq[Long](3).toIndexedSeq).toIndexedSeq)
+    def dot(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def recon(code: Seq[Int]): Seq[Long] =
+      code.zipWithIndex.flatMap { case (c, j) => book(j)(c - 1) }
+    val rows = spark.read.parquet(s"$dir/codes.g1").select("code", "list")
+      .as[(Seq[Int], Int)].collect()
+    assert(rows.length == 48 && rows.forall { case (code, l) =>
+      val dots = cents.map(c => dot(recon(code), c))
+      dots.indexOf(dots.max) + 1 == l
+    })
+    // compaction consolidates the LIVE generation, query-invisible
+    Similarity.compactIvfPq(spark, dir)
+    assert(fullProbeOf(dir, queries) == resultsBefore)
+    // grace copy survives; appends keep working on the new geometry
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "codes")) &&
+      fs.exists(new org.apache.hadoop.fs.Path(dir, "meta")))
+    Similarity.appendIvfPq(Seq((500L, axis(3))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir = dir)
+    assert(Similarity.listSkew(spark, dir).nVectors == 49L)
+  }
+
+  test("reclusterIvfPq crash windows and reapIvfGrace: stale generations cleared, grace reclaimed early") {
+    import graft.util.IndexManifest
+    val corpus = emb.filter(col("vec_id") < 40)
+    val dir = java.nio.file.Files.createTempDirectory("pqreclcrash").toString
+    Similarity.stageIvfPq(corpus, "vec_id", "embedding",
+      numCentroids = 4, m = 4, ksub = 8, dir = dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(n: String) = new org.apache.hadoop.fs.Path(dir, n)
+    // a recluster that died BEFORE its manifest flip leaves the live
+    // index fully intact; nothing reads the half-written next gen
+    fs.mkdirs(p("codes.g1")): Unit
+    fs.mkdirs(p("meta.g1")): Unit
+    fs.mkdirs(p("codes.__recluster__")): Unit
+    assert(IndexManifest.validate(spark, dir, IndexManifest.KindIvfPq)
+      .params.get("gen").isEmpty)
+    val queries = corpus.filter(col("vec_id") < 2)
+    val live = fullProbeOf(dir, queries)
+    assert(live.nonEmpty)
+    // reap clears the stale generation dirs too (a crashed flip is
+    // "not the live pair"), live pair and manifest untouched
+    assert(Similarity.reapIvfGrace(spark, dir) == Seq("codes.g1", "meta.g1"))
+    assert(fullProbeOf(dir, queries) == live)
+    Similarity.reclusterIvfPq(spark, dir, iters = 1)
+    assert(!fs.exists(p("codes.__recluster__")))
+    assert(IndexManifest.read(spark, dir).params.get("gen").contains("1"))
+    // generation 0 survives as the read-grace copy until reaped
+    assert(fs.exists(p("codes")) && fs.exists(p("meta")))
+    assert(fullProbeOf(dir, queries) == live)
+    assert(Similarity.reapIvfGrace(spark, dir) == Seq("codes", "meta"))
+    assert(!fs.exists(p("codes")) && !fs.exists(p("meta")))
+    // post-reap probes read the live generation; reap is idempotent
+    assert(fullProbeOf(dir, queries) == live)
+    assert(Similarity.reapIvfGrace(spark, dir).isEmpty)
+    // appends and compaction keep working after a reap
+    Similarity.appendIvfPq(
+      emb.filter(col("vec_id") >= 40 && col("vec_id") < 45),
+      "vec_id", "embedding", dir = dir)
+    Similarity.compactIvfPq(spark, dir)
+    assert(Similarity.listSkew(spark, dir).nVectors == 45L)
+    // reap refuses a non-IVF kind loudly (no generation layout there)
+    val other = java.nio.file.Files.createTempDirectory("notivf").toString
+    IndexManifest.write(spark, other, IndexManifest.KindBm25,
+      Map.empty, Map.empty)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.reapIvfGrace(spark, other)
+    }
+    assert(e.getMessage.contains("no generation layout"))
+  }
+
+  test("reclusterIvfPq is reader-atomic: concurrent staged probes never observe a half-published index") {
+    val corpus = emb.filter(col("vec_id") < 60)
+    val dir = java.nio.file.Files.createTempDirectory("pqreclconc").toString
+    Similarity.stageIvfPq(corpus, "vec_id", "embedding",
+      numCentroids = 4, m = 4, ksub = 8, dir = dir)
+    val queries = corpus.filter(col("vec_id") < 2).localCheckpoint(true)
+    // a FULL probe's results are geometry-independent (codes verbatim,
+    // every list scanned) — the invariant that must hold through the
+    // flip: any mixed-geometry read would misprune or misscore
+    val expect = fullProbeOf(dir, queries)
+    assert(expect.nonEmpty)
+    @volatile var failure: Option[Throwable] = None
+    val probes = new java.util.concurrent.atomic.AtomicInteger(0)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val t = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          val got = fullProbeOf(dir, queries)
+          if (got != expect) throw new IllegalStateException(
+            s"probe diverged mid-recluster: $got")
+          probes.incrementAndGet(): Unit
+        } catch {
+          case e: Throwable => failure = Some(e); stop.set(true)
+        }
+      }
+    })
+    t.start()
+    try {
+      while (probes.get() < 2 && failure.isEmpty) Thread.sleep(50)
+      Similarity.reclusterIvfPq(spark, dir, iters = 1)
+      val after = probes.get()
+      while (probes.get() < after + 2 && failure.isEmpty) Thread.sleep(50)
+    } finally { stop.set(true); t.join() }
+    assert(failure.isEmpty, s"concurrent probe threw: $failure")
+    graft.util.LocalCkpt.release(queries)
+  }
 }

@@ -429,6 +429,82 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("storeTexts"))
   }
 
+  test("migrateBandIndexTexts: legacy index adopts store-texts, identical to a fresh stage; doc set guarded") {
+    val d = docs.select(col("doc_id"), col("text"))
+    val corpus = d.filter(col("doc_id") % 4 === 0)
+    val admitted = d.filter(col("doc_id") % 4 === 2) // the gate's out rows
+    val dir = java.nio.file.Files.createTempDirectory("lshmigr").toString
+    // a LEGACY deployment: staged text-less, then admitted batches
+    // appended by the gate
+    Dedup.stageBandIndex(corpus, "doc_id", col("text"), dir,
+      numHashes = 16, rowsPerBand = 2, shingleWords = 3, buckets = 8)
+    Dedup.appendBandIndex(admitted, "doc_id", col("text"), dir)
+    // guard 1: migrating with the corpus alone would DROP the admitted
+    // ids' state — refused before anything is touched, index intact
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.migrateBandIndexTexts(corpus.localCheckpoint(true), "doc_id",
+        col("text"), dir)
+    }
+    assert(e1.getMessage.contains("missing from the supplied frame"))
+    assert(graft.util.IndexManifest.read(spark, dir)
+      .params.get("store_texts").contains("0"), "refusal must not mutate")
+    // guard 2: a frame with signing docs the index never saw would
+    // silently WIDEN the doc set — refused too
+    val tooWide = corpus.unionByName(admitted)
+      .unionByName(d.filter(col("doc_id") % 4 === 1))
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.migrateBandIndexTexts(tooWide.localCheckpoint(true), "doc_id",
+        col("text"), dir)
+    }
+    assert(e2.getMessage.contains("never saw"))
+    // the id_col contract is checked like every band verb
+    intercept[IllegalArgumentException] {
+      Dedup.migrateBandIndexTexts(
+        corpus.withColumnRenamed("doc_id", "other_id"), "other_id",
+        col("text"), dir)
+    }
+    // the exact doc set (staged corpus UNION admitted out) migrates
+    val frame = corpus.unionByName(admitted).localCheckpoint(true)
+    Dedup.migrateBandIndexTexts(frame, "doc_id", col("text"), dir)
+    val mf = graft.util.IndexManifest.read(spark, dir)
+    assert(mf.params.get("store_texts").contains("1"))
+    assert(mf.params.get("buckets").contains("8") &&
+      mf.params.get("num_hashes").contains("16"), "recipe preserved")
+    // identical to a FRESH storeTexts stage of the same frame: both
+    // sublayouts' row sets match exactly, so every probe, guard and
+    // census is unchanged by construction
+    val fresh = java.nio.file.Files.createTempDirectory("lshfresh").toString
+    Dedup.stageBandIndex(frame, "doc_id", col("text"), fresh,
+      numHashes = 16, rowsPerBand = 2, shingleWords = 3, buckets = 8,
+      storeTexts = true)
+    def bandRows(ix: String) = spark.read.parquet(s"$ix/bands")
+      .select(col("ref_id"), col("band"), col("bsig"),
+        col("bkt").cast("long")) // partition cols re-infer as int
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+      .sorted.toSeq
+    def idRows(ix: String) = spark.read.parquet(s"$ix/ids")
+      .select(col("ref_id"), col("text"), col("idb").cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(bandRows(dir) == bandRows(fresh) && idRows(dir) == idRows(fresh))
+    // the verify fetch now works from the index itself...
+    val someId = idRows(dir).head._1
+    val fetched = Dedup.bandIndexTexts(
+      Seq(someId).toDF("ref_id").localCheckpoint(true), dir)
+    assert(fetched.collect().map(_.getLong(0)).toSeq == Seq(someId))
+    // ...and the gate REFUSES a redundant refTexts on the migrated
+    // index (the two-authorities guard — fires at setup, pre-stream)
+    val e3 = intercept[IllegalArgumentException] {
+      graft.streaming.DocStream.admitNearStream(frame, "doc_id", "text",
+        dir, "/tmp/unused-out", "/tmp/unused-ckpt",
+        verifyJaccard = Some(0.8), refTexts = Some(frame))
+    }
+    assert(e3.getMessage.contains("two text authorities"))
+    graft.util.LocalCkpt.release(frame)
+  }
+
   test("staged fingerprints: probe == direct; append folds in; compact dedups; pruning") {
     val d = docs.select(col("doc_id"), col("text"))
     val reference = d.filter(col("doc_id") % 2 === 0)

@@ -40,14 +40,27 @@ import org.apache.spark.sql.functions._
   *        is the whole layout; more buckets restore the fraction)
   */
 object ProbeSweep {
+  /** Copy-k id offset: k = 0 keeps the base ids (the probe batch is
+    * tail-mutated mult-0 docs, so its collision surface must stay
+    * constant); k > 0 copies sit at 1e11 + k·1e7 — ABOVE the probe
+    * batches' 4e9 range, which a bare k·1e7 enters at k ≈ 400 (the
+    * probes don't enforce new-ids, so a collision is semantically
+    * harmless, but disjoint ranges keep the fixture honest through
+    * 1000×). Built as ONE crossJoin against a range frame — the
+    * per-copy union of earlier rounds explodes the plan at 1000+
+    * branches. */
+  private def copyId(idCol: String): org.apache.spark.sql.Column =
+    col(idCol) + col("__k") * 10000000L +
+      when(col("__k") > 0, lit(100000000000L)).otherwise(lit(0L))
+
   private def corpus(spark: SparkSession, dir: String, mult: Int): DataFrame = {
     val d = Tables.load(spark, dir, "documents")
       .filter(col("text").isNotNull).select(col("doc_id"), col("text"))
-    (0 until mult).map { k =>
-      val t = if (k == 0) col("text")
-        else regexp_replace(col("text"), "(\\S+)", s"c${k}_$$1")
-      d.select((col("doc_id") + k * 10000000L).as("doc_id"), t.as("text"))
-    }.reduce(_ unionByName _)
+    d.crossJoin(spark.range(mult.toLong).select(col("id").as("__k")))
+      .select(copyId("doc_id").as("doc_id"),
+        when(col("__k") === 0, col("text"))
+          .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("c"), col("__k"), lit("_$1")))).as("text"))
   }
 
   /** Embedding-corpus multiples for the IVF-flat kind: copy k rotates
@@ -62,12 +75,13 @@ object ProbeSweep {
     val d = Tables.load(spark, dir, "embeddings")
       .filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("embedding"))
-    (0 until mult).map { k =>
-      val e = if (k == 0) col("embedding")
-        else concat(slice(col("embedding"), k + 1, 1 << 20),
-          slice(col("embedding"), 1, k))
-      d.select((col("vec_id") + k * 10000000L).as("vec_id"), e.as("embedding"))
-    }.reduce(_ unionByName _)
+    val k = col("__k").cast("int")
+    d.crossJoin(spark.range(mult.toLong).select(col("id").as("__k")))
+      .select(copyId("vec_id").as("vec_id"),
+        when(col("__k") === 0, col("embedding"))
+          .otherwise(concat(
+            slice(col("embedding"), k + lit(1), lit(1 << 20)),
+            slice(col("embedding"), lit(1), k))).as("embedding"))
   }
 
   private def time(f: => Long): (Double, Long) = {

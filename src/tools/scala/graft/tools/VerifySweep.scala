@@ -45,12 +45,20 @@ object VerifySweep {
 
   /** Salted admitted-corpus copies: copy k's tokens are prefixed so
     * multiples are genuinely distinct documents (no cross-multiple
-    * near-dups), ids offset into a disjoint range per copy. */
+    * near-dups), ids offset into a disjoint range per copy. Built as
+    * ONE crossJoin against a range frame — the per-copy union of
+    * earlier rounds explodes the plan at 1000+ branches. Copy ids
+    * start at 1e11 (the probe batches sit at 4e9+rep·1e8; the r15
+    * union put copies at (k+1)·1e7, which would collide with the
+    * probe range from k ≈ 399 on). */
   private def grown(base: DataFrame, mult: Int): DataFrame =
-    (0 until mult).map { k =>
-      base.select((col("doc_id") + (k + 1) * 10000000L).as("doc_id"),
-        regexp_replace(col("text"), "(\\S+)", s"adm${k}_$$1").as("text"))
-    }.reduce(_ unionByName _)
+    base.crossJoin(
+        base.sparkSession.range(mult.toLong).select(col("id").as("__k")))
+      .select(
+        (col("doc_id") + lit(100000000000L) + col("__k") * 10000000L)
+          .as("doc_id"),
+        regexp_replace(col("text"), lit("(\\S+)"),
+          concat(lit("adm"), col("__k"), lit("_$1"))).as("text"))
 
   private def time(f: => Unit): Double = {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -101,7 +109,12 @@ object VerifySweep {
       // grow the admitted state: index appends exactly as the gate's
       // own appends land (texts ride along in store mode), plus the
       // out parquet the legacy surface re-scans
-      val adm = grown(base, mult).localCheckpoint(true)
+      // spread the grown frame before materializing: the crossJoin
+      // inherits the tiny base's partition count, which would sign
+      // 15M docs on a handful of cores at 3000x
+      val adm = grown(base, mult)
+        .repartition(math.min(256, math.max(32, mult)))
+        .localCheckpoint(true)
       graft.text.Dedup.appendBandIndex(adm, "doc_id", col("text"), idx,
         assumeNewIds = true)
       adm.write.mode("overwrite").parquet(out)
