@@ -1313,10 +1313,15 @@ object Similarity {
     // join: persist + release (the exactNewStaged discipline)
     val bq = vecProbeFrame(nn, idCol, embCol, h.cents, nprobe).persist()
     try {
-      val small = broadcastCap > 0 && broadcastCap < Int.MaxValue &&
-        bq.limit(broadcastCap.toInt + 1).count() <= broadcastCap
+      // ONE materializing aggregate returns the probe-frame size AND
+      // its probed-list set (≤ centroids ints): the size probe and the
+      // list collect were two driver round-trips per micro-batch
+      val head = bq.agg(count(lit(1)).as("__n"),
+        collect_set(col("__list")).as("__lists")).collect()(0)
+      val small = broadcastCap > 0 && head.getLong(0) <= broadcastCap
       val rejected = vecRejectedIds(bq, idCol, nn.schema(idCol),
-        h.vecsPath, minCosPermille, forceBroadcast = small)
+        h.vecsPath, minCosPermille, forceBroadcast = small,
+        probedLists = Some(head.getSeq[Int](1).toArray))
       nn.join(if (small) broadcast(rejected) else rejected,
           Seq(idCol), "left_anti")
         .localCheckpoint(true)
@@ -1343,10 +1348,14 @@ object Similarity {
     val nn = vecAdmissible(batch, embCol)
     val bq = vecProbeFrame(nn, idCol, embCol, h.cents, nprobe).persist()
     try {
-      val small = broadcastCap > 0 && broadcastCap < Int.MaxValue &&
-        bq.limit(broadcastCap.toInt + 1).count() <= broadcastCap
+      // one materializing aggregate = size + probed lists (see
+      // vecNewStaged)
+      val head = bq.agg(count(lit(1)).as("__n"),
+        collect_set(col("__list")).as("__lists")).collect()(0)
+      val small = broadcastCap > 0 && head.getLong(0) <= broadcastCap
       val pairs = vecRejectedPairs(bq, idCol, nn.schema(idCol),
-        h.vecsPath, minCosPermille, forceBroadcast = small)
+        h.vecsPath, minCosPermille, forceBroadcast = small,
+        probedLists = Some(head.getSeq[Int](1).toArray))
         .localCheckpoint(true)
       val rejected = pairs.select(col(idCol)).distinct()
       (nn.join(if (small) broadcast(rejected) else rejected,
@@ -1367,9 +1376,11 @@ object Similarity {
     * scan. */
   private[graft] def vecRejectedPairs(bq: DataFrame, idCol: String,
       idField: org.apache.spark.sql.types.StructField, vecsPath: String,
-      minCosPermille: Int, forceBroadcast: Boolean): DataFrame = {
+      minCosPermille: Int, forceBroadcast: Boolean,
+      probedLists: Option[Array[Int]] = None): DataFrame = {
     val spark = bq.sparkSession
-    val probed = bq.select("__list").distinct().collect().map(_.getInt(0))
+    val probed = probedLists.getOrElse(
+      bq.select("__list").distinct().collect().map(_.getInt(0)))
     // reference-side internals renamed to __-prefixed names before the
     // join (the fingerprint probe's __ch discipline): a caller id
     // column named 'id', 'q' or 'n2' must not collide ambiguously —
@@ -1402,9 +1413,10 @@ object Similarity {
     * filters (and that the unused evidence columns prune away). */
   private[graft] def vecRejectedIds(bq: DataFrame, idCol: String,
       idField: org.apache.spark.sql.types.StructField, vecsPath: String,
-      minCosPermille: Int, forceBroadcast: Boolean): DataFrame =
+      minCosPermille: Int, forceBroadcast: Boolean,
+      probedLists: Option[Array[Int]] = None): DataFrame =
     vecRejectedPairs(bq, idCol, idField, vecsPath, minCosPermille,
-      forceBroadcast).select(col(idCol)).distinct()
+      forceBroadcast, probedLists).select(col(idCol)).distinct()
 
   /** The rows of `batch` that carry an admission identity: non-null
     * embeddings whose QUANTIZED norm is positive (a zero vector has no

@@ -35,8 +35,19 @@ object Graph {
     * Output: (node, rank) — rank in micro-units, starting at 10⁶ per
     * node, `rank = (100−damp)% · 10⁶ + damp% · Σ (neighbor rank DIV
     * neighbor degree)` each iteration. */
+  /** Node-count ceiling under which the rank table BROADCASTS into the
+    * per-iteration topology join (≈ tens of MB of (string, long) rows —
+    * inside driver/executor broadcast budgets): the topology side is
+    * then never exchanged or sorted per iteration, leaving ONE exchange
+    * per iteration (the incoming-sum aggregate). Above the cap the
+    * iteration falls back to the shuffled key join — a web-scale node
+    * table must not be broadcast ([[graft.text.Dedup.AdmitBroadcastCap]]
+    * adaptive discipline). */
+  val RankBroadcastCap: Long = 2000000L
+
   def pageRankInt(edges: DataFrame, iterations: Int,
-      dampPct: Int = 85, ckptEvery: Int = 4): DataFrame = {
+      dampPct: Int = 85, ckptEvery: Int = 4,
+      rankBroadcastCap: Long = RankBroadcastCap): DataFrame = {
     require(iterations >= 1 && iterations <= 50, "iterations in [1, 50]")
     require(dampPct > 0 && dampPct < 100, "dampPct in (0, 100)")
     require(ckptEvery >= 1, "ckptEvery must be positive")
@@ -45,15 +56,27 @@ object Graph {
       .unionByName(edges.select(col("dst").cast("string").as("src"),
         col("src").cast("string").as("dst")))
       .distinct()
+    // degrees feed rank₀ AND the topology join — materialized once, so
+    // the union+distinct+aggregate chain never re-runs inside the
+    // iteration plan (pre-r17 it re-derived from the raw scans for
+    // rank₀: 5 extra exchanges in the 2-iteration plan)
     val deg = bidi.groupBy("src").agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
     // materialize the (small, reused-every-iteration) topology once
     val topo = bidi.join(deg, Seq("src")).localCheckpoint(true)
+    // node count is known for free from the materialized degree table;
+    // it picks the iteration join strategy once for the whole run
+    val broadcastRanks = deg.count() <= rankBroadcastCap
     val base = lit((100L - dampPct) * 10000L) // (1−d) · 10⁶ in µ-units
     var ranks = deg.select(col("src").as("node"), lit(1000000L).as("r"))
     var i = 0
     while (i < iterations) {
+      // rank table broadcast (node-count-gated): the per-iteration join
+      // needs NO exchange or sort on the topology side — the only
+      // shuffle left per iteration is the incoming-sum aggregate
+      val r = if (broadcastRanks) broadcast(ranks) else ranks
       val contribs = topo
-        .join(ranks, topo("src") === ranks("node"))
+        .join(r, topo("src") === r("node"))
         .select(col("dst").as("node"), expr("r DIV d").as("c"))
       ranks = contribs.groupBy("node")
         .agg((base + expr(s"(sum(c) * $dampPct) DIV 100")).as("r"))
@@ -113,10 +136,14 @@ object Graph {
       .select(col("__v1"), col("__v2"))
     // a wedge (v1, v2) closes iff the oriented edge v1→v2 exists
     // (rank(v1) < rank(v2) by construction, so orientation matches)
-    val tri = wedges.join(o.select(col("u").as("__v1"), col("v").as("__v2")),
-      Seq("__v1", "__v2"), "left_semi").count()
-    val nodes = deg.count()
-    val edges = canon.count()
+    // three independent counts over already-checkpointed frames —
+    // overlapped (guide §2.6): the node/edge counts are sub-second scans
+    // that otherwise serialize behind the wedge join's straggler tail
+    val (tri, nodes, edges) = graft.util.Par.eval3(
+      () => wedges.join(o.select(col("u").as("__v1"), col("v").as("__v2")),
+        Seq("__v1", "__v2"), "left_semi").count(),
+      () => deg.count(),
+      () => canon.count())
     val spark = df.sparkSession
     import spark.implicits._
     Seq((nodes, edges, tri)).toDF("n_nodes", "n_edges", "n_triangles")

@@ -411,12 +411,18 @@ object DocStream {
           val admitted = graft.text.Dedup.exactNewStaged(bb, idCol,
             col(textName), indexDir)
           try {
-            rejectsPath.foreach(p => bb
-              .join(admitted.select(idCol), Seq(idCol), "left_anti")
-              .select(col(idCol), contentKey(col(textName)).as("ch"))
-              .write.mode("append").parquet(p))
-            bb.join(admitted.select(idCol), Seq(idCol), "left_semi")
-              .write.mode("append").parquet(outPath)
+            // rejects and out are independent sinks over the persisted
+            // batch + the materialized admitted frame — overlapped
+            // (guide §2.6); the INDEX append stays strictly after the
+            // out write (the at-least-once ordering contract: the
+            // reverse order silently loses a replayed batch)
+            graft.util.Par.run(
+              (rejectsPath.map(p => () => bb
+                .join(admitted.select(idCol), Seq(idCol), "left_anti")
+                .select(col(idCol), contentKey(col(textName)).as("ch"))
+                .write.mode("append").parquet(p)).toSeq :+
+              (() => bb.join(admitted.select(idCol), Seq(idCol), "left_semi")
+                .write.mode("append").parquet(outPath))): _*)
             graft.text.Dedup.appendFingerprints(admitted, col("text"),
               indexDir)
             if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
@@ -575,19 +581,25 @@ object DocStream {
                     lit(null).cast("double").as("jaccard")), () => ())
               }
             try {
-              rejectsPath.foreach(p => evidence
-                .select(col("batch_id").as(idCol), col("ref_id"),
-                  col("jaccard"))
-                .write.mode("append").parquet(p))
               val rejected = evidence.select(col("batch_id").as(idCol))
                 .distinct()
               // admitted feeds the out write AND the band append:
               // eager localCheckpoint, blocks RELEASED in the finally
               // (Dataset.unpersist cannot free checkpoint blocks — a
               // leaked block per micro-batch accumulates forever on a
-              // live feed)
-              val admitted = bb.join(rejected, Seq(idCol), "left_anti")
-                .localCheckpoint(true)
+              // live feed). The rejects audit is an independent sink
+              // over the already-materialized evidence — overlapped
+              // with the admitted materialization (guide §2.6); the
+              // BAND append stays strictly after the out write (the
+              // at-least-once ordering contract below).
+              var admitted: DataFrame = null
+              graft.util.Par.run(
+                (rejectsPath.map(p => () => evidence
+                  .select(col("batch_id").as(idCol), col("ref_id"),
+                    col("jaccard"))
+                  .write.mode("append").parquet(p)).toSeq :+
+                (() => admitted = bb.join(rejected, Seq(idCol), "left_anti")
+                  .localCheckpoint(true))): _*)
               try {
                 admitted.write.mode("append").parquet(outPath)
                 graft.text.Dedup.appendBandIndex(admitted, idCol,

@@ -718,11 +718,14 @@ object Dedup {
         "explicitly where the caller supports it).")
     requireBandIds(spark, dir)
     val buckets = mf.paramInt("buckets").toLong
-    val small = broadcastCap > 0 && broadcastCap < Int.MaxValue &&
-      refIds.limit(broadcastCap.toInt + 1).count() <= broadcastCap
-    val qb = refIds
-      .select(pmod(xxhash64(col("ref_id")), lit(buckets)).as("idb"))
-      .distinct().collect().map(_.getLong(0))
+    // ONE aggregate action yields the candidate-id count AND the id
+    // bucket set (≤ `buckets` longs) — the size probe and the bucket
+    // collect were two driver round-trips per micro-batch verify
+    val head = refIds.agg(count(lit(1)).as("__n"),
+      collect_set(pmod(xxhash64(col("ref_id")), lit(buckets))).as("__qb"))
+      .collect()(0)
+    val small = broadcastCap > 0 && head.getLong(0) <= broadcastCap
+    val qb = head.getSeq[Long](1).toArray
     val schema = org.apache.spark.sql.types.StructType(Seq(
       refIds.schema("ref_id"),
       org.apache.spark.sql.types.StructField("text",
@@ -752,10 +755,15 @@ object Dedup {
     val buckets = mf.paramInt("buckets").toLong
     // the batch band frame feeds the bucket collect AND the probe join:
     // eager-materialize once (the probeSpans discipline)
+    // LAZY checkpoint: the bucket collect right below computes every
+    // partition anyway, so it doubles as the materializing action — an
+    // eager checkpoint would run the band-signing plan as its own job
+    // first and the collect as a second (two jobs per micro-batch probe
+    // where one suffices)
     val bb = bandRows(batch, idCol, text, mf.paramInt("num_hashes"),
         mf.paramInt("rows_per_band"), mf.paramInt("shingle_words"))
       .withColumnRenamed("ref_id", "batch_id")
-      .localCheckpoint()
+      .localCheckpoint(false)
     val qb = bb.select(pmod(xxhash64(col("band"), col("bsig")), lit(buckets))
         .as("bkt"))
       .distinct().collect().map(_.getLong(0))
@@ -999,9 +1007,17 @@ object Dedup {
     // would outlive the call, see scaladoc)
     val bh = collapseByContent(batch, idCol, text).persist()
     try {
-      val small = broadcastCap > 0 && broadcastCap < Int.MaxValue &&
-        bh.limit(broadcastCap.toInt + 1).count() <= broadcastCap
-      val seen = fingerprintSeen(bh, dir, buckets, forceBroadcast = small)
+      // ONE materializing aggregate returns the collapsed-batch size AND
+      // its bucket set (≤ `buckets` longs): the size probe and the
+      // bucket collect were two back-to-back driver round-trips over the
+      // same persisted frame — per-micro-batch cost in admitStream
+      val head = bh.agg(count(lit(1)).as("__n"),
+        collect_set(when(col("__ch").isNotNull,
+          pmod(xxhash64(col("__ch")), lit(buckets)))).as("__qb"))
+        .collect()(0)
+      val small = broadcastCap > 0 && head.getLong(0) <= broadcastCap
+      val seen = fingerprintSeen(bh, dir, buckets, forceBroadcast = small,
+        probedBuckets = Some(head.getSeq[Long](1).toArray))
       bh.join(if (small) broadcast(seen) else seen, Seq("__ch"), "left_anti")
         .select(col(idCol), col("__text").as("text"))
         .localCheckpoint(true)
@@ -1014,11 +1030,12 @@ object Dedup {
     * plan-audit pin — the returned frame is lazy, so a spec can assert
     * the scan carries partition filters. */
   private[graft] def fingerprintSeen(bh: DataFrame, dir: String,
-      buckets: Long, forceBroadcast: Boolean): DataFrame = {
+      buckets: Long, forceBroadcast: Boolean,
+      probedBuckets: Option[Array[Long]] = None): DataFrame = {
     val spark = bh.sparkSession
-    val qb = bh.filter(col("__ch").isNotNull)
+    val qb = probedBuckets.getOrElse(bh.filter(col("__ch").isNotNull)
       .select(pmod(xxhash64(col("__ch")), lit(buckets)).as("fpb"))
-      .distinct().collect().map(_.getLong(0))
+      .distinct().collect().map(_.getLong(0)))
     val hashes = bh.select("__ch")
     // empty-tolerant read (StagedIndex.readLayout): an index staged
     // over an all-null-text (or empty) corpus has an EMPTY fp/ dir —

@@ -196,16 +196,22 @@ object Retrieval {
       val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
       // n_docs rides an Observation on the dl write — no stats re-read
       val obs = org.apache.spark.sql.Observation()
-      dl.observe(obs, count(lit(1)).as("n_docs"))
-        .write.mode("overwrite").parquet(s"$dir/dl")
-      tf.groupBy("term").agg(count(lit(1)).as("df"))
-        .withColumn("bkt", pmod(xxhash64(col("term")), lit(buckets.toLong)))
-        .repartition(col("bkt"))
-        .write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/df")
-      dl.agg(count(lit(1)).as("__n"),
-          (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"),
-          lit(buckets.toLong).as("buckets"))
-        .write.mode("overwrite").parquet(s"$dir/stats")
+      // dl / df / stats are three independent sinks over the written
+      // postings — overlapped (guide §2.6: each back-to-back job pays
+      // its own scheduling + commit latency while the others' tasks
+      // could back-fill); safe here because the stage bracket leaves no
+      // manifest on any failure, so partial sublayouts are never live
+      graft.util.Par.run(
+        () => dl.observe(obs, count(lit(1)).as("n_docs"))
+          .write.mode("overwrite").parquet(s"$dir/dl"),
+        () => tf.groupBy("term").agg(count(lit(1)).as("df"))
+          .withColumn("bkt", pmod(xxhash64(col("term")), lit(buckets.toLong)))
+          .repartition(col("bkt"))
+          .write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/df"),
+        () => dl.agg(count(lit(1)).as("__n"),
+            (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"),
+            lit(buckets.toLong).as("buckets"))
+          .write.mode("overwrite").parquet(s"$dir/stats"))
       Map("n_docs" -> obs.get("n_docs").asInstanceOf[Long])
     }
   }
@@ -304,11 +310,18 @@ object Retrieval {
             "and double-counts its dl row, silently skewing scores.",
           "stageBm25")
       }
-      tf.withColumn("bkt", bkt).repartition(col("bkt"))
-        .write.mode("append").partitionBy("bkt").parquet(s"$dir/postings")
-      tf.groupBy("term").agg(count(lit(1)).as("df"))
-        .withColumn("bkt", bkt).repartition(col("bkt"))
-        .write.mode("append").partitionBy("bkt").parquet(s"$dir/df")
+      // postings and df are independent sinks from the persisted tf —
+      // overlapped (guide §2.6). dl stays LAST and alone: it is the
+      // new-ids guard's authority, and closing the guard only after
+      // both payload sublayouts landed preserves the crash contract
+      // exactly as the sequential order did (a replay after a crash
+      // before the dl append re-runs against an open guard either way).
+      graft.util.Par.run(
+        () => tf.withColumn("bkt", bkt).repartition(col("bkt"))
+          .write.mode("append").partitionBy("bkt").parquet(s"$dir/postings"),
+        () => tf.groupBy("term").agg(count(lit(1)).as("df"))
+          .withColumn("bkt", bkt).repartition(col("bkt"))
+          .write.mode("append").partitionBy("bkt").parquet(s"$dir/df"))
       tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
         .write.mode("append").parquet(s"$dir/dl")
     } finally { tf.unpersist(false); () }

@@ -810,8 +810,11 @@ object Substrings {
     // >1 filter, the reference semi-join): eager-materialize it once
     // (the Resample/Staging discipline) so the batch's gram/winnow
     // scan re-runs only for the span join, not per consumer
+    // LAZY checkpoint: the bucket collect right below computes every
+    // partition anyway and doubles as the materializing action (one job
+    // per probe instead of a checkpoint job + a collect job)
     val bc = g.groupBy(col("h")).agg(count(lit(1)).as("__nb"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val qb = bc.select(pmod(xxhash64(col("h")), lit(buckets)).as("bkt"))
       .distinct().collect().map(_.getLong(0))
     val ref = spark.read.parquet(s"$dir/census")

@@ -26,6 +26,18 @@ class GraphSpec extends SparkSpec {
     assert(again == first)
   }
 
+  test("broadcast-gated and shuffled iteration joins agree row-for-row") {
+    // rankBroadcastCap = 0 forces the above-cap (shuffled) fallback;
+    // the default broadcasts — the r17 plan change must be a pure
+    // strategy swap, never a result change
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("a", "d"),
+      ("b", "d")).toDF("src", "dst")
+    def run(cap: Long) = Graph.pageRankInt(edges, iterations = 3,
+        rankBroadcastCap = cap)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(run(0L) == run(Graph.RankBroadcastCap))
+  }
+
   test("a hub out-ranks leaves and multi-edges collapse") {
     val star = Seq(("hub", "l1"), ("hub", "l2"), ("hub", "l3"),
       ("hub", "l1") /* dup */).toDF("src", "dst")
