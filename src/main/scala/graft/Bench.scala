@@ -25,9 +25,17 @@ import org.apache.spark.sql.SparkSession
   *    not plan cost: the `streaming_queries` set) are excluded from the
   *    headline `value` and totaled separately under `streaming_total`,
   *    so the plan-cost total stays comparable round-over-round;
-  *  - the full JSON line is also written to SPARK_GRAFT_BENCH_OUT
-  *    (default bench_out/latest.json) — the driver's log tail truncates,
-  *    the file never does;
+  *  - the FULL JSON line (per-query min/median/spread maps, ms
+  *    precision) is written to SPARK_GRAFT_BENCH_OUT (default
+  *    bench_out/latest.json) AND, for default-out runs, to a per-core-
+  *    count bench_out/bench_c<cpus>.json (the driver benches at two core
+  *    counts; one shared path lost the first run's medians). STDOUT gets
+  *    ONE COMPACT line (totals, probes, errors, n_failed, a `detail`
+  *    pointer to the full file): the full line is ~28 KB at 203 queries
+  *    and the driver captures only a ~2.2 KB log tail, so every
+  *    BENCH_r01..r17 artifact held a truncated fragment and parsed as
+  *    null — the compact final line is what restores the driver-
+  *    parseable contract (round-18 item 1);
   *  - a query that throws is recorded under "errors" with a null time,
   *    and the run exits non-zero — a regression can never make the bench
   *    look faster;
@@ -163,12 +171,16 @@ object Bench {
     }
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replace("\n", " ").take(200)
+    // millisecond precision: full-double per-query values made the full
+    // line ~28 KB for 203 queries; ms is already below the box's noise
+    // floor and halves the artifact (additions-only: no key renamed)
+    def r3(d: Double): Double = math.rint(d * 1000) / 1000
     val qs = results.map { case (k, v, _, _, err) =>
-      "\"" + k + "\":" + (if (err.isEmpty) v.toString else "null")
+      "\"" + k + "\":" + (if (err.isEmpty) r3(v).toString else "null")
     }.mkString("{", ",", "}")
-    val medians = results.collect { case (k, _, m, _, None) => "\"" + k + "\":" + m }
+    val medians = results.collect { case (k, _, m, _, None) => "\"" + k + "\":" + r3(m) }
       .mkString("{", ",", "}")
-    val spreads = results.collect { case (k, _, _, s, None) => "\"" + k + "\":" + s }
+    val spreads = results.collect { case (k, _, _, s, None) => "\"" + k + "\":" + r3(s) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, _, _, Some(m)) => "\"" + k + "\":\"" + esc(m) + "\"" }
       .mkString("{", ",", "}")
@@ -182,15 +194,31 @@ object Bench {
     // target_warm changes WHAT the artifact measures (first-repeat cache
     // state, hence spread) — record it so warmed and unwarmed artifacts
     // are never compared as if they used one methodology
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"median":$medians,"spread":$spreads,"streaming_total":$streamingTotal,"streaming_queries":$streamingList,"repeats":$repeats,"warmup_failed":$warmupFailed,"target_warm":$targetWarm,"probe_cpu_sec":$probeCpuSec,"probe_shuffle_sec":$probeShuffleSec,"errors":$errs,"n_failed":${results.count(_._5.nonEmpty)},"sf":"$sfDir"}"""
-    println(line)
-    // the driver's log tail truncates long lines — the file never does
+    val nFailed = results.count(_._5.nonEmpty)
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"median":$medians,"spread":$spreads,"streaming_total":${r3(streamingTotal)},"streaming_queries":$streamingList,"repeats":$repeats,"warmup_failed":$warmupFailed,"target_warm":$targetWarm,"probe_cpu_sec":$probeCpuSec,"probe_shuffle_sec":$probeShuffleSec,"errors":$errs,"n_failed":$nFailed,"sf":"$sfDir"}"""
+    // the FULL line (per-query min/median/spread maps) goes to files: at
+    // 203 queries it is far larger than the driver's ~2.2 KB log-tail
+    // capture, which is why every BENCH_r01..r17 artifact holds a
+    // truncated fragment and `parsed: null` — no round ever had a
+    // driver-parsed bench total. The driver's two runs (32- and 8-core)
+    // also share the default out path, so the second used to overwrite
+    // the first's medians; a per-core-count copy stops losing them.
+    def writeFile(p: java.nio.file.Path): Unit = {
+      Option(p.getParent).foreach(d => { java.nio.file.Files.createDirectories(d); () })
+      java.nio.file.Files.write(p,
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    }
     val outFile = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out/latest.json"))
-    Option(outFile.getParent).foreach(p => { java.nio.file.Files.createDirectories(p); () })
-    java.nio.file.Files.write(outFile,
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    writeFile(outFile)
+    if (sys.env.get("SPARK_GRAFT_BENCH_OUT").isEmpty)
+      writeFile(java.nio.file.Paths.get(s"bench_out/bench_c$cpus.json"))
+    // the ONE stdout JSON line stays COMPACT (≤1.5 KB: totals, probes,
+    // errors, pointer to the full artifact) so the driver's tail capture
+    // finally parses it; the per-query maps live in `detail`, they can
+    // never fit the tail
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","streaming_total":${r3(streamingTotal)},"repeats":$repeats,"warmup_failed":$warmupFailed,"target_warm":$targetWarm,"probe_cpu_sec":$probeCpuSec,"probe_shuffle_sec":$probeShuffleSec,"errors":$errs,"n_failed":$nFailed,"sf":"$sfDir","detail":"$outFile"}""")
     spark.stop()
-    if (results.exists(_._5.nonEmpty)) sys.exit(1)
+    if (nFailed > 0) sys.exit(1)
   }
 }

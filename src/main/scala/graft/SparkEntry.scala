@@ -45,6 +45,31 @@ object SparkEntry {
     p.toString
   }
 
+  /** A CLONED session for a micro-batch GATE stream, its
+    * `spark.sql.shuffle.partitions` sized to MICRO-BATCH volume instead
+    * of the session's scan parallelism (guide §2.5 applied to
+    * streaming): a gate's per-batch joins/aggregates move a few
+    * thousand rows, and running every one of them through
+    * scan-parallelism-many shuffle partitions is pure per-task
+    * scheduling (and, for stateful gates, per-batch state-store
+    * delta+CRC fsync) overhead — the dominant streaming lifecycle cost
+    * once the plans themselves are lean. Parameterized, not a local[32]
+    * constant: `SPARK_GRAFT_STREAM_SHUFFLE` overrides (production sets
+    * it from expected per-trigger volume / target partition size —
+    * e.g. a 100 GB-per-trigger feed wants hundreds of partitions);
+    * the default 8 fits the few-thousand-key micro-batches these
+    * fixtures drive at every bench SF. Cloning keeps the narrowed
+    * setting out of session-global conf: nothing leaks into other
+    * queries' plans and there is no restore race. Stage/compact/probe
+    * steps stay on the CALLER's session — they are corpus-sized, not
+    * micro-batch-sized. */
+  private def streamSession(s: SparkSession): SparkSession = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
+    ss
+  }
+
   /** BPE training depth / word-table cap for `q_bpe_*` — small enough
     * that the oracle's unrolled CTE stages stay cheap, large enough to
     * exercise multi-char merge chains on the sf corpus. */
@@ -417,8 +442,9 @@ object SparkEntry {
         .repartition(1).write.mode("append").parquet(s"$feed/in")
       e.filter(col("vec_id") >= 750)
         .repartition(1).write.mode("append").parquet(s"$feed/in")
+      // gate stream on a micro-batch-sized-shuffle session (streamSession)
       streaming.DocStream.ingestStream(
-          s.readStream.schema(e.schema)
+          streamSession(s).readStream.schema(e.schema)
             .option("maxFilesPerTrigger", 1).parquet(s"$feed/in"),
           "vec_id", "embedding", idx, s"$feed/ckpt")
         .awaitTermination()
@@ -1506,8 +1532,9 @@ object SparkEntry {
         .repartition(1).write.mode("append").parquet(s"$feed/in")
       docs.filter(col("doc_id") % 4 === 3)
         .repartition(1).write.mode("append").parquet(s"$feed/in")
+      // gate stream on a micro-batch-sized-shuffle session (streamSession)
       streaming.DocStream.ingestStream(
-          s.readStream.schema(docs.schema)
+          streamSession(s).readStream.schema(docs.schema)
             .option("maxFilesPerTrigger", 1).parquet(s"$feed/in"),
           "doc_id", "text", idx, s"$feed/ckpt")
         .awaitTermination()
@@ -1548,8 +1575,10 @@ object SparkEntry {
             col("lang")))
       def drain(wave: org.apache.spark.sql.DataFrame, i: Int): Unit = {
         wave.repartition(1).write.parquet(s"$out/feed$i")
+        // gate stream on a micro-batch-sized-shuffle session
         streaming.DocStream.admitStream(
-            s.readStream.schema(wave.schema).parquet(s"$out/feed$i"),
+            streamSession(s).readStream.schema(wave.schema)
+              .parquet(s"$out/feed$i"),
             "doc_id", "text", idx, s"$out/admitted", s"$out/ckpt$i")
           .awaitTermination()
       }
@@ -1588,8 +1617,10 @@ object SparkEntry {
             col("lang")))
       def drain(wave: org.apache.spark.sql.DataFrame, i: Int): Unit = {
         wave.repartition(1).write.parquet(s"$out/feed$i")
+        // gate stream on a micro-batch-sized-shuffle session
         streaming.DocStream.admitNearStream(
-            s.readStream.schema(wave.schema).parquet(s"$out/feed$i"),
+            streamSession(s).readStream.schema(wave.schema)
+              .parquet(s"$out/feed$i"),
             "doc_id", "text", idx, s"$out/admitted", s"$out/ckpt$i")
           .awaitTermination()
       }
@@ -1632,8 +1663,10 @@ object SparkEntry {
             concat(col("text"), tail).as("text"), col("lang")))
       def drain(wave: org.apache.spark.sql.DataFrame, i: Int): Unit = {
         wave.repartition(1).write.parquet(s"$out/feed$i")
+        // gate stream on a micro-batch-sized-shuffle session
         streaming.DocStream.admitNearStream(
-            s.readStream.schema(wave.schema).parquet(s"$out/feed$i"),
+            streamSession(s).readStream.schema(wave.schema)
+              .parquet(s"$out/feed$i"),
             "doc_id", "text", idx, s"$out/admitted", s"$out/ckpt$i",
             verifyJaccard = Some(0.8),
             rejectsPath = Some(s"$out/rejects"))
@@ -1675,8 +1708,10 @@ object SparkEntry {
             col("label")))
       def drain(wave: org.apache.spark.sql.DataFrame, i: Int): Unit = {
         wave.repartition(1).write.parquet(s"$out/feed$i")
+        // gate stream on a micro-batch-sized-shuffle session
         streaming.DocStream.admitVecStream(
-            s.readStream.schema(wave.schema).parquet(s"$out/feed$i"),
+            streamSession(s).readStream.schema(wave.schema)
+              .parquet(s"$out/feed$i"),
             "vec_id", "embedding", idx, s"$out/admitted", s"$out/ckpt$i",
             minCosPermille = 900, nprobe = 2)
           .awaitTermination()
@@ -1998,9 +2033,10 @@ object SparkEntry {
         .repartition(1).write.mode("append").parquet(s"$feed/in")
       // the SHARED ingest entry point opens the index handle ONCE and
       // appends each micro-batch through it (the continuous-ingest
-      // discipline — no per-batch manifest/stats reads)
+      // discipline — no per-batch manifest/stats reads); gate stream on
+      // a micro-batch-sized-shuffle session
       streaming.DocStream.ingestStream(
-          s.readStream.schema(base.schema)
+          streamSession(s).readStream.schema(base.schema)
             .option("maxFilesPerTrigger", 1).parquet(s"$feed/in"),
           "doc_id", "text", idx, s"$feed/ckpt")
         .awaitTermination()
@@ -2722,12 +2758,8 @@ object SparkEntry {
           timestamp_seconds(lit(1700000000L) + col("doc_id")))
       corpus.write.parquet(s"$out/feed")
       // state stores sized to key volume, not core count (see
-      // q_st_curate_index), via a CLONED session: the narrowed
-      // shuffle.partitions never touches session-global conf, so
-      // nothing leaks into other queries' plans and there is no
-      // restore race if queries ever run concurrently
-      val ss = s.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      // q_st_curate_index), via the shared cloned-session helper
+      val ss = streamSession(s)
       val docs = ss.readStream.schema(corpus.schema).parquet(s"$out/feed")
       streaming.DocStream.curateStream(docs, "doc_id",
           col("text"), "event_ts", "1 hour")
@@ -2781,11 +2813,9 @@ object SparkEntry {
       // at query start fixes the dedup gate's state-store count for the
       // checkpoint's lifetime (OffsetSeqMetadata), and 32 stores ×
       // (delta + CRC) fsyncs per micro-batch is pure lifecycle cost
-      // when the horizon holds a few thousand keys. Scoped via a CLONED
-      // session so nothing session-global mutates (no restore race, no
-      // leak into other queries' plans).
-      val ss = s.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      // when the horizon holds a few thousand keys. Scoped via the
+      // shared cloned-session helper (streamSession).
+      val ss = streamSession(s)
       val src = ss.readStream.schema(feed.schema)
         .option("maxFilesPerTrigger", 1).parquet(s"$out/feed")
       streaming.DocStream.curateStreamAgainstIndex(src, "doc_id",
@@ -2865,9 +2895,8 @@ object SparkEntry {
       }
       val feedSchema = s.read.parquet(s"$out/feed").schema
       // state stores sized to key volume (see q_st_curate_index),
-      // scoped via a cloned session — no session-global mutation
-      val ss = s.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      // scoped via the shared cloned-session helper (streamSession)
+      val ss = streamSession(s)
       val src = ss.readStream.schema(feedSchema)
         .option("maxFilesPerTrigger", 1).parquet(s"$out/feed")
       streaming.DocStream.curateStreamAgainstIndex(src, "doc_id",

@@ -645,18 +645,25 @@ object Similarity {
     val cents = ivfCentroids(corpus, idCol, embCol, numCentroids)
     val pb = PqBook(pqCodebook(corpus, idCol, embCol, m, ksub))
     import spark.implicits._
+    // the as-written codes frame, LAZY, so its READ schema lands as a
+    // manifest param (schema.codes — probes/guards/reclusters then read
+    // with an explicit schema instead of a parquet footer inference job
+    // per call, guide §6; generations resolve through the base name)
+    val codesF = corpus
+      .select(col(idCol).as("id"), quantize(col(embCol)).as("__ce"))
+      .select(col("id"), pb.codes(col("__ce")).as("code"),
+        ivfAssign(col("__ce"), cents).as("list"))
     // invalidate-first/manifest-last bracket (StagedIndex.stage)
     graft.util.StagedIndex.stage(spark, dir,
         graft.util.IndexManifest.KindIvfPq,
         params = Map("centroids" -> cents.size.toString,
-          "m" -> m.toString, "ksub" -> ksub.toString)) {
+          "m" -> m.toString, "ksub" -> ksub.toString,
+          graft.util.StagedIndex.schemaParam("codes", codesF))) {
       // n_vectors rides an Observation on the codes write itself — the
       // alternative (re-counting the written codes) is a second full pass
       // over the corpus-sized codes layout per stage
       val obs = org.apache.spark.sql.Observation()
-      corpus.select(col(idCol).as("id"), quantize(col(embCol)).as("__ce"))
-        .select(col("id"), pb.codes(col("__ce")).as("code"),
-          ivfAssign(col("__ce"), cents).as("list"))
+      codesF
         .observe(obs, count(lit(1)).as("n_vectors"))
         // one file per IVF list instead of tasks×lists tiny files
         .repartition(col("list"))
@@ -692,12 +699,29 @@ object Similarity {
       codesPath: String, metaPath: String, cents: IndexedSeq[Seq[Long]],
       pb: PqBook)
 
+  /** The PQ meta layout's schema — FIXED by stageIvfPq/reclusterIvfPq
+    * for every index ever staged (the literal metaRows shape), so meta
+    * reads pass it explicitly and pay no schema-inference job. */
+  private val IvfPqMetaSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "kind STRING, j INT, idx INT, vec ARRAY<BIGINT>")
+
+  /** The live codes layout, read with the manifest-recorded staged
+    * schema when present (no inference job; `schema.codes` resolves
+    * generation dirs through the base name) — inference fallback for
+    * pre-schema-param indexes. */
+  private def readIvfPqCodes(spark: org.apache.spark.sql.SparkSession,
+      h: IvfPqHandle): DataFrame =
+    h.mf.layoutSchema("codes") match {
+      case Some(s) => spark.read.schema(s).parquet(h.codesPath)
+      case None => spark.read.parquet(h.codesPath)
+    }
+
   private def openIvfPq(spark: org.apache.spark.sql.SparkSession,
       dir: String): IvfPqHandle = {
     val mf = graft.util.IndexManifest.validate(spark, dir,
       graft.util.IndexManifest.KindIvfPq)
     val (c, m) = ivfPqNames(mf)
-    val meta = spark.read.parquet(s"$dir/$m").collect()
+    val meta = spark.read.schema(IvfPqMetaSchema).parquet(s"$dir/$m").collect()
     val cents: IndexedSeq[Seq[Long]] = meta.filter(_.getString(0) == "cent")
       .sortBy(_.getInt(2)).map(_.getSeq[Long](3)).toIndexedSeq
     val byJ = meta.filter(_.getString(0) == "code").groupBy(_.getInt(1))
@@ -735,7 +759,7 @@ object Similarity {
     val h = openIvfPq(batch.sparkSession, dir)
     if (!assumeNewIds) {
       graft.util.StagedIndex.requireNewIds(
-        batch.sparkSession.read.parquet(h.codesPath)
+        readIvfPqCodes(batch.sparkSession, h)
           .select(col("id"))
           .join(batch.select(col(idCol).as("id")).distinct(), Seq("id"),
             "left_semi"),
@@ -795,7 +819,7 @@ object Similarity {
       .select(col("query_id"), h.pb.luts(col("__qe"), col("__n2q")).as("__lut"),
         explode(ivfProbes(col("__qe"), h.cents, nprobe)).as("list"))
     val probed = q.select("list").distinct().collect().map(_.getInt(0))
-    val c = spark.read.parquet(h.codesPath)
+    val c = readIvfPqCodes(spark, h)
       .filter(col("list").isin(probed: _*))
       .select(col("id").as("neighbor_id"), col("code"), col("list"))
     val scored = broadcast(q).join(c, Seq("list"))
@@ -873,13 +897,18 @@ object Similarity {
         "an IVF-flat index takes its centroid geometry from the staged " +
         "corpus; stage over at least one vector")
     import spark.implicits._
+    // the as-written vecs frame, LAZY, so its READ schema lands as a
+    // manifest param (schema.vecs — probes/guards/reclusters read with
+    // an explicit schema, no per-call parquet inference job, guide §6)
+    val vecsF = nn.select(col(idCol).as("id"), quantize(col(embCol)).as("q"))
+      .select(col("id"), col("q"), dotQ(col("q"), col("q")).as("n2"),
+        ivfAssign(col("q"), cents).as("list"))
     graft.util.StagedIndex.stage(spark, dir,
         graft.util.IndexManifest.KindIvfFlat,
-        params = Map("centroids" -> cents.size.toString)) {
+        params = Map("centroids" -> cents.size.toString,
+          graft.util.StagedIndex.schemaParam("vecs", vecsF))) {
       val obs = org.apache.spark.sql.Observation()
-      nn.select(col(idCol).as("id"), quantize(col(embCol)).as("q"))
-        .select(col("id"), col("q"), dotQ(col("q"), col("q")).as("n2"),
-          ivfAssign(col("q"), cents).as("list"))
+      vecsF
         .observe(obs, count(lit(1)).as("n_vectors"))
         .repartition(col("list")) // one file per IVF list
         .write.mode("overwrite").partitionBy("list").parquet(s"$dir/vecs")
@@ -912,13 +941,19 @@ object Similarity {
   private final case class IvfFlatHandle(mf: graft.util.IndexManifest,
       vecsPath: String, metaPath: String, cents: IndexedSeq[Seq[Long]])
 
+  /** The flat meta layout's schema — FIXED by stageIvfFlat/
+    * reclusterIvfFlat for every index ever staged, so meta reads pass
+    * it explicitly and pay no schema-inference job. */
+  private val IvfFlatMetaSchema = org.apache.spark.sql.types.StructType
+    .fromDDL("idx INT, vec ARRAY<BIGINT>")
+
   private def openIvfFlat(spark: org.apache.spark.sql.SparkSession,
       dir: String): IvfFlatHandle = {
     val mf = graft.util.IndexManifest.validate(spark, dir,
       graft.util.IndexManifest.KindIvfFlat)
     val (v, m) = ivfFlatNames(mf)
     IvfFlatHandle(mf, s"$dir/$v", s"$dir/$m",
-      spark.read.parquet(s"$dir/$m").collect()
+      spark.read.schema(IvfFlatMetaSchema).parquet(s"$dir/$m").collect()
         .sortBy(_.getInt(0)).map(_.getSeq[Long](1)).toIndexedSeq)
   }
 
@@ -932,13 +967,17 @@ object Similarity {
     * (or freshly-compacted-to-nothing) empty vecs dir reads as "no
     * vectors" instead of dying on parquet schema inference. */
   private def readIvfFlatVecs(spark: org.apache.spark.sql.SparkSession,
-      vecsPath: String, idField: org.apache.spark.sql.types.StructField)
+      vecsPath: String, idField: org.apache.spark.sql.types.StructField,
+      dataSchema: Option[org.apache.spark.sql.types.StructType] = None)
       : DataFrame = {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(idField.copy(name = "id"),
       StructField("q", ArrayType(LongType)), StructField("n2", LongType),
       StructField("list", IntegerType)))
-    graft.util.StagedIndex.readLayout(spark, vecsPath, schema)
+    // dataSchema = the manifest-recorded STAGED schema (schema.vecs,
+    // generation dirs resolve through the base name): no inference job
+    // per probe/guard; inference stays the pre-schema-param fallback
+    graft.util.StagedIndex.readLayout(spark, vecsPath, schema, dataSchema)
   }
 
   /** Append new vectors to a [[stageIvfFlat]] index — frozen centroids,
@@ -957,7 +996,8 @@ object Similarity {
     val nn = vecAdmissible(batch, embCol)
     if (!assumeNewIds) {
       graft.util.StagedIndex.requireNewIds(
-        readIvfFlatVecs(spark, h.vecsPath, nn.schema(idCol))
+        readIvfFlatVecs(spark, h.vecsPath, nn.schema(idCol),
+            h.mf.layoutSchema("vecs"))
           .select(col("id"))
           .join(nn.select(col(idCol).as("id")).distinct(), Seq("id"),
             "left_semi"),
@@ -1065,11 +1105,13 @@ object Similarity {
           n.endsWith(".__recluster__"))
         fs.delete(p, true): Unit
     }
-    val cents0 = spark.read.parquet(s"$dir/$mLive").collect()
+    val cents0 = spark.read.schema(IvfFlatMetaSchema)
+      .parquet(s"$dir/$mLive").collect()
       .sortBy(_.getInt(0)).map(_.getSeq[Long](1)).toIndexedSeq
     val vecs = readIvfFlatVecs(spark, s"$dir/$vLive",
       org.apache.spark.sql.types.StructField("id",
-        org.apache.spark.sql.types.LongType))
+        org.apache.spark.sql.types.LongType),
+      mf.layoutSchema("vecs"))
     // deterministic re-seed: k vectors in (xxhash64(id), id) order — a
     // pseudo-random but reproducible draw whose density follows the
     // CURRENT corpus, so a drifted region gets seeds in proportion to
@@ -1154,7 +1196,7 @@ object Similarity {
           n.endsWith(".__recluster__"))
         fs.delete(p, true): Unit
     }
-    val codes = spark.read.parquet(h.codesPath)
+    val codes = readIvfPqCodes(spark, h)
     // exact reconstruction from the stored code: subspace j's codeword
     // (codes are 1-based — array_position — so element_at is direct)
     val bookLit = typedLit(h.pb.book)
@@ -1253,8 +1295,11 @@ object Similarity {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("list",
         org.apache.spark.sql.types.IntegerType)))
+    // `list` is the partition column of BOTH kinds' data layouts — a
+    // partition-only explicit schema reads no data columns AND pays no
+    // footer schema-inference job
     val sizes = graft.util.StagedIndex
-      .readLayout(spark, s"$dir/$layout", schema)
+      .readLayout(spark, s"$dir/$layout", schema, Some(schema))
       .groupBy("list").agg(count(lit(1)).as("n"))
       .select(col("n")).collect().map(_.getLong(0))
     val total = sizes.sum
@@ -1321,7 +1366,8 @@ object Similarity {
       val small = broadcastCap > 0 && head.getLong(0) <= broadcastCap
       val rejected = vecRejectedIds(bq, idCol, nn.schema(idCol),
         h.vecsPath, minCosPermille, forceBroadcast = small,
-        probedLists = Some(head.getSeq[Int](1).toArray))
+        probedLists = Some(head.getSeq[Int](1).toArray),
+        vecsSchema = h.mf.layoutSchema("vecs"))
       nn.join(if (small) broadcast(rejected) else rejected,
           Seq(idCol), "left_anti")
         .localCheckpoint(true)
@@ -1355,7 +1401,8 @@ object Similarity {
       val small = broadcastCap > 0 && head.getLong(0) <= broadcastCap
       val pairs = vecRejectedPairs(bq, idCol, nn.schema(idCol),
         h.vecsPath, minCosPermille, forceBroadcast = small,
-        probedLists = Some(head.getSeq[Int](1).toArray))
+        probedLists = Some(head.getSeq[Int](1).toArray),
+        vecsSchema = h.mf.layoutSchema("vecs"))
         .localCheckpoint(true)
       val rejected = pairs.select(col(idCol)).distinct()
       (nn.join(if (small) broadcast(rejected) else rejected,
@@ -1377,7 +1424,9 @@ object Similarity {
   private[graft] def vecRejectedPairs(bq: DataFrame, idCol: String,
       idField: org.apache.spark.sql.types.StructField, vecsPath: String,
       minCosPermille: Int, forceBroadcast: Boolean,
-      probedLists: Option[Array[Int]] = None): DataFrame = {
+      probedLists: Option[Array[Int]] = None,
+      vecsSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
     val spark = bq.sparkSession
     val probed = probedLists.getOrElse(
       bq.select("__list").distinct().collect().map(_.getInt(0)))
@@ -1386,7 +1435,7 @@ object Similarity {
     // column named 'id', 'q' or 'n2' must not collide ambiguously —
     // the caller namespace owns only idCol, which vecProbeFrame pins
     // outside the reserved set
-    val ref = readIvfFlatVecs(spark, vecsPath, idField)
+    val ref = readIvfFlatVecs(spark, vecsPath, idField, vecsSchema)
       .filter(col("list").isin(probed: _*))
       .select(col("id").as("__ref_id"), col("q").as("__ref_q"),
         col("n2").as("__ref_n2"), col("list").as("__list"))
@@ -1414,9 +1463,12 @@ object Similarity {
   private[graft] def vecRejectedIds(bq: DataFrame, idCol: String,
       idField: org.apache.spark.sql.types.StructField, vecsPath: String,
       minCosPermille: Int, forceBroadcast: Boolean,
-      probedLists: Option[Array[Int]] = None): DataFrame =
+      probedLists: Option[Array[Int]] = None,
+      vecsSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame =
     vecRejectedPairs(bq, idCol, idField, vecsPath, minCosPermille,
-      forceBroadcast, probedLists).select(col(idCol)).distinct()
+      forceBroadcast, probedLists, vecsSchema)
+      .select(col(idCol)).distinct()
 
   /** The rows of `batch` that carry an admission identity: non-null
     * embeddings whose QUANTIZED norm is positive (a zero vector has no
@@ -1457,6 +1509,6 @@ object Similarity {
     val nn = vecAdmissible(batch, embCol)
     vecRejectedIds(vecProbeFrame(nn, idCol, embCol, h.cents, nprobe),
       idCol, nn.schema(idCol), h.vecsPath, minCosPermille,
-      forceBroadcast = true)
+      forceBroadcast = true, vecsSchema = h.mf.layoutSchema("vecs"))
   }
 }

@@ -24,6 +24,16 @@ import org.apache.spark.sql.functions._
   * (map-side combined) and therefore safe. */
 object Graph {
 
+  /** Node-count ceiling under which the rank table BROADCASTS into the
+    * per-iteration topology join (≈ tens of MB of (string, long) rows —
+    * inside driver/executor broadcast budgets): the topology side is
+    * then never exchanged or sorted per iteration, leaving ONE exchange
+    * per iteration (the incoming-sum aggregate). Above the cap the
+    * iteration falls back to the shuffled key join — a web-scale node
+    * table must not be broadcast ([[graft.text.Dedup.AdmitBroadcastCap]]
+    * adaptive discipline). */
+  val RankBroadcastCap: Long = 2000000L
+
   /** Undirected integer PageRank.
     *
     * @param edges      (src, dst) string endpoints; treated as
@@ -35,16 +45,6 @@ object Graph {
     * Output: (node, rank) — rank in micro-units, starting at 10⁶ per
     * node, `rank = (100−damp)% · 10⁶ + damp% · Σ (neighbor rank DIV
     * neighbor degree)` each iteration. */
-  /** Node-count ceiling under which the rank table BROADCASTS into the
-    * per-iteration topology join (≈ tens of MB of (string, long) rows —
-    * inside driver/executor broadcast budgets): the topology side is
-    * then never exchanged or sorted per iteration, leaving ONE exchange
-    * per iteration (the incoming-sum aggregate). Above the cap the
-    * iteration falls back to the shuffled key join — a web-scale node
-    * table must not be broadcast ([[graft.text.Dedup.AdmitBroadcastCap]]
-    * adaptive discipline). */
-  val RankBroadcastCap: Long = 2000000L
-
   def pageRankInt(edges: DataFrame, iterations: Int,
       dampPct: Int = 85, ckptEvery: Int = 4,
       rankBroadcastCap: Long = RankBroadcastCap): DataFrame = {

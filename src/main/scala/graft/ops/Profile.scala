@@ -67,6 +67,21 @@ object Profile {
     val names = if (cols.nonEmpty) cols
       else df.columns.toSeq.filter(n => profilable(df.schema(n).dataType))
     require(names.nonEmpty, "nothing to profile")
+    // SCALE-GATED parallelism floor (guide §2.5): the k-column exact
+    // profile multiplies every row k-fold through Spark's EXPAND before
+    // the partial aggregate, so per-partition work is k× the scan's —
+    // but the scan's partition count comes from input bytes /
+    // maxPartitionBytes, which strands a SMALL input (one row-group ⇒
+    // one partition) on a handful of cores while the rest idle. Fan out
+    // to the session's parallelism ONLY when the input is measured
+    // smaller than one scan split per core (driver-side stats from the
+    // file listing — no job): a 100 TB scan already fills every core
+    // and must never pay this exchange, which is why the gate is on
+    // measured bytes, not a constant.
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    val smallInput = df.queryExecution.optimizedPlan.stats.sizeInBytes <
+      BigInt(cores) * df.sparkSession.sessionState.conf.filesMaxPartitionBytes
+    val src = if (smallInput) df.repartition(cores) else df
     val aggs = names.flatMap { n =>
       val dt = df.schema(n).dataType
       // min/max on the NATIVE type (string-min would be lexicographic
@@ -80,7 +95,7 @@ object Profile {
         canon(min(col(n)), dt).as(s"__mn_$n"),
         canon(max(col(n)), dt).as(s"__mx_$n"))
     }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val wide = src.agg(aggs.head, aggs.tail: _*)
     val entries = names.flatMap(n => Seq(lit(n),
       struct(coalesce(col(s"__null_$n"), lit(0L)).as("n_null"),
         col(s"__nd_$n").as("n_distinct"),

@@ -591,23 +591,31 @@ object DocStream {
               // over the already-materialized evidence — overlapped
               // with the admitted materialization (guide §2.6); the
               // BAND append stays strictly after the out write (the
-              // at-least-once ordering contract below).
+              // at-least-once ordering contract below). The release
+              // finally wraps the WHOLE Par region (null-guarded): if
+              // the rejects sink fails while the admitted thunk
+              // completed, Par.run rethrows with the checkpoint already
+              // materialized — releasing only on the success path would
+              // leak one block per failed/replayed micro-batch, exactly
+              // the accumulation this comment forbids.
               var admitted: DataFrame = null
-              graft.util.Par.run(
-                (rejectsPath.map(p => () => evidence
-                  .select(col("batch_id").as(idCol), col("ref_id"),
-                    col("jaccard"))
-                  .write.mode("append").parquet(p)).toSeq :+
-                (() => admitted = bb.join(rejected, Seq(idCol), "left_anti")
-                  .localCheckpoint(true))): _*)
               try {
+                graft.util.Par.run(
+                  (rejectsPath.map(p => () => evidence
+                    .select(col("batch_id").as(idCol), col("ref_id"),
+                      col("jaccard"))
+                    .write.mode("append").parquet(p)).toSeq :+
+                  (() => admitted = bb.join(rejected, Seq(idCol), "left_anti")
+                    .localCheckpoint(true))): _*)
                 admitted.write.mode("append").parquet(outPath)
                 graft.text.Dedup.appendBandIndex(admitted, idCol,
                   col(textName), indexDir)
                 if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
                   graft.text.Dedup.compactBandIndex(bb.sparkSession,
                     indexDir)
-              } finally graft.util.LocalCkpt.release(admitted)
+              } finally {
+                if (admitted != null) graft.util.LocalCkpt.release(admitted)
+              }
             } finally releaseEvidence()
           } finally graft.util.LocalCkpt.release(cand)
         } finally { bb.unpersist(false); () }

@@ -458,6 +458,15 @@ object Dedup {
       "numHashes must be a multiple of rowsPerBand")
     require(buckets > 0, "buckets must be positive")
     val spark = reference.sparkSession
+    // the one signature-pass frame, built LAZILY up front so both
+    // sublayouts' READ schemas land as manifest params (schema.ids /
+    // schema.bands — probes then pass explicit schemas instead of
+    // paying a parquet footer schema-inference job per staged re-read,
+    // guide §6): ids/ files drop the bkt partition level in the
+    // publish move, bands/ files the idb level (writeBandSublayouts)
+    val rows = bandAndIdRows(reference, idCol, text, numHashes,
+      rowsPerBand, shingleWords, buckets.toLong, storeTexts)
+    import graft.util.StagedIndex.schemaParam
     // invalidate-first/manifest-last bracket (StagedIndex.stage)
     graft.util.StagedIndex.stage(spark, dir,
         graft.util.IndexManifest.KindMinhashBands,
@@ -465,7 +474,9 @@ object Dedup {
           "rows_per_band" -> rowsPerBand.toString,
           "shingle_words" -> shingleWords.toString,
           "buckets" -> buckets.toString, "id_col" -> idCol,
-          "store_texts" -> (if (storeTexts) "1" else "0"))) {
+          "store_texts" -> (if (storeTexts) "1" else "0"),
+          schemaParam("ids", rows.drop("bkt")),
+          schemaParam("bands", rows.drop("idb")))) {
       // fresh layout: drop previous sublayouts first (the manifest is
       // already invalidated, so a crash here reads as "not a graft
       // index — restage to recover")
@@ -473,9 +484,7 @@ object Dedup {
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(dir, "bands"), true): Unit
       fs.delete(new org.apache.hadoop.fs.Path(dir, "ids"), true): Unit
-      val nDocs = writeBandSublayouts(
-        bandAndIdRows(reference, idCol, text, numHashes, rowsPerBand,
-          shingleWords, buckets.toLong, storeTexts), dir, buckets.toLong)
+      val nDocs = writeBandSublayouts(rows, dir, buckets.toLong)
       Map("n_docs" -> nDocs)
     }
   }
@@ -616,23 +625,35 @@ object Dedup {
     * scan's semi-join below `broadcastCap`, shuffles co-partitioned on
     * the id above it — a bulk backfill degrades instead of OOMing. */
   private[graft] def bandIndexSeenIds(batchIds: DataFrame, dir: String,
-      buckets: Long, broadcastCap: Long = AdmitBroadcastCap): DataFrame = {
+      buckets: Long, broadcastCap: Long = AdmitBroadcastCap,
+      idsSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
     val spark = batchIds.sparkSession
-    val small = broadcastCap > 0 && broadcastCap < Int.MaxValue &&
-      batchIds.limit(broadcastCap.toInt + 1).count() <= broadcastCap
-    val qb = batchIds
-      .select(pmod(xxhash64(col("ref_id")), lit(buckets)).as("idb"))
-      .distinct().collect().map(_.getLong(0))
+    // ONE aggregate action yields the batch-id count AND the id bucket
+    // set (≤ `buckets` longs — bounded, driver-safe): the size probe
+    // (`limit(cap+1).count()`) and the bucket collect were two
+    // back-to-back driver round-trips on every append's guard — the
+    // last unfused instance of the exactNewStaged/bandIndexTexts
+    // one-aggregate pattern (batchIds is distinct per the contract
+    // above, so the count IS the distinct-id count the cap compares)
+    val head = batchIds.agg(count(lit(1)).as("__n"),
+      collect_set(pmod(xxhash64(col("ref_id")), lit(buckets))).as("__qb"))
+      .collect()(0)
+    val small = broadcastCap > 0 && head.getLong(0) <= broadcastCap
+    val qb = head.getSeq[Long](1).toArray
     // empty-tolerant read (StagedIndex.readLayout): a just-staged index
     // whose corpus signed nothing has an EMPTY ids/ dir that must read
     // as "no ids seen", not die on schema inference; with data present
-    // the schema is INFERRED as always (the batch's id type matches
-    // through the join's implicit cast)
+    // the manifest-recorded staged schema (`idsSchema`, passed by
+    // callers holding the manifest) skips the per-append inference
+    // job — inference stays the fallback for pre-schema-param indexes
+    // (the batch's id type matches through the join's implicit cast
+    // either way)
     val schema = org.apache.spark.sql.types.StructType(Seq(
       batchIds.schema("ref_id"),
       org.apache.spark.sql.types.StructField("idb",
         org.apache.spark.sql.types.LongType)))
-    graft.util.StagedIndex.readLayout(spark, s"$dir/ids", schema)
+    graft.util.StagedIndex.readLayout(spark, s"$dir/ids", schema, idsSchema)
       .filter(col("idb").isin(qb: _*))
       .join(if (small) broadcast(batchIds) else batchIds,
         Seq("ref_id"), "left_semi")
@@ -672,7 +693,8 @@ object Dedup {
       val bids = batch.select(col(idCol).as("ref_id")).distinct()
         .localCheckpoint(true)
       graft.util.StagedIndex.requireNewIds(
-        bandIndexSeenIds(bids, dir, buckets),
+        bandIndexSeenIds(bids, dir, buckets,
+          idsSchema = mf.layoutSchema("ids")),
         "appendBandIndex", dir,
         "a re-appended id double-counts in the maxBucket census and " +
           "silently drops a borderline bucket's candidates.",
@@ -702,8 +724,8 @@ object Dedup {
     * (the [[bandIndexSeenIds]] pruning applied to text payloads; size
     * `buckets` so one bucket ≈ a few GB at the target corpus, the
     * family's standing knob). `refIds` is a one-column (ref_id) frame
-    * evaluated THREE times (size probe, bucket collect, semi-join) —
-    * pass it materialized or derived narrowly from a materialized
+    * evaluated TWICE (the fused size+bucket aggregate, then the
+    * semi-join) — pass it materialized or derived narrowly from a materialized
     * frame. Same adaptive broadcast as the guard. Refuses an index staged without texts — silently returning
     * nothing would make every verification fail open. */
   def bandIndexTexts(refIds: DataFrame, dir: String,
@@ -732,7 +754,9 @@ object Dedup {
         org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("idb",
         org.apache.spark.sql.types.LongType)))
-    graft.util.StagedIndex.readLayout(spark, s"$dir/ids", schema)
+    // manifest-recorded staged schema: no inference job per verify fetch
+    graft.util.StagedIndex.readLayout(spark, s"$dir/ids", schema,
+        mf.layoutSchema("ids"))
       .filter(col("idb").isin(qb: _*))
       .join(if (small) broadcast(refIds) else refIds,
         Seq("ref_id"), "left_semi")
@@ -770,7 +794,9 @@ object Dedup {
     // empty-tolerant read (StagedIndex.readLayout): an index staged
     // over a corpus where nothing signed a band has an EMPTY bands/
     // dir — it must probe as "no candidates", not die on schema
-    // inference; with data present the schema is INFERRED as always
+    // inference; with data present the manifest-recorded staged schema
+    // skips the per-probe inference job (inference fallback for
+    // pre-schema-param indexes)
     val schema = org.apache.spark.sql.types.StructType(Seq(
       bb.schema("batch_id").copy(name = "ref_id"),
       org.apache.spark.sql.types.StructField("band",
@@ -779,7 +805,8 @@ object Dedup {
         org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("bkt",
         org.apache.spark.sql.types.LongType)))
-    val ref = graft.util.StagedIndex.readLayout(spark, s"$dir/bands", schema)
+    val ref = graft.util.StagedIndex.readLayout(spark, s"$dir/bands", schema,
+        mf.layoutSchema("bands"))
       .filter(col("bkt").isin(qb: _*))
     val ok = ref.groupBy("band", "bsig").agg(count(lit(1)).as("__n"))
       .filter(col("__n") <= maxBucket)
@@ -883,7 +910,8 @@ object Dedup {
         org.apache.spark.sql.types.StructType(Seq(
           docs.schema(idCol).copy(name = "ref_id"),
           org.apache.spark.sql.types.StructField("idb",
-            org.apache.spark.sql.types.LongType))))
+            org.apache.spark.sql.types.LongType))),
+        mf.layoutSchema("ids"))
       .select(col("ref_id"))
     val frameIds = docs.select(col(idCol).as("ref_id")).distinct()
     val dropped = indexedIds.join(frameIds, Seq("ref_id"), "left_anti")
@@ -970,7 +998,13 @@ object Dedup {
     * joins shuffle on the hash key instead, so a bulk backfill batch
     * DEGRADES to batch-proportional shuffles rather than OOMing the
     * driver. The [[resolveClusters]] adaptive discipline applied to
-    * admission. */
+    * admission. Cap convention (uniform across every fused probe since
+    * the r17 one-aggregate fusion): `0` disables broadcasting outright;
+    * any POSITIVE cap is compared against the batch's measured row
+    * count — so an "effectively unlimited" cap like `Long.MaxValue`
+    * means ALWAYS broadcast (the caller opted out of the guard), not
+    * "never broadcast" as the pre-fusion `< Int.MaxValue` idiom had
+    * it. */
   val AdmitBroadcastCap: Long = 1000000L
 
   /** [[exactNew]] against a FROZEN [[stageFingerprints]] index: the
@@ -1040,13 +1074,16 @@ object Dedup {
     // empty-tolerant read (StagedIndex.readLayout): an index staged
     // over an all-null-text (or empty) corpus has an EMPTY fp/ dir —
     // it must probe as "nothing seen", not die on schema inference
-    // (ch = md5 string, fpb = the partition key)
+    // (ch = md5 string, fpb = the partition key). The fp layout's
+    // schema is FIXED by stageFingerprints for every index ever staged
+    // — so the same StructType doubles as the explicit DATA schema and
+    // the per-probe parquet schema-inference job disappears (guide §6)
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("ch",
         org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("fpb",
         org.apache.spark.sql.types.LongType)))
-    graft.util.StagedIndex.readLayout(spark, s"$dir/fp", schema)
+    graft.util.StagedIndex.readLayout(spark, s"$dir/fp", schema, Some(schema))
       .filter(col("fpb").isin(qb: _*))
       .select(col("ch").as("__ch"))
       .join(if (forceBroadcast) broadcast(hashes) else hashes,

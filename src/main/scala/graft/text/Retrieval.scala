@@ -174,25 +174,46 @@ object Retrieval {
       dir: String, buckets: Int = 64): Unit = {
     require(buckets > 0, "buckets must be positive")
     val spark = corpus.sparkSession
+    val bkt = pmod(xxhash64(col("term")), lit(buckets.toLong))
+    // the as-written sublayout frames, built LAZILY up front so their
+    // schemas can be recorded as manifest params (schema.<layout> —
+    // probes then read with explicit schemas instead of paying a
+    // parquet schema-inference job per staged re-read, guide §6); only
+    // postingsF is ever executed from here, the rest re-derive from
+    // the written postings inside the body exactly as before
+    val postingsF = corpus.filter(text.isNotNull)
+      .select(col(idCol), explode(TextFunctions.whitespaceTokens(lower(text)))
+        .as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .withColumn("bkt", bkt)
+    val dlF = postingsF.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    val dfF = postingsF.groupBy("term").agg(count(lit(1)).as("df"))
+      .withColumn("bkt", bkt)
+    val statsF = dlF.agg(count(lit(1)).as("__n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"),
+      lit(buckets.toLong).as("buckets"))
+    import graft.util.StagedIndex.schemaParam
     // invalidate-first/manifest-last bracket (StagedIndex.stage): a
     // restage that dies mid-rewrite leaves no manifest (loud probe
     // failure), never a stale one
     graft.util.StagedIndex.stage(spark, dir,
         graft.util.IndexManifest.KindBm25,
-        params = Map("buckets" -> buckets.toString, "id_col" -> idCol)) {
-      val toks = corpus.filter(text.isNotNull)
-        .select(col(idCol), explode(TextFunctions.whitespaceTokens(lower(text)))
-          .as("term"))
-      toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-        .withColumn("bkt", pmod(xxhash64(col("term")), lit(buckets.toLong)))
+        params = Map("buckets" -> buckets.toString, "id_col" -> idCol,
+          schemaParam("postings", postingsF), schemaParam("dl", dlF),
+          schemaParam("df", dfF), schemaParam("stats", statsF))) {
+      postingsF
         // co-locate each bucket before the write — the aggregate exchange
         // hashes on (id, term), so without this every task holds every
         // bucket and the layout sprays tasks×buckets tiny files
         .repartition(col("bkt"))
         .write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/postings")
       // derive dl/df/stats from the WRITTEN postings — the corpus is
-      // tokenized exactly once
-      val tf = spark.read.parquet(s"$dir/postings")
+      // tokenized exactly once (explicit schema: the read-back needs no
+      // inference job either)
+      val tf = spark.read
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          schemaParam("postings", postingsF)._2))
+        .parquet(s"$dir/postings")
       val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
       // n_docs rides an Observation on the dl write — no stats re-read
       val obs = org.apache.spark.sql.Observation()
@@ -228,10 +249,17 @@ object Retrieval {
     require(k > 0, "k must be positive")
     val mf = graft.util.IndexManifest.validate(spark, dir,
       graft.util.IndexManifest.KindBm25)
+    // manifest-recorded layout schemas (schema.<name> params, stageBm25)
+    // replace per-probe parquet schema-inference jobs; an index staged
+    // before the params existed falls back to inference as always
+    def readLayout(name: String) = mf.layoutSchema(name) match {
+      case Some(s) => spark.read.schema(s).parquet(s"$dir/$name")
+      case None => spark.read.parquet(s"$dir/$name")
+    }
     val qterms = queries.select(col(queryIdCol),
         explode(TextFunctions.whitespaceTokens(lower(queryText))).as("term"))
       .distinct()
-    val postings = spark.read.parquet(s"$dir/postings")
+    val postings = readLayout("postings")
     val idCol = postings.columns.filterNot(Set("term", "tf", "bkt")).head
     // the bucketing contract lives in the manifest — no driver-side
     // stats action per query batch
@@ -244,13 +272,13 @@ object Retrieval {
     // term (the agg is a no-op on a query-vocabulary-sized frame), an
     // APPENDED index has one row per term per contributing batch —
     // summing makes append ≡ restage exact (the census discipline)
-    val dfreq = spark.read.parquet(s"$dir/df")
+    val dfreq = readLayout("df")
       .filter(col("bkt").isin(qb: _*))
       .join(broadcast(qterms.select("term").distinct()), Seq("term"),
         "left_semi")
       .drop("bkt")
       .groupBy("term").agg(sum(col("df")).as("df"))
-    val dl = spark.read.parquet(s"$dir/dl")
+    val dl = readLayout("dl")
     // (__n, avgdl) derived IN-PLAN from dl — the same exact-long-sum
     // expression the direct path uses — instead of the staged stats
     // frame, which appends leave stale by design (stats stays as
@@ -302,8 +330,14 @@ object Retrieval {
       .persist()
     try {
       if (!assumeNewIds) {
+        // manifest-recorded dl schema: the per-append guard scan pays
+        // no schema-inference job (inference fallback for old indexes)
+        val dlGuard = mf.layoutSchema("dl") match {
+          case Some(s) => spark.read.schema(s).parquet(s"$dir/dl")
+          case None => spark.read.parquet(s"$dir/dl")
+        }
         graft.util.StagedIndex.requireNewIds(
-          spark.read.parquet(s"$dir/dl").select(col(idCol))
+          dlGuard.select(col(idCol))
             .join(tf.select(col(idCol)).distinct(), Seq(idCol), "left_semi"),
           "appendBm25", dir,
           "appending an existing id splits its (id, term) tf across rows " +

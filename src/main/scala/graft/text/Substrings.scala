@@ -199,7 +199,8 @@ object Substrings {
     * manifest reads or stats lookups
     * ([[graft.streaming.DocStream.curateStreamAgainstIndex]]). */
   final case class CensusIndex private[text] (dir: String, mode: String,
-      k: Int, buckets: Long, hash: String, guarantee: Int) {
+      k: Int, buckets: Long, hash: String, guarantee: Int,
+      censusSchema: Option[org.apache.spark.sql.types.StructType] = None) {
     private[text] def requireMode(expect: String): CensusIndex = {
       require(mode == expect,
         s"$dir is a '$mode' census; this operation requires '$expect' — " +
@@ -219,7 +220,12 @@ object Substrings {
     val mode = censusMode(mf)
     CensusIndex(dir, mode, mf.paramInt("k"), mf.paramInt("buckets").toLong,
       censusHash(mf),
-      if (mode == "anchored") mf.paramInt("guarantee") else 0)
+      if (mode == "anchored") mf.paramInt("guarantee") else 0,
+      // manifest-recorded census READ schema (schema.census): probes
+      // through this handle pass it explicitly, so no parquet footer
+      // schema-inference job per micro-batch probe (guide §6);
+      // None (a pre-schema-param index) falls back to inference
+      mf.layoutSchema("census"))
   }
 
   /** The cut step against a FROZEN staged census — incremental
@@ -563,10 +569,21 @@ object Substrings {
     }
     val buckets =
       if (buckets0 > 0) buckets0 else censusBuckets(chars * density)
+    // the as-written census frame, lazily, so its schema is recorded as
+    // a manifest param (probes then skip the per-read schema-inference
+    // job — [[graft.util.StagedIndex.schemaParam]]); stats' one-row
+    // schema is a fixed literal shape
+    val censusF = rows.select(col("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("n"))
+      .withColumn("bkt", pmod(xxhash64(col("h")), lit(buckets.toLong)))
+    val statsDdl =
+      "k INT, buckets BIGINT, n_grams BIGINT, n_docs BIGINT"
     // invalidate-first/manifest-last bracket (StagedIndex.stage)
     graft.util.StagedIndex.stage(spark, dir,
         graft.util.IndexManifest.KindGramCensus,
-        params = Map("k" -> k.toString, "buckets" -> buckets.toString)
+        params = Map("k" -> k.toString, "buckets" -> buckets.toString,
+          graft.util.StagedIndex.schemaParam("census", censusF),
+          "schema.stats" -> statsDdl)
           ++ extraParams) {
       val parts = censusPartitions(spark, chars * density,
         extraParams.getOrElse("hash", HashMd5))
@@ -715,7 +732,10 @@ object Substrings {
     import org.apache.hadoop.fs.Path
     val mf = graft.util.IndexManifest.validate(spark, dir,
       graft.util.IndexManifest.KindGramCensus)
-    val old = spark.read.parquet(s"$dir/census")
+    val old = mf.layoutSchema("census") match {
+      case Some(s) => spark.read.schema(s).parquet(s"$dir/census")
+      case None => spark.read.parquet(s"$dir/census")
+    }
     val newBuckets = censusBuckets(old.count().toDouble, perBucket, cap)
     if (newBuckets == mf.paramInt("buckets")) return newBuckets
     val fs = new Path(dir).getFileSystem(
@@ -773,7 +793,7 @@ object Substrings {
       idx: CensusIndex, maxChars: Int, selfDups: Boolean): DataFrame = {
     idx.requireMode("exact")
     probeSpans(gramRows(batch, idCol, text, idx.k, maxChars, idx.hash),
-      idCol, idx.k, idx.dir, idx.buckets, selfDups)
+      idCol, idx.k, idx.dir, idx.buckets, selfDups, idx.censusSchema)
   }
 
   /** [[newDupSpans]] against an ANCHORED index ([[stageAnchorCensus]]):
@@ -796,7 +816,7 @@ object Substrings {
     idx.requireMode("anchored")
     probeSpans(
       winnowRows(batch, idCol, text, idx.k, idx.guarantee, maxChars, idx.hash),
-      idCol, idx.k, idx.dir, idx.buckets, selfDups)
+      idCol, idx.k, idx.dir, idx.buckets, selfDups, idx.censusSchema)
   }
 
   /** The shared probe: rows (idCol, p, h) of the batch vs a staged
@@ -804,7 +824,9 @@ object Substrings {
     * within the batch's own rows; census scan prunes statically to the
     * batch's hash buckets. */
   private def probeSpans(g: DataFrame, idCol: String, k: Int, dir: String,
-      buckets: Long, selfDups: Boolean = true): DataFrame = {
+      buckets: Long, selfDups: Boolean = true,
+      censusSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
     val spark = g.sparkSession
     // the batch census feeds THREE consumers (the bucket collect, the
     // >1 filter, the reference semi-join): eager-materialize it once
@@ -817,7 +839,10 @@ object Substrings {
       .localCheckpoint(false)
     val qb = bc.select(pmod(xxhash64(col("h")), lit(buckets)).as("bkt"))
       .distinct().collect().map(_.getLong(0))
-    val ref = spark.read.parquet(s"$dir/census")
+    // explicit manifest-recorded schema when the handle carries one:
+    // no parquet footer schema-inference job per probe (guide §6)
+    val ref = censusSchema.fold(spark.read)(s => spark.read.schema(s))
+      .parquet(s"$dir/census")
       .filter(col("bkt").isin(qb: _*))
       .select(col("h"))
     val refHit = bc.select(col("h")).join(ref, Seq("h"), "left_semi")

@@ -42,6 +42,22 @@ final case class IndexManifest(kind: String, version: Int,
       s"index manifest ($kind) has no param '$name' — " +
         s"present: ${params.keys.toSeq.sorted.mkString(", ")}")
   }
+
+  /** The explicit READ schema of sublayout `name`, when the stager
+    * recorded one (params key `schema.<name>`, written by
+    * [[StagedIndex.schemaParam]]; generation dirs like `codes.g3`
+    * resolve through their base name — a recluster re-encodes the same
+    * shape). Readers pass it to `spark.read.schema(...)` so the
+    * per-probe parquet footer schema-INFERENCE job disappears — a tiny
+    * job per staged re-read locally, a real metadata hotspot at 100 TB
+    * file counts (guide §6). `None` (an index staged before the schema
+    * params existed) falls back to inference, the historical
+    * behavior. */
+  def layoutSchema(name: String): Option[org.apache.spark.sql.types.StructType] = {
+    val base = name.replaceAll("""\.g\d+$""", "")
+    params.get(s"schema.$base")
+      .map(org.apache.spark.sql.types.StructType.fromDDL)
+  }
 }
 
 object IndexManifest {

@@ -22,21 +22,31 @@ package graft.util
 object Par {
 
   /** Run the thunks as concurrently-submitted Spark actions; block
-    * until ALL complete; rethrow the first failure. Serial fallback
-    * for 0/1 thunks. Spark job-group/description properties are
-    * inherited (InheritableThreadLocal) from the caller thread. */
+    * until ALL complete; rethrow the FIRST failure (declaration order)
+    * with every concurrent sibling failure attached as a SUPPRESSED
+    * throwable — a second sink failing for a different reason must not
+    * be silently discarded. Threads are named `par-sink-<i>` so a stack
+    * trace from an overlapped write job is attributable to its thunk.
+    * Serial fallback for 0/1 thunks. Spark job-group/description
+    * properties are inherited (InheritableThreadLocal) from the caller
+    * thread. */
   def run(fs: (() => Unit)*): Unit = {
     if (fs.size <= 1) { fs.foreach(_()); return }
-    val threads = fs.map { f =>
+    val threads = fs.zipWithIndex.map { case (f, i) =>
       val holder = new java.util.concurrent.atomic.AtomicReference[Throwable]
       val t = new Thread(() =>
-        try f() catch { case e: Throwable => holder.set(e) })
+        try f() catch { case e: Throwable => holder.set(e) },
+        s"par-sink-$i")
       t.setDaemon(true)
       t.start()
       (t, holder)
     }
     threads.foreach(_._1.join())
-    threads.flatMap(p => Option(p._2.get())).headOption.foreach(e => throw e)
+    val failures = threads.flatMap(p => Option(p._2.get()))
+    failures.headOption.foreach { first =>
+      failures.drop(1).filter(_ ne first).foreach(first.addSuppressed)
+      throw first
+    }
   }
 
   /** Two/three independent VALUE-returning actions (counts, aggregates

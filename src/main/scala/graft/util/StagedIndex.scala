@@ -49,6 +49,30 @@ object StagedIndex {
     IndexManifest.write(spark, dir, kind, params, counts)
   }
 
+  /** The `schema.<name>` manifest param recording sublayout `name`'s
+    * READ schema (the as-written frame's schema, partition column
+    * included), consumed by [[IndexManifest.layoutSchema]] so probes
+    * never pay a parquet schema-inference job on the layout. Every
+    * field is recorded NULLABLE (recursively): parquet read-back always
+    * reports nullable fields, and id-side sublayouts legitimately carry
+    * null columns the compaction rewrites away — a superset schema over
+    * post-compaction files reads the dropped columns back as nulls,
+    * which is exactly what the pre-compaction files held on those
+    * rows. */
+  def schemaParam(name: String, df: DataFrame): (String, String) = {
+    import org.apache.spark.sql.types._
+    def asNullable(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.map(f =>
+        f.copy(dataType = asNullable(f.dataType), nullable = true)))
+      case a: ArrayType => ArrayType(asNullable(a.elementType), containsNull = true)
+      case m: MapType =>
+        MapType(asNullable(m.keyType), asNullable(m.valueType), valueContainsNull = true)
+      case other => other
+    }
+    s"schema.$name" ->
+      asNullable(df.schema).asInstanceOf[StructType].toDDL
+  }
+
   /** The enforced new-ids contract shared by every id-carrying staged
     * kind: `seenIds` is the kind's probe of already-indexed batch ids
     * (its cheapest id-holding frame — BM25's `dl`, IVF-PQ's codes ids,
@@ -68,9 +92,13 @@ object StagedIndex {
 
   /** Read a staged sublayout that may be legitimately EMPTY (an index
     * staged over a corpus where nothing signed): with data present the
-    * read INFERS the parquet schema — so a probing batch whose id type
-    * differs from the staged type still matches through the join's
-    * implicit cast, as it always did — and only a layout with no data
+    * read uses `dataSchema` when the caller supplies one (the
+    * manifest-recorded STAGED schema, [[IndexManifest.layoutSchema]] —
+    * no parquet footer schema-inference job; a probing batch whose id
+    * type differs from the staged type still matches through the
+    * join's implicit cast, exactly as it did under inference) and
+    * INFERS otherwise (the historical behavior, kept for layouts whose
+    * manifest predates the schema params); only a layout with no data
     * files falls back to `emptySchema` (schema inference has nothing
     * to infer there and would throw; the layout must read as "no rows
     * seen" instead). The check recurses into partition directories
@@ -80,7 +108,9 @@ object StagedIndex {
     * listing is driver-side RPCs, bounded by the crash-window dir
     * count (steady state: one listing). */
   def readLayout(spark: SparkSession, path: String,
-      emptySchema: org.apache.spark.sql.types.StructType): DataFrame = {
+      emptySchema: org.apache.spark.sql.types.StructType,
+      dataSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def hasDataFile(d: org.apache.hadoop.fs.Path): Boolean =
@@ -89,7 +119,10 @@ object StagedIndex {
         !n.startsWith("_") && !n.startsWith(".") &&
           (if (s.isDirectory) hasDataFile(s.getPath) else true)
       }
-    if (fs.exists(p) && hasDataFile(p)) spark.read.parquet(path)
+    if (fs.exists(p) && hasDataFile(p)) dataSchema match {
+      case Some(s) => spark.read.schema(s).parquet(path)
+      case None => spark.read.parquet(path)
+    }
     else spark.read.schema(emptySchema).parquet(path)
   }
 
@@ -107,8 +140,13 @@ object StagedIndex {
     val mf = IndexManifest.validateKind(spark, dir, kind)
     layouts(mf).foreach { l =>
       DirSwap.replace(spark, dir, l.name) { tmp =>
-        val consolidated = l.consolidate(
-          spark.read.parquet(s"$dir/${l.name}"))
+        // manifest-recorded schema when present: no inference job on
+        // the rewrite's read (same discipline as the probe readers)
+        val in = mf.layoutSchema(l.name) match {
+          case Some(s) => spark.read.schema(s).parquet(s"$dir/${l.name}")
+          case None => spark.read.parquet(s"$dir/${l.name}")
+        }
+        val consolidated = l.consolidate(in)
         l.partitionCol match {
           case Some(pc) => consolidated
             .repartition(col(pc)) // one file per partition

@@ -32,7 +32,13 @@ object Staging {
       case Some(dir) =>
         val path = s"$dir/$name"
         df.write.mode("overwrite").parquet(path)
-        (df.sparkSession.read.parquet(path), () => ())
+        // re-read with the WRITTEN frame's schema (nullable-ized — the
+        // parquet round-trip reports every field nullable): the schema
+        // is known exactly, so the consumer subtrees never pay a footer
+        // schema-inference job on the staged intermediate
+        val readSchema = org.apache.spark.sql.types.StructType(
+          df.schema.map(_.copy(nullable = true)))
+        (df.sparkSession.read.schema(readSchema).parquet(path), () => ())
       case None =>
         val p = df.persist()
         (p, () => { p.unpersist(false); () })

@@ -22,6 +22,22 @@ class ProfileSpec extends SparkSpec {
     assert(out("s") == ((0L, 2L, "a", "b")))
   }
 
+  test("parallelism floor is SCALE-GATED: fan-out planned only below one scan split per core") {
+    val rows = Seq.tabulate(100)(i => (i.toLong, s"v$i"))
+    def fannedOut(d: org.apache.spark.sql.DataFrame) =
+      Profile.report(d).queryExecution.optimizedPlan.toString
+        .contains("Repartition")
+    // a tiny input (bytes << cores × maxPartitionBytes) gets the
+    // explicit fan-out exchange before the EXPAND-heavy aggregate
+    assert(fannedOut(rows.toDF("k", "s")))
+    // the SAME input under a 1-byte split size measures as "already one
+    // split per core" — the gate must NOT plan the exchange (the 100 TB
+    // shape: a big scan never pays an unconditional repartition)
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.files.maxPartitionBytes", "1")
+    assert(!fannedOut(ss.createDataFrame(rows).toDF("k", "s")))
+  }
+
   test("all-null columns report null min/max and zero distinct") {
     val df = Seq((1L, Option.empty[String]), (2L, None)).toDF("k", "s")
     val row = Profile.report(df).filter(col("column") === "s").head()

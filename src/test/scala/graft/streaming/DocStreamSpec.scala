@@ -276,6 +276,38 @@ class DocStreamSpec extends SparkSpec {
     assert(maxFilesPerPartDir(s"$root/bandidxb/ids", "idb=") == 1)
   }
 
+  test("admitNearStream: rejects-sink failure releases the admitted checkpoint (no block leak)") {
+    val root = feedDir()
+    val idx = s"$root/bandidx"
+    graft.text.Dedup.stageBandIndex(
+      Seq((100L, "the quick brown fox jumps over the lazy dog near the river bank today"))
+        .toDF("doc_id", "text"),
+      "doc_id", col("text"), dir = idx, buckets = 4)
+    val df = Seq((1L,
+        "completely different document about spark streaming and parquet file layouts",
+        "crawl-a"))
+      .toDF("doc_id", "text", "src").coalesce(1)
+    df.write.parquet(s"$root/feed")
+    // rejectsPath rooted UNDER a regular file: the audit sink's first
+    // write fails while the overlapped admitted thunk completes its
+    // eager checkpoint — the error path that used to leak one
+    // checkpoint block per failed/replayed micro-batch (the release
+    // finally was only reached when Par.run returned normally)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/blocker"), Array[Byte](1))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val q = DocStream.admitNearStream(
+      spark.readStream.schema(df.schema).parquet(s"$root/feed"),
+      "doc_id", "text", idx, s"$root/adm", s"$root/ckpt",
+      rejectsPath = Some(s"$root/blocker/rej"))
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"persistent/checkpoint blocks leaked by the failed batch: $leaked")
+  }
+
   test("admitVecStream compactEvery: mid-drain vec compaction, files bounded") {
     val root = feedDir()
     val feed = s"$root/feed"

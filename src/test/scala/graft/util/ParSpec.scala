@@ -24,6 +24,23 @@ class ParSpec extends AnyFunSuite {
     assert(finished.get())
   }
 
+  test("concurrent sibling failures attach as suppressed, not discarded") {
+    val e = intercept[IllegalStateException] {
+      Par.run(
+        () => throw new IllegalStateException("first"),
+        () => throw new IllegalArgumentException("second"))
+    }
+    assert(e.getMessage == "first")
+    assert(e.getSuppressed.map(_.getMessage).toSeq == Seq("second"))
+  }
+
+  test("thunks run on attributable par-sink-<i> threads") {
+    val names = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    Par.run(() => { names.add(Thread.currentThread().getName); () },
+      () => { names.add(Thread.currentThread().getName); () })
+    assert(names.contains("par-sink-0") && names.contains("par-sink-1"))
+  }
+
   test("single thunk runs on the caller thread (serial fallback)") {
     val caller = Thread.currentThread().getId
     var seen = -1L
