@@ -962,7 +962,11 @@ object Dedup {
     val spark = reference.sparkSession
     graft.util.StagedIndex.stage(spark, dir,
         graft.util.IndexManifest.KindFingerprints,
-        params = Map("buckets" -> buckets.toString)) {
+        // fp's schema is fixed by construction (fingerprintSeen reads it
+        // as a literal) — recorded anyway so compactFingerprints' rewrite
+        // read resolves it through the manifest like every other layout
+        params = Map("buckets" -> buckets.toString,
+          "schema.fp" -> "ch STRING, fpb BIGINT")) {
       val obs = org.apache.spark.sql.Observation()
       reference.filter(text.isNotNull).select(md5(text).as("ch")).distinct()
         .observe(obs, count(lit(1)).as("n_fingerprints"))
