@@ -826,8 +826,10 @@ object Dedup {
     import graft.util.StagedIndex.Layout
     requireBandIds(spark, dir)
     val obs = org.apache.spark.sql.Observation()
+    // bands and ids rewrites are independent sinks — overlapped
+    // (StagedIndex.compact overlap; the ids rewrite binds its OWN obs)
     graft.util.StagedIndex.compact(spark, dir,
-        graft.util.IndexManifest.KindMinhashBands) { mf =>
+        graft.util.IndexManifest.KindMinhashBands, overlap = true) { mf =>
       // BOTH sublayouts DEDUP on the way through: a legitimate row is
       // unique by construction (one band row per (doc, band), one id
       // row per signed doc), so distinct is a no-op on a healthy

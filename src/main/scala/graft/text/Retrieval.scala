@@ -373,8 +373,11 @@ object Retrieval {
       dir: String): Unit = {
     import graft.util.StagedIndex.Layout
     val obs = org.apache.spark.sql.Observation()
+    // postings/df/dl rewrites are independent sinks — overlapped
+    // (StagedIndex.compact overlap; dl binds its OWN obs, which the
+    // stats refresh below reads only after compact returns)
     val mf = graft.util.StagedIndex.compact(spark, dir,
-        graft.util.IndexManifest.KindBm25) { mf =>
+        graft.util.IndexManifest.KindBm25, overlap = true) { mf =>
       val idCol = mf.params.getOrElse("id_col", "doc_id")
       Seq(
         Layout("postings", Some("bkt"),

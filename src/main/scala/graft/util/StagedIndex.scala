@@ -134,11 +134,12 @@ object StagedIndex {
     * params like the id column; counts evaluate AFTER the rewrites,
     * so Observation-riding counts are bound). Returns the manifest
     * for kinds that refresh ancillary stats frames from its params. */
-  def compact(spark: SparkSession, dir: String, kind: String)
+  def compact(spark: SparkSession, dir: String, kind: String,
+      overlap: Boolean = false)
       (layouts: IndexManifest => Seq[Layout])
       (counts: IndexManifest => Map[String, Long]): IndexManifest = {
     val mf = IndexManifest.validateKind(spark, dir, kind)
-    layouts(mf).foreach { l =>
+    def rewrite(l: Layout): Unit =
       DirSwap.replace(spark, dir, l.name) { tmp =>
         // manifest-recorded schema when present: no inference job on
         // the rewrite's read (same discipline as the probe readers)
@@ -154,7 +155,19 @@ object StagedIndex {
           case None => consolidated.write.mode("overwrite").parquet(tmp)
         }
       }
-    }
+    // `overlap` runs the sublayout rewrites as concurrent actions
+    // (guide §2.6: back-to-back driver-committed jobs leave task slots
+    // idle in each other's tails). ONLY for kinds whose rewrites are
+    // INDEPENDENT (band index bands∥ids, BM25 postings∥df∥dl): each
+    // DirSwap's tmp/aside state is namespaced by its layout name, so
+    // concurrent swaps never touch the same paths, and the crash
+    // contract is unchanged — any subset of layouts swapped is the
+    // same valid mixed-compaction state the sequential order could
+    // leave. Kinds whose LATER layout consumes an Observation bound by
+    // an EARLIER one (census stats) must keep the sequential default.
+    val ls = layouts(mf)
+    if (overlap && ls.size > 1) Par.run(ls.map(l => () => rewrite(l)): _*)
+    else ls.foreach(rewrite)
     IndexManifest.write(spark, dir, kind, mf.params, counts(mf))
     mf
   }

@@ -110,4 +110,39 @@ class StagedIndexSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("'demo'"))
   }
+
+  test("compact overlap=true: concurrent independent rewrites, same layouts and counts as sequential") {
+    val dir = tmp("stidx-compact-par")
+    StagedIndex.stage(spark, dir, "demo", Map("buckets" -> "2")) {
+      rows.repartition(col("bkt"))
+        .write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/data")
+      rows.select("id").write.mode("overwrite").parquet(s"$dir/flat")
+      Map("n_rows" -> 3L)
+    }
+    rows.repartition(col("bkt"))
+      .write.mode("append").partitionBy("bkt").parquet(s"$dir/data")
+    rows.select("id").write.mode("append").parquet(s"$dir/flat")
+    val obs = org.apache.spark.sql.Observation()
+    // the two rewrites are INDEPENDENT (each binds only its own state),
+    // so the overlapped path must land the exact sequential result:
+    // every DirSwap's tmp/aside is namespaced by its layout name
+    StagedIndex.compact(spark, dir, "demo", overlap = true) { _ =>
+      Seq(
+        StagedIndex.Layout("data", Some("bkt"),
+          _.groupBy(col("bkt"), col("id")).agg(count(lit(1)).as("n"))
+            .observe(obs, count(lit(1)).as("n_rows"))
+            .select(col("id"), col("n"), col("bkt"))),
+        StagedIndex.Layout("flat", None, _.repartition(1)))
+    } { _ => Map("n_rows" -> obs.get("n_rows").asInstanceOf[Long]) }
+    val after = IndexManifest.read(spark, dir)
+    assert(after.counts == Map("n_rows" -> 3L))
+    val got = spark.read.parquet(s"$dir/data")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+    assert(spark.read.parquet(s"$dir/flat").count() == 6L)
+    // no swap debris left behind by either concurrent rewrite
+    val names = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(!names.exists(n => n.contains("__compact__") || n.contains("__old__")),
+      s"swap debris left: $names")
+  }
 }
